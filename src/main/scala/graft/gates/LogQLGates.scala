@@ -1,0 +1,217 @@
+package graft.gates
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.logql.{EvalParams, LogQLCompiler, LogQLParser}
+import graft.model.OracleViews
+
+/** Driver-gate queries exercising the LogQL operator inventory
+  * (SURVEY.md §2.B/§2.C), each with its DuckDB oracle. Every query goes
+  * through the real parser + compiler — not a hand-built DataFrame — so the
+  * gate proves the engine end-to-end.
+  */
+object LogQLGates extends GateSet {
+  import EvalWindow._
+
+  private def engine(spark: SparkSession, dir: String) =
+    new LogQLCompiler(spark, dir, EvalParams(StartNs, EndNs, StepS))
+
+  /** Compile a log-stream query, project labels to flat columns. */
+  private def logQ(q: String, labelCols: String*)(spark: SparkSession, dir: String): DataFrame = {
+    val df = engine(spark, dir).compileLog(
+      LogQLParser.parseOrThrow(q) match {
+        case graft.logql.LogQLAst.LogExpr(s, st) => s
+        case other => throw new IllegalArgumentException(s"not a log expr: $other")
+      },
+      LogQLParser.parseOrThrow(q) match {
+        case graft.logql.LogQLAst.LogExpr(_, st) => st
+        case _ => Nil
+      })
+    val cols = col("timestamp_ns") +: col("line") +:
+      labelCols.map(k => element_at(col("labels"), k).as(k))
+    df.select(cols: _*).orderBy(col("timestamp_ns"), col("line"))
+  }
+
+  /** Compile a metric query, project group labels, round values. */
+  private def metricQ(q: String, labelCols: String*)(spark: SparkSession, dir: String): DataFrame = {
+    val df = engine(spark, dir).compileMetric(LogQLParser.parseOrThrow(q))
+    val cols = labelCols.map(k => element_at(col("labels"), k).as(k)) ++
+      Seq(col("ts"), round(col("value"), 6).as("value"))
+    df.select(cols: _*).orderBy(labelCols.map(col) :+ col("ts") :+ col("value"): _*)
+  }
+
+  private def o(body: String): Option[String] =
+    Some(OracleViews.withViews(Seq(OracleViews.logs), body))
+
+  // DuckDB helper fragments
+  private val bucket = s"(timestamp_ns // ${StepS}000000000) * $StepS"
+
+  override val gates: Seq[Gate] = Seq(
+
+    // --- stream selection + line filters (StreamSelect/LineFilterPlanner) --
+    Gate("logql_stream_select",
+      logQ("""{event_type="error", level="error"} |= "7"""", "user"),
+      o(s"""SELECT timestamp_ns, line, "user"
+           |FROM logs WHERE event_type = 'error' AND level = 'error'
+           |  AND line LIKE '%7%'
+           |ORDER BY timestamp_ns, line""".stripMargin)),
+
+    Gate("logql_line_filter_regex",
+      logQ("""{level="info"} |~ "\"k\": 1[0-9]" != "view"""", "event_type"),
+      o(s"""SELECT timestamp_ns, line, event_type
+           |FROM logs WHERE level = 'info'
+           |  AND regexp_matches(line, '"k": 1[0-9]')
+           |  AND NOT contains(line, 'view')
+           |ORDER BY timestamp_ns, line""".stripMargin)),
+
+    Gate("logql_line_pattern",
+      logQ("""{event_type="signup"} |> "{\"k\": 1<_>}"""", "user"),
+      o(s"""SELECT timestamp_ns, line, "user"
+           |FROM logs WHERE event_type = 'signup'
+           |  AND line LIKE '{"k": 1%}'
+           |ORDER BY timestamp_ns, line""".stripMargin)),
+
+    // --- json parser + numeric label filter (ParserPlanner/LabelFilter) ---
+    Gate("logql_json_label_filter",
+      logQ("""{event_type="purchase"} | json | k >= 50""", "user", "k"),
+      o(s"""SELECT timestamp_ns, line, "user",
+           |  json_extract_string(line, '$$.k') AS k
+           |FROM logs WHERE event_type = 'purchase'
+           |  AND CAST(json_extract_string(line, '$$.k') AS DOUBLE) >= 50
+           |ORDER BY timestamp_ns, line""".stripMargin)),
+
+    // --- regexp parser ----------------------------------------------------
+    Gate("logql_regexp_parser",
+      logQ("""{event_type="error"} | regexp "\"k\": (?P<kv>[0-9]+)" | kv > 80""", "kv"),
+      o(s"""SELECT timestamp_ns, line, regexp_extract(line, '"k": ([0-9]+)', 1) AS kv
+           |FROM logs WHERE event_type = 'error'
+           |  AND CAST(regexp_extract(line, '"k": ([0-9]+)', 1) AS DOUBLE) > 80
+           |ORDER BY timestamp_ns, line""".stripMargin)),
+
+    // --- line_format / label_format / drop (template + map rewrites) ------
+    Gate("logql_line_format",
+      logQ("""{event_type="signup"} | line_format "u={{.user}} t={{.event_type}}"""", "user"),
+      o(s"""SELECT timestamp_ns,
+           |  'u=' || "user" || ' t=' || event_type AS line, "user"
+           |FROM logs WHERE event_type = 'signup'
+           |ORDER BY timestamp_ns, line""".stripMargin)),
+
+    Gate("logql_label_format_drop",
+      logQ("""{event_type="view"} | label_format et=event_type | drop event_type, level""", "et", "user"),
+      o(s"""SELECT timestamp_ns, line, event_type AS et, "user"
+           |FROM logs WHERE event_type = 'view'
+           |ORDER BY timestamp_ns, line""".stripMargin)),
+
+    // --- range aggregations (LRAPlanner) ----------------------------------
+    Gate("logql_rate_sum_by",
+      metricQ("""sum by (event_type) (rate({level=~"info|error"}[6h]))""", "event_type"),
+      o(s"""SELECT event_type, $bucket AS ts,
+           |  round(sum(r), 6) AS value
+           |FROM (
+           |  SELECT event_type, "user", timestamp_ns,
+           |    1.0 / $StepS AS r
+           |  FROM logs WHERE level IN ('info','error'))
+           |GROUP BY 1, 2 ORDER BY 1, 2, 3""".stripMargin)),
+
+    Gate("logql_count_over_time",
+      metricQ("""sum by (level) (count_over_time({event_type=~"click|view"}[6h]))""", "level"),
+      o(s"""SELECT level, $bucket AS ts, CAST(count(*) AS DOUBLE) AS value
+           |FROM logs WHERE event_type IN ('click','view')
+           |GROUP BY 1, 2 ORDER BY 1, 2, 3""".stripMargin)),
+
+    Gate("logql_bytes_over_time",
+      metricQ("""sum by (event_type) (bytes_over_time({level="info"}[6h]))""", "event_type"),
+      o(s"""SELECT event_type, $bucket AS ts,
+           |  CAST(sum(length(line)) AS DOUBLE) AS value
+           |FROM logs WHERE level = 'info'
+           |GROUP BY 1, 2 ORDER BY 1, 2, 3""".stripMargin)),
+
+    // --- unwrap + value range aggs (UnwrapFunctionPlanner) ----------------
+    Gate("logql_unwrap_sum",
+      metricQ("""sum by (user) (sum_over_time({event_type="click"} | json | unwrap k [6h]))""", "user"),
+      o(s"""SELECT "user", $bucket AS ts,
+           |  round(sum(CAST(json_extract_string(line, '$$.k') AS DOUBLE)), 6) AS value
+           |FROM logs WHERE event_type = 'click'
+           |GROUP BY 1, 2 ORDER BY 1, 2, 3""".stripMargin)),
+
+    Gate("logql_unwrap_max_min",
+      metricQ("""max by (level) (max_over_time({level=~".+"} | json | unwrap k [6h]))""", "level"),
+      o(s"""SELECT level, $bucket AS ts,
+           |  round(max(CAST(json_extract_string(line, '$$.k') AS DOUBLE)), 6) AS value
+           |FROM logs
+           |GROUP BY 1, 2 ORDER BY 1, 2, 3""".stripMargin)),
+
+    // --- quantile (QuantilePlanner; exact == DuckDB quantile_cont) --------
+    Gate("logql_quantile_over_time",
+      metricQ("""quantile_over_time(0.9, {event_type="purchase"} | json | unwrap k [6h]) by (event_type)""", "event_type"),
+      o(s"""SELECT event_type, $bucket AS ts,
+           |  round(quantile_cont(CAST(json_extract_string(line, '$$.k') AS DOUBLE), 0.9), 6) AS value
+           |FROM logs WHERE event_type = 'purchase'
+           |GROUP BY 1, 2 ORDER BY 1, 2, 3""".stripMargin)),
+
+    // --- vector agg + topk (AggOp/TopKPlanner) ----------------------------
+    Gate("logql_topk",
+      metricQ("""topk(3, sum by (user) (count_over_time({level="info"}[6h])))""", "user"),
+      o(s"""SELECT "user", ts, value FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY ts ORDER BY value DESC, "user") AS rn
+           |  FROM (
+           |    SELECT "user", $bucket AS ts, CAST(count(*) AS DOUBLE) AS value
+           |    FROM logs WHERE level = 'info' GROUP BY 1, 2) agg) r
+           |WHERE rn <= 3
+           |ORDER BY "user", ts, value""".stripMargin)),
+
+    // --- scalar comparison (ComparisonPlanner) ----------------------------
+    Gate("logql_comparison",
+      metricQ("""sum by (user) (count_over_time({event_type="error"}[6h])) > 2""", "user"),
+      o(s"""SELECT "user", $bucket AS ts, CAST(count(*) AS DOUBLE) AS value
+           |FROM logs WHERE event_type = 'error'
+           |GROUP BY 1, 2 HAVING count(*) > 2 ORDER BY 1, 2, 3""".stripMargin)),
+
+    // --- binary expression (BinaryExpr join on fingerprint+ts) ------------
+    Gate("logql_binop",
+      metricQ("""sum by (level) (bytes_over_time({event_type=~"click|view"}[6h])) / sum by (level) (count_over_time({event_type=~"click|view"}[6h]))""", "level"),
+      o(s"""SELECT level, $bucket AS ts,
+           |  round(CAST(sum(length(line)) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS value
+           |FROM logs WHERE event_type IN ('click','view')
+           |GROUP BY 1, 2 ORDER BY 1, 2, 3""".stripMargin)),
+
+    // --- absent_over_time (grid anti-join) --------------------------------
+    Gate("logql_absent_over_time",
+      metricQ("""absent_over_time({event_type="nosuch"}[6h])"""),
+      o(s"""SELECT gs AS ts, 1.0 AS value
+           |FROM generate_series($StartS, ${EndS - StepS}, $StepS) t(gs)
+           |ORDER BY ts, value""".stripMargin)),
+
+    // --- series / labels discovery (SeriesPlanner / ValuesPlanner) --------
+    Gate("logql_series",
+      (spark: SparkSession, dir: String) => {
+        val df = engine(spark, dir).compileLog(
+          graft.logql.LogQLAst.Selector(Seq(
+            graft.logql.LogQLAst.LabelMatcher("level", "=", "error"))), Nil)
+        df.select(
+            element_at(col("labels"), "event_type").as("event_type"),
+            element_at(col("labels"), "level").as("level"),
+            element_at(col("labels"), "user").as("user"))
+          .distinct()
+          .orderBy("event_type", "level", "user")
+      },
+      o(s"""SELECT DISTINCT event_type, level, "user"
+           |FROM logs WHERE level = 'error'
+           |ORDER BY 1, 2, 3""".stripMargin)),
+
+    // --- index stats (QueryIndexStats: streams/entries/bytes) -------------
+    Gate("logql_index_stats",
+      (spark: SparkSession, dir: String) => {
+        val df = engine(spark, dir).compileLog(
+          graft.logql.LogQLAst.Selector(Nil), Nil)
+        df.agg(
+          countDistinct(col("fingerprint")).as("streams"),
+          count(lit(1)).as("entries"),
+          sum(length(col("line"))).cast("long").as("bytes"))
+      },
+      o(s"""SELECT count(DISTINCT event_type || '|' || level || '|' || "user") AS streams,
+           |  count(*) AS entries, CAST(sum(length(line)) AS BIGINT) AS bytes
+           |FROM logs""".stripMargin))
+  )
+}

@@ -1,0 +1,103 @@
+package graft.logql
+
+/** LogQL abstract syntax tree.
+  *
+  * Shape mirrors the reference grammar
+  * (`reader/logql/logql_parser/model.go:1-563`, participle PEG): stream
+  * selector, pipeline stages, range aggregations, vector aggregations,
+  * topk/bottomk, quantile_over_time, by/without grouping, scalar
+  * comparison, offset, binary arithmetic.
+  */
+object LogQLAst {
+
+  /** `{label op "value"}` — ops `=`, `!=`, `=~`, `!~` (model.go:97-101). */
+  final case class LabelMatcher(label: String, op: String, value: String)
+
+  final case class Selector(matchers: Seq[LabelMatcher])
+
+  sealed trait Stage
+
+  /** `|= != |~ !~ |>` line filters (planner_line_filter.go:18-148). */
+  final case class LineFilter(op: String, needle: String) extends Stage
+
+  /** Label predicate tree (planner_label_filter.go:25-172). */
+  sealed trait LabelPred
+  final case class StrPred(label: String, op: String, value: String) extends LabelPred
+  final case class NumPred(label: String, op: String, value: Double) extends LabelPred
+  final case class AndPred(l: LabelPred, r: LabelPred) extends LabelPred
+  final case class OrPred(l: LabelPred, r: LabelPred) extends LabelPred
+  final case class LabelFilterStage(pred: LabelPred) extends Stage
+
+  /** `| json` (full extract) or `| json lbl="json.path"` (params). */
+  final case class JsonStage(params: Seq[(String, String)]) extends Stage
+  /** `| logfmt` — full key=value extraction. */
+  case object LogfmtStage extends Stage
+  /** `| regexp "re"` — named capture groups become labels. */
+  final case class RegexpStage(re: String) extends Stage
+  /** `| line_format "tpl"` (Go template subset). */
+  final case class LineFormatStage(tpl: String) extends Stage
+  /** `| label_format dst=src` or `dst="tpl"`. */
+  final case class LabelFormatStage(ops: Seq[(String, Either[String, String])]) extends Stage
+  final case class DropStage(keys: Seq[String]) extends Stage
+  final case class KeepStage(keys: Seq[String]) extends Stage
+  /** `| unwrap lbl` with optional conversion fn (duration/bytes). */
+  final case class UnwrapStage(label: String, conv: Option[String]) extends Stage
+
+  /** `selector stages [range] offset` — the operand of a range agg. */
+  final case class LogRange(
+      selector: Selector,
+      stages: Seq[Stage],
+      rangeS: Long,
+      offsetS: Long)
+
+  sealed trait Expr
+
+  /** Plain log-stream query: selector + pipeline, no aggregation. */
+  final case class LogExpr(selector: Selector, stages: Seq[Stage]) extends Expr
+
+  /** rate/count_over_time/bytes_rate/.../quantile_over_time(φ, r).
+    * (model.go:404-429, 524-531)
+    */
+  final case class RangeAgg(
+      fn: String,
+      range: LogRange,
+      param: Option[Double] = None,
+      by: Seq[String] = Nil,
+      without: Seq[String] = Nil) extends Expr
+
+  /** sum/min/max/avg/stddev/stdvar/count [by/without] (model.go:461-467),
+    * topk/bottomk(k, e) (model.go:500-507).
+    */
+  final case class VectorAgg(
+      fn: String,
+      inner: Expr,
+      by: Seq[String] = Nil,
+      without: Seq[String] = Nil,
+      param: Option[Double] = None) extends Expr
+
+  /** Binary arithmetic `/ * + - %` between metric exprs or scalars
+    * (model.go:11-34).
+    */
+  final case class BinOp(op: String, lhs: Expr, rhs: Expr) extends Expr
+
+  final case class ScalarLit(v: Double) extends Expr
+
+  /** Scalar comparison filter `expr > n` (model.go:431-434). */
+  final case class Cmp(lhs: Expr, op: String, rhs: Double) extends Expr
+
+  /** Parse `5m`/`1h30m`-style durations to seconds. */
+  def durationToSeconds(s: String): Long = {
+    val re = "([0-9]+)(ms|s|m|h|d|w)".r
+    re.findAllMatchIn(s).map { m =>
+      val n = m.group(1).toLong
+      m.group(2) match {
+        case "ms" => n / 1000
+        case "s"  => n
+        case "m"  => n * 60
+        case "h"  => n * 3600
+        case "d"  => n * 86400
+        case "w"  => n * 604800
+      }
+    }.sum
+  }
+}

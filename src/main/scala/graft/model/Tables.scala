@@ -1,0 +1,188 @@
+package graft.model
+
+import org.apache.spark.sql.{DataFrame, SparkSession, Column}
+import org.apache.spark.sql.functions._
+
+/** Canonical observability data model (see SURVEY.md §1).
+  *
+  * The reference (metrico/gigapipe, `ctrl/qryn/sql/log.sql:16-32`) stores
+  * everything in two tables: `time_series` (fingerprint → label set) and
+  * `samples_v3` (fingerprint, timestamp_ns, value|string). We mirror that
+  * shape as DataFrames over Parquet, with labels as a first-class
+  * `MapType(String,String)` column instead of a JSON string — Spark's map
+  * functions (`element_at`, `map_filter`, `map_concat`) then replace the
+  * reference's JSONExtract/mapUpdate ClickHouse calls.
+  *
+  * For the driver's correctness gate the canonical tables are *derived
+  * deterministically* from the driver-generated testdata
+  * (`/root/testdata/sf{N}/events.parquet` etc.), with the equivalent DuckDB
+  * CTE kept in [[OracleViews]] right next to each derivation — the two must
+  * stay in lock-step, the DuckDB text is what the oracle compares against.
+  *
+  * Scale notes (100 TB design): every derived view here is a narrow
+  * projection + arithmetic over the source scan — no shuffle, no UDF, fully
+  * codegen'd, and column-prunable (reading `logs` for a 2-column query only
+  * scans those parquet columns). A production deployment would materialize
+  * these as date-partitioned Parquet/Delta tables sorted within partitions
+  * by (fingerprint, timestamp_ns); the query compilers only depend on the
+  * schema, not on how the table is materialized.
+  */
+object Tables {
+
+  /** events.ts is parquet TIMESTAMP(NANOS) — Spark 4 has no ns timestamp
+    * type and rejects the column by default; `nanosAsLong` surfaces it as
+    * the raw int64 epoch-ns, which is exactly our canonical timestamp_ns
+    * (full precision, and DuckDB's epoch_ns() agrees bit-for-bit).
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+  }
+
+  def lineitem(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/lineitem.parquet")
+
+  def orders(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/orders.parquet")
+
+  def customer(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/customer.parquet")
+
+  def documents(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  def embeddings(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/embeddings.parquet")
+
+  /** Stable series identity: hash of the sorted label set.
+    * Reference: `cityHash64(arraySort(labels))`
+    * (`writer/utils/helputils/fingerprint.go`); the exact hash function is
+    * an implementation detail — only distribution + stability matter, so we
+    * use Spark's codegen'd xxhash64 over the canonical JSON of the sorted
+    * entry list. Never exposed in query outputs (oracle-independent).
+    */
+  def fingerprintOf(labels: Column): Column =
+    xxhash64(to_json(map_from_entries(array_sort(map_entries(labels)))))
+
+  /** Log stream table derived from `events.parquet`.
+    *
+    * Mirrors `samples_v3` rows of type=1 (`log.sql:25-32`) joined with their
+    * `time_series` labels: one row per log line with
+    *   timestamp_ns  — event time in ns (µs precision: parquet ns is
+    *                   truncated identically by Spark (µs timestamps) and by
+    *                   the oracle's epoch_us())
+    *   labels        — {event_type, level, user} (dynamic label set)
+    *   line          — the raw log line (JSON props payload)
+    *   value         — numeric payload (metric sample when type=2)
+    *   fingerprint   — series identity
+    */
+  def logs(spark: SparkSession, dir: String): DataFrame = {
+    val labels = map(
+      lit("event_type"), col("event_type"),
+      lit("level"), when(col("event_type") === "error", "error").otherwise("info"),
+      lit("user"), col("user_id").cast("string"))
+    events(spark, dir)
+      .select(
+        // truncate to µs: the oracle's parquet reader has µs timestamps,
+        // so the canonical model pins µs precision (ns-granular inputs
+        // keep full precision internally when no oracle parity is needed)
+        (col("ts") - pmod(col("ts"), lit(1000L))).as("timestamp_ns"),
+        labels.as("labels"),
+        col("props").as("line"),
+        col("value").as("value"))
+      .withColumn("fingerprint", fingerprintOf(col("labels")))
+  }
+
+  /** Metric samples table (samples_v3 type=2): the numeric `value` of each
+    * event as a counter-ish sample of metric `events_value`.
+    */
+  def metricSamples(spark: SparkSession, dir: String): DataFrame =
+    logs(spark, dir).withColumn("name", lit("events_value"))
+
+  /** Span table derived from events: every 10 consecutive event_ids form a
+    * trace; each event is a span. Mirrors `tempo_traces`
+    * (`ctrl/qryn/sql/traces.sql:7-19`). Purely arithmetic so the DuckDB
+    * oracle can replicate it exactly.
+    */
+  def spans(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir).select(
+      (col("event_id") / 10).cast("long").as("trace_id"),
+      col("event_id").as("span_id"),
+      when(col("event_id") % 10 === 0, lit(null).cast("long"))
+        .otherwise(col("event_id") - 1).as("parent_id"),
+      col("event_type").as("name"),
+      concat(lit("svc"), (col("user_id") % 5).cast("string")).as("service_name"),
+      (col("ts") - pmod(col("ts"), lit(1000L))).as("timestamp_ns"),
+      (col("value") * 1e6).cast("long").as("duration_ns"),
+      col("user_id"),
+      col("props"))
+
+  /** Span attribute rows (tempo_traces_attrs_gin, `traces.sql:21-32`):
+    * exploded key/value pairs per span.
+    */
+  def spanAttrs(spark: SparkSession, dir: String): DataFrame =
+    spans(spark, dir).select(
+      col("trace_id"), col("span_id"), col("timestamp_ns"),
+      col("duration_ns"),
+      explode(map(
+        lit("name"), col("name"),
+        lit("service_name"), col("service_name"),
+        lit("user"), col("user_id").cast("string"))).as(Seq("key", "val")))
+
+  /** 15s pre-aggregated downsample of metric samples, mirroring
+    * `metrics_15s` (`log.sql:83-107`) with plain columns instead of
+    * AggregateFunction partial-state blobs (re-aggregatable with
+    * sum/min/max/max_by). At 100 TB this is the table rate()/sum_over_time
+    * read instead of raw samples — 15s buckets cut the scan ~15× for typical
+    * 1-sample/s series.
+    */
+  def metrics15s(spark: SparkSession, dir: String): DataFrame = {
+    val bucketNs = 15L * 1000 * 1000 * 1000
+    metricSamples(spark, dir)
+      .groupBy(col("fingerprint"),
+        (col("timestamp_ns") - pmod(col("timestamp_ns"), lit(bucketNs)))
+          .as("timestamp_ns"))
+      .agg(
+        max_by(col("value"), col("timestamp_ns")).as("last"),
+        max(col("timestamp_ns")).as("last_ts"),
+        min(col("value")).as("min"),
+        max(col("value")).as("max"),
+        sum(col("value")).as("sum"),
+        count(lit(1)).as("cnt"),
+        sum(length(col("line"))).as("bytes"))
+  }
+}
+
+/** DuckDB CTE text for each derived view — MUST stay in sync with the
+  * derivations above; this is what the driver's oracle executes. Flat label
+  * columns (event_type, level, user) stand in for the labels map, and
+  * fingerprints never appear in outputs, so the oracle needs no hash parity.
+  */
+object OracleViews {
+  val logs: String =
+    """logs AS (
+      |  SELECT epoch_ns(ts) AS timestamp_ns,
+      |         event_type,
+      |         CASE WHEN event_type = 'error' THEN 'error' ELSE 'info' END AS level,
+      |         CAST(user_id AS VARCHAR) AS "user",
+      |         props AS line,
+      |         value
+      |  FROM events)""".stripMargin
+
+  val spans: String =
+    """spans AS (
+      |  SELECT CAST(event_id // 10 AS BIGINT) AS trace_id,
+      |         event_id AS span_id,
+      |         CASE WHEN event_id % 10 = 0 THEN NULL ELSE event_id - 1 END AS parent_id,
+      |         event_type AS name,
+      |         'svc' || CAST(user_id % 5 AS VARCHAR) AS service_name,
+      |         epoch_ns(ts) AS timestamp_ns,
+      |         CAST(value * 1e6 AS BIGINT) AS duration_ns,
+      |         user_id,
+      |         props
+      |  FROM events)""".stripMargin
+
+  /** Wrap a query body with the standard CTE prelude. */
+  def withViews(views: Seq[String], body: String): String =
+    "WITH " + views.mkString(",\n") + "\n" + body
+}
