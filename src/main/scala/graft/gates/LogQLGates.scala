@@ -3,7 +3,7 @@ package graft.gates
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.logql.{EvalParams, LogQLCompiler, LogQLParser}
+import graft.logql.{EvalParams, LogQLApi, LogQLCompiler, LogQLParser}
 import graft.model.OracleViews
 
 /** Driver-gate queries exercising the LogQL operator inventory
@@ -183,35 +183,142 @@ object LogQLGates extends GateSet {
            |FROM generate_series($StartS, ${EndS - StepS}, $StepS) t(gs)
            |ORDER BY ts, value""".stripMargin)),
 
-    // --- series / labels discovery (SeriesPlanner / ValuesPlanner) --------
+    // --- series / labels discovery (SeriesPlanner / ValuesPlanner), routed
+    // through the real API entry points (graft.logql.LogQLApi) -------------
     Gate("logql_series",
-      (spark: SparkSession, dir: String) => {
-        val df = engine(spark, dir).compileLog(
-          graft.logql.LogQLAst.Selector(Seq(
-            graft.logql.LogQLAst.LabelMatcher("level", "=", "error"))), Nil)
-        df.select(
+      (spark: SparkSession, dir: String) =>
+        LogQLApi.series(spark, dir, EvalParams(StartNs, EndNs, StepS),
+            Seq("""{level="error"}"""))
+          .select(
             element_at(col("labels"), "event_type").as("event_type"),
             element_at(col("labels"), "level").as("level"),
             element_at(col("labels"), "user").as("user"))
-          .distinct()
-          .orderBy("event_type", "level", "user")
-      },
+          .orderBy("event_type", "level", "user"),
       o(s"""SELECT DISTINCT event_type, level, "user"
            |FROM logs WHERE level = 'error'
            |ORDER BY 1, 2, 3""".stripMargin)),
 
+    // multi-selector union (MultiStreamSelectPlanner)
+    Gate("logql_series_multi",
+      (spark: SparkSession, dir: String) =>
+        LogQLApi.series(spark, dir, EvalParams(StartNs, EndNs, StepS),
+            Seq("""{event_type="click"}""", """{event_type="view"}"""))
+          .select(
+            element_at(col("labels"), "event_type").as("event_type"),
+            element_at(col("labels"), "level").as("level"),
+            element_at(col("labels"), "user").as("user"))
+          .orderBy("event_type", "level", "user"),
+      o(s"""SELECT DISTINCT event_type, level, "user"
+           |FROM logs WHERE event_type IN ('click', 'view')
+           |ORDER BY 1, 2, 3""".stripMargin)),
+
+    Gate("logql_label_values",
+      (spark: SparkSession, dir: String) =>
+        LogQLApi.labelValues(spark, dir, EvalParams(StartNs, EndNs, StepS),
+          "event_type").orderBy("value"),
+      o(s"""SELECT DISTINCT event_type AS value FROM logs ORDER BY 1""")),
+
+    Gate("logql_index_volume",
+      (spark: SparkSession, dir: String) =>
+        LogQLApi.indexVolume(spark, dir, EvalParams(StartNs, EndNs, StepS),
+          """{level=~".+"}""", "event_type").orderBy("name"),
+      o(s"""SELECT event_type AS name, CAST(sum(length(line)) AS BIGINT) AS volume
+           |FROM logs GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // --- index stats (QueryIndexStats: streams/entries/bytes) -------------
     Gate("logql_index_stats",
-      (spark: SparkSession, dir: String) => {
-        val df = engine(spark, dir).compileLog(
-          graft.logql.LogQLAst.Selector(Nil), Nil)
-        df.agg(
-          countDistinct(col("fingerprint")).as("streams"),
-          count(lit(1)).as("entries"),
-          sum(length(col("line"))).cast("long").as("bytes"))
-      },
+      (spark: SparkSession, dir: String) =>
+        LogQLApi.indexStats(spark, dir, EvalParams(StartNs, EndNs, StepS), "{}"),
       o(s"""SELECT count(DISTINCT event_type || '|' || level || '|' || "user") AS streams,
            |  count(*) AS entries, CAST(sum(length(line)) AS BIGINT) AS bytes
-           |FROM logs""".stripMargin))
+           |FROM logs""".stripMargin)),
+
+    // --- logfmt parser (round-trip through line_format; quoting exercised)
+    Gate("logql_logfmt",
+      logQ("""{event_type="click"} | line_format `uid={{.user}} msg="hello world"` | logfmt""",
+        "uid", "msg"),
+      o(s"""SELECT timestamp_ns,
+           |  'uid=' || "user" || ' msg="hello world"' AS line,
+           |  "user" AS uid, 'hello world' AS msg
+           |FROM logs WHERE event_type = 'click'
+           |ORDER BY timestamp_ns, line""".stripMargin)),
+
+    // --- keep (PlannerKeep): non-kept labels become NULL ------------------
+    Gate("logql_keep",
+      logQ("""{event_type="view"} | keep level, user""", "level", "user", "event_type"),
+      o(s"""SELECT timestamp_ns, line, level, "user",
+           |  CAST(NULL AS VARCHAR) AS event_type
+           |FROM logs WHERE event_type = 'view'
+           |ORDER BY timestamp_ns, line""".stripMargin)),
+
+    // --- without grouping (ByWithoutPlanner, without branch) --------------
+    Gate("logql_without",
+      metricQ("""sum without (user, level) (count_over_time({level="info"}[6h]))""", "event_type"),
+      o(s"""SELECT event_type, $bucket AS ts, CAST(count(*) AS DOUBLE) AS value
+           |FROM logs WHERE level = 'info'
+           |GROUP BY 1, 2 ORDER BY 1, 2, 3""".stripMargin)),
+
+    // --- offset (model.go:548-556): window shifted back by 6h -------------
+    Gate("logql_offset",
+      metricQ("""sum by (event_type) (count_over_time({level="error"}[6h] offset 6h))""", "event_type"),
+      o(s"""SELECT event_type,
+           |  ((timestamp_ns + ${StepS}000000000) // ${StepS}000000000) * $StepS AS ts,
+           |  CAST(count(*) AS DOUBLE) AS value
+           |FROM logs WHERE level = 'error'
+           |  AND timestamp_ns < ${EndS - StepS}000000000
+           |GROUP BY 1, 2 ORDER BY 1, 2, 3""".stripMargin)),
+
+    // --- sliding window: range (12h) > step (6h) — each sample covers two
+    // eval buckets, window = lookback ending at bucket end ----------------
+    Gate("logql_sliding_count",
+      metricQ("""sum by (event_type) (count_over_time({level="info"}[12h]))""", "event_type"),
+      o(s"""SELECT event_type, t AS ts, CAST(count(*) AS DOUBLE) AS value FROM (
+           |  SELECT event_type, unnest([b, b + $StepS]) AS t FROM (
+           |    SELECT event_type, $bucket AS b FROM logs WHERE level = 'info'))
+           |WHERE t >= $StartS AND t <= ${EndS - StepS}
+           |GROUP BY 1, 2 ORDER BY 1, 2, 3""".stripMargin)),
+
+    Gate("logql_sliding_rate",
+      metricQ("""sum by (level) (rate({event_type=~"click|view"}[12h]))""", "level"),
+      o(s"""SELECT level, t AS ts, round(CAST(count(*) AS DOUBLE) / ${2 * StepS}, 6) AS value FROM (
+           |  SELECT level, unnest([b, b + $StepS]) AS t FROM (
+           |    SELECT level, $bucket AS b FROM logs WHERE event_type IN ('click','view')))
+           |WHERE t >= $StartS AND t <= ${EndS - StepS}
+           |GROUP BY 1, 2 ORDER BY 1, 2, 3""".stripMargin)),
+
+    // --- unwrap conversions (UnwrapPlanner bytes/duration_seconds) --------
+    Gate("logql_unwrap_bytes",
+      metricQ("""sum by (user) (sum_over_time({event_type="click"} | json | label_format sz="{{.k}}KiB" | unwrap bytes(sz) [6h]))""", "user"),
+      o(s"""SELECT "user", $bucket AS ts,
+           |  round(sum(CAST(json_extract_string(line, '$$.k') AS DOUBLE) * 1024), 6) AS value
+           |FROM logs WHERE event_type = 'click'
+           |GROUP BY 1, 2 ORDER BY 1, 2, 3""".stripMargin)),
+
+    Gate("logql_unwrap_duration",
+      metricQ("""sum by (user) (sum_over_time({event_type="purchase"} | json | label_format d="{{.k}}m30s" | unwrap duration_seconds(d) [6h]))""", "user"),
+      o(s"""SELECT "user", $bucket AS ts,
+           |  round(sum(CAST(json_extract_string(line, '$$.k') AS DOUBLE) * 60 + 30), 6) AS value
+           |FROM logs WHERE event_type = 'purchase'
+           |GROUP BY 1, 2 ORDER BY 1, 2, 3""".stripMargin)),
+
+    // --- __error__ label injection on json parse failure ------------------
+    Gate("logql_error_label",
+      logQ("""{event_type="purchase"} | line_format "{{.user}}-oops" | json | __error__="JSONParserErr"""",
+        "user", "__error__"),
+      o(s"""SELECT timestamp_ns, "user" || '-oops' AS line, "user",
+           |  'JSONParserErr' AS __error__
+           |FROM logs WHERE event_type = 'purchase'
+           |ORDER BY timestamp_ns, line""".stripMargin)),
+
+    // --- log-query limit + backward direction (MainLimit/MainOrderBy) -----
+    Gate("logql_limit_backward",
+      (spark: SparkSession, dir: String) =>
+        engine(spark, dir)
+          .compileLogQuery("""{level="error"} |= "3"""", Some(250), forward = false)
+          .select(col("timestamp_ns"), col("line"),
+            element_at(col("labels"), "user").as("user")),
+      o(s"""SELECT timestamp_ns, line, "user"
+           |FROM logs WHERE level = 'error' AND line LIKE '%3%'
+           |ORDER BY timestamp_ns DESC, line DESC LIMIT 250""".stripMargin))
   )
 }

@@ -43,12 +43,14 @@ object LogQLAst {
   /** `| unwrap lbl` with optional conversion fn (duration/bytes). */
   final case class UnwrapStage(label: String, conv: Option[String]) extends Stage
 
-  /** `selector stages [range] offset` — the operand of a range agg. */
+  /** `selector stages [range] offset` — the operand of a range agg.
+    * Durations carried in ns so sub-second ranges (`[500ms]`) stay exact.
+    */
   final case class LogRange(
       selector: Selector,
       stages: Seq[Stage],
-      rangeS: Long,
-      offsetS: Long)
+      rangeNs: Long,
+      offsetNs: Long)
 
   sealed trait Expr
 
@@ -85,19 +87,22 @@ object LogQLAst {
   /** Scalar comparison filter `expr > n` (model.go:431-434). */
   final case class Cmp(lhs: Expr, op: String, rhs: Double) extends Expr
 
-  /** Parse `5m`/`1h30m`-style durations to seconds. */
-  def durationToSeconds(s: String): Long = {
-    val re = "([0-9]+)(ms|s|m|h|d|w)".r
+  /** Parse `5m`/`1h30m`/`500ms`-style durations to NANOSECONDS.
+    * Integer-exact for whole units; fractional parts (`1.5h`) go through
+    * double math (safe: ns mantissa for sane ranges). Round 1 truncated
+    * `ms` to 0 seconds (`500ms` → rate ÷0) — ns carry fixes that.
+    */
+  def durationToNs(s: String): Long = {
+    val re = "([0-9]+(?:\\.[0-9]+)?)(ns|us|µs|ms|s|m|h|d|w)".r
+    val multNs = Map(
+      "ns" -> 1L, "us" -> 1000L, "µs" -> 1000L, "ms" -> 1000000L,
+      "s" -> 1000000000L, "m" -> 60000000000L, "h" -> 3600000000000L,
+      "d" -> 86400000000000L, "w" -> 604800000000000L)
     re.findAllMatchIn(s).map { m =>
-      val n = m.group(1).toLong
-      m.group(2) match {
-        case "ms" => n / 1000
-        case "s"  => n
-        case "m"  => n * 60
-        case "h"  => n * 3600
-        case "d"  => n * 86400
-        case "w"  => n * 604800
-      }
+      val num = m.group(1)
+      val mult = multNs(m.group(2))
+      if (num.contains('.')) (num.toDouble * mult).toLong
+      else num.toLong * mult
     }.sum
   }
 }

@@ -26,6 +26,13 @@ final case class EvalParams(startNs: Long, endNs: Long, stepS: Long)
   * Canonical intermediate schemas:
   *   log stream  — (timestamp_ns L, fingerprint L, labels M, line S, value D)
   *   metric      — (ts L [epoch sec], fingerprint L, labels M, value D)
+  *
+  * Grid semantics: eval bucket labeled `t` aggregates the window
+  * [t+step-range, t+step) — i.e. a lookback of `range` ending at the bucket
+  * end. With range == step this is exactly the tumbling bucket [t, t+step);
+  * with range > step each sample lands in range/step consecutive buckets.
+  * (Labels are bucket-START aligned; Prometheus's end-labeled eval at t
+  * corresponds to our bucket t-step.)
   */
 class LogQLCompiler(spark: SparkSession, dir: String, params: EvalParams) {
 
@@ -40,12 +47,23 @@ class LogQLCompiler(spark: SparkSession, dir: String, params: EvalParams) {
     case other => compileMetric(other)
   }
 
-  /** Final projection for the driver gate: label keys → flat columns. */
-  def metricResult(q: String, labelCols: Seq[String]): DataFrame = {
-    val df = compileMetric(LogQLParser.parseOrThrow(q))
-    val cols = labelCols.map(k => element_at(col("labels"), k).as(k)) ++
-      Seq(col("ts"), col("value"))
-    df.select(cols: _*).orderBy(labelCols.map(col) :+ col("ts"): _*)
+  /** Log query with API-level direction + limit, as the reference's
+    * MainOrderByPlanner/MainLimitPlanner apply them
+    * (`planner_main_order_by.go:13`, `planner_main_limit.go:12`) — part of
+    * the compiled plan (Spark pushes the sort+limit into a TakeOrderedAndProject,
+    * so a `limit 100` never materializes the full stream).
+    */
+  def compileLogQuery(q: String, limit: Option[Int] = None,
+      forward: Boolean = true): DataFrame = {
+    val (sel, stages) = LogQLParser.parseOrThrow(q) match {
+      case LogExpr(s, st) => (s, st)
+      case other => throw new IllegalArgumentException(s"not a log query: $other")
+    }
+    val df = compileLog(sel, stages)
+    val ordered =
+      if (forward) df.orderBy(col("timestamp_ns").asc, col("line").asc)
+      else df.orderBy(col("timestamp_ns").desc, col("line").desc)
+    limit.fold(ordered)(ordered.limit)
   }
 
   // --- log pipeline ------------------------------------------------------
@@ -57,14 +75,18 @@ class LogQLCompiler(spark: SparkSession, dir: String, params: EvalParams) {
     * simpler and pushdown-friendly. At 100 TB the same predicate runs
     * against the (small) series dictionary and semi-joins the fact table
     * on fingerprint — see [[compileLog]].
+    *
+    * Null semantics: an absent label behaves as the empty string (Loki:
+    * `{l=~".*"}` matches streams without `l`), hence the coalesce on the
+    * regex ops and the explicit empty-value branches.
     */
   private def matcherCond(m: LabelMatcher): Column = {
     val v = element_at(col("labels"), m.label)
     m.op match {
       case "="  => if (m.value.isEmpty) v.isNull || v === "" else v === m.value
       case "!=" => !(v <=> lit(m.value))
-      case "=~" => v.rlike("^(?:" + m.value + ")$")
-      case "!~" => v.isNull || !v.rlike("^(?:" + m.value + ")$")
+      case "=~" => coalesce(v, lit("")).rlike("^(?:" + m.value + ")$")
+      case "!~" => !coalesce(v, lit("")).rlike("^(?:" + m.value + ")$")
     }
   }
 
@@ -72,10 +94,10 @@ class LogQLCompiler(spark: SparkSession, dir: String, params: EvalParams) {
     case StrPred(l, op, v) =>
       val c = element_at(col("labels"), l)
       op match {
-        case "=" | "==" => c === v
+        case "=" | "==" => if (v.isEmpty) c.isNull || c === "" else c === v
         case "!="       => !(c <=> lit(v))
-        case "=~"       => c.rlike("^(?:" + v + ")$")
-        case "!~"       => c.isNull || !c.rlike("^(?:" + v + ")$")
+        case "=~"       => coalesce(c, lit("")).rlike("^(?:" + v + ")$")
+        case "!~"       => !coalesce(c, lit("")).rlike("^(?:" + v + ")$")
       }
     case NumPred(l, op, n) =>
       val c = element_at(col("labels"), l).cast("double")
@@ -123,27 +145,78 @@ class LogQLCompiler(spark: SparkSession, dir: String, params: EvalParams) {
 
   /** Java regex named-group extraction: `(?P<x>..)` → per-group
     * regexp_extract (reference: `planner_parser_regexp.go`).
+    * Lookaround groups `(?<=` `(?<!` `(?=` `(?!` and non-capturing `(?:`
+    * are skipped without bumping the capture index.
     */
-  private def regexpGroups(re: String): Seq[(String, Int)] = {
-    // scan capture groups left to right; named Go groups use (?P<name>
+  private[logql] def regexpGroups(re: String): Seq[(String, Int)] = {
     val out = scala.collection.mutable.ArrayBuffer[(String, Int)]()
     var idx = 0; var i = 0
     while (i < re.length) {
       if (re.charAt(i) == '\\') i += 2
       else if (re.charAt(i) == '(') {
-        if (i + 1 < re.length && re.charAt(i + 1) == '?') {
-          if (re.startsWith("(?P<", i) || re.startsWith("(?<", i)) {
-            idx += 1
-            val nameStart = re.indexOf('<', i) + 1
-            val nameEnd = re.indexOf('>', nameStart)
-            out += ((re.substring(nameStart, nameEnd), idx))
-            i = nameEnd
-          } // (?: …) non-capturing: no idx bump
-        } else idx += 1
-        i += 1
+        val named =
+          (re.startsWith("(?P<", i) && re.length > i + 4) ||
+          (re.startsWith("(?<", i) && re.length > i + 3 &&
+            re.charAt(i + 3) != '=' && re.charAt(i + 3) != '!')
+        if (named) {
+          idx += 1
+          val nameStart = re.indexOf('<', i) + 1
+          val nameEnd = re.indexOf('>', nameStart)
+          out += ((re.substring(nameStart, nameEnd), idx))
+          i = nameEnd + 1
+        } else if (i + 1 < re.length && re.charAt(i + 1) == '?') {
+          i += 1 // (?: (?= (?! (?<= (?<! — grouping, no capture index
+        } else { idx += 1; i += 1 }
       } else i += 1
     }
     out.toSeq
+  }
+
+  /** `unwrap bytes(x)`: humanize-style byte-size strings ("512KiB", "3MB")
+    * → bytes, SI and IEC units (reference delegates to go-units'
+    * ParseBytes via the Go-side unwrap).
+    */
+  private def bytesValue(raw: Column): Column = {
+    val num = regexp_extract(raw, "^\\s*([0-9]*\\.?[0-9]+)", 1).cast("double")
+    val unit = lower(trim(regexp_extract(raw, "^\\s*[0-9]*\\.?[0-9]+\\s*([a-zA-Z]*)\\s*$", 1)))
+    val mult = map(
+      lit(""), lit(1.0), lit("b"), lit(1.0),
+      lit("kb"), lit(1e3), lit("kib"), lit(1024.0),
+      lit("mb"), lit(1e6), lit("mib"), lit(1048576.0),
+      lit("gb"), lit(1e9), lit("gib"), lit(1073741824.0),
+      lit("tb"), lit(1e12), lit("tib"), lit(1099511627776.0),
+      lit("pb"), lit(1e15), lit("pib"), lit(1125899906842624.0))
+    num * element_at(mult, unit)
+  }
+
+  /** `unwrap duration_seconds(x)`: Go ParseDuration strings, compound
+    * ("1h30m", "150ms") → fractional seconds. One regex pass extracts all
+    * (number, unit) pairs; a higher-order aggregate sums them — no UDF.
+    */
+  private def durationValue(raw: Column): Column = {
+    val pairRe = "([0-9]*\\.?[0-9]+)(ns|us|µs|ms|s|m|h)"
+    val nums = regexp_extract_all(raw, lit(pairRe), lit(1))
+    val units = regexp_extract_all(raw, lit(pairRe), lit(2))
+    val mult = map(
+      lit("ns"), lit(1e-9), lit("us"), lit(1e-6), lit("µs"), lit(1e-6),
+      lit("ms"), lit(1e-3), lit("s"), lit(1.0), lit("m"), lit(60.0),
+      lit("h"), lit(3600.0))
+    when(raw.rlike("^\\s*(" + pairRe + ")+\\s*$"),
+      aggregate(
+        zip_with(nums, units, (n, u) => n.cast("double") * element_at(mult, u)),
+        lit(0.0), (acc, x) => acc + x))
+  }
+
+  /** Does this stage change the label set? (If none do, the ingest-time
+    * fingerprint stays valid and is never recomputed — the round-1 design
+    * re-hashed per mutating stage, which dominated the regexp-parser
+    * benchmark. Now [[compileLog]] re-keys once, lazily, and Catalyst
+    * prunes the hash entirely for queries that never read `fingerprint`.)
+    */
+  private def mutatesLabels(s: Stage): Boolean = s match {
+    case _: JsonStage | LogfmtStage | _: RegexpStage | _: LabelFormatStage |
+         _: DropStage | _: KeepStage => true
+    case _ => false
   }
 
   private def applyStage(df: DataFrame, s: Stage): DataFrame = s match {
@@ -151,20 +224,21 @@ class LogQLCompiler(spark: SparkSession, dir: String, params: EvalParams) {
     case LabelFilterStage(p) => df.filter(predCond(p))
 
     case JsonStage(Nil) =>
-      // full extract: every top-level JSON field becomes a label
-      // (reference Go-side parser.go:25-90; here a single from_json).
+      // full extract: every top-level JSON field becomes a label; on parse
+      // failure the reference injects __error__/__error_details__ labels
+      // (internal/planner/parser.go:25-90) instead of dropping the row.
+      val parsed = from_json(col("line"), MapType(StringType, StringType))
       df.withColumn("labels",
-          map_concat(col("labels"),
-            coalesce(from_json(col("line"), MapType(StringType, StringType)),
-              map())))
-        .withColumn("fingerprint", Tables.fingerprintOf(col("labels")))
+        when(parsed.isNotNull, map_concat(col("labels"), parsed))
+          .otherwise(map_concat(col("labels"),
+            map(lit("__error__"), lit("JSONParserErr"),
+                lit("__error_details__"), lit("Value looks like object, but can't find closing '}' symbol")))))
 
-    case JsonStage(params) =>
-      val extracted = params.flatMap { case (l, path) =>
+    case JsonStage(jsonParams) =>
+      val extracted = jsonParams.flatMap { case (l, path) =>
         Seq(lit(l), coalesce(get_json_object(col("line"), "$." + path), lit("")))
       }
       df.withColumn("labels", map_concat(col("labels"), map(extracted: _*)))
-        .withColumn("fingerprint", Tables.fingerprintOf(col("labels")))
 
     case LogfmtStage =>
       // k=v and k="quoted v" pairs → map; quoted values unescaped.
@@ -176,9 +250,7 @@ class LogQLCompiler(spark: SparkSession, dir: String, params: EvalParams) {
             regexp_replace(v.substr(lit(2), length(v) - 2), "\\\\(.)", "$1"))
           .otherwise(v))
       df.withColumn("labels",
-          map_concat(col("labels"),
-            map_from_arrays(keys, vals)))
-        .withColumn("fingerprint", Tables.fingerprintOf(col("labels")))
+        map_concat(col("labels"), map_from_arrays(keys, vals)))
 
     case RegexpStage(re) =>
       val jre = re.replace("(?P<", "(?<")
@@ -187,35 +259,41 @@ class LogQLCompiler(spark: SparkSession, dir: String, params: EvalParams) {
         Seq(lit(name), regexp_extract(col("line"), jre, idx))
       }
       df.withColumn("labels", map_concat(col("labels"), map(extracted: _*)))
-        .withColumn("fingerprint", Tables.fingerprintOf(col("labels")))
 
     case LineFormatStage(tpl) =>
       df.withColumn("line", templateCol(tpl))
 
     case LabelFormatStage(ops) =>
+      // Loki label_format dst=src RENAMES: the source label is removed
+      // (unless it is itself a destination of another op).
       val entries = ops.flatMap {
         case (dst, Left(src))  => Seq(lit(dst), coalesce(element_at(col("labels"), src), lit("")))
         case (dst, Right(tpl)) => Seq(lit(dst), templateCol(tpl))
       }
-      df.withColumn("labels", map_concat(col("labels"), map(entries: _*)))
-        .withColumn("fingerprint", Tables.fingerprintOf(col("labels")))
+      val dsts = ops.map(_._1).toSet
+      val renamedAway = ops.collect {
+        case (dst, Left(src)) if src != dst && !dsts.contains(src) => src
+      }.distinct
+      val concatd = df.withColumn("labels",
+        map_concat(col("labels"), map(entries: _*)))
+      if (renamedAway.isEmpty) concatd
+      else concatd.withColumn("labels",
+        map_filter(col("labels"), (k, _) => !k.isInCollection(renamedAway)))
 
     case DropStage(keys) =>
       df.withColumn("labels",
-          map_filter(col("labels"), (k, _) => !k.isInCollection(keys)))
-        .withColumn("fingerprint", Tables.fingerprintOf(col("labels")))
+        map_filter(col("labels"), (k, _) => !k.isInCollection(keys)))
 
     case KeepStage(keys) =>
       df.withColumn("labels",
-          map_filter(col("labels"), (k, _) => k.isInCollection(keys)))
-        .withColumn("fingerprint", Tables.fingerprintOf(col("labels")))
+        map_filter(col("labels"), (k, _) => k.isInCollection(keys)))
 
     case UnwrapStage(l, conv) =>
       val raw = element_at(col("labels"), l)
       val v = conv match {
-        case Some("bytes") => raw.cast("double") // TODO: KB/MiB suffix parse
-        case Some(_)       => raw.cast("double") // duration_seconds
-        case None          => raw.cast("double")
+        case Some("bytes")    => bytesValue(raw)
+        case Some(_)          => durationValue(raw) // duration | duration_seconds
+        case None             => raw.cast("double")
       }
       df.withColumn("value", v).filter(col("value").isNotNull)
   }
@@ -227,13 +305,20 @@ class LogQLCompiler(spark: SparkSession, dir: String, params: EvalParams) {
     * is semi-joined on fingerprint (broadcast — the dictionary is ~1e6 rows
     * when samples are 1e12). Here both live in one derived view, so the
     * filter applies directly and Catalyst pushes it into the scan.
+    *
+    * `loNs`/`hiNs` widen or shift the scan window (used by `offset` and
+    * sliding ranges so every emitted bucket sees its full lookback).
     */
-  def compileLog(sel: Selector, stages: Seq[Stage]): DataFrame = {
+  def compileLog(sel: Selector, stages: Seq[Stage],
+      loNs: Long = params.startNs, hiNs: Long = params.endNs): DataFrame = {
     var df = Tables.logs(spark, dir)
-      .filter(col("timestamp_ns") >= params.startNs &&
-              col("timestamp_ns") < params.endNs)
+      .filter(col("timestamp_ns") >= loNs && col("timestamp_ns") < hiNs)
     for (m <- sel.matchers) df = df.filter(matcherCond(m))
-    stages.foldLeft(df)(applyStage)
+    val staged = stages.foldLeft(df)(applyStage)
+    // re-key once if any stage mutated labels (pruned when fp is unused)
+    if (stages.exists(mutatesLabels))
+      staged.withColumn("fingerprint", Tables.fingerprintOf(col("labels")))
+    else staged
   }
 
   // --- metric expressions ------------------------------------------------
@@ -258,42 +343,48 @@ class LogQLCompiler(spark: SparkSession, dir: String, params: EvalParams) {
     case "!=" => c =!= n
   }
 
-  /** Time-bucket a sample to the step grid. `offset` shifts the window
-    * back, which is equivalent to shifting sample timestamps forward.
-    * When range == step the buckets tumble (one bucket per sample — a plain
-    * groupBy, map-side partial aggregated). When range > step a sample
-    * contributes to every step whose lookback covers it: explode over the
-    * covering eval points (`sequence`) — the same shape the reference uses
-    * for window densification (`fill_gaps.go:80-124`), and shuffle volume
-    * grows only by the range/step ratio.
-    */
   /** Exact long floor-to-multiple (ns timestamps exceed double's 2^53 exact
     * range, so `floor(ts/step)*step` via double FP would misbucket samples
     * that land within a few hundred ns of a boundary).
     */
   private def floorTo(c: Column, step: Long): Column = c - pmod(c, lit(step))
 
-  private def bucketed(df0: DataFrame, rangeS: Long, offsetS: Long): DataFrame = {
-    val rangeNs = rangeS * 1000000000L
-    val tsEff = col("timestamp_ns") + lit(offsetS * 1000000000L)
+  /** Assign each sample to its covering eval bucket(s) on the step grid.
+    *
+    * Bucket `t` covers the lookback window [t+step-range, t+step) — see the
+    * class doc. range == step tumbles (plain groupBy, map-side partial
+    * agg). range > step explodes each sample over the range/step buckets
+    * whose lookback covers it: t ∈ [floorTo(ts), floorTo(ts+range-step)],
+    * clamped to the query grid — shuffle volume grows only by range/step.
+    * `offset` shifts sample timestamps forward (equivalent to shifting the
+    * window back); [[compileRangeAgg]] widens the scan so shifted samples
+    * exist.
+    */
+  private def bucketed(df0: DataFrame, rangeNs: Long, offsetNs: Long): DataFrame = {
+    val tsEff = col("timestamp_ns") + lit(offsetNs)
+    val gridStart = (params.startNs / stepNs) * stepNs
+    val gridEnd = ((params.endNs - 1) / stepNs) * stepNs // last bucket start
     if (rangeNs == stepNs)
       df0.withColumn("bucket_ns", floorTo(tsEff, stepNs))
+        .filter(col("bucket_ns") >= gridStart && col("bucket_ns") <= gridEnd)
     else {
-      // eval points t (bucket starts): t <= ts_eff < t + range
-      val firstT = floorTo(tsEff - rangeNs, stepNs) + stepNs
-      val lastT = floorTo(tsEff, stepNs)
+      val firstT = greatest(floorTo(tsEff, stepNs), lit(gridStart))
+      val lastT = least(floorTo(tsEff + (rangeNs - stepNs), stepNs), lit(gridEnd))
       df0.withColumn("bucket_ns",
-        explode(sequence(greatest(firstT, lit((params.startNs / stepNs) * stepNs)),
-          lastT, lit(stepNs))))
+        explode(when(firstT <= lastT, sequence(firstT, lastT, lit(stepNs)))
+          .otherwise(array())))
     }
   }
 
   private def compileRangeAgg(ra: RangeAgg): DataFrame = {
-    val base = compileLog(ra.range.selector, ra.range.stages)
+    // widen the scan so offset-shifted samples and lookback tails exist
+    val lo = params.startNs - ra.range.offsetNs - (ra.range.rangeNs - stepNs)
+    val hi = params.endNs - ra.range.offsetNs
+    val base = compileLog(ra.range.selector, ra.range.stages, lo, hi)
     if (ra.fn == "absent_over_time") return compileAbsent(ra, base)
 
-    val b = bucketed(base, ra.range.rangeS, ra.range.offsetS)
-    val rangeS = ra.range.rangeS.toDouble
+    val b = bucketed(base, ra.range.rangeNs, ra.range.offsetNs)
+    val rangeS = ra.range.rangeNs / 1e9
 
     // optional by/without re-keying at the range level
     val (keyed, keyCols) =
@@ -323,9 +414,11 @@ class LogQLCompiler(spark: SparkSession, dir: String, params: EvalParams) {
       case "stddev_over_time"  => stddev_pop(col("value"))
       case "stdvar_over_time"  => var_pop(col("value"))
       case "quantile_over_time" =>
-        // exact interpolated percentile == DuckDB quantile_cont; swap to
-        // percentile_approx for sketch-sized state at 100 TB.
-        percentile(col("value"), lit(ra.param.get))
+        // exact interpolated percentile == DuckDB quantile_cont; set
+        // spark.graft.quantile.approx=true for sketch-sized state at 100 TB.
+        if (spark.conf.getOption("spark.graft.quantile.approx").contains("true"))
+          percentile_approx(col("value"), lit(ra.param.get), lit(10000))
+        else percentile(col("value"), lit(ra.param.get))
       case other => throw new IllegalArgumentException(s"range fn $other")
     }
 
@@ -343,7 +436,7 @@ class LogQLCompiler(spark: SparkSession, dir: String, params: EvalParams) {
   private def compileAbsent(ra: RangeAgg, base: DataFrame): DataFrame = {
     val grid = spark.range(params.startNs / stepNs, params.endNs / stepNs)
       .select((col("id") * stepNs).cast("long").as("bucket_ns"))
-    val present = bucketed(base, ra.range.rangeS, ra.range.offsetS)
+    val present = bucketed(base, ra.range.rangeNs, ra.range.offsetNs)
       .select(col("bucket_ns")).distinct()
     grid.join(present, Seq("bucket_ns"), "left_anti")
       .select(lit(0L).as("fingerprint"),
@@ -357,17 +450,25 @@ class LogQLCompiler(spark: SparkSession, dir: String, params: EvalParams) {
     va.fn match {
       case "topk" | "bottomk" =>
         // Reference: groupArray + arraySort + arraySlice per timestamp
-        // (`planner_topk.go:16-70`) — here a rank window per eval point.
-        // Tiebreak on the canonical label JSON (not the fingerprint hash)
+        // (`planner_topk.go:16-70`). A single rank window partitioned only
+        // by ts puts every series of an eval point in one task — a
+        // straggler at millions of series. Two-stage rank instead: a
+        // salted partial top-k bounds the global window's input to
+        // 64·k rows per eval point. Tiebreak on the canonical label JSON
         // so results are reproducible by any engine.
         val k = va.param.get.toInt
         val tie = to_json(map_from_entries(array_sort(map_entries(col("labels")))))
         val ord = if (va.fn == "topk")
-          Seq(col("value").desc, tie.asc)
-        else Seq(col("value").asc, tie.asc)
-        val w = Window.partitionBy(col("ts")).orderBy(ord: _*)
-        inner.withColumn("__rn", row_number().over(w))
+          Seq(col("value").desc, col("__tie").asc)
+        else Seq(col("value").asc, col("__tie").asc)
+        val withTie = inner.withColumn("__tie", tie)
+        val w1 = Window.partitionBy(col("ts"), pmod(col("fingerprint"), lit(64)))
+          .orderBy(ord: _*)
+        val pruned = withTie.withColumn("__rn", row_number().over(w1))
           .filter(col("__rn") <= k).drop("__rn")
+        val w2 = Window.partitionBy(col("ts")).orderBy(ord: _*)
+        pruned.withColumn("__rn", row_number().over(w2))
+          .filter(col("__rn") <= k).drop("__rn", "__tie")
       case fn =>
         val rekeyed =
           if (va.by.nonEmpty)

@@ -13,7 +13,8 @@ object LogQLParser extends RegexParsers {
 
   private def ident: Parser[String] = """[a-zA-Z_][a-zA-Z0-9_]*""".r
   private def number: Parser[Double] = """-?[0-9]+(\.[0-9]+)?""".r ^^ (_.toDouble)
-  private def duration: Parser[String] = """[0-9]+(ms|s|m|h|d|w)([0-9]+(ms|s|m|h|d|w))*""".r
+  private def duration: Parser[String] =
+    """[0-9]+(\.[0-9]+)?(ns|us|µs|ms|s|m|h|d|w)([0-9]+(\.[0-9]+)?(ns|us|µs|ms|s|m|h|d|w))*""".r
 
   private def quoted: Parser[String] =
     ("\"" + """([^"\\]|\\.)*""" + "\"").r ^^ (s => unescape(s.substring(1, s.length - 1))) |
@@ -54,13 +55,16 @@ object LogQLParser extends RegexParsers {
       case l ~ op ~ Right(n) => NumPred(l, op, n)
     } | "(" ~> predExpr <~ ")"
 
+  // `and` binds tighter than `or` (Go reference grammar):
+  // orExpr = andExpr ('or' andExpr)* ; andExpr = simplePred (('and'|',') simplePred)*
+  private def andPredExpr: Parser[LabelPred] =
+    simplePred ~ rep(("and" | ",") ~> simplePred) ^^ {
+      case first ~ rest => rest.foldLeft(first)(AndPred.apply)
+    }
+
   private def predExpr: Parser[LabelPred] =
-    simplePred ~ rep(("and" | ",") ~ simplePred | "or" ~ simplePred) ^^ {
-      case first ~ rest =>
-        rest.foldLeft(first) {
-          case (acc, "or" ~ p) => OrPred(acc, p)
-          case (acc, _ ~ p)    => AndPred(acc, p)
-        }
+    andPredExpr ~ rep("or" ~> andPredExpr) ^^ {
+      case first ~ rest => rest.foldLeft(first)(OrPred.apply)
     }
 
   private def jsonParam: Parser[(String, String)] =
@@ -91,12 +95,12 @@ object LogQLParser extends RegexParsers {
 
   // --- log range --------------------------------------------------------
   private def offsetClause: Parser[Long] =
-    "offset" ~> duration ^^ durationToSeconds
+    "offset" ~> duration ^^ durationToNs
 
   private def logRange: Parser[LogRange] =
     selector ~ stages ~ ("[" ~> duration <~ "]") ~ opt(offsetClause) ^^ {
       case sel ~ st ~ rng ~ off =>
-        LogRange(sel, st, durationToSeconds(rng), off.getOrElse(0L))
+        LogRange(sel, st, durationToNs(rng), off.getOrElse(0L))
     }
 
   // --- aggregations -----------------------------------------------------
