@@ -11,7 +11,8 @@ import graft.gates.{Gate, GateSet}
 object SparkEntry {
 
   private def gateSets: Seq[GateSet] = Seq(
-    gates.LogQLGates)
+    gates.LogQLGates,
+    gates.PromQLGates)
 
   private lazy val allGates: Seq[Gate] = gateSets.flatMap(_.gates)
 

@@ -1,0 +1,247 @@
+package graft.gates
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.model.OracleViews
+import graft.promql.{PromParams, PromQLCompiler}
+
+/** Driver gates for the native PromQL engine (SURVEY §2.D). Every query
+  * goes through the real parser + compiler; each oracle re-derives the
+  * same semantics in portable DuckDB SQL (counter resets via window lag,
+  * instant vectors via staleness-window arg_max, histogram quantiles via
+  * sorted bucket lists) — two independent formulations of the same
+  * definition.
+  */
+object PromQLGates extends GateSet {
+  import EvalWindow._
+
+  // PromQL eval grid: end-INCLUSIVE eval points every step.
+  private def engine(spark: SparkSession, dir: String) =
+    new PromQLCompiler(spark, dir, PromParams(StartNs, EndNs, StepS))
+
+  private def q(query: String, labelCols: String*)(spark: SparkSession, dir: String): DataFrame =
+    engine(spark, dir).result(query, labelCols)
+
+  private def o(body: String, extraViews: String*): Option[String] =
+    Some(OracleViews.withViews(
+      Seq(OracleViews.logs, OracleViews.metrics) ++ extraViews, body))
+
+  private val grid =
+    s"grid AS (SELECT unnest(generate_series($StartS, $EndS, $StepS)) AS t)"
+
+  /** lag-augmented counters (for reset detection), mirroring the engine's
+    * rangeFrame prev columns.
+    */
+  private val lagCounters =
+    """lc AS (
+      |  SELECT *,
+      |    lag(value) OVER (PARTITION BY event_type ORDER BY timestamp_ns) AS prev_val,
+      |    lag(timestamp_ns) OVER (PARTITION BY event_type ORDER BY timestamp_ns) AS prev_ts
+      |  FROM counters)""".stripMargin
+
+  private val R12 = 43200L // 12h range in seconds
+
+  override val gates: Seq[Gate] = Seq(
+
+    // --- instant vector with 5m staleness carry (fill_gaps/instant path) --
+    Gate("promql_instant",
+      q("""events_value{event_type="click"}""", "event_type"),
+      o(s"""SELECT event_type, g.t AS ts, round(arg_max(value, timestamp_ns), 6) AS value
+           |FROM metrics m JOIN grid g
+           |  ON m.timestamp_ns > (g.t - 300) * 1000000000
+           | AND m.timestamp_ns <= g.t * 1000000000
+           |WHERE event_type = 'click'
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin, grid)),
+
+    // --- rate with counter-reset compensation (counter.go:62-175) ---------
+    // (output scaled by the range via scalar binop: rate values are exact
+    // ties at the 6th decimal — k/100/43200 — so last-ulp noise would flip
+    // rounding; ×range makes compared values 2-decimal-exact)
+    Gate("promql_rate",
+      q("""rate(events_total{level="info"}[12h]) * 43200""", "event_type"),
+      o(s"""SELECT event_type, t AS ts, round(l - f + rc, 6) AS value FROM (
+           |  SELECT c.event_type, g.t,
+           |    count(*) AS n,
+           |    arg_min(c.value, c.timestamp_ns) AS f,
+           |    arg_max(c.value, c.timestamp_ns) AS l,
+           |    sum(CASE WHEN c.prev_ts > (g.t - $R12) * 1000000000
+           |              AND c.prev_val > c.value THEN c.prev_val ELSE 0 END) AS rc
+           |  FROM lc c JOIN grid g
+           |    ON c.timestamp_ns > (g.t - $R12) * 1000000000
+           |   AND c.timestamp_ns <= g.t * 1000000000
+           |  WHERE c.level = 'info'
+           |  GROUP BY 1, 2) w
+           |WHERE n >= 2 ORDER BY 1, 2""".stripMargin,
+        OracleViews.counters, lagCounters, grid)),
+
+    // --- increase + vector agg re-key (sum.go:18-168) ---------------------
+    Gate("promql_increase_sum",
+      q("""sum by (level) (increase(events_total[12h]))""", "level"),
+      o(s"""SELECT level, t AS ts, round(sum(l - f + rc), 6) AS value FROM (
+           |  SELECT c.event_type, c.level, g.t,
+           |    count(*) AS n,
+           |    arg_min(c.value, c.timestamp_ns) AS f,
+           |    arg_max(c.value, c.timestamp_ns) AS l,
+           |    sum(CASE WHEN c.prev_ts > (g.t - $R12) * 1000000000
+           |              AND c.prev_val > c.value THEN c.prev_val ELSE 0 END) AS rc
+           |  FROM lc c JOIN grid g
+           |    ON c.timestamp_ns > (g.t - $R12) * 1000000000
+           |   AND c.timestamp_ns <= g.t * 1000000000
+           |  GROUP BY 1, 2, 3) w
+           |WHERE n >= 2
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+        OracleViews.counters, lagCounters, grid)),
+
+    // --- delta (gauge, no reset compensation) -----------------------------
+    Gate("promql_delta",
+      q("""delta(events_value{event_type=~"click|view"}[12h])""", "event_type"),
+      o(s"""SELECT event_type, t AS ts, round(l - f, 6) AS value FROM (
+           |  SELECT m.event_type, g.t, count(*) AS n,
+           |    arg_min(m.value, m.timestamp_ns) AS f,
+           |    arg_max(m.value, m.timestamp_ns) AS l
+           |  FROM metrics m JOIN grid g
+           |    ON m.timestamp_ns > (g.t - $R12) * 1000000000
+           |   AND m.timestamp_ns <= g.t * 1000000000
+           |  WHERE m.event_type IN ('click', 'view')
+           |  GROUP BY 1, 2) w
+           |WHERE n >= 2 ORDER BY 1, 2""".stripMargin, grid)),
+
+    // --- resets / changes (counter.go:177-230) ----------------------------
+    Gate("promql_resets",
+      q("""resets(events_total[24h])""", "event_type"),
+      o(s"""SELECT c.event_type, g.t AS ts,
+           |  round(sum(CASE WHEN c.prev_ts > (g.t - 86400) * 1000000000
+           |                  AND c.prev_val > c.value THEN 1.0 ELSE 0.0 END), 6) AS value
+           |FROM lc c JOIN grid g
+           |  ON c.timestamp_ns > (g.t - 86400) * 1000000000
+           | AND c.timestamp_ns <= g.t * 1000000000
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+        OracleViews.counters, lagCounters, grid)),
+
+    Gate("promql_changes",
+      q("""changes(events_total{event_type="error"}[12h])""", "event_type"),
+      o(s"""SELECT c.event_type, g.t AS ts,
+           |  round(sum(CASE WHEN c.prev_ts > (g.t - $R12) * 1000000000
+           |                  AND c.prev_val <> c.value THEN 1.0 ELSE 0.0 END), 6) AS value
+           |FROM lc c JOIN grid g
+           |  ON c.timestamp_ns > (g.t - $R12) * 1000000000
+           | AND c.timestamp_ns <= g.t * 1000000000
+           |WHERE c.event_type = 'error'
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+        OracleViews.counters, lagCounters, grid)),
+
+    // --- *_over_time windowed aggs (over_time.go:30-127) ------------------
+    Gate("promql_avg_over_time",
+      q("""avg_over_time(events_value{level="error"}[12h])""", "event_type"),
+      o(s"""SELECT m.event_type, g.t AS ts, round(avg(m.value), 6) AS value
+           |FROM metrics m JOIN grid g
+           |  ON m.timestamp_ns > (g.t - $R12) * 1000000000
+           | AND m.timestamp_ns <= g.t * 1000000000
+           |WHERE m.level = 'error'
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin, grid)),
+
+    Gate("promql_last_over_time",
+      q("""last_over_time(events_value[6h])""", "event_type", "level"),
+      o(s"""SELECT m.event_type, m.level, g.t AS ts,
+           |  round(arg_max(m.value, m.timestamp_ns), 6) AS value
+           |FROM metrics m JOIN grid g
+           |  ON m.timestamp_ns > (g.t - $StepS) * 1000000000
+           | AND m.timestamp_ns <= g.t * 1000000000
+           |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin, grid)),
+
+    // --- topk over aggregated series --------------------------------------
+    Gate("promql_topk",
+      q("""topk(2, sum by (event_type) (count_over_time(events_value[12h])))""", "event_type"),
+      o(s"""SELECT event_type, ts, value FROM (
+           |  SELECT event_type, ts, value,
+           |    row_number() OVER (PARTITION BY ts ORDER BY value DESC, event_type) AS rn
+           |  FROM (
+           |    SELECT m.event_type, g.t AS ts, CAST(count(*) AS DOUBLE) AS value
+           |    FROM metrics m JOIN grid g
+           |      ON m.timestamp_ns > (g.t - $R12) * 1000000000
+           |     AND m.timestamp_ns <= g.t * 1000000000
+           |    GROUP BY 1, 2) a) r
+           |WHERE rn <= 2 ORDER BY 1, 2""".stripMargin, grid)),
+
+    // --- vector/vector binary op with label matching ----------------------
+    Gate("promql_binop_ratio",
+      q("""sum by (event_type) (sum_over_time(events_value[12h])) / sum by (event_type) (count_over_time(events_value[12h]))""",
+        "event_type"),
+      o(s"""SELECT m.event_type, g.t AS ts,
+           |  round(sum(m.value) / count(*), 6) AS value
+           |FROM metrics m JOIN grid g
+           |  ON m.timestamp_ns > (g.t - $R12) * 1000000000
+           | AND m.timestamp_ns <= g.t * 1000000000
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin, grid)),
+
+    // --- scalar math + instant function chain -----------------------------
+    Gate("promql_scalar_math",
+      q("""ceil(avg_over_time(events_value{event_type="purchase"}[12h]) * 2)""", "event_type"),
+      o(s"""SELECT m.event_type, g.t AS ts, round(ceil(avg(m.value) * 2), 6) AS value
+           |FROM metrics m JOIN grid g
+           |  ON m.timestamp_ns > (g.t - $R12) * 1000000000
+           | AND m.timestamp_ns <= g.t * 1000000000
+           |WHERE m.event_type = 'purchase'
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin, grid)),
+
+    // --- comparison filter ------------------------------------------------
+    Gate("promql_cmp_filter",
+      q("""avg_over_time(events_value[12h]) > 95""", "event_type", "level"),
+      o(s"""SELECT event_type, level, ts, round(raw, 6) AS value FROM (
+           |  SELECT m.event_type, m.level, g.t AS ts, avg(m.value) AS raw
+           |  FROM metrics m JOIN grid g
+           |    ON m.timestamp_ns > (g.t - $R12) * 1000000000
+           |   AND m.timestamp_ns <= g.t * 1000000000
+           |  GROUP BY 1, 2, 3) w
+           |WHERE raw > 95 ORDER BY 1, 2, 3""".stripMargin, grid)),
+
+    // --- cross-series quantile agg ----------------------------------------
+    Gate("promql_quantile_agg",
+      q("""quantile(0.5, last_over_time(events_value[6h]))"""),
+      o(s"""SELECT g.t AS ts, round(quantile_cont(lv, 0.5), 6) AS value FROM (
+           |  SELECT m.event_type, g2.t, arg_max(m.value, m.timestamp_ns) AS lv
+           |  FROM metrics m JOIN grid g2
+           |    ON m.timestamp_ns > (g2.t - $StepS) * 1000000000
+           |   AND m.timestamp_ns <= g2.t * 1000000000
+           |  GROUP BY 1, 2) s JOIN grid g ON s.t = g.t
+           |GROUP BY 1 ORDER BY 1""".stripMargin, grid)),
+
+    // --- histogram_quantile over le buckets (engine-side in the reference;
+    // native bucket-array interpolation here) ------------------------------
+    Gate("promql_histogram_quantile",
+      q("""histogram_quantile(0.9, sum by (le, event_type) (rate(events_bucket{event_type=~"click|purchase"}[12h])))""",
+        "event_type"),
+      o(s"""SELECT event_type, t AS ts, round(val, 6) AS value FROM (
+           |  SELECT event_type, t,
+           |    CASE
+           |      WHEN total <= 0 THEN NULL
+           |      WHEN ls[bc + 1] = 'inf'::DOUBLE THEN ls[len(ls) - 1]
+           |      ELSE (CASE WHEN bc = 0 THEN 0.0 ELSE ls[bc] END)
+           |           + (ls[bc + 1] - (CASE WHEN bc = 0 THEN 0.0 ELSE ls[bc] END))
+           |           * (rank - (CASE WHEN bc = 0 THEN 0.0 ELSE vs[bc] END))
+           |           / (vs[bc + 1] - (CASE WHEN bc = 0 THEN 0.0 ELSE vs[bc] END))
+           |    END AS val
+           |  FROM (
+           |    SELECT event_type, t, ls, vs,
+           |      vs[len(vs)] AS total,
+           |      vs[len(vs)] * 0.9 AS rank,
+           |      len(vs) - len(list_filter(vs, x -> x >= vs[len(vs)] * 0.9)) AS bc
+           |    FROM (
+           |      SELECT event_type, t,
+           |        list(le ORDER BY le) AS ls,
+           |        list(v ORDER BY le) AS vs
+           |      FROM (
+           |        SELECT b.event_type, b.le, g.t, count(*) AS n,
+           |          (arg_max(b.value, b.timestamp_ns) - arg_min(b.value, b.timestamp_ns)) / $R12.0 AS v
+           |        FROM buckets b JOIN grid g
+           |          ON b.timestamp_ns > (g.t - $R12) * 1000000000
+           |         AND b.timestamp_ns <= g.t * 1000000000
+           |        WHERE b.event_type IN ('click', 'purchase')
+           |        GROUP BY 1, 2, 3)
+           |      WHERE n >= 2
+           |      GROUP BY 1, 2)))
+           |WHERE val IS NOT NULL
+           |ORDER BY 1, 2""".stripMargin,
+        OracleViews.buckets, grid))
+  )
+}

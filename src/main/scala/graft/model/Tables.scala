@@ -99,6 +99,86 @@ object Tables {
   def metricSamples(spark: SparkSession, dir: String): DataFrame =
     logs(spark, dir).withColumn("name", lit("events_value"))
 
+  // --- PromQL metric families (samples_v3 type=2 rows; SURVEY §1.1) -------
+  // Three synthetic-but-realistic metric series derived from events, each
+  // with a DuckDB twin in [[OracleViews]]:
+  //   events_value  — gauge, the raw event value
+  //   events_total  — counter with RESETS: running sum of value per stream,
+  //                   mod 10k (drops whenever the sum crosses a multiple —
+  //                   exercises rate/increase reset compensation)
+  //   events_bucket — histogram: per le in {10,25,50,100,250,+Inf} the
+  //                   cumulative count of events with value ≤ le (every
+  //                   event emits all buckets, like a real scrape)
+
+  /** Counter reset modulus (documented in OracleViews.counters). */
+  val CounterMod = 10000.0
+
+  val BucketLes: Seq[Double] =
+    Seq(10.0, 25.0, 50.0, 100.0, 250.0, Double.PositiveInfinity)
+
+  private def metricBase(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir).select(
+      (col("ts") - pmod(col("ts"), lit(1000L))).as("timestamp_ns"),
+      col("event_type"),
+      when(col("event_type") === "error", "error").otherwise("info").as("level"),
+      col("value"))
+
+  def gaugeSamples(spark: SparkSession, dir: String): DataFrame = {
+    val labels = map(
+      lit("__name__"), lit("events_value"),
+      lit("event_type"), col("event_type"),
+      lit("level"), col("level"))
+    metricBase(spark, dir)
+      .select(col("timestamp_ns"), labels.as("labels"), col("value"))
+      .withColumn("fingerprint", fingerprintOf(col("labels")))
+  }
+
+  def counterSamples(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("timestamp_ns"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val labels = map(
+      lit("__name__"), lit("events_total"),
+      lit("event_type"), col("event_type"),
+      lit("level"), col("level"))
+    metricBase(spark, dir)
+      .withColumn("value", pmod(sum(col("value")).over(w), lit(CounterMod)))
+      .select(col("timestamp_ns"), labels.as("labels"), col("value"))
+      .withColumn("fingerprint", fingerprintOf(col("labels")))
+  }
+
+  def bucketSamples(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = metricBase(spark, dir)
+      .select(col("timestamp_ns"), col("event_type"), col("value"),
+        explode(lit(BucketLes.toArray)).as("le"))
+    val w = Window.partitionBy(col("event_type"), col("le"))
+      .orderBy(col("timestamp_ns"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val labels = map(
+      lit("__name__"), lit("events_bucket"),
+      lit("event_type"), col("event_type"),
+      lit("le"), when(col("le") === Double.PositiveInfinity, "+Inf")
+        .otherwise(col("le").cast("string")))
+    base
+      .withColumn("value",
+        sum(when(col("value") <= col("le"), 1.0).otherwise(0.0)).over(w))
+      .select(col("timestamp_ns"), labels.as("labels"), col("value"))
+      .withColumn("fingerprint", fingerprintOf(col("labels")))
+  }
+
+  /** Metric-name → samples DataFrame dispatch (the PromQL compiler selects
+    * the right family statically, so unqueried unions never scan).
+    */
+  def promMetric(name: String): Option[(SparkSession, String) => DataFrame] =
+    name match {
+      case "events_value"  => Some(gaugeSamples)
+      case "events_total"  => Some(counterSamples)
+      case "events_bucket" => Some(bucketSamples)
+      case _               => None
+    }
+
   /** Span table derived from events: every 10 consecutive event_ids form a
     * trace; each event is a span. Mirrors `tempo_traces`
     * (`ctrl/qryn/sql/traces.sql:7-19`). Purely arithmetic so the DuckDB
@@ -168,6 +248,33 @@ object OracleViews {
       |         props AS line,
       |         value
       |  FROM events)""".stripMargin
+
+  /** Gauge metric twin of [[Tables.gaugeSamples]]. */
+  val metrics: String =
+    """metrics AS (
+      |  SELECT epoch_ns(ts) AS timestamp_ns,
+      |         event_type,
+      |         CASE WHEN event_type = 'error' THEN 'error' ELSE 'info' END AS level,
+      |         value
+      |  FROM events)""".stripMargin
+
+  /** Counter twin of [[Tables.counterSamples]]: running sum mod 10k. */
+  val counters: String =
+    """counters AS (
+      |  SELECT timestamp_ns, event_type, level,
+      |         fmod(SUM(value) OVER (PARTITION BY event_type ORDER BY timestamp_ns
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 10000) AS value
+      |  FROM metrics)""".stripMargin
+
+  /** Histogram-bucket twin of [[Tables.bucketSamples]]. */
+  val buckets: String =
+    """buckets AS (
+      |  SELECT m.timestamp_ns, m.event_type, l.le,
+      |         SUM(CASE WHEN m.value <= l.le THEN 1.0 ELSE 0.0 END)
+      |           OVER (PARTITION BY m.event_type, l.le ORDER BY m.timestamp_ns
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+      |  FROM metrics m
+      |  CROSS JOIN (SELECT unnest([10.0, 25.0, 50.0, 100.0, 250.0, 'inf'::DOUBLE]) AS le) l)""".stripMargin
 
   val spans: String =
     """spans AS (

@@ -1,0 +1,63 @@
+package graft.promql
+
+/** PromQL abstract syntax tree (native subset).
+  *
+  * The reference embeds the upstream Prometheus engine and substitutes
+  * accelerated subtrees (`reader/promql/transpiler_v2.go:15-99`); we compile
+  * the whole expression natively to DataFrame plans (SURVEY §2.D), so the
+  * AST covers the full expression shapes the reference accelerates PLUS the
+  * engine-side ones it delegates (histogram_quantile, vector matching).
+  */
+object PromQLAst {
+
+  final case class Matcher(label: String, op: String, value: String)
+
+  sealed trait PExpr
+
+  /** `metric{l="v"}[5m] offset 1h` — range is present only inside range fns. */
+  final case class Selector(
+      name: String,
+      matchers: Seq[Matcher],
+      rangeNs: Option[Long],
+      offsetNs: Long) extends PExpr
+
+  /** rate/increase/…/abs/ceil/histogram_quantile — args are exprs;
+    * scalar args are NumLit.
+    */
+  final case class FnCall(fn: String, args: Seq[PExpr]) extends PExpr
+
+  /** sum/min/max/avg/count/group/stddev/stdvar/topk/bottomk/quantile
+    * with by/without grouping (`planner/sum.go:18-168`).
+    */
+  final case class Agg(
+      fn: String,
+      inner: PExpr,
+      by: Seq[String] = Nil,
+      without: Seq[String] = Nil,
+      param: Option[Double] = None) extends PExpr
+
+  /** Binary op with vector matching. `boolMod` turns comparisons into 0/1. */
+  final case class BinOp(
+      op: String,
+      lhs: PExpr,
+      rhs: PExpr,
+      on: Option[Seq[String]] = None,
+      ignoring: Option[Seq[String]] = None,
+      boolMod: Boolean = false) extends PExpr
+
+  final case class NumLit(v: Double) extends PExpr
+
+  val RangeFns: Set[String] = Set(
+    "rate", "increase", "delta", "resets", "changes",
+    "sum_over_time", "avg_over_time", "min_over_time", "max_over_time",
+    "count_over_time", "last_over_time", "present_over_time",
+    "stddev_over_time", "stdvar_over_time")
+
+  val InstantFns: Set[String] = Set(
+    "abs", "ceil", "floor", "sqrt", "exp", "ln", "log2", "log10")
+
+  val AggFns: Set[String] = Set(
+    "sum", "min", "max", "avg", "count", "group", "stddev", "stdvar")
+
+  val ParamAggFns: Set[String] = Set("topk", "bottomk", "quantile")
+}

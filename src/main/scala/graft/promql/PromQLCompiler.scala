@@ -1,0 +1,429 @@
+package graft.promql
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{MapType, StringType}
+
+import graft.model.Tables
+import PromQLAst._
+
+/** PromQL evaluation parameters. Eval points are `startNs + k·stepNs` for
+  * k = 0..(end-start)/step, END-INCLUSIVE (Prometheus convention, unlike
+  * the LogQL grid). `lookbackNs` is the instant-vector staleness window
+  * (Prometheus default 5m).
+  */
+final case class PromParams(
+    startNs: Long, endNs: Long, stepS: Long,
+    lookbackNs: Long = 300L * 1000000000L)
+
+/** PromQL → DataFrame compiler.
+  *
+  * The reference serves PromQL by embedding the upstream engine and
+  * substituting accelerated subtrees with pushed-down SQL
+  * (`transpiler_v2.go:15-99`); every accelerated planner there maps to a
+  * stage here — but we compile the WHOLE expression, so there is no
+  * raw-sample fallback path and no engine/SQL split:
+  *
+  *   - `over_time.go:30-127`  → windowed aggs over the eval grid
+  *   - `counter.go:62-175`    → rate/increase/delta with counter-reset
+  *     compensation: resets = Σ prev·(prev>val) over in-window sample pairs,
+  *     value = (last − first + resets)/range
+  *   - `fill_gaps.go:23-124`  → instant-vector staleness carry-forward via
+  *     bounded explode over the grid (lookback/step buckets per sample)
+  *   - `sum.go:18-168`        → by/without vector aggs with label re-keying
+  *   - histogram_quantile     → engine-side in the reference; here a
+  *     bucket-array aggregation with linear interpolation
+  *
+  * Window semantics: eval point t covers samples with ts ∈ (t−range, t]
+  * (end-labeled, Prometheus convention). rate/increase/delta need ≥2
+  * samples in the window. A counter reset whose pair straddles the window
+  * start is attributed only when the previous sample is itself in-window
+  * (the reference's staleness-bounded openWnd differs at most by one
+  * boundary sample).
+  *
+  * Frame schema: (fingerprint L, labels M, ts L [epoch sec], value D).
+  */
+class PromQLCompiler(spark: SparkSession, dir: String, params: PromParams) {
+
+  private val stepNs = params.stepS * 1000000000L
+  private val gridStart = params.startNs
+  private val gridEnd = params.endNs // inclusive
+
+  def compile(q: String): DataFrame = compileExpr(PromQLParser.parseOrThrow(q))
+
+  /** Gate-facing projection: label keys → flat columns + (ts, value).
+    * Rounding matches DuckDB's round() (scaled-double, half away from
+    * zero) rather than Spark's BigDecimal HALF_UP — the two differ on
+    * values whose 7th decimal sits on the .5 boundary, which the oracle
+    * hash compare would flag as a mismatch.
+    */
+  def result(q: String, labelCols: Seq[String]): DataFrame = {
+    val df = compile(q)
+    val v = col("value")
+    val r6 = when(v >= 0, floor(v * 1e6 + 0.5))
+      .otherwise(-floor(-v * 1e6 + 0.5)).cast("double") / 1e6
+    val cols = labelCols.map(k => element_at(col("labels"), k).as(k)) ++
+      Seq(col("ts"), r6.as("value"))
+    df.select(cols: _*).orderBy(labelCols.map(col) :+ col("ts"): _*)
+  }
+
+  def compileExpr(e: PExpr): DataFrame = e match {
+    case s: Selector  => instantVector(s)
+    case f: FnCall    => compileFn(f)
+    case a: Agg       => compileAgg(a)
+    case b: BinOp     => compileBinOp(b)
+    case NumLit(v)    =>
+      spark.range(1).select(lit(0L).as("fingerprint"),
+        map().cast(MapType(StringType, StringType)).as("labels"),
+        lit(0L).as("ts"), lit(v).as("value"))
+  }
+
+  // --- selectors ---------------------------------------------------------
+
+  private def floorTo(c: Column, step: Long): Column = c - pmod(c, lit(step))
+  /** Smallest grid point ≥ c (grid is step-aligned to epoch; eval windows
+    * assume params.startNs is step-aligned, as the driver grid is).
+    */
+  private def ceilTo(c: Column, step: Long): Column = floorTo(c + (step - 1), step)
+
+  private def matcherCond(m: Matcher): Column = {
+    val v = element_at(col("labels"), m.label)
+    m.op match {
+      case "="  => if (m.value.isEmpty) v.isNull || v === "" else v === m.value
+      case "!=" => !(v <=> lit(m.value))
+      case "=~" => coalesce(v, lit("")).rlike("^(?:" + m.value + ")$")
+      case "!~" => !coalesce(v, lit("")).rlike("^(?:" + m.value + ")$")
+    }
+  }
+
+  /** Scan the metric family for a selector, matchers applied, over
+    * [loNs, hiNs). The name picks the source statically so only the queried
+    * family's derivation is in the plan.
+    */
+  private def scan(sel: Selector, loNs: Long, hiNs: Long): DataFrame = {
+    val source = Tables.promMetric(sel.name).getOrElse(
+      throw new IllegalArgumentException(s"unknown metric: ${sel.name}"))
+    var df = source(spark, dir)
+      .filter(col("timestamp_ns") >= loNs && col("timestamp_ns") < hiNs)
+    for (m <- sel.matchers) df = df.filter(matcherCond(m))
+    df
+  }
+
+  /** Instant vector: at each eval point t, the most recent sample within
+    * (t−lookback, t]. Bounded explode: each sample covers at most
+    * lookback/step eval points; groupBy picks the latest per (series, t).
+    */
+  private def instantVector(sel: Selector): DataFrame = {
+    val off = sel.offsetNs
+    val df = scan(sel, gridStart - params.lookbackNs - off, gridEnd + 1 - off)
+    val tsEff = col("timestamp_ns") + lit(off)
+    val firstT = greatest(ceilTo(tsEff, stepNs), lit(gridStart))
+    val lastT = least(floorTo(tsEff + (params.lookbackNs - 1), stepNs), lit(gridEnd))
+    df.withColumn("t_ns",
+        explode(when(firstT <= lastT, sequence(firstT, lastT, lit(stepNs)))
+          .otherwise(array())))
+      .groupBy(col("fingerprint"), col("t_ns"))
+      .agg(first(col("labels")).as("labels"),
+        max_by(col("value"), col("timestamp_ns")).as("value"))
+      .select(col("fingerprint"), col("labels"),
+        expr("t_ns div 1000000000").as("ts"), col("value"))
+  }
+
+  /** Exploded range frame for range functions: one row per (sample, eval
+    * point whose window (t−range, t] contains it), carrying the previous
+    * sample of the series (for counter logic). The scan is widened by
+    * `range` so the first windows are complete; `prev` comes from a lag
+    * within the widened scan.
+    */
+  private def rangeFrame(sel: Selector): DataFrame = {
+    val rangeNs = sel.rangeNs.getOrElse(
+      throw new IllegalArgumentException(s"range required: $sel"))
+    val off = sel.offsetNs
+    val df = scan(sel, gridStart - rangeNs - off, gridEnd + 1 - off)
+    val w = Window.partitionBy(col("fingerprint")).orderBy(col("timestamp_ns"))
+    val withPrev = df
+      .withColumn("prev_ts", lag(col("timestamp_ns"), 1).over(w))
+      .withColumn("prev_val", lag(col("value"), 1).over(w))
+    val tsEff = col("timestamp_ns") + lit(off)
+    val firstT = greatest(ceilTo(tsEff, stepNs), lit(gridStart))
+    val lastT = least(floorTo(tsEff + (rangeNs - 1), stepNs), lit(gridEnd))
+    withPrev
+      .withColumn("t_ns",
+        explode(when(firstT <= lastT, sequence(firstT, lastT, lit(stepNs)))
+          .otherwise(array())))
+      .withColumn("prev_in_window",
+        coalesce(col("prev_ts") + lit(off) > col("t_ns") - lit(rangeNs), lit(false)))
+  }
+
+  /** Drop __name__ and re-key — range functions and arithmetic remove the
+    * metric name (Prometheus semantics).
+    */
+  private def dropName(df: DataFrame): DataFrame =
+    df.withColumn("labels",
+        map_filter(col("labels"), (k, _) => k =!= "__name__"))
+      .withColumn("fingerprint", Tables.fingerprintOf(col("labels")))
+
+  // --- functions ---------------------------------------------------------
+
+  private def compileFn(f: FnCall): DataFrame = f.fn match {
+    case "histogram_quantile" =>
+      val NumLit(q) = f.args.head: @unchecked
+      histogramQuantile(q, compileExpr(f.args(1)))
+
+    case "quantile_over_time" =>
+      val NumLit(q) = f.args.head: @unchecked
+      val sel = f.args(1).asInstanceOf[Selector]
+      overTime(sel, percentile(col("value"), lit(q)))
+
+    case fn if RangeFns.contains(fn) =>
+      val sel = f.args.head.asInstanceOf[Selector]
+      fn match {
+        case "sum_over_time"     => overTime(sel, sum(col("value")))
+        case "avg_over_time"     => overTime(sel, avg(col("value")))
+        case "min_over_time"     => overTime(sel, min(col("value")))
+        case "max_over_time"     => overTime(sel, max(col("value")))
+        case "count_over_time"   => overTime(sel, count(lit(1)).cast("double"))
+        case "last_over_time"    => overTime(sel, max_by(col("value"), col("timestamp_ns")))
+        case "present_over_time" => overTime(sel, lit(1.0))
+        case "stddev_over_time"  => overTime(sel, stddev_pop(col("value")))
+        case "stdvar_over_time"  => overTime(sel, var_pop(col("value")))
+        case _                   => counterFn(fn, sel)
+      }
+
+    case fn if InstantFns.contains(fn) =>
+      val inner = compileExpr(f.args.head)
+      val v = fn match {
+        case "abs"   => abs(col("value"))
+        case "ceil"  => ceil(col("value")).cast("double")
+        case "floor" => floor(col("value")).cast("double")
+        case "sqrt"  => sqrt(col("value"))
+        case "exp"   => exp(col("value"))
+        case "ln"    => log(col("value"))
+        case "log2"  => log2(col("value"))
+        case "log10" => log10(col("value"))
+      }
+      dropName(inner.withColumn("value", v))
+
+    case "round" =>
+      val NumLit(nearest) = f.args(1): @unchecked
+      val inner = compileExpr(f.args.head)
+      dropName(inner.withColumn("value",
+        round(col("value") / nearest, 0) * nearest))
+
+    case "clamp_min" =>
+      val NumLit(s) = f.args(1): @unchecked
+      dropName(compileExpr(f.args.head)
+        .withColumn("value", greatest(col("value"), lit(s))))
+
+    case "clamp_max" =>
+      val NumLit(s) = f.args(1): @unchecked
+      dropName(compileExpr(f.args.head)
+        .withColumn("value", least(col("value"), lit(s))))
+
+    case other => throw new IllegalArgumentException(s"function $other")
+  }
+
+  /** Plain windowed aggregation over the eval grid (`over_time.go:30-127`). */
+  private def overTime(sel: Selector, agg: Column): DataFrame =
+    dropName(rangeFrame(sel)
+      .groupBy(col("fingerprint"), col("t_ns"))
+      .agg(first(col("labels")).as("labels"), agg.as("value"))
+      .select(col("fingerprint"), col("labels"),
+        expr("t_ns div 1000000000").as("ts"), col("value")))
+
+  /** rate / increase / delta / resets / changes with counter-reset
+    * compensation (`counter.go:62-230`): for each in-window consecutive
+    * pair where the value DROPPED, the previous value is the reset
+    * compensation; resets/changes count transitions instead.
+    */
+  private def counterFn(fn: String, sel: Selector): DataFrame = {
+    val rangeNs = sel.rangeNs.get
+    val rangeS = rangeNs / 1e9
+    val pairIn = col("prev_in_window")
+    val dropped = pairIn && col("prev_val") > col("value")
+    val changed = pairIn && col("prev_val") =!= col("value")
+    val grouped = rangeFrame(sel)
+      .groupBy(col("fingerprint"), col("t_ns"))
+      .agg(
+        first(col("labels")).as("labels"),
+        count(lit(1)).as("__n"),
+        min_by(col("value"), col("timestamp_ns")).as("__first"),
+        max_by(col("value"), col("timestamp_ns")).as("__last"),
+        sum(when(dropped, col("prev_val")).otherwise(0.0)).as("__reset_comp"),
+        sum(when(dropped, 1.0).otherwise(0.0)).as("__resets"),
+        sum(when(changed, 1.0).otherwise(0.0)).as("__changes"))
+    val filtered = fn match {
+      case "rate" | "increase" | "delta" => grouped.filter(col("__n") >= 2)
+      case _                             => grouped
+    }
+    val v = fn match {
+      case "rate"     => (col("__last") - col("__first") + col("__reset_comp")) / rangeS
+      case "increase" => col("__last") - col("__first") + col("__reset_comp")
+      case "delta"    => col("__last") - col("__first")
+      case "resets"   => col("__resets")
+      case "changes"  => col("__changes")
+    }
+    dropName(filtered.select(col("fingerprint"), col("labels"),
+      expr("t_ns div 1000000000").as("ts"), v.as("value")))
+  }
+
+  /** histogram_quantile over `le`-labeled cumulative buckets: group by
+    * (labels minus le, t), sort buckets, linear interpolation within the
+    * hit bucket; +Inf hit returns the highest finite bound (Prometheus).
+    */
+  private def histogramQuantile(q: Double, inner: DataFrame): DataFrame = {
+    val glabels = map_filter(col("labels"), (k, _) => k =!= "le")
+    val leD = when(element_at(col("labels"), "le") === "+Inf",
+        lit(Double.PositiveInfinity))
+      .otherwise(element_at(col("labels"), "le").cast("double"))
+    val grouped = inner
+      .withColumn("__le", leD) // extract le BEFORE filtering it from labels
+      .withColumn("labels", glabels)
+      .withColumn("fingerprint", Tables.fingerprintOf(col("labels")))
+      .groupBy(col("fingerprint"), col("ts"))
+      .agg(first(col("labels")).as("labels"),
+        array_sort(collect_list(struct(col("__le").as("le"),
+          col("value").as("v")))).as("__bs"))
+    val total = element_at(col("__bs"), -1).getField("v")
+    val rank = total * q
+    val below = filter(col("__bs"), b => b.getField("v") < rank)
+    val hit = element_at(filter(col("__bs"), b => b.getField("v") >= rank), 1)
+    val prevV = coalesce(element_at(below, -1).getField("v"), lit(0.0))
+    val lower = coalesce(element_at(below, -1).getField("le"), lit(0.0))
+    val hiLe = hit.getField("le")
+    val hiV = hit.getField("v")
+    val interp = lower + (hiLe - lower) * (rank - prevV) / (hiV - prevV)
+    val value = when(total <= 0, lit(null).cast("double"))
+      .when(hiLe === Double.PositiveInfinity,
+        element_at(col("__bs"), -2).getField("le"))
+      .otherwise(interp)
+    grouped
+      .withColumn("value", value)
+      .filter(col("value").isNotNull)
+      .select(col("fingerprint"), col("labels"), col("ts"), col("value"))
+  }
+
+  // --- vector aggregation ------------------------------------------------
+
+  private def compileAgg(a: Agg): DataFrame = {
+    val inner = compileExpr(a.inner)
+    a.fn match {
+      case "topk" | "bottomk" =>
+        val k = a.param.get.toInt
+        val tie = to_json(map_from_entries(array_sort(map_entries(col("labels")))))
+        val ord = if (a.fn == "topk")
+          Seq(col("value").desc, col("__tie").asc)
+        else Seq(col("value").asc, col("__tie").asc)
+        val withTie = inner.withColumn("__tie", tie)
+        val w1 = Window.partitionBy(col("ts"), pmod(col("fingerprint"), lit(64)))
+          .orderBy(ord: _*)
+        val pruned = withTie.withColumn("__rn", row_number().over(w1))
+          .filter(col("__rn") <= k).drop("__rn")
+        val w2 = Window.partitionBy(col("ts")).orderBy(ord: _*)
+        pruned.withColumn("__rn", row_number().over(w2))
+          .filter(col("__rn") <= k).drop("__rn", "__tie")
+      case fn =>
+        val rekeyed =
+          if (a.by.nonEmpty)
+            inner.withColumn("labels",
+              map_filter(col("labels"), (key, _) => key.isInCollection(a.by)))
+          else if (a.without.nonEmpty) {
+            val dropKeys = a.without :+ "__name__"
+            inner.withColumn("labels",
+              map_filter(col("labels"), (key, _) => !key.isInCollection(dropKeys)))
+          } else inner.withColumn("labels",
+            map().cast(MapType(StringType, StringType)))
+        val agg: Column = fn match {
+          case "sum"      => sum(col("value"))
+          case "min"      => min(col("value"))
+          case "max"      => max(col("value"))
+          case "avg"      => avg(col("value"))
+          case "count"    => count(lit(1)).cast("double")
+          case "group"    => first(lit(1.0))
+          case "stddev"   => stddev_pop(col("value"))
+          case "stdvar"   => var_pop(col("value"))
+          case "quantile" => percentile(col("value"), lit(a.param.get))
+        }
+        rekeyed
+          .withColumn("fingerprint", Tables.fingerprintOf(col("labels")))
+          .groupBy(col("fingerprint"), col("ts"))
+          .agg(first(col("labels")).as("labels"), agg.as("value"))
+          .select(col("fingerprint"), col("labels"), col("ts"), col("value"))
+    }
+  }
+
+  // --- binary operators --------------------------------------------------
+
+  private def arith(op: String, a: Column, b: Column): Column = op match {
+    case "+" => a + b
+    case "-" => a - b
+    case "*" => a * b
+    case "/" => a / b
+    case "%" => a % b
+    case "^" => pow(a, b)
+  }
+
+  private def cmp(op: String, a: Column, b: Column): Column = op match {
+    case ">"  => a > b
+    case ">=" => a >= b
+    case "<"  => a < b
+    case "<=" => a <= b
+    case "==" => a === b
+    case "!=" => a =!= b
+  }
+
+  private val CmpOps = Set(">", ">=", "<", "<=", "==", "!=")
+
+  private def compileBinOp(b: BinOp): DataFrame = (b.lhs, b.rhs) match {
+    case (NumLit(v), rhs) if !CmpOps.contains(b.op) =>
+      dropName(compileExpr(rhs).withColumn("value", arith(b.op, lit(v), col("value"))))
+    case (lhs, NumLit(v)) if !CmpOps.contains(b.op) =>
+      dropName(compileExpr(lhs).withColumn("value", arith(b.op, col("value"), lit(v))))
+    case (lhs, NumLit(v)) if CmpOps.contains(b.op) =>
+      val df = compileExpr(lhs)
+      if (b.boolMod)
+        dropName(df.withColumn("value",
+          when(cmp(b.op, col("value"), lit(v)), 1.0).otherwise(0.0)))
+      else df.filter(cmp(b.op, col("value"), lit(v)))
+    case (NumLit(v), rhs) if CmpOps.contains(b.op) =>
+      val df = compileExpr(rhs)
+      if (b.boolMod)
+        dropName(df.withColumn("value",
+          when(cmp(b.op, lit(v), col("value")), 1.0).otherwise(0.0)))
+      else df.filter(cmp(b.op, lit(v), col("value")))
+    case (lhs, rhs) =>
+      // vector-vector: one-to-one matching on labels (minus __name__), or
+      // the explicit on()/ignoring() set; result keeps lhs labels
+      // (arithmetic drops __name__, comparisons keep it).
+      val matchKey: Column = (b.on, b.ignoring) match {
+        case (Some(keys), _) =>
+          Tables.fingerprintOf(map_filter(col("labels"),
+            (k, _) => k.isInCollection(keys)))
+        case (_, Some(ig)) =>
+          val dropKeys = ig :+ "__name__"
+          Tables.fingerprintOf(map_filter(col("labels"),
+            (k, _) => !k.isInCollection(dropKeys)))
+        case _ =>
+          Tables.fingerprintOf(map_filter(col("labels"),
+            (k, _) => k =!= "__name__"))
+      }
+      val lf = compileExpr(lhs).withColumn("__mfp", matchKey)
+        .withColumnRenamed("value", "__l")
+      val rf = compileExpr(rhs).withColumn("__mfp", matchKey)
+        .select(col("__mfp"), col("ts"), col("value").as("__r"))
+      val joined = lf.join(rf, Seq("__mfp", "ts"))
+      if (CmpOps.contains(b.op)) {
+        val base =
+          if (b.boolMod) joined.withColumn("value",
+            when(cmp(b.op, col("__l"), col("__r")), 1.0).otherwise(0.0))
+          else joined.filter(cmp(b.op, col("__l"), col("__r")))
+            .withColumn("value", col("__l"))
+        base.select(col("fingerprint"), col("labels"), col("ts"), col("value"))
+      } else {
+        dropName(joined
+          .withColumn("value", arith(b.op, col("__l"), col("__r")))
+          .select(col("fingerprint"), col("labels"), col("ts"), col("value")))
+      }
+  }
+}

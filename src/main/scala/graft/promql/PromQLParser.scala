@@ -1,0 +1,125 @@
+package graft.promql
+
+import scala.util.parsing.combinator.RegexParsers
+import graft.logql.LogQLAst.durationToNs
+import PromQLAst._
+
+/** Recursive-descent PromQL parser (native subset — the shapes the
+  * reference accelerates in `reader/promql/promql_transpiler/` plus the
+  * engine-delegated ones we evaluate natively). Operator precedence follows
+  * PromQL: `^` > `* / %` > `+ -` > comparisons; `and/or/unless` set ops are
+  * not yet implemented.
+  */
+object PromQLParser extends RegexParsers {
+
+  override def skipWhitespace = true
+
+  private def metricIdent: Parser[String] = """[a-zA-Z_:][a-zA-Z0-9_:]*""".r
+  private def labelIdent: Parser[String] = """[a-zA-Z_][a-zA-Z0-9_]*""".r
+  private def number: Parser[Double] =
+    """-?[0-9]+(\.[0-9]+)?([eE][+-]?[0-9]+)?""".r ^^ (_.toDouble)
+  private def duration: Parser[String] =
+    """[0-9]+(\.[0-9]+)?(ns|us|µs|ms|s|m|h|d|w)([0-9]+(\.[0-9]+)?(ns|us|µs|ms|s|m|h|d|w))*""".r
+
+  private def quoted: Parser[String] =
+    ("\"" + """([^"\\]|\\.)*""" + "\"").r ^^ (s => s.substring(1, s.length - 1)
+      .replace("\\\"", "\"").replace("\\\\", "\\")) |
+    ("'" + """([^'\\]|\\.)*""" + "'").r ^^ (s => s.substring(1, s.length - 1))
+
+  private def matchOp: Parser[String] = "=~" | "!~" | "!=" | "="
+  private def matcher: Parser[Matcher] =
+    labelIdent ~ matchOp ~ quoted ^^ { case l ~ op ~ v => Matcher(l, op, v) }
+  private def matchers: Parser[Seq[Matcher]] =
+    "{" ~> repsep(matcher, ",") <~ "}"
+
+  private def rangeClause: Parser[Long] = "[" ~> duration <~ "]" ^^ durationToNs
+  private def offsetClause: Parser[Long] = "offset" ~> duration ^^ durationToNs
+
+  private def selector: Parser[Selector] =
+    metricIdent ~ opt(matchers) ~ opt(rangeClause) ~ opt(offsetClause) ^^ {
+      case n ~ ms ~ r ~ off => Selector(n, ms.getOrElse(Nil), r, off.getOrElse(0L))
+    } |
+    matchers ~ opt(rangeClause) ~ opt(offsetClause) ^^ {
+      case ms ~ r ~ off => Selector("", ms, r, off.getOrElse(0L))
+    }
+
+  private def grouping: Parser[(Seq[String], Seq[String])] =
+    ("by" ~> "(" ~> repsep(labelIdent, ",") <~ ")") ^^ (g => (g, Nil)) |
+    ("without" ~> "(" ~> repsep(labelIdent, ",") <~ ")") ^^ (g => (Nil, g))
+
+  private def aggExpr: Parser[PExpr] =
+    metricIdent.filter(AggFns.contains) ~ opt(grouping) ~ ("(" ~> expr <~ ")") ~ opt(grouping) ^^ {
+      case fn ~ g1 ~ e ~ g2 =>
+        val g = g1.orElse(g2)
+        Agg(fn, e, g.map(_._1).getOrElse(Nil), g.map(_._2).getOrElse(Nil))
+    } |
+    metricIdent.filter(ParamAggFns.contains) ~ opt(grouping) ~ ("(" ~> number) ~ ("," ~> expr <~ ")") ~ opt(grouping) ^^ {
+      case fn ~ g1 ~ k ~ e ~ g2 =>
+        val g = g1.orElse(g2)
+        Agg(fn, e, g.map(_._1).getOrElse(Nil), g.map(_._2).getOrElse(Nil), Some(k))
+    }
+
+  private def fnCall: Parser[PExpr] =
+    "histogram_quantile" ~> ("(" ~> number) ~ ("," ~> expr <~ ")") ^^ {
+      case q ~ e => FnCall("histogram_quantile", Seq(NumLit(q), e))
+    } |
+    "quantile_over_time" ~> ("(" ~> number) ~ ("," ~> selector <~ ")") ^^ {
+      case q ~ s => FnCall("quantile_over_time", Seq(NumLit(q), s))
+    } |
+    ("clamp_min" | "clamp_max") ~ ("(" ~> expr) ~ ("," ~> number <~ ")") ^^ {
+      case fn ~ e ~ s => FnCall(fn, Seq(e, NumLit(s)))
+    } |
+    "round" ~> ("(" ~> expr) ~ opt("," ~> number) <~ ")" ^^ {
+      case e ~ s => FnCall("round", Seq(e, NumLit(s.getOrElse(1.0))))
+    } |
+    metricIdent.filter(RangeFns.contains) ~ ("(" ~> selector <~ ")") ^^ {
+      case fn ~ s => FnCall(fn, Seq(s))
+    } |
+    metricIdent.filter(InstantFns.contains) ~ ("(" ~> expr <~ ")") ^^ {
+      case fn ~ e => FnCall(fn, Seq(e))
+    }
+
+  private def atom: Parser[PExpr] =
+    aggExpr | fnCall | number ^^ NumLit.apply | "(" ~> expr <~ ")" |
+    selector ^^ identity
+
+  private def powExpr: Parser[PExpr] =
+    atom ~ opt("^" ~> powExpr) ^^ {
+      case a ~ None    => a
+      case a ~ Some(b) => BinOp("^", a, b)
+    }
+
+  private def vecMod: Parser[(Option[Seq[String]], Option[Seq[String]])] =
+    ("on" ~> "(" ~> repsep(labelIdent, ",") <~ ")") ^^ (k => (Some(k), None)) |
+    ("ignoring" ~> "(" ~> repsep(labelIdent, ",") <~ ")") ^^ (k => (None, Some(k)))
+
+  private def binTail(opP: Parser[String], sub: Parser[PExpr]): Parser[PExpr] =
+    sub ~ rep(opP ~ opt(vecMod) ~ sub) ^^ { case first ~ rest =>
+      rest.foldLeft(first) { case (a, op ~ m ~ b) =>
+        BinOp(op, a, b, m.flatMap(_._1), m.flatMap(_._2))
+      }
+    }
+
+  private def mulExpr: Parser[PExpr] = binTail("*" | "/" | "%", powExpr)
+  private def addExpr: Parser[PExpr] = binTail("+" | "-", mulExpr)
+
+  private def cmpExpr: Parser[PExpr] =
+    addExpr ~ rep((">=" | "<=" | "==" | "!=" | ">" | "<") ~ opt("bool") ~ opt(vecMod) ~ addExpr) ^^ {
+      case first ~ rest =>
+        rest.foldLeft(first) { case (a, op ~ b ~ m ~ c) =>
+          BinOp(op, a, c, m.flatMap(_._1), m.flatMap(_._2), boolMod = b.isDefined)
+        }
+    }
+
+  private def expr: Parser[PExpr] = cmpExpr
+
+  def parse(q: String): Either[String, PExpr] =
+    parseAll(expr, q) match {
+      case Success(e, _)      => Right(e)
+      case NoSuccess(m, rest) => Left(s"$m at ${rest.pos}")
+      case other              => Left(other.toString)
+    }
+
+  def parseOrThrow(q: String): PExpr =
+    parse(q).fold(m => throw new IllegalArgumentException(s"PromQL parse error: $m in: $q"), identity)
+}
