@@ -12,7 +12,8 @@ object SparkEntry {
 
   private def gateSets: Seq[GateSet] = Seq(
     gates.LogQLGates,
-    gates.PromQLGates)
+    gates.PromQLGates,
+    gates.LlmGates)
 
   private lazy val allGates: Seq[Gate] = gateSets.flatMap(_.gates)
 

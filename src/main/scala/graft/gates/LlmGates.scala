@@ -1,0 +1,178 @@
+package graft.gates
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.llm.{Dedup, Multimodal, Similarity, TextOps}
+import graft.model.Tables
+
+/** Driver gates for the LLM training-data pipeline operators (north-star
+  * extension set): exact + MinHash-LSH + SimHash dedup, n-gram Jaccard,
+  * cosine top-k similarity, text stats, multimodal feature plumbing. Every
+  * gate's oracle replays the SAME deterministic pipeline in DuckDB —
+  * including the md5-derived MinHash/SimHash signatures, bit for bit.
+  */
+object LlmGates extends GateSet {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+
+  // ---- shared DuckDB CTE fragments (twins of TextOps/Dedup) --------------
+
+  private val shViews =
+    """ndocs AS (SELECT doc_id, lower(text) AS t FROM documents),
+      |toks AS (SELECT doc_id, string_split(t, ' ') AS ws FROM ndocs),
+      |sh AS (SELECT DISTINCT doc_id,
+      |         unnest([ws[i]||' '||ws[i+1]||' '||ws[i+2]
+      |                 for i in generate_series(1, len(ws)-2)]) AS s
+      |       FROM toks),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1)""".stripMargin
+
+  private val sigList = (1 to Dedup.K).map(k => s"min(hv[$k])").mkString("list_value(", ", ", ")")
+  private val bandConcat = (1 to Dedup.Rows).map(r => s"sig[4*b+$r]::VARCHAR").mkString("||','||")
+
+  private val minhashViews =
+    s"""hs AS (SELECT doc_id, s,
+       |        [('0x'||substr(md5(CAST(j AS VARCHAR)||':'||s),1,15))::BIGINT
+       |         for j in generate_series(0, ${Dedup.K - 1})] AS hv
+       |      FROM sh),
+       |sigs AS (SELECT doc_id, $sigList AS sig FROM hs GROUP BY doc_id),
+       |bands AS (SELECT doc_id, g.b AS b, md5($bandConcat) AS bh
+       |          FROM sigs CROSS JOIN generate_series(0, ${Dedup.Bands - 1}) g(b))""".stripMargin
+
+  private def jaccardSql(candCte: String, threshold: Double): String =
+    s"""$candCte,
+       |inter AS (
+       |  SELECT c.i, c.j, count(*) AS inter
+       |  FROM cand c
+       |  JOIN sh sa ON sa.doc_id = c.i
+       |  JOIN sh sb ON sb.doc_id = c.j AND sb.s = sa.s
+       |  GROUP BY 1, 2),
+       |jac AS (
+       |  SELECT i, j, inter * 1.0 / (si.n + sj.n - inter) AS jaccard
+       |  FROM inter
+       |  JOIN sizes si ON si.doc_id = i
+       |  JOIN sizes sj ON sj.doc_id = j)
+       |SELECT i, j, round(jaccard, 6) AS jaccard
+       |FROM jac WHERE jaccard >= $threshold ORDER BY 1, 2""".stripMargin
+
+  override val gates: Seq[Gate] = Seq(
+
+    // --- exact dedup: normalized-text hash groupBy ------------------------
+    Gate("llm_exact_dedup",
+      (spark: SparkSession, dir: String) =>
+        Dedup.exactDedup(docs(spark, dir))
+          .select(col("doc_id"), col("canonical_id"), col("is_dup").cast("long"))
+          .orderBy("doc_id"),
+      Some(
+        """WITH h AS (SELECT doc_id,
+          |    md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS hh
+          |  FROM documents),
+          |c AS (SELECT hh, min(doc_id) AS canonical_id FROM h GROUP BY 1)
+          |SELECT h.doc_id, c.canonical_id,
+          |  CAST(h.doc_id <> c.canonical_id AS BIGINT) AS is_dup
+          |FROM h JOIN c USING (hh) ORDER BY 1""".stripMargin)),
+
+    // --- MinHash-LSH near-dup: banded buckets → candidates → exact verify -
+    Gate("llm_minhash_lsh",
+      (spark: SparkSession, dir: String) =>
+        Dedup.minhashNearDups(docs(spark, dir), 0.5)
+          .select(col("i"), col("j"), round(col("jaccard"), 6).as("jaccard"))
+          .orderBy("i", "j"),
+      Some("WITH " + shViews + ",\n" + minhashViews + ",\n" + jaccardSql(
+        """cand AS (
+          |  SELECT DISTINCT x.doc_id AS i, y.doc_id AS j
+          |  FROM bands x JOIN bands y
+          |    ON x.b = y.b AND x.bh = y.bh AND x.doc_id < y.doc_id)""".stripMargin,
+        0.5))),
+
+    // --- exact n-gram Jaccard pairs (shingle-share candidates, no LSH) ----
+    Gate("llm_ngram_jaccard",
+      (spark: SparkSession, dir: String) =>
+        Dedup.ngramJaccardPairs(docs(spark, dir), 0.8)
+          .select(col("i"), col("j"), round(col("jaccard"), 6).as("jaccard"))
+          .orderBy("i", "j"),
+      Some("WITH " + shViews + ",\n" + jaccardSql(
+        """cand AS (
+          |  SELECT DISTINCT sa.doc_id AS i, sb.doc_id AS j
+          |  FROM sh sa JOIN sh sb ON sa.s = sb.s AND sa.doc_id < sb.doc_id)""".stripMargin,
+        0.8))),
+
+    // --- SimHash signatures (per-bit majority over token hashes) ----------
+    Gate("llm_simhash",
+      (spark: SparkSession, dir: String) =>
+        Dedup.simhash(docs(spark, dir)).orderBy("doc_id"),
+      Some(
+        s"""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+           |dt AS (SELECT DISTINCT doc_id, unnest(ws) AS t FROM toks),
+           |th AS (SELECT doc_id, ('0x'||substr(md5(t),1,15))::BIGINT AS h FROM dt),
+           |bits AS (
+           |  SELECT doc_id, g.b AS b,
+           |    sum(CASE WHEN (h >> g.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+           |  FROM th CROSS JOIN generate_series(0, ${Dedup.SimHashBits - 1}) g(b)
+           |  GROUP BY 1, 2)
+           |SELECT doc_id,
+           |  CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+           |FROM bits GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // --- brute-force cosine top-k (ANN exactness baseline) ----------------
+    Gate("llm_ann_cosine",
+      (spark: SparkSession, dir: String) => {
+        val emb = Tables.embeddings(spark, dir)
+        Similarity.bruteForceTopK(emb.filter(col("vec_id") % 25 === 0), emb, 5)
+          .select(col("qid"), col("nid"), col("rank").cast("long"),
+            round(col("sim"), 6).as("sim"))
+          .orderBy("qid", "rank")
+      },
+      Some(
+        """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 25 = 0),
+          |s AS (SELECT qid, e.vec_id AS nid,
+          |    list_sum([qv[i]*v[i] for i in generate_series(1,64)]) /
+          |    (sqrt(list_sum([qv[i]*qv[i] for i in generate_series(1,64)])) *
+          |     sqrt(list_sum([v[i]*v[i] for i in generate_series(1,64)]))) AS sim
+          |  FROM e CROSS JOIN q WHERE e.vec_id <> qid),
+          |r AS (SELECT qid, nid, sim,
+          |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+          |  FROM s)
+          |SELECT qid, nid, rank, round(sim, 6) AS sim
+          |FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin)),
+
+    // --- per-doc text stats / quality filter (all-integer outputs) --------
+    Gate("llm_text_stats",
+      (spark: SparkSession, dir: String) =>
+        TextOps.stats(docs(spark, dir)).orderBy("doc_id"),
+      Some {
+        val stops = TextOps.Stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
+        s"""WITH t AS (SELECT doc_id, text, string_split(lower(text), ' ') AS ws FROM documents),
+           |s AS (SELECT doc_id,
+           |    CAST(len(ws) AS BIGINT) AS n_tokens,
+           |    CAST(len(list_distinct(ws)) AS BIGINT) AS n_uniq,
+           |    CAST(list_sum(list_transform(ws, w -> length(w))) AS BIGINT) AS sum_token_len,
+           |    CAST(len(list_filter(ws, w -> list_contains($stops, w))) AS BIGINT) AS stop_cnt,
+           |    CAST(len(regexp_extract_all(text, '${TextOps.BpeTokenRe.replace("'", "''")}')) AS BIGINT) AS n_bpe
+           |  FROM t)
+           |SELECT *, CAST(n_tokens >= 10 AND n_tokens <= 100000
+           |    AND stop_cnt * 20 >= n_tokens
+           |    AND n_uniq * 3 >= n_tokens AS BIGINT) AS quality
+           |FROM s ORDER BY doc_id""".stripMargin
+      }),
+
+    // --- multimodal plumbing: binary payload → batch featurizer (stubbed
+    // decode) → exploded histogram features -------------------------------
+    Gate("llm_multimodal_hist",
+      (spark: SparkSession, dir: String) =>
+        Multimodal.featureHistogram(spark, dir).orderBy("doc_id", "bin"),
+      Some(
+        s"""WITH chars AS (SELECT doc_id,
+           |    unnest([ord(text[i]) % ${Multimodal.FeatureBins}
+           |            for i in generate_series(1, len(text))]) AS bin
+           |  FROM documents),
+           |cnts AS (SELECT doc_id, bin, count(*) AS c FROM chars GROUP BY 1, 2),
+           |grid AS (SELECT d.doc_id, g.b AS bin
+           |  FROM documents d CROSS JOIN generate_series(0, ${Multimodal.FeatureBins - 1}) g(b))
+           |SELECT g.doc_id, g.bin, CAST(coalesce(c.c, 0) AS DOUBLE) AS cnt
+           |FROM grid g LEFT JOIN cnts c ON c.doc_id = g.doc_id AND c.bin = g.bin
+           |ORDER BY 1, 2""".stripMargin))
+  )
+}

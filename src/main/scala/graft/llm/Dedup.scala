@@ -1,0 +1,144 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import TextOps._
+
+/** Deduplication operators for training-data pipelines, designed for the
+  * 100 TB shape: nothing here ever forms an all-pairs product.
+  *
+  *   - exact: hash-groupBy on normalized text (one shuffle on the hash)
+  *   - MinHash-LSH: shingle → K minhashes → B banded buckets → candidate
+  *     pairs only within equal buckets → exact-Jaccard verification joins
+  *     only the candidates' shingles
+  *   - SimHash: 60-bit signature via per-bit majority vote, bit-exact
+  *     reproducible in DuckDB (shared md5-derived hash)
+  *
+  * At 1000 executors each stage is a hash shuffle keyed by doc/bucket; the
+  * band-bucket groupBy bounds the pair blowup to bucket sizes (salt or
+  * re-band if a bucket explodes — the band hash is uniform by
+  * construction).
+  */
+object Dedup {
+
+  /** Canonical text normalization for exact dedup: lowercase, trim,
+    * collapse runs of whitespace.
+    */
+  def normalized(text: Column): Column =
+    regexp_replace(trim(lower(text)), "\\s+", " ")
+
+  /** Exact dedup: every doc mapped to the smallest doc_id sharing its
+    * normalized-text md5. (doc_id, canonical_id, is_dup).
+    */
+  def exactDedup(docs: DataFrame): DataFrame = {
+    val hashed = docs.select(col("doc_id"), md5(normalized(col("text"))).as("h"))
+    val canon = hashed.groupBy(col("h")).agg(min(col("doc_id")).as("canonical_id"))
+    hashed.join(canon, "h")
+      .select(col("doc_id"), col("canonical_id"),
+        (col("doc_id") =!= col("canonical_id")).cast("int").as("is_dup"))
+  }
+
+  val K = 16 // minhash functions
+  val Bands = 4
+  val Rows = 4 // K = Bands * Rows
+
+  /** Distinct (doc_id, shingle) pairs. */
+  def docShingles(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(shingles(col("text"))).as("s"))
+
+  /** MinHash signatures: K column-wise mins over the shingle hashes —
+    * one narrow aggregate per doc, map-side partial combined.
+    */
+  def minhashSignatures(docs: DataFrame): DataFrame = {
+    val sh = docShingles(docs)
+    val mins = (0 until K).map(j =>
+      min(mdhash64(concat(lit(j + ":"), col("s")))).as(s"h$j"))
+    sh.groupBy(col("doc_id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        array((0 until K).map(j => col(s"h$j")): _*).as("sig"))
+  }
+
+  /** LSH banding: B buckets per doc, bucket key = md5 of the band's R
+    * signature values. Docs sharing any band bucket become candidates.
+    */
+  def lshBands(sigs: DataFrame): DataFrame = {
+    val bandCols = (0 until Bands).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat_ws(",",
+          (0 until Rows).map(r => element_at(col("sig"), b * Rows + r + 1)
+            .cast("string")): _*)).as("bh"))
+    }
+    sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bd"))
+      .select(col("doc_id"), col("bd.band").as("band"), col("bd.bh").as("bh"))
+  }
+
+  /** Candidate pairs (i < j) sharing a band bucket. The join is per-bucket
+    * (equi-join on band+hash) — never all-pairs.
+    */
+  def lshCandidates(docs: DataFrame): DataFrame = {
+    val bands = lshBands(minhashSignatures(docs))
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .distinct()
+  }
+
+  /** Exact word-n-gram Jaccard for a given pair set: join each side's
+    * shingles, count the intersection, divide by the union.
+    */
+  def jaccardOf(pairs: DataFrame, docs: DataFrame): DataFrame = {
+    val sh = docShingles(docs)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = pairs
+      .join(sh.select(col("doc_id").as("i"), col("s")), "i")
+      .join(sh.select(col("doc_id").as("j"), col("s")), Seq("j", "s"))
+      .groupBy(col("i"), col("j")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("i"), col("n").as("ni")), "i")
+      .join(sizes.select(col("doc_id").as("j"), col("n").as("nj")), "j")
+      .select(col("i"), col("j"),
+        (col("inter").cast("double") /
+          (col("ni") + col("nj") - col("inter"))).as("jaccard"))
+  }
+
+  /** Full MinHash-LSH near-dup pipeline: LSH candidates verified by exact
+    * Jaccard ≥ threshold.
+    */
+  def minhashNearDups(docs: DataFrame, threshold: Double): DataFrame =
+    jaccardOf(lshCandidates(docs), docs).filter(col("jaccard") >= threshold)
+
+  /** All pairs sharing ≥1 shingle with exact Jaccard ≥ threshold (the
+    * non-LSH exact formulation — at scale this is the verification stage;
+    * the shingle equi-join bounds it to co-occurring docs).
+    */
+  def ngramJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val sh = docShingles(docs)
+    val pairs = sh.select(col("doc_id").as("i"), col("s"))
+      .join(sh.select(col("doc_id").as("j"), col("s")), "s")
+      .filter(col("i") < col("j"))
+      .select(col("i"), col("j")).distinct()
+    jaccardOf(pairs, docs).filter(col("jaccard") >= threshold)
+  }
+
+  val SimHashBits = 60
+
+  /** 60-bit SimHash over distinct tokens: per-bit majority vote of token
+    * hashes. Exploding the bit index keeps it one narrow agg (no 60-column
+    * pivot) and mirrors the DuckDB oracle shape exactly.
+    */
+  def simhash(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("t"))
+      .withColumn("h", mdhash64(col("t")))
+    toks
+      .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(SimHashBits - 1))).as("b"))
+      .groupBy(col("doc_id"), col("b"))
+      .agg(sum(when(expr("shiftright(h, b) % 2") === 1, 1).otherwise(-1)).as("v"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("v") > 0,
+        expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(0L)).as("simhash"))
+  }
+}

