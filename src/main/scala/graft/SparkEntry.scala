@@ -13,7 +13,8 @@ object SparkEntry {
   private def gateSets: Seq[GateSet] = Seq(
     gates.LogQLGates,
     gates.PromQLGates,
-    gates.LlmGates)
+    gates.LlmGates,
+    gates.TraceQLGates)
 
   private lazy val allGates: Seq[Gate] = gateSets.flatMap(_.gates)
 

@@ -1,0 +1,132 @@
+package graft.gates
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.OracleViews
+import graft.traceql.{TraceQLCompiler, TraceQLParser}
+import graft.traceql.TraceQLAst._
+
+/** Driver gates for the TraceQL engine (SURVEY §2.E) over the derived
+  * spans/span-attrs tables. Every query goes through the real parser +
+  * bitmask compiler.
+  */
+object TraceQLGates extends GateSet {
+  import EvalWindow._
+
+  private def engine(spark: SparkSession, dir: String) =
+    new TraceQLCompiler(spark, dir)
+
+  private def parsed(q: String): Query = TraceQLParser.parseOrThrow(q)
+
+  private def o(body: String): Option[String] =
+    Some(OracleViews.withViews(Seq(OracleViews.spans), body))
+
+  override val gates: Seq[Gate] = Seq(
+
+    // --- attr-condition bitmask search (attr_condition.go:26-441) ---------
+    Gate("traceql_attr_search",
+      (spark: SparkSession, dir: String) => {
+        val Query(Sel(ss), _, _) = parsed("""{ .name="error" && .service_name="svc1" }"""): @unchecked
+        engine(spark, dir).spanSetSpans(ss)
+          .select(col("trace_id"), col("span_id"))
+          .orderBy("trace_id", "span_id")
+      },
+      o("""SELECT trace_id, span_id FROM spans
+          |WHERE name = 'error' AND service_name = 'svc1'
+          |ORDER BY 1, 2""".stripMargin)),
+
+    // --- OR across attr + duration intrinsic ------------------------------
+    Gate("traceql_attr_or_duration",
+      (spark: SparkSession, dir: String) => {
+        val Query(Sel(ss), _, _) = parsed("""{ .name="purchase" || duration > 300ms }"""): @unchecked
+        engine(spark, dir).spanSetSpans(ss)
+          .select(col("trace_id"), col("span_id"), col("duration_ns"))
+          .orderBy("trace_id", "span_id")
+      },
+      o("""SELECT trace_id, span_id, duration_ns FROM spans
+          |WHERE name = 'purchase' OR duration_ns > 300000000
+          |ORDER BY 1, 2""".stripMargin)),
+
+    // --- span-set aggregator: count (aggregator.go:23-76) -----------------
+    Gate("traceql_agg_count",
+      (spark: SparkSession, dir: String) => {
+        val q = parsed("""{ .service_name="svc2" } | count() > 2""")
+        engine(spark, dir).aggregate(q.expr, q.agg.get).orderBy("trace_id")
+      },
+      o("""SELECT trace_id, CAST(count(DISTINCT span_id) AS DOUBLE) AS value
+          |FROM spans WHERE service_name = 'svc2'
+          |GROUP BY 1 HAVING count(DISTINCT span_id) > 2
+          |ORDER BY 1""".stripMargin)),
+
+    // --- span-set aggregator: avg(duration) -------------------------------
+    Gate("traceql_agg_avg_duration",
+      (spark: SparkSession, dir: String) => {
+        val q = parsed("""{ .name="click" } | avg(duration) > 150ms""")
+        engine(spark, dir).aggregate(q.expr, q.agg.get)
+          .select(col("trace_id"), round(col("value"), 6).as("value"))
+          .orderBy("trace_id")
+      },
+      o("""SELECT trace_id, round(avg(CAST(duration_ns AS DOUBLE)), 6) AS value
+          |FROM spans WHERE name = 'click'
+          |GROUP BY 1 HAVING avg(CAST(duration_ns AS DOUBLE)) > 150000000
+          |ORDER BY 1""".stripMargin)),
+
+    // --- structural && = same-trace co-occurrence (complex_and.go) --------
+    Gate("traceql_struct_and",
+      (spark: SparkSession, dir: String) => {
+        val q = parsed("""{ .name="view" } && { .name="purchase" }""")
+        engine(spark, dir).matchingTraces(q.expr).orderBy("trace_id")
+      },
+      o("""SELECT DISTINCT trace_id FROM spans WHERE name = 'view'
+          |INTERSECT
+          |SELECT DISTINCT trace_id FROM spans WHERE name = 'purchase'
+          |ORDER BY 1""".stripMargin)),
+
+    // --- trace synthetics fetch (traces_data.go:21-86) --------------------
+    Gate("traceql_trace_meta",
+      (spark: SparkSession, dir: String) => {
+        val q = parsed("""{ .name="error" && .service_name="svc3" }""")
+        engine(spark, dir).traceMeta(q.expr).orderBy("trace_id")
+      },
+      o("""SELECT s.trace_id,
+          |  min(s.timestamp_ns) AS start_ns,
+          |  CAST((max(s.timestamp_ns + s.duration_ns) - min(s.timestamp_ns)) // 1000000 AS BIGINT) AS duration_ms,
+          |  arg_min(s.service_name, s.timestamp_ns) AS root_service,
+          |  arg_min(s.name, s.timestamp_ns) AS root_name,
+          |  count(*) AS span_count
+          |FROM spans s
+          |JOIN (SELECT DISTINCT trace_id FROM spans
+          |      WHERE name = 'error' AND service_name = 'svc3') ids
+          |  USING (trace_id)
+          |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // --- trace-by-id point lookup -----------------------------------------
+    Gate("traceql_trace_by_id",
+      (spark: SparkSession, dir: String) =>
+        engine(spark, dir).traceById(42L).orderBy("timestamp_ns", "span_id"),
+      o("""SELECT span_id, parent_id, name, service_name, timestamp_ns, duration_ns
+          |FROM spans WHERE trace_id = 42
+          |ORDER BY timestamp_ns, span_id""".stripMargin)),
+
+    // --- metrics stage: rate() by (attr) (tempo_metrics.go:18-326) --------
+    Gate("traceql_metrics_rate",
+      (spark: SparkSession, dir: String) => {
+        val q = parsed("""{ .name="click" } | rate() by (service_name)""")
+        engine(spark, dir)
+          .metrics(q.expr, q.metrics.get, StartNs, EndNs, StepS)
+          .select(col("service_name"), col("ts"), round(col("value"), 6).as("value"))
+          .orderBy("service_name", "ts")
+      },
+      o(s"""SELECT service_name, (timestamp_ns // ${StepS}000000000) * $StepS AS ts,
+           |  round(CAST(count(*) AS DOUBLE) / $StepS, 6) AS value
+           |FROM spans WHERE name = 'click'
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // --- tag-value autocomplete -------------------------------------------
+    Gate("traceql_tag_values",
+      (spark: SparkSession, dir: String) =>
+        engine(spark, dir).tagValues("service_name").orderBy("val"),
+      o("""SELECT DISTINCT service_name AS val FROM spans ORDER BY 1"""))
+  )
+}

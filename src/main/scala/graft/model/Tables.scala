@@ -193,7 +193,10 @@ object Tables {
       col("event_type").as("name"),
       concat(lit("svc"), (col("user_id") % 5).cast("string")).as("service_name"),
       (col("ts") - pmod(col("ts"), lit(1000L))).as("timestamp_ns"),
-      (col("value") * 1e6).cast("long").as("duration_ns"),
+      // explicit round: Spark's double→long cast truncates, DuckDB's cast
+      // rounds — value*1e6 sits an ulp below the integer for half the
+      // 2-decimal values, so the derivations must round identically
+      round(col("value") * 1e6, 0).cast("long").as("duration_ns"),
       col("user_id"),
       col("props"))
 

@@ -1,0 +1,119 @@
+package graft.traceql
+
+import scala.util.parsing.combinator.RegexParsers
+
+import graft.logql.LogQLAst.durationToNs
+
+/** TraceQL AST + parser (subset mirroring
+  * `reader/traceql/traceql_parser/model_v2.go:9-276`): span-set selectors
+  * `{ cond }` with `&&`/`||` attr terms, structural ops between span-sets
+  * (flattened to same-trace co-occurrence, as the reference does —
+  * `clickhouse_transpiler/planner.go:100-105`), span-set aggregators
+  * `| count()/avg(x)/min/max/sum cmp N`, and the metrics stage
+  * `| rate() by (attr)`.
+  */
+object TraceQLAst {
+
+  sealed trait AttrCond
+  /** `.attr op value` / `name op v` / `duration op 10ms`. */
+  final case class StrCond(key: String, op: String, value: String) extends AttrCond
+  final case class NumCond(key: String, op: String, value: Double) extends AttrCond
+  /** duration intrinsic, value in ns. */
+  final case class DurCond(op: String, ns: Long) extends AttrCond
+  final case class CondAnd(l: AttrCond, r: AttrCond) extends AttrCond
+  final case class CondOr(l: AttrCond, r: AttrCond) extends AttrCond
+
+  /** `{}` (attrless) or `{ cond }`. */
+  final case class SpanSet(cond: Option[AttrCond])
+
+  sealed trait TExpr
+  final case class Sel(ss: SpanSet) extends TExpr
+  final case class StructAnd(l: TExpr, r: TExpr) extends TExpr
+  final case class StructOr(l: TExpr, r: TExpr) extends TExpr
+
+  /** `| count() > 2`, `| avg(duration) > 40ms` (aggregator.go:23-76). */
+  final case class SpanAgg(fn: String, attr: Option[String], op: String, value: Double)
+
+  /** `| rate() by (attr)` metrics stage. */
+  final case class Metrics(fn: String, by: Seq[String])
+
+  final case class Query(expr: TExpr, agg: Option[SpanAgg], metrics: Option[Metrics])
+}
+
+object TraceQLParser extends RegexParsers {
+  import TraceQLAst._
+
+  override def skipWhitespace = true
+
+  private def ident: Parser[String] = """[a-zA-Z_][a-zA-Z0-9_]*""".r
+  private def number: Parser[Double] = """-?[0-9]+(\.[0-9]+)?""".r ^^ (_.toDouble)
+  private def durLit: Parser[Long] =
+    """[0-9]+(\.[0-9]+)?(ns|us|µs|ms|s|m|h)""".r ^^ durationToNs
+  private def quoted: Parser[String] =
+    ("\"" + """([^"\\]|\\.)*""" + "\"").r ^^ (s => s.substring(1, s.length - 1))
+
+  private def cmpOp: Parser[String] = ">=" | "<=" | "!=" | "=~" | ">" | "<" | "="
+
+  /** `.attr`, `span.attr`, `resource.attr` → attr key; `name`,
+    * `service_name` intrinsics hit the same attr rows; `duration` is the
+    * span intrinsic.
+    */
+  private def field: Parser[String] =
+    ("resource." ~> ident) | ("span." ~> ident) | ("." ~> ident) |
+    "duration" | "name" | "service_name"
+
+  private def term: Parser[AttrCond] =
+    "duration" ~> cmpOp ~ durLit ^^ { case op ~ ns => DurCond(op, ns) } |
+    field ~ cmpOp ~ (quoted ^^ (Left(_)) | durLit ^^ (d => Right(d.toDouble)) |
+      number ^^ (Right(_))) ^^ {
+      case f ~ op ~ Left(s)  => StrCond(f, op, s)
+      case f ~ op ~ Right(n) => NumCond(f, op, n)
+    } |
+    "(" ~> condExpr <~ ")"
+
+  private def andCond: Parser[AttrCond] =
+    term ~ rep("&&" ~> term) ^^ { case f ~ r => r.foldLeft(f)(CondAnd.apply) }
+  private def condExpr: Parser[AttrCond] =
+    andCond ~ rep("||" ~> andCond) ^^ { case f ~ r => r.foldLeft(f)(CondOr.apply) }
+
+  private def spanset: Parser[TExpr] =
+    "{" ~> opt(condExpr) <~ "}" ^^ (c => Sel(SpanSet(c)))
+
+  private def structExpr: Parser[TExpr] =
+    spanset ~ rep(("&&" | "||") ~ spanset) ^^ { case f ~ r =>
+      r.foldLeft(f) {
+        case (a, "&&" ~ b) => StructAnd(a, b)
+        case (a, _ ~ b)    => StructOr(a, b)
+      }
+    }
+
+  private def aggStage: Parser[SpanAgg] =
+    "count" ~> "(" ~> ")" ~> cmpOp ~ number ^^ {
+      case op ~ n => SpanAgg("count", None, op, n)
+    } |
+    ("avg" | "min" | "max" | "sum") ~ ("(" ~> ("duration" | "." ~> ident) <~ ")") ~ cmpOp ~ (durLit ^^ (_.toDouble) | number) ^^ {
+      case fn ~ f ~ op ~ n => SpanAgg(fn, Some(f), op, n)
+    }
+
+  private def metricsStage: Parser[Metrics] =
+    ("rate" | "count_over_time") ~ ("(" ~> ")" ~> opt("by" ~> "(" ~> repsep(field, ",") <~ ")")) ^^ {
+      case fn ~ by => Metrics(fn, by.getOrElse(Nil))
+    }
+
+  private def query: Parser[Query] =
+    structExpr ~ opt("|" ~> (metricsStage ^^ (Right(_)) | aggStage ^^ (Left(_)))) ^^ {
+      case e ~ None           => Query(e, None, None)
+      case e ~ Some(Left(a))  => Query(e, Some(a), None)
+      case e ~ Some(Right(m)) => Query(e, None, Some(m))
+    }
+
+  def parse(q: String): Either[String, Query] =
+    parseAll(query, q) match {
+      case Success(e, _)      => Right(e)
+      case NoSuccess(m, rest) => Left(s"$m at ${rest.pos}")
+      case other              => Left(other.toString)
+    }
+
+  def parseOrThrow(q: String): Query =
+    parse(q).fold(m => throw new IllegalArgumentException(s"TraceQL parse error: $m in: $q"), identity)
+}

@@ -1,0 +1,210 @@
+package graft.traceql
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+import TraceQLAst._
+
+/** TraceQL → DataFrame compiler (SURVEY §2.E).
+  *
+  * Pipeline mirrors `reader/traceql/traceql_transpiler/clickhouse_transpiler`:
+  *
+  *   1. attr conditions over the exploded span-attr table with the
+  *      groupBitOr BITMASK recombination (`attr_condition.go:26-441`):
+  *      each leaf term i sets bit i on rows it matches; a per-span
+  *      `bit_or(shiftleft(hit_i, i))` aggregate rebuilds the span's term
+  *      vector, and the boolean structure is evaluated on the mask — one
+  *      scan of the attr table regardless of how many terms
+  *   2. span-set aggregator per trace (`aggregator.go:23-76`)
+  *   3. structural `&&`/`||` = same-trace semi-join / union
+  *      (`complex_and.go`, `complex_or.go`)
+  *   4. trace-level synthetics fetch join (`traces_data.go:21-86`)
+  *   5. metrics stage rate()/count_over_time() by attrs
+  *      (`service/tempo_metrics.go:18-326`)
+  *
+  * The reference's >10M-row sharded re-execution
+  * (`complexity_evaluator.go:31-78`) is obsolete here: the bitmask agg IS
+  * a hash shuffle over (trace_id, span_id), which Spark partitions across
+  * the cluster natively.
+  */
+class TraceQLCompiler(spark: SparkSession, dir: String) {
+
+  private def spans: DataFrame = Tables.spans(spark, dir)
+  private def attrs: DataFrame = Tables.spanAttrs(spark, dir)
+
+  private def leaves(c: AttrCond): Seq[AttrCond] = c match {
+    case CondAnd(l, r) => leaves(l) ++ leaves(r)
+    case CondOr(l, r)  => leaves(l) ++ leaves(r)
+    case leaf          => Seq(leaf)
+  }
+
+  /** Per-attr-row hit predicate for one leaf term. */
+  private def leafHit(c: AttrCond): Column = c match {
+    case StrCond(k, op, v) =>
+      val m = col("key") === k
+      op match {
+        case "=" => m && col("val") === v
+        case "!=" => m && col("val") =!= v
+        case "=~" => m && col("val").rlike("^(?:" + v + ")$")
+        case other => throw new IllegalArgumentException(s"str op $other")
+      }
+    case NumCond(k, op, v) =>
+      val m = col("key") === k
+      val n = col("val").cast("double")
+      op match {
+        case "="  => m && n === v
+        case "!=" => m && n =!= v
+        case ">"  => m && n > v
+        case ">=" => m && n >= v
+        case "<"  => m && n < v
+        case "<=" => m && n <= v
+      }
+    case DurCond(op, ns) =>
+      val d = col("duration_ns")
+      op match {
+        case "="  => d === ns
+        case "!=" => d =!= ns
+        case ">"  => d > ns
+        case ">=" => d >= ns
+        case "<"  => d < ns
+        case "<=" => d <= ns
+      }
+    case _ => throw new IllegalStateException("non-leaf")
+  }
+
+  /** Boolean structure evaluated over the span's recombined bitmask. */
+  private def maskCond(c: AttrCond, idx: Map[AttrCond, Int]): Column = c match {
+    case CondAnd(l, r) => maskCond(l, idx) && maskCond(r, idx)
+    case CondOr(l, r)  => maskCond(l, idx) || maskCond(r, idx)
+    case leaf => expr(s"shiftright(__mask, ${idx(leaf)}) % 2") === 1
+  }
+
+  /** Matched spans of one span-set: (trace_id, span_id, timestamp_ns,
+    * duration_ns). One attr scan + one (trace,span) hash agg.
+    */
+  def spanSetSpans(ss: SpanSet): DataFrame = ss.cond match {
+    case None =>
+      spans.select(col("trace_id"), col("span_id"),
+        col("timestamp_ns"), col("duration_ns"))
+    case Some(cond) =>
+      val ls = leaves(cond).distinct
+      val idx = ls.zipWithIndex.toMap
+      val bits = ls.map(l =>
+        when(leafHit(l), shiftleft(lit(1L), idx(l))).otherwise(0L))
+      val masked = attrs
+        .withColumn("__bit", bits.reduce(_ bitwiseOR _))
+        .groupBy(col("trace_id"), col("span_id"))
+        .agg(bit_or(col("__bit")).as("__mask"),
+          first(col("timestamp_ns")).as("timestamp_ns"),
+          first(col("duration_ns")).as("duration_ns"))
+      masked.filter(maskCond(cond, idx))
+        .select(col("trace_id"), col("span_id"),
+          col("timestamp_ns"), col("duration_ns"))
+  }
+
+  /** Trace ids matching a structural expression (IndexGroupBy +
+    * ComplexAnd/Or).
+    */
+  def matchingTraces(e: TExpr): DataFrame = e match {
+    case Sel(ss) => spanSetSpans(ss).select(col("trace_id")).distinct()
+    case StructAnd(l, r) =>
+      matchingTraces(l).join(matchingTraces(r), Seq("trace_id"), "left_semi")
+    case StructOr(l, r) =>
+      matchingTraces(l).union(matchingTraces(r)).distinct()
+  }
+
+  private def cmpCol(c: Column, op: String, v: Double): Column = op match {
+    case ">"  => c > v
+    case ">=" => c >= v
+    case "<"  => c < v
+    case "<=" => c <= v
+    case "="  => c === v
+    case "!=" => c =!= v
+  }
+
+  /** Span-set aggregator: per-trace aggregate over the matched spans,
+    * kept traces only (`aggregator.go:23-76` HAVING shape). Returns
+    * (trace_id, value).
+    */
+  def aggregate(e: TExpr, agg: SpanAgg): DataFrame = {
+    val matched = e match {
+      case Sel(ss) => spanSetSpans(ss)
+      case other   => // structural expr: aggregate over union of matched spans
+        spanSetSpans(SpanSet(None))
+          .join(matchingTraces(other), Seq("trace_id"), "left_semi")
+    }
+    val (withTarget, target) = agg.attr match {
+      case None | Some("duration") => (matched, col("duration_ns").cast("double"))
+      case Some(a) => // numeric attr aggregation: join the attr value rows
+        (matched.join(
+          attrs.filter(col("key") === a)
+            .select(col("span_id"), col("val").cast("double").as("__av")),
+          Seq("span_id")),
+          col("__av"))
+    }
+    val a: Column = agg.fn match {
+      case "count" => countDistinct(col("span_id")).cast("double")
+      case "avg"   => avg(target)
+      case "min"   => min(target)
+      case "max"   => max(target)
+      case "sum"   => sum(target)
+    }
+    withTarget.groupBy(col("trace_id")).agg(a.as("value"))
+      .filter(cmpCol(col("value"), agg.op, agg.value))
+  }
+
+  /** Trace-level synthetics for matched traces (`traces_data.go:21-86`):
+    * start, duration_ms, root service/name (earliest span), span count.
+    */
+  def traceMeta(e: TExpr): DataFrame = {
+    val ids = matchingTraces(e)
+    spans.join(ids, Seq("trace_id"), "left_semi")
+      .groupBy(col("trace_id"))
+      .agg(
+        min(col("timestamp_ns")).as("start_ns"),
+        ((max(col("timestamp_ns") + col("duration_ns")) -
+          min(col("timestamp_ns"))) / 1000000L).cast("long").as("duration_ms"),
+        min_by(col("service_name"), col("timestamp_ns")).as("root_service"),
+        min_by(col("name"), col("timestamp_ns")).as("root_name"),
+        count(lit(1)).as("span_count"))
+  }
+
+  /** `/api/traces/{id}` point lookup (`service/tempo.go:53-160`). */
+  def traceById(traceId: Long): DataFrame =
+    spans.filter(col("trace_id") === traceId)
+      .select(col("span_id"), col("parent_id"), col("name"),
+        col("service_name"), col("timestamp_ns"), col("duration_ns"))
+
+  /** Metrics stage: per-step span rate / count grouped by attrs
+    * (`tempo_metrics.go:18-326`). stepS-second tumbling buckets over the
+    * span start times.
+    */
+  def metrics(e: TExpr, m: Metrics, startNs: Long, endNs: Long, stepS: Long): DataFrame = {
+    val stepNs = stepS * 1000000000L
+    val matched = e match {
+      case Sel(ss) => spanSetSpans(ss)
+      case other =>
+        spanSetSpans(SpanSet(None))
+          .join(matchingTraces(other), Seq("trace_id"), "left_semi")
+    }
+    val withAttrs = matched.join(
+      spans.select(col("span_id"), col("name"), col("service_name")), Seq("span_id"))
+    val keyCols = m.by.map(col)
+    val bucket = (col("timestamp_ns") - pmod(col("timestamp_ns"), lit(stepNs)))
+    val base = withAttrs
+      .filter(col("timestamp_ns") >= startNs && col("timestamp_ns") < endNs)
+      .groupBy(keyCols :+ bucket.as("bucket_ns"): _*)
+      .agg(count(lit(1)).as("__n"))
+    val value = m.fn match {
+      case "rate"            => col("__n") / stepS.toDouble
+      case "count_over_time" => col("__n").cast("double")
+    }
+    base.select(keyCols ++ Seq(
+      expr("bucket_ns div 1000000000").as("ts"), value.as("value")): _*)
+  }
+
+  /** Tag-value autocomplete (`select_values_planner.go:13`). */
+  def tagValues(key: String): DataFrame =
+    attrs.filter(col("key") === key).select(col("val")).distinct()
+}
