@@ -43,38 +43,54 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
-  val Planes = 8
+  val Planes = 8  // planes per table → 256 buckets/table
+  val Tables = 4  // independent hash tables (multi-table LSH)
 
-  /** Deterministic pseudo-random hyperplane weight for (plane, dim):
+  /** Deterministic pseudo-random hyperplane weight for (table, plane, dim):
     * md5-derived value scaled to [-1, 1). Reproducible everywhere.
     */
-  private def planeWeight(p: Int, d: Column): Column =
-    (pmod(mdhash64(concat(lit(p + "|"), d.cast("string"))), lit(2000L)) - 1000L) / 1000.0
+  private def planeWeight(t: Int, p: Int, d: Column): Column =
+    (pmod(mdhash64(concat(lit(t + "|" + p + "|"), d.cast("string"))), lit(2000L)) - 1000L) / 1000.0
 
-  /** Sign-bucket of a vector under the P hyperplanes. */
-  def lshBucket(emb: Column): Column = {
+  /** Sign-bucket of a vector under table t's P hyperplanes. */
+  def lshBucket(emb: Column, t: Int): Column = {
     val e = asDouble(emb)
     val dots = (0 until Planes).map { p =>
       aggregate(zip_with(e, sequence(lit(0), size(e) - 1),
-        (v, i) => v * planeWeight(p, i)), lit(0.0), (acc, v) => acc + v)
+        (v, i) => v * planeWeight(t, p, i)), lit(0.0), (acc, v) => acc + v)
     }
     dots.zipWithIndex.map { case (dp, p) =>
       when(dp >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
   }
 
-  /** Approximate top-k: candidates share the query's LSH bucket, ranked by
-    * exact cosine within the bucket. Expected bucket size = N / 2^P, so the
-    * candidate join is N·(N/2^P) instead of N².
+  /** All (table, bucket) keys of a vector — one row per table. */
+  private def withBuckets(df: DataFrame, idCol: String, embCol: String): DataFrame = {
+    val keys = (0 until Tables).map(t =>
+      struct(lit(t).as("tbl"), lshBucket(col(embCol), t).as("bkt")))
+    df.select(col(idCol), asDouble(col(embCol)).as(embCol),
+        explode(array(keys: _*)).as("tb"))
+      .select(col(idCol), col(embCol), col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
+  }
+
+  /** Approximate top-k via multi-table LSH: a candidate shares the query's
+    * bucket in ANY of the T tables (union via the exploded (table, bucket)
+    * join, deduped). Per-table bucket size ≈ N/2^P, so the candidate set is
+    * ≈ T·N/2^P per query instead of N. Recall is high for high-similarity
+    * neighbors (the dedup use case); weakly-similar neighbors need more
+    * tables or brute force — see LlmSpec's recall property test.
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
-    val q = queries.select(col("vec_id").as("qid"),
-      asDouble(col("embedding")).as("qe"), lshBucket(col("embedding")).as("bkt"))
-    val c = corpus.select(col("vec_id").as("nid"),
-      asDouble(col("embedding")).as("ne"), lshBucket(col("embedding")).as("bkt"))
-    val scored = c.join(broadcast(q), "bkt")
+    val q = withBuckets(queries.select(col("vec_id").as("qid"), col("embedding")), "qid", "embedding")
+      .withColumnRenamed("embedding", "qe")
+    val c = withBuckets(corpus.select(col("vec_id").as("nid"), col("embedding")), "nid", "embedding")
+      .withColumnRenamed("embedding", "ne")
+    val cand = c.join(broadcast(q), Seq("tbl", "bkt"))
       .filter(col("qid") =!= col("nid"))
-      .select(col("qid"), col("nid"), cosine(col("qe"), col("ne")).as("sim"))
+      .select(col("qid"), col("nid"), col("qe"), col("ne"))
+      .dropDuplicates("qid", "nid")
+    val scored = cand.select(col("qid"), col("nid"),
+      cosine(col("qe"), col("ne")).as("sim"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)

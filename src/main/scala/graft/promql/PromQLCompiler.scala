@@ -285,18 +285,21 @@ class PromQLCompiler(spark: SparkSession, dir: String, params: PromParams) {
       .agg(first(col("labels")).as("labels"),
         array_sort(collect_list(struct(col("__le").as("le"),
           col("value").as("v")))).as("__bs"))
-    val total = element_at(col("__bs"), -1).getField("v")
+    // try_element_at: the below-rank array is empty when the quantile falls
+    // in the first bucket, and a series may carry only the +Inf bucket —
+    // strict element_at throws on both.
+    val total = try_element_at(col("__bs"), lit(-1)).getField("v")
     val rank = total * q
     val below = filter(col("__bs"), b => b.getField("v") < rank)
-    val hit = element_at(filter(col("__bs"), b => b.getField("v") >= rank), 1)
-    val prevV = coalesce(element_at(below, -1).getField("v"), lit(0.0))
-    val lower = coalesce(element_at(below, -1).getField("le"), lit(0.0))
+    val hit = try_element_at(filter(col("__bs"), b => b.getField("v") >= rank), lit(1))
+    val prevV = coalesce(try_element_at(below, lit(-1)).getField("v"), lit(0.0))
+    val lower = coalesce(try_element_at(below, lit(-1)).getField("le"), lit(0.0))
     val hiLe = hit.getField("le")
     val hiV = hit.getField("v")
     val interp = lower + (hiLe - lower) * (rank - prevV) / (hiV - prevV)
-    val value = when(total <= 0, lit(null).cast("double"))
+    val value = when(total.isNull || total <= 0, lit(null).cast("double"))
       .when(hiLe === Double.PositiveInfinity,
-        element_at(col("__bs"), -2).getField("le"))
+        try_element_at(col("__bs"), lit(-2)).getField("le"))
       .otherwise(interp)
     grouped
       .withColumn("value", value)

@@ -1,0 +1,120 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.model.Tables
+
+class LlmSpec extends SparkSpec {
+
+  private def docs = Tables.documents(spark, sf)
+  private def emb = Tables.embeddings(spark, sf)
+
+  test("minhash signatures are deterministic") {
+    val a = Dedup.minhashSignatures(docs).orderBy("doc_id").limit(5)
+      .collect().map(_.toString)
+    val b = Dedup.minhashSignatures(docs).orderBy("doc_id").limit(5)
+      .collect().map(_.toString)
+    assert(a.sameElements(b))
+  }
+
+  test("LSH candidates achieve full recall on high-similarity pairs") {
+    // every true pair with Jaccard >= 0.8 must appear among LSH candidates
+    // (16 hashes, 4x4 bands: P(candidate) = 1-(1-j^4)^4 = 0.994 at j=0.8,
+    // and the planted pairs are ~0.99 → miss probability ~0)
+    val truth = Dedup.ngramJaccardPairs(docs, 0.8).select("i", "j")
+    val cand = Dedup.lshCandidates(docs)
+    val missed = truth.join(cand, Seq("i", "j"), "left_anti").count()
+    assert(missed == 0)
+  }
+
+  test("minhash near-dups verified: no candidate below threshold survives") {
+    val nd = Dedup.minhashNearDups(docs, 0.8)
+    assert(nd.filter(col("jaccard") < 0.8).count() == 0)
+  }
+
+  test("exact dedup maps identical normalized text to one canonical id") {
+    import graft.TestSpark.spark.implicits._
+    val d = Seq((1L, "Hello   World"), (2L, "hello world"), (3L, "other"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exactDedup(d).orderBy("doc_id").collect()
+    assert(out(0).getLong(1) == 1L && out(0).getInt(2) == 0)
+    assert(out(1).getLong(1) == 1L && out(1).getInt(2) == 1)
+    assert(out(2).getLong(1) == 3L && out(2).getInt(2) == 0)
+  }
+
+  test("simhash of near-identical docs has small hamming distance") {
+    import graft.TestSpark.spark.implicits._
+    val d = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy cat again and again"),
+      (3L, "completely different words appear here nothing shared at all"))
+      .toDF("doc_id", "text")
+    val hs = Dedup.simhash(d).orderBy("doc_id").collect().map(_.getLong(1))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(hs(0), hs(1)) < ham(hs(0), hs(2)))
+    assert(ham(hs(0), hs(1)) <= 12)
+  }
+
+  test("brute-force top-k: k rows per query, ranked by similarity") {
+    val out = Similarity.bruteForceTopK(emb.filter(col("vec_id") === 0), emb, 5)
+      .orderBy("rank").collect()
+    assert(out.length == 5)
+    val sims = out.map(_.getAs[Double]("sim"))
+    assert(sims.sameElements(sims.sorted.reverse))
+    assert(!out.map(_.getAs[Long]("nid")).contains(0L))
+  }
+
+  test("LSH top-k recalls high-similarity neighbors (planted near-dups)") {
+    // plant perturbed copies: copy vec_id v → v+10000 with first element
+    // nudged; the copy's true nearest neighbor is its original (cos≈0.999).
+    // Multi-table LSH must recall those; weakly-similar neighbors (this
+    // corpus maxes at cos≈0.5) are honestly out of reach at T·2^-P pruning.
+    val base = emb.filter(col("vec_id") % 25 === 0)
+    val copies = base.select((col("vec_id") + 10000).as("vec_id"),
+      transform(col("embedding"),
+        (x, i) => when(i === 0, x + lit(0.05f)).otherwise(x)).as("embedding"))
+    val corpus = emb.select(col("vec_id"), col("embedding")).union(copies)
+    val found = Similarity.lshTopK(copies, corpus, 1)
+      .filter(col("nid") === col("qid") - 10000).count().toDouble
+    val recall = found / copies.count()
+    assert(recall >= 0.9, s"recall $recall")
+  }
+
+  test("langId picks the marker-dominant language") {
+    import graft.TestSpark.spark.implicits._
+    val d = Seq(
+      (1L, "the cat is on the mat and the dog is here"),
+      (2L, "der hund ist gross und die katze ist klein mit der maus"),
+      (3L, "el perro es grande y la casa es blanca con el gato"),
+      (4L, "zzz qqq www")).toDF("doc_id", "text")
+    val out = d.select(col("doc_id"), TextOps.langId(col("text")).as("lang"))
+      .orderBy("doc_id").collect().map(_.getString(1))
+    assert(out.sameElements(Array("en", "de", "es", "und")))
+  }
+
+  test("text stats integer invariants") {
+    val s = TextOps.stats(docs)
+    assert(s.filter(col("n_uniq") > col("n_tokens")).count() == 0)
+    assert(s.filter(col("stop_cnt") > col("n_tokens")).count() == 0)
+    assert(s.filter(col("n_bpe") < col("n_tokens")).count() == 0) // BPE at least word-level
+  }
+
+  test("multimodal featurizer: histogram sums to payload length") {
+    val m = Multimodal.mediaTable(spark, sf)
+    val f = Multimodal.featurize(m)
+      .select(col("doc_id"), aggregate(col("feature"), lit(0.0), (a, x) => a + x).as("s"))
+    val bad = f.join(m.select(col("doc_id"), col("n_bytes")), "doc_id")
+      .filter(col("s") =!= col("n_bytes").cast("double"))
+    assert(bad.count() == 0)
+  }
+
+  test("frame slices partition the payload") {
+    val m = Multimodal.mediaTable(spark, sf)
+    val fr = Multimodal.frameSlices(m, 4)
+    val sums = fr.groupBy("doc_id").agg(sum(length(col("frame"))).as("tot"),
+      count(lit(1)).as("n"))
+    val bad = sums.join(m.select(col("doc_id"), col("n_bytes")), "doc_id")
+      .filter(col("tot") =!= col("n_bytes") || col("n") =!= 4)
+    assert(bad.count() == 0)
+  }
+}

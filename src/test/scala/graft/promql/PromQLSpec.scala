@@ -1,0 +1,92 @@
+package graft.promql
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.gates.EvalWindow._
+import PromQLAst._
+
+class PromQLSpec extends SparkSpec {
+
+  private def engine =
+    new PromQLCompiler(spark, sf, PromParams(StartNs, EndNs, StepS))
+
+  test("parser: selector with matchers, range, offset") {
+    assert(PromQLParser.parseOrThrow("""m_x{a="1", b!~"c.*"}[5m] offset 1h""") ==
+      Selector("m_x", Seq(Matcher("a", "=", "1"), Matcher("b", "!~", "c.*")),
+        Some(300000000000L), 3600000000000L))
+  }
+
+  test("parser: agg with by + fn nesting") {
+    assert(PromQLParser.parseOrThrow("""sum by (a) (rate(m[5m]))""") ==
+      Agg("sum", FnCall("rate", Seq(Selector("m", Nil, Some(300000000000L), 0L))),
+        Seq("a"), Nil))
+  }
+
+  test("parser: precedence ^ over * over +, comparison last") {
+    val e = PromQLParser.parseOrThrow("""sum(a) + sum(b) * sum(c) ^ sum(d) > 2""")
+    e match {
+      case BinOp(">", BinOp("+", _, BinOp("*", _, BinOp("^", _, _, _, _, _), _, _, _), _, _, _), NumLit(n), _, _, _) =>
+        assert(n == 2.0)
+      case other => fail(s"unexpected shape: $other")
+    }
+  }
+
+  test("parser: on/ignoring vector matching and bool modifier") {
+    val BinOp("/", _, _, Some(Seq("a", "b")), None, false) =
+      PromQLParser.parseOrThrow("""sum(x) / on(a, b) sum(y)"""): @unchecked
+    val BinOp(">", _, _, None, None, true) =
+      PromQLParser.parseOrThrow("""sum(x) > bool sum(y)"""): @unchecked
+  }
+
+  test("rate is nonnegative on a counter with resets") {
+    val df = engine.compile("""rate(events_total[12h])""")
+    assert(df.count() > 0)
+    assert(df.filter(col("value") < 0).count() == 0)
+  }
+
+  test("increase equals rate times range") {
+    val inc = engine.compile("""increase(events_total{event_type="click"}[12h])""")
+      .select(col("ts"), col("value").as("inc"))
+    val rate = engine.compile("""rate(events_total{event_type="click"}[12h])""")
+      .select(col("ts"), col("value").as("r"))
+    val joined = inc.join(rate, "ts")
+      .filter(abs(col("inc") - col("r") * 43200.0) > 1e-6)
+    assert(joined.count() == 0)
+  }
+
+  test("delta can be negative on a gauge, rate cannot on a counter") {
+    val d = engine.compile("""delta(events_value{event_type="view"}[12h])""")
+    assert(d.filter(col("value") < 0).count() > 0)
+  }
+
+  test("resets counted only when counter drops") {
+    val r = engine.compile("""resets(events_total[24h])""")
+    val c = engine.compile("""changes(events_total[24h])""")
+    val rSum = r.agg(sum("value")).collect()(0).getDouble(0)
+    val cSum = c.agg(sum("value")).collect()(0).getDouble(0)
+    assert(rSum > 0)     // the mod-10k counter does reset
+    assert(cSum >= rSum) // every reset is a change
+  }
+
+  test("histogram_quantile within bucket bounds") {
+    val df = engine.compile(
+      """histogram_quantile(0.5, sum by (le, event_type) (rate(events_bucket[12h])))""")
+    assert(df.count() > 0)
+    assert(df.filter(col("value") < 0 || col("value") > 250).count() == 0)
+  }
+
+  test("instant vector respects 5m staleness") {
+    val df = engine.compile("""events_value{event_type="click"}""")
+    // every emitted eval point has a sample within the preceding 5m —
+    // sparse sf0.001 data means far fewer rows than eval points × series
+    assert(df.count() > 0)
+    assert(df.count() < 121)
+  }
+
+  test("vector agg drops __name__; by keeps only listed labels") {
+    val df = engine.compile("""sum by (event_type) (count_over_time(events_value[6h]))""")
+    val keys = df.select(explode(map_keys(col("labels")))).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(keys == Set("event_type"))
+  }
+}

@@ -1,0 +1,65 @@
+package graft.traceql
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.model.Tables
+import TraceQLAst._
+
+class TraceQLSpec extends SparkSpec {
+
+  private def engine = new TraceQLCompiler(spark, sf)
+
+  test("parser: condition structure and duration literals") {
+    val Query(Sel(SpanSet(Some(cond))), None, None) =
+      TraceQLParser.parseOrThrow("""{ .name="a" && (duration > 10ms || .user="3") }"""): @unchecked
+    assert(cond == CondAnd(StrCond("name", "=", "a"),
+      CondOr(DurCond(">", 10000000L), StrCond("user", "=", "3"))))
+  }
+
+  test("parser: aggregator and metrics stages") {
+    val q1 = TraceQLParser.parseOrThrow("""{ .name="a" } | count() > 3""")
+    assert(q1.agg.contains(SpanAgg("count", None, ">", 3.0)))
+    val q2 = TraceQLParser.parseOrThrow("""{ .name="a" } | avg(duration) >= 5ms""")
+    assert(q2.agg.contains(SpanAgg("avg", Some("duration"), ">=", 5000000.0)))
+    val q3 = TraceQLParser.parseOrThrow("""{} | rate() by (name, service_name)""")
+    assert(q3.metrics.contains(Metrics("rate", Seq("name", "service_name"))))
+  }
+
+  test("bitmask AND equals direct two-column filter") {
+    val Query(Sel(ss), _, _) =
+      TraceQLParser.parseOrThrow("""{ .name="click" && .service_name="svc0" }"""): @unchecked
+    val viaMask = engine.spanSetSpans(ss).count()
+    val direct = Tables.spans(spark, sf)
+      .filter(col("name") === "click" && col("service_name") === "svc0").count()
+    assert(viaMask == direct)
+  }
+
+  test("bitmask OR equals direct union filter") {
+    val Query(Sel(ss), _, _) =
+      TraceQLParser.parseOrThrow("""{ .name="click" || .name="view" }"""): @unchecked
+    val viaMask = engine.spanSetSpans(ss).count()
+    val direct = Tables.spans(spark, sf)
+      .filter(col("name") === "click" || col("name") === "view").count()
+    assert(viaMask == direct)
+  }
+
+  test("structural && narrower than either side; || wider") {
+    val and = engine.matchingTraces(TraceQLParser.parseOrThrow(
+      """{ .name="view" } && { .name="error" }""").expr).count()
+    val or = engine.matchingTraces(TraceQLParser.parseOrThrow(
+      """{ .name="view" } || { .name="error" }""").expr).count()
+    val viewOnly = engine.matchingTraces(TraceQLParser.parseOrThrow(
+      """{ .name="view" }""").expr).count()
+    assert(and <= viewOnly && viewOnly <= or)
+  }
+
+  test("trace meta duration is span-extent, root is earliest span") {
+    val meta = engine.traceMeta(TraceQLParser.parseOrThrow("""{}""").expr)
+    assert(meta.filter(col("duration_ms") < 0).count() == 0)
+    val spans = Tables.spans(spark, sf)
+    val m0 = meta.orderBy("trace_id").limit(1).collect()(0)
+    val first = spans.filter(col("trace_id") === m0.getLong(0))
+      .orderBy("timestamp_ns").limit(1).collect()(0)
+    assert(m0.getAs[String]("root_name") == first.getAs[String]("name"))
+  }
+}
