@@ -93,9 +93,11 @@ object LlmGates extends GateSet {
           .select(col("i"), col("j"), round(col("jaccard"), 6).as("jaccard"))
           .orderBy("i", "j"),
       Some("WITH " + shViews + ",\n" + jaccardSql(
-        """cand AS (
-          |  SELECT DISTINCT sa.doc_id AS i, sb.doc_id AS j
-          |  FROM sh sa JOIN sh sb ON sa.s = sb.s AND sa.doc_id < sb.doc_id)""".stripMargin,
+        s"""rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= ${Dedup.MaxShingleDf}),
+           |shc AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)),
+           |cand AS (
+           |  SELECT DISTINCT sa.doc_id AS i, sb.doc_id AS j
+           |  FROM shc sa JOIN shc sb ON sa.s = sb.s AND sa.doc_id < sb.doc_id)""".stripMargin,
         0.8))),
 
     // --- SimHash signatures (per-bit majority over token hashes) ----------

@@ -163,16 +163,26 @@ object PromQLGates extends GateSet {
            |    GROUP BY 1, 2) a) r
            |WHERE rn <= 2 ORDER BY 1, 2""".stripMargin, grid)),
 
-    // --- vector/vector binary op with label matching ----------------------
-    Gate("promql_binop_ratio",
-      q("""sum by (event_type) (sum_over_time(events_value[12h])) / sum by (event_type) (count_over_time(events_value[12h]))""",
+    // --- vector/vector binary op with label matching (subtraction keeps
+    // compared values 2-decimal-exact; a ratio would land on rounding ties)
+    Gate("promql_binop_diff",
+      q("""sum by (event_type) (sum_over_time(events_value[12h])) - sum by (event_type) (sum_over_time(events_value[6h]))""",
         "event_type"),
-      o(s"""SELECT m.event_type, g.t AS ts,
-           |  round(sum(m.value) / count(*), 6) AS value
-           |FROM metrics m JOIN grid g
-           |  ON m.timestamp_ns > (g.t - $R12) * 1000000000
-           | AND m.timestamp_ns <= g.t * 1000000000
-           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin, grid)),
+      o(s"""SELECT w12.event_type, w12.t AS ts, round(w12.s - w6.s, 6) AS value
+           |FROM w12 JOIN w6 USING (event_type, t)
+           |ORDER BY 1, 2""".stripMargin, grid,
+        s"""w12 AS (
+           |  SELECT m.event_type, g.t, sum(m.value) AS s
+           |  FROM metrics m JOIN grid g
+           |    ON m.timestamp_ns > (g.t - $R12) * 1000000000
+           |   AND m.timestamp_ns <= g.t * 1000000000
+           |  GROUP BY 1, 2)""".stripMargin,
+        s"""w6 AS (
+           |  SELECT m.event_type, g.t, sum(m.value) AS s
+           |  FROM metrics m JOIN grid g
+           |    ON m.timestamp_ns > (g.t - $StepS) * 1000000000
+           |   AND m.timestamp_ns <= g.t * 1000000000
+           |  GROUP BY 1, 2)""".stripMargin)),
 
     // --- scalar math + instant function chain -----------------------------
     Gate("promql_scalar_math",

@@ -110,14 +110,26 @@ object Dedup {
   def minhashNearDups(docs: DataFrame, threshold: Double): DataFrame =
     jaccardOf(lshCandidates(docs), docs).filter(col("jaccard") >= threshold)
 
-  /** All pairs sharing ≥1 shingle with exact Jaccard ≥ threshold (the
-    * non-LSH exact formulation — at scale this is the verification stage;
-    * the shingle equi-join bounds it to co-occurring docs).
+  /** Candidate-generation document-frequency cap: shingles appearing in
+    * more than MaxShingleDf docs are skipped when FORMING pairs (the join
+    * blowup is Σ df² per shingle — one viral shingle is quadratic). They
+    * still count in the exact Jaccard verification, so scores are true;
+    * a ≥0.8 pair sharing ONLY ultra-common shingles cannot exist.
+    */
+  val MaxShingleDf = 100
+
+  /** All pairs sharing ≥1 (non-viral) shingle with exact Jaccard ≥
+    * threshold (the non-LSH exact formulation — at scale this is the
+    * verification stage; the capped shingle equi-join bounds it to
+    * co-occurring docs).
     */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
     val sh = docShingles(docs)
-    val pairs = sh.select(col("doc_id").as("i"), col("s"))
-      .join(sh.select(col("doc_id").as("j"), col("s")), "s")
+    val rare = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= MaxShingleDf).select(col("s"))
+    val shCand = sh.join(rare, "s")
+    val pairs = shCand.select(col("doc_id").as("i"), col("s"))
+      .join(shCand.select(col("doc_id").as("j"), col("s")), "s")
       .filter(col("i") < col("j"))
       .select(col("i"), col("j")).distinct()
     jaccardOf(pairs, docs).filter(col("jaccard") >= threshold)

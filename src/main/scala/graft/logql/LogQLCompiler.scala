@@ -311,14 +311,65 @@ class LogQLCompiler(spark: SparkSession, dir: String, params: EvalParams) {
     */
   def compileLog(sel: Selector, stages: Seq[Stage],
       loNs: Long = params.startNs, hiNs: Long = params.endNs): DataFrame = {
-    var df = Tables.logs(spark, dir)
-      .filter(col("timestamp_ns") >= loNs && col("timestamp_ns") < hiNs)
-    for (m <- sel.matchers) df = df.filter(matcherCond(m))
-    val staged = stages.foldLeft(df)(applyStage)
+    val base =
+      if (graft.store.Store.enabled(spark)) {
+        // materialized path: matchers evaluate on the (small) series
+        // dictionary; the date-partitioned fact scan broadcast-joins the
+        // surviving fingerprints — matcher work is O(streams), not O(rows),
+        // and the parquet scan reads only (ts, fingerprint) + used columns.
+        var dict = graft.store.Store.timeSeries(spark, dir)
+        for (m <- sel.matchers) dict = dict.filter(matcherCond(m))
+        graft.store.Store.samples(spark, dir, loNs, hiNs)
+          .drop("date")
+          .join(broadcast(dict), Seq("fingerprint"))
+          .select(col("timestamp_ns"), col("labels"), col("line"),
+            col("value"), col("fingerprint"))
+      } else {
+        var df = Tables.logs(spark, dir)
+          .filter(col("timestamp_ns") >= loNs && col("timestamp_ns") < hiNs)
+        for (m <- sel.matchers) df = df.filter(matcherCond(m))
+        df
+      }
+    val staged = stages.foldLeft(base)(applyStage)
     // re-key once if any stage mutated labels (pruned when fp is unused)
     if (stages.exists(mutatesLabels))
       staged.withColumn("fingerprint", Tables.fingerprintOf(col("labels")))
     else staged
+  }
+
+  /** Downsample routing (Metrics15ShortcutPlanner,
+    * `planner_metrics15s_shortcut.go:31-130` + eligibility rules in
+    * `analyze.go:99-131`): a range agg with NO pipeline stages whose
+    * step/range/offset are 15s-aligned re-aggregates the metrics_15s
+    * partials instead of scanning raw lines — the single biggest
+    * scan-reduction lever at 100 TB (15s buckets cut a 1-sample/s stream
+    * 15×, and the downsample table carries no line bodies at all).
+    */
+  private def downsampled(ra: RangeAgg): Option[DataFrame] = {
+    val r = ra.range
+    val q = 15000000000L
+    val eligible = graft.store.Store.enabled(spark) && r.stages.isEmpty &&
+      Set("rate", "count_over_time", "bytes_over_time", "bytes_rate")(ra.fn) &&
+      stepNs % q == 0 && r.rangeNs % q == 0 && r.offsetNs % q == 0
+    if (!eligible) None
+    else Some {
+      val lo = params.startNs - r.offsetNs - (r.rangeNs - stepNs)
+      val hi = params.endNs - r.offsetNs
+      var dict = graft.store.Store.timeSeries(spark, dir)
+      for (m <- r.selector.matchers) dict = dict.filter(matcherCond(m))
+      val m15 = graft.store.Store.metrics15s(spark, dir, lo, hi)
+        .drop("date")
+        .join(broadcast(dict), Seq("fingerprint"))
+      val b = bucketed(m15, r.rangeNs, r.offsetNs)
+      val rangeS = r.rangeNs / 1e9
+      val agg: Column = ra.fn match {
+        case "rate"            => sum(col("cnt")) / rangeS
+        case "count_over_time" => sum(col("cnt")).cast("double")
+        case "bytes_over_time" => sum(col("bytes")).cast("double")
+        case "bytes_rate"      => sum(col("bytes")) / rangeS
+      }
+      aggregateBuckets(b, ra, agg)
+    }
   }
 
   // --- metric expressions ------------------------------------------------
@@ -376,7 +427,33 @@ class LogQLCompiler(spark: SparkSession, dir: String, params: EvalParams) {
     }
   }
 
+  /** Shared tail of a range aggregation: optional by/without re-keying,
+    * then the per-(series, bucket) aggregate — used by both the raw path
+    * and the metrics_15s downsample path.
+    */
+  private def aggregateBuckets(b: DataFrame, ra: RangeAgg, agg: Column): DataFrame = {
+    val keyed =
+      if (ra.by.nonEmpty) {
+        val nl = map_filter(col("labels"), (k, _) => k.isInCollection(ra.by))
+        b.withColumn("labels", nl)
+          .withColumn("fingerprint", Tables.fingerprintOf(col("labels")))
+      } else if (ra.without.nonEmpty) {
+        val nl = map_filter(col("labels"), (k, _) => !k.isInCollection(ra.without))
+        b.withColumn("labels", nl)
+          .withColumn("fingerprint", Tables.fingerprintOf(col("labels")))
+      } else b
+    keyed
+      .groupBy(col("fingerprint"), col("bucket_ns"))
+      .agg(first(col("labels")).as("labels"), agg.as("value"))
+      .select(col("fingerprint"), col("labels"),
+        expr("bucket_ns div 1000000000").as("ts"), col("value"))
+  }
+
   private def compileRangeAgg(ra: RangeAgg): DataFrame = {
+    downsampled(ra) match {
+      case Some(df) => return df
+      case None     =>
+    }
     // widen the scan so offset-shifted samples and lookback tails exist
     val lo = params.startNs - ra.range.offsetNs - (ra.range.rangeNs - stepNs)
     val hi = params.endNs - ra.range.offsetNs
@@ -385,20 +462,6 @@ class LogQLCompiler(spark: SparkSession, dir: String, params: EvalParams) {
 
     val b = bucketed(base, ra.range.rangeNs, ra.range.offsetNs)
     val rangeS = ra.range.rangeNs / 1e9
-
-    // optional by/without re-keying at the range level
-    val (keyed, keyCols) =
-      if (ra.by.nonEmpty) {
-        val nl = map_filter(col("labels"), (k, _) => k.isInCollection(ra.by))
-        (b.withColumn("labels", nl)
-          .withColumn("fingerprint", Tables.fingerprintOf(col("labels"))),
-          Seq(col("fingerprint")))
-      } else if (ra.without.nonEmpty) {
-        val nl = map_filter(col("labels"), (k, _) => !k.isInCollection(ra.without))
-        (b.withColumn("labels", nl)
-          .withColumn("fingerprint", Tables.fingerprintOf(col("labels"))),
-          Seq(col("fingerprint")))
-      } else (b, Seq(col("fingerprint")))
 
     val agg: Column = ra.fn match {
       case "rate"              => count(lit(1)) / rangeS
@@ -422,11 +485,7 @@ class LogQLCompiler(spark: SparkSession, dir: String, params: EvalParams) {
       case other => throw new IllegalArgumentException(s"range fn $other")
     }
 
-    keyed
-      .groupBy(keyCols :+ col("bucket_ns"): _*)
-      .agg(first(col("labels")).as("labels"), agg.as("value"))
-      .select(col("fingerprint"), col("labels"),
-        expr("bucket_ns div 1000000000").as("ts"), col("value"))
+    aggregateBuckets(b, ra, agg)
   }
 
   /** absent_over_time: 1 for every step bucket with NO samples for the

@@ -102,10 +102,19 @@ class PromQLCompiler(spark: SparkSession, dir: String, params: PromParams) {
     * family's derivation is in the plan.
     */
   private def scan(sel: Selector, loNs: Long, hiNs: Long): DataFrame = {
-    val source = Tables.promMetric(sel.name).getOrElse(
-      throw new IllegalArgumentException(s"unknown metric: ${sel.name}"))
-    var df = source(spark, dir)
-      .filter(col("timestamp_ns") >= loNs && col("timestamp_ns") < hiNs)
+    val base =
+      if (graft.store.Store.enabled(spark))
+        // materialized family (date-partitioned, fingerprint-sorted): the
+        // per-query cumsum-window re-derivation disappears — at 100 TB the
+        // counter families are ingest-time materialized views (log.sql:96)
+        graft.store.Store.promMetric(spark, dir, sel.name, loNs, hiNs)
+          .map(_.drop("date"))
+          .getOrElse(throw new IllegalArgumentException(s"unknown metric: ${sel.name}"))
+      else
+        Tables.promMetric(sel.name).getOrElse(
+          throw new IllegalArgumentException(s"unknown metric: ${sel.name}"))(spark, dir)
+          .filter(col("timestamp_ns") >= loNs && col("timestamp_ns") < hiNs)
+    var df = base
     for (m <- sel.matchers) df = df.filter(matcherCond(m))
     df
   }

@@ -1,0 +1,65 @@
+package graft.store
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.gates.EvalWindow._
+import graft.logql.{EvalParams, LogQLCompiler, LogQLParser}
+
+class StoreSpec extends SparkSpec {
+
+  private def engine =
+    new LogQLCompiler(spark, sf, EvalParams(StartNs, EndNs, StepS))
+
+  private def scanPaths(q: String): Seq[String] =
+    engine.compileMetric(LogQLParser.parseOrThrow(q))
+      .queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.rootPaths.mkString(",")
+      }
+
+  test("eligible range agg routes to the metrics_15s downsample") {
+    val paths = scanPaths("""sum by (event_type) (rate({level="info"}[6h]))""")
+    assert(paths.exists(_.contains("metrics_15s")), paths.mkString("; "))
+  }
+
+  test("pipeline stages disqualify the downsample route") {
+    val paths = scanPaths("""sum by (user) (count_over_time({level="info"} |= "7" [6h]))""")
+    assert(!paths.exists(_.contains("metrics_15s")), paths.mkString("; "))
+    assert(paths.exists(_.contains("samples")), paths.mkString("; "))
+  }
+
+  test("non-15s-aligned range disqualifies the downsample route") {
+    val paths = scanPaths("""sum by (event_type) (count_over_time({level="info"}[6h7s]))""")
+    assert(!paths.exists(_.contains("metrics_15s")), paths.mkString("; "))
+  }
+
+  test("store path and derive path agree on a stage-bearing query") {
+    val q = """sum by (user) (sum_over_time({event_type="click"} | json | unwrap k [6h]))"""
+    val viaStore = engine.compileMetric(LogQLParser.parseOrThrow(q))
+      .select(element_at(col("labels"), "user").as("u"), col("ts"), col("value"))
+      .orderBy("u", "ts").collect()
+    spark.conf.set("spark.graft.store.disabled", "true")
+    try {
+      val derived = engine.compileMetric(LogQLParser.parseOrThrow(q))
+        .select(element_at(col("labels"), "user").as("u"), col("ts"), col("value"))
+        .orderBy("u", "ts").collect()
+      assert(viaStore.length == derived.length && viaStore.length > 0)
+      viaStore.zip(derived).foreach { case (a, b) =>
+        assert(a.getString(0) == b.getString(0) && a.getLong(1) == b.getLong(1))
+        assert(math.abs(a.getDouble(2) - b.getDouble(2)) < 1e-9)
+      }
+    } finally spark.conf.set("spark.graft.store.disabled", "false")
+  }
+
+  test("downsample and raw paths agree on rate values") {
+    val q = """sum by (event_type) (rate({level="info"}[12h]))"""
+    val ds = engine.compileMetric(LogQLParser.parseOrThrow(q))
+      .agg(sum("value")).collect()(0).getDouble(0)
+    spark.conf.set("spark.graft.store.disabled", "true")
+    try {
+      val raw = engine.compileMetric(LogQLParser.parseOrThrow(q))
+        .agg(sum("value")).collect()(0).getDouble(0)
+      assert(math.abs(ds - raw) < 1e-6, s"$ds vs $raw")
+    } finally spark.conf.set("spark.graft.store.disabled", "false")
+  }
+}
