@@ -14,7 +14,8 @@ object SparkEntry {
     gates.LogQLGates,
     gates.PromQLGates,
     gates.LlmGates,
-    gates.TraceQLGates)
+    gates.TraceQLGates,
+    gates.IngestGates)
 
   private lazy val allGates: Seq[Gate] = gateSets.flatMap(_.gates)
 

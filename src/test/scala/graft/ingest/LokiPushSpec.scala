@@ -1,0 +1,42 @@
+package graft.ingest
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class LokiPushSpec extends SparkSpec {
+
+  test("decodes a multi-stream push body with escapes and ns timestamps") {
+    import graft.TestSpark.spark.implicits._
+    val body =
+      """{"streams":[
+        |  {"stream":{"job":"api","env":"prod"},
+        |   "values":[["1704067200000000001","line \"one\" with quotes"],
+        |             ["1704067200000000002","tab\there"]]},
+        |  {"stream":{"job":"db"},
+        |   "values":[["1704067200000000003","{\"k\": 7}"]]}
+        |]}""".stripMargin
+    val (series, samples) = LokiPush.decode(Seq(body).toDF("body"))
+    assert(series.count() == 2)
+    assert(samples.count() == 3)
+    val rows = LokiPush.decodeRows(Seq(body).toDF("body"))
+      .orderBy("timestamp_ns").collect()
+    assert(rows(0).getAs[Long]("timestamp_ns") == 1704067200000000001L)
+    assert(rows(0).getAs[String]("line") == "line \"one\" with quotes")
+    assert(rows(1).getAs[String]("line") == "tab\there")
+    assert(rows(2).getAs[Map[String, String]]("labels") == Map("job" -> "db"))
+  }
+
+  test("encode → decode is lossless on the canonical frame") {
+    def canon(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("fingerprint"), col("timestamp_ns"), col("line"),
+      to_json(map_from_entries(array_sort(map_entries(col("labels"))))).as("lbl"))
+    val logs = canon(graft.model.Tables.logs(spark, sf))
+    val rt = canon(LokiPush.decodeRows(LokiPush.encode(
+      graft.model.Tables.logs(spark, sf))))
+    assert(rt.count() == logs.count())
+    // exact multiset equality via anti-joins both ways on all columns
+    val a = logs.exceptAll(rt).count()
+    val b = rt.exceptAll(logs).count()
+    assert(a == 0 && b == 0)
+  }
+}
