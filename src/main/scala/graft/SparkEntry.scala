@@ -15,7 +15,8 @@ object SparkEntry {
     gates.PromQLGates,
     gates.LlmGates,
     gates.TraceQLGates,
-    gates.IngestGates)
+    gates.IngestGates,
+    gates.ProfGates)
 
   private lazy val allGates: Seq[Gate] = gateSets.flatMap(_.gates)
 

@@ -1,0 +1,87 @@
+package graft.gates
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.OracleViews
+import graft.patterns.Patterns
+import graft.prof.Profiles
+
+/** Gates for the profiling slice (§2.F: call-tree merge + series) and log
+  * pattern mining (§2.G). The profile oracle rebuilds the 3-row tree per
+  * event via UNION ALL; the pattern oracle replays the Drain-style
+  * cluster+generalize passes with parallel-unnest position indexing.
+  */
+object ProfGates extends GateSet {
+  import EvalWindow._
+
+  private val profViews =
+    """profs AS (
+      |  SELECT event_id AS profile_id,
+      |         'svc' || CAST(user_id % 5 AS VARCHAR) AS service_name,
+      |         epoch_ns(ts) AS timestamp_ns,
+      |         user_id % 100 AS mid_self,
+      |         CAST(round(value * 1000, 0) AS BIGINT) AS leaf_self,
+      |         'op' || CAST(user_id % 3 AS VARCHAR) AS leaf_fn,
+      |         event_type
+      |  FROM events)""".stripMargin
+
+  private val ptree =
+    """ptree AS (
+      |  SELECT service_name, CAST(0 AS BIGINT) AS parent, CAST(1 AS BIGINT) AS node,
+      |         'main' AS fn, CAST(0 AS BIGINT) AS self, mid_self + leaf_self AS total
+      |  FROM profs
+      |  UNION ALL
+      |  SELECT service_name, 1, 2, event_type, mid_self, mid_self + leaf_self FROM profs
+      |  UNION ALL
+      |  SELECT service_name, 2, 3, leaf_fn, leaf_self, leaf_self FROM profs)""".stripMargin
+
+  override val gates: Seq[Gate] = Seq(
+
+    // --- flamegraph merge: explode tree → group by node identity ----------
+    Gate("profiles_merge",
+      (spark: SparkSession, dir: String) =>
+        Profiles.mergeTree(spark, dir, "svc1").orderBy("parent", "node", "fn"),
+      Some("WITH " + profViews + ",\n" + ptree + "\n" +
+        """SELECT parent, node, fn, CAST(sum(self) AS BIGINT) AS self,
+          |  CAST(sum(total) AS BIGINT) AS total
+          |FROM ptree WHERE service_name = 'svc1'
+          |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)),
+
+    // --- profile value series per service (SelectSeriesPlanner) -----------
+    // oracle computes root totals WITHOUT the tree (independent derivation)
+    Gate("profiles_series",
+      (spark: SparkSession, dir: String) =>
+        Profiles.selectSeries(spark, dir, StepS).orderBy("service_name", "ts"),
+      Some("WITH " + profViews + "\n" +
+        s"""SELECT service_name,
+           |  (timestamp_ns // ${StepS}000000000) * $StepS AS ts,
+           |  CAST(sum(mid_self + leaf_self) AS BIGINT) AS value
+           |FROM profs GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // --- Drain-style pattern mining ---------------------------------------
+    Gate("patterns_mine",
+      (spark: SparkSession, dir: String) =>
+        Patterns.mine(spark, dir).orderBy("event_type", "pattern"),
+      Some(OracleViews.withViews(Seq(OracleViews.logs,
+        """toksp AS (SELECT event_type,
+          |    [regexp_replace(w, '[0-9]+', '<N>', 'g') for w in string_split(line, ' ')] AS ws
+          |  FROM logs)""".stripMargin,
+        """keyedp AS (SELECT event_type, len(ws) AS n, ws[1] AS head, ws FROM toksp)""",
+        """posed AS (SELECT event_type, n, head,
+          |    unnest([i for i in generate_series(1, len(ws))]) AS pos,
+          |    unnest(ws) AS tok
+          |  FROM keyedp)""".stripMargin,
+        """postok AS (SELECT event_type, n, head, pos,
+          |    CASE WHEN count(DISTINCT tok) = 1 THEN min(tok) ELSE '<_>' END AS tok_out
+          |  FROM posed GROUP BY 1, 2, 3, 4)""".stripMargin,
+        """pats AS (SELECT event_type, n, head,
+          |    string_agg(tok_out, ' ' ORDER BY pos) AS pattern
+          |  FROM postok GROUP BY 1, 2, 3)""".stripMargin,
+        """cnts AS (SELECT event_type, n, head, count(*) AS samples_count
+          |  FROM keyedp GROUP BY 1, 2, 3)""".stripMargin),
+        """SELECT p.event_type, p.pattern, c.samples_count
+          |FROM pats p JOIN cnts c USING (event_type, n, head)
+          |ORDER BY 1, 2""".stripMargin)))
+  )
+}

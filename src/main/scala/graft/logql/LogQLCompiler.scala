@@ -80,52 +80,10 @@ class LogQLCompiler(spark: SparkSession, dir: String, params: EvalParams) {
     * `{l=~".*"}` matches streams without `l`), hence the coalesce on the
     * regex ops and the explicit empty-value branches.
     */
-  private def matcherCond(m: LabelMatcher): Column = {
-    val v = element_at(col("labels"), m.label)
-    m.op match {
-      case "="  => if (m.value.isEmpty) v.isNull || v === "" else v === m.value
-      case "!=" => !(v <=> lit(m.value))
-      case "=~" => coalesce(v, lit("")).rlike("^(?:" + m.value + ")$")
-      case "!~" => !coalesce(v, lit("")).rlike("^(?:" + m.value + ")$")
-    }
-  }
-
-  private def predCond(p: LabelPred): Column = p match {
-    case StrPred(l, op, v) =>
-      val c = element_at(col("labels"), l)
-      op match {
-        case "=" | "==" => if (v.isEmpty) c.isNull || c === "" else c === v
-        case "!="       => !(c <=> lit(v))
-        case "=~"       => coalesce(c, lit("")).rlike("^(?:" + v + ")$")
-        case "!~"       => !coalesce(c, lit("")).rlike("^(?:" + v + ")$")
-      }
-    case NumPred(l, op, n) =>
-      val c = element_at(col("labels"), l).cast("double")
-      op match {
-        case "==" | "=" => c === n
-        case "!=" => c =!= n
-        case ">"  => c > n
-        case ">=" => c >= n
-        case "<"  => c < n
-        case "<=" => c <= n
-      }
-    case AndPred(a, b) => predCond(a) && predCond(b)
-    case OrPred(a, b)  => predCond(a) || predCond(b)
-  }
-
-  /** `<_>`-wildcard line pattern (`|>`) → SQL LIKE, as the reference demotes
-    * it (`planner_line_filter.go`, patternMatch).
-    */
-  private def patternToLike(p: String): String =
-    p.replace("\\", "\\\\").replace("%", "\\%").replace("_", "\\_").replace("<\\_>", "%")
-
-  private def lineFilterCond(f: LineFilter): Column = f.op match {
-    case "|=" => col("line").contains(f.needle)
-    case "!=" => !col("line").contains(f.needle)
-    case "|~" => col("line").rlike(f.needle)
-    case "!~" => !col("line").rlike(f.needle)
-    case "|>" => col("line").like(patternToLike(f.needle))
-  }
+  // shared with the streaming live-tail path — see LogQLPredicates
+  private def matcherCond(m: LabelMatcher): Column = LogQLPredicates.matcherCond(m)
+  private def predCond(p: LabelPred): Column = LogQLPredicates.predCond(p)
+  private def lineFilterCond(f: LineFilter): Column = LogQLPredicates.lineFilterCond(f)
 
   /** Compile the Go-template subset the reference pushes to SQL
     * (`planner_line_format.go:21-200`): literal text + `{{.label}}` refs.

@@ -1,0 +1,61 @@
+package graft.patterns
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+
+/** Log pattern mining (SURVEY §2.G), a Drain-style two-stage clustering
+  * (`writer/pattern/clustering/pattern.go:70-501`) re-expressed as
+  * relational passes instead of the reference's per-stream in-memory
+  * tree:
+  *
+  *   1. token classing — numeric tokens masked to `<N>` (the tokenizer's
+  *      class costs collapse to this for the dominant classes)
+  *   2. cluster key = (stream, token count, first token) — Drain's tree
+  *      path (length → head token) as a groupBy key
+  *   3. generalization — positions whose token differs WITHIN a cluster
+  *      become `<_>`; all-equal positions keep the literal
+  *
+  * Each stage is a narrow shuffle keyed by cluster: at 100 TB this runs as
+  * two hash aggregations, no driver state, and the streaming form is the
+  * same plan inside a foreachBatch (clusters re-merge by key across
+  * batches because the key and generalization are associative).
+  */
+object Patterns {
+
+  def maskedTokens(line: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    transform(split(line, " "), t => regexp_replace(t, "[0-9]+", "<N>"))
+
+  /** Cluster lines of (stream, line) → (stream, pattern, samples_count). */
+  def mineLines(lines: DataFrame): DataFrame = {
+    val keyed = lines.select(col("stream"), maskedTokens(col("line")).as("ws"))
+      .select(col("stream"), size(col("ws")).as("n"),
+        element_at(col("ws"), 1).as("head"), col("ws"))
+
+    val posed = keyed.select(col("stream"), col("n"), col("head"),
+      posexplode(col("ws")).as(Seq("pos", "tok")))
+    val posTok = posed
+      .groupBy(col("stream"), col("n"), col("head"), col("pos"))
+      .agg(when(countDistinct(col("tok")) === 1, min(col("tok")))
+        .otherwise(lit("<_>")).as("tok_out"))
+    val patterns = posTok
+      .groupBy(col("stream"), col("n"), col("head"))
+      .agg(concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("pos"), col("tok_out")))),
+        s => s.getField("tok_out"))).as("pattern"))
+
+    val counts = keyed
+      .groupBy(col("stream"), col("n"), col("head"))
+      .agg(count(lit(1)).as("samples_count"))
+
+    patterns.join(counts, Seq("stream", "n", "head"))
+      .select(col("stream"), col("pattern"), col("samples_count"))
+  }
+
+  /** Mined patterns over the canonical log table, keyed by event_type. */
+  def mine(spark: SparkSession, dir: String): DataFrame =
+    mineLines(Tables.logs(spark, dir).select(
+        element_at(col("labels"), "event_type").as("stream"), col("line")))
+      .withColumnRenamed("stream", "event_type")
+}

@@ -1,0 +1,68 @@
+package graft.prof
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+
+/** Profiling (Pyroscope) slice (SURVEY §2.F): the profiles table carries a
+  * pre-flattened call tree per profile — rows of
+  * (parent_id, node_id, fn, self, total), exactly the reference's
+  * `tree Array(Tuple(UInt64,UInt64,UInt64,Array(...)))` shape
+  * (`ctrl/qryn/sql/profiles.sql:5-17`). Merging flamegraphs across
+  * profiles is then explode + groupBy (`planner_merge_raw.go:18-53`,
+  * `planner_merge_joined.go:12`): node identity (parent, node, fn) is the
+  * merge key, self/total sum.
+  *
+  * The synthetic derivation (3-level stack per event) is pure arithmetic
+  * so the DuckDB oracle replays it exactly.
+  */
+object Profiles {
+
+  /** One profile per event: service + a 3-node call tree
+    * main → <event_type> → op<user_id%3>, with self-costs derived from the
+    * event value (ns).
+    */
+  def profiles(spark: SparkSession, dir: String): DataFrame = {
+    val mid = col("user_id") % 100
+    val leaf = round(col("value") * 1000, 0).cast("long")
+    Tables.events(spark, dir).select(
+      col("event_id").as("profile_id"),
+      concat(lit("svc"), (col("user_id") % 5).cast("string")).as("service_name"),
+      (col("ts") - pmod(col("ts"), lit(1000L))).as("timestamp_ns"),
+      array(
+        struct(lit(0L).as("parent"), lit(1L).as("node"), lit("main").as("fn"),
+          lit(0L).as("self"), (mid + leaf).as("total")),
+        struct(lit(1L).as("parent"), lit(2L).as("node"), col("event_type").as("fn"),
+          mid.as("self"), (mid + leaf).as("total")),
+        struct(lit(2L).as("parent"), lit(3L).as("node"),
+          concat(lit("op"), (col("user_id") % 3).cast("string")).as("fn"),
+          leaf.as("self"), leaf.as("total"))).as("tree"))
+  }
+
+  /** Merged call tree for a service: explode tree → groupBy node identity
+    * → sum self/total (the flamegraph merge aggregation).
+    */
+  def mergeTree(spark: SparkSession, dir: String, service: String): DataFrame =
+    profiles(spark, dir)
+      .filter(col("service_name") === service)
+      .select(explode(col("tree")).as("n"))
+      .groupBy(col("n.parent").as("parent"), col("n.node").as("node"),
+        col("n.fn").as("fn"))
+      .agg(sum(col("n.self")).as("self"), sum(col("n.total")).as("total"))
+
+  /** Profile value time series per service (SelectSeriesPlanner,
+    * `planner_select_series.go:21-86`): per-step sum of root totals.
+    */
+  def selectSeries(spark: SparkSession, dir: String, stepS: Long): DataFrame = {
+    val stepNs = stepS * 1000000000L
+    profiles(spark, dir)
+      .select(col("service_name"), col("timestamp_ns"),
+        explode(col("tree")).as("n"))
+      .filter(col("n.node") === 1L) // root node carries the profile total
+      .groupBy(col("service_name"),
+        ((col("timestamp_ns") - pmod(col("timestamp_ns"), lit(stepNs)))
+          / lit(1000000000L)).cast("long").as("ts"))
+      .agg(sum(col("n.total")).as("value"))
+  }
+}

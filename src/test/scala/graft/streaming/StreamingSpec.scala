@@ -1,0 +1,61 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.SparkSpec
+import graft.gates.EvalWindow._
+import graft.logql.EvalParams
+
+class StreamingSpec extends SparkSpec {
+
+  test("live tail filters a structured stream with compiled predicates") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.TestSpark.spark.implicits._
+    val mem = MemoryStream[(Long, String, String)]
+    val stream = mem.toDF()
+      .select(col("_1").as("timestamp_ns"),
+        map(lit("level"), col("_2")).as("labels"), col("_3").as("line"))
+    val tailed = LiveTail(stream, """{level="error"} |= "boom"""")
+    val q = tailed.writeStream.format("memory").queryName("tail_out")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, "error", "it went boom"), (2L, "info", "boom too"),
+        (3L, "error", "quiet"), (4L, "error", "boom again"))
+      q.processAllAvailable()
+      val got = spark.table("tail_out").select("timestamp_ns")
+        .collect().map(_.getLong(0)).sorted
+      assert(got.sameElements(Array(1L, 4L)))
+    } finally q.stop()
+  }
+
+  test("live tail rejects parser stages") {
+    import graft.TestSpark.spark.implicits._
+    val df = Seq((1L, "error", "x")).toDF("timestamp_ns", "l", "line")
+      .select(col("timestamp_ns"), map(lit("level"), col("l")).as("labels"), col("line"))
+    intercept[IllegalArgumentException] {
+      LiveTail(df, """{level="error"} | json""")
+    }
+  }
+
+  test("ruler records a metric query and appends on re-eval") {
+    val path = new java.io.File(Ruler.recordedPath(sf))
+    if (path.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(path)
+    }
+    val params = EvalParams(StartNs, EndNs, StepS)
+    val rule = """sum by (event_type) (count_over_time({level="info"}[6h]))"""
+    val n1 = Ruler.record(spark, sf, "info_events_6h", rule, params)
+    assert(n1 > 0)
+    val stored = Ruler.recorded(spark, sf)
+    assert(stored.count() == n1)
+    val names = stored.select(element_at(col("labels"), "__name__")).distinct()
+      .collect().map(_.getString(0))
+    assert(names.sameElements(Array("info_events_6h")))
+    val n2 = Ruler.record(spark, sf, "info_events_6h", rule, params)
+    assert(Ruler.recorded(spark, sf).count() == n1 + n2)
+  }
+}
