@@ -3,7 +3,7 @@ package graft.gates
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ingest.LokiPush
+import graft.ingest.{LokiPush, WireFormats}
 import graft.model.{OracleViews, Tables}
 
 /** Ingest round-trip gates: the canonical log frame is serialized to Loki
@@ -50,6 +50,105 @@ object IngestGates extends GateSet {
       },
       o("""SELECT event_type, min(timestamp_ns) AS min_ts,
           |  max(timestamp_ns) AS max_ts,
+          |  CAST(sum(length(line)) AS BIGINT) AS bytes
+          |FROM logs GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // --- OTLP/HTTP JSON logs round trip (otlplogs.go) ---------------------
+    Gate("ingest_otlp_roundtrip",
+      (spark: SparkSession, dir: String) => {
+        val logs = Tables.logs(spark, dir)
+        val attrs = transform(map_entries(col("labels")), e =>
+          struct(e.getField("key").as("key"),
+            struct(e.getField("value").as("stringValue")).as("value")))
+        val bodies = logs
+          .groupBy(col("labels"))
+          .agg(collect_list(struct(col("timestamp_ns").as("ts"),
+            col("line").as("line"))).as("vals"))
+          .select(to_json(struct(array(struct(array(struct(
+            transform(col("vals"), v => struct(
+              v.getField("ts").cast("string").as("timeUnixNano"),
+              struct(v.getField("line").as("stringValue")).as("body"),
+              attrs.as("attributes"))).as("logRecords")))
+            .as("scopeLogs"))).as("resourceLogs"))).as("body"))
+        WireFormats.decodeOtlpLogs(bodies)
+          .groupBy(
+            element_at(col("labels"), "event_type").as("event_type"),
+            element_at(col("labels"), "level").as("level"),
+            element_at(col("labels"), "user").as("user"))
+          .agg(count(lit(1)).as("entries"),
+            sum(length(col("line"))).cast("long").as("bytes"))
+          .orderBy("event_type", "level", "user")
+      },
+      o("""SELECT event_type, level, "user", count(*) AS entries,
+          |  CAST(sum(length(line)) AS BIGINT) AS bytes
+          |FROM logs GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)),
+
+    // --- Zipkin JSON spans round trip (zipkin_json.go) --------------------
+    Gate("ingest_zipkin_roundtrip",
+      (spark: SparkSession, dir: String) => {
+        val spans = Tables.spans(spark, dir)
+        val bodies = spans
+          .groupBy(col("trace_id"))
+          .agg(collect_list(struct(
+            lpad(hex(col("trace_id")), 16, "0").as("traceId"),
+            lpad(hex(col("span_id")), 16, "0").as("id"),
+            when(col("parent_id").isNotNull,
+              lpad(hex(col("parent_id")), 16, "0")).as("parentId"),
+            col("name").as("name"),
+            (col("timestamp_ns") / 1000L).cast("long").as("timestamp"),
+            (col("duration_ns") / 1000L).cast("long").as("duration"),
+            struct(col("service_name").as("serviceName")).as("localEndpoint")))
+            .as("sp"))
+          .select(to_json(col("sp")).as("body"))
+        WireFormats.decodeZipkin(bodies)
+          .groupBy(col("service_name"))
+          .agg(count(lit(1)).as("spans"),
+            countDistinct(col("trace_id_hex")).as("traces"),
+            sum(col("duration_ns")).as("dur_ns"))
+          .orderBy("service_name")
+      },
+      Some(OracleViews.withViews(Seq(OracleViews.spans),
+        """SELECT service_name, count(*) AS spans,
+          |  count(DISTINCT trace_id) AS traces,
+          |  CAST(sum((duration_ns // 1000) * 1000) AS BIGINT) AS dur_ns
+          |FROM spans GROUP BY 1 ORDER BY 1""".stripMargin))),
+
+    // --- Influx line protocol round trip (influx.go) ----------------------
+    Gate("ingest_influx_roundtrip",
+      (spark: SparkSession, dir: String) => {
+        val lines = Tables.events(spark, dir).select(concat(
+          lit("events,event_type="), col("event_type"),
+          lit(" value="), col("value").cast("string"),
+          lit(" "), (col("ts") - pmod(col("ts"), lit(1000L))).cast("string"))
+          .as("line"))
+        WireFormats.decodeInflux(lines)
+          .groupBy(col("name"), element_at(col("labels"), "event_type").as("event_type"))
+          .agg(count(lit(1)).as("samples"), round(sum(col("value")), 6).as("total"),
+            min(col("timestamp_ns")).as("min_ts"))
+          .orderBy("name", "event_type")
+      },
+      Some(OracleViews.withViews(Seq(OracleViews.logs, OracleViews.metrics),
+        """SELECT 'events_value' AS name, event_type, count(*) AS samples,
+          |  round(sum(value), 6) AS total, min(timestamp_ns) AS min_ts
+          |FROM metrics GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))),
+
+    // --- Elastic bulk NDJSON round trip (elastic.go) ----------------------
+    Gate("ingest_elastic_roundtrip",
+      (spark: SparkSession, dir: String) => {
+        val bodies = Tables.logs(spark, dir)
+          .select(element_at(col("labels"), "event_type").as("et"), col("line"))
+          .groupBy(col("et"))
+          .agg(concat_ws("\n", collect_list(concat(
+            lit("{\"index\":{\"_index\":\"logs-"), col("et"), lit("\"}}\n"),
+            col("line")))).as("body"))
+          .select(col("body"))
+        WireFormats.decodeElasticBulk(bodies)
+          .groupBy(element_at(col("labels"), "_index").as("index"))
+          .agg(count(lit(1)).as("docs"),
+            sum(length(col("line"))).cast("long").as("bytes"))
+          .orderBy("index")
+      },
+      o("""SELECT 'logs-' || event_type AS index, count(*) AS docs,
           |  CAST(sum(length(line)) AS BIGINT) AS bytes
           |FROM logs GROUP BY 1 ORDER BY 1""".stripMargin))
   )

@@ -1,0 +1,155 @@
+package graft.ingest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.model.Tables
+
+/** Wire-format decoders for the remaining ingest surface (SURVEY §2.A,
+  * `writer/utils/unmarshal/`). Each decoder turns a DataFrame of request
+  * bodies into canonical rows — single-pass `from_json`/regex plans, no
+  * UDFs, parallel over request rows. The protobuf-framed variants
+  * (Prometheus remote-write snappy, pprof gzip) need codec libraries this
+  * container doesn't ship; their JSON twins below carry the same
+  * normalization logic the reference applies after unframing.
+  */
+object WireFormats {
+
+  // --- OTLP/HTTP JSON logs (`otlplogs.go:1-165`) --------------------------
+
+  private val otlpAnyValue = StructType(Seq(
+    StructField("stringValue", StringType),
+    StructField("intValue", StringType),
+    StructField("doubleValue", DoubleType)))
+
+  private val otlpAttr = StructType(Seq(
+    StructField("key", StringType),
+    StructField("value", otlpAnyValue)))
+
+  val otlpLogsSchema: StructType = StructType(Seq(
+    StructField("resourceLogs", ArrayType(StructType(Seq(
+      StructField("resource", StructType(Seq(
+        StructField("attributes", ArrayType(otlpAttr))))),
+      StructField("scopeLogs", ArrayType(StructType(Seq(
+        StructField("logRecords", ArrayType(StructType(Seq(
+          StructField("timeUnixNano", StringType),
+          StructField("severityText", StringType),
+          StructField("body", otlpAnyValue),
+          StructField("attributes", ArrayType(otlpAttr))))))))))))))))
+
+  private def attrsToMap(attrs: org.apache.spark.sql.Column) =
+    map_from_entries(transform(attrs, a =>
+      struct(a.getField("key"),
+        coalesce(a.getField("value").getField("stringValue"),
+          a.getField("value").getField("intValue"),
+          a.getField("value").getField("doubleValue").cast("string")))))
+
+  /** OTLP logs → (fingerprint, timestamp_ns, labels, line); resource and
+    * record attributes merge into the label set (resource first, record
+    * attrs win on conflict), severityText becomes the `level` label —
+    * matching the reference's flattening.
+    */
+  def decodeOtlpLogs(bodies: DataFrame): DataFrame =
+    bodies
+      .select(explode(from_json(col("body"), otlpLogsSchema)
+        .getField("resourceLogs")).as("rl"))
+      .select(attrsToMap(coalesce(col("rl.resource.attributes"),
+        array().cast(ArrayType(otlpAttr)))).as("res"),
+        explode(col("rl.scopeLogs")).as("sl"))
+      .select(col("res"), explode(col("sl.logRecords")).as("r"))
+      .select(
+        map_concat(col("res"),
+          attrsToMap(coalesce(col("r.attributes"), array().cast(ArrayType(otlpAttr)))),
+          when(col("r.severityText").isNotNull,
+            map(lit("level"), lower(col("r.severityText"))))
+            .otherwise(map().cast(MapType(StringType, StringType)))).as("labels"),
+        col("r.timeUnixNano").cast("long").as("timestamp_ns"),
+        coalesce(col("r.body.stringValue"), lit("")).as("line"))
+      .withColumn("fingerprint", Tables.fingerprintOf(col("labels")))
+
+  // --- Zipkin JSON spans (`zipkin_json.go:14-266`) ------------------------
+
+  val zipkinSchema: ArrayType = ArrayType(StructType(Seq(
+    StructField("traceId", StringType),
+    StructField("id", StringType),
+    StructField("parentId", StringType),
+    StructField("name", StringType),
+    StructField("timestamp", LongType), // µs
+    StructField("duration", LongType),  // µs
+    StructField("localEndpoint", StructType(Seq(
+      StructField("serviceName", StringType)))),
+    StructField("tags", MapType(StringType, StringType)))))
+
+  /** Zipkin span batch → canonical span rows (µs→ns scaling as the
+    * reference normalizes).
+    */
+  def decodeZipkin(bodies: DataFrame): DataFrame =
+    bodies
+      .select(explode(from_json(col("body"), zipkinSchema)).as("s"))
+      .select(
+        col("s.traceId").as("trace_id_hex"),
+        col("s.id").as("span_id_hex"),
+        col("s.parentId").as("parent_id_hex"),
+        col("s.name").as("name"),
+        col("s.localEndpoint.serviceName").as("service_name"),
+        (col("s.timestamp") * 1000L).as("timestamp_ns"),
+        (col("s.duration") * 1000L).as("duration_ns"),
+        coalesce(col("s.tags"), map().cast(MapType(StringType, StringType))).as("tags"))
+
+  // --- Influx line protocol (`influx.go:15-112`) --------------------------
+
+  /** `measurement[,tag=v...] field=value[,field2=...] [ts_ns]` → one metric
+    * sample per (line, numeric field), metric name `measurement_field`
+    * (the reference's `%measurement_field%` convention). Tag set → labels.
+    */
+  def decodeInflux(lines: DataFrame): DataFrame = {
+    val parts = lines
+      .withColumn("measurement", regexp_extract(col("line"), "^([^,\\s]+)", 1))
+      .withColumn("tagstr", regexp_extract(col("line"), "^[^,\\s]+,([^\\s]+)\\s", 1))
+      .withColumn("fieldstr", regexp_extract(col("line"), "^[^\\s]+\\s+([^\\s]+)", 1))
+      .withColumn("ts", regexp_extract(col("line"), "\\s+([0-9]+)\\s*$", 1).cast("long"))
+    val tags = map_from_entries(transform(
+      filter(split(col("tagstr"), ","), t => t =!= ""),
+      t => struct(split(t, "=").getItem(0), split(t, "=").getItem(1))))
+    parts
+      .withColumn("labels", tags)
+      .select(col("measurement"), col("labels"), col("ts").as("timestamp_ns"),
+        explode(filter(split(col("fieldstr"), ","), f => f =!= "")).as("fv"))
+      .withColumn("field", split(col("fv"), "=").getItem(0))
+      .withColumn("value",
+        regexp_replace(split(col("fv"), "=").getItem(1), "i$", "").cast("double"))
+      .filter(col("value").isNotNull)
+      .select(
+        concat(col("measurement"), lit("_"), col("field")).as("name"),
+        col("labels"), col("timestamp_ns"), col("value"))
+      .withColumn("fingerprint", Tables.fingerprintOf(
+        map_concat(col("labels"), map(lit("__name__"), col("name")))))
+  }
+
+  // --- Elastic bulk NDJSON (`elastic.go:29-144`) --------------------------
+
+  /** `_bulk` bodies: alternating action/document lines; index actions keep
+    * the following doc as a log line labeled with `_index`.
+    */
+  def decodeElasticBulk(bodies: DataFrame): DataFrame = {
+    val lines = bodies
+      .withColumn("req", monotonically_increasing_id())
+      .select(col("req"),
+        posexplode(filter(split(col("body"), "\n"), l => trim(l) =!= ""))
+          .as(Seq("lineno", "l")))
+      .withColumn("actionIdx",
+        get_json_object(col("l"), "$.index._index"))
+    // an action row's _index applies to the NEXT line (the document);
+    // the lag window is per request body, so decoding stays parallel
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("req")).orderBy(col("lineno"))
+    lines
+      .withColumn("docIndex", lag(col("actionIdx"), 1).over(w))
+      .filter(col("actionIdx").isNull && col("docIndex").isNotNull)
+      .select(
+        map(lit("_index"), col("docIndex")).as("labels"),
+        col("l").as("line"))
+      .withColumn("fingerprint", Tables.fingerprintOf(col("labels")))
+  }
+}
