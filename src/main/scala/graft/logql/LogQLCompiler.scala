@@ -211,12 +211,17 @@ class LogQLCompiler(spark: SparkSession, dir: String, params: EvalParams) {
         map_concat(col("labels"), map_from_arrays(keys, vals)))
 
     case RegexpStage(re) =>
+      // ONE regex pass per row via the native RegexpAllGroups expression
+      // (round 1 ran regexp_extract once per named group — N matches/row)
       val jre = re.replace("(?P<", "(?<")
       val groups = regexpGroups(re)
       val extracted = groups.flatMap { case (name, idx) =>
-        Seq(lit(name), regexp_extract(col("line"), jre, idx))
+        Seq(lit(name), element_at(col("__regex_groups"), idx))
       }
-      df.withColumn("labels", map_concat(col("labels"), map(extracted: _*)))
+      df.withColumn("__regex_groups",
+          graft.functions.RegexpAllGroups(col("line"), jre))
+        .withColumn("labels", map_concat(col("labels"), map(extracted: _*)))
+        .drop("__regex_groups")
 
     case LineFormatStage(tpl) =>
       df.withColumn("line", templateCol(tpl))
