@@ -310,6 +310,50 @@ object LogQLGates extends GateSet {
            |FROM logs WHERE event_type = 'purchase'
            |ORDER BY timestamp_ns, line""".stripMargin)),
 
+    // --- sprig/template pipe functions (template_funcs.go:29-101) ---------
+    Gate("logql_line_format_fns",
+      logQ("""{event_type="view"} | line_format `{{.event_type | upper}}:{{.user | trunc 2}}-{{.level | replace "inf" "I"}}`""",
+        "user"),
+      o(s"""SELECT timestamp_ns,
+           |  upper(event_type) || ':' || substr("user", 1, 2) || '-' ||
+           |    replace(level, 'inf', 'I') AS line, "user"
+           |FROM logs WHERE event_type = 'view'
+           |ORDER BY timestamp_ns, line""".stripMargin)),
+
+    // --- matrix densify: step grid + repeat-last per series (MatrixStep/
+    // FixPeriod/ZeroEater) -------------------------------------------------
+    Gate("logql_matrix_densify",
+      (spark: SparkSession, dir: String) => {
+        val eng = engine(spark, dir)
+        eng.densify(eng.compileMetric(LogQLParser.parseOrThrow(
+            """sum by (user) (count_over_time({event_type="error", user=~"1[0-9]"}[6h]))""")))
+          .select(element_at(col("labels"), "user").as("user"),
+            col("ts"), round(col("value"), 6).as("value"))
+          .orderBy("user", "ts")
+      },
+      o(s"""SELECT "user", ts,
+           |  round(last_value(value IGNORE NULLS) OVER (
+           |    PARTITION BY "user" ORDER BY ts
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS value
+           |FROM (
+           |  SELECT d."user", d.t AS ts, a.value
+           |  FROM (
+           |    SELECT b."user", g.t
+           |    FROM (SELECT "user", min(ts) AS mn, max(ts) AS mx FROM (
+           |            SELECT "user", $bucket AS ts FROM logs
+           |            WHERE event_type = 'error'
+           |              AND regexp_matches("user", '^(?:1[0-9])$$')
+           |            GROUP BY 1, 2) q GROUP BY 1) b
+           |    JOIN (SELECT unnest(generate_series($StartS, ${EndS - StepS}, $StepS)) AS t) g
+           |      ON g.t BETWEEN b.mn AND b.mx) d
+           |  LEFT JOIN (
+           |    SELECT "user", $bucket AS ts, CAST(count(*) AS DOUBLE) AS value
+           |    FROM logs WHERE event_type = 'error'
+           |      AND regexp_matches("user", '^(?:1[0-9])$$')
+           |    GROUP BY 1, 2) a
+           |    ON a."user" = d."user" AND a.ts = d.t) j
+           |ORDER BY 1, 2""".stripMargin)),
+
     // --- log-query limit + backward direction (MainLimit/MainOrderBy) -----
     Gate("logql_limit_backward",
       (spark: SparkSession, dir: String) =>

@@ -216,6 +216,49 @@ object PromQLGates extends GateSet {
            |  GROUP BY 1, 2) s JOIN grid g ON s.t = g.t
            |GROUP BY 1 ORDER BY 1""".stripMargin, grid)),
 
+    // --- vector set operators (and / unless) ------------------------------
+    Gate("promql_and_cmp",
+      q("""avg_over_time(events_value[12h]) > 95 and avg_over_time(events_value[12h]) < 150""",
+        "event_type", "level"),
+      o(s"""SELECT event_type, level, ts, round(raw, 6) AS value FROM (
+           |  SELECT m.event_type, m.level, g.t AS ts, avg(m.value) AS raw
+           |  FROM metrics m JOIN grid g
+           |    ON m.timestamp_ns > (g.t - $R12) * 1000000000
+           |   AND m.timestamp_ns <= g.t * 1000000000
+           |  GROUP BY 1, 2, 3) w
+           |WHERE raw > 95 AND raw < 150 ORDER BY 1, 2, 3""".stripMargin, grid)),
+
+    Gate("promql_unless",
+      q("""avg_over_time(events_value[12h]) > 95 unless avg_over_time(events_value{event_type="error"}[12h])""",
+        "event_type", "level"),
+      o(s"""SELECT event_type, level, ts, round(raw, 6) AS value FROM (
+           |  SELECT m.event_type, m.level, g.t AS ts, avg(m.value) AS raw
+           |  FROM metrics m JOIN grid g
+           |    ON m.timestamp_ns > (g.t - $R12) * 1000000000
+           |   AND m.timestamp_ns <= g.t * 1000000000
+           |  GROUP BY 1, 2, 3) w
+           |WHERE raw > 95 AND NOT (event_type = 'error' AND ts IN (
+           |  SELECT g.t FROM metrics m JOIN grid g
+           |    ON m.timestamp_ns > (g.t - $R12) * 1000000000
+           |   AND m.timestamp_ns <= g.t * 1000000000
+           |  WHERE m.event_type = 'error' GROUP BY 1))
+           |ORDER BY 1, 2, 3""".stripMargin, grid)),
+
+    // --- subquery: inner expr on a finer grid, outer window over it -------
+    Gate("promql_subquery",
+      q("""max_over_time(sum by (event_type) (count_over_time(events_value[6h]))[24h:6h])""",
+        "event_type"),
+      o(s"""SELECT i.event_type, g.t AS ts, round(max(i.v), 6) AS value
+           |FROM (
+           |  SELECT m.event_type, g2.t AS t6, CAST(count(*) AS DOUBLE) AS v
+           |  FROM metrics m
+           |  JOIN (SELECT unnest(generate_series(${StartS - 86400}, $EndS, $StepS)) AS t) g2
+           |    ON m.timestamp_ns > (g2.t - $StepS) * 1000000000
+           |   AND m.timestamp_ns <= g2.t * 1000000000
+           |  GROUP BY 1, 2) i
+           |JOIN grid g ON i.t6 > g.t - 86400 AND i.t6 <= g.t
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin, grid)),
+
     // --- histogram_quantile over le buckets (engine-side in the reference;
     // native bucket-array interpolation here) ------------------------------
     Gate("promql_histogram_quantile",

@@ -85,20 +85,75 @@ class LogQLCompiler(spark: SparkSession, dir: String, params: EvalParams) {
   private def predCond(p: LabelPred): Column = LogQLPredicates.predCond(p)
   private def lineFilterCond(f: LineFilter): Column = LogQLPredicates.lineFilterCond(f)
 
-  /** Compile the Go-template subset the reference pushes to SQL
-    * (`planner_line_format.go:21-200`): literal text + `{{.label}}` refs.
+  /** Compile the Go-template subset the reference supports — field refs
+    * plus the whitelisted pipe functions (`shared/template_funcs.go:29-101`
+    * / sprig subset): `{{ .label | lower | trunc 3 }}` etc. Each pipe maps
+    * to a codegen'd builtin; unknown functions are rejected at compile
+    * time.
     */
   private def templateCol(tpl: String): Column = {
-    val re = "\\{\\{\\s*\\.([a-zA-Z_][a-zA-Z0-9_]*)\\s*\\}\\}".r
+    val re = ("\\{\\{\\s*\\.([a-zA-Z_][a-zA-Z0-9_]*)" +
+      "((?:\\s*\\|\\s*[a-zA-Z]+(?:\\s+(?:\"[^\"]*\"|[0-9]+))*)*)\\s*\\}\\}").r
+    val pipeRe = "\\|\\s*([a-zA-Z]+)((?:\\s+(?:\"[^\"]*\"|[0-9]+))*)".r
+    val argRe = "\"([^\"]*)\"|([0-9]+)".r
+
+    def applyPipes(base: Column, pipes: String): Column =
+      pipeRe.findAllMatchIn(pipes).foldLeft(base) { (c, m) =>
+        val fn = m.group(1)
+        val args = argRe.findAllMatchIn(m.group(2)).map { a =>
+          Option(a.group(1)).getOrElse(a.group(2))
+        }.toSeq
+        (fn, args) match {
+          case ("lower", Nil)            => lower(c)
+          case ("upper", Nil)            => upper(c)
+          case ("title", Nil)            => initcap(c)
+          case ("trim", Nil)             => trim(c)
+          case ("trunc", Seq(n))         => substring(c, 1, n.toInt)
+          case ("substr", Seq(a, b))     => // sprig substr start end (0-based)
+            substring(c, a.toInt + 1, b.toInt - a.toInt)
+          case ("replace", Seq(o, n))    => regexp_replace(c, java.util.regex.Pattern.quote(o), n)
+          case ("trimPrefix", Seq(p))    =>
+            when(c.startsWith(p), c.substr(lit(p.length + 1), length(c))).otherwise(c)
+          case ("trimSuffix", Seq(s))    =>
+            when(c.endsWith(s), c.substr(lit(1), length(c) - s.length)).otherwise(c)
+          case ("regexReplaceAll", Seq(r, n)) => regexp_replace(c, r, n)
+          case ("b64enc", Nil)           => base64(encode(c, "UTF-8"))
+          case other =>
+            throw new IllegalArgumentException(s"template function $other")
+        }
+      }
+
     var last = 0
     val parts = scala.collection.mutable.ArrayBuffer[Column]()
     for (m <- re.findAllMatchIn(tpl)) {
       if (m.start > last) parts += lit(tpl.substring(last, m.start))
-      parts += coalesce(element_at(col("labels"), m.group(1)), lit(""))
+      parts += applyPipes(
+        coalesce(element_at(col("labels"), m.group(1)), lit("")), m.group(2))
       last = m.end
     }
     if (last < tpl.length) parts += lit(tpl.substring(last))
     if (parts.isEmpty) lit("") else concat(parts.toSeq: _*)
+  }
+
+  /** Densify a metric frame onto the step grid per series, repeating the
+    * last value for gap points (MatrixStepPlanner/FixPeriodPlanner,
+    * `matrix_step.go:18`, `planner_from_fix.go:17`); grid points before a
+    * series' first sample are not emitted (ZeroEaterPlanner,
+    * `planner_zero_eater.go:15`). Bounded work: grid size per series =
+    * its own (last-first)/step span.
+    */
+  def densify(df: DataFrame): DataFrame = {
+    val bounds = df.groupBy(col("fingerprint"))
+      .agg(first(col("labels")).as("labels"),
+        min(col("ts")).as("__mn"), max(col("ts")).as("__mx"))
+    val grid = bounds.select(col("fingerprint"), col("labels"),
+      explode(sequence(col("__mn"), col("__mx"), lit(params.stepS))).as("ts"))
+    val w = Window.partitionBy(col("fingerprint")).orderBy(col("ts"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(df.select(col("fingerprint"), col("ts"), col("value")),
+        Seq("fingerprint", "ts"), "left")
+      .withColumn("value", last(col("value"), ignoreNulls = true).over(w))
+      .select(col("fingerprint"), col("labels"), col("ts"), col("value"))
   }
 
   /** Java regex named-group extraction: `(?P<x>..)` → per-group

@@ -47,6 +47,11 @@ object PromQLAst {
 
   final case class NumLit(v: Double) extends PExpr
 
+  /** `expr[range:step]` — inner expr re-evaluated on the finer step grid,
+    * consumed by an outer *_over_time function.
+    */
+  final case class Subquery(inner: PExpr, rangeNs: Long, stepNs: Long) extends PExpr
+
   val RangeFns: Set[String] = Set(
     "rate", "increase", "delta", "resets", "changes",
     "sum_over_time", "avg_over_time", "min_over_time", "max_over_time",

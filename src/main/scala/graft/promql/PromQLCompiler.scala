@@ -186,18 +186,18 @@ class PromQLCompiler(spark: SparkSession, dir: String, params: PromParams) {
       overTime(sel, percentile(col("value"), lit(q)))
 
     case fn if RangeFns.contains(fn) =>
-      val sel = f.args.head.asInstanceOf[Selector]
+      val arg = f.args.head
       fn match {
-        case "sum_over_time"     => overTime(sel, sum(col("value")))
-        case "avg_over_time"     => overTime(sel, avg(col("value")))
-        case "min_over_time"     => overTime(sel, min(col("value")))
-        case "max_over_time"     => overTime(sel, max(col("value")))
-        case "count_over_time"   => overTime(sel, count(lit(1)).cast("double"))
-        case "last_over_time"    => overTime(sel, max_by(col("value"), col("timestamp_ns")))
-        case "present_over_time" => overTime(sel, lit(1.0))
-        case "stddev_over_time"  => overTime(sel, stddev_pop(col("value")))
-        case "stdvar_over_time"  => overTime(sel, var_pop(col("value")))
-        case _                   => counterFn(fn, sel)
+        case "sum_over_time"     => overTime(arg, sum(col("value")))
+        case "avg_over_time"     => overTime(arg, avg(col("value")))
+        case "min_over_time"     => overTime(arg, min(col("value")))
+        case "max_over_time"     => overTime(arg, max(col("value")))
+        case "count_over_time"   => overTime(arg, count(lit(1)).cast("double"))
+        case "last_over_time"    => overTime(arg, max_by(col("value"), col("timestamp_ns")))
+        case "present_over_time" => overTime(arg, lit(1.0))
+        case "stddev_over_time"  => overTime(arg, stddev_pop(col("value")))
+        case "stdvar_over_time"  => overTime(arg, var_pop(col("value")))
+        case _                   => counterFn(fn, arg.asInstanceOf[Selector])
       }
 
     case fn if InstantFns.contains(fn) =>
@@ -233,13 +233,41 @@ class PromQLCompiler(spark: SparkSession, dir: String, params: PromParams) {
     case other => throw new IllegalArgumentException(s"function $other")
   }
 
-  /** Plain windowed aggregation over the eval grid (`over_time.go:30-127`). */
-  private def overTime(sel: Selector, agg: Column): DataFrame =
-    dropName(rangeFrame(sel)
+  /** Plain windowed aggregation over the eval grid (`over_time.go:30-127`);
+    * the samples come from a raw selector or a SUBQUERY's inner eval grid.
+    */
+  private def overTime(arg: PExpr, agg: Column): DataFrame = {
+    val frame = arg match {
+      case sel: Selector => rangeFrame(sel)
+      case sq: Subquery  => subqueryFrame(sq)
+      case other => throw new IllegalArgumentException(s"range arg $other")
+    }
+    dropName(frame
       .groupBy(col("fingerprint"), col("t_ns"))
       .agg(first(col("labels")).as("labels"), agg.as("value"))
       .select(col("fingerprint"), col("labels"),
         expr("t_ns div 1000000000").as("ts"), col("value")))
+  }
+
+  /** Subquery frame: evaluate the inner expression on the finer
+    * [range:step] grid (widened left by `range` so the first outer windows
+    * are complete), then assign each inner eval point to the outer windows
+    * (t−range, t] that contain it — the inner points act as samples.
+    */
+  private def subqueryFrame(sq: Subquery): DataFrame = {
+    require(sq.stepNs % 1000000000L == 0 && sq.stepNs > 0,
+      "subquery step must be whole seconds")
+    val innerParams = PromParams(
+      gridStart - sq.rangeNs, gridEnd, sq.stepNs / 1000000000L, params.lookbackNs)
+    val inner = new PromQLCompiler(spark, dir, innerParams).compileExpr(sq.inner)
+    val tsNs = (col("ts") * 1000000000L).as("timestamp_ns")
+    val withTs = inner.select(col("fingerprint"), col("labels"), tsNs, col("value"))
+    val firstT = greatest(ceilTo(col("timestamp_ns"), stepNs), lit(gridStart))
+    val lastT = least(floorTo(col("timestamp_ns") + (sq.rangeNs - 1), stepNs), lit(gridEnd))
+    withTs.withColumn("t_ns",
+      explode(when(firstT <= lastT, sequence(firstT, lastT, lit(stepNs)))
+        .otherwise(array())))
+  }
 
   /** rate / increase / delta / resets / changes with counter-reset
     * compensation (`counter.go:62-230`): for each in-window consecutive
@@ -386,8 +414,45 @@ class PromQLCompiler(spark: SparkSession, dir: String, params: PromParams) {
   }
 
   private val CmpOps = Set(">", ">=", "<", "<=", "==", "!=")
+  private val SetOps = Set("and", "or", "unless")
 
-  private def compileBinOp(b: BinOp): DataFrame = (b.lhs, b.rhs) match {
+  private def matchKeyFor(b: BinOp): Column = (b.on, b.ignoring) match {
+    case (Some(keys), _) =>
+      Tables.fingerprintOf(map_filter(col("labels"),
+        (k, _) => k.isInCollection(keys)))
+    case (_, Some(ig)) =>
+      val dropKeys = ig :+ "__name__"
+      Tables.fingerprintOf(map_filter(col("labels"),
+        (k, _) => !k.isInCollection(dropKeys)))
+    case _ =>
+      Tables.fingerprintOf(map_filter(col("labels"),
+        (k, _) => k =!= "__name__"))
+  }
+
+  /** Vector set operators: and = semi-join on the matching key, unless =
+    * anti-join, or = lhs plus rhs series absent from lhs (PromQL one-to-one
+    * set semantics per eval point).
+    */
+  private def compileSetOp(b: BinOp): DataFrame = {
+    val key = matchKeyFor(b)
+    val lf = compileExpr(b.lhs).withColumn("__mfp", key)
+    val rf = compileExpr(b.rhs).withColumn("__mfp", key)
+    val out = b.op match {
+      case "and" =>
+        lf.join(rf.select(col("__mfp"), col("ts")).distinct(),
+          Seq("__mfp", "ts"), "left_semi")
+      case "unless" =>
+        lf.join(rf.select(col("__mfp"), col("ts")).distinct(),
+          Seq("__mfp", "ts"), "left_anti")
+      case "or" =>
+        lf.unionByName(rf.join(
+          lf.select(col("__mfp"), col("ts")).distinct(),
+          Seq("__mfp", "ts"), "left_anti"))
+    }
+    out.select(col("fingerprint"), col("labels"), col("ts"), col("value"))
+  }
+
+  private def compileBinOp(b: BinOp): DataFrame = if (SetOps(b.op)) compileSetOp(b) else (b.lhs, b.rhs) match {
     case (NumLit(v), rhs) if !CmpOps.contains(b.op) =>
       dropName(compileExpr(rhs).withColumn("value", arith(b.op, lit(v), col("value"))))
     case (lhs, NumLit(v)) if !CmpOps.contains(b.op) =>

@@ -72,11 +72,18 @@ object PromQLParser extends RegexParsers {
     "round" ~> ("(" ~> expr) ~ opt("," ~> number) <~ ")" ^^ {
       case e ~ s => FnCall("round", Seq(e, NumLit(s.getOrElse(1.0))))
     } |
-    metricIdent.filter(RangeFns.contains) ~ ("(" ~> selector <~ ")") ^^ {
+    metricIdent.filter(RangeFns.contains) ~ ("(" ~> (subquery | selector) <~ ")") ^^ {
       case fn ~ s => FnCall(fn, Seq(s))
     } |
     metricIdent.filter(InstantFns.contains) ~ ("(" ~> expr <~ ")") ^^ {
       case fn ~ e => FnCall(fn, Seq(e))
+    }
+
+  /** `expr[range:step]` — inner must itself be an agg/fn/paren expr. */
+  private def subquery: Parser[Subquery] =
+    (aggExpr | fnCall | "(" ~> expr <~ ")") ~
+      ("[" ~> duration) ~ (":" ~> duration <~ "]") ^^ {
+      case e ~ r ~ s => Subquery(e, durationToNs(r), durationToNs(s))
     }
 
   private def atom: Parser[PExpr] =
@@ -111,7 +118,24 @@ object PromQLParser extends RegexParsers {
         }
     }
 
-  private def expr: Parser[PExpr] = cmpExpr
+  // set operators: and/unless bind tighter than or (PromQL precedence)
+  private def andExpr: Parser[PExpr] =
+    cmpExpr ~ rep(("and" | "unless") ~ opt(vecMod) ~ cmpExpr) ^^ {
+      case first ~ rest =>
+        rest.foldLeft(first) { case (a, op ~ m ~ b) =>
+          BinOp(op, a, b, m.flatMap(_._1), m.flatMap(_._2))
+        }
+    }
+
+  private def orExpr: Parser[PExpr] =
+    andExpr ~ rep("or" ~> opt(vecMod) ~ andExpr) ^^ {
+      case first ~ rest =>
+        rest.foldLeft(first) { case (a, m ~ b) =>
+          BinOp("or", a, b, m.flatMap(_._1), m.flatMap(_._2))
+        }
+    }
+
+  private def expr: Parser[PExpr] = orExpr
 
   def parse(q: String): Either[String, PExpr] =
     parseAll(expr, q) match {
