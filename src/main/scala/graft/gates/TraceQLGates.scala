@@ -83,6 +83,18 @@ object TraceQLGates extends GateSet {
           |SELECT DISTINCT trace_id FROM spans WHERE name = 'purchase'
           |ORDER BY 1""".stripMargin)),
 
+    // --- structural > = parent→child join over parent_id ------------------
+    Gate("traceql_struct_child",
+      (spark: SparkSession, dir: String) => {
+        val q = parsed("""{ .name="view" } > { .name="purchase" }""")
+        engine(spark, dir).matchingTraces(q.expr).orderBy("trace_id")
+      },
+      o("""SELECT DISTINCT c.trace_id
+          |FROM spans c JOIN spans p
+          |  ON c.trace_id = p.trace_id AND c.parent_id = p.span_id
+          |WHERE c.name = 'purchase' AND p.name = 'view'
+          |ORDER BY 1""".stripMargin)),
+
     // --- trace synthetics fetch (traces_data.go:21-86) --------------------
     Gate("traceql_trace_meta",
       (spark: SparkSession, dir: String) => {

@@ -30,6 +30,12 @@ object TraceQLAst {
   final case class Sel(ss: SpanSet) extends TExpr
   final case class StructAnd(l: TExpr, r: TExpr) extends TExpr
   final case class StructOr(l: TExpr, r: TExpr) extends TExpr
+  /** `{a} > {b}` — direct parent→child: a span matching `r` whose parent
+    * matches `l`, in the same trace. (The reference flattens ALL structural
+    * ops to same-trace && — `clickhouse_transpiler/planner.go:100-105`; the
+    * span table carries parent_id, so the child op evaluates exactly here.)
+    */
+  final case class StructChild(l: TExpr, r: TExpr) extends TExpr
 
   /** `| count() > 2`, `| avg(duration) > 40ms` (aggregator.go:23-76). */
   final case class SpanAgg(fn: String, attr: Option[String], op: String, value: Double)
@@ -80,10 +86,14 @@ object TraceQLParser extends RegexParsers {
     "{" ~> opt(condExpr) <~ "}" ^^ (c => Sel(SpanSet(c)))
 
   private def structExpr: Parser[TExpr] =
-    spanset ~ rep(("&&" | "||") ~ spanset) ^^ { case f ~ r =>
+    spanset ~ rep(("&&" | "||" | ">>" | ">" | "<<" | "~") ~ spanset) ^^ { case f ~ r =>
       r.foldLeft(f) {
         case (a, "&&" ~ b) => StructAnd(a, b)
-        case (a, _ ~ b)    => StructOr(a, b)
+        case (a, "||" ~ b) => StructOr(a, b)
+        case (a, ">" ~ b)  => StructChild(a, b)
+        // descendant/ancestor/sibling flatten to same-trace co-occurrence,
+        // as the reference does (planner.go:100-105)
+        case (a, _ ~ b)    => StructAnd(a, b)
       }
     }
 

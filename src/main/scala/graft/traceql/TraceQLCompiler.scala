@@ -112,6 +112,25 @@ class TraceQLCompiler(spark: SparkSession, dir: String) {
       matchingTraces(l).join(matchingTraces(r), Seq("trace_id"), "left_semi")
     case StructOr(l, r) =>
       matchingTraces(l).union(matchingTraces(r)).distinct()
+    case StructChild(l, r) =>
+      // parent(l) → child(r): equi-join child's parent_id to parent's
+      // span_id within the trace; needs the span table's parent pointers
+      val parents = structSpans(l)
+        .select(col("trace_id"), col("span_id").as("__pid"))
+      val children = structSpans(r)
+        .join(spans.select(col("span_id"), col("parent_id")), Seq("span_id"))
+      children.join(parents,
+          children("trace_id") === parents("trace_id") &&
+            children("parent_id") === parents("__pid"))
+        .select(children("trace_id")).distinct()
+  }
+
+  /** Matched spans of any structural expr (union-of-matches for non-leaf). */
+  private def structSpans(e: TExpr): DataFrame = e match {
+    case Sel(ss) => spanSetSpans(ss)
+    case other =>
+      spanSetSpans(SpanSet(None))
+        .join(matchingTraces(other), Seq("trace_id"), "left_semi")
   }
 
   private def cmpCol(c: Column, op: String, v: Double): Column = op match {
