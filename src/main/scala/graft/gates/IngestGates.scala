@@ -132,6 +132,68 @@ object IngestGates extends GateSet {
           |  round(sum(value), 6) AS total, min(timestamp_ns) AS min_ts
           |FROM metrics GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))),
 
+    // --- OTLP/HTTP JSON traces round trip (otlp.go) -----------------------
+    Gate("ingest_otlp_traces_roundtrip",
+      (spark: SparkSession, dir: String) => {
+        val spans = Tables.spans(spark, dir)
+        val bodies = spans
+          .groupBy(col("trace_id"), col("service_name"))
+          .agg(collect_list(struct(
+            lpad(hex(col("trace_id")), 32, "0").as("traceId"),
+            lpad(hex(col("span_id")), 16, "0").as("spanId"),
+            when(col("parent_id").isNotNull,
+              lpad(hex(col("parent_id")), 16, "0")).as("parentSpanId"),
+            col("name").as("name"),
+            col("timestamp_ns").cast("string").as("startTimeUnixNano"),
+            (col("timestamp_ns") + col("duration_ns")).cast("string")
+              .as("endTimeUnixNano"))).as("sp"))
+          .select(to_json(struct(array(struct(
+            struct(array(struct(lit("service.name").as("key"),
+              struct(col("service_name").as("stringValue")).as("value")))
+              .as("attributes")).as("resource"),
+            array(struct(col("sp").as("spans"))).as("scopeSpans")))
+            .as("resourceSpans"))).as("body"))
+        WireFormats.decodeOtlpTraces(bodies)
+          .groupBy(col("service_name"))
+          .agg(count(lit(1)).as("spans"),
+            countDistinct(col("trace_id_hex")).as("traces"),
+            sum(col("duration_ns")).as("dur_ns"),
+            min(col("timestamp_ns")).as("min_ts"))
+          .orderBy("service_name")
+      },
+      Some(OracleViews.withViews(Seq(OracleViews.spans),
+        """SELECT service_name, count(*) AS spans,
+          |  count(DISTINCT trace_id) AS traces,
+          |  CAST(sum(duration_ns) AS BIGINT) AS dur_ns,
+          |  min(timestamp_ns) AS min_ts
+          |FROM spans GROUP BY 1 ORDER BY 1""".stripMargin))),
+
+    // --- Datadog logs round trip (datadog_json.go) ------------------------
+    Gate("ingest_datadog_roundtrip",
+      (spark: SparkSession, dir: String) => {
+        val bodies = Tables.logs(spark, dir)
+          .select(struct(
+            col("line").as("message"),
+            concat(lit("event_type:"), element_at(col("labels"), "event_type"),
+              lit(",level:"), element_at(col("labels"), "level")).as("ddtags"),
+            concat(lit("svc"),
+              element_at(col("labels"), "user").cast("long") % 5).as("service"))
+            .as("m"))
+          .groupBy((col("m.service")).as("g"))
+          .agg(collect_list(col("m")).as("ms"))
+          .select(to_json(col("ms")).as("body"))
+        WireFormats.decodeDatadogLogs(bodies)
+          .groupBy(
+            element_at(col("labels"), "event_type").as("event_type"),
+            element_at(col("labels"), "service").as("service"))
+          .agg(count(lit(1)).as("entries"),
+            sum(length(col("line"))).cast("long").as("bytes"))
+          .orderBy("event_type", "service")
+      },
+      o("""SELECT event_type, 'svc' || CAST(CAST("user" AS BIGINT) % 5 AS VARCHAR) AS service,
+          |  count(*) AS entries, CAST(sum(length(line)) AS BIGINT) AS bytes
+          |FROM logs GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // --- Elastic bulk NDJSON round trip (elastic.go) ----------------------
     Gate("ingest_elastic_roundtrip",
       (spark: SparkSession, dir: String) => {

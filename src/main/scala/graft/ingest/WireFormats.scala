@@ -68,6 +68,76 @@ object WireFormats {
         coalesce(col("r.body.stringValue"), lit("")).as("line"))
       .withColumn("fingerprint", Tables.fingerprintOf(col("labels")))
 
+  // --- OTLP/HTTP JSON traces (`otlp.go:18-166`) ---------------------------
+
+  val otlpTracesSchema: StructType = StructType(Seq(
+    StructField("resourceSpans", ArrayType(StructType(Seq(
+      StructField("resource", StructType(Seq(
+        StructField("attributes", ArrayType(otlpAttr))))),
+      StructField("scopeSpans", ArrayType(StructType(Seq(
+        StructField("spans", ArrayType(StructType(Seq(
+          StructField("traceId", StringType),
+          StructField("spanId", StringType),
+          StructField("parentSpanId", StringType),
+          StructField("name", StringType),
+          StructField("startTimeUnixNano", StringType),
+          StructField("endTimeUnixNano", StringType),
+          StructField("attributes", ArrayType(otlpAttr))))))))))))))))
+
+  /** OTLP traces → canonical span rows; service_name from the resource's
+    * `service.name` attribute (`populateServiceNames`, `otlp.go:60`),
+    * duration from start/end nanos.
+    */
+  def decodeOtlpTraces(bodies: DataFrame): DataFrame =
+    bodies
+      .select(explode(from_json(col("body"), otlpTracesSchema)
+        .getField("resourceSpans")).as("rs"))
+      .select(
+        element_at(attrsToMap(coalesce(col("rs.resource.attributes"),
+          array().cast(ArrayType(otlpAttr)))), "service.name").as("service_name"),
+        explode(col("rs.scopeSpans")).as("ss"))
+      .select(col("service_name"), explode(col("ss.spans")).as("s"))
+      .select(
+        col("s.traceId").as("trace_id_hex"),
+        col("s.spanId").as("span_id_hex"),
+        col("s.parentSpanId").as("parent_id_hex"),
+        col("s.name").as("name"),
+        col("service_name"),
+        col("s.startTimeUnixNano").cast("long").as("timestamp_ns"),
+        (col("s.endTimeUnixNano").cast("long") -
+          col("s.startTimeUnixNano").cast("long")).as("duration_ns"),
+        attrsToMap(coalesce(col("s.attributes"),
+          array().cast(ArrayType(otlpAttr)))).as("attrs"))
+
+  // --- Datadog logs JSON (`datadog_json.go`) ------------------------------
+
+  val datadogLogsSchema: ArrayType = ArrayType(StructType(Seq(
+    StructField("message", StringType),
+    StructField("ddsource", StringType),
+    StructField("ddtags", StringType),
+    StructField("hostname", StringType),
+    StructField("service", StringType))))
+
+  /** Datadog log batches → canonical rows; `ddtags` ("k:v,k2:v2") explode
+    * into the label set, service/source/hostname become labels when set.
+    */
+  def decodeDatadogLogs(bodies: DataFrame): DataFrame = {
+    val tags = map_from_entries(transform(
+      filter(split(coalesce(col("l.ddtags"), lit("")), ","), t => t.contains(":")),
+      t => struct(substring_index(t, ":", 1),
+        substring_index(t, ":", -1))))
+    bodies
+      .select(explode(from_json(col("body"), datadogLogsSchema)).as("l"))
+      .select(
+        map_concat(tags,
+          map_filter(map(
+            lit("service"), col("l.service"),
+            lit("ddsource"), col("l.ddsource"),
+            lit("hostname"), col("l.hostname")), (_, v) => v.isNotNull)).as("labels"),
+        coalesce(col("l.message"), lit("")).as("line"))
+      .withColumn("fingerprint", Tables.fingerprintOf(col("labels")))
+  }
+
   // --- Zipkin JSON spans (`zipkin_json.go:14-266`) ------------------------
 
   val zipkinSchema: ArrayType = ArrayType(StructType(Seq(
