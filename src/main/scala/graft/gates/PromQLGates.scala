@@ -216,6 +216,13 @@ object PromQLGates extends GateSet {
            |  GROUP BY 1, 2) s JOIN grid g ON s.t = g.t
            |GROUP BY 1 ORDER BY 1""".stripMargin, grid)),
 
+    // --- absent(): 1 where the selector matches nothing -------------------
+    Gate("promql_absent",
+      q("""absent(events_value{event_type="nosuch"})"""),
+      o(s"""SELECT gs AS ts, 1.0 AS value
+           |FROM generate_series($StartS, $EndS, $StepS) t(gs)
+           |ORDER BY 1""".stripMargin, grid)),
+
     // --- vector set operators (and / unless) ------------------------------
     Gate("promql_and_cmp",
       q("""avg_over_time(events_value[12h]) > 95 and avg_over_time(events_value[12h]) < 150""",

@@ -116,7 +116,7 @@ object Dedup {
     * still count in the exact Jaccard verification, so scores are true;
     * a ≥0.8 pair sharing ONLY ultra-common shingles cannot exist.
     */
-  val MaxShingleDf = 100
+  val MaxShingleDf = 50
 
   /** All pairs sharing ≥1 (non-viral) shingle with exact Jaccard ≥
     * threshold (the non-LSH exact formulation — at scale this is the

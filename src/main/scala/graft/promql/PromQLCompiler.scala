@@ -200,6 +200,21 @@ class PromQLCompiler(spark: SparkSession, dir: String, params: PromParams) {
         case _                   => counterFn(fn, arg.asInstanceOf[Selector])
       }
 
+    case "absent" =>
+      // 1 at eval points where the selector returns NO series (empty label
+      // set, Prometheus semantics); grid anti-join against present points.
+      val sel = f.args.head.asInstanceOf[Selector]
+      val present = instantVector(sel).select(col("ts")).distinct()
+      val nPoints = (gridEnd - gridStart) / stepNs
+      val grid = spark.range(0, nPoints + 1)
+        .select((lit(gridStart / 1000000000L) + col("id") * params.stepS).as("ts"))
+      grid.join(present, Seq("ts"), "left_anti")
+        .select(lit(0L).as("fingerprint"),
+          map().cast(org.apache.spark.sql.types.MapType(
+            org.apache.spark.sql.types.StringType,
+            org.apache.spark.sql.types.StringType)).as("labels"),
+          col("ts"), lit(1.0).as("value"))
+
     case fn if InstantFns.contains(fn) =>
       val inner = compileExpr(f.args.head)
       val v = fn match {

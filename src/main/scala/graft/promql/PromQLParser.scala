@@ -72,6 +72,7 @@ object PromQLParser extends RegexParsers {
     "round" ~> ("(" ~> expr) ~ opt("," ~> number) <~ ")" ^^ {
       case e ~ s => FnCall("round", Seq(e, NumLit(s.getOrElse(1.0))))
     } |
+    "absent" ~> "(" ~> selector <~ ")" ^^ (s => FnCall("absent", Seq(s))) |
     metricIdent.filter(RangeFns.contains) ~ ("(" ~> (subquery | selector) <~ ")") ^^ {
       case fn ~ s => FnCall(fn, Seq(s))
     } |
