@@ -3,7 +3,7 @@ package graft.gates
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ingest.{LokiPush, WireFormats}
+import graft.ingest.{LokiPush, PromRemoteWrite, WireFormats}
 import graft.model.{OracleViews, Tables}
 
 /** Ingest round-trip gates: the canonical log frame is serialized to Loki
@@ -52,6 +52,28 @@ object IngestGates extends GateSet {
           |  max(timestamp_ns) AS max_ts,
           |  CAST(sum(length(line)) AS BIGINT) AS bytes
           |FROM logs GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // --- Prometheus remote-write round trip: snappy-framed protobuf wire
+    // format, hand-rolled varint codec (metrics_protobuf.go) ---------------
+    Gate("ingest_promrw_roundtrip",
+      (spark: SparkSession, dir: String) => {
+        val bodies = PromRemoteWrite.encode(Tables.gaugeSamples(spark, dir))
+        PromRemoteWrite.decode(bodies)
+          .groupBy(
+            element_at(col("labels"), "event_type").as("event_type"),
+            element_at(col("labels"), "level").as("level"))
+          .agg(count(lit(1)).as("samples"),
+            round(sum(col("value")), 6).as("total"),
+            min(col("timestamp_ns")).as("min_ts"),
+            max(col("timestamp_ns")).as("max_ts"))
+          .orderBy("event_type", "level")
+      },
+      Some(OracleViews.withViews(Seq(OracleViews.logs, OracleViews.metrics),
+        """SELECT event_type, level, count(*) AS samples,
+          |  round(sum(value), 6) AS total,
+          |  min((timestamp_ns // 1000000) * 1000000) AS min_ts,
+          |  max((timestamp_ns // 1000000) * 1000000) AS max_ts
+          |FROM metrics GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))),
 
     // --- OTLP/HTTP JSON logs round trip (otlplogs.go) ---------------------
     Gate("ingest_otlp_roundtrip",
