@@ -183,20 +183,20 @@ class PromQLCompiler(spark: SparkSession, dir: String, params: PromParams) {
     case "quantile_over_time" =>
       val NumLit(q) = f.args.head: @unchecked
       val sel = f.args(1).asInstanceOf[Selector]
-      overTime(sel, percentile(col("value"), lit(q)))
+      overTime("quantile_over_time", sel, percentile(col("value"), lit(q)))
 
     case fn if RangeFns.contains(fn) =>
       val arg = f.args.head
       fn match {
-        case "sum_over_time"     => overTime(arg, sum(col("value")))
-        case "avg_over_time"     => overTime(arg, avg(col("value")))
-        case "min_over_time"     => overTime(arg, min(col("value")))
-        case "max_over_time"     => overTime(arg, max(col("value")))
-        case "count_over_time"   => overTime(arg, count(lit(1)).cast("double"))
-        case "last_over_time"    => overTime(arg, max_by(col("value"), col("timestamp_ns")))
-        case "present_over_time" => overTime(arg, lit(1.0))
-        case "stddev_over_time"  => overTime(arg, stddev_pop(col("value")))
-        case "stdvar_over_time"  => overTime(arg, var_pop(col("value")))
+        case "sum_over_time"     => overTime(fn, arg, sum(col("value")))
+        case "avg_over_time"     => overTime(fn, arg, avg(col("value")))
+        case "min_over_time"     => overTime(fn, arg, min(col("value")))
+        case "max_over_time"     => overTime(fn, arg, max(col("value")))
+        case "count_over_time"   => overTime(fn, arg, count(lit(1)).cast("double"))
+        case "last_over_time"    => overTime(fn, arg, max_by(col("value"), col("timestamp_ns")))
+        case "present_over_time" => overTime(fn, arg, lit(1.0))
+        case "stddev_over_time"  => overTime(fn, arg, stddev_pop(col("value")))
+        case "stdvar_over_time"  => overTime(fn, arg, var_pop(col("value")))
         case _                   => counterFn(fn, arg.asInstanceOf[Selector])
       }
 
@@ -248,10 +248,64 @@ class PromQLCompiler(spark: SparkSession, dir: String, params: PromParams) {
     case other => throw new IllegalArgumentException(s"function $other")
   }
 
-  /** Plain windowed aggregation over the eval grid (`over_time.go:30-127`);
-    * the samples come from a raw selector or a SUBQUERY's inner eval grid.
+  /** over_time fns whose re-aggregation from 15s partials is EXACT
+    * (order-independent): these route to the downsample table. sum/avg/
+    * stddev stay on raw samples — FP summation over partials associates
+    * differently, and the pushed-down result must be bit-reproducible.
     */
-  private def overTime(arg: PExpr, agg: Column): DataFrame = {
+  private val DownsampleFns =
+    Set("count_over_time", "min_over_time", "max_over_time",
+      "last_over_time", "present_over_time")
+
+  private def downsampleEligible(fn: String, sel: Selector): Boolean = {
+    val q = 15000000000L
+    graft.store.Store.enabled(spark) && DownsampleFns(fn) &&
+      sel.name == "events_value" &&
+      sel.rangeNs.exists(_ % q == 0) && stepNs % q == 0 && sel.offsetNs % q == 0
+  }
+
+  /** Downsample route (`prom_queryable.go:150-160` raw-vs-downsample fork,
+    * `TranspileLabelMatchersDownsample`): window the 15s partials instead
+    * of raw samples. 15s buckets nest inside the aligned windows, so
+    * count=Σcnt, min/max fold, last=argmax(last_ts) are exact.
+    */
+  private def overTimeDownsampled(fn: String, sel: Selector): DataFrame = {
+    val rangeNs = sel.rangeNs.get
+    val off = sel.offsetNs
+    var df = graft.store.Store.promGauge15s(spark, dir,
+        gridStart - rangeNs - off, gridEnd + 1 - off).drop("date")
+    for (m <- sel.matchers) df = df.filter(matcherCond(m))
+    val tsEff = col("timestamp_ns") + lit(off)
+    // bucket start b covers window t iff b in (t-range, t] (15s nesting)
+    val firstT = greatest(ceilTo(tsEff, stepNs), lit(gridStart))
+    val lastT = least(floorTo(tsEff + (rangeNs - 1), stepNs), lit(gridEnd))
+    val exploded = df.withColumn("t_ns",
+      explode(when(firstT <= lastT, sequence(firstT, lastT, lit(stepNs)))
+        .otherwise(array())))
+    val agg: Column = fn match {
+      case "count_over_time"   => sum(col("cnt")).cast("double")
+      case "min_over_time"     => min(col("min"))
+      case "max_over_time"     => max(col("max"))
+      case "last_over_time"    => max_by(col("last"), col("last_ts"))
+      case "present_over_time" => first(lit(1.0))
+    }
+    dropName(exploded
+      .groupBy(col("fingerprint"), col("t_ns"))
+      .agg(first(col("labels")).as("labels"), agg.as("value"))
+      .select(col("fingerprint"), col("labels"),
+        expr("t_ns div 1000000000").as("ts"), col("value")))
+  }
+
+  /** Plain windowed aggregation over the eval grid (`over_time.go:30-127`);
+    * the samples come from a raw selector, the 15s downsample (when the
+    * function and alignment allow), or a SUBQUERY's inner eval grid.
+    */
+  private def overTime(fn: String, arg: PExpr, agg: Column): DataFrame = {
+    arg match {
+      case sel: Selector if downsampleEligible(fn, sel) =>
+        return overTimeDownsampled(fn, sel)
+      case _ =>
+    }
     val frame = arg match {
       case sel: Selector => rangeFrame(sel)
       case sq: Subquery  => subqueryFrame(sq)

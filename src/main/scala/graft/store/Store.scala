@@ -78,6 +78,24 @@ object Store {
       writeSorted(Tables.gaugeSamples(spark, dir), s"$root/prom_gauge")
       writeSorted(Tables.counterSamples(spark, dir), s"$root/prom_counter")
       writeSorted(Tables.bucketSamples(spark, dir), s"$root/prom_bucket")
+      if (!haveTable(s"$root/prom_gauge_15s")) {
+        val bucketNs = 15L * 1000 * 1000 * 1000
+        val g15 = Tables.gaugeSamples(spark, dir)
+          .groupBy(col("fingerprint"),
+            (col("timestamp_ns") - pmod(col("timestamp_ns"), lit(bucketNs)))
+              .as("timestamp_ns"))
+          .agg(first(col("labels")).as("labels"),
+            max_by(col("value"), col("timestamp_ns")).as("last"),
+            max(col("timestamp_ns")).as("last_ts"),
+            min(col("value")).as("min"),
+            max(col("value")).as("max"),
+            sum(col("value")).as("sum"),
+            count(lit(1)).as("cnt"))
+        withDate(g15)
+          .repartition(col("date"))
+          .sortWithinPartitions(col("fingerprint"), col("timestamp_ns"))
+          .write.mode("overwrite").partitionBy("date").parquet(s"$root/prom_gauge_15s")
+      }
       root
     })
 
@@ -101,6 +119,14 @@ object Store {
 
   def metrics15s(spark: SparkSession, dir: String, loNs: Long, hiNs: Long): DataFrame =
     scanWindow(spark, s"${ensure(spark, dir)}/metrics_15s", loNs, hiNs)
+
+  /** 15s pre-aggregated gauge downsample (the `metrics_15s` analog for the
+    * PromQL families; the reference's raw-vs-downsample fork is
+    * `prom_queryable.go:150-160`).
+    */
+  def promGauge15s(spark: SparkSession, dir: String,
+      loNs: Long, hiNs: Long): DataFrame =
+    scanWindow(spark, s"${ensure(spark, dir)}/prom_gauge_15s", loNs, hiNs)
 
   def promMetric(spark: SparkSession, dir: String, name: String,
       loNs: Long, hiNs: Long): Option[DataFrame] = {

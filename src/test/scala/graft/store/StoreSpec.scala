@@ -33,6 +33,25 @@ class StoreSpec extends SparkSpec {
     assert(!paths.exists(_.contains("metrics_15s")), paths.mkString("; "))
   }
 
+  test("PromQL exact over_time fns route to the 15s gauge downsample") {
+    val prom = new graft.promql.PromQLCompiler(spark, sf,
+      graft.promql.PromParams(StartNs, EndNs, StepS))
+    def paths(q: String) = prom.compile(q).queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.rootPaths.mkString(",")
+    }
+    assert(paths("""last_over_time(events_value[6h])""")
+      .exists(_.contains("prom_gauge_15s")))
+    assert(paths("""count_over_time(events_value{event_type="click"}[12h])""")
+      .exists(_.contains("prom_gauge_15s")))
+    // FP-order-sensitive aggs stay on raw samples
+    assert(!paths("""avg_over_time(events_value[12h])""")
+      .exists(_.contains("prom_gauge_15s")))
+    // unaligned range stays raw
+    assert(!paths("""last_over_time(events_value[6h7s])""")
+      .exists(_.contains("prom_gauge_15s")))
+  }
+
   test("store path and derive path agree on a stage-bearing query") {
     val q = """sum by (user) (sum_over_time({event_type="click"} | json | unwrap k [6h]))"""
     val viaStore = engine.compileMetric(LogQLParser.parseOrThrow(q))
