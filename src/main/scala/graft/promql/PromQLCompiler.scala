@@ -276,9 +276,13 @@ class PromQLCompiler(spark: SparkSession, dir: String, params: PromParams) {
         gridStart - rangeNs - off, gridEnd + 1 - off).drop("date")
     for (m <- sel.matchers) df = df.filter(matcherCond(m))
     val tsEff = col("timestamp_ns") + lit(off)
-    // bucket start b covers window t iff b in (t-range, t] (15s nesting)
-    val firstT = greatest(ceilTo(tsEff, stepNs), lit(gridStart))
-    val lastT = least(floorTo(tsEff + (rangeNs - 1), stepNs), lit(gridEnd))
+    // bucket [b, b+15s) is fully inside window (t-range, t] iff
+    // t ∈ [b+15s, b+range] (timestamps never sit exactly on bucket or
+    // grid boundaries in this model — µs-truncated event times — so the
+    // open/closed edge conventions coincide)
+    val bucketNs = 15000000000L
+    val firstT = greatest(ceilTo(tsEff + bucketNs, stepNs), lit(gridStart))
+    val lastT = least(floorTo(tsEff + rangeNs, stepNs), lit(gridEnd))
     val exploded = df.withColumn("t_ns",
       explode(when(firstT <= lastT, sequence(firstT, lastT, lit(stepNs)))
         .otherwise(array())))
