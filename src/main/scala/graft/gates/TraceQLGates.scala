@@ -27,7 +27,7 @@ object TraceQLGates extends GateSet {
     // --- attr-condition bitmask search (attr_condition.go:26-441) ---------
     Gate("traceql_attr_search",
       (spark: SparkSession, dir: String) => {
-        val Query(Sel(ss), _, _) = parsed("""{ .name="error" && .service_name="svc1" }"""): @unchecked
+        val Query(Sel(ss), _, _, _) = parsed("""{ .name="error" && .service_name="svc1" }"""): @unchecked
         engine(spark, dir).spanSetSpans(ss)
           .select(col("trace_id"), col("span_id"))
           .orderBy("trace_id", "span_id")
@@ -39,7 +39,7 @@ object TraceQLGates extends GateSet {
     // --- OR across attr + duration intrinsic ------------------------------
     Gate("traceql_attr_or_duration",
       (spark: SparkSession, dir: String) => {
-        val Query(Sel(ss), _, _) = parsed("""{ .name="purchase" || duration > 300ms }"""): @unchecked
+        val Query(Sel(ss), _, _, _) = parsed("""{ .name="purchase" || duration > 300ms }"""): @unchecked
         engine(spark, dir).spanSetSpans(ss)
           .select(col("trace_id"), col("span_id"), col("duration_ns"))
           .orderBy("trace_id", "span_id")
@@ -134,6 +134,56 @@ object TraceQLGates extends GateSet {
            |  round(CAST(count(*) AS DOUBLE) / $StepS, 6) AS value
            |FROM spans WHERE name = 'click'
            |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // --- metrics stage: per-step duration quantile ------------------------
+    Gate("traceql_metrics_quantile",
+      (spark: SparkSession, dir: String) => {
+        val q = parsed("""{ .service_name="svc1" } | quantile_over_time(duration, 0.9) by (name)""")
+        engine(spark, dir)
+          .metrics(q.expr, q.metrics.get, StartNs, EndNs, StepS)
+          .select(col("name"), col("ts"), round(col("value"), 6).as("value"))
+          .orderBy("name", "ts")
+      },
+      o(s"""SELECT name, (timestamp_ns // ${StepS}000000000) * $StepS AS ts,
+           |  round(quantile_cont(CAST(duration_ns AS DOUBLE), 0.9), 6) AS value
+           |FROM spans WHERE service_name = 'svc1'
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // --- metrics stage: power-of-2 duration histogram ---------------------
+    Gate("traceql_metrics_histogram",
+      (spark: SparkSession, dir: String) => {
+        val q = parsed("""{ .name="click" } | histogram_over_time(duration) by (service_name)""")
+        engine(spark, dir)
+          .metrics(q.expr, q.metrics.get, StartNs, EndNs, StepS)
+          .orderBy("service_name", "le", "ts")
+      },
+      o(s"""SELECT service_name,
+           |  CASE WHEN (duration_ns // 1000000) <= 1 THEN 1
+           |       ELSE (1::BIGINT << length(bin((duration_ns // 1000000) - 1))) END AS le,
+           |  (timestamp_ns // ${StepS}000000000) * $StepS AS ts,
+           |  CAST(count(*) AS DOUBLE) AS value
+           |FROM spans WHERE name = 'click'
+           |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)),
+
+    // --- second stage topk over metrics -----------------------------------
+    Gate("traceql_metrics_topk",
+      (spark: SparkSession, dir: String) => {
+        val q = parsed("""{ .name="click" } | rate() by (service_name) | topk(2)""")
+        val eng = engine(spark, dir)
+        eng.secondStage(
+            eng.metrics(q.expr, q.metrics.get, StartNs, EndNs, StepS),
+            q.second.get, Seq("service_name"))
+          .select(col("service_name"), col("ts"), round(col("value"), 6).as("value"))
+          .orderBy("service_name", "ts")
+      },
+      o(s"""SELECT service_name, ts, round(value, 6) AS value FROM (
+           |  SELECT service_name, ts, value,
+           |    row_number() OVER (PARTITION BY ts ORDER BY value DESC, service_name) AS rn
+           |  FROM (
+           |    SELECT service_name, (timestamp_ns // ${StepS}000000000) * $StepS AS ts,
+           |      CAST(count(*) AS DOUBLE) / $StepS AS value
+           |    FROM spans WHERE name = 'click' GROUP BY 1, 2) a) r
+           |WHERE rn <= 2 ORDER BY 1, 2""".stripMargin)),
 
     // --- tag-value autocomplete -------------------------------------------
     Gate("traceql_tag_values",

@@ -40,10 +40,17 @@ object TraceQLAst {
   /** `| count() > 2`, `| avg(duration) > 40ms` (aggregator.go:23-76). */
   final case class SpanAgg(fn: String, attr: Option[String], op: String, value: Double)
 
-  /** `| rate() by (attr)` metrics stage. */
-  final case class Metrics(fn: String, by: Seq[String])
+  /** Metrics stage: `| rate() / count_over_time() / quantile_over_time(x, φ)
+    * / histogram_over_time(x) [by (attrs)]` (`model_v2.go:181-204`).
+    */
+  final case class Metrics(fn: String, attr: Option[String],
+      param: Option[Double], by: Seq[String])
 
-  final case class Query(expr: TExpr, agg: Option[SpanAgg], metrics: Option[Metrics])
+  /** Second stage `| topk(n)` / `| bottomk(n)` (`model_v2.go:259-268`). */
+  final case class SecondStage(fn: String, k: Int)
+
+  final case class Query(expr: TExpr, agg: Option[SpanAgg],
+      metrics: Option[Metrics], second: Option[SecondStage] = None)
 }
 
 object TraceQLParser extends RegexParsers {
@@ -105,16 +112,31 @@ object TraceQLParser extends RegexParsers {
       case fn ~ f ~ op ~ n => SpanAgg(fn, Some(f), op, n)
     }
 
+  private def byClause: Parser[Seq[String]] =
+    "by" ~> "(" ~> repsep(field, ",") <~ ")"
+
   private def metricsStage: Parser[Metrics] =
-    ("rate" | "count_over_time") ~ ("(" ~> ")" ~> opt("by" ~> "(" ~> repsep(field, ",") <~ ")")) ^^ {
-      case fn ~ by => Metrics(fn, by.getOrElse(Nil))
+    ("rate" | "count_over_time") ~ ("(" ~> ")" ~> opt(byClause)) ^^ {
+      case fn ~ by => Metrics(fn, None, None, by.getOrElse(Nil))
+    } |
+    "quantile_over_time" ~> ("(" ~> field) ~ ("," ~> number <~ ")") ~ opt(byClause) ^^ {
+      case f ~ q ~ by => Metrics("quantile_over_time", Some(f), Some(q), by.getOrElse(Nil))
+    } |
+    "histogram_over_time" ~> ("(" ~> field <~ ")") ~ opt(byClause) ^^ {
+      case f ~ by => Metrics("histogram_over_time", Some(f), None, by.getOrElse(Nil))
+    }
+
+  private def secondStage: Parser[SecondStage] =
+    ("topk" | "bottomk") ~ ("(" ~> number <~ ")") ^^ {
+      case fn ~ k => SecondStage(fn, k.toInt)
     }
 
   private def query: Parser[Query] =
-    structExpr ~ opt("|" ~> (metricsStage ^^ (Right(_)) | aggStage ^^ (Left(_)))) ^^ {
-      case e ~ None           => Query(e, None, None)
-      case e ~ Some(Left(a))  => Query(e, Some(a), None)
-      case e ~ Some(Right(m)) => Query(e, None, Some(m))
+    structExpr ~ opt("|" ~> (metricsStage ^^ (Right(_)) | aggStage ^^ (Left(_)))) ~
+      opt("|" ~> secondStage) ^^ {
+      case e ~ None ~ s           => Query(e, None, None, s)
+      case e ~ Some(Left(a)) ~ s  => Query(e, Some(a), None, s)
+      case e ~ Some(Right(m)) ~ s => Query(e, None, Some(m), s)
     }
 
   def parse(q: String): Either[String, Query] =

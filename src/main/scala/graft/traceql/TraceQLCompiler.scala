@@ -195,9 +195,11 @@ class TraceQLCompiler(spark: SparkSession, dir: String) {
       .select(col("span_id"), col("parent_id"), col("name"),
         col("service_name"), col("timestamp_ns"), col("duration_ns"))
 
-  /** Metrics stage: per-step span rate / count grouped by attrs
-    * (`tempo_metrics.go:18-326`). stepS-second tumbling buckets over the
-    * span start times.
+  /** Metrics stage: per-step span rate / count / quantile / histogram
+    * grouped by attrs (`tempo_metrics.go:18-326`, histogram buckets
+    * `:487-600`). stepS-second tumbling buckets over the span start times.
+    * Histogram buckets are power-of-2 duration milliseconds, computed with
+    * integer bit-length (no FP log2 — boundary-exact by construction).
     */
   def metrics(e: TExpr, m: Metrics, startNs: Long, endNs: Long, stepS: Long): DataFrame = {
     val stepNs = stepS * 1000000000L
@@ -211,16 +213,52 @@ class TraceQLCompiler(spark: SparkSession, dir: String) {
       spans.select(col("span_id"), col("name"), col("service_name")), Seq("span_id"))
     val keyCols = m.by.map(col)
     val bucket = (col("timestamp_ns") - pmod(col("timestamp_ns"), lit(stepNs)))
-    val base = withAttrs
+    val windowed = withAttrs
       .filter(col("timestamp_ns") >= startNs && col("timestamp_ns") < endNs)
-      .groupBy(keyCols :+ bucket.as("bucket_ns"): _*)
-      .agg(count(lit(1)).as("__n"))
-    val value = m.fn match {
-      case "rate"            => col("__n") / stepS.toDouble
-      case "count_over_time" => col("__n").cast("double")
+    val target = col("duration_ns").cast("double") // duration intrinsic
+    m.fn match {
+      case "rate" | "count_over_time" =>
+        val base = windowed
+          .groupBy(keyCols :+ bucket.as("bucket_ns"): _*)
+          .agg(count(lit(1)).as("__n"))
+        val value = m.fn match {
+          case "rate"            => col("__n") / stepS.toDouble
+          case "count_over_time" => col("__n").cast("double")
+        }
+        base.select(keyCols ++ Seq(
+          expr("bucket_ns div 1000000000").as("ts"), value.as("value")): _*)
+      case "quantile_over_time" =>
+        windowed
+          .groupBy(keyCols :+ bucket.as("bucket_ns"): _*)
+          .agg(percentile(target, lit(m.param.get)).as("value"))
+          .select(keyCols ++ Seq(
+            expr("bucket_ns div 1000000000").as("ts"), col("value")): _*)
+      case "histogram_over_time" =>
+        // SQL expr: the Scala shiftleft() helper takes a literal bit count
+        val le = expr(
+          """CASE WHEN (duration_ns div 1000000) <= 1 THEN CAST(1 AS BIGINT)
+            |ELSE shiftleft(CAST(1 AS BIGINT),
+            |  length(bin((duration_ns div 1000000) - 1))) END""".stripMargin)
+        windowed
+          .withColumn("le", le)
+          .groupBy(keyCols ++ Seq(col("le"), bucket.as("bucket_ns")): _*)
+          .agg(count(lit(1)).cast("double").as("value"))
+          .select(keyCols ++ Seq(col("le"),
+            expr("bucket_ns div 1000000000").as("ts"), col("value")): _*)
     }
-    base.select(keyCols ++ Seq(
-      expr("bucket_ns div 1000000000").as("ts"), value.as("value")): _*)
+  }
+
+  /** Second stage `| topk/bottomk(n)` over a metrics frame: rank per eval
+    * point (`model_v2.go:259-268`).
+    */
+  def secondStage(metricsDf: DataFrame, s: SecondStage, tieCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ord =
+      (if (s.fn == "topk") col("value").desc else col("value").asc) +:
+        tieCols.map(col(_).asc)
+    val w = Window.partitionBy(col("ts")).orderBy(ord: _*)
+    metricsDf.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= s.k).drop("__rn")
   }
 
   /** Tag-value autocomplete (`select_values_planner.go:13`). */

@@ -10,7 +10,7 @@ class TraceQLSpec extends SparkSpec {
   private def engine = new TraceQLCompiler(spark, sf)
 
   test("parser: condition structure and duration literals") {
-    val Query(Sel(SpanSet(Some(cond))), None, None) =
+    val Query(Sel(SpanSet(Some(cond))), None, None, None) =
       TraceQLParser.parseOrThrow("""{ .name="a" && (duration > 10ms || .user="3") }"""): @unchecked
     assert(cond == CondAnd(StrCond("name", "=", "a"),
       CondOr(DurCond(">", 10000000L), StrCond("user", "=", "3"))))
@@ -22,11 +22,16 @@ class TraceQLSpec extends SparkSpec {
     val q2 = TraceQLParser.parseOrThrow("""{ .name="a" } | avg(duration) >= 5ms""")
     assert(q2.agg.contains(SpanAgg("avg", Some("duration"), ">=", 5000000.0)))
     val q3 = TraceQLParser.parseOrThrow("""{} | rate() by (name, service_name)""")
-    assert(q3.metrics.contains(Metrics("rate", Seq("name", "service_name"))))
+    assert(q3.metrics.contains(Metrics("rate", None, None, Seq("name", "service_name"))))
+    val q4 = TraceQLParser.parseOrThrow(
+      """{ .name="a" } | quantile_over_time(duration, 0.95) by (name) | topk(3)""")
+    assert(q4.metrics.contains(
+      Metrics("quantile_over_time", Some("duration"), Some(0.95), Seq("name"))))
+    assert(q4.second.contains(SecondStage("topk", 3)))
   }
 
   test("bitmask AND equals direct two-column filter") {
-    val Query(Sel(ss), _, _) =
+    val Query(Sel(ss), _, _, _) =
       TraceQLParser.parseOrThrow("""{ .name="click" && .service_name="svc0" }"""): @unchecked
     val viaMask = engine.spanSetSpans(ss).count()
     val direct = Tables.spans(spark, sf)
@@ -35,7 +40,7 @@ class TraceQLSpec extends SparkSpec {
   }
 
   test("bitmask OR equals direct union filter") {
-    val Query(Sel(ss), _, _) =
+    val Query(Sel(ss), _, _, _) =
       TraceQLParser.parseOrThrow("""{ .name="click" || .name="view" }"""): @unchecked
     val viaMask = engine.spanSetSpans(ss).count()
     val direct = Tables.spans(spark, sf)
