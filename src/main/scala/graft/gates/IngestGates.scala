@@ -190,6 +190,40 @@ object IngestGates extends GateSet {
           |  min(timestamp_ns) AS min_ts
           |FROM spans GROUP BY 1 ORDER BY 1""".stripMargin))),
 
+    // --- OTLP/HTTP JSON metrics round trip --------------------------------
+    Gate("ingest_otlp_metrics_roundtrip",
+      (spark: SparkSession, dir: String) => {
+        val g = Tables.gaugeSamples(spark, dir)
+        val attrs = transform(
+          filter(map_entries(col("labels")), e => e.getField("key") =!= "__name__"),
+          e => struct(e.getField("key").as("key"),
+            struct(e.getField("value").as("stringValue")).as("value")))
+        val bodies = g
+          .groupBy(col("labels"))
+          .agg(collect_list(struct(col("timestamp_ns").as("ts"),
+            col("value").as("v"))).as("dps"))
+          .select(to_json(struct(array(struct(array(struct(array(struct(
+            lit("events_value").as("name"),
+            struct(transform(col("dps"), d => struct(
+              d.getField("ts").cast("string").as("timeUnixNano"),
+              d.getField("v").as("asDouble"),
+              attrs.as("attributes"))).as("dataPoints")).as("gauge")))
+            .as("metrics"))).as("scopeMetrics"))).as("resourceMetrics")))
+            .as("body"))
+        WireFormats.decodeOtlpMetrics(bodies)
+          .groupBy(
+            element_at(col("labels"), "event_type").as("event_type"),
+            element_at(col("labels"), "level").as("level"))
+          .agg(count(lit(1)).as("samples"),
+            round(sum(col("value")), 6).as("total"),
+            min(col("timestamp_ns")).as("min_ts"))
+          .orderBy("event_type", "level")
+      },
+      Some(OracleViews.withViews(Seq(OracleViews.logs, OracleViews.metrics),
+        """SELECT event_type, level, count(*) AS samples,
+          |  round(sum(value), 6) AS total, min(timestamp_ns) AS min_ts
+          |FROM metrics GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))),
+
     // --- Datadog logs round trip (datadog_json.go) ------------------------
     Gate("ingest_datadog_roundtrip",
       (spark: SparkSession, dir: String) => {

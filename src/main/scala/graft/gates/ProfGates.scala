@@ -59,6 +59,18 @@ object ProfGates extends GateSet {
            |  CAST(sum(mid_self + leaf_self) AS BIGINT) AS value
            |FROM profs GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // --- flamegraph BFS level assembly over the merged tree ---------------
+    // (oracle derives levels from the known synthetic depth: level = node-1)
+    Gate("profiles_flamegraph",
+      (spark: SparkSession, dir: String) =>
+        Profiles.flamegraphLevels(Profiles.mergeTree(spark, dir, "svc2"))
+          .orderBy("level", "fn"),
+      Some("WITH " + profViews + ",\n" + ptree + "\n" +
+        """SELECT node - 1 AS level, fn, CAST(sum(self) AS BIGINT) AS self,
+          |  CAST(sum(total) AS BIGINT) AS total
+          |FROM ptree WHERE service_name = 'svc2'
+          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // --- Drain-style pattern mining ---------------------------------------
     Gate("patterns_mine",
       (spark: SparkSession, dir: String) =>

@@ -251,6 +251,29 @@ object PromQLGates extends GateSet {
            |  WHERE m.event_type = 'error' GROUP BY 1))
            |ORDER BY 1, 2, 3""".stripMargin, grid)),
 
+    // --- many-to-one matching with group_left (integer-exact values) ------
+    Gate("promql_group_left",
+      q("""sum by (event_type, le) (count_over_time(events_bucket[12h])) - on(event_type) group_left sum by (event_type) (count_over_time(events_value[12h]))""",
+        "event_type", "le"),
+      o(s"""SELECT l.event_type,
+           |  CASE WHEN l.le = 'inf'::DOUBLE THEN '+Inf'
+           |       ELSE CAST(l.le AS VARCHAR) END AS le,
+           |  l.t AS ts, round(l.v - r.v, 6) AS value
+           |FROM (
+           |  SELECT b.event_type, b.le, g.t, CAST(count(*) AS DOUBLE) AS v
+           |  FROM buckets b JOIN grid g
+           |    ON b.timestamp_ns > (g.t - $R12) * 1000000000
+           |   AND b.timestamp_ns <= g.t * 1000000000
+           |  GROUP BY 1, 2, 3) l
+           |JOIN (
+           |  SELECT m.event_type, g.t, CAST(count(*) AS DOUBLE) AS v
+           |  FROM metrics m JOIN grid g
+           |    ON m.timestamp_ns > (g.t - $R12) * 1000000000
+           |   AND m.timestamp_ns <= g.t * 1000000000
+           |  GROUP BY 1, 2) r
+           |  ON l.event_type = r.event_type AND l.t = r.t
+           |ORDER BY 1, 2, 3""".stripMargin, OracleViews.buckets, grid)),
+
     // --- subquery: inner expr on a finer grid, outer window over it -------
     Gate("promql_subquery",
       q("""max_over_time(sum by (event_type) (count_over_time(events_value[6h]))[24h:6h])""",

@@ -109,6 +109,52 @@ object WireFormats {
         attrsToMap(coalesce(col("s.attributes"),
           array().cast(ArrayType(otlpAttr)))).as("attrs"))
 
+  // --- OTLP/HTTP JSON metrics (`writer/metric/`, remote-write analog) -----
+
+  private val otlpDataPoint = StructType(Seq(
+    StructField("timeUnixNano", StringType),
+    StructField("asDouble", DoubleType),
+    StructField("asInt", StringType),
+    StructField("attributes", ArrayType(otlpAttr))))
+
+  private val otlpMetric = StructType(Seq(
+    StructField("name", StringType),
+    StructField("gauge", StructType(Seq(
+      StructField("dataPoints", ArrayType(otlpDataPoint))))),
+    StructField("sum", StructType(Seq(
+      StructField("dataPoints", ArrayType(otlpDataPoint)))))))
+
+  val otlpMetricsSchema: StructType = StructType(Seq(
+    StructField("resourceMetrics", ArrayType(StructType(Seq(
+      StructField("resource", StructType(Seq(
+        StructField("attributes", ArrayType(otlpAttr))))),
+      StructField("scopeMetrics", ArrayType(StructType(Seq(
+        StructField("metrics", ArrayType(otlpMetric))))))))))))
+
+  /** OTLP metrics → canonical samples: gauge and sum data points flatten
+    * identically; labels = resource attrs + data-point attrs + __name__.
+    */
+  def decodeOtlpMetrics(bodies: DataFrame): DataFrame =
+    bodies
+      .select(explode(from_json(col("body"), otlpMetricsSchema)
+        .getField("resourceMetrics")).as("rm"))
+      .select(attrsToMap(coalesce(col("rm.resource.attributes"),
+        array().cast(ArrayType(otlpAttr)))).as("res"),
+        explode(col("rm.scopeMetrics")).as("sm"))
+      .select(col("res"), explode(col("sm.metrics")).as("m"))
+      .select(col("res"), col("m.name").as("name"),
+        explode(concat(
+          coalesce(col("m.gauge.dataPoints"), array().cast(ArrayType(otlpDataPoint))),
+          coalesce(col("m.sum.dataPoints"), array().cast(ArrayType(otlpDataPoint)))))
+          .as("dp"))
+      .select(
+        map_concat(col("res"),
+          attrsToMap(coalesce(col("dp.attributes"), array().cast(ArrayType(otlpAttr)))),
+          map(lit("__name__"), col("name"))).as("labels"),
+        col("dp.timeUnixNano").cast("long").as("timestamp_ns"),
+        coalesce(col("dp.asDouble"), col("dp.asInt").cast("double")).as("value"))
+      .withColumn("fingerprint", Tables.fingerprintOf(col("labels")))
+
   // --- Datadog logs JSON (`datadog_json.go`) ------------------------------
 
   val datadogLogsSchema: ArrayType = ArrayType(StructType(Seq(

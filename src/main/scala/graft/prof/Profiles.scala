@@ -51,6 +51,31 @@ object Profiles {
         col("n.fn").as("fn"))
       .agg(sum(col("n.self")).as("self"), sum(col("n.total")).as("total"))
 
+  /** Flamegraph level assembly (`service/prof_tree.go:21-656` BFS): assign
+    * each merged node its depth via iterative frontier joins from the
+    * roots. The merged tree is post-aggregation (small — unique node
+    * identities), so the depth-bounded driver loop is the same shape as
+    * the reference's Go-side assembly after the merge query.
+    */
+  def flamegraphLevels(merged: DataFrame, maxDepth: Int = 64): DataFrame = {
+    var frontier = merged.filter(col("parent") === 0L)
+      .withColumn("level", lit(0L))
+    var acc = frontier
+    var depth = 0
+    while (depth < maxDepth && !frontier.isEmpty) {
+      val next = merged.as("m")
+        .join(frontier.select(col("node").as("__p"), col("level")).distinct(),
+          col("m.parent") === col("__p"))
+        .select(col("m.parent").as("parent"), col("m.node").as("node"),
+          col("m.fn").as("fn"), col("m.self").as("self"),
+          col("m.total").as("total"), (col("level") + 1).as("level"))
+      frontier = next
+      if (!next.isEmpty) acc = acc.unionByName(next)
+      depth += 1
+    }
+    acc.select(col("level"), col("fn"), col("self"), col("total"))
+  }
+
   /** Profile value time series per service (SelectSeriesPlanner,
     * `planner_select_series.go:21-86`): per-step sum of root totals.
     */

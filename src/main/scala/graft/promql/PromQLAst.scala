@@ -36,14 +36,18 @@ object PromQLAst {
       without: Seq[String] = Nil,
       param: Option[Double] = None) extends PExpr
 
-  /** Binary op with vector matching. `boolMod` turns comparisons into 0/1. */
+  /** Binary op with vector matching. `boolMod` turns comparisons into 0/1;
+    * `group` is `Some(("group_left"|"group_right", extraLabels))` for
+    * many-to-one matching with label copy from the "one" side.
+    */
   final case class BinOp(
       op: String,
       lhs: PExpr,
       rhs: PExpr,
       on: Option[Seq[String]] = None,
       ignoring: Option[Seq[String]] = None,
-      boolMod: Boolean = false) extends PExpr
+      boolMod: Boolean = false,
+      group: Option[(String, Seq[String])] = None) extends PExpr
 
   final case class NumLit(v: Double) extends PExpr
 

@@ -545,24 +545,31 @@ class PromQLCompiler(spark: SparkSession, dir: String, params: PromParams) {
     case (lhs, rhs) =>
       // vector-vector: one-to-one matching on labels (minus __name__), or
       // the explicit on()/ignoring() set; result keeps lhs labels
-      // (arithmetic drops __name__, comparisons keep it).
-      val matchKey: Column = (b.on, b.ignoring) match {
-        case (Some(keys), _) =>
-          Tables.fingerprintOf(map_filter(col("labels"),
-            (k, _) => k.isInCollection(keys)))
-        case (_, Some(ig)) =>
-          val dropKeys = ig :+ "__name__"
-          Tables.fingerprintOf(map_filter(col("labels"),
-            (k, _) => !k.isInCollection(dropKeys)))
-        case _ =>
-          Tables.fingerprintOf(map_filter(col("labels"),
-            (k, _) => k =!= "__name__"))
-      }
+      // (arithmetic drops __name__, comparisons keep it). group_left/
+      // group_right allow many-to-one and copy the listed labels from the
+      // "one" side into the result.
+      val matchKey = matchKeyFor(b)
       val lf = compileExpr(lhs).withColumn("__mfp", matchKey)
         .withColumnRenamed("value", "__l")
-      val rf = compileExpr(rhs).withColumn("__mfp", matchKey)
-        .select(col("__mfp"), col("ts"), col("value").as("__r"))
-      val joined = lf.join(rf, Seq("__mfp", "ts"))
+      val rfBase = compileExpr(rhs).withColumn("__mfp", matchKey)
+      val rf = b.group match {
+        case Some(_) => rfBase.select(col("__mfp"), col("ts"),
+          col("value").as("__r"), col("labels").as("__rlabels"))
+        case None => rfBase.select(col("__mfp"), col("ts"), col("value").as("__r"))
+      }
+      val joined0 = lf.join(rf, Seq("__mfp", "ts"))
+      val joined = b.group match {
+        case Some(("group_left", extras)) if extras.nonEmpty =>
+          joined0.withColumn("labels", map_concat(col("labels"),
+            map_filter(col("__rlabels"), (k, _) => k.isInCollection(extras))))
+        case Some(("group_right", extras)) =>
+          val keep = joined0.withColumn("labels",
+            if (extras.isEmpty) col("__rlabels")
+            else map_concat(col("__rlabels"),
+              map_filter(col("labels"), (k, _) => k.isInCollection(extras))))
+          keep.withColumn("fingerprint", Tables.fingerprintOf(col("labels")))
+        case _ => joined0
+      }
       if (CmpOps.contains(b.op)) {
         val base =
           if (b.boolMod) joined.withColumn("value",

@@ -101,10 +101,15 @@ object PromQLParser extends RegexParsers {
     ("on" ~> "(" ~> repsep(labelIdent, ",") <~ ")") ^^ (k => (Some(k), None)) |
     ("ignoring" ~> "(" ~> repsep(labelIdent, ",") <~ ")") ^^ (k => (None, Some(k)))
 
+  private def groupMod: Parser[(String, Seq[String])] =
+    ("group_left" | "group_right") ~ opt("(" ~> repsep(labelIdent, ",") <~ ")") ^^ {
+      case side ~ ls => (side, ls.getOrElse(Nil))
+    }
+
   private def binTail(opP: Parser[String], sub: Parser[PExpr]): Parser[PExpr] =
-    sub ~ rep(opP ~ opt(vecMod) ~ sub) ^^ { case first ~ rest =>
-      rest.foldLeft(first) { case (a, op ~ m ~ b) =>
-        BinOp(op, a, b, m.flatMap(_._1), m.flatMap(_._2))
+    sub ~ rep(opP ~ opt(vecMod) ~ opt(groupMod) ~ sub) ^^ { case first ~ rest =>
+      rest.foldLeft(first) { case (a, op ~ m ~ g ~ b) =>
+        BinOp(op, a, b, m.flatMap(_._1), m.flatMap(_._2), boolMod = false, group = g)
       }
     }
 

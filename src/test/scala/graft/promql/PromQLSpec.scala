@@ -25,16 +25,16 @@ class PromQLSpec extends SparkSpec {
   test("parser: precedence ^ over * over +, comparison last") {
     val e = PromQLParser.parseOrThrow("""sum(a) + sum(b) * sum(c) ^ sum(d) > 2""")
     e match {
-      case BinOp(">", BinOp("+", _, BinOp("*", _, BinOp("^", _, _, _, _, _), _, _, _), _, _, _), NumLit(n), _, _, _) =>
+      case BinOp(">", BinOp("+", _, BinOp("*", _, BinOp("^", _, _, _, _, _, _), _, _, _, _), _, _, _, _), NumLit(n), _, _, _, _) =>
         assert(n == 2.0)
       case other => fail(s"unexpected shape: $other")
     }
   }
 
   test("parser: on/ignoring vector matching and bool modifier") {
-    val BinOp("/", _, _, Some(Seq("a", "b")), None, false) =
+    val BinOp("/", _, _, Some(Seq("a", "b")), None, false, None) =
       PromQLParser.parseOrThrow("""sum(x) / on(a, b) sum(y)"""): @unchecked
-    val BinOp(">", _, _, None, None, true) =
+    val BinOp(">", _, _, None, None, true, None) =
       PromQLParser.parseOrThrow("""sum(x) > bool sum(y)"""): @unchecked
   }
 
