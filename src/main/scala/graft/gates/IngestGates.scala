@@ -250,6 +250,37 @@ object IngestGates extends GateSet {
           |  count(*) AS entries, CAST(sum(length(line)) AS BIGINT) AS bytes
           |FROM logs GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // --- Datadog metrics round trip (datadog_metrics_json.go) -------------
+    // (points carry epoch SECONDS; second-precision aggregates compared)
+    Gate("ingest_datadog_metrics_roundtrip",
+      (spark: SparkSession, dir: String) => {
+        val g = Tables.gaugeSamples(spark, dir)
+        val bodies = g
+          .groupBy(element_at(col("labels"), "event_type").as("et"),
+            element_at(col("labels"), "level").as("lv"))
+          .agg(collect_list(array(col("timestamp_ns") / 1e9,
+            col("value"))).as("pts"))
+          .select(to_json(struct(array(struct(
+            lit("events_value").as("metric"),
+            col("pts").as("points"),
+            array(concat(lit("event_type:"), col("et")),
+              concat(lit("level:"), col("lv"))).as("tags"),
+            lit("gauge").as("type"))).as("series"))).as("body"))
+        WireFormats.decodeDatadogMetrics(bodies)
+          .groupBy(
+            element_at(col("labels"), "event_type").as("event_type"),
+            element_at(col("labels"), "level").as("level"))
+          .agg(count(lit(1)).as("samples"),
+            round(sum(col("value")), 6).as("total"),
+            expr("min(timestamp_ns div 1000000000)").as("min_ts_s"))
+          .orderBy("event_type", "level")
+      },
+      Some(OracleViews.withViews(Seq(OracleViews.logs, OracleViews.metrics),
+        """SELECT event_type, level, count(*) AS samples,
+          |  round(sum(value), 6) AS total,
+          |  min(timestamp_ns // 1000000000) AS min_ts_s
+          |FROM metrics GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))),
+
     // --- Elastic bulk NDJSON round trip (elastic.go) ----------------------
     Gate("ingest_elastic_roundtrip",
       (spark: SparkSession, dir: String) => {

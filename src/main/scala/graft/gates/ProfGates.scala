@@ -71,6 +71,14 @@ object ProfGates extends GateSet {
           |FROM ptree WHERE service_name = 'svc2'
           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // --- profile label dictionary (planner_label_values.go) ---------------
+    Gate("profiles_services",
+      (spark: SparkSession, dir: String) =>
+        Profiles.profiles(spark, dir)
+          .select(col("service_name")).distinct().orderBy("service_name"),
+      Some("WITH " + profViews + "\n" +
+        """SELECT DISTINCT service_name FROM profs ORDER BY 1""")),
+
     // --- Drain-style pattern mining ---------------------------------------
     Gate("patterns_mine",
       (spark: SparkSession, dir: String) =>

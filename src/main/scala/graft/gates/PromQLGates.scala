@@ -251,6 +251,18 @@ object PromQLGates extends GateSet {
            |  WHERE m.event_type = 'error' GROUP BY 1))
            |ORDER BY 1, 2, 3""".stripMargin, grid)),
 
+    // --- @ modifier: pinned evaluation spread across the grid -------------
+    Gate("promql_at",
+      q(s"""avg_over_time(events_value{event_type="click"}[24h] @ $EndS)""", "event_type"),
+      o(s"""SELECT x.event_type, g.t AS ts, round(x.a, 6) AS value FROM (
+           |  SELECT event_type, avg(value) AS a
+           |  FROM metrics
+           |  WHERE event_type = 'click'
+           |    AND timestamp_ns > ${EndS - 86400}000000000
+           |    AND timestamp_ns <= ${EndS}000000000
+           |  GROUP BY 1) x CROSS JOIN grid g
+           |ORDER BY 1, 2""".stripMargin, grid)),
+
     // --- many-to-one matching with group_left (integer-exact values) ------
     Gate("promql_group_left",
       q("""sum by (event_type, le) (count_over_time(events_bucket[12h])) - on(event_type) group_left sum by (event_type) (count_over_time(events_value[12h]))""",

@@ -27,7 +27,7 @@ object TraceQLGates extends GateSet {
     // --- attr-condition bitmask search (attr_condition.go:26-441) ---------
     Gate("traceql_attr_search",
       (spark: SparkSession, dir: String) => {
-        val Query(Sel(ss), _, _, _) = parsed("""{ .name="error" && .service_name="svc1" }"""): @unchecked
+        val Query(Sel(ss), _, _, _, _) = parsed("""{ .name="error" && .service_name="svc1" }"""): @unchecked
         engine(spark, dir).spanSetSpans(ss)
           .select(col("trace_id"), col("span_id"))
           .orderBy("trace_id", "span_id")
@@ -39,7 +39,7 @@ object TraceQLGates extends GateSet {
     // --- OR across attr + duration intrinsic ------------------------------
     Gate("traceql_attr_or_duration",
       (spark: SparkSession, dir: String) => {
-        val Query(Sel(ss), _, _, _) = parsed("""{ .name="purchase" || duration > 300ms }"""): @unchecked
+        val Query(Sel(ss), _, _, _, _) = parsed("""{ .name="purchase" || duration > 300ms }"""): @unchecked
         engine(spark, dir).spanSetSpans(ss)
           .select(col("trace_id"), col("span_id"), col("duration_ns"))
           .orderBy("trace_id", "span_id")
@@ -184,6 +184,26 @@ object TraceQLGates extends GateSet {
            |      CAST(count(*) AS DOUBLE) / $StepS AS value
            |    FROM spans WHERE name = 'click' GROUP BY 1, 2) a) r
            |WHERE rn <= 2 ORDER BY 1, 2""".stripMargin)),
+
+    // --- compare(): selection vs baseline attr diff -----------------------
+    Gate("traceql_compare",
+      (spark: SparkSession, dir: String) => {
+        val q = parsed("""{ .name="error" } | compare({ .service_name="svc1" }, 5)""")
+        engine(spark, dir).compare(q.expr, q.compare.get)
+      },
+      o("""SELECT key, val, sel_count, base_count - sel_count AS baseline_count FROM (
+          |  SELECT a.key, a.val,
+          |    count(*) AS base_count,
+          |    count(*) FILTER (WHERE s.service_name = 'svc1') AS sel_count
+          |  FROM (
+          |    SELECT span_id, 'name' AS key, name AS val FROM spans WHERE name = 'error'
+          |    UNION ALL
+          |    SELECT span_id, 'service_name', service_name FROM spans WHERE name = 'error'
+          |    UNION ALL
+          |    SELECT span_id, 'user', CAST(user_id AS VARCHAR) FROM spans WHERE name = 'error') a
+          |  JOIN spans s ON s.span_id = a.span_id
+          |  GROUP BY 1, 2) c
+          |ORDER BY sel_count DESC, key, val LIMIT 5""".stripMargin)),
 
     // --- tag-value autocomplete -------------------------------------------
     Gate("traceql_tag_values",

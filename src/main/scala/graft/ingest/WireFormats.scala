@@ -243,6 +243,35 @@ object WireFormats {
         map_concat(col("labels"), map(lit("__name__"), col("name")))))
   }
 
+  // --- Datadog metrics JSON (`datadog_metrics_json.go`, /api/v1/series) ---
+
+  val datadogMetricsSchema: StructType = StructType(Seq(
+    StructField("series", ArrayType(StructType(Seq(
+      StructField("metric", StringType),
+      StructField("points", ArrayType(ArrayType(DoubleType))),
+      StructField("tags", ArrayType(StringType)),
+      StructField("type", StringType)))))))
+
+  /** Datadog metric series → canonical samples: points are [epoch_s, value]
+    * pairs, tags ("k:v") explode into labels, metric name → __name__.
+    */
+  def decodeDatadogMetrics(bodies: DataFrame): DataFrame = {
+    val tags = map_from_entries(transform(
+      filter(coalesce(col("s.tags"), array().cast(ArrayType(StringType))),
+        t => t.contains(":")),
+      t => struct(substring_index(t, ":", 1), substring_index(t, ":", -1))))
+    bodies
+      .select(explode(from_json(col("body"), datadogMetricsSchema)
+        .getField("series")).as("s"))
+      .select(
+        map_concat(tags, map(lit("__name__"), col("s.metric"))).as("labels"),
+        explode(col("s.points")).as("p"))
+      .select(col("labels"),
+        (element_at(col("p"), 1) * 1000000000L).cast("long").as("timestamp_ns"),
+        element_at(col("p"), 2).as("value"))
+      .withColumn("fingerprint", Tables.fingerprintOf(col("labels")))
+  }
+
   // --- Elastic bulk NDJSON (`elastic.go:29-144`) --------------------------
 
   /** `_bulk` bodies: alternating action/document lines; index actions keep

@@ -14,12 +14,16 @@ object PromQLAst {
 
   sealed trait PExpr
 
-  /** `metric{l="v"}[5m] offset 1h` — range is present only inside range fns. */
+  /** `metric{l="v"}[5m] offset 1h @ 1704067200` — range is present only
+    * inside range fns; `atNs` pins evaluation to a fixed timestamp (the
+    * `@` modifier), spreading the pinned value across the whole grid.
+    */
   final case class Selector(
       name: String,
       matchers: Seq[Matcher],
       rangeNs: Option[Long],
-      offsetNs: Long) extends PExpr
+      offsetNs: Long,
+      atNs: Option[Long] = None) extends PExpr
 
   /** rate/increase/…/abs/ceil/histogram_quantile — args are exprs;
     * scalar args are NumLit.

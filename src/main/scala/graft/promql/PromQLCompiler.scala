@@ -69,6 +69,8 @@ class PromQLCompiler(spark: SparkSession, dir: String, params: PromParams) {
   }
 
   def compileExpr(e: PExpr): DataFrame = e match {
+    case s: Selector if s.atNs.isDefined =>
+      spread(pinnedCompiler(s.atNs.get).compileExpr(s.copy(atNs = None)))
     case s: Selector  => instantVector(s)
     case f: FnCall    => compileFn(f)
     case a: Agg       => compileAgg(a)
@@ -81,11 +83,30 @@ class PromQLCompiler(spark: SparkSession, dir: String, params: PromParams) {
 
   // --- selectors ---------------------------------------------------------
 
-  private def floorTo(c: Column, step: Long): Column = c - pmod(c, lit(step))
-  /** Smallest grid point ≥ c (grid is step-aligned to epoch; eval windows
-    * assume params.startNs is step-aligned, as the driver grid is).
+  /** Largest grid point ≤ c. The grid is anchored at `gridStart` (NOT the
+    * epoch), so a pinned `@` evaluation with an arbitrary start still puts
+    * its single eval point on-grid; for step-aligned starts this is
+    * identical to epoch alignment.
     */
+  private def floorTo(c: Column, step: Long): Column =
+    c - pmod(c - lit(gridStart), lit(step))
+  /** Smallest grid point ≥ c. */
   private def ceilTo(c: Column, step: Long): Column = floorTo(c + (step - 1), step)
+
+  private def gridDf: DataFrame =
+    spark.range(0, (gridEnd - gridStart) / stepNs + 1)
+      .select((lit(gridStart / 1000000000L) + col("id") * params.stepS).as("ts"))
+
+  /** `@` modifier: evaluate at the pinned instant, then spread the value
+    * across every eval point of the real grid.
+    */
+  private def pinnedCompiler(atNs: Long): PromQLCompiler =
+    new PromQLCompiler(spark, dir,
+      PromParams(atNs, atNs, params.stepS, params.lookbackNs))
+
+  private def spread(df: DataFrame): DataFrame =
+    df.drop("ts").crossJoin(gridDf)
+      .select(col("fingerprint"), col("labels"), col("ts"), col("value"))
 
   private def matcherCond(m: Matcher): Column = {
     val v = element_at(col("labels"), m.label)
@@ -175,7 +196,21 @@ class PromQLCompiler(spark: SparkSession, dir: String, params: PromParams) {
 
   // --- functions ---------------------------------------------------------
 
-  private def compileFn(f: FnCall): DataFrame = f.fn match {
+  private def compileFn(f: FnCall): DataFrame = {
+    // `@` on the argument selector: run the whole function pinned, spread
+    f.args.collectFirst { case s: Selector if s.atNs.isDefined => s } match {
+      case Some(s) =>
+        val cleared = FnCall(f.fn, f.args.map {
+          case sel: Selector => sel.copy(atNs = None)
+          case o => o
+        })
+        return spread(pinnedCompiler(s.atNs.get).compileFn(cleared))
+      case None =>
+    }
+    compileFnInner(f)
+  }
+
+  private def compileFnInner(f: FnCall): DataFrame = f.fn match {
     case "histogram_quantile" =>
       val NumLit(q) = f.args.head: @unchecked
       histogramQuantile(q, compileExpr(f.args(1)))
@@ -261,7 +296,8 @@ class PromQLCompiler(spark: SparkSession, dir: String, params: PromParams) {
     val q = 15000000000L
     graft.store.Store.enabled(spark) && DownsampleFns(fn) &&
       sel.name == "events_value" &&
-      sel.rangeNs.exists(_ % q == 0) && stepNs % q == 0 && sel.offsetNs % q == 0
+      sel.rangeNs.exists(_ % q == 0) && stepNs % q == 0 &&
+      sel.offsetNs % q == 0 && gridStart % q == 0 // pinned @ grids may be unaligned
   }
 
   /** Downsample route (`prom_queryable.go:150-160` raw-vs-downsample fork,

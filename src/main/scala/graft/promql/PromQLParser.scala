@@ -35,12 +35,16 @@ object PromQLParser extends RegexParsers {
   private def rangeClause: Parser[Long] = "[" ~> duration <~ "]" ^^ durationToNs
   private def offsetClause: Parser[Long] = "offset" ~> duration ^^ durationToNs
 
+  private def atClause: Parser[Long] =
+    "@" ~> """[0-9]+(\.[0-9]+)?""".r ^^ (s => (s.toDouble * 1e9).toLong)
+
   private def selector: Parser[Selector] =
-    metricIdent ~ opt(matchers) ~ opt(rangeClause) ~ opt(offsetClause) ^^ {
-      case n ~ ms ~ r ~ off => Selector(n, ms.getOrElse(Nil), r, off.getOrElse(0L))
+    metricIdent ~ opt(matchers) ~ opt(rangeClause) ~ opt(offsetClause) ~ opt(atClause) ^^ {
+      case n ~ ms ~ r ~ off ~ at =>
+        Selector(n, ms.getOrElse(Nil), r, off.getOrElse(0L), at)
     } |
-    matchers ~ opt(rangeClause) ~ opt(offsetClause) ^^ {
-      case ms ~ r ~ off => Selector("", ms, r, off.getOrElse(0L))
+    matchers ~ opt(rangeClause) ~ opt(offsetClause) ~ opt(atClause) ^^ {
+      case ms ~ r ~ off ~ at => Selector("", ms, r, off.getOrElse(0L), at)
     }
 
   private def grouping: Parser[(Seq[String], Seq[String])] =

@@ -49,8 +49,14 @@ object TraceQLAst {
   /** Second stage `| topk(n)` / `| bottomk(n)` (`model_v2.go:259-268`). */
   final case class SecondStage(fn: String, k: Int)
 
+  /** `| compare({sel}, topN)` — selection-vs-baseline attr diff
+    * (`tempo_metrics.go:658-830`).
+    */
+  final case class CompareStage(sel: SpanSet, topN: Int)
+
   final case class Query(expr: TExpr, agg: Option[SpanAgg],
-      metrics: Option[Metrics], second: Option[SecondStage] = None)
+      metrics: Option[Metrics], second: Option[SecondStage] = None,
+      compare: Option[CompareStage] = None)
 }
 
 object TraceQLParser extends RegexParsers {
@@ -131,12 +137,18 @@ object TraceQLParser extends RegexParsers {
       case fn ~ k => SecondStage(fn, k.toInt)
     }
 
+  private def compareStage: Parser[CompareStage] =
+    "compare" ~> ("(" ~> "{" ~> opt(condExpr) <~ "}") ~ ("," ~> number <~ ")") ^^ {
+      case c ~ n => CompareStage(SpanSet(c), n.toInt)
+    }
+
   private def query: Parser[Query] =
-    structExpr ~ opt("|" ~> (metricsStage ^^ (Right(_)) | aggStage ^^ (Left(_)))) ~
+    structExpr ~ opt("|" ~> (compareStage ^^ (c => (None, None, Some(c))) |
+      metricsStage ^^ (m => (None, Some(m), None)) |
+      aggStage ^^ (a => (Some(a), None, None)))) ~
       opt("|" ~> secondStage) ^^ {
-      case e ~ None ~ s           => Query(e, None, None, s)
-      case e ~ Some(Left(a)) ~ s  => Query(e, Some(a), None, s)
-      case e ~ Some(Right(m)) ~ s => Query(e, None, Some(m), s)
+      case e ~ None ~ s => Query(e, None, None, s)
+      case e ~ Some((a, m, c)) ~ s => Query(e, a, m, s, c)
     }
 
   def parse(q: String): Either[String, Query] =

@@ -261,6 +261,34 @@ class TraceQLCompiler(spark: SparkSession, dir: String) {
       .filter(col("__rn") <= s.k).drop("__rn")
   }
 
+  /** `| compare({sel}, topN)` (`tempo_metrics.go:658-830`): split the
+    * matched spans into selection (also matching `sel`) vs baseline, count
+    * every (attr key, value) on both sides, emit the top-N attr pairs by
+    * selection count (deterministic key/val tiebreak).
+    */
+  def compare(e: TExpr, c: CompareStage): DataFrame = {
+    val base = e match {
+      case Sel(ss) => spanSetSpans(ss)
+      case other =>
+        spanSetSpans(SpanSet(None))
+          .join(matchingTraces(other), Seq("trace_id"), "left_semi")
+    }
+    val selected = base.join(
+      spanSetSpans(c.sel).select(col("span_id")), Seq("span_id"), "left_semi")
+    val baseAttrs = attrs.join(base.select(col("span_id")), Seq("span_id"), "left_semi")
+    val selAttrs = attrs.join(selected.select(col("span_id")), Seq("span_id"), "left_semi")
+    val selCnt = selAttrs.groupBy(col("key"), col("val"))
+      .agg(count(lit(1)).as("sel_count"))
+    val baseCnt = baseAttrs.groupBy(col("key"), col("val"))
+      .agg(count(lit(1)).as("base_count"))
+    baseCnt.join(selCnt, Seq("key", "val"), "left")
+      .select(col("key"), col("val"),
+        coalesce(col("sel_count"), lit(0L)).as("sel_count"),
+        (col("base_count") - coalesce(col("sel_count"), lit(0L))).as("baseline_count"))
+      .orderBy(col("sel_count").desc, col("key"), col("val"))
+      .limit(c.topN)
+  }
+
   /** Tag-value autocomplete (`select_values_planner.go:13`). */
   def tagValues(key: String): DataFrame =
     attrs.filter(col("key") === key).select(col("val")).distinct()
