@@ -3,7 +3,11 @@ package graft.gates
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.model.OracleViews
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types.{BinaryType, StructField, StructType}
+
+import graft.ingest.Pprof
+import graft.model.{OracleViews, Tables}
 import graft.patterns.Patterns
 import graft.prof.Profiles
 
@@ -78,6 +82,35 @@ object ProfGates extends GateSet {
           .select(col("service_name")).distinct().orderBy("service_name"),
       Some("WITH " + profViews + "\n" +
         """SELECT DISTINCT service_name FROM profs ORDER BY 1""")),
+
+    // --- pprof binary round trip: gzip+protobuf wire codec → stack rows →
+    // merge (go_pprof.go ingest + prof_merge groupBy semantics) ------------
+    Gate("profiles_pprof_roundtrip",
+      (spark: SparkSession, dir: String) => {
+        val src = Tables.events(spark, dir).select(
+          concat(lit("svc"), (col("user_id") % 5).cast("string")).as("svc"),
+          col("event_type"),
+          concat(lit("op"), (col("user_id") % 3).cast("string")).as("op"),
+          round(col("value") * 1000, 0).cast("long").as("v"))
+        val bodies = spark.createDataFrame(
+          src.rdd
+            .map(r => (r.getString(0),
+              (Seq("main", r.getString(1), r.getString(2)), r.getLong(3))))
+            .groupBy(_._1)
+            .map { case (_, rows) =>
+              Row(Pprof.encodeProfile(rows.map(_._2).toSeq))
+            },
+          StructType(Seq(StructField("body", BinaryType))))
+        Pprof.merge(Pprof.decode(bodies))
+          .select(array_join(col("stack"), ",").as("stack"),
+            col("value"), col("samples"))
+          .orderBy("stack")
+      },
+      Some(
+        """SELECT 'main,' || event_type || ',op' || CAST(user_id % 3 AS VARCHAR) AS stack,
+          |  CAST(sum(CAST(round(value * 1000, 0) AS BIGINT)) AS BIGINT) AS value,
+          |  count(*) AS samples
+          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // --- Drain-style pattern mining ---------------------------------------
     Gate("patterns_mine",
