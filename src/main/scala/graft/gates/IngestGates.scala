@@ -198,8 +198,11 @@ object IngestGates extends GateSet {
           filter(map_entries(col("labels")), e => e.getField("key") =!= "__name__"),
           e => struct(e.getField("key").as("key"),
             struct(e.getField("value").as("stringValue")).as("value")))
+        // one request per (series, day): real clients batch; a single
+        // 10k-point body also balloons the parsed nested tree at decode
         val bodies = g
-          .groupBy(col("labels"))
+          .groupBy(col("labels"),
+            expr("timestamp_ns div 86400000000000").as("__day"))
           .agg(collect_list(struct(col("timestamp_ns").as("ts"),
             col("value").as("v"))).as("dps"))
           .select(to_json(struct(array(struct(array(struct(array(struct(
@@ -257,7 +260,8 @@ object IngestGates extends GateSet {
         val g = Tables.gaugeSamples(spark, dir)
         val bodies = g
           .groupBy(element_at(col("labels"), "event_type").as("et"),
-            element_at(col("labels"), "level").as("lv"))
+            element_at(col("labels"), "level").as("lv"),
+            expr("timestamp_ns div 86400000000000").as("__day"))
           .agg(collect_list(array(col("timestamp_ns") / 1e9,
             col("value"))).as("pts"))
           .select(to_json(struct(array(struct(
