@@ -142,6 +142,28 @@ object LogQLGates extends GateSet {
            |FROM logs
            |GROUP BY 1, 2 ORDER BY 1, 2, 3""".stripMargin)),
 
+    // --- first/last + stddev/stdvar over unwrapped values -----------------
+    // (`drop k` re-coarsens the stream identity: after `| json` every
+    // distinct k value is its own series — Loki semantics — which would
+    // make per-series last/var degenerate)
+    Gate("logql_first_last",
+      metricQ("""max by (event_type) (last_over_time({event_type=~"click|view"} | json | unwrap k | drop k [6h]))""", "event_type"),
+      o(s"""SELECT event_type, ts, round(max(lv), 6) AS value FROM (
+           |  SELECT event_type, $bucket AS ts,
+           |    arg_max(CAST(json_extract_string(line, '$$.k') AS DOUBLE), timestamp_ns) AS lv
+           |  FROM logs WHERE event_type IN ('click', 'view')
+           |  GROUP BY event_type, "user", level, 2) g
+           |GROUP BY 1, 2 ORDER BY 1, 2, 3""".stripMargin)),
+
+    Gate("logql_stddev",
+      metricQ("""sum by (event_type) (stdvar_over_time({level="info"} | json | unwrap k | drop k [6h]))""", "event_type"),
+      o(s"""SELECT event_type, ts, round(sum(v), 6) AS value FROM (
+           |  SELECT event_type, $bucket AS ts,
+           |    var_pop(CAST(json_extract_string(line, '$$.k') AS DOUBLE)) AS v
+           |  FROM logs WHERE level = 'info'
+           |  GROUP BY event_type, "user", level, 2) g
+           |GROUP BY 1, 2 ORDER BY 1, 2, 3""".stripMargin)),
+
     // --- quantile (QuantilePlanner; exact == DuckDB quantile_cont) --------
     Gate("logql_quantile_over_time",
       metricQ("""quantile_over_time(0.9, {event_type="purchase"} | json | unwrap k [6h]) by (event_type)""", "event_type"),

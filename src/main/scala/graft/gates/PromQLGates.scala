@@ -130,6 +130,44 @@ object PromQLGates extends GateSet {
            |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
         OracleViews.counters, lagCounters, grid)),
 
+    // --- irate/idelta: last consecutive pair in the window ----------------
+    Gate("promql_irate",
+      q("""irate(events_total{event_type="click"}[12h])""", "event_type"),
+      o(s"""SELECT event_type, t AS ts,
+           |  round((CASE WHEN lv >= lpv THEN lv - lpv ELSE lv END) /
+           |    ((lts - lpts) / 1000000000.0), 6) AS value
+           |FROM (
+           |  SELECT c.event_type, g.t,
+           |    arg_max(c.value, c.timestamp_ns) AS lv,
+           |    arg_max(c.prev_val, c.timestamp_ns) AS lpv,
+           |    arg_max(c.prev_ts, c.timestamp_ns) AS lpts,
+           |    max(c.timestamp_ns) AS lts
+           |  FROM lc c JOIN grid g
+           |    ON c.timestamp_ns > (g.t - $R12) * 1000000000
+           |   AND c.timestamp_ns <= g.t * 1000000000
+           |  WHERE c.event_type = 'click'
+           |  GROUP BY 1, 2) w
+           |WHERE lpts IS NOT NULL AND lpts > (t - $R12) * 1000000000
+           |ORDER BY 1, 2""".stripMargin,
+        OracleViews.counters, lagCounters, grid)),
+
+    Gate("promql_idelta",
+      q("""idelta(events_total{event_type="view"}[12h])""", "event_type"),
+      o(s"""SELECT event_type, t AS ts, round(lv - lpv, 6) AS value
+           |FROM (
+           |  SELECT c.event_type, g.t,
+           |    arg_max(c.value, c.timestamp_ns) AS lv,
+           |    arg_max(c.prev_val, c.timestamp_ns) AS lpv,
+           |    arg_max(c.prev_ts, c.timestamp_ns) AS lpts
+           |  FROM lc c JOIN grid g
+           |    ON c.timestamp_ns > (g.t - $R12) * 1000000000
+           |   AND c.timestamp_ns <= g.t * 1000000000
+           |  WHERE c.event_type = 'view'
+           |  GROUP BY 1, 2) w
+           |WHERE lpts IS NOT NULL AND lpts > (t - $R12) * 1000000000
+           |ORDER BY 1, 2""".stripMargin,
+        OracleViews.counters, lagCounters, grid)),
+
     // --- *_over_time windowed aggs (over_time.go:30-127) ------------------
     Gate("promql_avg_over_time",
       q("""avg_over_time(events_value{level="error"}[12h])""", "event_type"),

@@ -61,7 +61,7 @@ object PromQLAst {
   final case class Subquery(inner: PExpr, rangeNs: Long, stepNs: Long) extends PExpr
 
   val RangeFns: Set[String] = Set(
-    "rate", "increase", "delta", "resets", "changes",
+    "rate", "increase", "delta", "irate", "idelta", "resets", "changes",
     "sum_over_time", "avg_over_time", "min_over_time", "max_over_time",
     "count_over_time", "last_over_time", "present_over_time",
     "stddev_over_time", "stdvar_over_time")

@@ -396,17 +396,29 @@ class PromQLCompiler(spark: SparkSession, dir: String, params: PromParams) {
         count(lit(1)).as("__n"),
         min_by(col("value"), col("timestamp_ns")).as("__first"),
         max_by(col("value"), col("timestamp_ns")).as("__last"),
+        max_by(col("prev_val"), col("timestamp_ns")).as("__lprev"),
+        max_by(col("prev_ts"), col("timestamp_ns")).as("__lprev_ts"),
+        max(col("timestamp_ns")).as("__last_ts"),
         sum(when(dropped, col("prev_val")).otherwise(0.0)).as("__reset_comp"),
         sum(when(dropped, 1.0).otherwise(0.0)).as("__resets"),
         sum(when(changed, 1.0).otherwise(0.0)).as("__changes"))
+    // irate/idelta need the LAST consecutive pair fully inside the window
+    val lastPairIn = col("__lprev_ts").isNotNull &&
+      col("__lprev_ts") + sel.offsetNs > col("t_ns") - rangeNs
     val filtered = fn match {
       case "rate" | "increase" | "delta" => grouped.filter(col("__n") >= 2)
+      case "irate" | "idelta"            => grouped.filter(lastPairIn)
       case _                             => grouped
     }
+    val idt = (col("__last_ts") - col("__lprev_ts")) / 1e9
     val v = fn match {
       case "rate"     => (col("__last") - col("__first") + col("__reset_comp")) / rangeS
       case "increase" => col("__last") - col("__first") + col("__reset_comp")
       case "delta"    => col("__last") - col("__first")
+      case "irate"    => // instantaneous rate over the last pair, reset-aware
+        when(col("__last") >= col("__lprev"), col("__last") - col("__lprev"))
+          .otherwise(col("__last")) / idt
+      case "idelta"   => col("__last") - col("__lprev")
       case "resets"   => col("__resets")
       case "changes"  => col("__changes")
     }
