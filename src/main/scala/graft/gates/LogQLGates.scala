@@ -342,6 +342,15 @@ object LogQLGates extends GateSet {
            |FROM logs WHERE event_type = 'view'
            |ORDER BY timestamp_ns, line""".stripMargin)),
 
+    // --- template conditionals ({{ if }} / {{ else }} / {{ end }}) --------
+    Gate("logql_line_format_if",
+      logQ("""{event_type="click"} | line_format `{{ if .level }}L={{.level | upper}}{{ else }}nolevel{{ end }}/{{ if .nope }}?{{ else }}none{{ end }}`""",
+        "user"),
+      o(s"""SELECT timestamp_ns,
+           |  'L=' || upper(level) || '/none' AS line, "user"
+           |FROM logs WHERE event_type = 'click'
+           |ORDER BY timestamp_ns, line""".stripMargin)),
+
     // --- matrix densify: step grid + repeat-last per series (MatrixStep/
     // FixPeriod/ZeroEater) -------------------------------------------------
     Gate("logql_matrix_densify",

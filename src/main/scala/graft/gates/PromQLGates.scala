@@ -339,6 +339,22 @@ object PromQLGates extends GateSet {
            |JOIN grid g ON i.t6 > g.t - 86400 AND i.t6 <= g.t
            |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin, grid)),
 
+    // --- quantile over a subquery's inner grid ----------------------------
+    Gate("promql_subquery_quantile",
+      q("""quantile_over_time(0.5, sum by (event_type) (count_over_time(events_value[6h]))[24h:6h])""",
+        "event_type"),
+      o(s"""SELECT i.event_type, g.t AS ts,
+           |  round(quantile_cont(i.v, 0.5), 6) AS value
+           |FROM (
+           |  SELECT m.event_type, g2.t AS t6, CAST(count(*) AS DOUBLE) AS v
+           |  FROM metrics m
+           |  JOIN (SELECT unnest(generate_series(${StartS - 86400}, $EndS, $StepS)) AS t) g2
+           |    ON m.timestamp_ns > (g2.t - $StepS) * 1000000000
+           |   AND m.timestamp_ns <= g2.t * 1000000000
+           |  GROUP BY 1, 2) i
+           |JOIN grid g ON i.t6 > g.t - 86400 AND i.t6 <= g.t
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin, grid)),
+
     // --- histogram_quantile over le buckets (engine-side in the reference;
     // native bucket-array interpolation here) ------------------------------
     Gate("promql_histogram_quantile",

@@ -123,15 +123,35 @@ class LogQLCompiler(spark: SparkSession, dir: String, params: EvalParams) {
         }
       }
 
+    def renderPlain(seg: String): Column = {
+      var last = 0
+      val parts = scala.collection.mutable.ArrayBuffer[Column]()
+      for (m <- re.findAllMatchIn(seg)) {
+        if (m.start > last) parts += lit(seg.substring(last, m.start))
+        parts += applyPipes(
+          coalesce(element_at(col("labels"), m.group(1)), lit("")), m.group(2))
+        last = m.end
+      }
+      if (last < seg.length) parts += lit(seg.substring(last))
+      if (parts.isEmpty) lit("") else concat(parts.toSeq: _*)
+    }
+
+    // {{ if .label }}A{{ else }}B{{ end }} — Go-template truthiness is
+    // "label present and non-empty"; blocks don't nest (reference's tail
+    // subset). Segments between blocks render through the field/pipe path.
+    val ifRe = ("(?s)\\{\\{\\s*if\\s+\\.([a-zA-Z_][a-zA-Z0-9_]*)\\s*\\}\\}(.*?)" +
+      "(?:\\{\\{\\s*else\\s*\\}\\}(.*?))?\\{\\{\\s*end\\s*\\}\\}").r
     var last = 0
     val parts = scala.collection.mutable.ArrayBuffer[Column]()
-    for (m <- re.findAllMatchIn(tpl)) {
-      if (m.start > last) parts += lit(tpl.substring(last, m.start))
-      parts += applyPipes(
-        coalesce(element_at(col("labels"), m.group(1)), lit("")), m.group(2))
+    for (m <- ifRe.findAllMatchIn(tpl)) {
+      if (m.start > last) parts += renderPlain(tpl.substring(last, m.start))
+      val cond = coalesce(element_at(col("labels"), m.group(1)), lit("")) =!= ""
+      val thenC = renderPlain(m.group(2))
+      val elseC = Option(m.group(3)).map(renderPlain).getOrElse(lit(""))
+      parts += when(cond, thenC).otherwise(elseC)
       last = m.end
     }
-    if (last < tpl.length) parts += lit(tpl.substring(last))
+    if (last < tpl.length) parts += renderPlain(tpl.substring(last))
     if (parts.isEmpty) lit("") else concat(parts.toSeq: _*)
   }
 

@@ -217,8 +217,7 @@ class PromQLCompiler(spark: SparkSession, dir: String, params: PromParams) {
 
     case "quantile_over_time" =>
       val NumLit(q) = f.args.head: @unchecked
-      val sel = f.args(1).asInstanceOf[Selector]
-      overTime("quantile_over_time", sel, percentile(col("value"), lit(q)))
+      overTime("quantile_over_time", f.args(1), percentile(col("value"), lit(q)))
 
     case fn if RangeFns.contains(fn) =>
       val arg = f.args.head

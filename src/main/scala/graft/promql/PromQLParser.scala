@@ -67,7 +67,7 @@ object PromQLParser extends RegexParsers {
     "histogram_quantile" ~> ("(" ~> number) ~ ("," ~> expr <~ ")") ^^ {
       case q ~ e => FnCall("histogram_quantile", Seq(NumLit(q), e))
     } |
-    "quantile_over_time" ~> ("(" ~> number) ~ ("," ~> selector <~ ")") ^^ {
+    "quantile_over_time" ~> ("(" ~> number) ~ ("," ~> (subquery | selector) <~ ")") ^^ {
       case q ~ s => FnCall("quantile_over_time", Seq(NumLit(q), s))
     } |
     ("clamp_min" | "clamp_max") ~ ("(" ~> expr) ~ ("," ~> number <~ ")") ^^ {
