@@ -95,6 +95,20 @@ object TraceQLGates extends GateSet {
           |WHERE c.name = 'purchase' AND p.name = 'view'
           |ORDER BY 1""".stripMargin)),
 
+    // --- structural >> = true descendant via ancestor-chain closure -------
+    // (oracle exploits the synthetic traces' linear chains: ancestor ⟺
+    // earlier span in the same trace)
+    Gate("traceql_struct_descendant",
+      (spark: SparkSession, dir: String) => {
+        val q = parsed("""{ .name="view" } >> { .name="purchase" }""")
+        engine(spark, dir).matchingTraces(q.expr).orderBy("trace_id")
+      },
+      o("""SELECT DISTINCT c.trace_id
+          |FROM spans c JOIN spans p
+          |  ON c.trace_id = p.trace_id AND p.span_id < c.span_id
+          |WHERE c.name = 'purchase' AND p.name = 'view'
+          |ORDER BY 1""".stripMargin)),
+
     // --- trace synthetics fetch (traces_data.go:21-86) --------------------
     Gate("traceql_trace_meta",
       (spark: SparkSession, dir: String) => {

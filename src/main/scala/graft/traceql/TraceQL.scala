@@ -36,6 +36,10 @@ object TraceQLAst {
     * span table carries parent_id, so the child op evaluates exactly here.)
     */
   final case class StructChild(l: TExpr, r: TExpr) extends TExpr
+  /** `{a} >> {b}` — TRUE descendant via bounded parent-closure iteration
+    * (the reference flattens this to &&; exact evaluation here).
+    */
+  final case class StructDescendant(l: TExpr, r: TExpr) extends TExpr
 
   /** `| count() > 2`, `| avg(duration) > 40ms` (aggregator.go:23-76). */
   final case class SpanAgg(fn: String, attr: Option[String], op: String, value: Double)
@@ -104,8 +108,9 @@ object TraceQLParser extends RegexParsers {
         case (a, "&&" ~ b) => StructAnd(a, b)
         case (a, "||" ~ b) => StructOr(a, b)
         case (a, ">" ~ b)  => StructChild(a, b)
-        // descendant/ancestor/sibling flatten to same-trace co-occurrence,
-        // as the reference does (planner.go:100-105)
+        case (a, ">>" ~ b) => StructDescendant(a, b)
+        // ancestor/sibling flatten to same-trace co-occurrence, as the
+        // reference does for all structural ops (planner.go:100-105)
         case (a, _ ~ b)    => StructAnd(a, b)
       }
     }

@@ -123,6 +123,38 @@ class TraceQLCompiler(spark: SparkSession, dir: String) {
           children("trace_id") === parents("trace_id") &&
             children("parent_id") === parents("__pid"))
         .select(children("trace_id")).distinct()
+    case StructDescendant(l, r) =>
+      // TRUE descendant: walk the candidate's ancestor chain upward until
+      // it hits an l-matched span (or the root). Each iteration is one
+      // equi-join against the span table's parent pointers; depth-bounded
+      // (real traces are shallow; runaway chains cut at MaxDepth).
+      val lSpans = spanSetSpans(l match { case Sel(ss) => ss; case _ =>
+        throw new IllegalArgumentException(">> needs simple span-sets") })
+        .select(col("trace_id"), col("span_id").as("__aid"))
+      val rSpans = spanSetSpans(r match { case Sel(ss) => ss; case _ =>
+        throw new IllegalArgumentException(">> needs simple span-sets") })
+      val parentOf = spans.select(col("span_id"), col("parent_id"))
+      val MaxDepth = 16
+      var cursor = rSpans
+        .join(parentOf, Seq("span_id"))
+        .select(col("trace_id"), col("span_id"), col("parent_id").as("__anc"))
+      var hits = cursor.join(lSpans,
+          cursor("trace_id") === lSpans("trace_id") &&
+            cursor("__anc") === lSpans("__aid"))
+        .select(cursor("trace_id"))
+      var depth = 1
+      while (depth < MaxDepth) {
+        cursor = cursor.filter(col("__anc").isNotNull)
+          .join(parentOf.select(col("span_id").as("__anc"),
+            col("parent_id").as("__next")), Seq("__anc"))
+          .select(col("trace_id"), col("span_id"), col("__next").as("__anc"))
+        hits = hits.union(cursor.join(lSpans,
+            cursor("trace_id") === lSpans("trace_id") &&
+              cursor("__anc") === lSpans("__aid"))
+          .select(cursor("trace_id")))
+        depth += 1
+      }
+      hits.distinct()
   }
 
   /** Matched spans of any structural expr (union-of-matches for non-leaf). */
