@@ -285,6 +285,27 @@ object IngestGates extends GateSet {
           |  min(timestamp_ns // 1000000000) AS min_ts_s
           |FROM metrics GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))),
 
+    // --- Cloudflare log push round trip (datadog_cf_json.go) --------------
+    Gate("ingest_cloudflare_roundtrip",
+      (spark: SparkSession, dir: String) => {
+        val recs = Tables.logs(spark, dir).select(to_json(struct(
+          col("timestamp_ns").cast("string").as("EdgeStartTimestamp"),
+          upper(element_at(col("labels"), "event_type")).as("ClientRequestMethod"),
+          element_at(col("labels"), "level").as("EdgeResponseStatus"),
+          col("line").as("ClientRequestURI"))).as("r"),
+          (col("timestamp_ns") % 16).as("g"))
+        val bodies = recs.groupBy(col("g"))
+          .agg(concat_ws("\n", collect_list(col("r"))).as("body"))
+        WireFormats.decodeCloudflare(bodies)
+          .groupBy(element_at(col("labels"), "method").as("method"),
+            element_at(col("labels"), "status").as("status"))
+          .agg(count(lit(1)).as("entries"), min(col("timestamp_ns")).as("min_ts"))
+          .orderBy("method", "status")
+      },
+      o("""SELECT upper(event_type) AS method, level AS status,
+          |  count(*) AS entries, min(timestamp_ns) AS min_ts
+          |FROM logs GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // --- Elastic bulk NDJSON round trip (elastic.go) ----------------------
     Gate("ingest_elastic_roundtrip",
       (spark: SparkSession, dir: String) => {

@@ -272,6 +272,31 @@ object WireFormats {
       .withColumn("fingerprint", Tables.fingerprintOf(col("labels")))
   }
 
+  // --- Datadog/Cloudflare log push (`datadog_cf_json.go`) -----------------
+
+  val cfSchema: StructType = StructType(Seq(
+    StructField("EdgeStartTimestamp", StringType), // ns as string
+    StructField("ClientRequestMethod", StringType),
+    StructField("EdgeResponseStatus", StringType),
+    StructField("ClientRequestURI", StringType)))
+
+  /** Cloudflare push: NDJSON event records → log rows; request method and
+    * response status become labels, the raw record stays as the line.
+    */
+  def decodeCloudflare(bodies: DataFrame): DataFrame =
+    bodies
+      .select(explode(filter(split(col("body"), "\n"), l => trim(l) =!= "")).as("l"))
+      .withColumn("__p", from_json(col("l"), cfSchema))
+      .select(
+        map_filter(map(
+          lit("source"), lit("cloudflare"),
+          lit("method"), col("__p.ClientRequestMethod"),
+          lit("status"), col("__p.EdgeResponseStatus")), (_, v) => v.isNotNull)
+          .as("labels"),
+        col("__p.EdgeStartTimestamp").cast("long").as("timestamp_ns"),
+        col("l").as("line"))
+      .withColumn("fingerprint", Tables.fingerprintOf(col("labels")))
+
   // --- Elastic bulk NDJSON (`elastic.go:29-144`) --------------------------
 
   /** `_bulk` bodies: alternating action/document lines; index actions keep
