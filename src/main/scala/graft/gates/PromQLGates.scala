@@ -339,6 +339,32 @@ object PromQLGates extends GateSet {
            |JOIN grid g ON i.t6 > g.t - 86400 AND i.t6 <= g.t
            |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin, grid)),
 
+    // --- counter semantics over a subquery's inner series -----------------
+    Gate("promql_subquery_increase",
+      q("""increase(sum by (event_type) (count_over_time(events_value[6h]))[24h:6h])""",
+        "event_type"),
+      o(s"""SELECT event_type, t AS ts, round(l2 - f + rc, 6) AS value FROM (
+           |  SELECT li.event_type, g.t,
+           |    count(*) AS n,
+           |    arg_min(li.v, li.t6) AS f,
+           |    arg_max(li.v, li.t6) AS l2,
+           |    sum(CASE WHEN li.pt > g.t - 86400 AND li.pv > li.v
+           |             THEN li.pv ELSE 0 END) AS rc
+           |  FROM (
+           |    SELECT *,
+           |      lag(v) OVER (PARTITION BY event_type ORDER BY t6) AS pv,
+           |      lag(t6) OVER (PARTITION BY event_type ORDER BY t6) AS pt
+           |    FROM (
+           |      SELECT m.event_type, g2.t AS t6, CAST(count(*) AS DOUBLE) AS v
+           |      FROM metrics m
+           |      JOIN (SELECT unnest(generate_series(${StartS - 86400}, $EndS, $StepS)) AS t) g2
+           |        ON m.timestamp_ns > (g2.t - $StepS) * 1000000000
+           |       AND m.timestamp_ns <= g2.t * 1000000000
+           |      GROUP BY 1, 2)) li
+           |  JOIN grid g ON li.t6 > g.t - 86400 AND li.t6 <= g.t
+           |  GROUP BY 1, 2) w
+           |WHERE n >= 2 ORDER BY 1, 2""".stripMargin, grid)),
+
     // --- quantile over a subquery's inner grid ----------------------------
     Gate("promql_subquery_quantile",
       q("""quantile_over_time(0.5, sum by (event_type) (count_over_time(events_value[6h]))[24h:6h])""",

@@ -231,7 +231,7 @@ class PromQLCompiler(spark: SparkSession, dir: String, params: PromParams) {
         case "present_over_time" => overTime(fn, arg, lit(1.0))
         case "stddev_over_time"  => overTime(fn, arg, stddev_pop(col("value")))
         case "stdvar_over_time"  => overTime(fn, arg, var_pop(col("value")))
-        case _                   => counterFn(fn, arg.asInstanceOf[Selector])
+        case _                   => counterFn(fn, arg)
       }
 
     case "absent" =>
@@ -370,11 +370,18 @@ class PromQLCompiler(spark: SparkSession, dir: String, params: PromParams) {
     val inner = new PromQLCompiler(spark, dir, innerParams).compileExpr(sq.inner)
     val tsNs = (col("ts") * 1000000000L).as("timestamp_ns")
     val withTs = inner.select(col("fingerprint"), col("labels"), tsNs, col("value"))
+    // prev columns so counter functions work over subqueries too
+    val w = Window.partitionBy(col("fingerprint")).orderBy(col("timestamp_ns"))
+    val withPrev = withTs
+      .withColumn("prev_ts", lag(col("timestamp_ns"), 1).over(w))
+      .withColumn("prev_val", lag(col("value"), 1).over(w))
     val firstT = greatest(ceilTo(col("timestamp_ns"), stepNs), lit(gridStart))
     val lastT = least(floorTo(col("timestamp_ns") + (sq.rangeNs - 1), stepNs), lit(gridEnd))
-    withTs.withColumn("t_ns",
-      explode(when(firstT <= lastT, sequence(firstT, lastT, lit(stepNs)))
-        .otherwise(array())))
+    withPrev.withColumn("t_ns",
+        explode(when(firstT <= lastT, sequence(firstT, lastT, lit(stepNs)))
+          .otherwise(array())))
+      .withColumn("prev_in_window",
+        coalesce(col("prev_ts") > col("t_ns") - lit(sq.rangeNs), lit(false)))
   }
 
   /** rate / increase / delta / resets / changes with counter-reset
@@ -382,13 +389,18 @@ class PromQLCompiler(spark: SparkSession, dir: String, params: PromParams) {
     * pair where the value DROPPED, the previous value is the reset
     * compensation; resets/changes count transitions instead.
     */
-  private def counterFn(fn: String, sel: Selector): DataFrame = {
-    val rangeNs = sel.rangeNs.get
+  private def counterFn(fn: String, arg: PExpr): DataFrame = {
+    val (frame, rangeNs, offNs) = arg match {
+      case sel: Selector => (rangeFrame(sel), sel.rangeNs.getOrElse(
+        throw new IllegalArgumentException(s"$fn needs a range vector")), sel.offsetNs)
+      case sq: Subquery  => (subqueryFrame(sq), sq.rangeNs, 0L)
+      case other => throw new IllegalArgumentException(s"$fn arg $other")
+    }
     val rangeS = rangeNs / 1e9
     val pairIn = col("prev_in_window")
     val dropped = pairIn && col("prev_val") > col("value")
     val changed = pairIn && col("prev_val") =!= col("value")
-    val grouped = rangeFrame(sel)
+    val grouped = frame
       .groupBy(col("fingerprint"), col("t_ns"))
       .agg(
         first(col("labels")).as("labels"),
@@ -403,7 +415,7 @@ class PromQLCompiler(spark: SparkSession, dir: String, params: PromParams) {
         sum(when(changed, 1.0).otherwise(0.0)).as("__changes"))
     // irate/idelta need the LAST consecutive pair fully inside the window
     val lastPairIn = col("__lprev_ts").isNotNull &&
-      col("__lprev_ts") + sel.offsetNs > col("t_ns") - rangeNs
+      col("__lprev_ts") + offNs > col("t_ns") - rangeNs
     val filtered = fn match {
       case "rate" | "increase" | "delta" => grouped.filter(col("__n") >= 2)
       case "irate" | "idelta"            => grouped.filter(lastPairIn)
