@@ -19,12 +19,6 @@ object Multimodal {
 
   val FeatureBins = 16
 
-  val mediaSchema: StructType = StructType(Seq(
-    StructField("doc_id", LongType),
-    StructField("media", BinaryType),
-    StructField("mime", StringType),
-    StructField("n_bytes", LongType)))
-
   /** Media table derived from documents: UTF-8 payload bytes as the opaque
     * binary column (stands in for image/audio payloads).
     */
