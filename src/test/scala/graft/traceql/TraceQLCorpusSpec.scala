@@ -1,0 +1,49 @@
+package graft.traceql
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** TraceQL grammar-coverage corpus (model_v2.go shapes). */
+class TraceQLCorpusSpec extends AnyFunSuite {
+
+  private val corpus = Seq(
+    """{}""",
+    """{ .name="GET /api" }""",
+    """{ .service_name="checkout" && .name="charge" }""",
+    """{ .http_status=500 || .http_status=502 }""",
+    """{ duration > 100ms }""",
+    """{ duration >= 1s && .service_name="db" }""",
+    """{ .name=~"GET.*" }""",
+    """{ (.a="1" || .b="2") && duration < 5ms }""",
+    """{ span.kind="server" }""",
+    """{ resource.region="us-east" }""",
+    """{ .name="a" } && { .name="b" }""",
+    """{ .name="a" } || { .name="b" }""",
+    """{ .name="parent" } > { .name="child" }""",
+    """{ .name="root" } >> { .name="leaf" }""",
+    """{ .name="a" } ~ { .name="b" }""",
+    """{ .service_name="api" } | count() > 3""",
+    """{ .name="q" } | avg(duration) > 50ms""",
+    """{ .name="q" } | max(duration) <= 2s""",
+    """{ .name="q" } | sum(.bytes) > 1000""",
+    """{} | rate()""",
+    """{} | rate() by (service_name)""",
+    """{} | count_over_time() by (name, service_name)""",
+    """{ .name="q" } | quantile_over_time(duration, 0.99)""",
+    """{ .name="q" } | quantile_over_time(duration, 0.5) by (name)""",
+    """{} | histogram_over_time(duration)""",
+    """{} | rate() by (name) | topk(5)""",
+    """{} | rate() | bottomk(2)""",
+    """{ .name="err" } | compare({ .service_name="svc1" }, 10)""")
+
+  test(s"corpus of ${corpus.size} TraceQL queries parses") {
+    val failures = corpus.flatMap { q =>
+      TraceQLParser.parse(q).left.toOption.map(err => s"$q -> $err")
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  test("malformed TraceQL rejected") {
+    Seq("""{ name= }""", """{} | count(""", """{ .a="1" } |""", """{ duration > }""")
+      .foreach(q => assert(TraceQLParser.parse(q).isLeft, s"should fail: $q"))
+  }
+}
