@@ -15,7 +15,7 @@ object TraceQLGates extends GateSet {
   import EvalWindow._
 
   private def engine(spark: SparkSession, dir: String) =
-    new TraceQLCompiler(spark, dir)
+    new TraceQLCompiler(spark, dir, StartNs, EndNs)
 
   private def parsed(q: String): Query = TraceQLParser.parseOrThrow(q)
 

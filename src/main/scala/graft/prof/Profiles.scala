@@ -19,11 +19,25 @@ import graft.model.Tables
   */
 object Profiles {
 
+  /** Materialized-store read of the profiles table (date-partitioned,
+    * service-sorted — Store.ensure); falls back to the raw derivation when
+    * the store is disabled. Query planners go through here so the scan is
+    * pruned, not derived per query.
+    */
+  def profiles(spark: SparkSession, dir: String,
+      loNs: Long = 0L, hiNs: Long = Long.MaxValue): DataFrame =
+    if (graft.store.Store.enabled(spark))
+      graft.store.Store.profiles(spark, dir, loNs, hiNs).drop("date")
+    else
+      derive(spark, dir)
+        .filter(col("timestamp_ns") >= loNs && col("timestamp_ns") < hiNs)
+
   /** One profile per event: service + a 3-node call tree
     * main → <event_type> → op<user_id%3>, with self-costs derived from the
-    * event value (ns).
+    * event value (ns). This is the ingest-side derivation the store
+    * materializes once.
     */
-  def profiles(spark: SparkSession, dir: String): DataFrame = {
+  def derive(spark: SparkSession, dir: String): DataFrame = {
     val mid = col("user_id") % 100
     val leaf = round(col("value") * 1000, 0).cast("long")
     Tables.events(spark, dir).select(
@@ -58,19 +72,27 @@ object Profiles {
     * the reference's Go-side assembly after the merge query.
     */
   def flamegraphLevels(merged: DataFrame, maxDepth: Int = 64): DataFrame = {
-    var frontier = merged.filter(col("parent") === 0L)
+    // the merged tree is small (unique node identities) but its lineage is
+    // the whole merge aggregation — localCheckpoint once so each BFS level
+    // joins the computed result instead of re-running the merge per level,
+    // and each frontier's emptiness probe is O(its own rows)
+    val tree = merged.localCheckpoint()
+    var frontier = tree.filter(col("parent") === 0L)
       .withColumn("level", lit(0L))
+      .localCheckpoint()
     var acc = frontier
     var depth = 0
-    while (depth < maxDepth && !frontier.isEmpty) {
-      val next = merged.as("m")
+    var done = frontier.isEmpty
+    while (depth < maxDepth && !done) {
+      val next = tree.as("m")
         .join(frontier.select(col("node").as("__p"), col("level")).distinct(),
           col("m.parent") === col("__p"))
         .select(col("m.parent").as("parent"), col("m.node").as("node"),
           col("m.fn").as("fn"), col("m.self").as("self"),
           col("m.total").as("total"), (col("level") + 1).as("level"))
-      frontier = next
-      if (!next.isEmpty) acc = acc.unionByName(next)
+        .localCheckpoint()
+      if (next.isEmpty) done = true
+      else { acc = acc.unionByName(next); frontier = next }
       depth += 1
     }
     acc.select(col("level"), col("fn"), col("self"), col("total"))

@@ -52,10 +52,20 @@ object Store {
     new java.io.File(path + "/_SUCCESS").exists()
 
   private def writeSorted(df: DataFrame, path: String): Unit =
+    writePartitioned(df, path, Seq("fingerprint", "timestamp_ns"))
+
+  /** Date-partition + sort-within-partition writer: the Spark analog of the
+    * reference's `PARTITION BY toDate(...) ORDER BY (keys...)` DDL
+    * (`ctrl/qryn/sql/log.sql:16-32`, `traces.sql:7-32`). Partition pruning
+    * handles the query window; parquet row-group min/max on the sort keys
+    * handles the rest.
+    */
+  private def writePartitioned(df: DataFrame, path: String,
+      sortCols: Seq[String]): Unit =
     if (!haveTable(path))
       withDate(df)
         .repartition(col("date"))
-        .sortWithinPartitions(col("fingerprint"), col("timestamp_ns"))
+        .sortWithinPartitions(sortCols.map(col): _*)
         .write.mode("overwrite").partitionBy("date").parquet(path)
 
   /** Build (if absent) and return the store root for a testdata dir. */
@@ -75,6 +85,16 @@ object Store {
           .repartition(col("date"))
           .sortWithinPartitions(col("fingerprint"), col("timestamp_ns"))
           .write.mode("overwrite").partitionBy("date").parquet(s"$root/metrics_15s")
+      // trace + profile stores (round-4: were derive-per-query, which
+      // full-scanned events on every TraceQL/profiles query — the reference
+      // materializes tempo_traces / tempo_traces_attrs_gin / profiles as
+      // date-partitioned tables, traces.sql:7-32 / profiles.sql:5-17)
+      writePartitioned(Tables.spans(spark, dir), s"$root/spans",
+        Seq("trace_id", "span_id"))
+      writePartitioned(Tables.spanAttrs(spark, dir), s"$root/span_attrs",
+        Seq("key", "val", "trace_id"))
+      writePartitioned(graft.prof.Profiles.derive(spark, dir),
+        s"$root/profiles", Seq("service_name", "timestamp_ns"))
       writeSorted(Tables.gaugeSamples(spark, dir), s"$root/prom_gauge")
       writeSorted(Tables.counterSamples(spark, dir), s"$root/prom_counter")
       writeSorted(Tables.bucketSamples(spark, dir), s"$root/prom_bucket")
@@ -127,6 +147,23 @@ object Store {
   def promGauge15s(spark: SparkSession, dir: String,
       loNs: Long, hiNs: Long): DataFrame =
     scanWindow(spark, s"${ensure(spark, dir)}/prom_gauge_15s", loNs, hiNs)
+
+  /** Materialized span table over [loNs, hiNs): date-pruned scan of
+    * tempo_traces' analog (`traces.sql:7-19`).
+    */
+  def spans(spark: SparkSession, dir: String, loNs: Long, hiNs: Long): DataFrame =
+    scanWindow(spark, s"${ensure(spark, dir)}/spans", loNs, hiNs)
+
+  /** Materialized exploded attr table (tempo_traces_attrs_gin analog,
+    * `traces.sql:21-32`), date-pruned — the TraceQL bitmask aggregate's
+    * input scan, so the window applies BELOW the aggregate.
+    */
+  def spanAttrs(spark: SparkSession, dir: String, loNs: Long, hiNs: Long): DataFrame =
+    scanWindow(spark, s"${ensure(spark, dir)}/span_attrs", loNs, hiNs)
+
+  /** Materialized profiles table (profiles.sql:5-17 analog), date-pruned. */
+  def profiles(spark: SparkSession, dir: String, loNs: Long, hiNs: Long): DataFrame =
+    scanWindow(spark, s"${ensure(spark, dir)}/profiles", loNs, hiNs)
 
   def promMetric(spark: SparkSession, dir: String, name: String,
       loNs: Long, hiNs: Long): Option[DataFrame] = {

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.model.Tables
+import graft.store.Store
 import TraceQLAst._
 
 /** TraceQL → DataFrame compiler (SURVEY §2.E).
@@ -28,10 +29,23 @@ import TraceQLAst._
   * a hash shuffle over (trace_id, span_id), which Spark partitions across
   * the cluster natively.
   */
-class TraceQLCompiler(spark: SparkSession, dir: String) {
+class TraceQLCompiler(spark: SparkSession, dir: String,
+    loNs: Long = 0L, hiNs: Long = Long.MaxValue) {
 
-  private def spans: DataFrame = Tables.spans(spark, dir)
-  private def attrs: DataFrame = Tables.spanAttrs(spark, dir)
+  // Scans go through the materialized store (date-partitioned,
+  // (trace_id, span_id)-sorted — Store.ensure) with the query window as a
+  // partition-pruning predicate BELOW the bitmask aggregate, mirroring the
+  // reference's leaf scan (`clickhouse_transpiler/init.go:21`,
+  // `traces.sql:7-32`). Derive-per-query is the kill-switch fallback only.
+  private def spans: DataFrame =
+    if (Store.enabled(spark)) Store.spans(spark, dir, loNs, hiNs).drop("date")
+    else Tables.spans(spark, dir)
+      .filter(col("timestamp_ns") >= loNs && col("timestamp_ns") < hiNs)
+
+  private def attrs: DataFrame =
+    if (Store.enabled(spark)) Store.spanAttrs(spark, dir, loNs, hiNs).drop("date")
+    else Tables.spanAttrs(spark, dir)
+      .filter(col("timestamp_ns") >= loNs && col("timestamp_ns") < hiNs)
 
   private def leaves(c: AttrCond): Seq[AttrCond] = c match {
     case CondAnd(l, r) => leaves(l) ++ leaves(r)
@@ -118,7 +132,8 @@ class TraceQLCompiler(spark: SparkSession, dir: String) {
       val parents = structSpans(l)
         .select(col("trace_id"), col("span_id").as("__pid"))
       val children = structSpans(r)
-        .join(spans.select(col("span_id"), col("parent_id")), Seq("span_id"))
+        .join(spans.select(col("trace_id"), col("span_id"), col("parent_id")),
+          Seq("trace_id", "span_id"))
       children.join(parents,
           children("trace_id") === parents("trace_id") &&
             children("parent_id") === parents("__pid"))
@@ -126,32 +141,41 @@ class TraceQLCompiler(spark: SparkSession, dir: String) {
     case StructDescendant(l, r) =>
       // TRUE descendant: walk the candidate's ancestor chain upward until
       // it hits an l-matched span (or the root). Each iteration is one
-      // equi-join against the span table's parent pointers; depth-bounded
-      // (real traces are shallow; runaway chains cut at MaxDepth).
+      // equi-join against the (localCheckpointed) parent pointers, keyed on
+      // (trace_id, span_id) — span ids are only unique within a trace —
+      // with an EARLY EXIT when the frontier drains (real traces are
+      // shallow; runaway chains still cut at MaxDepth).
       val lSpans = spanSetSpans(l match { case Sel(ss) => ss; case _ =>
         throw new IllegalArgumentException(">> needs simple span-sets") })
         .select(col("trace_id"), col("span_id").as("__aid"))
+        .localCheckpoint()
       val rSpans = spanSetSpans(r match { case Sel(ss) => ss; case _ =>
         throw new IllegalArgumentException(">> needs simple span-sets") })
-      val parentOf = spans.select(col("span_id"), col("parent_id"))
-      val MaxDepth = 16
-      var cursor = rSpans
-        .join(parentOf, Seq("span_id"))
+      val parentOf = spans
+        .select(col("trace_id"), col("span_id"), col("parent_id"))
+        .localCheckpoint()
+      val MaxDepth = 64
+      var frontier = rSpans
+        .join(parentOf, Seq("trace_id", "span_id"))
         .select(col("trace_id"), col("span_id"), col("parent_id").as("__anc"))
-      var hits = cursor.join(lSpans,
-          cursor("trace_id") === lSpans("trace_id") &&
-            cursor("__anc") === lSpans("__aid"))
-        .select(cursor("trace_id"))
+        .filter(col("__anc").isNotNull)
+        .localCheckpoint()
+      var hits = frontier.join(lSpans,
+          frontier("trace_id") === lSpans("trace_id") &&
+            frontier("__anc") === lSpans("__aid"))
+        .select(frontier("trace_id"))
       var depth = 1
-      while (depth < MaxDepth) {
-        cursor = cursor.filter(col("__anc").isNotNull)
-          .join(parentOf.select(col("span_id").as("__anc"),
-            col("parent_id").as("__next")), Seq("__anc"))
+      while (depth < MaxDepth && !frontier.isEmpty) {
+        frontier = frontier
+          .join(parentOf.select(col("trace_id"), col("span_id").as("__anc"),
+            col("parent_id").as("__next")), Seq("trace_id", "__anc"))
+          .filter(col("__next").isNotNull)
           .select(col("trace_id"), col("span_id"), col("__next").as("__anc"))
-        hits = hits.union(cursor.join(lSpans,
-            cursor("trace_id") === lSpans("trace_id") &&
-              cursor("__anc") === lSpans("__aid"))
-          .select(cursor("trace_id")))
+          .localCheckpoint()
+        hits = hits.union(frontier.join(lSpans,
+            frontier("trace_id") === lSpans("trace_id") &&
+              frontier("__anc") === lSpans("__aid"))
+          .select(frontier("trace_id")))
         depth += 1
       }
       hits.distinct()
@@ -190,8 +214,9 @@ class TraceQLCompiler(spark: SparkSession, dir: String) {
       case Some(a) => // numeric attr aggregation: join the attr value rows
         (matched.join(
           attrs.filter(col("key") === a)
-            .select(col("span_id"), col("val").cast("double").as("__av")),
-          Seq("span_id")),
+            .select(col("trace_id"), col("span_id"),
+              col("val").cast("double").as("__av")),
+          Seq("trace_id", "span_id")),
           col("__av"))
     }
     val a: Column = agg.fn match {
@@ -242,7 +267,8 @@ class TraceQLCompiler(spark: SparkSession, dir: String) {
           .join(matchingTraces(other), Seq("trace_id"), "left_semi")
     }
     val withAttrs = matched.join(
-      spans.select(col("span_id"), col("name"), col("service_name")), Seq("span_id"))
+      spans.select(col("trace_id"), col("span_id"), col("name"),
+        col("service_name")), Seq("trace_id", "span_id"))
     val keyCols = m.by.map(col)
     val bucket = (col("timestamp_ns") - pmod(col("timestamp_ns"), lit(stepNs)))
     val windowed = withAttrs
@@ -306,9 +332,12 @@ class TraceQLCompiler(spark: SparkSession, dir: String) {
           .join(matchingTraces(other), Seq("trace_id"), "left_semi")
     }
     val selected = base.join(
-      spanSetSpans(c.sel).select(col("span_id")), Seq("span_id"), "left_semi")
-    val baseAttrs = attrs.join(base.select(col("span_id")), Seq("span_id"), "left_semi")
-    val selAttrs = attrs.join(selected.select(col("span_id")), Seq("span_id"), "left_semi")
+      spanSetSpans(c.sel).select(col("trace_id"), col("span_id")),
+      Seq("trace_id", "span_id"), "left_semi")
+    val baseAttrs = attrs.join(base.select(col("trace_id"), col("span_id")),
+      Seq("trace_id", "span_id"), "left_semi")
+    val selAttrs = attrs.join(selected.select(col("trace_id"), col("span_id")),
+      Seq("trace_id", "span_id"), "left_semi")
     val selCnt = selAttrs.groupBy(col("key"), col("val"))
       .agg(count(lit(1)).as("sel_count"))
     val baseCnt = baseAttrs.groupBy(col("key"), col("val"))

@@ -52,6 +52,36 @@ class StoreSpec extends SparkSpec {
       .exists(_.contains("prom_gauge_15s")))
   }
 
+  test("TraceQL attr scan routes to the materialized span store, date-pruned") {
+    import graft.traceql.{TraceQLCompiler, TraceQLParser}
+    import graft.traceql.TraceQLAst._
+    // one-day window inside the 31-day dataset: partition pruning must
+    // both appear in the plan and actually drop partitions
+    val dayNs = 86400L * 1000000000L
+    val eng = new TraceQLCompiler(spark, sf, StartNs, StartNs + dayNs)
+    val Query(Sel(ss), _, _, _, _) =
+      TraceQLParser.parseOrThrow("""{ .name="error" }"""): @unchecked
+    val scans = eng.spanSetSpans(ss).queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    val attrScan = scans.find(
+      _.relation.location.rootPaths.mkString(",").contains("span_attrs"))
+    assert(attrScan.isDefined, scans.map(_.relation.location.rootPaths.mkString).mkString("; "))
+    assert(attrScan.get.partitionFilters.exists(_.toString.contains("date")))
+    assert(attrScan.get.relation.location.listFiles(
+      attrScan.get.partitionFilters, Nil).size <= 2) // ≤2 of 31 day partitions
+  }
+
+  test("profiles scan routes to the materialized store") {
+    val paths = graft.prof.Profiles.profiles(spark, sf)
+      .queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.rootPaths.mkString(",")
+      }
+    assert(paths.exists(p => p.contains("graft-store") && p.contains("/profiles")),
+      paths.mkString("; "))
+  }
+
   test("store path and derive path agree on a stage-bearing query") {
     val q = """sum by (user) (sum_over_time({event_type="click"} | json | unwrap k [6h]))"""
     val viaStore = engine.compileMetric(LogQLParser.parseOrThrow(q))
