@@ -381,6 +381,121 @@ object PromQLGates extends GateSet {
            |JOIN grid g ON i.t6 > g.t - 86400 AND i.t6 <= g.t
            |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin, grid)),
 
+    // --- label_replace: regex capture into a new label --------------------
+    Gate("promql_label_replace",
+      q("""label_replace(sum by (event_type) (count_over_time(events_value[6h])), "abbr", "$1", "event_type", "(..).*")""",
+        "event_type", "abbr"),
+      o(s"""SELECT m.event_type, substr(m.event_type, 1, 2) AS abbr, g.t AS ts,
+           |  CAST(count(*) AS DOUBLE) AS value
+           |FROM metrics m JOIN grid g
+           |  ON m.timestamp_ns > (g.t - $StepS) * 1000000000
+           | AND m.timestamp_ns <= g.t * 1000000000
+           |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin, grid)),
+
+    // --- label_join: concatenate source labels into a new label -----------
+    Gate("promql_label_join",
+      q("""label_join(sum by (event_type, level) (count_over_time(events_total[12h])), "combo", "-", "event_type", "level")""",
+        "event_type", "level", "combo"),
+      o(s"""SELECT c.event_type, c.level, c.event_type || '-' || c.level AS combo,
+           |  g.t AS ts, CAST(count(*) AS DOUBLE) AS value
+           |FROM counters c JOIN grid g
+           |  ON c.timestamp_ns > (g.t - $R12) * 1000000000
+           | AND c.timestamp_ns <= g.t * 1000000000
+           |GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4""".stripMargin,
+        OracleViews.counters, grid)),
+
+    // --- deriv: least-squares slope over the window (×range so compared
+    // values are window-deltas, not 1e-4-scale slopes) ----------------------
+    Gate("promql_deriv",
+      q("""deriv(events_value{event_type="click"}[12h]) * 43200""", "event_type"),
+      o(s"""SELECT event_type, t AS ts,
+           |  round(covar_pop(x, value) / var_pop(x) * 43200, 6) AS value
+           |FROM (
+           |  SELECT m.event_type, g.t, m.value,
+           |    (m.timestamp_ns - g.t * 1000000000) / 1e9 AS x
+           |  FROM metrics m JOIN grid g
+           |    ON m.timestamp_ns > (g.t - $R12) * 1000000000
+           |   AND m.timestamp_ns <= g.t * 1000000000
+           |  WHERE m.event_type = 'click') w
+           |GROUP BY 1, 2
+           |HAVING count(*) >= 2 AND var_pop(x) > 0
+           |ORDER BY 1, 2""".stripMargin, grid)),
+
+    // --- predict_linear: regression extrapolated 1h past the eval point ---
+    Gate("promql_predict_linear",
+      q("""predict_linear(events_value{event_type="view"}[12h], 3600)""", "event_type"),
+      o(s"""SELECT event_type, t AS ts,
+           |  round(avg(value) - (covar_pop(x, value) / var_pop(x)) * avg(x)
+           |    + (covar_pop(x, value) / var_pop(x)) * 3600, 6) AS value
+           |FROM (
+           |  SELECT m.event_type, g.t, m.value,
+           |    (m.timestamp_ns - g.t * 1000000000) / 1e9 AS x
+           |  FROM metrics m JOIN grid g
+           |    ON m.timestamp_ns > (g.t - $R12) * 1000000000
+           |   AND m.timestamp_ns <= g.t * 1000000000
+           |  WHERE m.event_type = 'view') w
+           |GROUP BY 1, 2
+           |HAVING count(*) >= 2 AND var_pop(x) > 0
+           |ORDER BY 1, 2""".stripMargin, grid)),
+
+    // --- sort_desc: value-ordered instant vector (row order IS the test) --
+    Gate("promql_sort_desc",
+      q("""sort_desc(sum by (event_type) (count_over_time(events_value[6h])))""",
+        "event_type"),
+      o(s"""SELECT m.event_type, g.t AS ts, CAST(count(*) AS DOUBLE) AS value
+           |FROM metrics m JOIN grid g
+           |  ON m.timestamp_ns > (g.t - $StepS) * 1000000000
+           | AND m.timestamp_ns <= g.t * 1000000000
+           |GROUP BY 1, 2 ORDER BY 2, 3 DESC, 1""".stripMargin, grid)),
+
+    // --- count_values: series count per distinct value ---------------------
+    Gate("promql_count_values",
+      q("""count_values("cnt", sum by (event_type) (count_over_time(events_value[6h])))""",
+        "cnt"),
+      o(s"""SELECT CAST(cnt AS VARCHAR) AS cnt, ts, CAST(count(*) AS DOUBLE) AS value
+           |FROM (
+           |  SELECT m.event_type, g.t AS ts, count(*) AS cnt
+           |  FROM metrics m JOIN grid g
+           |    ON m.timestamp_ns > (g.t - $StepS) * 1000000000
+           |   AND m.timestamp_ns <= g.t * 1000000000
+           |  GROUP BY 1, 2) w
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin, grid)),
+
+    // --- time()/vector() + calendar function (UTC) -------------------------
+    Gate("promql_day_of_month",
+      q("""day_of_month(vector(time()))"""),
+      o(s"""SELECT gs AS ts,
+           |  CAST(date_part('day', make_timestamp(gs * 1000000)) AS DOUBLE) AS value
+           |FROM generate_series($StartS, $EndS, $StepS) t(gs)
+           |ORDER BY 1""".stripMargin, grid)),
+
+    // --- timestamp(): the chosen sample's own timestamp --------------------
+    Gate("promql_timestamp",
+      q("""timestamp(events_value{event_type="click"})""", "event_type"),
+      o(s"""SELECT event_type, g.t AS ts,
+           |  round(max(m.timestamp_ns) / 1000000000.0, 6) AS value
+           |FROM metrics m JOIN grid g
+           |  ON m.timestamp_ns > (g.t - 300) * 1000000000
+           | AND m.timestamp_ns <= g.t * 1000000000
+           |WHERE event_type = 'click'
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin, grid)),
+
+    // --- clamp + sgn chain -------------------------------------------------
+    Gate("promql_clamp_sgn",
+      q("""clamp(sgn(avg_over_time(events_value[12h]) - 100), -0.5, 1)""",
+        "event_type", "level"),
+      o(s"""SELECT event_type, level, ts,
+           |  round(least(greatest(
+           |    CASE WHEN a > 100 THEN 1.0 WHEN a < 100 THEN -1.0 ELSE 0.0 END,
+           |    -0.5), 1.0), 6) AS value
+           |FROM (
+           |  SELECT m.event_type, m.level, g.t AS ts, avg(m.value) AS a
+           |  FROM metrics m JOIN grid g
+           |    ON m.timestamp_ns > (g.t - $R12) * 1000000000
+           |   AND m.timestamp_ns <= g.t * 1000000000
+           |  GROUP BY 1, 2, 3) w
+           |ORDER BY 1, 2, 3""".stripMargin, grid)),
+
     // --- histogram_quantile over le buckets (engine-side in the reference;
     // native bucket-array interpolation here) ------------------------------
     Gate("promql_histogram_quantile",

@@ -30,15 +30,17 @@ object PromQLAst {
     */
   final case class FnCall(fn: String, args: Seq[PExpr]) extends PExpr
 
-  /** sum/min/max/avg/count/group/stddev/stdvar/topk/bottomk/quantile
-    * with by/without grouping (`planner/sum.go:18-168`).
+  /** sum/min/max/avg/count/group/stddev/stdvar/topk/bottomk/quantile/
+    * count_values with by/without grouping (`planner/sum.go:18-168`).
+    * `sparam` carries count_values' destination-label string.
     */
   final case class Agg(
       fn: String,
       inner: PExpr,
       by: Seq[String] = Nil,
       without: Seq[String] = Nil,
-      param: Option[Double] = None) extends PExpr
+      param: Option[Double] = None,
+      sparam: Option[String] = None) extends PExpr
 
   /** Binary op with vector matching. `boolMod` turns comparisons into 0/1;
     * `group` is `Some(("group_left"|"group_right", extraLabels))` for
@@ -55,6 +57,9 @@ object PromQLAst {
 
   final case class NumLit(v: Double) extends PExpr
 
+  /** String literal argument (label_replace/label_join name args). */
+  final case class StrLit(s: String) extends PExpr
+
   /** `expr[range:step]` — inner expr re-evaluated on the finer step grid,
     * consumed by an outer *_over_time function.
     */
@@ -62,12 +67,15 @@ object PromQLAst {
 
   val RangeFns: Set[String] = Set(
     "rate", "increase", "delta", "irate", "idelta", "resets", "changes",
+    "deriv",
     "sum_over_time", "avg_over_time", "min_over_time", "max_over_time",
     "count_over_time", "last_over_time", "present_over_time",
     "stddev_over_time", "stdvar_over_time")
 
   val InstantFns: Set[String] = Set(
-    "abs", "ceil", "floor", "sqrt", "exp", "ln", "log2", "log10")
+    "abs", "ceil", "floor", "sqrt", "exp", "ln", "log2", "log10", "sgn",
+    "day_of_week", "day_of_month", "day_of_year", "hour", "minute",
+    "month", "year", "deg", "rad")
 
   val AggFns: Set[String] = Set(
     "sum", "min", "max", "avg", "count", "group", "stddev", "stdvar")

@@ -59,13 +59,24 @@ class PromQLCompiler(spark: SparkSession, dir: String, params: PromParams) {
     * hash compare would flag as a mismatch.
     */
   def result(q: String, labelCols: Seq[String]): DataFrame = {
-    val df = compile(q)
+    val ast = PromQLParser.parseOrThrow(q)
+    val df = compileExpr(ast)
     val v = col("value")
     val r6 = when(v >= 0, floor(v * 1e6 + 0.5))
       .otherwise(-floor(-v * 1e6 + 0.5)).cast("double") / 1e6
     val cols = labelCols.map(k => element_at(col("labels"), k).as(k)) ++
       Seq(col("ts"), r6.as("value"))
-    df.select(cols: _*).orderBy(labelCols.map(col) :+ col("ts"): _*)
+    val proj = df.select(cols: _*)
+    // sort/sort_desc order by value within each eval point (Prometheus
+    // orders the instant vector); everything else orders by series.
+    ast match {
+      case FnCall("sort", _) =>
+        proj.orderBy(col("ts") +: col("value").asc +: labelCols.map(col): _*)
+      case FnCall("sort_desc", _) =>
+        proj.orderBy(col("ts") +: col("value").desc +: labelCols.map(col): _*)
+      case _ =>
+        proj.orderBy(labelCols.map(col) :+ col("ts"): _*)
+    }
   }
 
   def compileExpr(e: PExpr): DataFrame = e match {
@@ -79,6 +90,8 @@ class PromQLCompiler(spark: SparkSession, dir: String, params: PromParams) {
       spark.range(1).select(lit(0L).as("fingerprint"),
         map().cast(MapType(StringType, StringType)).as("labels"),
         lit(0L).as("ts"), lit(v).as("value"))
+    case StrLit(s)    =>
+      throw new IllegalArgumentException(s"string literal outside fn args: $s")
   }
 
   // --- selectors ---------------------------------------------------------
@@ -231,6 +244,7 @@ class PromQLCompiler(spark: SparkSession, dir: String, params: PromParams) {
         case "present_over_time" => overTime(fn, arg, lit(1.0))
         case "stddev_over_time"  => overTime(fn, arg, stddev_pop(col("value")))
         case "stdvar_over_time"  => overTime(fn, arg, var_pop(col("value")))
+        case "deriv"             => regressionFn("deriv", arg, 0.0)
         case _                   => counterFn(fn, arg)
       }
 
@@ -251,6 +265,10 @@ class PromQLCompiler(spark: SparkSession, dir: String, params: PromParams) {
 
     case fn if InstantFns.contains(fn) =>
       val inner = compileExpr(f.args.head)
+      // calendar fns interpret the VALUE as epoch seconds in UTC (the
+      // session timezone is pinned to UTC); Prometheus day_of_week is
+      // 0=Sunday, Spark dayofweek is 1=Sunday.
+      def cal = timestamp_seconds(col("value"))
       val v = fn match {
         case "abs"   => abs(col("value"))
         case "ceil"  => ceil(col("value")).cast("double")
@@ -260,6 +278,16 @@ class PromQLCompiler(spark: SparkSession, dir: String, params: PromParams) {
         case "ln"    => log(col("value"))
         case "log2"  => log2(col("value"))
         case "log10" => log10(col("value"))
+        case "sgn"   => signum(col("value"))
+        case "deg"   => degrees(col("value"))
+        case "rad"   => radians(col("value"))
+        case "day_of_week"  => (dayofweek(cal) - 1).cast("double")
+        case "day_of_month" => dayofmonth(cal).cast("double")
+        case "day_of_year"  => dayofyear(cal).cast("double")
+        case "hour"         => hour(cal).cast("double")
+        case "minute"       => minute(cal).cast("double")
+        case "month"        => month(cal).cast("double")
+        case "year"         => year(cal).cast("double")
       }
       dropName(inner.withColumn("value", v))
 
@@ -279,7 +307,137 @@ class PromQLCompiler(spark: SparkSession, dir: String, params: PromParams) {
       dropName(compileExpr(f.args.head)
         .withColumn("value", least(col("value"), lit(s))))
 
+    case "clamp" =>
+      val NumLit(mn) = f.args(1): @unchecked
+      val NumLit(mx) = f.args(2): @unchecked
+      dropName(compileExpr(f.args.head)
+        .withColumn("value", least(greatest(col("value"), lit(mn)), lit(mx))))
+
+    case "predict_linear" =>
+      val NumLit(t) = f.args(1): @unchecked
+      regressionFn("predict_linear", f.args.head, t)
+
+    // sort/sort_desc don't change the data, only presentation order —
+    // applied by result() at the top level (Prometheus sorts the final
+    // instant vector; intermediate sorts are no-ops).
+    case "sort" | "sort_desc" => compileExpr(f.args.head)
+
+    case "time" =>
+      gridDf.select(lit(0L).as("fingerprint"), emptyLabels.as("labels"),
+        col("ts"), col("ts").cast("double").as("value"))
+
+    case "timestamp" =>
+      val sel = f.args.head match {
+        case s: Selector => s
+        case o => throw new IllegalArgumentException(s"timestamp arg $o")
+      }
+      dropName(timestampVector(sel))
+
+    case "scalar" =>
+      val agg = compileExpr(f.args.head)
+        .groupBy(col("ts"))
+        .agg(count(lit(1)).as("__n"), first(col("value")).as("__v"))
+      gridDf.join(agg, Seq("ts"), "left")
+        .select(lit(0L).as("fingerprint"), emptyLabels.as("labels"), col("ts"),
+          when(col("__n") === 1, col("__v"))
+            .otherwise(lit(Double.NaN)).as("value"))
+
+    case "vector" => f.args.head match {
+      case NumLit(v) =>
+        gridDf.select(lit(0L).as("fingerprint"), emptyLabels.as("labels"),
+          col("ts"), lit(v).as("value"))
+      case e => compileExpr(e) // scalar-valued frame already spans the grid
+    }
+
+    case "label_replace" =>
+      val Seq(e, StrLit(dst), StrLit(repl), StrLit(src), StrLit(re)) =
+        f.args: @unchecked
+      val inner = compileExpr(e)
+      val srcV = coalesce(element_at(col("labels"), src), lit(""))
+      val anchored = "^(?:" + re + ")$"
+      val newV = regexp_replace(srcV, anchored, repl)
+      val without = map_filter(col("labels"), (k, _) => k =!= dst)
+      // no match → unchanged; empty expansion → dst removed (empty label
+      // value ≡ absent, Prometheus semantics); else dst set to expansion
+      val lbls = when(!srcV.rlike(anchored), col("labels"))
+        .when(newV === "", without)
+        .otherwise(map_concat(without, map(lit(dst), newV)))
+      inner.withColumn("labels", lbls)
+        .withColumn("fingerprint", Tables.fingerprintOf(col("labels")))
+
+    case "label_join" =>
+      val e = f.args.head
+      val strs = f.args.tail.map {
+        case StrLit(s) => s
+        case o => throw new IllegalArgumentException(s"label_join arg $o")
+      }
+      val (dst, sep, srcs) = (strs.head, strs(1), strs.drop(2))
+      val joined = concat_ws(sep,
+        srcs.map(s => coalesce(element_at(col("labels"), s), lit(""))): _*)
+      val without = map_filter(col("labels"), (k, _) => k =!= dst)
+      val lbls = when(joined === "", without)
+        .otherwise(map_concat(without, map(lit(dst), joined)))
+      compileExpr(e).withColumn("labels", lbls)
+        .withColumn("fingerprint", Tables.fingerprintOf(col("labels")))
+
     case other => throw new IllegalArgumentException(s"function $other")
+  }
+
+  private def emptyLabels: Column = map().cast(MapType(StringType, StringType))
+
+  /** timestamp(): instant vector whose value is the chosen (latest
+    * in-lookback) sample's own timestamp in seconds.
+    */
+  private def timestampVector(sel: Selector): DataFrame = {
+    val off = sel.offsetNs
+    val df = scan(sel, gridStart - params.lookbackNs - off, gridEnd + 1 - off)
+    val tsEff = col("timestamp_ns") + lit(off)
+    val firstT = greatest(ceilTo(tsEff, stepNs), lit(gridStart))
+    val lastT = least(floorTo(tsEff + (params.lookbackNs - 1), stepNs), lit(gridEnd))
+    df.withColumn("t_ns",
+        explode(when(firstT <= lastT, sequence(firstT, lastT, lit(stepNs)))
+          .otherwise(array())))
+      .groupBy(col("fingerprint"), col("t_ns"))
+      .agg(first(col("labels")).as("labels"),
+        max(col("timestamp_ns")).as("__sts"))
+      .select(col("fingerprint"), col("labels"),
+        expr("t_ns div 1000000000").as("ts"),
+        (col("__sts") / 1000000000.0).as("value"))
+  }
+
+  /** deriv / predict_linear: simple least-squares over the in-window
+    * samples with x = sample time − eval time (seconds) — the regression
+    * intercept is then the fitted value AT the eval point, and
+    * predict_linear(v, t) = intercept + slope·t (Prometheus
+    * `functions.go linearRegression`). slope = covar_pop/var_pop, the same
+    * closed form DuckDB's regr_slope/regr_intercept use.
+    */
+  private def regressionFn(fn: String, arg: PExpr, predictS: Double): DataFrame = {
+    val (frame, offNs) = arg match {
+      case sel: Selector =>
+        sel.rangeNs.getOrElse(
+          throw new IllegalArgumentException(s"$fn needs a range vector"))
+        (rangeFrame(sel), sel.offsetNs)
+      case sq: Subquery => (subqueryFrame(sq), 0L)
+      case other => throw new IllegalArgumentException(s"$fn arg $other")
+    }
+    val x = (col("timestamp_ns") + lit(offNs) - col("t_ns")).cast("double") / 1e9
+    val grouped = frame.withColumn("__x", x)
+      .groupBy(col("fingerprint"), col("t_ns"))
+      .agg(first(col("labels")).as("labels"),
+        count(lit(1)).as("__n"),
+        covar_pop(col("__x"), col("value")).as("__cov"),
+        var_pop(col("__x")).as("__var"),
+        avg(col("__x")).as("__xm"),
+        avg(col("value")).as("__ym"))
+    val slope = col("__cov") / col("__var")
+    val v = fn match {
+      case "deriv"          => slope
+      case "predict_linear" => col("__ym") - slope * col("__xm") + slope * predictS
+    }
+    dropName(grouped.filter(col("__n") >= 2 && col("__var") > 0)
+      .select(col("fingerprint"), col("labels"),
+        expr("t_ns div 1000000000").as("ts"), v.as("value")))
   }
 
   /** over_time fns whose re-aggregation from 15s partials is EXACT
@@ -495,6 +653,34 @@ class PromQLCompiler(spark: SparkSession, dir: String, params: PromParams) {
         val w2 = Window.partitionBy(col("ts")).orderBy(ord: _*)
         pruned.withColumn("__rn", row_number().over(w2))
           .filter(col("__rn") <= k).drop("__rn", "__tie")
+      case "count_values" =>
+        // series count per distinct value; the value's canonical string
+        // becomes label `dst` (Go FormatFloat 'f' -1: integers render
+        // without a decimal point).
+        val dst = a.sparam.get
+        val vstr = when(col("value") === floor(col("value")) &&
+            abs(col("value")) < 1e15,
+          col("value").cast("long").cast("string"))
+          .otherwise(col("value").cast("string"))
+        val grouped =
+          if (a.by.nonEmpty)
+            inner.withColumn("labels",
+              map_filter(col("labels"), (key, _) => key.isInCollection(a.by)))
+          else if (a.without.nonEmpty) {
+            val dropKeys = a.without :+ "__name__"
+            inner.withColumn("labels",
+              map_filter(col("labels"), (key, _) => !key.isInCollection(dropKeys)))
+          } else inner.withColumn("labels",
+            map().cast(MapType(StringType, StringType)))
+        grouped
+          .withColumn("labels", map_concat(
+            map_filter(col("labels"), (k, _) => k =!= dst),
+            map(lit(dst), vstr)))
+          .withColumn("fingerprint", Tables.fingerprintOf(col("labels")))
+          .groupBy(col("fingerprint"), col("ts"))
+          .agg(first(col("labels")).as("labels"),
+            count(lit(1)).cast("double").as("value"))
+          .select(col("fingerprint"), col("labels"), col("ts"), col("value"))
       case fn =>
         val rekeyed =
           if (a.by.nonEmpty)

@@ -61,6 +61,12 @@ object PromQLParser extends RegexParsers {
       case fn ~ g1 ~ k ~ e ~ g2 =>
         val g = g1.orElse(g2)
         Agg(fn, e, g.map(_._1).getOrElse(Nil), g.map(_._2).getOrElse(Nil), Some(k))
+    } |
+    "count_values" ~> opt(grouping) ~ ("(" ~> quoted) ~ ("," ~> expr <~ ")") ~ opt(grouping) ^^ {
+      case g1 ~ dst ~ e ~ g2 =>
+        val g = g1.orElse(g2)
+        Agg("count_values", e, g.map(_._1).getOrElse(Nil),
+          g.map(_._2).getOrElse(Nil), None, Some(dst))
     }
 
   private def fnCall: Parser[PExpr] =
@@ -77,6 +83,29 @@ object PromQLParser extends RegexParsers {
       case e ~ s => FnCall("round", Seq(e, NumLit(s.getOrElse(1.0))))
     } |
     "absent" ~> "(" ~> selector <~ ")" ^^ (s => FnCall("absent", Seq(s))) |
+    "label_replace" ~> ("(" ~> expr) ~ ("," ~> quoted) ~ ("," ~> quoted) ~
+      ("," ~> quoted) ~ ("," ~> quoted <~ ")") ^^ {
+      case e ~ dst ~ repl ~ src ~ re =>
+        FnCall("label_replace", Seq(e, StrLit(dst), StrLit(repl), StrLit(src), StrLit(re)))
+    } |
+    "label_join" ~> ("(" ~> expr) ~ ("," ~> quoted) ~ ("," ~> quoted) ~
+      rep("," ~> quoted) <~ ")" ^^ {
+      case e ~ dst ~ sep ~ srcs =>
+        FnCall("label_join", e +: StrLit(dst) +: StrLit(sep) +: srcs.map(StrLit.apply))
+    } |
+    "predict_linear" ~> ("(" ~> (subquery | selector)) ~ ("," ~> expr <~ ")") ^^ {
+      case s ~ t => FnCall("predict_linear", Seq(s, NumLit(constFold(t))))
+    } |
+    "clamp" ~> ("(" ~> expr) ~ ("," ~> number) ~ ("," ~> number <~ ")") ^^ {
+      case e ~ mn ~ mx => FnCall("clamp", Seq(e, NumLit(mn), NumLit(mx)))
+    } |
+    ("sort_desc" | "sort") ~ ("(" ~> expr <~ ")") ^^ {
+      case fn ~ e => FnCall(fn, Seq(e))
+    } |
+    "timestamp" ~> ("(" ~> expr <~ ")") ^^ (e => FnCall("timestamp", Seq(e))) |
+    "time" ~ "(" ~ ")" ^^^ FnCall("time", Nil) |
+    "scalar" ~> ("(" ~> expr <~ ")") ^^ (e => FnCall("scalar", Seq(e))) |
+    "vector" ~> ("(" ~> expr <~ ")") ^^ (e => FnCall("vector", Seq(e))) |
     metricIdent.filter(RangeFns.contains) ~ ("(" ~> (subquery | selector) <~ ")") ^^ {
       case fn ~ s => FnCall(fn, Seq(s))
     } |
@@ -146,6 +175,25 @@ object PromQLParser extends RegexParsers {
     }
 
   private def expr: Parser[PExpr] = orExpr
+
+  /** Fold a constant scalar expression (predict_linear's `4 * 3600` style
+    * second argument) to its numeric value.
+    */
+  private def constFold(e: PExpr): Double = e match {
+    case NumLit(v) => v
+    case BinOp(op, l, r, _, _, _, _) =>
+      val (a, b) = (constFold(l), constFold(r))
+      op match {
+        case "+" => a + b
+        case "-" => a - b
+        case "*" => a * b
+        case "/" => a / b
+        case "%" => a % b
+        case "^" => math.pow(a, b)
+        case o   => throw new IllegalArgumentException(s"non-constant op $o")
+      }
+    case other => throw new IllegalArgumentException(s"non-constant arg: $other")
+  }
 
   def parse(q: String): Either[String, PExpr] =
     parseAll(expr, q) match {

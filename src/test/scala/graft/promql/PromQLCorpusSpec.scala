@@ -56,7 +56,23 @@ class PromQLCorpusSpec extends AnyFunSuite {
     """quantile_over_time(0.5, sum by (job) (rate(a[1m]))[10m:1m])""",
     """absent(nonexistent_metric)""",
     """avg_over_time(node_load1[1h] @ 1704067200)""",
-    """rate(http_requests_total[5m]) ^ 2 + 1""")
+    """rate(http_requests_total[5m]) ^ 2 + 1""",
+    """label_replace(up, "host", "$1", "instance", "(.*):.*")""",
+    """label_join(up, "endpoint", "/", "job", "instance")""",
+    """deriv(node_load1[10m])""",
+    """predict_linear(node_filesystem_free[1h], 4 * 3600)""",
+    """sort(sum by (job) (up))""",
+    """sort_desc(rate(http_requests_total[5m]))""",
+    """count_values("version", build_info)""",
+    """count_values by (job) ("code", http_responses)""",
+    """scalar(sum(up))""",
+    """vector(1)""",
+    """time()""",
+    """timestamp(up)""",
+    """day_of_week(vector(time()))""",
+    """hour(vector(time()))""",
+    """clamp(node_load1, 0, 10)""",
+    """sgn(delta(gauge_metric[5m]))""")
 
   test(s"corpus of ${corpus.size} PromQL queries parses") {
     val failures = corpus.flatMap { q =>
