@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev-only micro-profiler for the traceql store path (not part of the
+  * driver contract; run via `sbt "runMain graft.DevProf"`).
+  */
+object DevProf {
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.store.Store.ensure(spark, dir)
+    import graft.gates.EvalWindow._
+
+    def time(name: String)(f: => Long): Unit =
+      for (i <- 1 to 3) {
+        val t0 = System.nanoTime()
+        val n = f
+        println(f"$name%-30s run$i: ${(System.nanoTime() - t0) / 1e9}%8.3f s  ($n rows)")
+      }
+
+    time("attrs scan count") {
+      graft.store.Store.spanAttrs(spark, dir, StartNs, EndNs).count()
+    }
+    time("spans scan count") {
+      graft.store.Store.spans(spark, dir, StartNs, EndNs).count()
+    }
+    val c = new graft.traceql.TraceQLCompiler(spark, dir, StartNs, EndNs)
+    import graft.traceql.TraceQLAst._
+    val lCond = SpanSet(Some(StrCond("service_name", "=", "svc1")))
+    val rCond = SpanSet(Some(StrCond("name", "=", "click")))
+    time("one spanSetSpans agg") { c.spanSetSpans(lCond).count() }
+    time("struct_child full") {
+      c.matchingTraces(StructChild(Sel(lCond), Sel(rCond))).count()
+    }
+    time("trace_meta full") { c.traceMeta(Sel(lCond)).count() }
+    if (args.contains("explain"))
+      c.matchingTraces(StructChild(Sel(lCond), Sel(rCond))).explain("formatted")
+    spark.stop()
+  }
+}

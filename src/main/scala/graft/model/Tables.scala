@@ -196,7 +196,7 @@ object Tables {
     */
   def spanAttrs(spark: SparkSession, dir: String): DataFrame =
     spans(spark, dir).select(
-      col("trace_id"), col("span_id"), col("timestamp_ns"),
+      col("trace_id"), col("span_id"), col("parent_id"), col("timestamp_ns"),
       col("duration_ns"),
       explode(map(
         lit("name"), col("name"),

@@ -41,8 +41,10 @@ object Store {
   def enabled(spark: SparkSession): Boolean =
     !spark.conf.getOption("spark.graft.store.disabled").contains("true")
 
+  // bump the version segment when a table SCHEMA changes: _SUCCESS-guarded
+  // writes would otherwise silently keep serving the old schema
   private def rootFor(dir: String): String =
-    "/root/repo/target/graft-store/" + dir.replaceAll("[^a-zA-Z0-9.]+", "_")
+    "/root/repo/target/graft-store/v5/" + dir.replaceAll("[^a-zA-Z0-9.]+", "_")
 
   private def withDate(df: DataFrame): DataFrame =
     df.withColumn("date",
@@ -93,6 +95,9 @@ object Store {
         Seq("trace_id", "span_id"))
       writePartitioned(Tables.spanAttrs(spark, dir), s"$root/span_attrs",
         Seq("key", "val", "trace_id"))
+      if (!haveTable(s"$root/span_ancestors"))
+        writePartitioned(ancestorClosure(Tables.spans(spark, dir)),
+          s"$root/span_ancestors", Seq("trace_id", "span_id"))
       writePartitioned(graft.prof.Profiles.derive(spark, dir),
         s"$root/profiles", Seq("service_name", "timestamp_ns"))
       writeSorted(Tables.gaugeSamples(spark, dir), s"$root/prom_gauge")
@@ -121,7 +126,18 @@ object Store {
 
   /** Series dictionary (fingerprint → labels); small, broadcast at joins. */
   def timeSeries(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"${ensure(spark, dir)}/time_series")
+    readTable(spark, s"${ensure(spark, dir)}/time_series")
+
+  /** Per-(session, path) reader cache: `spark.read.parquet` re-lists the
+    * partition directories and re-reads footers on EVERY call — a fixed
+    * ~0.4 s/scan locally, and a listing storm against object storage at
+    * 100 TB. Caching the base DataFrame reuses the resolved FileIndex the
+    * way a catalog table would; filters still prune partitions per query.
+    * Safe because store tables are write-once (guarded by _SUCCESS).
+    */
+  private val readers = TrieMap[(SparkSession, String), DataFrame]()
+  private def readTable(spark: SparkSession, path: String): DataFrame =
+    readers.getOrElseUpdate((spark, path), spark.read.parquet(path))
 
   /** Fact scan over [loNs, hiNs): ts predicate + derived date predicate so
     * the partition pruning actually fires (the ts column alone can't prune
@@ -129,7 +145,7 @@ object Store {
     */
   private def scanWindow(spark: SparkSession, path: String,
       loNs: Long, hiNs: Long): DataFrame =
-    spark.read.parquet(path)
+    readTable(spark, path)
       .filter(col("timestamp_ns") >= loNs && col("timestamp_ns") < hiNs)
       .filter(col("date") >= to_date(timestamp_seconds(lit(loNs / 1000000000L))) &&
         col("date") <= to_date(timestamp_seconds(lit(hiNs / 1000000000L))))
@@ -147,6 +163,42 @@ object Store {
   def promGauge15s(spark: SparkSession, dir: String,
       loNs: Long, hiNs: Long): DataFrame =
     scanWindow(spark, s"${ensure(spark, dir)}/prom_gauge_15s", loNs, hiNs)
+
+  /** Bounded ancestor closure (trace_id, span_id, anc_id, timestamp_ns):
+    * one row per (span, proper ancestor), built once at ingest by iterative
+    * doubling — ⌈log₂ depth⌉ self-joins, depth capped at 64. Turns the
+    * TraceQL `>>` true-descendant walk (a driver-synchronized loop of up to
+    * 64 jobs) into ONE equi-join at query time. Size is Σ span depths —
+    * bounded by 64× the span table, ~5× for typical trace shapes; the same
+    * space-for-join trade as the attrs GIN.
+    */
+  private def ancestorClosure(spansDf: DataFrame): DataFrame = {
+    val base = spansDf
+      .filter(col("parent_id").isNotNull)
+      .select(col("trace_id"), col("span_id"),
+        col("parent_id").as("anc_id"), col("timestamp_ns"))
+    var clos = base.localCheckpoint()
+    var dist = 1L
+    var fixed = false
+    while (dist < 64 && !fixed) {
+      val ext = clos.alias("a").join(clos.alias("b"),
+          col("a.trace_id") === col("b.trace_id") &&
+            col("a.anc_id") === col("b.span_id"))
+        .select(col("a.trace_id").as("trace_id"),
+          col("a.span_id").as("span_id"),
+          col("b.anc_id").as("anc_id"),
+          col("a.timestamp_ns").as("timestamp_ns"))
+      val before = clos.count()
+      clos = clos.union(ext).dropDuplicates("trace_id", "span_id", "anc_id")
+        .localCheckpoint()
+      fixed = clos.count() == before
+      dist *= 2
+    }
+    clos
+  }
+
+  def ancestors(spark: SparkSession, dir: String, loNs: Long, hiNs: Long): DataFrame =
+    scanWindow(spark, s"${ensure(spark, dir)}/span_ancestors", loNs, hiNs)
 
   /** Materialized span table over [loNs, hiNs): date-pruned scan of
     * tempo_traces' analog (`traces.sql:7-19`).

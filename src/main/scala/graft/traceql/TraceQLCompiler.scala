@@ -94,6 +94,37 @@ class TraceQLCompiler(spark: SparkSession, dir: String,
     case leaf => expr(s"shiftright(__mask, ${idx(leaf)}) % 2") === 1
   }
 
+  /** Combined bitmask frame for SEVERAL span-set conditions: ONE attrs scan
+    * and ONE (trace_id, span_id) hash aggregate carry the leaf bits of all
+    * conditions; each span-set is then a mask filter over the shared frame.
+    * Catalyst's ReuseExchange dedupes the aggregate's shuffle between the
+    * filter branches, so a structural `{a} > {b}` costs one scan + one
+    * shuffle instead of two of each (the reference builds exactly one GIN
+    * subquery per leaf for the same reason, `attr_condition.go:26-441`).
+    */
+  private def maskedFrame(conds: Seq[AttrCond]): (DataFrame, Map[AttrCond, Int]) = {
+    val ls = conds.flatMap(leaves).distinct
+    val idx = ls.zipWithIndex.toMap
+    val bits = ls.map(l =>
+      when(leafHit(l), shiftleft(lit(1L), idx(l))).otherwise(0L))
+    // a span satisfying any positive mask has ≥1 hit row, so non-hit rows
+    // can be dropped BEFORE the aggregate: the OR-of-leaves predicate
+    // pushes into the parquet scan, where the (key, val) sort order turns
+    // it into row-group skipping — the aggregate sees only hit rows
+    // (the reference's GIN subqueries select `WHERE key=... AND val...`
+    // per leaf for the same reason, attr_condition.go:26-441)
+    val hit = ls.map(leafHit).reduce(_ || _)
+    val masked = attrs
+      .filter(hit)
+      .withColumn("__bit", bits.reduce(_ bitwiseOR _))
+      .groupBy(col("trace_id"), col("span_id"))
+      .agg(bit_or(col("__bit")).as("__mask"),
+        first(col("timestamp_ns")).as("timestamp_ns"),
+        first(col("duration_ns")).as("duration_ns"),
+        first(col("parent_id")).as("parent_id"))
+    (masked, idx)
+  }
+
   /** Matched spans of one span-set: (trace_id, span_id, timestamp_ns,
     * duration_ns). One attr scan + one (trace,span) hash agg.
     */
@@ -102,19 +133,15 @@ class TraceQLCompiler(spark: SparkSession, dir: String,
       spans.select(col("trace_id"), col("span_id"),
         col("timestamp_ns"), col("duration_ns"))
     case Some(cond) =>
-      val ls = leaves(cond).distinct
-      val idx = ls.zipWithIndex.toMap
-      val bits = ls.map(l =>
-        when(leafHit(l), shiftleft(lit(1L), idx(l))).otherwise(0L))
-      val masked = attrs
-        .withColumn("__bit", bits.reduce(_ bitwiseOR _))
-        .groupBy(col("trace_id"), col("span_id"))
-        .agg(bit_or(col("__bit")).as("__mask"),
-          first(col("timestamp_ns")).as("timestamp_ns"),
-          first(col("duration_ns")).as("duration_ns"))
+      val (masked, idx) = maskedFrame(Seq(cond))
       masked.filter(maskCond(cond, idx))
         .select(col("trace_id"), col("span_id"),
           col("timestamp_ns"), col("duration_ns"))
+  }
+
+  private def simpleCond(e: TExpr): Option[AttrCond] = e match {
+    case Sel(SpanSet(Some(c))) => Some(c)
+    case _                     => None
   }
 
   /** Trace ids matching a structural expression (IndexGroupBy +
@@ -122,63 +149,128 @@ class TraceQLCompiler(spark: SparkSession, dir: String,
     */
   def matchingTraces(e: TExpr): DataFrame = e match {
     case Sel(ss) => spanSetSpans(ss).select(col("trace_id")).distinct()
-    case StructAnd(l, r) =>
-      matchingTraces(l).join(matchingTraces(r), Seq("trace_id"), "left_semi")
-    case StructOr(l, r) =>
-      matchingTraces(l).union(matchingTraces(r)).distinct()
-    case StructChild(l, r) =>
-      // parent(l) → child(r): equi-join child's parent_id to parent's
-      // span_id within the trace; needs the span table's parent pointers
-      val parents = structSpans(l)
-        .select(col("trace_id"), col("span_id").as("__pid"))
-      val children = structSpans(r)
-        .join(spans.select(col("trace_id"), col("span_id"), col("parent_id")),
-          Seq("trace_id", "span_id"))
-      children.join(parents,
-          children("trace_id") === parents("trace_id") &&
-            children("parent_id") === parents("__pid"))
-        .select(children("trace_id")).distinct()
+    case StructAnd(l, r) => (simpleCond(l), simpleCond(r)) match {
+      case (Some(cl), Some(cr)) =>
+        // one scan + span agg, then a per-trace bool_or of each mask — no
+        // self-join, no duplicated aggregate (the span agg feeds one
+        // consumer, so there is nothing to re-execute)
+        val (frame, idx) = maskedFrame(Seq(cl, cr))
+        frame.groupBy(col("trace_id"))
+          .agg(max(maskCond(cl, idx)).as("__a"), max(maskCond(cr, idx)).as("__b"))
+          .filter(col("__a") && col("__b"))
+          .select(col("trace_id"))
+      case _ =>
+        matchingTraces(l).join(matchingTraces(r), Seq("trace_id"), "left_semi")
+    }
+    case StructOr(l, r) => (simpleCond(l), simpleCond(r)) match {
+      case (Some(cl), Some(cr)) =>
+        val (frame, idx) = maskedFrame(Seq(cl, cr))
+        frame.filter(maskCond(cl, idx) || maskCond(cr, idx))
+          .select(col("trace_id")).distinct()
+      case _ =>
+        matchingTraces(l).union(matchingTraces(r)).distinct()
+    }
+    case StructChild(l, r) => (simpleCond(l), simpleCond(r)) match {
+      case (Some(cl), Some(cr)) =>
+        // parent(l) → child(r) WITHOUT a self-join: each aggregated span
+        // emits a parent-role row keyed by its own span_id and a child-role
+        // row keyed by its parent_id; a (trace_id, key) aggregate then
+        // looks for both roles on the same key — the edge test becomes a
+        // second small aggregate instead of a join over two copies of the
+        // span aggregate (which Catalyst cannot dedupe once pruning
+        // diverges the branches)
+        val (frame, idx) = maskedFrame(Seq(cl, cr))
+        val tagged = frame.select(col("trace_id"), explode(array(
+            struct(col("span_id").as("j"),
+              maskCond(cl, idx).as("isp"), lit(false).as("isc")),
+            struct(col("parent_id").as("j"),
+              lit(false).as("isp"), maskCond(cr, idx).as("isc")))).as("e"))
+          .select(col("trace_id"), col("e.j").as("j"),
+            col("e.isp").as("isp"), col("e.isc").as("isc"))
+          .filter(col("j").isNotNull && (col("isp") || col("isc")))
+        tagged.groupBy(col("trace_id"), col("j"))
+          .agg(max(col("isp")).as("__p"), max(col("isc")).as("__c"))
+          .filter(col("__p") && col("__c"))
+          .select(col("trace_id")).distinct()
+      case _ =>
+        val parents = structSpans(l)
+          .select(col("trace_id"), col("span_id").as("__pid"))
+        val children = structSpans(r)
+          .join(spans.select(col("trace_id"), col("span_id"), col("parent_id")),
+            Seq("trace_id", "span_id"))
+        children.join(parents,
+            children("trace_id") === parents("trace_id") &&
+              children("parent_id") === parents("__pid"))
+          .select(children("trace_id")).distinct()
+    }
     case StructDescendant(l, r) =>
-      // TRUE descendant: walk the candidate's ancestor chain upward until
-      // it hits an l-matched span (or the root). Each iteration is one
-      // equi-join against the (localCheckpointed) parent pointers, keyed on
-      // (trace_id, span_id) — span ids are only unique within a trace —
-      // with an EARLY EXIT when the frontier drains (real traces are
-      // shallow; runaway chains still cut at MaxDepth).
-      val lSpans = spanSetSpans(l match { case Sel(ss) => ss; case _ =>
-        throw new IllegalArgumentException(">> needs simple span-sets") })
+      // TRUE descendant. Store path: ONE join pipeline against the
+      // ingest-time ancestor-closure table (Store.ancestorClosure) — no
+      // driver loop at all. Fallback (store disabled): a batched ancestor
+      // walk, keyed on (trace_id, span_id) — span ids are only unique
+      // within a trace.
+      val (lSpans0, rSpans) = (simpleCond(l), simpleCond(r)) match {
+        case (Some(cl), Some(cr)) => // shared scan+agg for both sides
+          val (frame, idx) = maskedFrame(Seq(cl, cr))
+          (frame.filter(maskCond(cl, idx)),
+            frame.filter(maskCond(cr, idx)))
+        case _ => throw new IllegalArgumentException(">> needs simple span-sets")
+      }
+      if (Store.enabled(spark)) {
+        val anc = Store.ancestors(spark, dir, loNs, hiNs)
+          .select(col("trace_id"), col("span_id"), col("anc_id"))
+        return rSpans.select(col("trace_id"), col("span_id")).alias("c")
+          .join(anc.alias("t"), col("c.trace_id") === col("t.trace_id") &&
+            col("c.span_id") === col("t.span_id"))
+          .join(lSpans0.select(col("trace_id"), col("span_id")).alias("p"),
+            col("t.trace_id") === col("p.trace_id") &&
+              col("t.anc_id") === col("p.span_id"), "left_semi")
+          .select(col("c.trace_id").as("trace_id")).distinct()
+      }
+      val lSpans = lSpans0
         .select(col("trace_id"), col("span_id").as("__aid"))
         .localCheckpoint()
-      val rSpans = spanSetSpans(r match { case Sel(ss) => ss; case _ =>
-        throw new IllegalArgumentException(">> needs simple span-sets") })
       val parentOf = spans
         .select(col("trace_id"), col("span_id"), col("parent_id"))
         .localCheckpoint()
       val MaxDepth = 64
+      val BatchLevels = 8
+      def hitsOf(f: DataFrame): DataFrame =
+        f.join(lSpans,
+            f("trace_id") === lSpans("trace_id") &&
+              f("__anc") === lSpans("__aid"))
+          .select(f("trace_id"))
       var frontier = rSpans
-        .join(parentOf, Seq("trace_id", "span_id"))
         .select(col("trace_id"), col("span_id"), col("parent_id").as("__anc"))
         .filter(col("__anc").isNotNull)
         .localCheckpoint()
-      var hits = frontier.join(lSpans,
-          frontier("trace_id") === lSpans("trace_id") &&
-            frontier("__anc") === lSpans("__aid"))
-        .select(frontier("trace_id"))
+      var hitParts = List[DataFrame](hitsOf(frontier))
       var depth = 1
       while (depth < MaxDepth && !frontier.isEmpty) {
-        frontier = frontier
-          .join(parentOf.select(col("trace_id"), col("span_id").as("__anc"),
-            col("parent_id").as("__next")), Seq("trace_id", "__anc"))
-          .filter(col("__next").isNotNull)
-          .select(col("trace_id"), col("span_id"), col("__next").as("__anc"))
-          .localCheckpoint()
-        hits = hits.union(frontier.join(lSpans,
-            frontier("trace_id") === lSpans("trace_id") &&
-              frontier("__anc") === lSpans("__aid"))
-          .select(frontier("trace_id")))
-        depth += 1
+        // one batch = BatchLevels closure joins UNIONED with a level tag,
+        // materialized by a single localCheckpoint: hits for all batch
+        // levels come from one join against the materialized union, and
+        // the next frontier is a cheap filter of it — so the final count
+        // never re-executes join chains, and driver sync is per batch
+        var f = frontier
+        var acc: DataFrame = null
+        var steps = 0
+        while (steps < BatchLevels && depth + steps < MaxDepth) {
+          f = f.join(parentOf.select(col("trace_id"),
+              col("span_id").as("__anc"), col("parent_id").as("__next")),
+              Seq("trace_id", "__anc"))
+            .filter(col("__next").isNotNull)
+            .select(col("trace_id"), col("span_id"), col("__next").as("__anc"))
+          val lvl = f.withColumn("__lvl", lit(steps))
+          acc = if (acc == null) lvl else acc.union(lvl)
+          steps += 1
+        }
+        val levels = acc.localCheckpoint()
+        hitParts ::= hitsOf(levels.drop("__lvl"))
+        frontier = levels.filter(col("__lvl") === steps - 1).drop("__lvl")
+        depth += steps
       }
-      hits.distinct()
+      hitParts.reduce(_ union _).distinct()
   }
 
   /** Matched spans of any structural expr (union-of-matches for non-leaf). */
@@ -234,7 +326,12 @@ class TraceQLCompiler(spark: SparkSession, dir: String,
     * start, duration_ms, root service/name (earliest span), span count.
     */
   def traceMeta(e: TExpr): DataFrame = {
-    val ids = matchingTraces(e)
+    // semi-join dedups by itself — matchingTraces' distinct would add a
+    // shuffle for nothing on the plain-selector path
+    val ids = e match {
+      case Sel(ss) => spanSetSpans(ss).select(col("trace_id"))
+      case other   => matchingTraces(other)
+    }
     spans.join(ids, Seq("trace_id"), "left_semi")
       .groupBy(col("trace_id"))
       .agg(
