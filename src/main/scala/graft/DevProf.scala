@@ -16,6 +16,14 @@ object DevProf {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (args.contains("lshcheck")) {
+      val docs = graft.model.Tables.documents(spark, dir)
+      val lsh = graft.llm.Dedup.nearDupPairs(docs, 0.8).select("i", "j")
+      val exact = graft.llm.Dedup.ngramJaccardPairs(docs, 0.8).select("i", "j")
+      println(s"lsh-only: ${lsh.join(exact, Seq("i", "j"), "left_anti").count()}")
+      println(s"exact-only: ${exact.join(lsh, Seq("i", "j"), "left_anti").count()}")
+      spark.stop(); return
+    }
     graft.store.Store.ensure(spark, dir)
     import graft.gates.EvalWindow._
 

@@ -86,10 +86,14 @@ object LlmGates extends GateSet {
           |    ON x.b = y.b AND x.bh = y.bh AND x.doc_id < y.doc_id)""".stripMargin,
         0.5))),
 
-    // --- exact n-gram Jaccard pairs (shingle-share candidates, no LSH) ----
+    // --- n-gram Jaccard ≥0.8 pairs. ENGINE: high-recall LSH (8 bands × 2
+    // rows) then exact-Jaccard verify — the scale path, never Σdf² pair
+    // blowup. ORACLE: the exact shingle-share formulation — the gate passes
+    // because the banding's candidate recall at J ≥ 0.8 is 1 on this data
+    // (LlmSpec cross-checks the two formulations at sf0.001). -------------
     Gate("llm_ngram_jaccard",
       (spark: SparkSession, dir: String) =>
-        Dedup.ngramJaccardPairs(docs(spark, dir), 0.8)
+        Dedup.nearDupPairs(docs(spark, dir), 0.8)
           .select(col("i"), col("j"), round(col("jaccard"), 6).as("jaccard"))
           .orderBy("i", "j"),
       Some("WITH " + shViews + ",\n" + jaccardSql(
@@ -139,6 +143,65 @@ object LlmGates extends GateSet {
           |  FROM s)
           |SELECT qid, nid, rank, round(sim, 6) AS sim
           |FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin)),
+
+    // --- multi-table sign-LSH ANN vs brute force: per-query hit count of
+    // the brute top-10 found by the LSH top-10. The oracle re-derives the
+    // ENTIRE sign-bucket construction (md5-derived hyperplane weights,
+    // per-table buckets, bucket-join candidates) bit for bit, so the gate
+    // checks the LSH structure itself, not just high recall. --------------
+    Gate("llm_ann_lsh_recall",
+      (spark: SparkSession, dir: String) => {
+        val emb = Tables.embeddings(spark, dir)
+        val q = emb.filter(col("vec_id") % 25 === 0)
+        val brute = Similarity.bruteForceTopK(q, emb, 10)
+          .select(col("qid"), col("nid"))
+        val lsh = Similarity.lshTopK(q, emb, 10)
+          .select(col("qid"), col("nid"), lit(1L).as("__hit"))
+        brute.join(lsh, Seq("qid", "nid"), "left")
+          .groupBy(col("qid"))
+          .agg(sum(coalesce(col("__hit"), lit(0L))).cast("long").as("hits"))
+          .orderBy("qid")
+      },
+      Some {
+        val dot64 = (a: String, b: String) =>
+          s"list_sum([$a[i]*$b[i] for i in generate_series(1,64)])"
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |w AS (SELECT t, p, d,
+           |    ((('0x'||substr(md5(t::VARCHAR||'|'||p::VARCHAR||'|'||d::VARCHAR),1,15))::BIGINT % 2000) - 1000)/1000.0 AS wt
+           |  FROM generate_series(0,3) tt(t), generate_series(0,7) pp(p),
+           |       generate_series(0,63) dd(d)),
+           |wl AS (SELECT t, p, list(wt ORDER BY d) AS wv FROM w GROUP BY 1, 2),
+           |dots AS (SELECT e.vec_id, wl.t, wl.p,
+           |    ${dot64("e.v", "wl.wv")} AS dot
+           |  FROM e CROSS JOIN wl),
+           |bkt AS (SELECT vec_id, t,
+           |    sum(CASE WHEN dot >= 0 THEN 1 << p ELSE 0 END) AS bkt
+           |  FROM dots GROUP BY 1, 2),
+           |cand AS (SELECT DISTINCT q.vec_id AS qid, c.vec_id AS nid
+           |  FROM bkt q JOIN bkt c ON q.t = c.t AND q.bkt = c.bkt
+           |  WHERE q.vec_id % 25 = 0 AND c.vec_id <> q.vec_id),
+           |sims AS (SELECT cand.qid, cand.nid,
+           |    ${dot64("qe.v", "ce.v")} /
+           |    (sqrt(${dot64("qe.v", "qe.v")}) * sqrt(${dot64("ce.v", "ce.v")})) AS sim
+           |  FROM cand JOIN e qe ON qe.vec_id = cand.qid
+           |            JOIN e ce ON ce.vec_id = cand.nid),
+           |ltop AS (SELECT qid, nid FROM (
+           |    SELECT qid, nid,
+           |      row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk
+           |    FROM sims) WHERE rk <= 10),
+           |q2 AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 25 = 0),
+           |bsim AS (SELECT qid, e.vec_id AS nid,
+           |    ${dot64("qv", "e.v")} /
+           |    (sqrt(${dot64("qv", "qv")}) * sqrt(${dot64("e.v", "e.v")})) AS sim
+           |  FROM e CROSS JOIN q2 WHERE e.vec_id <> qid),
+           |btop AS (SELECT qid, nid FROM (
+           |    SELECT qid, nid,
+           |      row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk
+           |    FROM bsim) WHERE rk <= 10)
+           |SELECT b.qid, CAST(count(l.nid) AS BIGINT) AS hits
+           |FROM btop b LEFT JOIN ltop l ON l.qid = b.qid AND l.nid = b.nid
+           |GROUP BY 1 ORDER BY 1""".stripMargin
+      }),
 
     // --- per-doc text stats / quality filter (all-integer outputs) --------
     Gate("llm_text_stats",

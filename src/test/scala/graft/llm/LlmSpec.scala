@@ -32,6 +32,16 @@ class LlmSpec extends SparkSpec {
     assert(nd.filter(col("jaccard") < 0.8).count() == 0)
   }
 
+  test("LSH-then-verify near-dups equal the exact shingle-share formulation") {
+    // the llm_ngram_jaccard gate runs nearDupPairs (8x2 banding) against
+    // the EXACT oracle — this is the cross-check that the banding's
+    // candidate recall at >=0.8 is total on the testdata
+    val lsh = Dedup.nearDupPairs(docs, 0.8).select("i", "j")
+    val exact = Dedup.ngramJaccardPairs(docs, 0.8).select("i", "j")
+    assert(lsh.join(exact, Seq("i", "j"), "left_anti").count() == 0)
+    assert(exact.join(lsh, Seq("i", "j"), "left_anti").count() == 0)
+  }
+
   test("exact dedup maps identical normalized text to one canonical id") {
     import graft.TestSpark.spark.implicits._
     val d = Seq((1L, "Hello   World"), (2L, "hello world"), (3L, "other"))
