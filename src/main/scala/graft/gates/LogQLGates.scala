@@ -247,6 +247,45 @@ object LogQLGates extends GateSet {
       o(s"""SELECT event_type AS name, CAST(sum(length(line)) AS BIGINT) AS volume
            |FROM logs GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // --- detected labels: label names + value cardinality (Drilldown's
+    // entry call, planner_labels_detect.go:14) -----------------------------
+    Gate("logql_detected_labels",
+      (spark: SparkSession, dir: String) =>
+        LogQLApi.detectedLabels(spark, dir, EvalParams(StartNs, EndNs, StepS),
+          """{level="info"}""").orderBy("label"),
+      o(s"""SELECT label, CAST(cardinality AS BIGINT) AS cardinality FROM (
+           |  SELECT 'event_type' AS label, count(DISTINCT event_type) AS cardinality
+           |  FROM logs WHERE level = 'info'
+           |  UNION ALL
+           |  SELECT 'level', count(DISTINCT level) FROM logs WHERE level = 'info'
+           |  UNION ALL
+           |  SELECT 'user', count(DISTINCT "user") FROM logs WHERE level = 'info') u
+           |ORDER BY label""".stripMargin)),
+
+    // --- detected fields: pipeline output → parser + type sniff +
+    // cardinality per field; the oracle re-renders the template lines and
+    // re-extracts/re-sniffs them in SQL -----------------------------------
+    Gate("logql_detected_fields",
+      (spark: SparkSession, dir: String) =>
+        LogQLApi.detectedFields(spark, dir, EvalParams(StartNs, EndNs, StepS),
+          """{level="info"} | line_format "took={{.user}}ms size={{.user}}kb ok=true tag=u{{.user}}""""
+        ).orderBy("field"),
+      o(s"""SELECT field, parser, CASE WHEN bool_and(regexp_matches(v, '^(true|false)$$')) THEN 'boolean'
+           |    WHEN bool_and(regexp_matches(v, '^-?[0-9]+$$')) THEN 'int'
+           |    WHEN bool_and(regexp_matches(v, '^-?[0-9]+(\\.[0-9]+)?$$')) THEN 'float'
+           |    WHEN bool_and(regexp_matches(v, '^-?[0-9]+(\\.[0-9]+)?(ns|us|µs|ms|s|m|h)$$')) THEN 'duration'
+           |    WHEN bool_and(regexp_matches(v, '^-?[0-9]+(\\.[0-9]+)?\\s*([kKmMgGtTpP]i?[bB]|[bB])$$')) THEN 'bytes'
+           |    ELSE 'string' END AS type,
+           |  CAST(count(DISTINCT v) AS BIGINT) AS cardinality
+           |FROM (
+           |  SELECT unnest(regexp_extract_all(line, '([a-zA-Z_][a-zA-Z0-9_]*)=("(?:[^"\\\\]|\\\\.)*"|[^\\s"]*)', 1)) AS field,
+           |    unnest(regexp_extract_all(line, '([a-zA-Z_][a-zA-Z0-9_]*)=("(?:[^"\\\\]|\\\\.)*"|[^\\s"]*)', 2)) AS v,
+           |    'logfmt' AS parser
+           |  FROM (
+           |    SELECT 'took=' || "user" || 'ms size=' || "user" || 'kb ok=true tag=u' || "user" AS line
+           |    FROM logs WHERE level = 'info') lines) kv
+           |GROUP BY 1, 2 ORDER BY field""".stripMargin)),
+
     // --- index stats (QueryIndexStats: streams/entries/bytes) -------------
     Gate("logql_index_stats",
       (spark: SparkSession, dir: String) =>

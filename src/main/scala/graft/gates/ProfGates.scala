@@ -4,9 +4,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import org.apache.spark.sql.Row
-import org.apache.spark.sql.types.{BinaryType, StructField, StructType}
+import org.apache.spark.sql.types.{BinaryType, StringType, StructField, StructType}
 
-import graft.ingest.Pprof
+import graft.ingest.{OtlpProfiles, Pprof}
 import graft.model.{OracleViews, Tables}
 import graft.patterns.Patterns
 import graft.prof.Profiles
@@ -111,6 +111,39 @@ object ProfGates extends GateSet {
           |  CAST(sum(CAST(round(value * 1000, 0) AS BIGINT)) AS BIGINT) AS value,
           |  count(*) AS samples
           |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // --- OTLP profiles (pprofile) round trip: dictionary-table JSON →
+    // index-resolved stack rows → per-service merge (otlp_profile.go:1-458)
+    Gate("ingest_otlp_profiles_roundtrip",
+      (spark: SparkSession, dir: String) => {
+        val src = Tables.events(spark, dir).select(
+          concat(lit("svc"), (col("user_id") % 5).cast("string")).as("svc"),
+          col("event_type"),
+          concat(lit("op"), (col("user_id") % 3).cast("string")).as("op"),
+          round(col("value") * 1000, 0).cast("long").as("v"))
+        val bodies = spark.createDataFrame(
+          src.rdd
+            .map(r => (r.getString(0),
+              (Seq("main", r.getString(1), r.getString(2)), r.getLong(3))))
+            .groupBy(_._1)
+            .map { case (svc, rows) =>
+              Row(OtlpProfiles.encode(svc, 1704067200000000000L,
+                rows.map(_._2).toSeq))
+            },
+          StructType(Seq(StructField("body", StringType))))
+        OtlpProfiles.decode(bodies)
+          .groupBy(col("service_name"),
+            array_join(col("stack"), ",").as("stack"))
+          .agg(sum(col("value")).cast("long").as("value"),
+            count(lit(1)).as("samples"))
+          .orderBy("service_name", "stack")
+      },
+      Some(
+        """SELECT 'svc' || CAST(user_id % 5 AS VARCHAR) AS service_name,
+          |  'main,' || event_type || ',op' || CAST(user_id % 3 AS VARCHAR) AS stack,
+          |  CAST(sum(CAST(round(value * 1000, 0) AS BIGINT)) AS BIGINT) AS value,
+          |  count(*) AS samples
+          |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
     // --- Drain-style pattern mining ---------------------------------------
     Gate("patterns_mine",
