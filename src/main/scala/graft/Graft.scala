@@ -25,7 +25,10 @@ object Graft {
     model.Tables.spanAttrs(spark, dir).createOrReplaceTempView("span_attrs")
     model.Tables.documents(spark, dir).createOrReplaceTempView("documents")
     model.Tables.embeddings(spark, dir).createOrReplaceTempView("embeddings")
-    prof.Profiles.profiles(spark, dir).createOrReplaceTempView("profiles")
+    // derive path, like the spans/span_attrs views: view registration is an
+    // ad-hoc SQL surface and must stay lazy — Profiles.profiles would
+    // interpolate Store.ensure (the full store build) into registration
+    prof.Profiles.derive(spark, dir).createOrReplaceTempView("profiles")
   }
 
   private[graft] def regexpAllGroupsBuilder(children: Seq[Expression]): Expression =

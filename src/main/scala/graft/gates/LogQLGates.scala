@@ -390,6 +390,28 @@ object LogQLGates extends GateSet {
            |FROM logs WHERE event_type = 'click'
            |ORDER BY timestamp_ns, line""".stripMargin)),
 
+    // --- template tail: len/repeat/add/default/b64 round-trip +
+    // toDate→unixEpoch chain + duration_seconds (template_funcs.go sprig
+    // subset) --------------------------------------------------------------
+    Gate("logql_line_format_fns2",
+      logQ("""{event_type="signup"} | label_format d=`2024-01-02 03:04:05`, dur=`1m30s` | line_format `{{.user | len}}|{{.user | repeat 2}}|{{.user | add 10}}|{{.missing | default "none"}}|{{.user | b64enc | b64dec}}|{{.d | toDate "2006-01-02 15:04:05" | unixEpoch}}|{{.dur | duration_seconds}}`""",
+        "user"),
+      o(s"""SELECT timestamp_ns,
+           |  CAST(length("user") AS VARCHAR) || '|' || "user" || "user" || '|' ||
+           |  CAST(CAST("user" AS BIGINT) + 10 AS VARCHAR) || '|none|' || "user" ||
+           |  '|1704164645|90' AS line, "user"
+           |FROM logs WHERE event_type = 'signup'
+           |ORDER BY timestamp_ns, line""".stripMargin)),
+
+    // --- {{ range .field }} over a JSON-array label ------------------------
+    Gate("logql_line_format_range",
+      logQ("""{event_type="purchase"} | label_format tags=`["u{{.user}}","lvl-{{.level}}"]` | line_format `{{.user}}:{{ range .tags }}<{{ . }}>{{ end }}`""",
+        "user"),
+      o(s"""SELECT timestamp_ns,
+           |  "user" || ':<u' || "user" || '><lvl-' || level || '>' AS line, "user"
+           |FROM logs WHERE event_type = 'purchase'
+           |ORDER BY timestamp_ns, line""".stripMargin)),
+
     // --- matrix densify: step grid + repeat-last per series (MatrixStep/
     // FixPeriod/ZeroEater) -------------------------------------------------
     Gate("logql_matrix_densify",

@@ -19,8 +19,15 @@ object TraceQLGates extends GateSet {
 
   private def parsed(q: String): Query = TraceQLParser.parseOrThrow(q)
 
+  // the engine windows every scan to [StartNs, EndNs); the oracle must be
+  // windowed identically or the two silently diverge the day the testdata
+  // generator emits rows at/after EndNs
+  private val spansWindowed: String =
+    OracleViews.spans.stripSuffix(")") +
+      s" WHERE epoch_ns(ts) >= $StartNs AND epoch_ns(ts) < $EndNs)"
+
   private def o(body: String): Option[String] =
-    Some(OracleViews.withViews(Seq(OracleViews.spans), body))
+    Some(OracleViews.withViews(Seq(spansWindowed), body))
 
   override val gates: Seq[Gate] = Seq(
 

@@ -91,11 +91,26 @@ class LogQLCompiler(spark: SparkSession, dir: String, params: EvalParams) {
     * to a codegen'd builtin; unknown functions are rejected at compile
     * time.
     */
+  /** Go reference-time layout → java.time pattern (the token subset that
+    * appears in dashboards: date, clock, month/day names, millis, zone).
+    */
+  private def goLayout(l: String): String =
+    Seq("2006" -> "yyyy", "Jan" -> "MMM", "Mon" -> "EEE", "01" -> "MM",
+      "02" -> "dd", "15" -> "HH", "04" -> "mm", "05" -> "ss",
+      ".000" -> ".SSS", "-07:00" -> "XXX", "Z07:00" -> "XXX")
+      .foldLeft(l) { case (s, (go, j)) => s.replace(go, j) }
+
   private def templateCol(tpl: String): Column = {
-    val re = ("\\{\\{\\s*\\.([a-zA-Z_][a-zA-Z0-9_]*)" +
-      "((?:\\s*\\|\\s*[a-zA-Z]+(?:\\s+(?:\"[^\"]*\"|[0-9]+))*)*)\\s*\\}\\}").r
-    val pipeRe = "\\|\\s*([a-zA-Z]+)((?:\\s+(?:\"[^\"]*\"|[0-9]+))*)".r
-    val argRe = "\"([^\"]*)\"|([0-9]+)".r
+    val re = ("\\{\\{\\s*\\.?(?!(?:if|else|end|range)\\b)([a-zA-Z_][a-zA-Z0-9_]*)" +
+      "((?:\\s*\\|\\s*[a-zA-Z_0-9]+(?:\\s+(?:\"[^\"]*\"|-?[0-9]+))*)*)\\s*\\}\\}").r
+    val pipeRe = "\\|\\s*([a-zA-Z_0-9]+)((?:\\s+(?:\"[^\"]*\"|-?[0-9]+))*)".r
+    val argRe = "\"([^\"]*)\"|(-?[0-9]+)".r
+
+    // integer-exact string rendering of a numeric column (Go prints
+    // float64 90 as "90", not "90.0")
+    def numStr(v: Column): Column =
+      when(v === floor(v), v.cast("long").cast("string"))
+        .otherwise(v.cast("string"))
 
     def applyPipes(base: Column, pipes: String): Column =
       pipeRe.findAllMatchIn(pipes).foldLeft(base) { (c, m) =>
@@ -116,8 +131,39 @@ class LogQLCompiler(spark: SparkSession, dir: String, params: EvalParams) {
             when(c.startsWith(p), c.substr(lit(p.length + 1), length(c))).otherwise(c)
           case ("trimSuffix", Seq(s))    =>
             when(c.endsWith(s), c.substr(lit(1), length(c) - s.length)).otherwise(c)
+          case ("trimAll", Seq(s))       => trim(c, s)
           case ("regexReplaceAll", Seq(r, n)) => regexp_replace(c, r, n)
+          case ("regexReplaceAllLiteral", Seq(r, n)) =>
+            regexp_replace(c, r, java.util.regex.Matcher.quoteReplacement(n))
           case ("b64enc", Nil)           => base64(encode(c, "UTF-8"))
+          case ("b64dec", Nil)           => decode(unbase64(c), "UTF-8")
+          case ("urlencode", Nil)        => url_encode(c)
+          case ("urldecode", Nil)        => url_decode(c)
+          case ("len", Nil)              => length(c).cast("string")
+          case ("repeat", Seq(n))        => repeat(c, n.toInt)
+          case ("indent", Seq(n))        => regexp_replace(c, "(?m)^", " " * n.toInt)
+          case ("nindent", Seq(n))       =>
+            concat(lit("\n"), regexp_replace(c, "(?m)^", " " * n.toInt))
+          case ("default", Seq(d))       => when(c.isNull || c === "", d).otherwise(c)
+          // integer arithmetic (sprig add/sub/mul/div/mod over int64)
+          case ("add", Seq(n))           => (c.cast("long") + n.toLong).cast("string")
+          case ("sub", Seq(n))           => (c.cast("long") - n.toLong).cast("string")
+          case ("mul", Seq(n))           => (c.cast("long") * n.toLong).cast("string")
+          case (("div" | "divide"), Seq(n)) =>
+            (c.cast("long") / n.toLong).cast("long").cast("string")
+          case ("mod", Seq(n))           => pmod(c.cast("long"), lit(n.toLong)).cast("string")
+          case ("int", Nil)              => c.cast("double").cast("long").cast("string")
+          case ("float64", Nil)          => numStr(c.cast("double"))
+          // time chain: toDate parses (typed Column flows through the
+          // pipes), date formats, unixEpoch extracts epoch seconds
+          case ("toDate", Seq(layout))   => to_timestamp(c, goLayout(layout))
+          case ("date", Seq(layout))     => date_format(c, goLayout(layout))
+          case ("unixEpoch", Nil)        => c.cast("timestamp").cast("long").cast("string")
+          case ("duration", Nil) | ("duration_seconds", Nil) =>
+            numStr(durationValue(c))
+          // fromJson "key": extract a top-level key of a JSON-valued field
+          // (pipe form of sprig's fromJson + field access)
+          case ("fromJson", Seq(k))      => coalesce(get_json_object(c, "$." + k), lit(""))
           case other =>
             throw new IllegalArgumentException(s"template function $other")
         }
@@ -128,8 +174,11 @@ class LogQLCompiler(spark: SparkSession, dir: String, params: EvalParams) {
       val parts = scala.collection.mutable.ArrayBuffer[Column]()
       for (m <- re.findAllMatchIn(seg)) {
         if (m.start > last) parts += lit(seg.substring(last, m.start))
-        parts += applyPipes(
-          coalesce(element_at(col("labels"), m.group(1)), lit("")), m.group(2))
+        val base = m.group(1) match {
+          case "__line__" | "_entry" => col("line") // reference bindings
+          case name => coalesce(element_at(col("labels"), name), lit(""))
+        }
+        parts += applyPipes(base, m.group(2))
         last = m.end
       }
       if (last < seg.length) parts += lit(seg.substring(last))
@@ -139,19 +188,49 @@ class LogQLCompiler(spark: SparkSession, dir: String, params: EvalParams) {
     // {{ if .label }}A{{ else }}B{{ end }} — Go-template truthiness is
     // "label present and non-empty"; blocks don't nest (reference's tail
     // subset). Segments between blocks render through the field/pipe path.
-    val ifRe = ("(?s)\\{\\{\\s*if\\s+\\.([a-zA-Z_][a-zA-Z0-9_]*)\\s*\\}\\}(.*?)" +
-      "(?:\\{\\{\\s*else\\s*\\}\\}(.*?))?\\{\\{\\s*end\\s*\\}\\}").r
+    def renderSegments(seg: String): Column = {
+      val ifRe = ("(?s)\\{\\{\\s*if\\s+\\.([a-zA-Z_][a-zA-Z0-9_]*)\\s*\\}\\}(.*?)" +
+        "(?:\\{\\{\\s*else\\s*\\}\\}(.*?))?\\{\\{\\s*end\\s*\\}\\}").r
+      var last = 0
+      val parts = scala.collection.mutable.ArrayBuffer[Column]()
+      for (m <- ifRe.findAllMatchIn(seg)) {
+        if (m.start > last) parts += renderPlain(seg.substring(last, m.start))
+        val cond = coalesce(element_at(col("labels"), m.group(1)), lit("")) =!= ""
+        val thenC = renderPlain(m.group(2))
+        val elseC = Option(m.group(3)).map(renderPlain).getOrElse(lit(""))
+        parts += when(cond, thenC).otherwise(elseC)
+        last = m.end
+      }
+      if (last < seg.length) parts += renderPlain(seg.substring(last))
+      if (parts.isEmpty) lit("") else concat(parts.toSeq: _*)
+    }
+
+    // {{ range .field }}body{{ end }}: the field holds a JSON array; the
+    // body renders once per element with {{ . }} bound to the element
+    // (restricted Go-template range — no nesting, no pipes on the element).
+    val rangeRe = ("(?s)\\{\\{\\s*range\\s+\\.([a-zA-Z_][a-zA-Z0-9_]*)\\s*\\}\\}" +
+      "(.*?)\\{\\{\\s*end\\s*\\}\\}").r
+    val dotRe = "\\{\\{\\s*\\.\\s*\\}\\}"
     var last = 0
     val parts = scala.collection.mutable.ArrayBuffer[Column]()
-    for (m <- ifRe.findAllMatchIn(tpl)) {
-      if (m.start > last) parts += renderPlain(tpl.substring(last, m.start))
-      val cond = coalesce(element_at(col("labels"), m.group(1)), lit("")) =!= ""
-      val thenC = renderPlain(m.group(2))
-      val elseC = Option(m.group(3)).map(renderPlain).getOrElse(lit(""))
-      parts += when(cond, thenC).otherwise(elseC)
+    for (m <- rangeRe.findAllMatchIn(tpl)) {
+      if (m.start > last) parts += renderSegments(tpl.substring(last, m.start))
+      val arr = coalesce(
+        from_json(coalesce(element_at(col("labels"), m.group(1)), lit("[]")),
+          org.apache.spark.sql.types.ArrayType(StringType)),
+        array().cast("array<string>"))
+      val body = m.group(2)
+      val litParts = body.split(dotRe, -1)
+      parts += array_join(transform(arr, e => {
+        val ps = litParts.zipWithIndex.flatMap { case (s, i) =>
+          (if (i == 0) Seq() else Seq(e)) ++
+            (if (s.isEmpty) Seq() else Seq(lit(s)))
+        }
+        if (ps.isEmpty) lit("") else concat(ps.toSeq: _*)
+      }), "")
       last = m.end
     }
-    if (last < tpl.length) parts += renderPlain(tpl.substring(last))
+    if (last < tpl.length) parts += renderSegments(tpl.substring(last))
     if (parts.isEmpty) lit("") else concat(parts.toSeq: _*)
   }
 
@@ -359,7 +438,8 @@ class LogQLCompiler(spark: SparkSession, dir: String, params: EvalParams) {
         for (m <- sel.matchers) dict = dict.filter(matcherCond(m))
         graft.store.Store.samples(spark, dir, loNs, hiNs)
           .drop("date")
-          .join(broadcast(dict), Seq("fingerprint"))
+          .join(graft.store.Store.maybeBroadcastDict(spark, dir, dict),
+            Seq("fingerprint"))
           .select(col("timestamp_ns"), col("labels"), col("line"),
             col("value"), col("fingerprint"))
       } else {
@@ -397,7 +477,8 @@ class LogQLCompiler(spark: SparkSession, dir: String, params: EvalParams) {
       for (m <- r.selector.matchers) dict = dict.filter(matcherCond(m))
       val m15 = graft.store.Store.metrics15s(spark, dir, lo, hi)
         .drop("date")
-        .join(broadcast(dict), Seq("fingerprint"))
+        .join(graft.store.Store.maybeBroadcastDict(spark, dir, dict),
+          Seq("fingerprint"))
       val b = bucketed(m15, r.rangeNs, r.offsetNs)
       val rangeS = r.rangeNs / 1e9
       val agg: Column = ra.fn match {

@@ -46,9 +46,13 @@ object Store {
   private def rootFor(dir: String): String =
     "/root/repo/target/graft-store/v5/" + dir.replaceAll("[^a-zA-Z0-9.]+", "_")
 
+  // epoch-day arithmetic, NOT to_date(timestamp_seconds(...)): the latter
+  // follows spark.sql.session.timeZone, so a store written under one
+  // session timezone and read under another would mis-prune partitions
+  // and silently drop rows (stores persist across JVMs via _SUCCESS)
   private def withDate(df: DataFrame): DataFrame =
     df.withColumn("date",
-      to_date(timestamp_seconds(col("timestamp_ns") / 1000000000L)))
+      date_from_unix_date((col("timestamp_ns") / 86400000000000L).cast("int")))
 
   private def haveTable(path: String): Boolean =
     new java.io.File(path + "/_SUCCESS").exists()
@@ -78,9 +82,12 @@ object Store {
       writeSorted(logs.select(col("timestamp_ns"), col("fingerprint"),
         col("line"), col("value")), s"$root/samples")
       if (!haveTable(s"$root/time_series"))
+        // fingerprint-hash sharded (NOT coalesce(1)): at 1e8 series a
+        // single-file dictionary write is a one-task straggler and a
+        // one-file read bottleneck; shard count is a config knob
         logs.select(col("fingerprint"), col("labels"))
           .dropDuplicates("fingerprint")
-          .coalesce(1)
+          .repartition(dictShards(spark), col("fingerprint"))
           .write.mode("overwrite").parquet(s"$root/time_series")
       if (!haveTable(s"$root/metrics_15s"))
         withDate(Tables.metrics15s(spark, dir))
@@ -124,9 +131,30 @@ object Store {
       root
     })
 
+  private def dictShards(spark: SparkSession): Int =
+    spark.conf.getOption("spark.graft.dict.shards").map(_.toInt).getOrElse(8)
+
   /** Series dictionary (fingerprint → labels); small, broadcast at joins. */
   def timeSeries(spark: SparkSession, dir: String): DataFrame =
     readTable(spark, s"${ensure(spark, dir)}/time_series")
+
+  private val dictCounts = TrieMap[(SparkSession, String), Long]()
+
+  /** Broadcast the (matcher-filtered) dictionary ONLY while the full
+    * dictionary is plausibly broadcast-sized — an unconditional broadcast
+    * breaks at 1e8 high-cardinality series (driver OOM). Above the
+    * threshold the join stays a shuffle join and AQE may still downgrade
+    * it to broadcast at runtime if the filtered side turns out small.
+    * The full-dictionary row count is memoized per (session, dir).
+    */
+  def maybeBroadcastDict(spark: SparkSession, dir: String,
+      filtered: DataFrame): DataFrame = {
+    val n = dictCounts.getOrElseUpdate((spark, dir),
+      timeSeries(spark, dir).count())
+    val thr = spark.conf.getOption("spark.graft.broadcast.maxDictRows")
+      .map(_.toLong).getOrElse(10000000L)
+    if (n <= thr) broadcast(filtered) else filtered
+  }
 
   /** Per-(session, path) reader cache: `spark.read.parquet` re-lists the
     * partition directories and re-reads footers on EVERY call — a fixed
@@ -147,8 +175,8 @@ object Store {
       loNs: Long, hiNs: Long): DataFrame =
     readTable(spark, path)
       .filter(col("timestamp_ns") >= loNs && col("timestamp_ns") < hiNs)
-      .filter(col("date") >= to_date(timestamp_seconds(lit(loNs / 1000000000L))) &&
-        col("date") <= to_date(timestamp_seconds(lit(hiNs / 1000000000L))))
+      .filter(col("date") >= date_from_unix_date(lit((loNs / 86400000000000L).toInt)) &&
+        col("date") <= date_from_unix_date(lit((hiNs / 86400000000000L).toInt)))
 
   def samples(spark: SparkSession, dir: String, loNs: Long, hiNs: Long): DataFrame =
     scanWindow(spark, s"${ensure(spark, dir)}/samples", loNs, hiNs)

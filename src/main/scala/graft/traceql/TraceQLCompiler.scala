@@ -208,7 +208,10 @@ class TraceQLCompiler(spark: SparkSession, dir: String,
       // ingest-time ancestor-closure table (Store.ancestorClosure) — no
       // driver loop at all. Fallback (store disabled): a batched ancestor
       // walk, keyed on (trace_id, span_id) — span ids are only unique
-      // within a trace.
+      // within a trace. The fallback's localCheckpoint blocks are
+      // unreplicated — on a real cluster prefer persist(MEMORY_AND_DISK)
+      // or reliable checkpointing so an executor loss recomputes instead
+      // of failing the query (the store path has no such state at all).
       val (lSpans0, rSpans) = (simpleCond(l), simpleCond(r)) match {
         case (Some(cl), Some(cr)) => // shared scan+agg for both sides
           val (frame, idx) = maskedFrame(Seq(cl, cr))

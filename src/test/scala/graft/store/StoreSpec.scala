@@ -82,6 +82,22 @@ class StoreSpec extends SparkSpec {
       paths.mkString("; "))
   }
 
+  test("dictionary broadcast is guarded by the size threshold") {
+    // disable stats-driven auto-broadcast so the plan shows only the
+    // effect of the guard's explicit hint
+    def hasBroadcast(q: String): Boolean =
+      engine.compileMetric(LogQLParser.parseOrThrow(q))
+        .queryExecution.executedPlan.toString.contains("BroadcastHashJoin")
+    val q = """sum by (user) (count_over_time({level="info"} |= "7" [6h7s]))"""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      assert(hasBroadcast(q)) // guard's hint broadcasts the small dict
+      spark.conf.set("spark.graft.broadcast.maxDictRows", "0")
+      try assert(!hasBroadcast(q)) // huge dict: no hint → shuffle join
+      finally spark.conf.unset("spark.graft.broadcast.maxDictRows")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("store path and derive path agree on a stage-bearing query") {
     val q = """sum by (user) (sum_over_time({event_type="click"} | json | unwrap k [6h]))"""
     val viaStore = engine.compileMetric(LogQLParser.parseOrThrow(q))
