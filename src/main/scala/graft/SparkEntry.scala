@@ -16,7 +16,8 @@ object SparkEntry {
     gates.LlmGates,
     gates.TraceQLGates,
     gates.IngestGates,
-    gates.ProfGates)
+    gates.ProfGates,
+    gates.StreamingGates)
 
   private lazy val allGates: Seq[Gate] = gateSets.flatMap(_.gates)
 

@@ -145,6 +145,49 @@ object ProfGates extends GateSet {
           |  count(*) AS samples
           |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // --- tokenizer classes: UUID/IP/timestamp/path/hex masking over
+    // synthesized rich lines (clustering/lexer.go dominant classes); the
+    // oracle re-derives the classing per token in SQL --------------------
+    Gate("patterns_mine_classes",
+      (spark: SparkSession, dir: String) => {
+        val logs = Tables.logs(spark, dir)
+        val u = element_at(col("labels"), "user")
+        val h = md5(u)
+        val uuid = concat_ws("-", substring(h, 1, 8), substring(h, 9, 4),
+          substring(h, 13, 4), substring(h, 17, 4), substring(h, 21, 12))
+        val ip = concat(lit("10.0."),
+          pmod(u.cast("long"), lit(250)).cast("string"), lit(".7"))
+        val line = concat_ws(" ", lit("req"), uuid, lit("from"), ip,
+          lit("at"), lit("2024-01-02T03:04:05Z"),
+          lit("path"), concat(lit("/api/u"), u, lit("/get")),
+          lit("took"), concat(u, lit("ms")))
+        Patterns.mineLines(logs.select(
+            element_at(col("labels"), "event_type").as("stream"),
+            line.as("line")))
+          .withColumnRenamed("stream", "event_type")
+          .orderBy("event_type", "pattern")
+      },
+      Some(OracleViews.withViews(Seq(OracleViews.logs,
+        """clines AS (SELECT event_type,
+          |    'req ' || substr(md5("user"),1,8) || '-' || substr(md5("user"),9,4) || '-' ||
+          |      substr(md5("user"),13,4) || '-' || substr(md5("user"),17,4) || '-' ||
+          |      substr(md5("user"),21,12) ||
+          |    ' from 10.0.' || CAST(CAST("user" AS BIGINT) % 250 AS VARCHAR) || '.7' ||
+          |    ' at 2024-01-02T03:04:05Z path /api/u' || "user" || '/get took ' || "user" || 'ms' AS line
+          |  FROM logs)""".stripMargin,
+        """cmask AS (SELECT event_type, array_to_string(
+          |    [CASE
+          |       WHEN regexp_matches(w, '^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$') THEN '<UUID>'
+          |       WHEN regexp_matches(w, '^\d{4}-\d{2}-\d{2}([T ]\d{2}:\d{2}:\d{2}(\.\d+)?(Z|[+-]\d{2}:?\d{2})?)?$') THEN '<TS>'
+          |       WHEN regexp_matches(w, '^\d{1,3}(\.\d{1,3}){3}(:\d+)?$') THEN '<IP>'
+          |       WHEN regexp_matches(w, '^(0x)?[0-9a-fA-F]{8,}$') AND regexp_matches(w, '[a-fA-F]') THEN '<HEX>'
+          |       WHEN regexp_matches(w, '^(/[^/ ]+){2,}/?$') THEN '<PATH>'
+          |       ELSE regexp_replace(w, '[0-9]+', '<N>', 'g') END
+          |     for w in string_split(line, ' ')], ' ') AS pattern
+          |  FROM clines)""".stripMargin),
+        """SELECT event_type, pattern, count(*) AS samples_count
+          |FROM cmask GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))),
+
     // --- Drain-style pattern mining ---------------------------------------
     Gate("patterns_mine",
       (spark: SparkSession, dir: String) =>

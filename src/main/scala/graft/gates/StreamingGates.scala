@@ -1,0 +1,74 @@
+package graft.gates
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.logql.EvalParams
+import graft.model.{OracleViews, Tables}
+import graft.streaming.{LiveTail, Ruler}
+
+/** Oracle gates for the streaming surface (SURVEY §2.H): each gate drives
+  * the REAL Structured Streaming path deterministically — live tail runs
+  * the tail predicates over a `readStream` source with an AvailableNow
+  * trigger into a memory sink (the bounded replay of an unbounded tail);
+  * the ruler evaluates a rule and reads back its written samples. The
+  * DuckDB oracle re-derives the same result from the batch view, so the
+  * stream path is checked against batch semantics (exactly the reference's
+  * contract: tail = the query re-run over new data,
+  * `reader/service/query_range.go:670-800`).
+  */
+object StreamingGates extends GateSet {
+  import EvalWindow._
+
+  private def rmrf(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rmrf))
+    f.delete(): Unit
+  }
+
+  private def o(body: String): Option[String] =
+    Some(OracleViews.withViews(Seq(OracleViews.logs), body))
+
+  override val gates: Seq[Gate] = Seq(
+
+    // --- live tail: selector + line filter over a streaming source --------
+    Gate("streaming_live_tail",
+      (spark: SparkSession, dir: String) => {
+        val schema = Tables.events(spark, dir).schema
+        val stream = Tables.logsFrom(
+          spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet").parquet(dir))
+        val tailed = LiveTail(stream, """{level="error"} |= "7"""")
+        spark.catalog.dropTempView("live_tail_sink"): Unit
+        tailed.writeStream.format("memory").queryName("live_tail_sink")
+          .trigger(Trigger.AvailableNow()).start().awaitTermination()
+        spark.table("live_tail_sink")
+          .select(col("timestamp_ns"), col("line"),
+            element_at(col("labels"), "user").as("user"))
+          .orderBy("timestamp_ns", "line")
+      },
+      o("""SELECT timestamp_ns, line, "user"
+          |FROM logs WHERE level = 'error' AND line LIKE '%7%'
+          |ORDER BY timestamp_ns, line""".stripMargin)),
+
+    // --- recording rule: evaluate + write back + read back ----------------
+    Gate("streaming_ruler_record",
+      (spark: SparkSession, dir: String) => {
+        rmrf(new java.io.File(Ruler.recordedPath(dir))) // deterministic replay
+        Ruler.record(spark, dir, "error_count_6h",
+          """sum by (event_type) (count_over_time({level="error"}[6h]))""",
+          EvalParams(StartNs, EndNs, StepS))
+        Ruler.recorded(spark, dir)
+          .select(element_at(col("labels"), "__name__").as("name"),
+            element_at(col("labels"), "event_type").as("event_type"),
+            expr("timestamp_ns div 1000000000").as("ts"),
+            round(col("value"), 6).as("value"))
+          .orderBy("event_type", "ts")
+      },
+      o(s"""SELECT 'error_count_6h' AS name, event_type,
+           |  (timestamp_ns // ${StepS}000000000) * $StepS AS ts,
+           |  CAST(count(*) AS DOUBLE) AS value
+           |FROM logs WHERE level = 'error'
+           |GROUP BY 2, 3 ORDER BY event_type, ts""".stripMargin))
+  )
+}

@@ -67,12 +67,19 @@ object Tables {
     *   value         — numeric payload (metric sample when type=2)
     *   fingerprint   — series identity
     */
-  def logs(spark: SparkSession, dir: String): DataFrame = {
+  def logs(spark: SparkSession, dir: String): DataFrame =
+    logsFrom(events(spark, dir))
+
+  /** The logs derivation over any events-shaped frame — including a
+    * STREAMING DataFrame (the live-tail path builds the same projection
+    * over readStream, so batch and stream share one derivation).
+    */
+  def logsFrom(events: DataFrame): DataFrame = {
     val labels = map(
       lit("event_type"), col("event_type"),
       lit("level"), when(col("event_type") === "error", "error").otherwise("info"),
       lit("user"), col("user_id").cast("string"))
-    events(spark, dir)
+    events
       .select(
         // truncate to µs: the oracle's parquet reader has µs timestamps,
         // so the canonical model pins µs precision (ns-granular inputs

@@ -24,8 +24,24 @@ import graft.model.Tables
   */
 object Patterns {
 
+  /** Token classing, mirroring the reference lexer's dominant classes
+    * (`clustering/lexer.go` / `_lexer.go:26-40`: UUID, Timestamp,
+    * IPAddress, hex ids, HTTPPathPart; everything else falls through to
+    * digit-run masking). Whole-token regex classes, evaluated in the
+    * lexer's precedence order.
+    */
+  def classTok(t: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(t.rlike("^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$"),
+      "<UUID>")
+    .when(t.rlike("^\\d{4}-\\d{2}-\\d{2}([T ]\\d{2}:\\d{2}:\\d{2}(\\.\\d+)?(Z|[+-]\\d{2}:?\\d{2})?)?$"),
+      "<TS>")
+    .when(t.rlike("^\\d{1,3}(\\.\\d{1,3}){3}(:\\d+)?$"), "<IP>")
+    .when(t.rlike("^(0x)?[0-9a-fA-F]{8,}$") && t.rlike("[a-fA-F]"), "<HEX>")
+    .when(t.rlike("^(/[^/ ]+){2,}/?$"), "<PATH>")
+    .otherwise(regexp_replace(t, "[0-9]+", "<N>"))
+
   def maskedTokens(line: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    transform(split(line, " "), t => regexp_replace(t, "[0-9]+", "<N>"))
+    transform(split(line, " "), classTok(_))
 
   /** Cluster lines of (stream, line) → (stream, pattern, samples_count). */
   def mineLines(lines: DataFrame): DataFrame = {

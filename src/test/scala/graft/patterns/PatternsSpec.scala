@@ -15,10 +15,23 @@ class PatternsSpec extends SparkSpec {
     val out = Patterns.mineLines(lines).orderBy("stream", "pattern").collect()
     assert(out.length == 2)
     val api = out(0)
-    // user/order differ → <_>; numbers → <N> (inside the path token too)
-    assert(api.getAs[String]("pattern") == "GET <_> took <N>ms")
+    // path tokens CLASS to <PATH> (lexer classes beat per-position
+    // generalization — all three collapse); numbers → <N>
+    assert(api.getAs[String]("pattern") == "GET <PATH> took <N>ms")
     assert(api.getAs[Long]("samples_count") == 3L)
     assert(out(1).getAs[String]("pattern") == "connection pool exhausted")
+  }
+
+  test("lexer token classes mask UUID/IP/timestamp/hex/path") {
+    import graft.TestSpark.spark.implicits._
+    val lines = Seq(
+      ("s", "id=1 550e8400-e29b-41d4-a716-446655440000 10.1.2.3:8080 2024-01-02T03:04:05Z deadbeefcafe /v1/users/42 ok"),
+      ("s", "id=2 6ba7b810-9dad-11d1-80b4-00c04fd430c8 192.168.0.1 2023-12-31 c0ffee00c0ffee /v1/orders/7 ok"))
+      .toDF("stream", "line")
+    val out = Patterns.mineLines(lines).collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[String]("pattern") ==
+      "id=<N> <UUID> <IP> <TS> <HEX> <PATH> ok")
   }
 
   test("distinct token counts split clusters by length and head") {
