@@ -112,6 +112,14 @@ object ProfGates extends GateSet {
           |  count(*) AS samples
           |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // --- /pyroscope/analyze size estimate (planner_profiles_size.go:15) ---
+    Gate("profiles_analyze",
+      (spark: SparkSession, dir: String) => Profiles.analyze(spark, dir),
+      Some(
+        """SELECT CAST(sum(103 + length(event_type)) AS BIGINT) AS profile_size,
+          |  CAST(count(DISTINCT user_id % 5) AS BIGINT) AS fingerprint_count
+          |FROM events""".stripMargin)),
+
     // --- OTLP profiles (pprofile) round trip: dictionary-table JSON →
     // index-resolved stack rows → per-service merge (otlp_profile.go:1-458)
     Gate("ingest_otlp_profiles_roundtrip",

@@ -381,6 +381,25 @@ object PromQLGates extends GateSet {
            |JOIN grid g ON i.t6 > g.t - 86400 AND i.t6 <= g.t
            |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin, grid)),
 
+    // --- /api/v1/metadata: families + type + live series count ------------
+    Gate("promql_metadata",
+      (spark: SparkSession, dir: String) =>
+        graft.promql.PromQLApi.metadata(spark, dir).orderBy("metric_name"),
+      o("""SELECT * FROM (
+          |  SELECT 'events_bucket' AS metric_name, 'histogram' AS type,
+          |    CAST(count(DISTINCT event_type || '|' || CAST(le AS VARCHAR)) AS BIGINT) AS series
+          |  FROM buckets
+          |  UNION ALL
+          |  SELECT 'events_total', 'counter',
+          |    CAST(count(DISTINCT event_type || '|' || level) AS BIGINT)
+          |  FROM counters
+          |  UNION ALL
+          |  SELECT 'events_value', 'gauge',
+          |    CAST(count(DISTINCT event_type || '|' || level) AS BIGINT)
+          |  FROM metrics) u
+          |ORDER BY metric_name""".stripMargin,
+        OracleViews.counters, OracleViews.buckets)),
+
     // --- label_replace: regex capture into a new label --------------------
     Gate("promql_label_replace",
       q("""label_replace(sum by (event_type) (count_over_time(events_value[6h])), "abbr", "$1", "event_type", "(..).*")""",

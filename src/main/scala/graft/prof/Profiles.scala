@@ -98,6 +98,24 @@ object Profiles {
     acc.select(col("level"), col("fn"), col("self"), col("total"))
   }
 
+  /** `/pyroscope/analyze` size estimate (ProfileSizePlanner,
+    * `prof_transpiler/planner_profiles_size.go:15-52`): the reference
+    * returns (sum of stored payload bytes, exact fingerprint count) for a
+    * selector. Our store holds decoded tree rows, not payload blobs, so
+    * the size estimate is the canonical row encoding — 4 longs + the
+    * function name per node — and the fingerprint analog is the service
+    * dictionary.
+    */
+  def analyze(spark: SparkSession, dir: String,
+      service: Option[String] = None): DataFrame = {
+    val base = profiles(spark, dir)
+    val sel = service.fold(base)(s => base.filter(col("service_name") === s))
+    sel.select(col("service_name"), explode(col("tree")).as("n"))
+      .agg(
+        sum(lit(32) + length(col("n.fn"))).cast("long").as("profile_size"),
+        countDistinct(col("service_name")).as("fingerprint_count"))
+  }
+
   /** Profile value time series per service (SelectSeriesPlanner,
     * `planner_select_series.go:21-86`): per-step sum of root totals.
     */
