@@ -16,6 +16,35 @@ object DevProf {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (args.contains("lshprof")) {
+      import graft.llm.Dedup
+      val docs = graft.model.Tables.documents(spark, dir)
+      def t(name: String)(f: => Long): Unit = {
+        val t0 = System.nanoTime()
+        val n = f
+        println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%7.2f s ($n rows)")
+      }
+      t("docs scan")(docs.count())
+      t("shingles")(Dedup.docShingles(docs).count())
+      t("minhashSignatures")(Dedup.minhashSignatures(docs).count())
+      t("lshBands")(Dedup.lshBands(Dedup.minhashSignatures(docs)).count())
+      t("lshCandidates")(Dedup.lshCandidates(docs).count())
+      val cand = Dedup.lshCandidates(docs).localCheckpoint()
+      t("jaccardOf(cand)")(Dedup.jaccardOf(cand, docs).count())
+      t("full minhashNearDups")(Dedup.minhashNearDups(docs, 0.5).count())
+      spark.stop(); return
+    }
+    if (args.contains("lshstats")) {
+      val docs = graft.model.Tables.documents(spark, dir)
+      println(s"docs: ${docs.count()}")
+      val sh = graft.llm.Dedup.docShingles(docs)
+      println(s"shingle rows: ${sh.count()}")
+      val c44 = graft.llm.Dedup.lshCandidates(docs)
+      println(s"cand 4x4: ${c44.count()}")
+      val c82 = graft.llm.Dedup.lshCandidates(docs, 8, 2)
+      println(s"cand 8x2: ${c82.count()}")
+      spark.stop(); return
+    }
     if (args.contains("lshcheck")) {
       val docs = graft.model.Tables.documents(spark, dir)
       val lsh = graft.llm.Dedup.nearDupPairs(docs, 0.8).select("i", "j")

@@ -78,7 +78,11 @@ object Dedup {
     * (equi-join on band+hash) — never all-pairs.
     */
   def lshCandidates(docs: DataFrame, bands: Int = Bands, rows: Int = Rows): DataFrame = {
-    val b = lshBands(minhashSignatures(docs), bands, rows)
+    // materialize the signatures (N small rows) before banding: the band
+    // self-join otherwise re-runs the whole shingle→minhash aggregation
+    // once per side — the "write the LSH index, then join it" shape every
+    // banded pipeline uses at scale
+    val b = lshBands(minhashSignatures(docs).localCheckpoint(), bands, rows)
     b.as("a").join(b.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -86,22 +90,27 @@ object Dedup {
       .distinct()
   }
 
-  /** Exact word-n-gram Jaccard for a given pair set: join each side's
-    * shingles, count the intersection, divide by the union.
+  /** Exact word-n-gram Jaccard for a given pair set. The shingle sets are
+    * aggregated ONCE per doc (they are already distinct) and the pair list
+    * joins the two ARRAYS — `array_intersect` computes |i∩j| per pair with
+    * a hash probe instead of the old exploded (pair, shingle) shuffle join,
+    * which re-shuffled every shingle of every candidate doc. Values are
+    * integer-count ratios, bit-identical to the oracle's formulation.
     */
   def jaccardOf(pairs: DataFrame, docs: DataFrame): DataFrame = {
-    val sh = docShingles(docs)
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = pairs
-      .join(sh.select(col("doc_id").as("i"), col("s")), "i")
-      .join(sh.select(col("doc_id").as("j"), col("s")), Seq("j", "s"))
-      .groupBy(col("i"), col("j")).agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col("doc_id").as("i"), col("n").as("ni")), "i")
-      .join(sizes.select(col("doc_id").as("j"), col("n").as("nj")), "j")
-      .select(col("i"), col("j"),
-        (col("inter").cast("double") /
-          (col("ni") + col("nj") - col("inter"))).as("jaccard"))
+    // materialized once: consumed by both the i-side and j-side joins
+    val sets = docs.select(col("doc_id"), shingles(col("text")).as("ss"))
+      .select(col("doc_id"), col("ss"), size(col("ss")).as("n"))
+      .localCheckpoint()
+    val joined = pairs
+      .join(sets.select(col("doc_id").as("i"), col("ss").as("si"),
+        col("n").as("ni")), "i")
+      .join(sets.select(col("doc_id").as("j"), col("ss").as("sj"),
+        col("n").as("nj")), "j")
+      .withColumn("inter", size(array_intersect(col("si"), col("sj"))))
+    joined.select(col("i"), col("j"),
+      (col("inter").cast("double") /
+        (col("ni") + col("nj") - col("inter"))).as("jaccard"))
   }
 
   /** Full MinHash-LSH near-dup pipeline: LSH candidates verified by exact

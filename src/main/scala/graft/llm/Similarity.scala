@@ -45,19 +45,27 @@ object Similarity {
 
   val Planes = 8  // planes per table → 256 buckets/table
   val Tables = 4  // independent hash tables (multi-table LSH)
+  val Dims = 64   // embedding dimensionality (embeddings.parquet)
 
   /** Deterministic pseudo-random hyperplane weight for (table, plane, dim):
-    * md5-derived value scaled to [-1, 1). Reproducible everywhere.
+    * md5-derived value scaled to [-1, 1) — the same 60-bit md5 hash the
+    * DuckDB oracle computes (`('0x'||substr(md5(s),1,15))::BIGINT`).
+    * Row-independent, so it is computed ONCE here and embedded as an array
+    * literal: the previous expression form re-ran md5 per (element, plane,
+    * table, row) — 2048 hashes per vector — inside a non-codegen lambda.
     */
-  private def planeWeight(t: Int, p: Int, d: Column): Column =
-    (pmod(mdhash64(concat(lit(t + "|" + p + "|"), d.cast("string"))), lit(2000L)) - 1000L) / 1000.0
+  private def planeWeight(t: Int, p: Int, d: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$t|$p|$d".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    (java.lang.Long.parseLong(md.substring(0, 15), 16) % 2000L - 1000L) / 1000.0
+  }
 
   /** Sign-bucket of a vector under table t's P hyperplanes. */
   def lshBucket(emb: Column, t: Int): Column = {
     val e = asDouble(emb)
     val dots = (0 until Planes).map { p =>
-      aggregate(zip_with(e, sequence(lit(0), size(e) - 1),
-        (v, i) => v * planeWeight(t, p, i)), lit(0.0), (acc, v) => acc + v)
+      val w = typedLit((0 until Dims).map(d => planeWeight(t, p, d)))
+      aggregate(zip_with(e, w, (v, wd) => v * wd), lit(0.0), (acc, v) => acc + v)
     }
     dots.zipWithIndex.map { case (dp, p) =>
       when(dp >= 0, lit(1L << p)).otherwise(lit(0L))

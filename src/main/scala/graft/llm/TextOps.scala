@@ -24,13 +24,23 @@ object TextOps {
     */
   def tokens(text: Column): Column = split(lower(text), " ")
 
-  /** Distinct word n-gram shingles (default 3), the MinHash input unit. */
+  /** Distinct word n-gram shingles (default 3), the MinHash input unit.
+    *
+    * Formulated as a zip_with fold over SHIFTED SLICES of the token array,
+    * not a transform-with-element_at: a lambda that captures `split(...)`
+    * re-evaluates the split per ELEMENT (higher-order lambdas don't get
+    * subexpression elimination), which made shingling O(tokens²) string
+    * work per row. Here the token expression is referenced a constant
+    * number of times and each zip step touches materialized arrays.
+    */
   def shingles(text: Column, n: Int = 3): Column = {
     val toks = tokens(text)
-    val grams = transform(
-      sequence(lit(1), size(toks) - (n - 1)),
-      i => concat_ws(" ", (0 until n).map(o => element_at(toks, i + o)): _*))
-    array_distinct(when(size(toks) >= n, grams).otherwise(array()))
+    val m = greatest(size(toks) - (n - 1), lit(0))
+    val grams = (1 until n).foldLeft(slice(toks, lit(1), m)) { (acc, o) =>
+      zip_with(acc, slice(toks, lit(o + 1), m),
+        (a, b) => concat(a, lit(" "), b))
+    }
+    array_distinct(grams)
   }
 
   /** GPT2-style pretokenizer regex — counts BPE-ish word/number/punct
