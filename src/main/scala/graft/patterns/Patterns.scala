@@ -30,15 +30,24 @@ object Patterns {
     * digit-run masking). Whole-token regex classes, evaluated in the
     * lexer's precedence order.
     */
-  def classTok(t: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    when(t.rlike("^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$"),
+  def classTok(t: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    // cheap structural guards in front of each full-token regex: most
+    // tokens are plain words and skip every regex after one length /
+    // first-char comparison
+    val first = substring(t, 1, 1)
+    val digitFirst = first >= "0" && first <= "9"
+    when(length(t) === 36 && substring(t, 9, 1) === "-" &&
+        t.rlike("^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$"),
       "<UUID>")
-    .when(t.rlike("^\\d{4}-\\d{2}-\\d{2}([T ]\\d{2}:\\d{2}:\\d{2}(\\.\\d+)?(Z|[+-]\\d{2}:?\\d{2})?)?$"),
+    .when(digitFirst && length(t) >= 10 &&
+        t.rlike("^\\d{4}-\\d{2}-\\d{2}([T ]\\d{2}:\\d{2}:\\d{2}(\\.\\d+)?(Z|[+-]\\d{2}:?\\d{2})?)?$"),
       "<TS>")
-    .when(t.rlike("^\\d{1,3}(\\.\\d{1,3}){3}(:\\d+)?$"), "<IP>")
-    .when(t.rlike("^(0x)?[0-9a-fA-F]{8,}$") && t.rlike("[a-fA-F]"), "<HEX>")
-    .when(t.rlike("^(/[^/ ]+){2,}/?$"), "<PATH>")
+    .when(digitFirst && t.rlike("^\\d{1,3}(\\.\\d{1,3}){3}(:\\d+)?$"), "<IP>")
+    .when(length(t) >= 8 && t.rlike("^(0x)?[0-9a-fA-F]{8,}$") && t.rlike("[a-fA-F]"),
+      "<HEX>")
+    .when(first === "/" && t.rlike("^(/[^/ ]+){2,}/?$"), "<PATH>")
     .otherwise(regexp_replace(t, "[0-9]+", "<N>"))
+  }
 
   def maskedTokens(line: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     transform(split(line, " "), classTok(_))
@@ -51,21 +60,19 @@ object Patterns {
 
     val posed = keyed.select(col("stream"), col("n"), col("head"),
       posexplode(col("ws")).as(Seq("pos", "tok")))
+    // line count rides along as the row count at position 0 — ONE lineage,
+    // no second pass over the masked tokens and no cluster join
     val posTok = posed
       .groupBy(col("stream"), col("n"), col("head"), col("pos"))
       .agg(when(countDistinct(col("tok")) === 1, min(col("tok")))
-        .otherwise(lit("<_>")).as("tok_out"))
-    val patterns = posTok
+        .otherwise(lit("<_>")).as("tok_out"),
+        count(lit(1)).as("cnt"))
+    posTok
       .groupBy(col("stream"), col("n"), col("head"))
       .agg(concat_ws(" ", transform(
         array_sort(collect_list(struct(col("pos"), col("tok_out")))),
-        s => s.getField("tok_out"))).as("pattern"))
-
-    val counts = keyed
-      .groupBy(col("stream"), col("n"), col("head"))
-      .agg(count(lit(1)).as("samples_count"))
-
-    patterns.join(counts, Seq("stream", "n", "head"))
+        s => s.getField("tok_out"))).as("pattern"),
+        max(when(col("pos") === 0, col("cnt"))).as("samples_count"))
       .select(col("stream"), col("pattern"), col("samples_count"))
   }
 
