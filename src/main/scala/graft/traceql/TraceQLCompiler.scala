@@ -424,30 +424,48 @@ class TraceQLCompiler(spark: SparkSession, dir: String,
     * every (attr key, value) on both sides, emit the top-N attr pairs by
     * selection count (deterministic key/val tiebreak).
     */
-  def compare(e: TExpr, c: CompareStage): DataFrame = {
-    val base = e match {
-      case Sel(ss) => spanSetSpans(ss)
-      case other =>
-        spanSetSpans(SpanSet(None))
-          .join(matchingTraces(other), Seq("trace_id"), "left_semi")
-    }
-    val selected = base.join(
-      spanSetSpans(c.sel).select(col("trace_id"), col("span_id")),
-      Seq("trace_id", "span_id"), "left_semi")
-    val baseAttrs = attrs.join(base.select(col("trace_id"), col("span_id")),
-      Seq("trace_id", "span_id"), "left_semi")
-    val selAttrs = attrs.join(selected.select(col("trace_id"), col("span_id")),
-      Seq("trace_id", "span_id"), "left_semi")
-    val selCnt = selAttrs.groupBy(col("key"), col("val"))
-      .agg(count(lit(1)).as("sel_count"))
-    val baseCnt = baseAttrs.groupBy(col("key"), col("val"))
-      .agg(count(lit(1)).as("base_count"))
-    baseCnt.join(selCnt, Seq("key", "val"), "left")
-      .select(col("key"), col("val"),
-        coalesce(col("sel_count"), lit(0L)).as("sel_count"),
-        (col("base_count") - coalesce(col("sel_count"), lit(0L))).as("baseline_count"))
-      .orderBy(col("sel_count").desc, col("key"), col("val"))
-      .limit(c.topN)
+  def compare(e: TExpr, c: CompareStage): DataFrame = (simpleCond(e), c.sel.cond) match {
+    case (Some(ce), Some(cs)) =>
+      // one combined mask agg marks each base span as selected-or-not; one
+      // attrs join then counts both sides in a single aggregation — the
+      // old shape ran two span-set aggs, two attr semi-joins and a count
+      // join (6 scans); this runs 2 scans and 1 join
+      val (frame, idx) = maskedFrame(Seq(ce, cs))
+      val marked = frame.filter(maskCond(ce, idx))
+        .select(col("trace_id"), col("span_id"),
+          maskCond(cs, idx).as("__sel"))
+      attrs.join(marked, Seq("trace_id", "span_id"))
+        .groupBy(col("key"), col("val"))
+        .agg(count(lit(1)).as("__base"),
+          sum(when(col("__sel"), 1L).otherwise(0L)).as("sel_count"))
+        .select(col("key"), col("val"), col("sel_count"),
+          (col("__base") - col("sel_count")).as("baseline_count"))
+        .orderBy(col("sel_count").desc, col("key"), col("val"))
+        .limit(c.topN)
+    case _ =>
+      val base = e match {
+        case Sel(ss) => spanSetSpans(ss)
+        case other =>
+          spanSetSpans(SpanSet(None))
+            .join(matchingTraces(other), Seq("trace_id"), "left_semi")
+      }
+      val selected = base.join(
+        spanSetSpans(c.sel).select(col("trace_id"), col("span_id")),
+        Seq("trace_id", "span_id"), "left_semi")
+      val baseAttrs = attrs.join(base.select(col("trace_id"), col("span_id")),
+        Seq("trace_id", "span_id"), "left_semi")
+      val selAttrs = attrs.join(selected.select(col("trace_id"), col("span_id")),
+        Seq("trace_id", "span_id"), "left_semi")
+      val selCnt = selAttrs.groupBy(col("key"), col("val"))
+        .agg(count(lit(1)).as("sel_count"))
+      val baseCnt = baseAttrs.groupBy(col("key"), col("val"))
+        .agg(count(lit(1)).as("base_count"))
+      baseCnt.join(selCnt, Seq("key", "val"), "left")
+        .select(col("key"), col("val"),
+          coalesce(col("sel_count"), lit(0L)).as("sel_count"),
+          (col("base_count") - coalesce(col("sel_count"), lit(0L))).as("baseline_count"))
+        .orderBy(col("sel_count").desc, col("key"), col("val"))
+        .limit(c.topN)
   }
 
   /** Tag-value autocomplete (`select_values_planner.go:13`). */
