@@ -42,6 +42,12 @@ class LogQLCorpusSpec extends AnyFunSuite {
     """{job="api"} | label_format s="{{.status | upper}}"""",
     """{job="api"} | json | drop status, path""",
     """{job="api"} | json | keep status""",
+    """{job="api"} | line_format "{{.status | len}}x{{.path | repeat 2}}"""",
+    """{job="api"} | line_format `{{.missing | default "-"}} {{.b | b64enc | b64dec}}`""",
+    """{job="api"} | line_format `{{.d | toDate "2006-01-02" | unixEpoch}}`""",
+    """{job="api"} | line_format `{{.dur | duration_seconds}} {{.n | add 5}}`""",
+    """{job="api"} | line_format `{{ range .tags }}[{{ . }}]{{ end }}`""",
+    """{job="api"} | line_format `line was: {{ __line__ }}`""",
     // unwrap + conversions
     """sum_over_time({job="api"} | json | unwrap dur [5m])""",
     """sum_over_time({job="api"} | json | unwrap bytes(sz) [5m])""",

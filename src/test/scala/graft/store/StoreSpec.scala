@@ -72,6 +72,24 @@ class StoreSpec extends SparkSpec {
       attrScan.get.partitionFilters, Nil).size <= 2) // ≤2 of 31 day partitions
   }
 
+  test("GIN hit-prefilter pushes the OR-of-leaves predicate into the scan") {
+    import graft.traceql.{TraceQLCompiler, TraceQLParser}
+    import graft.traceql.TraceQLAst._
+    val eng = new TraceQLCompiler(spark, sf, StartNs, EndNs)
+    val Query(Sel(ss), _, _, _, _) =
+      TraceQLParser.parseOrThrow("""{ .name="error" && .service_name="svc1" }"""): @unchecked
+    val scans = eng.spanSetSpans(ss).queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    val attrScan = scans.find(
+      _.relation.location.rootPaths.mkString(",").contains("span_attrs")).get
+    // the leaf predicates must reach the parquet reader as pushed data
+    // filters (row-group skipping on the (key, val) sort), not live only
+    // in a post-scan Filter
+    val pushed = attrScan.metadata.getOrElse("PushedFilters", "")
+    assert(pushed.contains("key") && pushed.contains("val"), pushed)
+  }
+
   test("profiles scan routes to the materialized store") {
     val paths = graft.prof.Profiles.profiles(spark, sf)
       .queryExecution.sparkPlan.collect {
