@@ -203,6 +203,79 @@ object LlmGates extends GateSet {
            |GROUP BY 1 ORDER BY 1""".stripMargin
       }),
 
+    // --- embedding-cosine near-dup pairs: sign-LSH bucket candidates →
+    // exact-cosine verify. The base embeddings are random (max pairwise
+    // cosine ≈0.51), so each side PLANTS near-dups deterministically —
+    // every 50th vector re-appears with its first coordinate scaled 1.1×
+    // (double math on both sides) — and the oracle mirrors buckets +
+    // cosine exactly, so partial LSH recall cannot diverge the compare. --
+    Gate("llm_embed_neardup",
+      (spark: SparkSession, dir: String) => {
+        val emb = Tables.embeddings(spark, dir)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+        val planted = emb.filter(col("vec_id") % 50 === 0)
+          .select((col("vec_id") + 1000000L).as("vec_id"),
+            transform(col("embedding"),
+              (v, i) => when(i === 0, v * 1.1).otherwise(v)).as("embedding"))
+        Similarity.embeddingNearDups(emb.unionByName(planted), 0.9)
+          .select(col("i"), col("j"), round(col("sim"), 6).as("sim"))
+          .orderBy("i", "j")
+      },
+      Some {
+        val dot64 = (a: String, b: String) =>
+          s"list_sum([$a[i]*$b[i] for i in generate_series(1,64)])"
+        s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |ep AS (SELECT vec_id + 1000000 AS vec_id,
+           |    [CASE WHEN i = 1 THEN v[i]*1.1 ELSE v[i] END
+           |     for i in generate_series(1,64)] AS v
+           |  FROM e0 WHERE vec_id % 50 = 0),
+           |e AS (SELECT * FROM e0 UNION ALL SELECT * FROM ep),
+           |w AS (SELECT t, p, d,
+           |    ((('0x'||substr(md5(t::VARCHAR||'|'||p::VARCHAR||'|'||d::VARCHAR),1,15))::BIGINT % 2000) - 1000)/1000.0 AS wt
+           |  FROM generate_series(0,3) tt(t), generate_series(0,7) pp(p),
+           |       generate_series(0,63) dd(d)),
+           |wl AS (SELECT t, p, list(wt ORDER BY d) AS wv FROM w GROUP BY 1, 2),
+           |dots AS (SELECT e.vec_id, wl.t, wl.p,
+           |    ${dot64("e.v", "wl.wv")} AS dot
+           |  FROM e CROSS JOIN wl),
+           |bkt AS (SELECT vec_id, t,
+           |    sum(CASE WHEN dot >= 0 THEN 1 << p ELSE 0 END) AS bkt
+           |  FROM dots GROUP BY 1, 2),
+           |cand AS (SELECT DISTINCT a.vec_id AS i, b.vec_id AS j
+           |  FROM bkt a JOIN bkt b ON a.t = b.t AND a.bkt = b.bkt
+           |    AND a.vec_id < b.vec_id),
+           |sims AS (SELECT cand.i, cand.j,
+           |    ${dot64("ei.v", "ej.v")} /
+           |    (sqrt(${dot64("ei.v", "ei.v")}) * sqrt(${dot64("ej.v", "ej.v")})) AS sim
+           |  FROM cand JOIN e ei ON ei.vec_id = cand.i
+           |            JOIN e ej ON ej.vec_id = cand.j)
+           |SELECT i, j, round(sim, 6) AS sim FROM sims
+           |WHERE sim >= 0.9 ORDER BY i, j""".stripMargin
+      }),
+
+    // --- language ID: marker-profile scoring, argmax with deterministic
+    // tie-break (array_max struct ordering ≡ the CASE chain below) ---------
+    Gate("llm_lang_id",
+      (spark: SparkSession, dir: String) =>
+        docs(spark, dir)
+          .select(col("doc_id"), TextOps.langId(col("text")).as("lang"))
+          .orderBy("doc_id"),
+      Some(
+        """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+          |s AS (SELECT doc_id,
+          |  len(list_filter(ws, w -> w IN ('the','and','of','is','with'))) AS s_en,
+          |  len(list_filter(ws, w -> w IN ('der','die','und','ist','mit'))) AS s_de,
+          |  len(list_filter(ws, w -> w IN ('el','la','de','es','con'))) AS s_es,
+          |  len(list_filter(ws, w -> w IN ('le','la','et','est','avec'))) AS s_fr
+          |  FROM t)
+          |SELECT doc_id, CASE
+          |  WHEN greatest(s_en, s_de, s_es, s_fr) = 0 THEN 'und'
+          |  WHEN s_fr >= s_en AND s_fr >= s_de AND s_fr >= s_es THEN 'fr'
+          |  WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
+          |  WHEN s_en >= s_de THEN 'en'
+          |  ELSE 'de' END AS lang
+          |FROM s ORDER BY doc_id""".stripMargin)),
+
     // --- per-doc text stats / quality filter (all-integer outputs) --------
     Gate("llm_text_stats",
       (spark: SparkSession, dir: String) =>

@@ -81,6 +81,25 @@ object Similarity {
       .select(col(idCol), col(embCol), col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
   }
 
+  /** Embedding-cosine near-duplicate pairs: candidate pairs share a sign
+    * bucket in ANY hash table (per-bucket self-join — never all-pairs),
+    * verified by exact cosine ≥ threshold. The scale shape of
+    * embedding-level dedup: candidate volume is Σ bucket² per table
+    * (buckets ≈ N/2^P), and the verify only scores candidates.
+    */
+  def embeddingNearDups(corpus: DataFrame, threshold: Double): DataFrame = {
+    val b = withBuckets(corpus.select(col("vec_id"), col("embedding")),
+      "vec_id", "embedding")
+    val cand = b.as("a").join(b.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bkt") === col("b.bkt") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
+        col("a.embedding").as("ei"), col("b.embedding").as("ej"))
+      .dropDuplicates("i", "j")
+    cand.select(col("i"), col("j"), cosine(col("ei"), col("ej")).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
   /** Approximate top-k via multi-table LSH: a candidate shares the query's
     * bucket in ANY of the T tables (union via the exploded (table, bucket)
     * join, deduped). Per-table bucket size ≈ N/2^P, so the candidate set is
