@@ -134,6 +134,20 @@ class StoreSpec extends SparkSpec {
     } finally spark.conf.set("spark.graft.store.disabled", "false")
   }
 
+  test("descendant closure table agrees with the iterative-walk fallback") {
+    import graft.traceql.{TraceQLCompiler, TraceQLParser}
+    val eng = new TraceQLCompiler(spark, sf, StartNs, EndNs)
+    val q = TraceQLParser.parseOrThrow("""{ .name="view" } >> { .name="purchase" }""")
+    val viaClosure = eng.matchingTraces(q.expr).orderBy("trace_id")
+      .collect().map(_.getLong(0))
+    spark.conf.set("spark.graft.store.disabled", "true")
+    try {
+      val viaWalk = eng.matchingTraces(q.expr).orderBy("trace_id")
+        .collect().map(_.getLong(0))
+      assert(viaClosure.nonEmpty && viaClosure.sameElements(viaWalk))
+    } finally spark.conf.set("spark.graft.store.disabled", "false")
+  }
+
   test("downsample and raw paths agree on rate values") {
     val q = """sum by (event_type) (rate({level="info"}[12h]))"""
     val ds = engine.compileMetric(LogQLParser.parseOrThrow(q))
