@@ -261,6 +261,18 @@ object PromQLGates extends GateSet {
            |FROM generate_series($StartS, $EndS, $StepS) t(gs)
            |ORDER BY 1""".stripMargin, grid)),
 
+    // --- absent_over_time: 1 where the range window holds no sample -------
+    Gate("promql_absent_over_time",
+      q("""absent_over_time(events_value{event_type="purchase"}[30m])"""),
+      o(s"""SELECT gs AS ts, 1.0 AS value
+           |FROM generate_series($StartS, $EndS, $StepS) t(gs)
+           |WHERE NOT EXISTS (
+           |  SELECT 1 FROM metrics m
+           |  WHERE m.event_type = 'purchase'
+           |    AND m.timestamp_ns > (gs - 1800) * 1000000000
+           |    AND m.timestamp_ns <= gs * 1000000000)
+           |ORDER BY 1""".stripMargin, grid)),
+
     // --- vector set operators (and / unless) ------------------------------
     Gate("promql_and_cmp",
       q("""avg_over_time(events_value[12h]) > 95 and avg_over_time(events_value[12h]) < 150""",

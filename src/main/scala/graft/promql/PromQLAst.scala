@@ -75,7 +75,9 @@ object PromQLAst {
   val InstantFns: Set[String] = Set(
     "abs", "ceil", "floor", "sqrt", "exp", "ln", "log2", "log10", "sgn",
     "day_of_week", "day_of_month", "day_of_year", "hour", "minute",
-    "month", "year", "deg", "rad")
+    "month", "year", "deg", "rad",
+    "sin", "cos", "tan", "asin", "acos", "atan",
+    "sinh", "cosh", "tanh")
 
   val AggFns: Set[String] = Set(
     "sum", "min", "max", "avg", "count", "group", "stddev", "stdvar")

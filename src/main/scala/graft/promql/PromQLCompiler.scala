@@ -263,6 +263,19 @@ class PromQLCompiler(spark: SparkSession, dir: String, params: PromParams) {
             org.apache.spark.sql.types.StringType)).as("labels"),
           col("ts"), lit(1.0).as("value"))
 
+    case "absent_over_time" =>
+      // 1 at eval points whose range window (t−range, t] holds NO sample
+      // of the selector (Prometheus absent_over_time); grid anti-join.
+      val sel = f.args.head match {
+        case s: Selector => s
+        case o => throw new IllegalArgumentException(s"absent_over_time arg $o")
+      }
+      val present = rangeFrame(sel)
+        .select(expr("t_ns div 1000000000").as("ts")).distinct()
+      gridDf.join(present, Seq("ts"), "left_anti")
+        .select(lit(0L).as("fingerprint"), emptyLabels.as("labels"),
+          col("ts"), lit(1.0).as("value"))
+
     case fn if InstantFns.contains(fn) =>
       val inner = compileExpr(f.args.head)
       // calendar fns interpret the VALUE as epoch seconds in UTC (the
@@ -281,6 +294,15 @@ class PromQLCompiler(spark: SparkSession, dir: String, params: PromParams) {
         case "sgn"   => signum(col("value"))
         case "deg"   => degrees(col("value"))
         case "rad"   => radians(col("value"))
+        case "sin"   => sin(col("value"))
+        case "cos"   => cos(col("value"))
+        case "tan"   => tan(col("value"))
+        case "asin"  => asin(col("value"))
+        case "acos"  => acos(col("value"))
+        case "atan"  => atan(col("value"))
+        case "sinh"  => sinh(col("value"))
+        case "cosh"  => cosh(col("value"))
+        case "tanh"  => tanh(col("value"))
         case "day_of_week"  => (dayofweek(cal) - 1).cast("double")
         case "day_of_month" => dayofmonth(cal).cast("double")
         case "day_of_year"  => dayofyear(cal).cast("double")

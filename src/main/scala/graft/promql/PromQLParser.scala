@@ -82,6 +82,7 @@ object PromQLParser extends RegexParsers {
     "round" ~> ("(" ~> expr) ~ opt("," ~> number) <~ ")" ^^ {
       case e ~ s => FnCall("round", Seq(e, NumLit(s.getOrElse(1.0))))
     } |
+    "absent_over_time" ~> "(" ~> selector <~ ")" ^^ (s => FnCall("absent_over_time", Seq(s))) |
     "absent" ~> "(" ~> selector <~ ")" ^^ (s => FnCall("absent", Seq(s))) |
     "label_replace" ~> ("(" ~> expr) ~ ("," ~> quoted) ~ ("," ~> quoted) ~
       ("," ~> quoted) ~ ("," ~> quoted <~ ")") ^^ {

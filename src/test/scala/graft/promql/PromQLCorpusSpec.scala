@@ -72,7 +72,11 @@ class PromQLCorpusSpec extends AnyFunSuite {
     """day_of_week(vector(time()))""",
     """hour(vector(time()))""",
     """clamp(node_load1, 0, 10)""",
-    """sgn(delta(gauge_metric[5m]))""")
+    """sgn(delta(gauge_metric[5m]))""",
+    """absent_over_time(up[10m])""",
+    """sin(node_load1)""",
+    """atan(cos(node_load1))""",
+    """tanh(rate(http_requests_total[5m]))""")
 
   test(s"corpus of ${corpus.size} PromQL queries parses") {
     val failures = corpus.flatMap { q =>
