@@ -261,6 +261,39 @@ object PromQLGates extends GateSet {
            |FROM generate_series($StartS, $EndS, $StepS) t(gs)
            |ORDER BY 1""".stripMargin, grid)),
 
+    // --- holt_winters: Holt's linear-trend smoothing; the oracle runs the
+    // IDENTICAL struct fold via list_reduce (constants interpolated from
+    // the same Scala doubles, so every intermediate double matches) -------
+    Gate("promql_holt_winters", {
+      val sfp = 0.3; val tfp = 0.6
+      q(s"""holt_winters(events_value{event_type="view"}[12h], $sfp, $tfp)""",
+        "event_type")
+    },
+    {
+      val sfp = 0.3; val tfp = 0.6
+      // accumulator is a DOUBLE list [s0, s1, b, i] — struct_pack inside a
+      // list_reduce lambda mis-evaluates fields in DuckDB 1.0
+      val bNew = s"CASE WHEN e[4] = 1 THEN e[2] - a[2] ELSE $tfp*(a[2]-a[1]) + ${1 - tfp}*a[3] END"
+      o(s"""SELECT event_type, t AS ts, round(
+           |  list_reduce(
+           |    [[0.0::DOUBLE, vs[i], 0.0::DOUBLE, (i-1)::DOUBLE]
+           |     for i in generate_series(1, len(vs))],
+           |    (a, e) -> [
+           |      a[2],
+           |      $sfp*e[2] + ${1 - sfp}*(a[2] + $bNew),
+           |      $bNew,
+           |      e[4]])[2], 6) AS value
+           |FROM (
+           |  SELECT m.event_type, g.t, count(*) AS n,
+           |    list(m.value ORDER BY m.timestamp_ns) AS vs
+           |  FROM metrics m JOIN grid g
+           |    ON m.timestamp_ns > (g.t - $R12) * 1000000000
+           |   AND m.timestamp_ns <= g.t * 1000000000
+           |  WHERE m.event_type = 'view'
+           |  GROUP BY 1, 2) w
+           |WHERE n >= 2 ORDER BY 1, 2""".stripMargin, grid)
+    }),
+
     // --- absent_over_time: 1 where the range window holds no sample -------
     Gate("promql_absent_over_time",
       q("""absent_over_time(events_value{event_type="purchase"}[30m])"""),

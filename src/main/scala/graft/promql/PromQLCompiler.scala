@@ -263,6 +263,11 @@ class PromQLCompiler(spark: SparkSession, dir: String, params: PromParams) {
             org.apache.spark.sql.types.StringType)).as("labels"),
           col("ts"), lit(1.0).as("value"))
 
+    case "holt_winters" =>
+      val NumLit(sf) = f.args(1): @unchecked
+      val NumLit(tf) = f.args(2): @unchecked
+      holtWinters(f.args.head, sf, tf)
+
     case "absent_over_time" =>
       // 1 at eval points whose range window (t−range, t] holds NO sample
       // of the selector (Prometheus absent_over_time); grid anti-join.
@@ -425,6 +430,51 @@ class PromQLCompiler(spark: SparkSession, dir: String, params: PromParams) {
       .select(col("fingerprint"), col("labels"),
         expr("t_ns div 1000000000").as("ts"),
         (col("__sts") / 1000000000.0).as("value"))
+  }
+
+  /** holt_winters / double_exponential_smoothing: Holt's linear trend over
+    * the in-window samples in time order (Prometheus `functions.go
+    * funcHoltWinters`): s₁=v₀, b₁=v₁−v₀, then per sample
+    * b' = tf·(s₁−s₀)+(1−tf)·b (first step uses b₁ directly),
+    * s' = sf·vᵢ + (1−sf)·(s₁+b'). The recurrence folds a 4-field struct
+    * over the sorted value array with `aggregate` — the DuckDB oracle runs
+    * the IDENTICAL fold via list_reduce, so the arithmetic order (and thus
+    * every double) matches bit for bit.
+    */
+  private def holtWinters(arg: PExpr, sf: Double, tf: Double): DataFrame = {
+    val frame = arg match {
+      case sel: Selector => rangeFrame(sel)
+      case sq: Subquery  => subqueryFrame(sq)
+      case other => throw new IllegalArgumentException(s"holt_winters arg $other")
+    }
+    val grouped = frame
+      .groupBy(col("fingerprint"), col("t_ns"))
+      .agg(first(col("labels")).as("labels"),
+        count(lit(1)).as("__n"),
+        array_sort(collect_list(struct(col("timestamp_ns").as("ts"),
+          col("value").as("v")))).as("__svs"))
+    val vals = transform(col("__svs"), s => s.getField("v"))
+    val posed = transform(vals, (v, i) =>
+      struct(lit(0.0).as("s0"), v.as("s1"), lit(0.0).as("b"), i.as("i")))
+    val zero = struct(lit(0.0).as("s0"),
+      element_at(vals, 1).as("s1"), lit(0.0).as("b"), lit(0).as("i"))
+    val folded = aggregate(
+      slice(posed, lit(2), greatest(size(posed) - 1, lit(0))),
+      zero,
+      (a, e) => {
+        val bNew = when(e.getField("i") === 1,
+            e.getField("s1") - a.getField("s1"))
+          .otherwise(lit(tf) * (a.getField("s1") - a.getField("s0")) +
+            lit(1 - tf) * a.getField("b"))
+        val x = lit(sf) * e.getField("s1")
+        val y = lit(1 - sf) * (a.getField("s1") + bNew)
+        struct(a.getField("s1").as("s0"), (x + y).as("s1"),
+          bNew.as("b"), e.getField("i").as("i"))
+      })
+    dropName(grouped.filter(col("__n") >= 2)
+      .select(col("fingerprint"), col("labels"),
+        expr("t_ns div 1000000000").as("ts"),
+        folded.getField("s1").as("value")))
   }
 
   /** deriv / predict_linear: simple least-squares over the in-window

@@ -97,6 +97,10 @@ object PromQLParser extends RegexParsers {
     "predict_linear" ~> ("(" ~> (subquery | selector)) ~ ("," ~> expr <~ ")") ^^ {
       case s ~ t => FnCall("predict_linear", Seq(s, NumLit(constFold(t))))
     } |
+    ("holt_winters" | "double_exponential_smoothing") ~>
+      ("(" ~> (subquery | selector)) ~ ("," ~> number) ~ ("," ~> number <~ ")") ^^ {
+      case s ~ sf ~ tf => FnCall("holt_winters", Seq(s, NumLit(sf), NumLit(tf)))
+    } |
     "clamp" ~> ("(" ~> expr) ~ ("," ~> number) ~ ("," ~> number <~ ")") ^^ {
       case e ~ mn ~ mx => FnCall("clamp", Seq(e, NumLit(mn), NumLit(mx)))
     } |

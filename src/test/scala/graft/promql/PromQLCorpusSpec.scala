@@ -74,6 +74,8 @@ class PromQLCorpusSpec extends AnyFunSuite {
     """clamp(node_load1, 0, 10)""",
     """sgn(delta(gauge_metric[5m]))""",
     """absent_over_time(up[10m])""",
+    """holt_winters(node_load1[10m], 0.5, 0.1)""",
+    """double_exponential_smoothing(node_load1[10m], 0.5, 0.1)""",
     """sin(node_load1)""",
     """atan(cos(node_load1))""",
     """tanh(rate(http_requests_total[5m]))""")
