@@ -16,6 +16,28 @@ object DevProf {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (args.contains("aot")) {
+      import graft.gates.EvalWindow._
+      val c = new graft.promql.PromQLCompiler(spark, dir,
+        graft.promql.PromParams(StartNs, EndNs, StepS))
+      def t(name: String)(f: => Long): Unit = {
+        val t0 = System.nanoTime()
+        val n = f
+        println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%7.2f s ($n rows)")
+      }
+      for (i <- 1 to 2) {
+        t(s"plain 30m count r$i") {
+          c.result("""count_over_time(events_value{event_type="purchase"}[30m])""", Seq("event_type")).count()
+        }
+        t(s"absent r$i") {
+          c.result("""absent(events_value{event_type="nosuch"})""", Nil).count()
+        }
+        t(s"absent_over_time r$i") {
+          c.result("""absent_over_time(events_value{event_type="purchase"}[30m])""", Nil).count()
+        }
+      }
+      spark.stop(); return
+    }
     if (args.contains("lshprof")) {
       import graft.llm.Dedup
       val docs = graft.model.Tables.documents(spark, dir)

@@ -271,11 +271,22 @@ class PromQLCompiler(spark: SparkSession, dir: String, params: PromParams) {
     case "absent_over_time" =>
       // 1 at eval points whose range window (t−range, t] holds NO sample
       // of the selector (Prometheus absent_over_time); grid anti-join.
+      // Built straight from the exploded scan — rangeFrame's lag window
+      // (prev-sample columns for counter math) would be a wasted shuffle.
       val sel = f.args.head match {
         case s: Selector => s
         case o => throw new IllegalArgumentException(s"absent_over_time arg $o")
       }
-      val present = rangeFrame(sel)
+      val rangeNs = sel.rangeNs.getOrElse(
+        throw new IllegalArgumentException("absent_over_time needs a range"))
+      val off = sel.offsetNs
+      val df = scan(sel, gridStart - rangeNs - off, gridEnd + 1 - off)
+      val tsEff = col("timestamp_ns") + lit(off)
+      val firstT = greatest(ceilTo(tsEff, stepNs), lit(gridStart))
+      val lastT = least(floorTo(tsEff + (rangeNs - 1), stepNs), lit(gridEnd))
+      val present = df.withColumn("t_ns",
+          explode(when(firstT <= lastT, sequence(firstT, lastT, lit(stepNs)))
+            .otherwise(array())))
         .select(expr("t_ns div 1000000000").as("ts")).distinct()
       gridDf.join(present, Seq("ts"), "left_anti")
         .select(lit(0L).as("fingerprint"), emptyLabels.as("labels"),

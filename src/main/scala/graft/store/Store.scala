@@ -138,6 +138,18 @@ object Store {
   def timeSeries(spark: SparkSession, dir: String): DataFrame =
     readTable(spark, s"${ensure(spark, dir)}/time_series")
 
+  /** Touch every store table once (file-index listing + footer reads) so a
+    * fresh session's first real query doesn't pay the cold-reader cost —
+    * the cache-warm a resident query service does at startup.
+    */
+  def warm(spark: SparkSession, dir: String): Unit = {
+    val root = ensure(spark, dir)
+    Seq("samples", "time_series", "metrics_15s", "spans", "span_attrs",
+      "span_ancestors", "profiles", "prom_gauge", "prom_counter",
+      "prom_bucket", "prom_gauge_15s")
+      .foreach(t => readTable(spark, s"$root/$t").limit(1).count(): Unit)
+  }
+
   private val dictCounts = TrieMap[(SparkSession, String), Long]()
 
   /** Broadcast the (matcher-filtered) dictionary ONLY while the full
