@@ -16,6 +16,10 @@ object DevProf {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (args.contains("entry")) {
+      println(s"ENTRY_ROWS=${graft.SparkEntry.entry(spark).count()}")
+      spark.stop(); return
+    }
     if (args.contains("aot")) {
       import graft.gates.EvalWindow._
       val c = new graft.promql.PromQLCompiler(spark, dir,
