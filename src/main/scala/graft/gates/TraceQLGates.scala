@@ -170,6 +170,38 @@ object TraceQLGates extends GateSet {
            |FROM spans WHERE service_name = 'svc1'
            |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // --- metrics stage: quantile over a span ATTR target ------------------
+    // (the attr resolves through the attr-value join, not duration —
+    // `tempo_metrics.go:110-130`, buildAggExpr)
+    Gate("traceql_metrics_quantile_attr",
+      (spark: SparkSession, dir: String) => {
+        val q = parsed("""{ .service_name="svc1" } | quantile_over_time(.user, 0.5) by (name)""")
+        engine(spark, dir)
+          .metrics(q.expr, q.metrics.get, StartNs, EndNs, StepS)
+          .select(col("name"), col("ts"), round(col("value"), 6).as("value"))
+          .orderBy("name", "ts")
+      },
+      o(s"""SELECT name, (timestamp_ns // ${StepS}000000000) * $StepS AS ts,
+           |  round(quantile_cont(CAST(user_id AS DOUBLE), 0.5), 6) AS value
+           |FROM spans WHERE service_name = 'svc1'
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // --- metrics stage: histogram over a span ATTR target -----------------
+    Gate("traceql_metrics_histogram_attr",
+      (spark: SparkSession, dir: String) => {
+        val q = parsed("""{ .name="click" } | histogram_over_time(.user) by (service_name)""")
+        engine(spark, dir)
+          .metrics(q.expr, q.metrics.get, StartNs, EndNs, StepS)
+          .orderBy("service_name", "le", "ts")
+      },
+      o(s"""SELECT service_name,
+           |  CASE WHEN user_id <= 1 THEN 1::BIGINT
+           |       ELSE (1::BIGINT << length(bin(user_id - 1))) END AS le,
+           |  (timestamp_ns // ${StepS}000000000) * $StepS AS ts,
+           |  CAST(count(*) AS DOUBLE) AS value
+           |FROM spans WHERE name = 'click'
+           |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)),
+
     // --- metrics stage: power-of-2 duration histogram ---------------------
     Gate("traceql_metrics_histogram",
       (spark: SparkSession, dir: String) => {

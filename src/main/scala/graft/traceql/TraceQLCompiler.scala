@@ -373,7 +373,21 @@ class TraceQLCompiler(spark: SparkSession, dir: String,
     val bucket = (col("timestamp_ns") - pmod(col("timestamp_ns"), lit(stepNs)))
     val windowed = withAttrs
       .filter(col("timestamp_ns") >= startNs && col("timestamp_ns") < endNs)
-    val target = col("duration_ns").cast("double") // duration intrinsic
+    // aggregation target (`tempo_metrics.go:110-130`, buildAggExpr in
+    // tempo/metrics_query.go:240-288): `duration` is the span intrinsic;
+    // any other attr is resolved by joining its attr-value rows onto the
+    // matched spans — same shape as the span-set aggregator above
+    val (withTarget, target) = m.attr match {
+      case None | Some("duration") =>
+        (windowed, col("duration_ns").cast("double"))
+      case Some(a) =>
+        (windowed.join(
+          attrs.filter(col("key") === a)
+            .select(col("trace_id"), col("span_id"),
+              col("val").cast("double").as("__av")),
+          Seq("trace_id", "span_id")),
+          col("__av"))
+    }
     m.fn match {
       case "rate" | "count_over_time" =>
         val base = windowed
@@ -386,19 +400,24 @@ class TraceQLCompiler(spark: SparkSession, dir: String,
         base.select(keyCols ++ Seq(
           expr("bucket_ns div 1000000000").as("ts"), value.as("value")): _*)
       case "quantile_over_time" =>
-        windowed
+        withTarget
           .groupBy(keyCols :+ bucket.as("bucket_ns"): _*)
           .agg(percentile(target, lit(m.param.get)).as("value"))
           .select(keyCols ++ Seq(
             expr("bucket_ns div 1000000000").as("ts"), col("value")): _*)
       case "histogram_over_time" =>
-        // SQL expr: the Scala shiftleft() helper takes a literal bit count
-        val le = expr(
-          """CASE WHEN (duration_ns div 1000000) <= 1 THEN CAST(1 AS BIGINT)
-            |ELSE shiftleft(CAST(1 AS BIGINT),
-            |  length(bin((duration_ns div 1000000) - 1))) END""".stripMargin)
-        windowed
-          .withColumn("le", le)
+        // power-of-2 bucket of the target (ms for duration, raw value for
+        // an attr); SQL expr because Scala shiftleft() takes a literal bit
+        // count
+        val tLong = m.attr match {
+          case None | Some("duration") => expr("duration_ns div 1000000")
+          case _                       => target.cast("long")
+        }
+        withTarget
+          .withColumn("__t", tLong)
+          .withColumn("le", expr(
+            """CASE WHEN __t <= 1 THEN CAST(1 AS BIGINT)
+              |ELSE shiftleft(CAST(1 AS BIGINT), length(bin(__t - 1))) END""".stripMargin))
           .groupBy(keyCols ++ Seq(col("le"), bucket.as("bucket_ns")): _*)
           .agg(count(lit(1)).cast("double").as("value"))
           .select(keyCols ++ Seq(col("le"),
