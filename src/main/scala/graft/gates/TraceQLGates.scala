@@ -222,10 +222,11 @@ object TraceQLGates extends GateSet {
     Gate("traceql_metrics_topk",
       (spark: SparkSession, dir: String) => {
         val q = parsed("""{ .name="click" } | rate() by (service_name) | topk(2)""")
+        val Some(sec: SecondStage) = q.second: @unchecked
         val eng = engine(spark, dir)
         eng.secondStage(
             eng.metrics(q.expr, q.metrics.get, StartNs, EndNs, StepS),
-            q.second.get, Seq("service_name"))
+            sec, Seq("service_name"))
           .select(col("service_name"), col("ts"), round(col("value"), 6).as("value"))
           .orderBy("service_name", "ts")
       },

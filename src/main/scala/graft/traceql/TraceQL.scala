@@ -50,8 +50,13 @@ object TraceQLAst {
   final case class Metrics(fn: String, attr: Option[String],
       param: Option[Double], by: Seq[String])
 
-  /** Second stage `| topk(n)` / `| bottomk(n)` (`model_v2.go:259-268`). */
-  final case class SecondStage(fn: String, k: Int)
+  /** Second stage (`model_v2.go:259-268`): `| topk(n)` / `| bottomk(n)`
+    * over a metrics frame, or `| select(attr, ...)` projecting attr
+    * columns onto matched spans.
+    */
+  sealed trait SecondStageOp
+  final case class SecondStage(fn: String, k: Int) extends SecondStageOp
+  final case class SelectStage(attrs: Seq[String]) extends SecondStageOp
 
   /** `| compare({sel}, topN)` — selection-vs-baseline attr diff
     * (`tempo_metrics.go:658-830`).
@@ -59,8 +64,9 @@ object TraceQLAst {
   final case class CompareStage(sel: SpanSet, topN: Int)
 
   final case class Query(expr: TExpr, agg: Option[SpanAgg],
-      metrics: Option[Metrics], second: Option[SecondStage] = None,
-      compare: Option[CompareStage] = None)
+      metrics: Option[Metrics], second: Option[SecondStageOp] = None,
+      compare: Option[CompareStage] = None,
+      hints: Map[String, String] = Map.empty)
 }
 
 object TraceQLParser extends RegexParsers {
@@ -137,23 +143,37 @@ object TraceQLParser extends RegexParsers {
       case f ~ by => Metrics("histogram_over_time", Some(f), None, by.getOrElse(Nil))
     }
 
-  private def secondStage: Parser[SecondStage] =
+  private def secondStage: Parser[SecondStageOp] =
     ("topk" | "bottomk") ~ ("(" ~> number <~ ")") ^^ {
       case fn ~ k => SecondStage(fn, k.toInt)
-    }
+    } |
+    "select" ~> "(" ~> rep1sep(field | ident, ",") <~ ")" ^^ SelectStage.apply
+
+  /** `with(key=value, ...)` hints (`model_v2.go:240-261`); values are
+    * bare words/numbers or quoted strings.
+    */
+  private def withClause: Parser[Map[String, String]] =
+    "with" ~> "(" ~> rep1sep(
+      ident ~ ("=" ~> (quoted | """[a-zA-Z0-9_.\-]+""".r)), ",") <~ ")" ^^ (
+      _.map { case k ~ v => k -> v }.toMap)
 
   private def compareStage: Parser[CompareStage] =
     "compare" ~> ("(" ~> "{" ~> opt(condExpr) <~ "}") ~ ("," ~> number <~ ")") ^^ {
       case c ~ n => CompareStage(SpanSet(c), n.toInt)
     }
 
+  // stage order mirrors TraceQLScript (model_v2.go:9-18): selector,
+  // optional agg/metrics/compare stage, optional with() hints, optional
+  // second stage (which may carry its own with() — model_v2.go:263-268)
   private def query: Parser[Query] =
     structExpr ~ opt("|" ~> (compareStage ^^ (c => (None, None, Some(c))) |
       metricsStage ^^ (m => (None, Some(m), None)) |
       aggStage ^^ (a => (Some(a), None, None)))) ~
-      opt("|" ~> secondStage) ^^ {
-      case e ~ None ~ s => Query(e, None, None, s)
-      case e ~ Some((a, m, c)) ~ s => Query(e, a, m, s, c)
+      opt(withClause) ~ opt("|" ~> secondStage) ~ opt(withClause) ^^ {
+      case e ~ stage ~ h1 ~ s ~ h2 =>
+        val (a, m, c) = stage.getOrElse((None, None, None))
+        Query(e, a, m, s, c,
+          h1.getOrElse(Map.empty) ++ h2.getOrElse(Map.empty))
     }
 
   def parse(q: String): Either[String, Query] =

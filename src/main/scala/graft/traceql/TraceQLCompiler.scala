@@ -438,6 +438,41 @@ class TraceQLCompiler(spark: SparkSession, dir: String,
       .filter(col("__rn") <= s.k).drop("__rn")
   }
 
+  /** `| select(attrs)` second stage (`model_v2.go:259-268`; pivot shape
+    * `tempo/metrics_query.go:442-460` buildByPivotCTE `anyIf(val, key=k)`):
+    * project the requested attr values as columns onto the matched spans —
+    * ONE attrs scan filtered to the requested keys, pivoted per span with
+    * first-if, left-joined on (trace_id, span_id). At scale the key filter
+    * pushes into the attr scan (sorted by key), so cost is proportional to
+    * the selected keys, not the attr table.
+    */
+  def selectStage(e: TExpr, s: SelectStage): DataFrame = {
+    val matched = e match {
+      case Sel(ss) => spanSetSpans(ss)
+      case other =>
+        spanSetSpans(SpanSet(None))
+          .join(matchingTraces(other), Seq("trace_id"), "left_semi")
+    }
+    val pivots = s.attrs.map(k =>
+      first(when(col("key") === k, col("val")), ignoreNulls = true).as(k))
+    val pivot = attrs.filter(col("key").isin(s.attrs: _*))
+      .groupBy(col("trace_id"), col("span_id"))
+      .agg(pivots.head, pivots.tail: _*)
+    matched.join(pivot, Seq("trace_id", "span_id"), "left")
+  }
+
+  /** `with(sample=N)` hint (`model_v2.go:240-261`; RandomFilter
+    * `attr_condition.go:55-72` filters `cityHash64(trace_id) %% N == i`):
+    * keep a deterministic 1/N of traces. Hash is an overflow-safe Lehmer
+    * step (mod-2^31-1 multiply) rather than cityHash so any SQL engine can
+    * reproduce the exact selection; deterministic per trace_id so all
+    * shards/spans of a trace agree.
+    */
+  def sampleTraces(df: DataFrame, n: Int, i: Int = 0): DataFrame =
+    df.filter(
+      pmod(pmod(col("trace_id"), lit(2147483647L)) * 48271L,
+        lit(2147483647L)) % n === i)
+
   /** `| compare({sel}, topN)` (`tempo_metrics.go:658-830`): split the
     * matched spans into selection (also matching `sel`) vs baseline, count
     * every (attr key, value) on both sides, emit the top-N attr pairs by
