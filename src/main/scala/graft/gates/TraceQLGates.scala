@@ -34,7 +34,7 @@ object TraceQLGates extends GateSet {
     // --- attr-condition bitmask search (attr_condition.go:26-441) ---------
     Gate("traceql_attr_search",
       (spark: SparkSession, dir: String) => {
-        val Query(Sel(ss), _, _, _, _) = parsed("""{ .name="error" && .service_name="svc1" }"""): @unchecked
+        val Query(Sel(ss), _, _, _, _, _) = parsed("""{ .name="error" && .service_name="svc1" }"""): @unchecked
         engine(spark, dir).spanSetSpans(ss)
           .select(col("trace_id"), col("span_id"))
           .orderBy("trace_id", "span_id")
@@ -46,7 +46,7 @@ object TraceQLGates extends GateSet {
     // --- OR across attr + duration intrinsic ------------------------------
     Gate("traceql_attr_or_duration",
       (spark: SparkSession, dir: String) => {
-        val Query(Sel(ss), _, _, _, _) = parsed("""{ .name="purchase" || duration > 300ms }"""): @unchecked
+        val Query(Sel(ss), _, _, _, _, _) = parsed("""{ .name="purchase" || duration > 300ms }"""): @unchecked
         engine(spark, dir).spanSetSpans(ss)
           .select(col("trace_id"), col("span_id"), col("duration_ns"))
           .orderBy("trace_id", "span_id")

@@ -59,7 +59,7 @@ class StoreSpec extends SparkSpec {
     // both appear in the plan and actually drop partitions
     val dayNs = 86400L * 1000000000L
     val eng = new TraceQLCompiler(spark, sf, StartNs, StartNs + dayNs)
-    val Query(Sel(ss), _, _, _, _) =
+    val Query(Sel(ss), _, _, _, _, _) =
       TraceQLParser.parseOrThrow("""{ .name="error" }"""): @unchecked
     val scans = eng.spanSetSpans(ss).queryExecution.sparkPlan.collect {
       case f: org.apache.spark.sql.execution.FileSourceScanExec => f
@@ -76,7 +76,7 @@ class StoreSpec extends SparkSpec {
     import graft.traceql.{TraceQLCompiler, TraceQLParser}
     import graft.traceql.TraceQLAst._
     val eng = new TraceQLCompiler(spark, sf, StartNs, EndNs)
-    val Query(Sel(ss), _, _, _, _) =
+    val Query(Sel(ss), _, _, _, _, _) =
       TraceQLParser.parseOrThrow("""{ .name="error" && .service_name="svc1" }"""): @unchecked
     val scans = eng.spanSetSpans(ss).queryExecution.sparkPlan.collect {
       case f: org.apache.spark.sql.execution.FileSourceScanExec => f

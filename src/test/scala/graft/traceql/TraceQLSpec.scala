@@ -10,7 +10,7 @@ class TraceQLSpec extends SparkSpec {
   private def engine = new TraceQLCompiler(spark, sf)
 
   test("parser: condition structure and duration literals") {
-    val Query(Sel(SpanSet(Some(cond))), None, None, None, None) =
+    val Query(Sel(SpanSet(Some(cond))), None, None, None, None, _) =
       TraceQLParser.parseOrThrow("""{ .name="a" && (duration > 10ms || .user="3") }"""): @unchecked
     assert(cond == CondAnd(StrCond("name", "=", "a"),
       CondOr(DurCond(">", 10000000L), StrCond("user", "=", "3"))))
@@ -31,7 +31,7 @@ class TraceQLSpec extends SparkSpec {
   }
 
   test("bitmask AND equals direct two-column filter") {
-    val Query(Sel(ss), _, _, _, _) =
+    val Query(Sel(ss), _, _, _, _, _) =
       TraceQLParser.parseOrThrow("""{ .name="click" && .service_name="svc0" }"""): @unchecked
     val viaMask = engine.spanSetSpans(ss).count()
     val direct = Tables.spans(spark, sf)
@@ -40,7 +40,7 @@ class TraceQLSpec extends SparkSpec {
   }
 
   test("bitmask OR equals direct union filter") {
-    val Query(Sel(ss), _, _, _, _) =
+    val Query(Sel(ss), _, _, _, _, _) =
       TraceQLParser.parseOrThrow("""{ .name="click" || .name="view" }"""): @unchecked
     val viaMask = engine.spanSetSpans(ss).count()
     val direct = Tables.spans(spark, sf)
