@@ -239,6 +239,40 @@ object TraceQLGates extends GateSet {
            |    FROM spans WHERE name = 'click' GROUP BY 1, 2) a) r
            |WHERE rn <= 2 ORDER BY 1, 2""".stripMargin)),
 
+    // --- second stage select(): attr columns onto matched spans -----------
+    // (model_v2.go:259-268; pivot per span over ONE key-filtered attrs scan)
+    Gate("traceql_select",
+      (spark: SparkSession, dir: String) => {
+        val q = parsed("""{ .name="error" } | select(.user, service_name)""")
+        engine(spark, dir).run(q, StartNs, EndNs, StepS)
+          .orderBy("trace_id", "span_id")
+      },
+      o("""SELECT trace_id, span_id, timestamp_ns, duration_ns,
+          |  CAST(user_id AS VARCHAR) AS "user", service_name
+          |FROM spans WHERE name = 'error'
+          |ORDER BY trace_id, span_id""".stripMargin)),
+
+    // --- with(sample=N): deterministic 1/N trace sampling ------------------
+    // (model_v2.go:240-261 RandomFilter; two-step Lehmer hash reproduced
+    // exactly by the oracle, so the SELECTION is gated, not just the count)
+    Gate("traceql_sample",
+      (spark: SparkSession, dir: String) => {
+        val q = parsed("""{ .name="click" } with(sample=4)""")
+        engine(spark, dir).run(q, StartNs, EndNs, StepS).orderBy("trace_id")
+      },
+      o("""SELECT s.trace_id,
+          |  min(s.timestamp_ns) AS start_ns,
+          |  CAST((max(s.timestamp_ns + s.duration_ns) - min(s.timestamp_ns)) // 1000000 AS BIGINT) AS duration_ms,
+          |  arg_min(s.service_name, s.timestamp_ns) AS root_service,
+          |  arg_min(s.name, s.timestamp_ns) AS root_name,
+          |  count(*) AS span_count
+          |FROM spans s
+          |JOIN (SELECT DISTINCT trace_id FROM spans
+          |      WHERE name = 'click'
+          |        AND ((trace_id % 2147483647) * 48271 % 2147483647) * 48271 % 2147483647 % 4 = 0) ids
+          |  USING (trace_id)
+          |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // --- compare(): selection vs baseline attr diff -----------------------
     Gate("traceql_compare",
       (spark: SparkSession, dir: String) => {

@@ -32,20 +32,31 @@ import TraceQLAst._
 class TraceQLCompiler(spark: SparkSession, dir: String,
     loNs: Long = 0L, hiNs: Long = Long.MaxValue) {
 
+  // `with(sample=N)` hint in effect for the current run() (model_v2.go:
+  // 240-261): applied INSIDE the leaf scans so the trace filter sits below
+  // the bitmask aggregate and pushes into the parquet scan — the reference
+  // injects its RandomFilter into each leaf condition subquery for the same
+  // reason (`attr_condition.go:55-72`). Plan construction is single-threaded
+  // per compiler instance, so a plain var is safe.
+  private var sampleHint: Option[Int] = None
+
+  private def applySample(df: DataFrame): DataFrame =
+    sampleHint.fold(df)(n => sampleTraces(df, n))
+
   // Scans go through the materialized store (date-partitioned,
   // (trace_id, span_id)-sorted — Store.ensure) with the query window as a
   // partition-pruning predicate BELOW the bitmask aggregate, mirroring the
   // reference's leaf scan (`clickhouse_transpiler/init.go:21`,
   // `traces.sql:7-32`). Derive-per-query is the kill-switch fallback only.
-  private def spans: DataFrame =
+  private def spans: DataFrame = applySample(
     if (Store.enabled(spark)) Store.spans(spark, dir, loNs, hiNs).drop("date")
     else Tables.spans(spark, dir)
-      .filter(col("timestamp_ns") >= loNs && col("timestamp_ns") < hiNs)
+      .filter(col("timestamp_ns") >= loNs && col("timestamp_ns") < hiNs))
 
-  private def attrs: DataFrame =
+  private def attrs: DataFrame = applySample(
     if (Store.enabled(spark)) Store.spanAttrs(spark, dir, loNs, hiNs).drop("date")
     else Tables.spanAttrs(spark, dir)
-      .filter(col("timestamp_ns") >= loNs && col("timestamp_ns") < hiNs)
+      .filter(col("timestamp_ns") >= loNs && col("timestamp_ns") < hiNs))
 
   private def leaves(c: AttrCond): Seq[AttrCond] = c match {
     case CondAnd(l, r) => leaves(l) ++ leaves(r)
@@ -463,15 +474,62 @@ class TraceQLCompiler(spark: SparkSession, dir: String,
 
   /** `with(sample=N)` hint (`model_v2.go:240-261`; RandomFilter
     * `attr_condition.go:55-72` filters `cityHash64(trace_id) %% N == i`):
-    * keep a deterministic 1/N of traces. Hash is an overflow-safe Lehmer
-    * step (mod-2^31-1 multiply) rather than cityHash so any SQL engine can
-    * reproduce the exact selection; deterministic per trace_id so all
-    * shards/spans of a trace agree.
+    * keep a deterministic 1/N of traces. Hash is two overflow-safe Lehmer
+    * steps (mod-2^31-1 multiply, h < 2^31 so h*48271 < 2^47 stays in int64)
+    * rather than cityHash so any SQL engine can reproduce the exact
+    * selection; two rounds so small sequential trace_ids still scatter
+    * before the mod-N; deterministic per trace_id so all shards/spans of a
+    * trace agree.
     */
-  def sampleTraces(df: DataFrame, n: Int, i: Int = 0): DataFrame =
-    df.filter(
-      pmod(pmod(col("trace_id"), lit(2147483647L)) * 48271L,
-        lit(2147483647L)) % n === i)
+  def sampleTraces(df: DataFrame, n: Int, i: Int = 0): DataFrame = {
+    val p = 2147483647L
+    val h1 = pmod(pmod(col("trace_id"), lit(p)) * 48271L, lit(p))
+    val h2 = pmod(h1 * 48271L, lit(p))
+    df.filter(h2 % n === i)
+  }
+
+  /** Full-query entry point: dispatches the parsed stages — compare /
+    * metrics (+ optional topk/bottomk second stage) / span-set aggregate /
+    * select() projection / trace synthetics — and consumes `with()` hints
+    * (`model_v2.go:9-18` TraceQLScript stage order). Unknown hint keys are
+    * rejected rather than silently ignored, so `with(sample=10)` can never
+    * return unsampled results without an error.
+    */
+  def run(q: Query, startNs: Long = loNs, endNs: Long = hiNs,
+      stepS: Long = 15L): DataFrame = {
+    q.hints.keys.find(_ != "sample").foreach(k =>
+      throw new IllegalArgumentException(s"unsupported TraceQL hint: $k"))
+    sampleHint = q.hints.get("sample").map(_.toInt).filter(_ > 1)
+    try {
+      (q.compare, q.metrics, q.agg, q.second) match {
+        case (Some(c), _, _, _) => compare(q.expr, c)
+        case (_, Some(m), _, sec) =>
+          val base = metrics(q.expr, m, startNs, endNs, stepS)
+          sec match {
+            case Some(s: SecondStage) => secondStage(base, s, m.by)
+            case Some(_: SelectStage) => throw new IllegalArgumentException(
+              "select() applies to span queries, not metrics frames")
+            case None => base
+          }
+        case (_, _, Some(a), sec) =>
+          sec match {
+            case Some(s: SelectStage) =>
+              // select over kept traces: project attrs onto spans of traces
+              // that pass the HAVING (aggregate result is the trace filter)
+              selectStage(q.expr, s).join(
+                aggregate(q.expr, a).select(col("trace_id")),
+                Seq("trace_id"), "left_semi")
+            case Some(_: SecondStage) => throw new IllegalArgumentException(
+              "topk/bottomk needs a metrics stage")
+            case None => aggregate(q.expr, a)
+          }
+        case (_, _, _, Some(s: SelectStage)) => selectStage(q.expr, s)
+        case (_, _, _, Some(_: SecondStage)) => throw new IllegalArgumentException(
+          "topk/bottomk needs a metrics stage")
+        case _ => traceMeta(q.expr)
+      }
+    } finally sampleHint = None
+  }
 
   /** `| compare({sel}, topN)` (`tempo_metrics.go:658-830`): split the
     * matched spans into selection (also matching `sel`) vs baseline, count

@@ -58,6 +58,36 @@ class TraceQLSpec extends SparkSpec {
     assert(and <= viewOnly && viewOnly <= or)
   }
 
+  test("run dispatches select(): attr columns projected onto matched spans") {
+    val df = engine.run(TraceQLParser.parseOrThrow(
+      """{ .name="click" } | select(.user, service_name)"""))
+    assert(df.columns.toSet == Set("trace_id", "span_id", "timestamp_ns",
+      "duration_ns", "user", "service_name"))
+    // every span carries all attr keys, so no null pivots
+    assert(df.filter(col("user").isNull || col("service_name").isNull).count() == 0)
+    assert(df.count() ==
+      Tables.spans(spark, sf).filter(col("name") === "click").count())
+  }
+
+  test("with(sample=N) keeps a deterministic strict subset of traces") {
+    val all = engine.run(TraceQLParser.parseOrThrow("""{ .name="click" }"""))
+    val s1 = engine.run(TraceQLParser.parseOrThrow("""{ .name="click" } with(sample=4)"""))
+    val n = all.count()
+    val k = s1.count()
+    assert(k > 0 && k < n, s"sampled $k of $n")
+    // determinism: same selection on re-run, and it is a subset
+    val s2 = engine.run(TraceQLParser.parseOrThrow("""{ .name="click" } with(sample=4)"""))
+    assert(s2.count() == k)
+    assert(s1.select("trace_id").exceptAll(all.select("trace_id")).count() == 0)
+    // roughly 1/4 (synthetic ids are uniform enough for a loose band)
+    assert(k > n / 10 && k < n / 2, s"fraction ${k.toDouble / n}")
+  }
+
+  test("unknown with() hint keys are rejected, not silently ignored") {
+    val q = TraceQLParser.parseOrThrow("""{ .name="click" } with(shard=3)""")
+    intercept[IllegalArgumentException](engine.run(q))
+  }
+
   test("trace meta duration is span-extent, root is earliest span") {
     val meta = engine.traceMeta(TraceQLParser.parseOrThrow("""{}""").expr)
     assert(meta.filter(col("duration_ms") < 0).count() == 0)
