@@ -75,6 +75,30 @@ object ProfGates extends GateSet {
           |FROM ptree WHERE service_name = 'svc2'
           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // --- flamegraph diff: two merged trees full-outer on node identity ----
+    // (computeFlameGraphDiff, reader/service/prof_tree.go:21-656; level =
+    // node-1 in the synthetic trees, so the oracle joins on (level, fn))
+    Gate("profiles_flamegraph_diff",
+      (spark: SparkSession, dir: String) =>
+        Profiles.flamegraphDiff(spark, dir, "svc1", "svc2")
+          .orderBy("level", "fn"),
+      Some("WITH " + profViews + ",\n" + ptree + ",\n" +
+        """lt AS (SELECT node - 1 AS level, fn,
+          |    CAST(sum(self) AS BIGINT) AS self_left,
+          |    CAST(sum(total) AS BIGINT) AS total_left
+          |  FROM ptree WHERE service_name = 'svc1' GROUP BY 1, 2),
+          |rt AS (SELECT node - 1 AS level, fn,
+          |    CAST(sum(self) AS BIGINT) AS self_right,
+          |    CAST(sum(total) AS BIGINT) AS total_right
+          |  FROM ptree WHERE service_name = 'svc2' GROUP BY 1, 2)
+          |SELECT level, fn,
+          |  COALESCE(self_left, 0) AS self_left,
+          |  COALESCE(total_left, 0) AS total_left,
+          |  COALESCE(self_right, 0) AS self_right,
+          |  COALESCE(total_right, 0) AS total_right
+          |FROM lt FULL OUTER JOIN rt USING (level, fn)
+          |ORDER BY 1, 2""".stripMargin)),
+
     // --- profile label dictionary (planner_label_values.go) ---------------
     Gate("profiles_services",
       (spark: SparkSession, dir: String) =>

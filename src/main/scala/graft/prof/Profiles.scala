@@ -71,12 +71,21 @@ object Profiles {
     * identities), so the depth-bounded driver loop is the same shape as
     * the reference's Go-side assembly after the merge query.
     */
-  def flamegraphLevels(merged: DataFrame, maxDepth: Int = 64): DataFrame = {
-    // the merged tree is small (unique node identities) but its lineage is
-    // the whole merge aggregation — localCheckpoint once so each BFS level
-    // joins the computed result instead of re-running the merge per level,
-    // and each frontier's emptiness probe is O(its own rows)
-    val tree = merged.localCheckpoint()
+  def flamegraphLevels(merged: DataFrame, maxDepth: Int = 64): DataFrame =
+    assignLevels(merged, maxDepth)
+      .select(col("level"), col("fn"), col("self"), col("total"))
+
+  /** BFS depth assignment over any (parent, node, ...) tree frame: roots
+    * (parent=0) get level 0, children their parent's level + 1. All other
+    * columns pass through. The input is post-aggregation (small — unique
+    * node identities), so the depth-bounded driver loop is the same shape
+    * as the reference's Go-side assembly after the merge query; the
+    * localCheckpoint materializes the merge once so each BFS level joins
+    * the computed result instead of re-running the aggregation per level.
+    */
+  private def assignLevels(tree0: DataFrame, maxDepth: Int): DataFrame = {
+    val cols = tree0.columns
+    val tree = tree0.localCheckpoint()
     var frontier = tree.filter(col("parent") === 0L)
       .withColumn("level", lit(0L))
       .localCheckpoint()
@@ -87,15 +96,43 @@ object Profiles {
       val next = tree.as("m")
         .join(frontier.select(col("node").as("__p"), col("level")).distinct(),
           col("m.parent") === col("__p"))
-        .select(col("m.parent").as("parent"), col("m.node").as("node"),
-          col("m.fn").as("fn"), col("m.self").as("self"),
-          col("m.total").as("total"), (col("level") + 1).as("level"))
+        .select(cols.map(c => col("m." + c).as(c)) :+
+          (col("level") + 1).as("level"): _*)
         .localCheckpoint()
       if (next.isEmpty) done = true
       else { acc = acc.unionByName(next); frontier = next }
       depth += 1
     }
-    acc.select(col("level"), col("fn"), col("self"), col("total"))
+    acc
+  }
+
+  /** Flamegraph comparison view (`computeFlameGraphDiff`,
+    * `reader/service/prof_tree.go:21-656`): merge each side's profiles,
+    * full-outer-join on node identity (parent, node, fn) with the missing
+    * side zero-filled, then assign BFS levels over the COMBINED node set so
+    * both sides agree on depth even where one side lacks a subtree.
+    */
+  def flamegraphDiff(spark: SparkSession, dir: String,
+      leftService: String, rightService: String,
+      maxDepth: Int = 64): DataFrame =
+    flamegraphDiffTrees(mergeTree(spark, dir, leftService),
+      mergeTree(spark, dir, rightService), maxDepth)
+
+  /** Diff core over two already-merged trees (any pair of selectors). */
+  def flamegraphDiffTrees(left: DataFrame, right: DataFrame,
+      maxDepth: Int = 64): DataFrame = {
+    val l = left
+      .withColumnRenamed("self", "self_left")
+      .withColumnRenamed("total", "total_left")
+    val r = right
+      .withColumnRenamed("self", "self_right")
+      .withColumnRenamed("total", "total_right")
+    val joined = l.join(r, Seq("parent", "node", "fn"), "full_outer")
+      .na.fill(0L, Seq("self_left", "total_left", "self_right", "total_right"))
+    assignLevels(joined, maxDepth)
+      .select(col("level"), col("fn"),
+        col("self_left"), col("total_left"),
+        col("self_right"), col("total_right"))
   }
 
   /** `/pyroscope/analyze` size estimate (ProfileSizePlanner,

@@ -1,0 +1,37 @@
+package graft.prof
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class ProfilesSpec extends SparkSpec {
+
+  private def tree(rows: (Long, Long, String, Long, Long)*) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("parent", "node", "fn", "self", "total")
+  }
+
+  test("flamegraph diff zero-fills the side missing a subtree") {
+    // left has an extra subtree under node 2 (node 4) that right lacks;
+    // right has node 3 with different totals
+    val l = tree((0L, 1L, "main", 0L, 100L), (1L, 2L, "a", 10L, 100L),
+      (2L, 4L, "left_only", 90L, 90L))
+    val r = tree((0L, 1L, "main", 0L, 50L), (1L, 2L, "a", 20L, 50L),
+      (2L, 3L, "right_only", 30L, 30L))
+    val d = Profiles.flamegraphDiffTrees(l, r).collect()
+      .map(x => (x.getAs[String]("fn"), (x.getLong(0), x.getLong(2),
+        x.getLong(3), x.getLong(4), x.getLong(5)))).toMap
+    assert(d("main") == ((0L, 0L, 100L, 0L, 50L)))
+    assert(d("a") == ((1L, 10L, 100L, 20L, 50L)))
+    assert(d("left_only") == ((2L, 90L, 90L, 0L, 0L)))
+    assert(d("right_only") == ((2L, 0L, 0L, 30L, 30L)))
+  }
+
+  test("flamegraph diff over real services matches per-side merges") {
+    val d = Profiles.flamegraphDiff(spark, sf, "svc1", "svc2")
+    val l = Profiles.flamegraphLevels(Profiles.mergeTree(spark, sf, "svc1"))
+    assert(d.agg(sum("self_left")).head.getLong(0) ==
+      l.agg(sum("self")).head.getLong(0))
+    assert(d.filter(col("level") === 0 && col("fn") =!= "main").count() == 0)
+  }
+}
