@@ -426,6 +426,31 @@ object PromQLGates extends GateSet {
            |JOIN grid g ON i.t6 > g.t - 86400 AND i.t6 <= g.t
            |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin, grid)),
 
+    // --- large range/step subquery: RANGE-frame window plan ---------------
+    // (over_time.go:30-127; ratio 6h/15min = 24 ≥ threshold → windowed
+    // path, no per-sample explode; one day at a 15min eval step)
+    Gate("promql_subquery_window",
+      (spark: SparkSession, dir: String) => {
+        val ws = StartS + 86400
+        val we = StartS + 2 * 86400
+        new PromQLCompiler(spark, dir,
+          PromParams(ws * 1000000000L, we * 1000000000L, 900L))
+          .result(
+            """max_over_time(sum by (event_type) (count_over_time(events_value[1h]))[6h:900s])""",
+            Seq("event_type"))
+      },
+      o(s"""SELECT i.event_type, go.t AS ts, round(max(i.v), 6) AS value
+           |FROM (
+           |  SELECT m.event_type, g2.t AS ti, CAST(count(*) AS DOUBLE) AS v
+           |  FROM metrics m
+           |  JOIN (SELECT unnest(generate_series(${StartS + 86400 - 21600}, ${StartS + 2 * 86400}, 900)) AS t) g2
+           |    ON m.timestamp_ns > (g2.t - 3600) * 1000000000
+           |   AND m.timestamp_ns <= g2.t * 1000000000
+           |  GROUP BY 1, 2) i
+           |JOIN (SELECT unnest(generate_series(${StartS + 86400}, ${StartS + 2 * 86400}, 900)) AS t) go
+           |  ON i.ti > go.t - 21600 AND i.ti <= go.t
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // --- /api/v1/metadata: families + type + live series count ------------
     Gate("promql_metadata",
       (spark: SparkSession, dir: String) =>

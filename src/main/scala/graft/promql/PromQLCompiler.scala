@@ -532,6 +532,12 @@ class PromQLCompiler(spark: SparkSession, dir: String, params: PromParams) {
     Set("count_over_time", "min_over_time", "max_over_time",
       "last_over_time", "present_over_time")
 
+  /** range/step ratio at which *_over_time switches from the bounded
+    * explode (amplification = ratio per sample) to the RANGE-frame window
+    * plan (no amplification, one sort per series).
+    */
+  private val WindowPathRatio = 16L
+
   private def downsampleEligible(fn: String, sel: Selector): Boolean = {
     val q = 15000000000L
     graft.store.Store.enabled(spark) && DownsampleFns(fn) &&
@@ -557,6 +563,39 @@ class PromQLCompiler(spark: SparkSession, dir: String, params: PromParams) {
     // grid boundaries in this model — µs-truncated event times — so the
     // open/closed edge conventions coincide)
     val bucketNs = 15000000000L
+    if (rangeNs / stepNs >= WindowPathRatio) {
+      // RANGE-frame plan over the partials (same fork as the raw path):
+      // marker at t aggregates buckets with b+off ∈ [t-range, t-15s]
+      val s = df.select(col("fingerprint"), col("labels"), tsEff.as("__ord"),
+        col("cnt"), col("min"), col("max"), col("last"),
+        lit(false).as("__marker"))
+      val markers = df.groupBy(col("fingerprint"))
+        .agg(first(col("labels")).as("labels"))
+        .withColumn("__ord",
+          explode(sequence(lit(gridStart), lit(gridEnd), lit(stepNs))))
+        .select(col("fingerprint"), col("labels"), col("__ord"),
+          lit(null).cast("long").as("cnt"),
+          lit(null).cast("double").as("min"),
+          lit(null).cast("double").as("max"),
+          lit(null).cast("double").as("last"),
+          lit(true).as("__marker"))
+      val w = Window.partitionBy(col("fingerprint")).orderBy(col("__ord"))
+        .rangeBetween(-rangeNs, -bucketNs)
+      val v: Column = fn match {
+        case "count_over_time"   => sum(col("cnt")).cast("double").over(w)
+        case "min_over_time"     => min(col("min")).over(w)
+        case "max_over_time"     => max(col("max")).over(w)
+        // per-series buckets are time-ordered, so frame-last = latest bucket
+        case "last_over_time"    => last(col("last"), ignoreNulls = true).over(w)
+        case "present_over_time" => lit(1.0)
+      }
+      return dropName(s.unionByName(markers)
+        .withColumn("__v", v)
+        .withColumn("__n", count(col("cnt")).over(w))
+        .filter(col("__marker") && col("__n") > 0)
+        .select(col("fingerprint"), col("labels"),
+          expr("__ord div 1000000000").as("ts"), col("__v").as("value")))
+    }
     val firstT = greatest(ceilTo(tsEff + bucketNs, stepNs), lit(gridStart))
     val lastT = least(floorTo(tsEff + rangeNs, stepNs), lit(gridEnd))
     val exploded = df.withColumn("t_ns",
@@ -586,6 +625,24 @@ class PromQLCompiler(spark: SparkSession, dir: String, params: PromParams) {
         return overTimeDownsampled(fn, sel)
       case _ =>
     }
+    // large range/step: the explode amplifies each sample range/step× —
+    // a [6h:15s]-shaped window at a 15min eval step is 24 rows per inner
+    // point. Above the threshold, switch to a RANGE-frame window over the
+    // raw samples (`over_time.go:30-127` uses a range frame for the same
+    // reason): shuffle volume stays #samples + #eval points per series
+    // instead of #samples × ratio.
+    arg match {
+      case sel: Selector if sel.rangeNs.exists(_ / stepNs >= WindowPathRatio) =>
+        val r = sel.rangeNs.get
+        return overTimeWindowed(fn,
+          scan(sel, gridStart - r - sel.offsetNs, gridEnd + 1 - sel.offsetNs)
+            .select(col("fingerprint"), col("labels"),
+              col("timestamp_ns"), col("value")),
+          r, sel.offsetNs, agg)
+      case sq: Subquery if sq.rangeNs / stepNs >= WindowPathRatio =>
+        return overTimeWindowed(fn, subquerySamples(sq), sq.rangeNs, 0L, agg)
+      case _ =>
+    }
     val frame = arg match {
       case sel: Selector => rangeFrame(sel)
       case sq: Subquery  => subqueryFrame(sq)
@@ -598,19 +655,66 @@ class PromQLCompiler(spark: SparkSession, dir: String, params: PromParams) {
         expr("t_ns div 1000000000").as("ts"), col("value")))
   }
 
+  /** RANGE-frame evaluation of *_over_time: union the samples with one
+    * null-valued marker row per (series, eval point), sort each series once
+    * by effective time, and evaluate the aggregate over the frame
+    * (t−range, t] — marker rows contribute nothing (null value) and carry
+    * the result out. Empty windows (no sample in frame) are dropped,
+    * matching the explode path where such eval points never materialize.
+    */
+  private def overTimeWindowed(fn: String, samples: DataFrame, rangeNs: Long,
+      offNs: Long, agg: Column): DataFrame = {
+    val s = samples.select(col("fingerprint"), col("labels"),
+      col("timestamp_ns"), col("value"),
+      (col("timestamp_ns") + lit(offNs)).as("__ord"),
+      lit(false).as("__marker"))
+    val markers = samples.groupBy(col("fingerprint"))
+      .agg(first(col("labels")).as("labels"))
+      .withColumn("__ord",
+        explode(sequence(lit(gridStart), lit(gridEnd), lit(stepNs))))
+      .select(col("fingerprint"), col("labels"),
+        lit(null).cast("long").as("timestamp_ns"),
+        lit(null).cast("double").as("value"),
+        col("__ord"), lit(true).as("__marker"))
+    val w = Window.partitionBy(col("fingerprint")).orderBy(col("__ord"))
+      .rangeBetween(-(rangeNs - 1), 0)
+    // count(lit(1))/max_by/lit(1.0) would see the marker rows; substitute
+    // null-ignoring equivalents for those three, reuse the caller's
+    // aggregate (all null-ignoring) otherwise
+    val v: Column = fn match {
+      case "count_over_time"   => count(col("value")).cast("double").over(w)
+      case "last_over_time"    => last(col("value"), ignoreNulls = true).over(w)
+      case "present_over_time" => lit(1.0)
+      case _                   => agg.over(w)
+    }
+    dropName(s.unionByName(markers)
+      .withColumn("__v", v)
+      .withColumn("__n", count(col("value")).over(w))
+      .filter(col("__marker") && col("__n") > 0)
+      .select(col("fingerprint"), col("labels"),
+        expr("__ord div 1000000000").as("ts"), col("__v").as("value")))
+  }
+
   /** Subquery frame: evaluate the inner expression on the finer
     * [range:step] grid (widened left by `range` so the first outer windows
     * are complete), then assign each inner eval point to the outer windows
     * (t−range, t] that contain it — the inner points act as samples.
     */
-  private def subqueryFrame(sq: Subquery): DataFrame = {
+  /** Inner subquery eval as plain samples (fingerprint, labels,
+    * timestamp_ns, value) on the finer grid, widened left by `range`.
+    */
+  private def subquerySamples(sq: Subquery): DataFrame = {
     require(sq.stepNs % 1000000000L == 0 && sq.stepNs > 0,
       "subquery step must be whole seconds")
     val innerParams = PromParams(
       gridStart - sq.rangeNs, gridEnd, sq.stepNs / 1000000000L, params.lookbackNs)
     val inner = new PromQLCompiler(spark, dir, innerParams).compileExpr(sq.inner)
     val tsNs = (col("ts") * 1000000000L).as("timestamp_ns")
-    val withTs = inner.select(col("fingerprint"), col("labels"), tsNs, col("value"))
+    inner.select(col("fingerprint"), col("labels"), tsNs, col("value"))
+  }
+
+  private def subqueryFrame(sq: Subquery): DataFrame = {
+    val withTs = subquerySamples(sq)
     // prev columns so counter functions work over subqueries too
     val w = Window.partitionBy(col("fingerprint")).orderBy(col("timestamp_ns"))
     val withPrev = withTs

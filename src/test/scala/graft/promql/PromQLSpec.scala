@@ -83,6 +83,31 @@ class PromQLSpec extends SparkSpec {
     assert(df.count() < 121)
   }
 
+  test("large range/step over_time takes the RANGE-frame window plan and matches explode") {
+    // ratio 12h/15min = 48 ≥ threshold → windowed; same query at the 6h
+    // step (ratio 2) stays on the explode plan; results must agree where
+    // grids coincide
+    val fine = new PromQLCompiler(spark, sf,
+      PromParams(StartNs, EndNs, 900L))
+      .compile("""max_over_time(events_value{event_type="click"}[12h])""")
+    val coarse = engine
+      .compile("""max_over_time(events_value{event_type="click"}[12h])""")
+    val finePlan = fine.queryExecution.executedPlan.toString
+    val coarsePlan = coarse.queryExecution.executedPlan.toString
+    // the window path still contains one bounded Generate (the marker
+    // grid, #series × #eval points) — the plan discriminator is the RANGE
+    // frame, absent from the per-sample explode plan
+    assert(finePlan.contains("RangeFrame"), "expected window plan")
+    assert(!coarsePlan.contains("RangeFrame"), "low ratio keeps explode plan")
+    assert(coarsePlan.contains("Generate"), "low ratio explodes")
+    // coarse grid ⊂ fine grid: values at shared eval points identical
+    val f = fine.select(col("ts"), col("value").as("vf"))
+    val joined = coarse.select(col("ts"), col("value").as("vc"))
+      .join(f, Seq("ts"))
+    assert(joined.count() > 0)
+    assert(joined.filter(col("vf") =!= col("vc")).count() == 0)
+  }
+
   test("vector agg drops __name__; by keeps only listed labels") {
     val df = engine.compile("""sum by (event_type) (count_over_time(events_value[6h]))""")
     val keys = df.select(explode(map_keys(col("labels")))).distinct()
