@@ -257,6 +257,42 @@ object Store {
   def profiles(spark: SparkSession, dir: String, loNs: Long, hiNs: Long): DataFrame =
     scanWindow(spark, s"${ensure(spark, dir)}/profiles", loNs, hiNs)
 
+  private val DatedTables = Seq("samples", "metrics_15s", "spans",
+    "span_attrs", "span_ancestors", "profiles", "prom_gauge",
+    "prom_counter", "prom_bucket", "prom_gauge_15s")
+
+  /** TTL retention (`ctrl/qryn/maintenance/rotate.go:48-66`, which issues
+    * `ALTER TABLE ... DROP PARTITION` per expired day): drop every `date=`
+    * partition strictly before the cutoff (ISO yyyy-MM-dd) across the
+    * date-partitioned tables. Partition-directory deletes — no data
+    * rewrite, O(expired days) filesystem ops, same cost shape as the
+    * reference's partition drops. Cached readers for the touched tables
+    * are invalidated so the next scan re-lists.
+    */
+  def expire(spark: SparkSession, dir: String, cutoffDate: String): Unit =
+    expireRoot(spark, ensure(spark, dir), cutoffDate)
+
+  private[store] def expireRoot(spark: SparkSession, root: String,
+      cutoffDate: String): Unit =
+    for (t <- DatedTables) {
+      val path = s"$root/$t"
+      val parts = Option(new java.io.File(path).listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .filter(f => f.isDirectory && f.getName.startsWith("date="))
+      // ISO dates compare lexicographically
+      val expired = parts.filter(_.getName.stripPrefix("date=") < cutoffDate)
+      if (expired.nonEmpty) {
+        expired.foreach(deleteRec)
+        readers.remove((spark, path))
+        spark.catalog.refreshByPath(path)
+      }
+    }
+
+  private def deleteRec(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(deleteRec)
+    f.delete(): Unit
+  }
+
   def promMetric(spark: SparkSession, dir: String, name: String,
       loNs: Long, hiNs: Long): Option[DataFrame] = {
     val table = name match {

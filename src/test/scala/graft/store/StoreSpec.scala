@@ -148,6 +148,41 @@ class StoreSpec extends SparkSpec {
     } finally spark.conf.set("spark.graft.store.disabled", "false")
   }
 
+  test("expire drops partitions before the cutoff, later queries unaffected") {
+    // scratch root so the shared store is untouched
+    val root = "/root/repo/target/test-expire"
+    val s = spark
+    import s.implicits._
+    Store.expireRoot(spark, root, "9999-12-31") // clean slate
+    Seq((1L, "2024-01-01"), (2L, "2024-01-02"), (3L, "2024-01-03"))
+      .toDF("v", "date")
+      .write.mode("overwrite").partitionBy("date")
+      .parquet(s"$root/samples")
+    Store.expireRoot(spark, root, "2024-01-03")
+    val left = spark.read.parquet(s"$root/samples")
+    assert(left.select("v").collect().map(_.getLong(0)).sorted.toSeq == Seq(3L))
+    assert(!new java.io.File(s"$root/samples/date=2024-01-01").exists())
+    assert(new java.io.File(s"$root/samples/date=2024-01-03").exists())
+  }
+
+  test("store reads are identical across session timezones") {
+    // date partitions are epoch-day derived (Store.withDate), so a store
+    // written under one session timezone and read under another must
+    // prune identically — to_date(timestamp_seconds(...)) would not
+    val q = """sum by (event_type) (count_over_time({level="info"}[6h]))"""
+    def run() = engine.compileMetric(LogQLParser.parseOrThrow(q))
+      .select(element_at(col("labels"), "event_type").as("e"),
+        col("ts"), col("value"))
+      .orderBy("e", "ts").collect()
+    val utc = run()
+    spark.conf.set("spark.sql.session.timeZone", "Pacific/Kiritimati") // UTC+14
+    try {
+      val shifted = run()
+      assert(utc.length == shifted.length && utc.length > 0)
+      utc.zip(shifted).foreach { case (a, b) => assert(a == b) }
+    } finally spark.conf.set("spark.sql.session.timeZone", "UTC")
+  }
+
   test("downsample and raw paths agree on rate values") {
     val q = """sum by (event_type) (rate({level="info"}[12h]))"""
     val ds = engine.compileMetric(LogQLParser.parseOrThrow(q))
