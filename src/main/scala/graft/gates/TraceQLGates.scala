@@ -293,6 +293,28 @@ object TraceQLGates extends GateSet {
           |  GROUP BY 1, 2) c
           |ORDER BY sel_count DESC, key, val LIMIT 5""".stripMargin)),
 
+    // --- multi-tenancy: per-tenant oid partitions + scan filter -----------
+    // (traces.sql:7 leads every key with oid; the spark.graft.tenant conf
+    // is the per-request tenant context — two tenants must see disjoint
+    // slices whose union is the untenanted answer)
+    Gate("store_multitenant",
+      (spark: SparkSession, dir: String) => {
+        def forTenant(o: String): DataFrame = {
+          spark.conf.set("spark.graft.tenant", o)
+          try {
+            val Query(Sel(ss), _, _, _, _, _) =
+              parsed("""{ .name="click" }"""): @unchecked
+            engine(spark, dir).spanSetSpans(ss)
+              .agg(count(lit(1)).as("n"))
+              .select(lit(o).as("oid"), col("n"))
+          } finally spark.conf.unset("spark.graft.tenant")
+        }
+        forTenant("0").unionByName(forTenant("1")).orderBy("oid")
+      },
+      o("""SELECT CAST(trace_id % 2 AS VARCHAR) AS oid, count(*) AS n
+          |FROM spans WHERE name = 'click'
+          |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // --- tag-value autocomplete -------------------------------------------
     Gate("traceql_tag_values",
       (spark: SparkSession, dir: String) =>

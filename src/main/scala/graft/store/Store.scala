@@ -44,7 +44,35 @@ object Store {
   // bump the version segment when a table SCHEMA changes: _SUCCESS-guarded
   // writes would otherwise silently keep serving the old schema
   private def rootFor(dir: String): String =
-    "/root/repo/target/graft-store/v5/" + dir.replaceAll("[^a-zA-Z0-9.]+", "_")
+    "/root/repo/target/graft-store/v6/" + dir.replaceAll("[^a-zA-Z0-9.]+", "_")
+
+  /** Tenant (`oid`) column — every reference table leads its partition/
+    * order key with the organization id (`traces.sql:7`,
+    * `profiles.sql:19-49`); queries route through a per-tenant DSN. Here
+    * the analog is an `oid` partition column ahead of `date` plus a
+    * session conf (`spark.graft.tenant`) that every store scan applies,
+    * so a tenant-scoped query prunes to its own partition directories.
+    * The synthetic testdata has no ingest context, so oid derives from
+    * the stable row identity (trace_id / fingerprint / profile_id mod 2)
+    * — the derivation is test wiring; the column, layout, pruning and
+    * filter threading are the real mechanism.
+    */
+  private def withOid(df: DataFrame): DataFrame = {
+    val idCol = Seq("trace_id", "fingerprint", "profile_id")
+      .find(df.columns.contains)
+    idCol.fold(df.withColumn("oid", lit("0")))(c =>
+      df.withColumn("oid", pmod(col(c), lit(2L)).cast("string")))
+  }
+
+  /** Tenant filter from the session conf; read at plan-build time, so set
+    * `spark.graft.tenant` before compiling a query (the per-request tenant
+    * context of the reference's DSN registry). Unset ⇒ all tenants.
+    */
+  private def tenantFilter(spark: SparkSession, df: DataFrame): DataFrame =
+    spark.conf.getOption("spark.graft.tenant") match {
+      case Some(o) => df.filter(col("oid") === o)
+      case None    => df
+    }
 
   // epoch-day arithmetic, NOT to_date(timestamp_seconds(...)): the latter
   // follows spark.sql.session.timeZone, so a store written under one
@@ -69,10 +97,10 @@ object Store {
   private def writePartitioned(df: DataFrame, path: String,
       sortCols: Seq[String]): Unit =
     if (!haveTable(path))
-      withDate(df)
-        .repartition(col("date"))
+      withOid(withDate(df))
+        .repartition(col("oid"), col("date"))
         .sortWithinPartitions(sortCols.map(col): _*)
-        .write.mode("overwrite").partitionBy("date").parquet(path)
+        .write.mode("overwrite").partitionBy("oid", "date").parquet(path)
 
   /** Build (if absent) and return the store root for a testdata dir. */
   def ensure(spark: SparkSession, dir: String): String =
@@ -85,15 +113,15 @@ object Store {
         // fingerprint-hash sharded (NOT coalesce(1)): at 1e8 series a
         // single-file dictionary write is a one-task straggler and a
         // one-file read bottleneck; shard count is a config knob
-        logs.select(col("fingerprint"), col("labels"))
-          .dropDuplicates("fingerprint")
+        withOid(logs.select(col("fingerprint"), col("labels"))
+            .dropDuplicates("fingerprint"))
           .repartition(dictShards(spark), col("fingerprint"))
           .write.mode("overwrite").parquet(s"$root/time_series")
       if (!haveTable(s"$root/metrics_15s"))
-        withDate(Tables.metrics15s(spark, dir))
-          .repartition(col("date"))
+        withOid(withDate(Tables.metrics15s(spark, dir)))
+          .repartition(col("oid"), col("date"))
           .sortWithinPartitions(col("fingerprint"), col("timestamp_ns"))
-          .write.mode("overwrite").partitionBy("date").parquet(s"$root/metrics_15s")
+          .write.mode("overwrite").partitionBy("oid", "date").parquet(s"$root/metrics_15s")
       // trace + profile stores (round-4: were derive-per-query, which
       // full-scanned events on every TraceQL/profiles query — the reference
       // materializes tempo_traces / tempo_traces_attrs_gin / profiles as
@@ -123,10 +151,10 @@ object Store {
             max(col("value")).as("max"),
             sum(col("value")).as("sum"),
             count(lit(1)).as("cnt"))
-        withDate(g15)
-          .repartition(col("date"))
+        withOid(withDate(g15))
+          .repartition(col("oid"), col("date"))
           .sortWithinPartitions(col("fingerprint"), col("timestamp_ns"))
-          .write.mode("overwrite").partitionBy("date").parquet(s"$root/prom_gauge_15s")
+          .write.mode("overwrite").partitionBy("oid", "date").parquet(s"$root/prom_gauge_15s")
       }
       root
     })
@@ -136,7 +164,8 @@ object Store {
 
   /** Series dictionary (fingerprint → labels); small, broadcast at joins. */
   def timeSeries(spark: SparkSession, dir: String): DataFrame =
-    readTable(spark, s"${ensure(spark, dir)}/time_series")
+    tenantFilter(spark,
+      readTable(spark, s"${ensure(spark, dir)}/time_series")).drop("oid")
 
   /** Touch every store table once (file-index listing + footer reads) so a
     * fresh session's first real query doesn't pay the cold-reader cost —
@@ -185,10 +214,11 @@ object Store {
     */
   private def scanWindow(spark: SparkSession, path: String,
       loNs: Long, hiNs: Long): DataFrame =
-    readTable(spark, path)
+    tenantFilter(spark, readTable(spark, path)
       .filter(col("timestamp_ns") >= loNs && col("timestamp_ns") < hiNs)
       .filter(col("date") >= date_from_unix_date(lit((loNs / 86400000000000L).toInt)) &&
-        col("date") <= date_from_unix_date(lit((hiNs / 86400000000000L).toInt)))
+        col("date") <= date_from_unix_date(lit((hiNs / 86400000000000L).toInt))))
+      .drop("oid") // tenant applied; downstream schemas stay oid-free
 
   def samples(spark: SparkSession, dir: String, loNs: Long, hiNs: Long): DataFrame =
     scanWindow(spark, s"${ensure(spark, dir)}/samples", loNs, hiNs)

@@ -69,7 +69,7 @@ class StoreSpec extends SparkSpec {
     assert(attrScan.isDefined, scans.map(_.relation.location.rootPaths.mkString).mkString("; "))
     assert(attrScan.get.partitionFilters.exists(_.toString.contains("date")))
     assert(attrScan.get.relation.location.listFiles(
-      attrScan.get.partitionFilters, Nil).size <= 2) // ≤2 of 31 day partitions
+      attrScan.get.partitionFilters, Nil).size <= 4) // ≤2 of 31 days × 2 oids
   }
 
   test("GIN hit-prefilter pushes the OR-of-leaves predicate into the scan") {
@@ -146,6 +146,27 @@ class StoreSpec extends SparkSpec {
         .collect().map(_.getLong(0))
       assert(viaClosure.nonEmpty && viaClosure.sameElements(viaWalk))
     } finally spark.conf.set("spark.graft.store.disabled", "false")
+  }
+
+  test("tenant conf prunes to the tenant's oid partitions") {
+    import graft.traceql.{TraceQLCompiler, TraceQLParser}
+    import graft.traceql.TraceQLAst._
+    val Query(Sel(ss), _, _, _, _, _) =
+      TraceQLParser.parseOrThrow("""{ .name="click" }"""): @unchecked
+    def build() = new TraceQLCompiler(spark, sf, StartNs, EndNs).spanSetSpans(ss)
+    val total = build().count()
+    spark.conf.set("spark.graft.tenant", "1")
+    try {
+      val df = build()
+      val scans = df.queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      val attrScan = scans.find(
+        _.relation.location.rootPaths.mkString(",").contains("span_attrs")).get
+      assert(attrScan.partitionFilters.exists(_.toString.contains("oid")))
+      val t1 = df.count()
+      assert(t1 > 0 && t1 < total, s"$t1 of $total")
+    } finally spark.conf.unset("spark.graft.tenant")
   }
 
   test("expire drops partitions before the cutoff, later queries unaffected") {
