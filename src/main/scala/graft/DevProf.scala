@@ -55,7 +55,7 @@ object DevProf {
       t("minhashSignatures")(Dedup.minhashSignatures(docs).count())
       t("lshBands")(Dedup.lshBands(Dedup.minhashSignatures(docs)).count())
       t("lshCandidates")(Dedup.lshCandidates(docs).count())
-      val cand = Dedup.lshCandidates(docs).localCheckpoint()
+      val cand = graft.model.Materialize(Dedup.lshCandidates(docs))
       t("jaccardOf(cand)")(Dedup.jaccardOf(cand, docs).count())
       t("full minhashNearDups")(Dedup.minhashNearDups(docs, 0.5).count())
       spark.stop(); return

@@ -3,6 +3,8 @@ package graft.llm
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.model.Materialize
+
 import TextOps._
 
 /** Deduplication operators for training-data pipelines, designed for the
@@ -82,7 +84,7 @@ object Dedup {
     // self-join otherwise re-runs the whole shingle→minhash aggregation
     // once per side — the "write the LSH index, then join it" shape every
     // banded pipeline uses at scale
-    val b = lshBands(minhashSignatures(docs).localCheckpoint(), bands, rows)
+    val b = lshBands(Materialize(minhashSignatures(docs)), bands, rows)
     b.as("a").join(b.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -99,9 +101,9 @@ object Dedup {
     */
   def jaccardOf(pairs: DataFrame, docs: DataFrame): DataFrame = {
     // materialized once: consumed by both the i-side and j-side joins
-    val sets = docs.select(col("doc_id"), shingles(col("text")).as("ss"))
-      .select(col("doc_id"), col("ss"), size(col("ss")).as("n"))
-      .localCheckpoint()
+    val sets = Materialize(
+      docs.select(col("doc_id"), shingles(col("text")).as("ss"))
+        .select(col("doc_id"), col("ss"), size(col("ss")).as("n")))
     val joined = pairs
       .join(sets.select(col("doc_id").as("i"), col("ss").as("si"),
         col("n").as("ni")), "i")

@@ -3,7 +3,7 @@ package graft.prof
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.model.Tables
+import graft.model.{Materialize, Tables}
 
 /** Profiling (Pyroscope) slice (SURVEY §2.F): the profiles table carries a
   * pre-flattened call tree per profile — rows of
@@ -80,25 +80,24 @@ object Profiles {
     * columns pass through. The input is post-aggregation (small — unique
     * node identities), so the depth-bounded driver loop is the same shape
     * as the reference's Go-side assembly after the merge query; the
-    * localCheckpoint materializes the merge once so each BFS level joins
+    * Materialize() point computes the merge once so each BFS level joins
     * the computed result instead of re-running the aggregation per level.
     */
   private def assignLevels(tree0: DataFrame, maxDepth: Int): DataFrame = {
     val cols = tree0.columns
-    val tree = tree0.localCheckpoint()
-    var frontier = tree.filter(col("parent") === 0L)
-      .withColumn("level", lit(0L))
-      .localCheckpoint()
+    val tree = Materialize(tree0)
+    var frontier = Materialize(tree.filter(col("parent") === 0L)
+      .withColumn("level", lit(0L)))
     var acc = frontier
     var depth = 0
     var done = frontier.isEmpty
     while (depth < maxDepth && !done) {
-      val next = tree.as("m")
+      val next0 = tree.as("m")
         .join(frontier.select(col("node").as("__p"), col("level")).distinct(),
           col("m.parent") === col("__p"))
         .select(cols.map(c => col("m." + c).as(c)) :+
           (col("level") + 1).as("level"): _*)
-        .localCheckpoint()
+      val next = Materialize(next0)
       if (next.isEmpty) done = true
       else { acc = acc.unionByName(next); frontier = next }
       depth += 1

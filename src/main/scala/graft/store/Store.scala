@@ -5,7 +5,7 @@ import scala.collection.concurrent.TrieMap
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.model.Tables
+import graft.model.{Materialize, Tables}
 
 /** Materialized storage layer mirroring the reference's physical design
   * (`ctrl/qryn/sql/log.sql:16-120`, SURVEY §1.5):
@@ -247,7 +247,7 @@ object Store {
       .filter(col("parent_id").isNotNull)
       .select(col("trace_id"), col("span_id"),
         col("parent_id").as("anc_id"), col("timestamp_ns"))
-    var clos = base.localCheckpoint()
+    var clos = Materialize(base)
     var dist = 1L
     var fixed = false
     while (dist < 64 && !fixed) {
@@ -259,8 +259,8 @@ object Store {
           col("b.anc_id").as("anc_id"),
           col("a.timestamp_ns").as("timestamp_ns"))
       val before = clos.count()
-      clos = clos.union(ext).dropDuplicates("trace_id", "span_id", "anc_id")
-        .localCheckpoint()
+      clos = Materialize(clos.union(ext)
+        .dropDuplicates("trace_id", "span_id", "anc_id"))
       fixed = clos.count() == before
       dist *= 2
     }

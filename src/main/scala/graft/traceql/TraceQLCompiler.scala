@@ -3,7 +3,7 @@ package graft.traceql
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.model.Tables
+import graft.model.{Materialize, Tables}
 import graft.store.Store
 import TraceQLAst._
 
@@ -219,10 +219,10 @@ class TraceQLCompiler(spark: SparkSession, dir: String,
       // ingest-time ancestor-closure table (Store.ancestorClosure) — no
       // driver loop at all. Fallback (store disabled): a batched ancestor
       // walk, keyed on (trace_id, span_id) — span ids are only unique
-      // within a trace. The fallback's localCheckpoint blocks are
-      // unreplicated — on a real cluster prefer persist(MEMORY_AND_DISK)
-      // or reliable checkpointing so an executor loss recomputes instead
-      // of failing the query (the store path has no such state at all).
+      // within a trace. Materialization points go through Materialize:
+      // localCheckpoint locally, persist(MEMORY_AND_DISK) under
+      // spark.graft.checkpoint.reliable=true so a cluster executor loss
+      // recomputes instead of failing (the store path has no such state).
       val (lSpans0, rSpans) = (simpleCond(l), simpleCond(r)) match {
         case (Some(cl), Some(cr)) => // shared scan+agg for both sides
           val (frame, idx) = maskedFrame(Seq(cl, cr))
@@ -241,12 +241,10 @@ class TraceQLCompiler(spark: SparkSession, dir: String,
               col("t.anc_id") === col("p.span_id"), "left_semi")
           .select(col("c.trace_id").as("trace_id")).distinct()
       }
-      val lSpans = lSpans0
-        .select(col("trace_id"), col("span_id").as("__aid"))
-        .localCheckpoint()
-      val parentOf = spans
-        .select(col("trace_id"), col("span_id"), col("parent_id"))
-        .localCheckpoint()
+      val lSpans = Materialize(lSpans0
+        .select(col("trace_id"), col("span_id").as("__aid")))
+      val parentOf = Materialize(spans
+        .select(col("trace_id"), col("span_id"), col("parent_id")))
       val MaxDepth = 64
       val BatchLevels = 8
       def hitsOf(f: DataFrame): DataFrame =
@@ -254,15 +252,14 @@ class TraceQLCompiler(spark: SparkSession, dir: String,
             f("trace_id") === lSpans("trace_id") &&
               f("__anc") === lSpans("__aid"))
           .select(f("trace_id"))
-      var frontier = rSpans
+      var frontier = Materialize(rSpans
         .select(col("trace_id"), col("span_id"), col("parent_id").as("__anc"))
-        .filter(col("__anc").isNotNull)
-        .localCheckpoint()
+        .filter(col("__anc").isNotNull))
       var hitParts = List[DataFrame](hitsOf(frontier))
       var depth = 1
       while (depth < MaxDepth && !frontier.isEmpty) {
         // one batch = BatchLevels closure joins UNIONED with a level tag,
-        // materialized by a single localCheckpoint: hits for all batch
+        // materialized by a single Materialize(): hits for all batch
         // levels come from one join against the materialized union, and
         // the next frontier is a cheap filter of it — so the final count
         // never re-executes join chains, and driver sync is per batch
@@ -279,7 +276,7 @@ class TraceQLCompiler(spark: SparkSession, dir: String,
           acc = if (acc == null) lvl else acc.union(lvl)
           steps += 1
         }
-        val levels = acc.localCheckpoint()
+        val levels = Materialize(acc)
         hitParts ::= hitsOf(levels.drop("__lvl"))
         frontier = levels.filter(col("__lvl") === steps - 1).drop("__lvl")
         depth += steps

@@ -204,6 +204,24 @@ class StoreSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.session.timeZone", "UTC")
   }
 
+  test("reliable-checkpoint mode gives identical iterative results") {
+    import graft.traceql.{TraceQLCompiler, TraceQLParser}
+    val q = TraceQLParser.parseOrThrow("""{ .name="view" } >> { .name="purchase" }""")
+    // the >> fallback walk is the deepest Materialize() user
+    spark.conf.set("spark.graft.store.disabled", "true")
+    try {
+      val eng = new TraceQLCompiler(spark, sf, StartNs, EndNs)
+      val local = eng.matchingTraces(q.expr).orderBy("trace_id")
+        .collect().map(_.getLong(0))
+      spark.conf.set("spark.graft.checkpoint.reliable", "true")
+      try {
+        val reliable = eng.matchingTraces(q.expr).orderBy("trace_id")
+          .collect().map(_.getLong(0))
+        assert(local.nonEmpty && local.sameElements(reliable))
+      } finally spark.conf.unset("spark.graft.checkpoint.reliable")
+    } finally spark.conf.set("spark.graft.store.disabled", "false")
+  }
+
   test("downsample and raw paths agree on rate values") {
     val q = """sum by (event_type) (rate({level="info"}[12h]))"""
     val ds = engine.compileMetric(LogQLParser.parseOrThrow(q))
