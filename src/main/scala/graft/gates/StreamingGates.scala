@@ -69,6 +69,46 @@ object StreamingGates extends GateSet {
            |  (timestamp_ns // ${StepS}000000000) * $StepS AS ts,
            |  CAST(count(*) AS DOUBLE) AS value
            |FROM logs WHERE level = 'error'
-           |GROUP BY 2, 3 ORDER BY event_type, ts""".stripMargin))
+           |GROUP BY 2, 3 ORDER BY event_type, ts""".stripMargin)),
+
+    // --- two-batch pattern-mining replay == one-shot mining ---------------
+    // (the foreachBatch streaming form folds each batch's mined patterns
+    // into a state table via Patterns.mergeMined; the oracle mines the
+    // WHOLE log in one pass, so a pass proves the merge is associative)
+    Gate("streaming_patterns_merge",
+      (spark: SparkSession, dir: String) => {
+        import graft.patterns.Patterns
+        val logs = Tables.logs(spark, dir).select(
+          element_at(col("labels"), "event_type").as("stream"),
+          col("line"), col("timestamp_ns"))
+        val mid = (StartNs + EndNs) / 2
+        val b1 = Patterns.mineLines(
+          logs.filter(col("timestamp_ns") < mid).drop("timestamp_ns"))
+        val b2 = Patterns.mineLines(
+          logs.filter(col("timestamp_ns") >= mid).drop("timestamp_ns"))
+        Patterns.mergeMined(b1.unionByName(b2))
+          .withColumnRenamed("stream", "event_type")
+          .orderBy("event_type", "pattern")
+      },
+      Some(OracleViews.withViews(Seq(OracleViews.logs,
+        """toksm AS (SELECT event_type,
+          |    [regexp_replace(w, '[0-9]+', '<N>', 'g') for w in string_split(line, ' ')] AS ws
+          |  FROM logs)""".stripMargin,
+        """keyedm AS (SELECT event_type, len(ws) AS n, ws[1] AS head, ws FROM toksm)""",
+        """posedm AS (SELECT event_type, n, head,
+          |    unnest([i for i in generate_series(1, len(ws))]) AS pos,
+          |    unnest(ws) AS tok
+          |  FROM keyedm)""".stripMargin,
+        """postokm AS (SELECT event_type, n, head, pos,
+          |    CASE WHEN count(DISTINCT tok) = 1 THEN min(tok) ELSE '<_>' END AS tok_out
+          |  FROM posedm GROUP BY 1, 2, 3, 4)""".stripMargin,
+        """patsm AS (SELECT event_type, n, head,
+          |    string_agg(tok_out, ' ' ORDER BY pos) AS pattern
+          |  FROM postokm GROUP BY 1, 2, 3)""".stripMargin,
+        """cntsm AS (SELECT event_type, n, head, count(*) AS samples_count
+          |  FROM keyedm GROUP BY 1, 2, 3)""".stripMargin),
+        """SELECT p.event_type, p.pattern, c.samples_count
+          |FROM patsm p JOIN cntsm c USING (event_type, n, head)
+          |ORDER BY 1, 2""".stripMargin)))
   )
 }

@@ -81,4 +81,35 @@ object Patterns {
     mineLines(Tables.logs(spark, dir).select(
         element_at(col("labels"), "event_type").as("stream"), col("line")))
       .withColumnRenamed("stream", "event_type")
+
+  /** Cross-batch pattern merge — the associativity the streaming form
+    * relies on (header claim; `foreachBatch` keeps a patterns state table
+    * and folds each batch in). The cluster key is recoverable from the
+    * pattern itself: `head` is part of the key so it is never generalized,
+    * and `n` is the token count. Per position, tokens that differ ACROSS
+    * batches generalize to `<_>` exactly as tokens differing within one
+    * batch would ( <_> absorbs everything ), so
+    * mergeMined(mine(b1) ∪ mine(b2)) == mine(b1 ∪ b2); counts sum.
+    */
+  def mergeMined(mined: DataFrame): DataFrame = {
+    val keyed = mined
+      .select(col("stream"), split(col("pattern"), " ").as("ws"),
+        col("samples_count"))
+      .select(col("stream"), size(col("ws")).as("n"),
+        element_at(col("ws"), 1).as("head"), col("ws"), col("samples_count"))
+    val posed = keyed.select(col("stream"), col("n"), col("head"),
+      col("samples_count"), posexplode(col("ws")).as(Seq("pos", "tok")))
+    val posTok = posed
+      .groupBy(col("stream"), col("n"), col("head"), col("pos"))
+      .agg(when(countDistinct(col("tok")) === 1, min(col("tok")))
+        .otherwise(lit("<_>")).as("tok_out"),
+        sum(col("samples_count")).as("cnt"))
+    posTok
+      .groupBy(col("stream"), col("n"), col("head"))
+      .agg(concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("pos"), col("tok_out")))),
+        s => s.getField("tok_out"))).as("pattern"),
+        max(when(col("pos") === 0, col("cnt"))).as("samples_count"))
+      .select(col("stream"), col("pattern"), col("samples_count"))
+  }
 }

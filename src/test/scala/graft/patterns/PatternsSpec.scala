@@ -34,6 +34,27 @@ class PatternsSpec extends SparkSpec {
       "id=<N> <UUID> <IP> <TS> <HEX> <PATH> ok")
   }
 
+  test("two-batch mergeMined equals one-shot mining (associativity)") {
+    import graft.TestSpark.spark.implicits._
+    // the (s, 3, req) cluster spans BOTH batches with tokens that only
+    // differ across the batch boundary — the cross-batch generalize case
+    val b1 = Seq(("s", "req 1 ok"), ("s", "req 2 ok"), ("t", "a b"))
+      .toDF("stream", "line")
+    val b2 = Seq(("s", "req 3 failed"), ("s", "warm up"), ("t", "a c"))
+      .toDF("stream", "line")
+    val all = b1.unionByName(b2)
+    val merged = Patterns.mergeMined(
+        Patterns.mineLines(b1).unionByName(Patterns.mineLines(b2)))
+      .orderBy("stream", "pattern").collect()
+    val oneShot = Patterns.mineLines(all)
+      .orderBy("stream", "pattern").collect()
+    assert(merged.length == oneShot.length)
+    merged.zip(oneShot).foreach { case (m, o) =>
+      assert(m.getAs[String]("pattern") == o.getAs[String]("pattern"))
+      assert(m.getAs[Long]("samples_count") == o.getAs[Long]("samples_count"))
+    }
+  }
+
   test("distinct token counts split clusters by length and head") {
     import graft.TestSpark.spark.implicits._
     val lines = Seq(
