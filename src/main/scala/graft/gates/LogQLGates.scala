@@ -114,6 +114,19 @@ object LogQLGates extends GateSet {
            |  FROM logs WHERE level IN ('info','error'))
            |GROUP BY 1, 2 ORDER BY 1, 2, 3""".stripMargin)),
 
+    // --- macro plugin hook (model.go:485-496): a registered macro expands
+    // to LogQL source and compiles like the expansion ----------------------
+    Gate("logql_macro",
+      (spark: SparkSession, dir: String) => {
+        graft.logql.LogQLMacros.register("_err_rate",
+          ps => s"""sum by (event_type) (rate({level="error"}[${ps.head}]))""")
+        metricQ("""_err_rate("6h")""", "event_type")(spark, dir)
+      },
+      o(s"""SELECT event_type, $bucket AS ts,
+           |  round(count(*) / ${StepS}.0, 6) AS value
+           |FROM logs WHERE level = 'error'
+           |GROUP BY 1, 2 ORDER BY 1, 2, 3""".stripMargin)),
+
     Gate("logql_count_over_time",
       metricQ("""sum by (level) (count_over_time({event_type=~"click|view"}[6h]))""", "level"),
       o(s"""SELECT level, $bucket AS ts, CAST(count(*) AS DOUBLE) AS value

@@ -137,8 +137,23 @@ object LogQLParser extends RegexParsers {
       case fn ~ k ~ e => VectorAgg(fn, e, param = Some(k))
     }
 
+  /** Macro atom (`model.go:485-496`): `_name("p", ...)` expands through
+    * the [[LogQLMacros]] registry and the expansion parses in place; an
+    * unregistered macro is rejected like the reference planner does
+    * (`clickhouse_planner/planner.go:548-552`).
+    */
+  private def macroCall: Parser[Expr] =
+    """_[a-zA-Z0-9_]+""".r ~ ("(" ~> repsep(quoted, ",") <~ ")") ^^ {
+      case name ~ ps =>
+        val src = LogQLMacros.expansion(name, ps).getOrElse(throw
+          new IllegalArgumentException(s"LogQL macro not implemented: $name"))
+        parse(src).fold(m => throw new IllegalArgumentException(
+          s"LogQL macro $name expansion parse error: $m in: $src"), identity)
+    }
+
   private def atom: Parser[Expr] =
-    vectorAgg | rangeAgg | number ^^ ScalarLit.apply | "(" ~> metricExpr <~ ")"
+    macroCall | vectorAgg | rangeAgg | number ^^ ScalarLit.apply |
+      "(" ~> metricExpr <~ ")"
 
   private def binOpTail: Parser[Expr] =
     atom ~ rep(("*" | "/" | "%") ~ atom) ^^ {

@@ -130,4 +130,18 @@ class LogQLParserSpec extends AnyFunSuite {
     assert(LogQLParser.parse("""sum by ( (rate({x=}[5m]))""").isLeft)
     assert(LogQLParser.parse("""{a=}""").isLeft)
   }
+
+  test("registered macro expands in place; unregistered is rejected") {
+    LogQLMacros.register("_t_rate",
+      ps => s"""sum by (a) (rate({x="1"}[${ps.head}]))""")
+    try assert(p("""_t_rate("1m")""") ==
+      p("""sum by (a) (rate({x="1"}[1m]))"""))
+    finally LogQLMacros.unregister("_t_rate")
+    val err = intercept[IllegalArgumentException](p("""_nope("1m")"""))
+    assert(err.getMessage.contains("not implemented"))
+    // macro as an arithmetic atom
+    LogQLMacros.register("_t_c", _ => """sum(count_over_time({x="1"}[1m]))""")
+    try { val BinOp("+", _, _) = p("""_t_c() + _t_c()"""): @unchecked }
+    finally LogQLMacros.unregister("_t_c")
+  }
 }
