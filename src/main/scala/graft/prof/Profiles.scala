@@ -134,6 +134,63 @@ object Profiles {
         col("self_right"), col("total_right"))
   }
 
+  /** Graphviz DOT render of a merged tree (`ToDot`,
+    * `reader/service/prof_tree.go:512-652`): BFS from a synthetic total
+    * root, per node a heat-colored box (self share drives fill + font
+    * size), per edge the total-share percentage as label and weight;
+    * maxNodes keeps the top-N children by total. The merged tree is
+    * post-aggregation (bounded by unique node identities) and the output
+    * is a string report, so the bounded collect here is the same
+    * driver-side assembly the reference performs after its merge query.
+    */
+  def toDot(merged: DataFrame, title: String = "flamegraph",
+      unit: String = "samples", maxNodes: Int = 0): String = {
+    val rows0 = merged.select(col("parent"), col("node"), col("fn"),
+        col("self"), col("total"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4)))
+      .sortBy { case (_, _, fn, _, total) => (-total, fn) }
+    val rows = if (maxNodes > 0) rows0.take(maxNodes) else rows0
+    val totalVal = rows.filter(_._1 == 0L).map(_._5).sum
+    def pct(v: Long): Double =
+      if (totalVal == 0) 0.0 else v.toDouble / totalVal * 100
+    def heat(self: Long): String = // prof_tree.go:654-668 0% gray → 100% red
+      if (totalVal == 0 || self == 0) "#f8f8f8"
+      else {
+        val ratio = math.min(1.0, self.toDouble / totalVal)
+        f"#ff${(0xf8 * (1 - ratio)).toInt}%02x${(0xf8 * (1 - ratio)).toInt}%02x"
+      }
+    def fontSize(self: Long): Int = // prof_tree.go:501-510
+      if (totalVal == 0 || self == 0) 8
+      else 8 + (math.min(1.0, self.toDouble / totalVal) * 16).toInt
+    val byParent = rows.groupBy(_._1)
+    val sb = new StringBuilder
+    sb ++= s"""digraph "$title" {\n"""
+    sb ++= s"  // Total: $totalVal $unit\n"
+    sb ++= "  node [shape=box];\n  edge [fontsize=10];\n"
+    sb ++= s"""  N0 [label="total\\n$totalVal $unit (100%)" fontsize=12 style=filled fillcolor="#eeeeee"];\n"""
+    val seq = scala.collection.mutable.Map(0L -> 0)
+    var next = 1
+    val queue = scala.collection.mutable.Queue(0L)
+    val seen = scala.collection.mutable.Set(0L)
+    while (queue.nonEmpty) {
+      val p = queue.dequeue()
+      for ((_, node, fn, self, total) <- byParent.getOrElse(p, Array.empty)
+           if !seen(node)) {
+        seen += node
+        val id = next; next += 1; seq(node) = id
+        val label = f"$fn\\ntotal: $total $unit (${pct(total)}%.1f%%) " +
+          f"self: $self $unit (${pct(self)}%.1f%%)"
+        sb ++= s"""  N$id [label="$label" fontsize=${fontSize(self)} style=filled fillcolor="${heat(self)}"];\n"""
+        sb ++= f"""  N${seq(p)} -> N$id [label="${pct(total)}%.1f%%" weight=${math.max(1, pct(total).toInt)}];\n"""
+        queue += node
+      }
+    }
+    sb ++= "}\n"
+    sb.toString
+  }
+
   /** `/pyroscope/analyze` size estimate (ProfileSizePlanner,
     * `prof_transpiler/planner_profiles_size.go:15-52`): the reference
     * returns (sum of stored payload bytes, exact fingerprint count) for a

@@ -27,6 +27,21 @@ class ProfilesSpec extends SparkSpec {
     assert(d("right_only") == ((2L, 0L, 0L, 30L, 30L)))
   }
 
+  test("DOT render: nodes, heat, edges, and top-N pruning") {
+    val t = tree((0L, 1L, "main", 0L, 100L), (1L, 2L, "hot", 90L, 90L),
+      (1L, 3L, "cold", 10L, 10L))
+    val dot = Profiles.toDot(t, title = "t", unit = "ns")
+    assert(dot.startsWith("digraph \"t\" {"))
+    assert(dot.contains("""N0 [label="total\n100 ns (100%)"""))
+    assert(dot.contains("hot\\ntotal: 90 ns (90.0%) self: 90 ns (90.0%)"))
+    assert(dot.contains("weight=90"))
+    // hot self=90% → font near max; cold self=10% → near min
+    assert(dot.contains("fontsize=22") && dot.contains("fontsize=9"))
+    val pruned = Profiles.toDot(t, maxNodes = 2)
+    assert(pruned.contains("hot") && !pruned.contains("cold"))
+    assert(pruned.endsWith("}\n"))
+  }
+
   test("flamegraph diff over real services matches per-side merges") {
     val d = Profiles.flamegraphDiff(spark, sf, "svc1", "svc2")
     val l = Profiles.flamegraphLevels(Profiles.mergeTree(spark, sf, "svc1"))
