@@ -58,4 +58,37 @@ class StreamingSpec extends SparkSpec {
     val n2 = Ruler.record(spark, sf, "info_events_6h", rule, params)
     assert(Ruler.recorded(spark, sf).count() == n1 + n2)
   }
+
+  test("foreachBatch pattern state fold equals one-shot mining") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.TestSpark.spark.implicits._
+    import graft.patterns.Patterns
+    val b1 = Seq(("s", "req 1 ok"), ("s", "req 2 ok"), ("t", "a b"))
+    val b2 = Seq(("s", "req 3 failed"), ("s", "warm up"), ("t", "a c"))
+    val statePath = "/root/repo/target/test-pattern-state"
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+    }
+    rm(new java.io.File(statePath))
+    val mem = MemoryStream[(String, String)]
+    val stream = mem.toDF()
+      .select(col("_1").as("stream"), col("_2").as("line"))
+    val q = stream.writeStream
+      .foreachBatch((b: org.apache.spark.sql.DataFrame, _: Long) =>
+        PatternsStream.foldBatch(b, statePath))
+      .start()
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val state = PatternsStream.readState(spark, statePath).get
+      .orderBy("stream", "pattern").collect()
+    val oneShot = Patterns.mineLines((b1 ++ b2).toDF("stream", "line"))
+      .orderBy("stream", "pattern").collect()
+    assert(state.length == oneShot.length && state.nonEmpty)
+    state.zip(oneShot).foreach { case (s, o) =>
+      assert(s.getAs[String]("pattern") == o.getAs[String]("pattern"))
+      assert(s.getAs[Long]("samples_count") == o.getAs[Long]("samples_count"))
+    }
+  }
 }

@@ -69,6 +69,16 @@ class TraceQLSpec extends SparkSpec {
       Tables.spans(spark, sf).filter(col("name") === "click").count())
   }
 
+  test("run dispatches select() after an aggregate: only kept traces projected") {
+    val df = engine.run(TraceQLParser.parseOrThrow(
+      """{ .name="click" } | count() > 1 | select(.user)"""))
+    val kept = engine.aggregate(
+      TraceQLParser.parseOrThrow("""{ .name="click" } | count() > 1""").expr,
+      SpanAgg("count", None, ">", 1.0))
+    assert(df.select("trace_id").distinct().count() == kept.count())
+    assert(df.columns.contains("user"))
+  }
+
   test("with(sample=N) keeps a deterministic strict subset of traces") {
     val all = engine.run(TraceQLParser.parseOrThrow("""{ .name="click" }"""))
     val s1 = engine.run(TraceQLParser.parseOrThrow("""{ .name="click" } with(sample=4)"""))
