@@ -451,6 +451,33 @@ object PromQLGates extends GateSet {
            |  ON i.ti > go.t - 21600 AND i.ti <= go.t
            |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // --- large range/step rate: RANGE-frame counter plan ------------------
+    // (ratio 6h/15min = 24 ≥ threshold; reset compensation with the
+    // boundary-pair correction; ×range makes values rounding-stable)
+    Gate("promql_rate_window",
+      (spark: SparkSession, dir: String) => {
+        val ws = StartS + 86400
+        val we = StartS + 2 * 86400
+        new PromQLCompiler(spark, dir,
+          PromParams(ws * 1000000000L, we * 1000000000L, 900L))
+          .result("""rate(events_total{level="info"}[6h]) * 21600""",
+            Seq("event_type"))
+      },
+      o(s"""SELECT event_type, t AS ts, round(l - f + rc, 6) AS value FROM (
+           |  SELECT c.event_type, g.t,
+           |    count(*) AS n,
+           |    arg_min(c.value, c.timestamp_ns) AS f,
+           |    arg_max(c.value, c.timestamp_ns) AS l,
+           |    sum(CASE WHEN c.prev_ts > (g.t - 21600) * 1000000000
+           |              AND c.prev_val > c.value THEN c.prev_val ELSE 0 END) AS rc
+           |  FROM lc c JOIN (SELECT unnest(generate_series(${StartS + 86400}, ${StartS + 2 * 86400}, 900)) AS t) g
+           |    ON c.timestamp_ns > (g.t - 21600) * 1000000000
+           |   AND c.timestamp_ns <= g.t * 1000000000
+           |  WHERE c.level = 'info'
+           |  GROUP BY 1, 2) w
+           |WHERE n >= 2 ORDER BY 1, 2""".stripMargin,
+        OracleViews.counters, lagCounters)),
+
     // --- /api/v1/metadata: families + type + live series count ------------
     Gate("promql_metadata",
       (spark: SparkSession, dir: String) =>

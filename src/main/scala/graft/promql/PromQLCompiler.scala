@@ -735,6 +735,22 @@ class PromQLCompiler(spark: SparkSession, dir: String, params: PromParams) {
     * compensation; resets/changes count transitions instead.
     */
   private def counterFn(fn: String, arg: PExpr): DataFrame = {
+    // same large-range/step fork as *_over_time: above the ratio the
+    // explode amplifies every sample range/step×, so evaluate on a RANGE
+    // frame instead (counter semantics need one extra correction — see
+    // counterFnWindowed)
+    arg match {
+      case sel: Selector if sel.rangeNs.exists(_ / stepNs >= WindowPathRatio) =>
+        val r = sel.rangeNs.get
+        return counterFnWindowed(fn,
+          scan(sel, gridStart - r - sel.offsetNs, gridEnd + 1 - sel.offsetNs)
+            .select(col("fingerprint"), col("labels"),
+              col("timestamp_ns"), col("value")),
+          r, sel.offsetNs)
+      case sq: Subquery if sq.rangeNs / stepNs >= WindowPathRatio =>
+        return counterFnWindowed(fn, subquerySamples(sq), sq.rangeNs, 0L)
+      case _ =>
+    }
     val (frame, rangeNs, offNs) = arg match {
       case sel: Selector => (rangeFrame(sel), sel.rangeNs.getOrElse(
         throw new IllegalArgumentException(s"$fn needs a range vector")), sel.offsetNs)
@@ -780,6 +796,85 @@ class PromQLCompiler(spark: SparkSession, dir: String, params: PromParams) {
     }
     dropName(filtered.select(col("fingerprint"), col("labels"),
       expr("t_ns div 1000000000").as("ts"), v.as("value")))
+  }
+
+  /** RANGE-frame counter evaluation. Each sample carries its in-series
+    * prev pair (lag); per eval point the frame (t−range, t] yields n,
+    * first/last sample structs, and pair sums. One correction vs the
+    * frame sums: only the FIRST in-window sample can have its prev
+    * OUTSIDE the window (samples are time-ordered per series, so every
+    * later sample's prev is itself in-window) — when it does, that pair's
+    * reset/change contribution is subtracted, which reproduces the
+    * explode path's prev_in_window condition exactly.
+    */
+  private def counterFnWindowed(fn: String, samples: DataFrame,
+      rangeNs: Long, offNs: Long): DataFrame = {
+    val rangeS = rangeNs / 1e9
+    val wSeries = Window.partitionBy(col("fingerprint"))
+      .orderBy(col("timestamp_ns"))
+    val sp = samples
+      .withColumn("prev_ts", lag(col("timestamp_ns"), 1).over(wSeries))
+      .withColumn("prev_val", lag(col("value"), 1).over(wSeries))
+    val s = sp.select(col("fingerprint"), col("labels"),
+      struct(col("timestamp_ns").as("ts"), col("value").as("v"),
+        col("prev_ts").as("pts"), col("prev_val").as("pv")).as("__s"),
+      (col("timestamp_ns") + lit(offNs)).as("__ord"),
+      lit(false).as("__marker"))
+    val markers = samples.groupBy(col("fingerprint"))
+      .agg(first(col("labels")).as("labels"))
+      .withColumn("__ord",
+        explode(sequence(lit(gridStart), lit(gridEnd), lit(stepNs))))
+      .select(col("fingerprint"), col("labels"),
+        lit(null).cast(s.schema("__s").dataType).as("__s"),
+        col("__ord"), lit(true).as("__marker"))
+    val w = Window.partitionBy(col("fingerprint")).orderBy(col("__ord"))
+      .rangeBetween(-(rangeNs - 1), 0)
+    val sv = col("__s")
+    val drop = sv.getField("pv") > sv.getField("v") // null prev → false branch
+    val chg = sv.getField("pv") =!= sv.getField("v")
+    val agg = s.unionByName(markers)
+      .withColumn("__n", count(sv).over(w))
+      .withColumn("__fs", first(sv, ignoreNulls = true).over(w))
+      .withColumn("__ls", last(sv, ignoreNulls = true).over(w))
+      .withColumn("__drops",
+        sum(when(drop, sv.getField("pv")).otherwise(0.0)).over(w))
+      .withColumn("__nresets", sum(when(drop, 1.0).otherwise(0.0)).over(w))
+      .withColumn("__nchanges", sum(when(chg, 1.0).otherwise(0.0)).over(w))
+      .filter(col("__marker") && col("__n") > 0)
+    val fs = col("__fs")
+    val ls = col("__ls")
+    val firstPrevOut = !coalesce(
+      fs.getField("pts") + offNs > col("__ord") - rangeNs, lit(false))
+    val fDrop = coalesce(fs.getField("pv") > fs.getField("v"), lit(false))
+    val fChg = coalesce(fs.getField("pv") =!= fs.getField("v"), lit(false))
+    val resetComp = col("__drops") -
+      when(firstPrevOut && fDrop, fs.getField("pv")).otherwise(0.0)
+    val resets = col("__nresets") -
+      when(firstPrevOut && fDrop, 1.0).otherwise(0.0)
+    val changes = col("__nchanges") -
+      when(firstPrevOut && fChg, 1.0).otherwise(0.0)
+    val lastPairIn = coalesce(
+      ls.getField("pts") + offNs > col("__ord") - rangeNs, lit(false))
+    val filtered = fn match {
+      case "rate" | "increase" | "delta" => agg.filter(col("__n") >= 2)
+      case "irate" | "idelta"            => agg.filter(lastPairIn)
+      case _                             => agg
+    }
+    val idt = (ls.getField("ts") - ls.getField("pts")) / 1e9
+    val v = fn match {
+      case "rate"     => (ls.getField("v") - fs.getField("v") + resetComp) / rangeS
+      case "increase" => ls.getField("v") - fs.getField("v") + resetComp
+      case "delta"    => ls.getField("v") - fs.getField("v")
+      case "irate"    =>
+        when(ls.getField("v") >= ls.getField("pv"),
+          ls.getField("v") - ls.getField("pv"))
+          .otherwise(ls.getField("v")) / idt
+      case "idelta"   => ls.getField("v") - ls.getField("pv")
+      case "resets"   => resets
+      case "changes"  => changes
+    }
+    dropName(filtered.select(col("fingerprint"), col("labels"),
+      expr("__ord div 1000000000").as("ts"), v.as("value")))
   }
 
   /** histogram_quantile over `le`-labeled cumulative buckets: group by

@@ -108,6 +108,18 @@ class PromQLSpec extends SparkSpec {
     assert(joined.filter(col("vf") =!= col("vc")).count() == 0)
   }
 
+  test("windowed counter path matches explode path where grids coincide") {
+    val q = """increase(events_total{event_type="click"}[12h])"""
+    val fine = new PromQLCompiler(spark, sf, PromParams(StartNs, EndNs, 900L))
+      .compile(q) // ratio 48 → RANGE-frame counter plan
+    val coarse = engine.compile(q) // ratio 2 → explode plan
+    assert(fine.queryExecution.executedPlan.toString.contains("RangeFrame"))
+    val joined = coarse.select(col("ts"), col("value").as("vc"))
+      .join(fine.select(col("ts"), col("value").as("vf")), Seq("ts"))
+    assert(joined.count() > 0)
+    assert(joined.filter(abs(col("vf") - col("vc")) > 1e-9).count() == 0)
+  }
+
   test("vector agg drops __name__; by keeps only listed labels") {
     val df = engine.compile("""sum by (event_type) (count_over_time(events_value[6h]))""")
     val keys = df.select(explode(map_keys(col("labels")))).distinct()
