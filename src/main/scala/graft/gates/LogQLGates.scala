@@ -360,6 +360,28 @@ object LogQLGates extends GateSet {
            |WHERE t >= $StartS AND t <= ${EndS - StepS}
            |GROUP BY 1, 2 ORDER BY 1, 2, 3""".stripMargin)),
 
+    // --- large range/step LRA: RANGE-frame window plan --------------------
+    // (ratio 6h/15min = 24 ≥ threshold; routes through the 15s downsample
+    // partials with the frame instead of the per-sample explode)
+    Gate("logql_rate_window",
+      (spark: SparkSession, dir: String) => {
+        val ws = StartS + 86400
+        val we = StartS + 2 * 86400
+        new LogQLCompiler(spark, dir,
+            EvalParams(ws * 1000000000L, we * 1000000000L, 900L))
+          .compileMetric(LogQLParser.parseOrThrow(
+            """sum by (event_type) (rate({level="info"}[6h]))"""))
+          .select(element_at(col("labels"), "event_type").as("event_type"),
+            col("ts"), round(col("value"), 6).as("value"))
+          .orderBy("event_type", "ts")
+      },
+      o(s"""SELECT event_type, t AS ts, round(count(*) / 21600.0, 6) AS value FROM (
+           |  SELECT event_type, unnest([b + 900 * i for i in generate_series(0, 23)]) AS t
+           |  FROM (SELECT event_type, (timestamp_ns // 900000000000) * 900 AS b
+           |        FROM logs WHERE level = 'info'))
+           |WHERE t >= ${StartS + 86400} AND t <= ${StartS + 2 * 86400 - 900}
+           |GROUP BY 1, 2 ORDER BY 1, 2, 3""".stripMargin)),
+
     // --- unwrap conversions (UnwrapPlanner bytes/duration_seconds) --------
     Gate("logql_unwrap_bytes",
       metricQ("""sum by (user) (sum_over_time({event_type="click"} | json | label_format sz="{{.k}}KiB" | unwrap bytes(sz) [6h]))""", "user"),

@@ -113,4 +113,24 @@ class LogQLCompilerSpec extends SparkSpec {
     // final-bucket clamp, so allow <=)
     assert(c2 > c1 && c2 <= 2 * c1)
   }
+
+  test("windowed LRA plan equals explode plan on identical params") {
+    import graft.logql.LogQLParser
+    val q = """sum by (user) (sum_over_time({event_type="click"} | json | unwrap k [6h]))"""
+    val eng = new LogQLCompiler(spark, sf,
+      EvalParams(StartNs, StartNs + 2 * 86400L * 1000000000L, 900L))
+    def run() = eng.compileMetric(LogQLParser.parseOrThrow(q))
+      .select(element_at(col("labels"), "user").as("u"), col("ts"),
+        round(col("value"), 6).as("v"))
+      .orderBy("u", "ts").collect()
+    val windowed = run() // ratio 24 >= 16 -> RANGE frame
+    assert(eng.compileMetric(LogQLParser.parseOrThrow(q))
+      .queryExecution.executedPlan.toString.contains("RangeFrame"))
+    spark.conf.set("spark.graft.window.ratio", "1000000")
+    try {
+      val exploded = run()
+      assert(windowed.length == exploded.length && windowed.nonEmpty)
+      windowed.zip(exploded).foreach { case (a, b) => assert(a == b) }
+    } finally spark.conf.unset("spark.graft.window.ratio")
+  }
 }
