@@ -496,6 +496,22 @@ class PromQLCompiler(spark: SparkSession, dir: String, params: PromParams) {
     * closed form DuckDB's regr_slope/regr_intercept use.
     */
   private def regressionFn(fn: String, arg: PExpr, predictS: Double): DataFrame = {
+    // the regression moments are translation-invariant in x, so the
+    // RANGE-frame plan computes them on absolute sample time and shifts
+    // the mean by the eval point afterwards — same fork as over_time
+    arg match {
+      case sel: Selector if sel.rangeNs.exists(_ / stepNs >= WindowPathRatio) =>
+        val r = sel.rangeNs.get
+        return regressionWindowed(fn,
+          scan(sel, gridStart - r - sel.offsetNs, gridEnd + 1 - sel.offsetNs)
+            .select(col("fingerprint"), col("labels"),
+              col("timestamp_ns"), col("value")),
+          r, sel.offsetNs, predictS)
+      case sq: Subquery if sq.rangeNs / stepNs >= WindowPathRatio =>
+        return regressionWindowed(fn, subquerySamples(sq), sq.rangeNs, 0L,
+          predictS)
+      case _ =>
+    }
     val (frame, offNs) = arg match {
       case sel: Selector =>
         sel.rangeNs.getOrElse(
@@ -523,6 +539,49 @@ class PromQLCompiler(spark: SparkSession, dir: String, params: PromParams) {
         expr("t_ns div 1000000000").as("ts"), v.as("value")))
   }
 
+  /** RANGE-frame deriv / predict_linear: covar/var/means over the frame
+    * with x = absolute sample seconds; slope is translation-invariant and
+    * the intercept at the eval point is ym − slope·(mean(x) − t).
+    */
+  private def regressionWindowed(fn: String, samples: DataFrame,
+      rangeNs: Long, offNs: Long, predictS: Double): DataFrame = {
+    // x anchored at gridStart, not the epoch: slope/var/cov are
+    // translation-invariant and the smaller magnitudes keep the moment
+    // arithmetic well-conditioned
+    val s = samples.select(col("fingerprint"), col("labels"),
+      ((col("timestamp_ns") + lit(offNs) - lit(gridStart)).cast("double") / 1e9)
+        .as("__x"),
+      col("value"),
+      (col("timestamp_ns") + lit(offNs)).as("__ord"),
+      lit(false).as("__marker"))
+    val markers = samples.groupBy(col("fingerprint"))
+      .agg(first(col("labels")).as("labels"))
+      .withColumn("__ord",
+        explode(sequence(lit(gridStart), lit(gridEnd), lit(stepNs))))
+      .select(col("fingerprint"), col("labels"),
+        lit(null).cast("double").as("__x"),
+        lit(null).cast("double").as("value"),
+        col("__ord"), lit(true).as("__marker"))
+    val w = Window.partitionBy(col("fingerprint")).orderBy(col("__ord"))
+      .rangeBetween(-(rangeNs - 1), 0)
+    val agg = s.unionByName(markers)
+      .withColumn("__n", count(col("value")).over(w))
+      .withColumn("__cov", covar_pop(col("__x"), col("value")).over(w))
+      .withColumn("__var", var_pop(col("__x")).over(w))
+      .withColumn("__xm", avg(col("__x")).over(w))
+      .withColumn("__ym", avg(col("value")).over(w))
+      .filter(col("__marker") && col("__n") >= 2 && col("__var") > 0)
+    val slope = col("__cov") / col("__var")
+    val tSec = (col("__ord") - lit(gridStart)).cast("double") / 1e9
+    val v = fn match {
+      case "deriv"          => slope
+      case "predict_linear" =>
+        col("__ym") - slope * (col("__xm") - tSec) + slope * predictS
+    }
+    dropName(agg.select(col("fingerprint"), col("labels"),
+      expr("__ord div 1000000000").as("ts"), v.as("value")))
+  }
+
   /** over_time fns whose re-aggregation from 15s partials is EXACT
     * (order-independent): these route to the downsample table. sum/avg/
     * stddev stay on raw samples — FP summation over partials associates
@@ -534,9 +593,12 @@ class PromQLCompiler(spark: SparkSession, dir: String, params: PromParams) {
 
   /** range/step ratio at which *_over_time switches from the bounded
     * explode (amplification = ratio per sample) to the RANGE-frame window
-    * plan (no amplification, one sort per series).
+    * plan (no amplification, one sort per series). Conf-overridable so
+    * tests can pit both plans on identical params.
     */
-  private val WindowPathRatio = 16L
+  private def WindowPathRatio: Long =
+    spark.conf.getOption("spark.graft.window.ratio").map(_.toLong)
+      .getOrElse(16L)
 
   private def downsampleEligible(fn: String, sel: Selector): Boolean = {
     val q = 15000000000L

@@ -120,6 +120,27 @@ class PromQLSpec extends SparkSpec {
     assert(joined.filter(abs(col("vf") - col("vc")) > 1e-9).count() == 0)
   }
 
+  test("windowed regression path matches explode path on identical params") {
+    val q = """predict_linear(events_value{event_type="click"}[12h], 600)"""
+    val eng = new PromQLCompiler(spark, sf, PromParams(StartNs, EndNs, 900L))
+    def run() = eng.compile(q)
+      .select(col("ts"), col("value")).orderBy("ts").collect()
+    val windowed = run() // ratio 48 → RANGE frame
+    spark.conf.set("spark.graft.window.ratio", "1000000")
+    try {
+      val exploded = run()
+      assert(windowed.length == exploded.length && windowed.nonEmpty)
+      windowed.zip(exploded).foreach { case (a, b) =>
+        assert(a.getLong(0) == b.getLong(0))
+        // absolute-epoch x loses a few ulps vs the t-centered explode
+        // formulation; the moments are still stable to ~1e-9 relative
+        assert(math.abs(a.getDouble(1) - b.getDouble(1)) <=
+          1e-6 + 1e-7 * math.abs(b.getDouble(1)),
+          s"${a.getDouble(1)} vs ${b.getDouble(1)}")
+      }
+    } finally spark.conf.unset("spark.graft.window.ratio")
+  }
+
   test("vector agg drops __name__; by keeps only listed labels") {
     val df = engine.compile("""sum by (event_type) (count_over_time(events_value[6h]))""")
     val keys = df.select(explode(map_keys(col("labels")))).distinct()
