@@ -116,6 +116,30 @@ object TraceQLGates extends GateSet {
           |WHERE c.name = 'purchase' AND p.name = 'view'
           |ORDER BY 1""".stripMargin)),
 
+    // --- structural << = exact ancestor (descendant with roles swapped) ---
+    Gate("traceql_struct_ancestor",
+      (spark: SparkSession, dir: String) => {
+        val q = parsed("""{ .name="purchase" } << { .name="view" }""")
+        engine(spark, dir).matchingTraces(q.expr).orderBy("trace_id")
+      },
+      o("""SELECT DISTINCT c.trace_id
+          |FROM spans c JOIN spans p
+          |  ON c.trace_id = p.trace_id AND p.span_id < c.span_id
+          |WHERE c.name = 'purchase' AND p.name = 'view'
+          |ORDER BY 1""".stripMargin)),
+
+    // --- structural < = exact parent (child with roles swapped) -----------
+    Gate("traceql_struct_parent",
+      (spark: SparkSession, dir: String) => {
+        val q = parsed("""{ .name="purchase" } < { .name="view" }""")
+        engine(spark, dir).matchingTraces(q.expr).orderBy("trace_id")
+      },
+      o("""SELECT DISTINCT c.trace_id
+          |FROM spans c JOIN spans p
+          |  ON c.trace_id = p.trace_id AND c.parent_id = p.span_id
+          |WHERE c.name = 'purchase' AND p.name = 'view'
+          |ORDER BY 1""".stripMargin)),
+
     // --- trace synthetics fetch (traces_data.go:21-86) --------------------
     Gate("traceql_trace_meta",
       (spark: SparkSession, dir: String) => {

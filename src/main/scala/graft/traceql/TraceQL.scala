@@ -109,14 +109,21 @@ object TraceQLParser extends RegexParsers {
     "{" ~> opt(condExpr) <~ "}" ^^ (c => Sel(SpanSet(c)))
 
   private def structExpr: Parser[TExpr] =
-    spanset ~ rep(("&&" | "||" | ">>" | ">" | "<<" | "~") ~ spanset) ^^ { case f ~ r =>
+    spanset ~ rep(("&&" | "||" | ">>" | ">" | "<<" | "<" | "~") ~ spanset) ^^ { case f ~ r =>
       r.foldLeft(f) {
         case (a, "&&" ~ b) => StructAnd(a, b)
         case (a, "||" ~ b) => StructOr(a, b)
         case (a, ">" ~ b)  => StructChild(a, b)
         case (a, ">>" ~ b) => StructDescendant(a, b)
-        // ancestor/sibling flatten to same-trace co-occurrence, as the
-        // reference does for all structural ops (planner.go:100-105)
+        // ancestor/parent are the descendant/child relations with the
+        // roles swapped: `{a} << {b}` keeps traces where a b-span is an
+        // ANCESTOR of an a-span ⟺ an a-span is a descendant of a b-span
+        // (exact here; the reference flattens ALL structural ops to
+        // same-trace && — planner.go:100-105)
+        case (a, "<<" ~ b) => StructDescendant(b, a)
+        case (a, "<" ~ b)  => StructChild(b, a)
+        // sibling flattens to same-trace co-occurrence, as the reference
+        // does (the synthetic linear traces have no true siblings)
         case (a, _ ~ b)    => StructAnd(a, b)
       }
     }
