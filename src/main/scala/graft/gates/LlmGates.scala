@@ -203,6 +203,62 @@ object LlmGates extends GateSet {
            |GROUP BY 1 ORDER BY 1""".stripMargin
       }),
 
+    // --- IVF coarse-quantizer ANN vs brute force: per-query hit count of
+    // the brute top-10 found by the IVF top-10 (nprobe=4). Centroids are
+    // the deterministic vec_id % 23 sample, so the oracle re-derives the
+    // ENTIRE cell structure (assignment argmax, probe ranking, in-cell
+    // rerank) — the IVF index itself is gated, not just high recall. ------
+    Gate("llm_ann_ivf_recall",
+      (spark: SparkSession, dir: String) => {
+        val emb = Tables.embeddings(spark, dir)
+        val q = emb.filter(col("vec_id") % 25 === 0)
+        val brute = Similarity.bruteForceTopK(q, emb, 10)
+          .select(col("qid"), col("nid"))
+        val ivf = Similarity.ivfTopK(q, emb, 10)
+          .select(col("qid"), col("nid"), lit(1L).as("__hit"))
+        brute.join(ivf, Seq("qid", "nid"), "left")
+          .groupBy(col("qid"))
+          .agg(sum(coalesce(col("__hit"), lit(0L))).cast("long").as("hits"))
+          .orderBy("qid")
+      },
+      Some {
+        val dot64 = (a: String, b: String) =>
+          s"list_sum([$a[i]*$b[i] for i in generate_series(1,64)])"
+        val cos = (a: String, b: String) =>
+          s"${dot64(a, b)} / (sqrt(${dot64(a, a)}) * sqrt(${dot64(b, b)}))"
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 23 = 0),
+           |ac AS (SELECT e.vec_id, c.cid, ${cos("e.v", "c.cv")} AS cs
+           |  FROM e CROSS JOIN cents c),
+           |asg AS (SELECT vec_id AS nid, cid AS cell FROM (
+           |    SELECT vec_id, cid,
+           |      row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+           |    FROM ac) WHERE rn = 1),
+           |qp AS (SELECT vec_id AS qid, cid AS cell FROM (
+           |    SELECT vec_id, cid,
+           |      row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+           |    FROM ac WHERE vec_id % 25 = 0) WHERE rn <= 4),
+           |cand AS (SELECT qp.qid, asg.nid FROM qp
+           |  JOIN asg ON asg.cell = qp.cell WHERE asg.nid <> qp.qid),
+           |sims AS (SELECT cand.qid, cand.nid, ${cos("qe.v", "ce.v")} AS sim
+           |  FROM cand JOIN e qe ON qe.vec_id = cand.qid
+           |            JOIN e ce ON ce.vec_id = cand.nid),
+           |itop AS (SELECT qid, nid FROM (
+           |    SELECT qid, nid,
+           |      row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk
+           |    FROM sims) WHERE rk <= 10),
+           |q2 AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 25 = 0),
+           |bsim AS (SELECT qid, e.vec_id AS nid, ${cos("qv", "e.v")} AS sim
+           |  FROM e CROSS JOIN q2 WHERE e.vec_id <> qid),
+           |btop AS (SELECT qid, nid FROM (
+           |    SELECT qid, nid,
+           |      row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk
+           |    FROM bsim) WHERE rk <= 10)
+           |SELECT b.qid, CAST(count(i.nid) AS BIGINT) AS hits
+           |FROM btop b LEFT JOIN itop i ON i.qid = b.qid AND i.nid = b.nid
+           |GROUP BY 1 ORDER BY 1""".stripMargin
+      }),
+
     // --- embedding-cosine near-dup pairs: sign-LSH bucket candidates →
     // exact-cosine verify. The base embeddings are random (max pairwise
     // cosine ≈0.51), so each side PLANTS near-dups deterministically —

@@ -100,6 +100,53 @@ object Similarity {
       .filter(col("sim") >= threshold)
   }
 
+  /** Modulus for the IVF coarse-quantizer sample: corpus vectors with
+    * `vec_id % CentroidMod == 0` ARE the centroids (random-sample
+    * initialization without Lloyd refinement — deterministic, so any
+    * engine reproduces the exact cell structure).
+    */
+  val CentroidMod = 23L
+
+  /** IVF-style ANN, the coarse-quantizer scale path: every corpus vector
+    * is assigned to its max-cosine centroid in one broadcast pass (N·C
+    * dots, map-side, no shuffle until the per-vector argmax); a query
+    * probes its `nprobe` nearest cells and reranks the cells' members
+    * exactly. Candidate volume ≈ nprobe·N/C per query vs N for brute
+    * force. Ties break on ascending centroid/neighbor id so the DuckDB
+    * oracle reproduces the exact ranking.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = corpus.filter(pmod(col("vec_id"), lit(CentroidMod)) === 0)
+      .select(col("vec_id").as("cid"), asDouble(col("embedding")).as("ce"))
+    def cellRank(df: DataFrame, id: String, emb: String): DataFrame = {
+      val w = Window.partitionBy(col(id))
+        .orderBy(col("__cs").desc, col("cid").asc)
+      df.crossJoin(broadcast(cents))
+        .select(col(id), col(emb), col("cid"),
+          cosine(col(emb), col("ce")).as("__cs"))
+        .withColumn("__r", row_number().over(w))
+    }
+    val assigned = cellRank(
+        corpus.select(col("vec_id").as("nid"), asDouble(col("embedding")).as("ne")),
+        "nid", "ne")
+      .filter(col("__r") === 1)
+      .select(col("nid"), col("ne"), col("cid").as("cell"))
+    val probes = cellRank(
+        queries.select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qe")),
+        "qid", "qe")
+      .filter(col("__r") <= nprobe)
+      .select(col("qid"), col("qe"), col("cid").as("cell"))
+    val cand = assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("qid") =!= col("nid"))
+    val scored = cand.select(col("qid"), col("nid"),
+      cosine(col("qe"), col("ne")).as("sim"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Approximate top-k via multi-table LSH: a candidate shares the query's
     * bucket in ANY of the T tables (union via the exploded (table, bucket)
     * join, deduped). Per-table bucket size ≈ N/2^P, so the candidate set is

@@ -27,6 +27,24 @@ class LlmSpec extends SparkSpec {
     assert(missed == 0)
   }
 
+  test("IVF top-k is a subset of candidates ranked exactly; top-1 recall high") {
+    val q = emb.filter(col("vec_id") % 10 === 0)
+    val ivf = Similarity.ivfTopK(q, emb, 5)
+    // exact rerank: sims within a query strictly ranked, no rank gaps
+    val ranks = ivf.groupBy(col("qid"))
+      .agg(count(lit(1)).as("n"), max(col("rank")).as("mx"))
+    assert(ranks.filter(col("n") =!= col("mx")).count() == 0)
+    // nearest neighbor (rank 1) recall vs brute force: the planted
+    // near-dup pairs are far more similar than random vectors, so the
+    // probed cell almost always contains the true NN
+    val bruteTop1 = Similarity.bruteForceTopK(q, emb, 1)
+      .select(col("qid"), col("nid"))
+    val ivfTop1 = ivf.filter(col("rank") === 1).select(col("qid"), col("nid"))
+    val total = bruteTop1.count()
+    val hit = bruteTop1.join(ivfTop1, Seq("qid", "nid"), "left_semi").count()
+    assert(total > 0 && hit.toDouble / total >= 0.5, s"$hit/$total")
+  }
+
   test("minhash near-dups verified: no candidate below threshold survives") {
     val nd = Dedup.minhashNearDups(docs, 0.8)
     assert(nd.filter(col("jaccard") < 0.8).count() == 0)
