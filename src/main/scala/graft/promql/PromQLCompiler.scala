@@ -160,6 +160,29 @@ class PromQLCompiler(spark: SparkSession, dir: String, params: PromParams) {
   private def instantVector(sel: Selector): DataFrame = {
     val off = sel.offsetNs
     val df = scan(sel, gridStart - params.lookbackNs - off, gridEnd + 1 - off)
+    // fine eval grids (lookback/step ≥ threshold, e.g. 1s steps under the
+    // 5m staleness window) explode each sample lookback/step× — use the
+    // RANGE-frame carry instead: last sample in (t−lookback, t]
+    if (params.lookbackNs / stepNs >= WindowPathRatio) {
+      val s = df.select(col("fingerprint"), col("labels"), col("value"),
+        (col("timestamp_ns") + lit(off)).as("__ord"),
+        lit(false).as("__marker"))
+      val markers = df.groupBy(col("fingerprint"))
+        .agg(first(col("labels")).as("labels"))
+        .withColumn("__ord",
+          explode(sequence(lit(gridStart), lit(gridEnd), lit(stepNs))))
+        .select(col("fingerprint"), col("labels"),
+          lit(null).cast("double").as("value"),
+          col("__ord"), lit(true).as("__marker"))
+      val w = Window.partitionBy(col("fingerprint")).orderBy(col("__ord"))
+        .rangeBetween(-(params.lookbackNs - 1), 0)
+      return s.unionByName(markers)
+        .withColumn("__v", last(col("value"), ignoreNulls = true).over(w))
+        .withColumn("__n", count(col("value")).over(w))
+        .filter(col("__marker") && col("__n") > 0)
+        .select(col("fingerprint"), col("labels"),
+          expr("__ord div 1000000000").as("ts"), col("__v").as("value"))
+    }
     val tsEff = col("timestamp_ns") + lit(off)
     val firstT = greatest(ceilTo(tsEff, stepNs), lit(gridStart))
     val lastT = least(floorTo(tsEff + (params.lookbackNs - 1), stepNs), lit(gridEnd))
@@ -452,19 +475,10 @@ class PromQLCompiler(spark: SparkSession, dir: String, params: PromParams) {
     * the IDENTICAL fold via list_reduce, so the arithmetic order (and thus
     * every double) matches bit for bit.
     */
-  private def holtWinters(arg: PExpr, sf: Double, tf: Double): DataFrame = {
-    val frame = arg match {
-      case sel: Selector => rangeFrame(sel)
-      case sq: Subquery  => subqueryFrame(sq)
-      case other => throw new IllegalArgumentException(s"holt_winters arg $other")
-    }
-    val grouped = frame
-      .groupBy(col("fingerprint"), col("t_ns"))
-      .agg(first(col("labels")).as("labels"),
-        count(lit(1)).as("__n"),
-        array_sort(collect_list(struct(col("timestamp_ns").as("ts"),
-          col("value").as("v")))).as("__svs"))
-    val vals = transform(col("__svs"), s => s.getField("v"))
+  /** Holt fold over a time-ordered value array (shared by the explode
+    * and RANGE-frame plans — identical arithmetic order on both).
+    */
+  private def holtValue(vals: Column, sf: Double, tf: Double): Column = {
     val posed = transform(vals, (v, i) =>
       struct(lit(0.0).as("s0"), v.as("s1"), lit(0.0).as("b"), i.as("i")))
     val zero = struct(lit(0.0).as("s0"),
@@ -482,10 +496,66 @@ class PromQLCompiler(spark: SparkSession, dir: String, params: PromParams) {
         struct(a.getField("s1").as("s0"), (x + y).as("s1"),
           bNew.as("b"), e.getField("i").as("i"))
       })
+    folded.getField("s1")
+  }
+
+  private def holtWintersWindowed(samples: DataFrame, rangeNs: Long,
+      offNs: Long, sf: Double, tf: Double): DataFrame = {
+    val s = samples.select(col("fingerprint"), col("labels"),
+      struct((col("timestamp_ns") + lit(offNs)).as("ts"),
+        col("value").as("v")).as("__s"),
+      (col("timestamp_ns") + lit(offNs)).as("__ord"),
+      lit(false).as("__marker"))
+    val markers = samples.groupBy(col("fingerprint"))
+      .agg(first(col("labels")).as("labels"))
+      .withColumn("__ord",
+        explode(sequence(lit(gridStart), lit(gridEnd), lit(stepNs))))
+      .select(col("fingerprint"), col("labels"),
+        lit(null).cast(s.schema("__s").dataType).as("__s"),
+        col("__ord"), lit(true).as("__marker"))
+    val w = Window.partitionBy(col("fingerprint")).orderBy(col("__ord"))
+      .rangeBetween(-(rangeNs - 1), 0)
+    val agg = s.unionByName(markers)
+      .withColumn("__svs", collect_list(col("__s")).over(w))
+      .filter(col("__marker") && size(col("__svs")) >= 2)
+    val vals = transform(col("__svs"), x => x.getField("v"))
+    dropName(agg.select(col("fingerprint"), col("labels"),
+      expr("__ord div 1000000000").as("ts"),
+      holtValue(vals, sf, tf).as("value")))
+  }
+
+  private def holtWinters(arg: PExpr, sf: Double, tf: Double): DataFrame = {
+    // large range/step: collect the in-window samples with a RANGE frame
+    // (frame order is time order, so the array arrives sorted) instead of
+    // exploding each sample into range/step eval points
+    arg match {
+      case sel: Selector if sel.rangeNs.exists(_ / stepNs >= WindowPathRatio) =>
+        val r = sel.rangeNs.get
+        return holtWintersWindowed(
+          scan(sel, gridStart - r - sel.offsetNs, gridEnd + 1 - sel.offsetNs)
+            .select(col("fingerprint"), col("labels"),
+              col("timestamp_ns"), col("value")),
+          r, sel.offsetNs, sf, tf)
+      case sq: Subquery if sq.rangeNs / stepNs >= WindowPathRatio =>
+        return holtWintersWindowed(subquerySamples(sq), sq.rangeNs, 0L, sf, tf)
+      case _ =>
+    }
+    val frame = arg match {
+      case sel: Selector => rangeFrame(sel)
+      case sq: Subquery  => subqueryFrame(sq)
+      case other => throw new IllegalArgumentException(s"holt_winters arg $other")
+    }
+    val grouped = frame
+      .groupBy(col("fingerprint"), col("t_ns"))
+      .agg(first(col("labels")).as("labels"),
+        count(lit(1)).as("__n"),
+        array_sort(collect_list(struct(col("timestamp_ns").as("ts"),
+          col("value").as("v")))).as("__svs"))
+    val vals = transform(col("__svs"), s => s.getField("v"))
     dropName(grouped.filter(col("__n") >= 2)
       .select(col("fingerprint"), col("labels"),
         expr("t_ns div 1000000000").as("ts"),
-        folded.getField("s1").as("value")))
+        holtValue(vals, sf, tf).as("value")))
   }
 
   /** deriv / predict_linear: simple least-squares over the in-window

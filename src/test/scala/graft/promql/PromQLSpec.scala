@@ -120,6 +120,32 @@ class PromQLSpec extends SparkSpec {
     assert(joined.filter(abs(col("vf") - col("vc")) > 1e-9).count() == 0)
   }
 
+  test("windowed instant-vector and holt paths match explode on identical params") {
+    // instant: lookback 5m at 15s steps (ratio 20) over 6h;
+    // holt: 12h range at 15min steps (ratio 48) over the month
+    val cases = Seq(
+      ("""events_value{event_type="click"}""",
+        PromParams(StartNs, StartNs + 6L * 3600 * 1000000000L, 15L)),
+      ("""holt_winters(events_value{event_type="click"}[12h], 0.5, 0.3)""",
+        PromParams(StartNs, EndNs, 900L)))
+    for ((q, params) <- cases) {
+      val eng = new PromQLCompiler(spark, sf, params)
+      def run() = eng.compile(q)
+        .select(col("ts"), col("value")).orderBy("ts").collect()
+      val windowed = run() // lookback 300/900? — instant uses lookback/step
+      spark.conf.set("spark.graft.window.ratio", "1000000")
+      try {
+        val exploded = run()
+        assert(windowed.length == exploded.length, q)
+        windowed.zip(exploded).foreach { case (a, b) =>
+          assert(a.getLong(0) == b.getLong(0), q)
+          assert(math.abs(a.getDouble(1) - b.getDouble(1)) <=
+            1e-9 * math.max(1.0, math.abs(b.getDouble(1))), q)
+        }
+      } finally spark.conf.unset("spark.graft.window.ratio")
+    }
+  }
+
   test("windowed regression path matches explode path on identical params") {
     val q = """predict_linear(events_value{event_type="click"}[12h], 600)"""
     val eng = new PromQLCompiler(spark, sf, PromParams(StartNs, EndNs, 900L))
