@@ -71,6 +71,35 @@ object StreamingGates extends GateSet {
            |FROM logs WHERE level = 'error'
            |GROUP BY 2, 3 ORDER BY event_type, ts""".stripMargin)),
 
+    // --- watermarked tumbling-window aggregation over the stream ----------
+    // (readStream → withWatermark → window agg → memory sink; complete
+    // mode so the result is deterministic under AvailableNow — the oracle
+    // is the batch tumbling count, proving stream==batch semantics)
+    Gate("streaming_window_counts",
+      (spark: SparkSession, dir: String) => {
+        val schema = Tables.events(spark, dir).schema
+        val stream = Tables.logsFrom(
+          spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet").parquet(dir))
+        val agg = stream
+          .withColumn("ts", timestamp_micros(expr("timestamp_ns div 1000")))
+          .withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "6 hours"),
+            element_at(col("labels"), "event_type").as("event_type"))
+          .count()
+        spark.catalog.dropTempView("win_counts_sink"): Unit
+        agg.writeStream.format("memory").queryName("win_counts_sink")
+          .outputMode("complete").trigger(Trigger.AvailableNow())
+          .start().awaitTermination()
+        spark.table("win_counts_sink")
+          .select(col("event_type"),
+            col("window.start").cast("long").as("ts"), col("count").as("n"))
+          .orderBy("event_type", "ts")
+      },
+      o("""SELECT event_type, (timestamp_ns // 21600000000000) * 21600 AS ts,
+          |  count(*) AS n
+          |FROM logs GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // --- two-batch pattern-mining replay == one-shot mining ---------------
     // (the foreachBatch streaming form folds each batch's mined patterns
     // into a state table via Patterns.mergeMined; the oracle mines the
