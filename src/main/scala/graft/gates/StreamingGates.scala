@@ -100,6 +100,49 @@ object StreamingGates extends GateSet {
           |  count(*) AS n
           |FROM logs GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // --- session windows: gap-based stateful grouping over the stream -----
+    // (session_window keeps per-key open-session state; complete mode
+    // under AvailableNow is deterministic; oracle = gaps-and-islands
+    // sessionization in SQL — 30min gap over each user's event times)
+    Gate("streaming_session_windows",
+      (spark: SparkSession, dir: String) => {
+        val schema = Tables.events(spark, dir).schema
+        val stream = Tables.logsFrom(
+          spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet").parquet(dir))
+        val agg = stream
+          .withColumn("ts", timestamp_micros(expr("timestamp_ns div 1000")))
+          .withWatermark("ts", "1 hour")
+          .groupBy(session_window(col("ts"), "30 minutes"),
+            element_at(col("labels"), "user").as("user"))
+          .count()
+        spark.catalog.dropTempView("sess_sink"): Unit
+        agg.writeStream.format("memory").queryName("sess_sink")
+          .outputMode("complete").trigger(Trigger.AvailableNow())
+          .start().awaitTermination()
+        spark.table("sess_sink")
+          .select(col("user"),
+            col("session_window.start").cast("long").as("start_s"),
+            col("session_window.end").cast("long").as("end_s"),
+            col("count").as("n"))
+          .orderBy("user", "start_s")
+      },
+      o("""SELECT "user",
+          |  CAST(min(tus) // 1000000 AS BIGINT) AS start_s,
+          |  CAST((max(tus) + 1800000000) // 1000000 AS BIGINT) AS end_s,
+          |  count(*) AS n
+          |FROM (
+          |  SELECT "user", tus,
+          |    sum(CASE WHEN prev IS NULL OR tus - prev >= 1800000000 THEN 1 ELSE 0 END)
+          |      OVER (PARTITION BY "user" ORDER BY tus
+          |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+          |  FROM (
+          |    SELECT "user", timestamp_ns // 1000 AS tus,
+          |      lag(timestamp_ns // 1000)
+          |        OVER (PARTITION BY "user" ORDER BY timestamp_ns) AS prev
+          |    FROM logs))
+          |GROUP BY "user", grp ORDER BY 1, 2""".stripMargin)),
+
     // --- two-batch pattern-mining replay == one-shot mining ---------------
     // (the foreachBatch streaming form folds each batch's mined patterns
     // into a state table via Patterns.mergeMined; the oracle mines the

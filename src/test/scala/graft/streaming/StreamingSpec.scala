@@ -59,6 +59,30 @@ class StreamingSpec extends SparkSpec {
     assert(Ruler.recorded(spark, sf).count() == n1 + n2)
   }
 
+  test("flatMapGroupsWithState keeps per-key state across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.TestSpark.spark.implicits._
+    import StatefulOps._
+    val mem = MemoryStream[KV]
+    val out = breaches(mem.toDS())
+    val q = out.writeStream.format("memory").queryName("breach_sink")
+      .outputMode("append").start()
+    try {
+      mem.addData(KV("a", 1, 1.0), KV("a", 2, 3.0), KV("a", 3, 2.0),
+        KV("b", 1, 5.0))
+      q.processAllAvailable()
+      // batch 2: a=2.5 is BELOW a's historical max 3.0 — only 4.0 breaches
+      mem.addData(KV("a", 4, 2.5), KV("a", 5, 4.0), KV("b", 2, 5.0))
+      q.processAllAvailable()
+      val got = spark.table("breach_sink").as[Breach].collect()
+        .sortBy(b => (b.k, b.ts))
+      assert(got.map(b => (b.k, b.ts, b.v)).toSeq ==
+        Seq(("a", 1L, 1.0), ("a", 2L, 3.0), ("a", 5L, 4.0), ("b", 1L, 5.0)))
+      // the cross-batch breach carries the batch-1 max as its prevMax
+      assert(got.find(b => b.k == "a" && b.ts == 5L).get.prevMax == 3.0)
+    } finally q.stop()
+  }
+
   test("foreachBatch pattern state fold equals one-shot mining") {
     implicit val sqlCtx = spark.sqlContext
     import graft.TestSpark.spark.implicits._
