@@ -232,6 +232,16 @@ class PromQLCompiler(spark: SparkSession, dir: String, params: PromParams) {
 
   // --- functions ---------------------------------------------------------
 
+
+  /** Exact interpolated percentile by default (bit-matches the DuckDB
+    * oracle); spark.graft.quantile.approx=true swaps in the bounded-state
+    * sketch for 100 TB runs — same knob as the LogQL compiler.
+    */
+  private def pctile(v: Column, q: Column): Column =
+    if (spark.conf.getOption("spark.graft.quantile.approx").contains("true"))
+      percentile_approx(v, q, lit(10000))
+    else percentile(v, q)
+
   private def compileFn(f: FnCall): DataFrame = {
     // `@` on the argument selector: run the whole function pinned, spread
     f.args.collectFirst { case s: Selector if s.atNs.isDefined => s } match {
@@ -253,7 +263,7 @@ class PromQLCompiler(spark: SparkSession, dir: String, params: PromParams) {
 
     case "quantile_over_time" =>
       val NumLit(q) = f.args.head: @unchecked
-      overTime("quantile_over_time", f.args(1), percentile(col("value"), lit(q)))
+      overTime("quantile_over_time", f.args(1), pctile(col("value"), lit(q)))
 
     case fn if RangeFns.contains(fn) =>
       val arg = f.args.head
@@ -1115,7 +1125,7 @@ class PromQLCompiler(spark: SparkSession, dir: String, params: PromParams) {
           case "group"    => first(lit(1.0))
           case "stddev"   => stddev_pop(col("value"))
           case "stdvar"   => var_pop(col("value"))
-          case "quantile" => percentile(col("value"), lit(a.param.get))
+          case "quantile" => pctile(col("value"), lit(a.param.get))
         }
         rekeyed
           .withColumn("fingerprint", Tables.fingerprintOf(col("labels")))
