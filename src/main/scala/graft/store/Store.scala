@@ -323,6 +323,54 @@ object Store {
     f.delete(): Unit
   }
 
+  /** Background-merge analog: ClickHouse's MergeTree merges parts
+    * continuously; a parquet store fed by streaming micro-batches
+    * accumulates small files instead, and every downstream scan pays per
+    * file (task scheduling + footer reads). Rewrite each partition
+    * directory of `table` holding more than `maxFiles` part files into
+    * ONE sorted file (write-new-then-swap, readers of the old version
+    * unaffected; per-partition work, nothing global). Returns the number
+    * of partitions compacted.
+    */
+  def compact(spark: SparkSession, dir: String, table: String,
+      sortCols: Seq[String], maxFiles: Int = 8): Int =
+    compactRoot(spark, ensure(spark, dir), table, sortCols, maxFiles)
+
+  private[store] def compactRoot(spark: SparkSession, root: String,
+      table: String, sortCols: Seq[String], maxFiles: Int): Int = {
+    val tableDir = new java.io.File(s"$root/$table")
+    def partDirs(f: java.io.File): Seq[java.io.File] = {
+      val kids = Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+      val sub = kids.filter(k => k.isDirectory && k.getName.contains("="))
+      if (sub.isEmpty) Seq(f) else sub.flatMap(partDirs).toSeq
+    }
+    val leaves = if (tableDir.isDirectory) partDirs(tableDir) else Nil
+    var n = 0
+    for (leaf <- leaves if leaf != tableDir) {
+      val parts = Option(leaf.listFiles()).getOrElse(Array.empty[java.io.File])
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      if (parts.length > maxFiles) {
+        val tmp = new java.io.File(leaf.getParentFile, leaf.getName + ".compact")
+        val df = spark.read.parquet(leaf.getAbsolutePath)
+        val sortable = sortCols.filter(df.columns.contains)
+        df.coalesce(1)
+          .sortWithinPartitions(sortable.map(col): _*)
+          .write.mode("overwrite").parquet(tmp.getAbsolutePath)
+        deleteRec(leaf)
+        if (!tmp.renameTo(leaf))
+          throw new java.io.IOException(s"compact swap failed: $tmp -> $leaf")
+        // drop the nested _SUCCESS marker — partition dirs hold only parts
+        new java.io.File(leaf, "_SUCCESS").delete(): Unit
+        n += 1
+      }
+    }
+    if (n > 0) {
+      readers.remove((spark, tableDir.getAbsolutePath))
+      spark.catalog.refreshByPath(tableDir.getAbsolutePath)
+    }
+    n
+  }
+
   def promMetric(spark: SparkSession, dir: String, name: String,
       loNs: Long, hiNs: Long): Option[DataFrame] = {
     val table = name match {

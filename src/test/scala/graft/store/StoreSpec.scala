@@ -186,6 +186,31 @@ class StoreSpec extends SparkSpec {
     assert(new java.io.File(s"$root/samples/date=2024-01-03").exists())
   }
 
+  test("compact merges small-file partitions without changing results") {
+    val root = "/root/repo/target/test-compact"
+    val s = spark
+    import s.implicits._
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+    }
+    rm(new java.io.File(root))
+    // 5 micro-batch appends → ≥5 part files in the one partition
+    for (i <- 1 to 5)
+      Seq((i.toLong, s"2024-01-0$i", "2024-01-01")).toDF("v", "tag", "date")
+        .write.mode("append").partitionBy("date").parquet(s"$root/samples")
+    def files() = new java.io.File(s"$root/samples/date=2024-01-01")
+      .listFiles().count(f => f.getName.endsWith(".parquet"))
+    assert(files() >= 5)
+    val before = spark.read.parquet(s"$root/samples")
+      .orderBy("v").collect().map(_.getLong(0)).toSeq
+    val n = Store.compactRoot(spark, root, "samples", Seq("v"), maxFiles = 2)
+    assert(n == 1)
+    assert(files() == 1)
+    val after = spark.read.parquet(s"$root/samples")
+      .orderBy("v").collect().map(_.getLong(0)).toSeq
+    assert(after == before)
+  }
+
   test("store reads are identical across session timezones") {
     // date partitions are epoch-day derived (Store.withDate), so a store
     // written under one session timezone and read under another must
