@@ -100,6 +100,45 @@ object StreamingGates extends GateSet {
           |  count(*) AS n
           |FROM logs GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // --- streaming ingest MV fan-out: one stream, multiple sinks ----------
+    // (the reference's ClickHouse MVs fan each insert into samples/gin/
+    // trace tables — traces.sql:44-89; here foreachBatch applies each
+    // derivation to the micro-batch and appends to per-table sinks;
+    // checksums over the read-back prove lossless fan-out)
+    Gate("streaming_ingest_fanout",
+      (spark: SparkSession, dir: String) => {
+        val out = "/root/repo/target/stream-fanout/" +
+          dir.replaceAll("[^a-zA-Z0-9.]+", "_")
+        rmrf(new java.io.File(out))
+        val schema = Tables.events(spark, dir).schema
+        val stream = spark.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+        stream.writeStream.foreachBatch {
+          (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            Tables.logsFrom(batch)
+              .select(col("timestamp_ns"), col("fingerprint"),
+                col("line"), col("value"))
+              .write.mode("append").parquet(s"$out/samples")
+            Tables.spansFrom(batch)
+              .select(col("trace_id"), col("span_id"), col("name"),
+                col("timestamp_ns"))
+              .write.mode("append").parquet(s"$out/spans")
+        }.trigger(Trigger.AvailableNow()).start().awaitTermination()
+        val samples = spark.read.parquet(s"$out/samples")
+          .agg(count(lit(1)).as("n"),
+            sum(length(col("line"))).cast("long").as("chk"))
+          .select(lit("samples").as("sink"), col("n"), col("chk"))
+        val spansOut = spark.read.parquet(s"$out/spans")
+          .agg(count(lit(1)).as("n"), sum(col("span_id")).cast("long").as("chk"))
+          .select(lit("spans").as("sink"), col("n"), col("chk"))
+        samples.unionByName(spansOut).orderBy("sink")
+      },
+      o("""SELECT 'samples' AS sink, count(*) AS n,
+          |  CAST(sum(length(line)) AS BIGINT) AS chk FROM logs
+          |UNION ALL
+          |SELECT 'spans', count(*), CAST(sum(event_id) AS BIGINT) FROM events
+          |ORDER BY sink""".stripMargin)),
+
     // --- session windows: gap-based stateful grouping over the stream -----
     // (session_window keeps per-key open-session state; complete mode
     // under AvailableNow is deterministic; oracle = gaps-and-islands

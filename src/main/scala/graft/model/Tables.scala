@@ -183,7 +183,13 @@ object Tables {
     * oracle can replicate it exactly.
     */
   def spans(spark: SparkSession, dir: String): DataFrame =
-    events(spark, dir).select(
+    spansFrom(events(spark, dir))
+
+  /** Span derivation over any events frame (batch or micro-batch) — the
+    * ingest-side transform the streaming fan-out applies per batch.
+    */
+  def spansFrom(events: DataFrame): DataFrame =
+    events.select(
       (col("event_id") / 10).cast("long").as("trace_id"),
       col("event_id").as("span_id"),
       when(col("event_id") % 10 === 0, lit(null).cast("long"))
