@@ -59,6 +59,36 @@ class StreamingSpec extends SparkSpec {
     assert(Ruler.recorded(spark, sf).count() == n1 + n2)
   }
 
+  test("watermark drops late rows in append mode; batch accepts them") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.TestSpark.spark.implicits._
+    val base = 1704067200L
+    val mem = MemoryStream[(Long, String)]
+    val agg = mem.toDF()
+      .select(timestamp_seconds(col("_1")).as("ts"), col("_2").as("k"))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes"), col("k")).count()
+    val q = agg.writeStream.format("memory").queryName("late_sink")
+      .outputMode("append").start()
+    try {
+      mem.addData((base, "a"), (base + 3600, "a"))
+      q.processAllAvailable() // watermark advances to base+3000
+      mem.addData((base + 100, "a"), (base + 7200, "a")) // +100 is LATE
+      q.processAllAvailable()
+      val first = spark.table("late_sink")
+        .filter(col("window.start").cast("long") === base)
+        .select("count").collect()
+      assert(first.map(_.getLong(0)).toSeq == Seq(1L)) // late row dropped
+      // the batch path counts the same rows without a watermark: 2
+      val batch = Seq(base, base + 3600, base + 100, base + 7200)
+        .toDF("s").select(timestamp_seconds(col("s")).as("ts"))
+        .groupBy(window(col("ts"), "10 minutes")).count()
+        .filter(col("window.start").cast("long") === base)
+        .select("count").collect()
+      assert(batch.map(_.getLong(0)).toSeq == Seq(2L))
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState keeps per-key state across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     import graft.TestSpark.spark.implicits._
