@@ -339,6 +339,16 @@ object TraceQLGates extends GateSet {
           |FROM spans WHERE name = 'click'
           |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // --- tag-name autocomplete (/api/search/tags) -------------------------
+    Gate("traceql_tag_names",
+      (spark: SparkSession, dir: String) =>
+        engine(spark, dir).tagNames().orderBy("key"),
+      o("""SELECT DISTINCT key FROM (
+          |  SELECT 'name' AS key FROM spans
+          |  UNION ALL SELECT 'service_name' FROM spans
+          |  UNION ALL SELECT 'user' FROM spans)
+          |ORDER BY 1""".stripMargin)),
+
     // --- tag-value autocomplete -------------------------------------------
     Gate("traceql_tag_values",
       (spark: SparkSession, dir: String) =>

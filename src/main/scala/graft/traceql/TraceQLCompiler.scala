@@ -583,4 +583,10 @@ class TraceQLCompiler(spark: SparkSession, dir: String,
   /** Tag-value autocomplete (`select_values_planner.go:13`). */
   def tagValues(key: String): DataFrame =
     attrs.filter(col("key") === key).select(col("val")).distinct()
+
+  /** Tag-NAME autocomplete (`/api/search/tags`,
+    * `select_tags_planner.go`): distinct attr keys in the window.
+    */
+  def tagNames(): DataFrame =
+    attrs.select(col("key")).distinct()
 }
