@@ -180,6 +180,21 @@ object TraceQLGates extends GateSet {
            |FROM spans WHERE name = 'click'
            |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // --- metrics stage: rate() grouped by a span ATTR (pivot join) --------
+    Gate("traceql_metrics_rate_by_attr",
+      (spark: SparkSession, dir: String) => {
+        val q = parsed("""{ .service_name="svc1" } | rate() by (.user)""")
+        engine(spark, dir)
+          .metrics(q.expr, q.metrics.get, StartNs, EndNs, StepS)
+          .select(col("user"), col("ts"), round(col("value"), 6).as("value"))
+          .orderBy("user", "ts")
+      },
+      o(s"""SELECT CAST(user_id AS VARCHAR) AS "user",
+           |  (timestamp_ns // ${StepS}000000000) * $StepS AS ts,
+           |  round(CAST(count(*) AS DOUBLE) / $StepS, 6) AS value
+           |FROM spans WHERE service_name = 'svc1'
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // --- metrics stage: per-step duration quantile ------------------------
     Gate("traceql_metrics_quantile",
       (spark: SparkSession, dir: String) => {

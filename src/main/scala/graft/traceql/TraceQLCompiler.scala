@@ -374,9 +374,24 @@ class TraceQLCompiler(spark: SparkSession, dir: String,
         spanSetSpans(SpanSet(None))
           .join(matchingTraces(other), Seq("trace_id"), "left_semi")
     }
-    val withAttrs = matched.join(
+    val intrinsicAttrs = matched.join(
       spans.select(col("trace_id"), col("span_id"), col("name"),
         col("service_name")), Seq("trace_id", "span_id"))
+    // grouping attrs beyond the span intrinsics resolve through an attr
+    // pivot join, the same `anyIf(val, key=k)` shape as select()
+    // (`tempo/metrics_query.go:442-460` buildByPivotCTE)
+    val extraBy = m.by.filterNot(Set("name", "service_name"))
+    val withAttrs =
+      if (extraBy.isEmpty) intrinsicAttrs
+      else {
+        val pivots = extraBy.map(k =>
+          first(when(col("key") === k, col("val")), ignoreNulls = true).as(k))
+        intrinsicAttrs.join(
+          attrs.filter(col("key").isin(extraBy: _*))
+            .groupBy(col("trace_id"), col("span_id"))
+            .agg(pivots.head, pivots.tail: _*),
+          Seq("trace_id", "span_id"), "left")
+      }
     val keyCols = m.by.map(col)
     val bucket = (col("timestamp_ns") - pmod(col("timestamp_ns"), lit(stepNs)))
     val windowed = withAttrs
