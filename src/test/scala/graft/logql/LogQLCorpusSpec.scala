@@ -1,13 +1,14 @@
 package graft.logql
 
-import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSpec
+import graft.gates.EvalWindow._
 
 /** Parse-corpus test mirroring the reference's 50-query golden suite
   * (`reader/logql/logql_parser/parser_test.go:10-63`): every query a real
   * user shape the engine must accept. Shape checks are in
   * LogQLParserSpec; this guards grammar coverage against regressions.
   */
-class LogQLCorpusSpec extends AnyFunSuite {
+class LogQLCorpusSpec extends SparkSpec {
 
   private val corpus = Seq(
     // selectors
@@ -82,6 +83,15 @@ class LogQLCorpusSpec extends AnyFunSuite {
   test(s"reference-shaped corpus of ${corpus.size} queries parses") {
     val failures = corpus.flatMap { q =>
       LogQLParser.parse(q).left.toOption.map(err => s"$q -> $err")
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  test(s"corpus of ${corpus.size} queries COMPILES (plan analysis)") {
+    val eng = new LogQLCompiler(spark, sf, EvalParams(StartNs, EndNs, StepS))
+    val failures = corpus.flatMap { q =>
+      try { eng.compileExpr(LogQLParser.parseOrThrow(q)).queryExecution.analyzed; None }
+      catch { case e: Throwable => Some(s"$q -> ${e.getClass.getSimpleName}: ${e.getMessage}") }
     }
     assert(failures.isEmpty, failures.mkString("\n"))
   }

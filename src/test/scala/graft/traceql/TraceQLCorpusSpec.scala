@@ -1,9 +1,10 @@
 package graft.traceql
 
-import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSpec
+import graft.gates.EvalWindow._
 
 /** TraceQL grammar-coverage corpus (model_v2.go shapes). */
-class TraceQLCorpusSpec extends AnyFunSuite {
+class TraceQLCorpusSpec extends SparkSpec {
 
   private val corpus = Seq(
     """{}""",
@@ -38,6 +39,20 @@ class TraceQLCorpusSpec extends AnyFunSuite {
   test(s"corpus of ${corpus.size} TraceQL queries parses") {
     val failures = corpus.flatMap { q =>
       TraceQLParser.parse(q).left.toOption.map(err => s"$q -> $err")
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  test(s"corpus of ${corpus.size} TraceQL queries COMPILES via run()") {
+    val eng = new TraceQLCompiler(spark, sf, StartNs, EndNs)
+    val failures = corpus.flatMap { q =>
+      try {
+        eng.run(TraceQLParser.parseOrThrow(q), StartNs, EndNs, StepS)
+          .queryExecution.analyzed
+        None
+      } catch { case e: Throwable =>
+        Some(s"$q -> ${e.getClass.getSimpleName}: ${e.getMessage}")
+      }
     }
     assert(failures.isEmpty, failures.mkString("\n"))
   }
