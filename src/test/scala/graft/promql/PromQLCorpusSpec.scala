@@ -1,11 +1,12 @@
 package graft.promql
 
-import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSpec
+import graft.gates.EvalWindow._
 
 /** PromQL grammar-coverage corpus (the shapes served by the reference's
   * embedded engine + accelerated planners).
   */
-class PromQLCorpusSpec extends AnyFunSuite {
+class PromQLCorpusSpec extends SparkSpec {
 
   private val corpus = Seq(
     """up""",
@@ -83,6 +84,23 @@ class PromQLCorpusSpec extends AnyFunSuite {
   test(s"corpus of ${corpus.size} PromQL queries parses") {
     val failures = corpus.flatMap { q =>
       PromQLParser.parse(q).left.toOption.map(err => s"$q -> $err")
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  test(s"corpus of ${corpus.size} queries COMPILES against the metric families") {
+    // corpus metric names map onto the three concrete families so the
+    // whole operator stack (not just the grammar) is exercised
+    val eng = new PromQLCompiler(spark, sf, PromParams(StartNs, EndNs, StepS))
+    def mapped(q: String): String = q
+      .replaceAll("[a-zA-Z_][a-zA-Z0-9_]*_bucket", "events_bucket")
+      .replaceAll("[a-zA-Z_][a-zA-Z0-9_]*_total", "events_total")
+      .replaceAll("\\b(up|gauge_metric|cpu_temp|counter_metric|config_version|node_load1|node_memory_free|http_request_duration|some_metric|errors|requests|cache_hits|cache_misses|foo|bar|m|x|y|a|b|metric_a|metric_b|maintenance|nonexistent_metric|node_filesystem_free|build_info|http_responses)\\b", "events_value")
+    val failures = corpus.flatMap { q0 =>
+      val q = mapped(q0)
+      try { eng.compile(q).queryExecution.analyzed; None }
+      catch { case e: Throwable =>
+        Some(s"$q -> ${e.getClass.getSimpleName}: ${e.getMessage}") }
     }
     assert(failures.isEmpty, failures.mkString("\n"))
   }

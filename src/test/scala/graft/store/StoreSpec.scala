@@ -169,6 +169,24 @@ class StoreSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.tenant")
   }
 
+  test("tenant conf scopes LogQL samples+dictionary consistently") {
+    val q = """sum by (event_type) (count_over_time({level="info"}[6h]))"""
+    def total() = engine.compileMetric(LogQLParser.parseOrThrow(q))
+      .agg(sum("value")).collect()(0).getDouble(0)
+    val all = total()
+    var perTenant = 0.0
+    for (t <- Seq("0", "1")) {
+      spark.conf.set("spark.graft.tenant", t)
+      try perTenant += total()
+      finally spark.conf.unset("spark.graft.tenant")
+    }
+    // the two tenants' series partition the stream set exactly
+    assert(math.abs(perTenant - all) < 1e-6, s"$perTenant vs $all")
+    spark.conf.set("spark.graft.tenant", "0")
+    try assert(total() < all)
+    finally spark.conf.unset("spark.graft.tenant")
+  }
+
   test("expire drops partitions before the cutoff, later queries unaffected") {
     // scratch root so the shared store is untouched
     val root = "/root/repo/target/test-expire"
