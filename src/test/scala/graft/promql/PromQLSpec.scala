@@ -127,6 +127,10 @@ class PromQLSpec extends SparkSpec {
       ("""events_value{event_type="click"}""",
         PromParams(StartNs, StartNs + 6L * 3600 * 1000000000L, 15L)),
       ("""holt_winters(events_value{event_type="click"}[12h], 0.5, 0.3)""",
+        PromParams(StartNs, EndNs, 900L)),
+      ("""quantile_over_time(0.5, events_value{event_type="click"}[12h])""",
+        PromParams(StartNs, EndNs, 900L)),
+      ("""stddev_over_time(events_value{event_type="click"}[12h])""",
         PromParams(StartNs, EndNs, 900L)))
     for ((q, params) <- cases) {
       val eng = new PromQLCompiler(spark, sf, params)
