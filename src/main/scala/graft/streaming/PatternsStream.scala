@@ -16,10 +16,17 @@ import graft.patterns.Patterns
 object PatternsStream {
 
   /** Fold one micro-batch of (stream, line) into the state table at
-    * `statePath` — the `foreachBatch(foldBatch(_, path))` body. Reads the
-    * prior state (if any), merges, and atomically replaces it.
+    * `statePath` — the `foreachBatch(foldBatch(_, path, id))` body. Reads
+    * the prior state (if any), merges, and atomically replaces it.
+    * Idempotent per batchId: foreachBatch re-delivers a batch after a
+    * failure, and re-folding the same lines would double every count — a
+    * done-marker makes the replay a no-op (the standard foreachBatch
+    * exactly-once recipe).
     */
-  def foldBatch(batch: DataFrame, statePath: String): Unit = {
+  def foldBatch(batch: DataFrame, statePath: String,
+      batchId: Long = -1L): Unit = {
+    val marker = new java.io.File(statePath + s".done-$batchId")
+    if (batchId >= 0 && marker.exists()) return
     val spark = batch.sparkSession
     val mined = Patterns.mineLines(batch)
     val prior = readState(spark, statePath)
@@ -32,6 +39,7 @@ object PatternsStream {
     rmrf(new java.io.File(statePath))
     if (!new java.io.File(tmp).renameTo(new java.io.File(statePath)))
       throw new java.io.IOException(s"state swap failed: $tmp -> $statePath")
+    if (batchId >= 0) marker.createNewFile(): Unit
   }
 
   def readState(spark: SparkSession, statePath: String): Option[DataFrame] =

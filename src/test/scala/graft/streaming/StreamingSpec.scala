@@ -124,17 +124,24 @@ class StreamingSpec extends SparkSpec {
       Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
     }
     rm(new java.io.File(statePath))
+    // done-markers live NEXT to the state dir — stale ones would skip folds
+    Option(new java.io.File(statePath).getParentFile.listFiles())
+      .foreach(_.filter(_.getName.startsWith("test-pattern-state.done"))
+        .foreach(f => f.delete(): Unit))
     val mem = MemoryStream[(String, String)]
     val stream = mem.toDF()
       .select(col("_1").as("stream"), col("_2").as("line"))
     val q = stream.writeStream
-      .foreachBatch((b: org.apache.spark.sql.DataFrame, _: Long) =>
-        PatternsStream.foldBatch(b, statePath))
+      .foreachBatch((b: org.apache.spark.sql.DataFrame, id: Long) =>
+        PatternsStream.foldBatch(b, statePath, id))
       .start()
     try {
       mem.addData(b1: _*); q.processAllAvailable()
       mem.addData(b2: _*); q.processAllAvailable()
     } finally q.stop()
+    // replaying an already-folded batch is a no-op (exactly-once)
+    PatternsStream.foldBatch(
+      b2.toDF("stream", "line"), statePath, 1L)
     val state = PatternsStream.readState(spark, statePath).get
       .orderBy("stream", "pattern").collect()
     val oneShot = Patterns.mineLines((b1 ++ b2).toDF("stream", "line"))
