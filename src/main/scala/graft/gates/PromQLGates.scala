@@ -22,6 +22,13 @@ object PromQLGates extends GateSet {
   private def q(query: String, labelCols: String*)(spark: SparkSession, dir: String): DataFrame =
     engine(spark, dir).result(query, labelCols)
 
+  /** Instant query pinned at the window end (single-point grid) — the only
+    * eval mode in which a top-level range vector is legal.
+    */
+  private def qi(query: String, labelCols: String*)(spark: SparkSession, dir: String): DataFrame =
+    new PromQLCompiler(spark, dir, PromParams(EndNs, EndNs, StepS))
+      .result(query, labelCols)
+
   private def o(body: String, extraViews: String*): Option[String] =
     Some(OracleViews.withViews(
       Seq(OracleViews.logs, OracleViews.metrics) ++ extraViews, body))
@@ -450,6 +457,34 @@ object PromQLGates extends GateSet {
            |JOIN (SELECT unnest(generate_series(${StartS + 86400}, ${StartS + 2 * 86400}, 900)) AS t) go
            |  ON i.ti > go.t - 21600 AND i.ti <= go.t
            |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // --- top-level range vector (instant query → raw matrix) --------------
+    // (`promql/engine.go exec`: a range-vector result is only legal for an
+    // instant query; the matrix rows keep the samples' own timestamps in
+    // the left-open window (T−range, T])
+    Gate("promql_matrix_selector",
+      qi("""events_value{event_type="click"}[12h]""", "event_type"),
+      o(s"""SELECT event_type, timestamp_ns // 1000000000 AS ts,
+           |  round(value, 6) AS value
+           |FROM metrics
+           |WHERE event_type = 'click'
+           |  AND timestamp_ns > ${(EndS - 43200) * 1000000000L}
+           |  AND timestamp_ns <= ${EndS * 1000000000L}
+           |ORDER BY 2""".stripMargin)),
+
+    // --- top-level subquery (instant query → inner eval points) -----------
+    // (matrix rows are the inner instant-vector evals on the [12h:30m]
+    // grid anchored at T−range, staleness carry 5m, left-open window)
+    Gate("promql_subquery_toplevel",
+      qi("""events_value{event_type="click"}[12h:30m]""", "event_type"),
+      o(s"""SELECT event_type, p.t AS ts,
+           |  round(arg_max(value, timestamp_ns), 6) AS value
+           |FROM metrics m JOIN pts p
+           |  ON m.timestamp_ns > (p.t - 300) * 1000000000
+           | AND m.timestamp_ns <= p.t * 1000000000
+           |WHERE event_type = 'click'
+           |GROUP BY 1, 2 ORDER BY 2""".stripMargin,
+        s"pts AS (SELECT unnest(generate_series(${EndS - 43200 + 1800}, $EndS, 1800)) AS t)")),
 
     // --- large range/step rate: RANGE-frame counter plan ------------------
     // (ratio 6h/15min = 24 ≥ threshold; reset compensation with the

@@ -80,9 +80,11 @@ class PromQLCompiler(spark: SparkSession, dir: String, params: PromParams) {
   }
 
   def compileExpr(e: PExpr): DataFrame = e match {
+    case s: Selector if s.rangeNs.isDefined => topLevelMatrix(s)
     case s: Selector if s.atNs.isDefined =>
       spread(pinnedCompiler(s.atNs.get).compileExpr(s.copy(atNs = None)))
     case s: Selector  => instantVector(s)
+    case sq: Subquery => topLevelSubquery(sq)
     case f: FnCall    => compileFn(f)
     case a: Agg       => compileAgg(a)
     case b: BinOp     => compileBinOp(b)
@@ -92,6 +94,36 @@ class PromQLCompiler(spark: SparkSession, dir: String, params: PromParams) {
         lit(0L).as("ts"), lit(v).as("value"))
     case StrLit(s)    =>
       throw new IllegalArgumentException(s"string literal outside fn args: $s")
+  }
+
+  /** Top-level range vector — `m[5m]` or `expr[1h:5m]` as the WHOLE query.
+    * Prometheus accepts these only for instant queries and answers with
+    * the raw matrix: the selector's samples (or the subquery's inner eval
+    * points) at their own timestamps within (T−range, T]; a range query
+    * rejects them ("invalid expression type range vector",
+    * `promql/engine.go exec`). Same contract here: single-point grid
+    * (start == end) required.
+    */
+  private def topLevelMatrix(s: Selector): DataFrame = {
+    require(gridStart == gridEnd,
+      "range vector result is only valid for instant queries")
+    val t0 = s.atNs.getOrElse(gridStart)
+    val off = s.offsetNs
+    scan(s, t0 - off - s.rangeNs.get + 1, t0 - off + 1)
+      .select(col("fingerprint"), col("labels"),
+        expr("timestamp_ns div 1000000000").as("ts"), col("value"))
+  }
+
+  /** See [[topLevelMatrix]] — subquery variant: the matrix rows are the
+    * inner eval points on the finer [range:step] grid, left-open window.
+    */
+  private def topLevelSubquery(sq: Subquery): DataFrame = {
+    require(gridStart == gridEnd,
+      "range vector result is only valid for instant queries")
+    subquerySamples(sq)
+      .filter(col("timestamp_ns") > gridStart - sq.rangeNs)
+      .select(col("fingerprint"), col("labels"),
+        expr("timestamp_ns div 1000000000").as("ts"), col("value"))
   }
 
   // --- selectors ---------------------------------------------------------

@@ -118,16 +118,21 @@ object PromQLParser extends RegexParsers {
       case fn ~ e => FnCall(fn, Seq(e))
     }
 
-  /** `expr[range:step]` — inner must itself be an agg/fn/paren expr. */
+  /** `expr[range:step]` — agg/fn/paren inner, or a bare instant selector
+    * (`m[1h:5m]`; the selector's own rangeClause fails on `:` and
+    * backtracks to the rangeless form, so the subquery gets the brackets).
+    */
   private def subquery: Parser[Subquery] =
-    (aggExpr | fnCall | "(" ~> expr <~ ")") ~
+    (aggExpr | fnCall | "(" ~> expr <~ ")" | selector ^^ identity) ~
       ("[" ~> duration) ~ (":" ~> duration <~ "]") ^^ {
       case e ~ r ~ s => Subquery(e, durationToNs(r), durationToNs(s))
     }
 
+  // subquery before the bare paren-expr alternative: `(expr)[r:s]` must
+  // bind the range to the parenthesized expression, not stop at `)`
   private def atom: Parser[PExpr] =
-    aggExpr | fnCall | number ^^ NumLit.apply | "(" ~> expr <~ ")" |
-    selector ^^ identity
+    subquery | aggExpr | fnCall | number ^^ NumLit.apply |
+    "(" ~> expr <~ ")" | selector ^^ identity
 
   private def powExpr: Parser[PExpr] =
     atom ~ opt("^" ~> powExpr) ^^ {

@@ -177,4 +177,32 @@ class PromQLSpec extends SparkSpec {
       .collect().map(_.getString(0)).toSet
     assert(keys == Set("event_type"))
   }
+
+  test("parser: bare-selector subquery and top-level subquery shapes") {
+    assert(PromQLParser.parseOrThrow("""m[1h:5m]""") ==
+      Subquery(Selector("m", Nil, None, 0L), 3600000000000L, 300000000000L))
+    // a paren expr with a subquery range binds the range to the parens
+    val Subquery(BinOp("+", _, _, _, _, _, _), r, s) =
+      PromQLParser.parseOrThrow("""(sum(a) + sum(b))[1h:5m]"""): @unchecked
+    assert(r == 3600000000000L && s == 300000000000L)
+  }
+
+  test("top-level range vector: instant query returns the raw matrix") {
+    val instant = new PromQLCompiler(spark, sf, PromParams(EndNs, EndNs, StepS))
+    val matrix = instant
+      .compile("""events_value{event_type="click"}[12h]""").collect()
+    assert(matrix.nonEmpty)
+    // every row keeps its own sample timestamp inside (T-12h, T]
+    matrix.foreach { r =>
+      val ts = r.getAs[Long]("ts")
+      assert(ts > EndS - 43200 && ts <= EndS)
+    }
+    // a RANGE query must reject a range-vector result, like upstream
+    val err = intercept[IllegalArgumentException](
+      engine.compile("""events_value[12h]"""))
+    assert(err.getMessage.contains("instant"))
+    val err2 = intercept[IllegalArgumentException](
+      engine.compile("""events_value[12h:30m]"""))
+    assert(err2.getMessage.contains("instant"))
+  }
 }
