@@ -20,6 +20,14 @@ object Bench {
     // per-query timings below shouldn't charge one arbitrary query ~5 s of
     // session warmup. Counted inside _store_build.
     graft.store.Store.warm(spark, sfDir)
+    // JIT/codegen warmup, untimed per-query: the first plan through the
+    // session pays ~3 s of whole-stage-codegen compilation and JVM JIT
+    // that a resident query service pays once at startup — without this,
+    // WHICH query absorbs it is an artifact of Map iteration order and
+    // run-to-run comparisons see phantom 2-3x swings on sub-2s entries.
+    // Counted inside _store_build like the reader warmup above.
+    SparkEntry.queries.get("logql_rate_sum_by")
+      .foreach(fn => try fn(spark, sfDir).count() catch { case _: Throwable => })
     val buildS = (System.nanoTime() - tb0) / 1e9
     // optional name-substring filters (dev loop: bench only some queries)
     val selected =

@@ -155,6 +155,25 @@ object LogQLGates extends GateSet {
            |FROM logs
            |GROUP BY 1, 2 ORDER BY 1, 2, 3""".stripMargin)),
 
+    // --- qryn unwrap extensions (planner_unwrap.go:39-66) -----------------
+    // unwrap _entry: the (line_format-rewritten) log line itself is the
+    // sample value; unwrap_value: the ingested value column is
+    Gate("logql_unwrap_entry",
+      metricQ(
+        """sum by (user) (sum_over_time({event_type="click"} | json | line_format "{{.k}}" | unwrap _entry [6h]))""",
+        "user"),
+      o(s"""SELECT "user", $bucket AS ts,
+           |  round(sum(CAST(json_extract_string(line, '$$.k') AS DOUBLE)), 6) AS value
+           |FROM logs WHERE event_type = 'click'
+           |GROUP BY 1, 2 ORDER BY 1, 2, 3""".stripMargin)),
+
+    Gate("logql_unwrap_value",
+      metricQ("""sum by (user) (sum_over_time({event_type="click"} | unwrap_value [6h]))""",
+        "user"),
+      o(s"""SELECT "user", $bucket AS ts, round(sum(value), 6) AS value
+           |FROM logs WHERE event_type = 'click'
+           |GROUP BY 1, 2 ORDER BY 1, 2, 3""".stripMargin)),
+
     // --- first/last + stddev/stdvar over unwrapped values -----------------
     // (`drop k` re-coarsens the stream identity: after `| json` every
     // distinct k value is its own series — Loki semantics — which would

@@ -406,7 +406,15 @@ class LogQLCompiler(spark: SparkSession, dir: String, params: EvalParams) {
         map_filter(col("labels"), (k, _) => k.isInCollection(keys)))
 
     case UnwrapStage(l, conv) =>
-      val raw = element_at(col("labels"), l)
+      // `_entry` unwraps the log line itself and `__value__` (surface:
+      // `unwrap_value`) the ingested sample value column — both qryn
+      // extensions next to Loki's label unwrap (planner_unwrap.go:39-66:
+      // toFloat64OrNull over labels[x] or the string column)
+      val raw = l match {
+        case "__value__"           => col("value").cast("string")
+        case "_entry" | "__line__" => col("line")
+        case _                     => element_at(col("labels"), l)
+      }
       val v = conv match {
         case Some("bytes")    => bytesValue(raw)
         case Some(_)          => durationValue(raw) // duration | duration_seconds

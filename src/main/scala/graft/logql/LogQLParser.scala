@@ -78,6 +78,9 @@ object LogQLParser extends RegexParsers {
     "label_format" ~> repsep(labelFormatOp, ",") ^^ LabelFormatStage.apply |
     "drop" ~> repsep(ident, ",") ^^ DropStage.apply |
     "keep" ~> repsep(ident, ",") ^^ KeepStage.apply |
+    // unwrap_value before unwrap: the bare literal would match its prefix
+    // (`model.go:335` @("unwrap"|"unwrap_value") — value-column unwrap)
+    "unwrap_value" ^^^ UnwrapStage("__value__", None) |
     "unwrap" ~> unwrapBody
 
   private def labelFormatOp: Parser[(String, Either[String, String])] =
