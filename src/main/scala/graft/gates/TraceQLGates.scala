@@ -140,6 +140,37 @@ object TraceQLGates extends GateSet {
           |WHERE c.name = 'purchase' AND p.name = 'view'
           |ORDER BY 1""".stripMargin)),
 
+    // --- negated structural ops (`lexer_rules v2.go` NotDescendant !>> /
+    // NotAncestor <<~; the reference planner flattens them to && —
+    // planner.go:100-105 — exact anti-join evaluation here). The oracle
+    // uses the linear-chain property of the synthetic traces: ancestor ⟺
+    // same trace, smaller span_id.
+    Gate("traceql_struct_not_descendant",
+      (spark: SparkSession, dir: String) => {
+        val q = parsed("""{ .name="view" } !>> { .name="purchase" }""")
+        engine(spark, dir).matchingTraces(q.expr).orderBy("trace_id")
+      },
+      o("""SELECT DISTINCT c.trace_id
+          |FROM spans c
+          |WHERE c.name = 'purchase' AND NOT EXISTS (
+          |  SELECT 1 FROM spans p
+          |  WHERE p.trace_id = c.trace_id AND p.span_id < c.span_id
+          |    AND p.name = 'view')
+          |ORDER BY 1""".stripMargin)),
+
+    Gate("traceql_struct_not_ancestor",
+      (spark: SparkSession, dir: String) => {
+        val q = parsed("""{ .name="purchase" } <<~ { .name="view" }""")
+        engine(spark, dir).matchingTraces(q.expr).orderBy("trace_id")
+      },
+      o("""SELECT DISTINCT a.trace_id
+          |FROM spans a
+          |WHERE a.name = 'view' AND NOT EXISTS (
+          |  SELECT 1 FROM spans c
+          |  WHERE c.trace_id = a.trace_id AND c.span_id > a.span_id
+          |    AND c.name = 'purchase')
+          |ORDER BY 1""".stripMargin)),
+
     // --- trace synthetics fetch (traces_data.go:21-86) --------------------
     Gate("traceql_trace_meta",
       (spark: SparkSession, dir: String) => {

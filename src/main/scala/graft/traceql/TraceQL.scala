@@ -40,6 +40,15 @@ object TraceQLAst {
     * (the reference flattens this to &&; exact evaluation here).
     */
   final case class StructDescendant(l: TExpr, r: TExpr) extends TExpr
+  /** `{a} !>> {b}` — traces containing a `r`-span that is NOT a descendant
+    * of any `l`-span (`lexer_rules v2.go` NotDescendant; the reference
+    * flattens negated structural ops to && too — exact evaluation here).
+    */
+  final case class StructNotDescendant(l: TExpr, r: TExpr) extends TExpr
+  /** `{a} <<~ {b}` — traces containing a `r`-span that is NOT an ancestor
+    * of any `l`-span (NotAncestor).
+    */
+  final case class StructNotAncestor(l: TExpr, r: TExpr) extends TExpr
 
   /** `| count() > 2`, `| avg(duration) > 40ms` (aggregator.go:23-76). */
   final case class SpanAgg(fn: String, attr: Option[String], op: String, value: Double)
@@ -108,23 +117,32 @@ object TraceQLParser extends RegexParsers {
   private def spanset: Parser[TExpr] =
     "{" ~> opt(condExpr) <~ "}" ^^ (c => Sel(SpanSet(c)))
 
+  // both op dialects: Tempo's `> >> < <<` and the reference lexer's
+  // `&>>` (Descendant) / `<<&` (Ancestor) / `!>>` (NotDescendant) /
+  // `<<~` (NotAncestor) — longest spellings first so `<<&`/`<<~` win
+  // over `<<` and `&>>` over `&&`
   private def structExpr: Parser[TExpr] =
-    spanset ~ rep(("&&" | "||" | ">>" | ">" | "<<" | "<" | "~") ~ spanset) ^^ { case f ~ r =>
+    spanset ~ rep(("&>>" | "&&" | "||" | "!>>" | ">>" | ">" |
+        "<<&" | "<<~" | "<<" | "<" | "~") ~ spanset) ^^ { case f ~ r =>
       r.foldLeft(f) {
-        case (a, "&&" ~ b) => StructAnd(a, b)
-        case (a, "||" ~ b) => StructOr(a, b)
-        case (a, ">" ~ b)  => StructChild(a, b)
-        case (a, ">>" ~ b) => StructDescendant(a, b)
+        case (a, "&&" ~ b)  => StructAnd(a, b)
+        case (a, "||" ~ b)  => StructOr(a, b)
+        case (a, ">" ~ b)   => StructChild(a, b)
+        case (a, ">>" ~ b)  => StructDescendant(a, b)
+        case (a, "&>>" ~ b) => StructDescendant(a, b)
+        case (a, "!>>" ~ b) => StructNotDescendant(a, b)
         // ancestor/parent are the descendant/child relations with the
         // roles swapped: `{a} << {b}` keeps traces where a b-span is an
         // ANCESTOR of an a-span ⟺ an a-span is a descendant of a b-span
         // (exact here; the reference flattens ALL structural ops to
         // same-trace && — planner.go:100-105)
-        case (a, "<<" ~ b) => StructDescendant(b, a)
-        case (a, "<" ~ b)  => StructChild(b, a)
+        case (a, "<<" ~ b)  => StructDescendant(b, a)
+        case (a, "<<&" ~ b) => StructDescendant(b, a)
+        case (a, "<<~" ~ b) => StructNotAncestor(a, b)
+        case (a, "<" ~ b)   => StructChild(b, a)
         // sibling flattens to same-trace co-occurrence, as the reference
         // does (the synthetic linear traces have no true siblings)
-        case (a, _ ~ b)    => StructAnd(a, b)
+        case (a, _ ~ b)     => StructAnd(a, b)
       }
     }
 

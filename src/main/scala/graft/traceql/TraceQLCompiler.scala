@@ -282,7 +282,79 @@ class TraceQLCompiler(spark: SparkSession, dir: String,
         depth += steps
       }
       hitParts.reduce(_ union _).distinct()
+
+    case StructNotDescendant(l, r) =>
+      // traces containing an r-span with NO l-span ancestor: the positive
+      // descendant set (closure semi-join) anti-joined back against the
+      // r-spans — one extra left_anti over the `>>` machinery
+      val (lSp, rSp) = simplePair(l, r, "!>>")
+      val descOfL = closureOf(rSp).alias("t")
+        .join(lSp.select(col("trace_id"), col("span_id")).alias("p"),
+          col("t.trace_id") === col("p.trace_id") &&
+            col("t.anc_id") === col("p.span_id"), "left_semi")
+        .select(col("trace_id"), col("span_id")).distinct()
+      rSp.select(col("trace_id"), col("span_id"))
+        .join(descOfL, Seq("trace_id", "span_id"), "left_anti")
+        .select(col("trace_id")).distinct()
+
+    case StructNotAncestor(l, r) =>
+      // traces containing an r-span that is NOT an ancestor of any l-span:
+      // an r-span IS an ancestor of an l-span ⟺ some l-closure row names
+      // its span_id as anc_id — anti-join r-spans against those ids
+      val (lSp, rSp) = simplePair(l, r, "<<~")
+      val ancIds = closureOf(lSp)
+        .select(col("trace_id"), col("anc_id").as("span_id")).distinct()
+      rSp.select(col("trace_id"), col("span_id"))
+        .join(ancIds, Seq("trace_id", "span_id"), "left_anti")
+        .select(col("trace_id")).distinct()
   }
+
+  /** Both sides of a structural op as masked span frames sharing ONE
+    * attr scan + aggregate (no self-join).
+    */
+  private def simplePair(l: TExpr, r: TExpr, op: String): (DataFrame, DataFrame) =
+    (simpleCond(l), simpleCond(r)) match {
+      case (Some(cl), Some(cr)) =>
+        val (frame, idx) = maskedFrame(Seq(cl, cr))
+        (frame.filter(maskCond(cl, idx)), frame.filter(maskCond(cr, idx)))
+      case _ => throw new IllegalArgumentException(s"$op needs simple span-sets")
+    }
+
+  /** Transitive ancestor closure rows (trace_id, span_id, anc_id) of the
+    * given spans: the ingest-time closure table when the store is on
+    * (Store.ancestorClosure — one semi-join, no iteration), a bounded
+    * per-level parent walk otherwise (kill-switch fallback; trace depth
+    * caps the loop and an empty frontier stops it early).
+    */
+  private def closureOf(seed: DataFrame): DataFrame =
+    if (Store.enabled(spark))
+      Store.ancestors(spark, dir, loNs, hiNs)
+        .select(col("trace_id"), col("span_id"), col("anc_id"))
+        .join(seed.select(col("trace_id"), col("span_id")),
+          Seq("trace_id", "span_id"), "left_semi")
+    else {
+      val parentOf = Materialize(spans
+        .select(col("trace_id"), col("span_id"), col("parent_id")))
+      val MaxDepth = 64
+      var frontier = Materialize(seed
+        .select(col("trace_id"), col("span_id"), col("parent_id").as("__anc"))
+        .filter(col("__anc").isNotNull))
+      var parts = List[DataFrame](frontier
+        .select(col("trace_id"), col("span_id"), col("__anc").as("anc_id")))
+      var depth = 1
+      while (depth < MaxDepth && !frontier.isEmpty) {
+        frontier = Materialize(frontier
+          .join(parentOf.select(col("trace_id"),
+              col("span_id").as("__anc"), col("parent_id").as("__next")),
+            Seq("trace_id", "__anc"))
+          .filter(col("__next").isNotNull)
+          .select(col("trace_id"), col("span_id"), col("__next").as("__anc")))
+        parts ::= frontier
+          .select(col("trace_id"), col("span_id"), col("__anc").as("anc_id"))
+        depth += 1
+      }
+      parts.reduce(_ union _).distinct()
+    }
 
   /** Matched spans of any structural expr (union-of-matches for non-leaf). */
   private def structSpans(e: TExpr): DataFrame = e match {

@@ -16,6 +16,38 @@ class TraceQLSpec extends SparkSpec {
       CondOr(DurCond(">", 10000000L), StrCond("user", "=", "3"))))
   }
 
+  test("parser: both structural-op dialects map to the same AST") {
+    def ex(q: String) = TraceQLParser.parseOrThrow(q).expr
+    // reference lexer spellings (&>> <<& !>> <<~) and Tempo's (>> <<)
+    assert(ex("""{ .name="a" } &>> { .name="b" }""") ==
+      ex("""{ .name="a" } >> { .name="b" }"""))
+    assert(ex("""{ .name="a" } <<& { .name="b" }""") ==
+      ex("""{ .name="a" } << { .name="b" }"""))
+    assert(ex("""{ .name="a" } !>> { .name="b" }""") ==
+      StructNotDescendant(Sel(SpanSet(Some(StrCond("name", "=", "a")))),
+        Sel(SpanSet(Some(StrCond("name", "=", "b"))))))
+    assert(ex("""{ .name="a" } <<~ { .name="b" }""") ==
+      StructNotAncestor(Sel(SpanSet(Some(StrCond("name", "=", "a")))),
+        Sel(SpanSet(Some(StrCond("name", "=", "b"))))))
+  }
+
+  test("negated descendant partitions traces against positive descendant") {
+    // every trace with a purchase-span is in exactly one of: purchase
+    // descends from a view (positive) / some purchase has no view
+    // ancestor (negated) — and the two only overlap on traces with BOTH
+    // kinds of purchase span; union must equal all purchase traces
+    val pos = engine.matchingTraces(
+      TraceQLParser.parseOrThrow("""{ .name="view" } >> { .name="purchase" }""").expr)
+      .collect().map(_.getLong(0)).toSet
+    val neg = engine.matchingTraces(
+      TraceQLParser.parseOrThrow("""{ .name="view" } !>> { .name="purchase" }""").expr)
+      .collect().map(_.getLong(0)).toSet
+    val all = Tables.spans(spark, sf).filter(col("name") === "purchase")
+      .select("trace_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(pos.union(neg) == all)
+    assert(pos.nonEmpty && neg.nonEmpty)
+  }
+
   test("parser: aggregator and metrics stages") {
     val q1 = TraceQLParser.parseOrThrow("""{ .name="a" } | count() > 3""")
     assert(q1.agg.contains(SpanAgg("count", None, ">", 3.0)))
