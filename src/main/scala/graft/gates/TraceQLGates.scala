@@ -55,6 +55,22 @@ object TraceQLGates extends GateSet {
           |WHERE name = 'purchase' OR duration_ns > 300000000
           |ORDER BY 1, 2""".stripMargin)),
 
+    // --- intrinsic tail: root spans + unquoted enum values ----------------
+    // (`attr_condition.go:195-221`: nestedSetParent < 0 ⇒ root spans;
+    // rootName maps to the span-level name column; `= error` unquoted
+    // behaves like the quoted string)
+    Gate("traceql_root_spans",
+      (spark: SparkSession, dir: String) => {
+        val Query(Sel(ss), _, _, _, _, _) =
+          parsed("""{ nestedSetParent < 0 && rootName = error }"""): @unchecked
+        engine(spark, dir).spanSetSpans(ss)
+          .select(col("trace_id"), col("span_id"))
+          .orderBy("trace_id", "span_id")
+      },
+      o("""SELECT trace_id, span_id FROM spans
+          |WHERE parent_id IS NULL AND name = 'error'
+          |ORDER BY 1, 2""".stripMargin)),
+
     // --- span-set aggregator: count (aggregator.go:23-76) -----------------
     Gate("traceql_agg_count",
       (spark: SparkSession, dir: String) => {
@@ -362,6 +378,35 @@ object TraceQLGates extends GateSet {
           |  JOIN spans s ON s.span_id = a.span_id
           |  GROUP BY 1, 2) c
           |ORDER BY sel_count DESC, key, val LIMIT 5""".stripMargin)),
+
+    // --- compare() with explicit baseline window ---------------------------
+    // (model_v2.go:208-229 CompareSelector BaselineFrom/To;
+    // metrics_query.go:748-758: the baseline set evaluates over its own
+    // [from, to) while the selection keeps the request window — here the
+    // baseline is the first half of January, selection the whole month)
+    Gate("traceql_compare_baseline",
+      (spark: SparkSession, dir: String) => {
+        val mid = StartNs + 15L * 86400L * 1000000000L
+        val q = parsed(
+          s"""{ .service_name="svc1" } | compare({ .name="error" }, 7, $StartNs, $mid)""")
+        engine(spark, dir).compare(q.expr, q.compare.get)
+      },
+      o(s"""SELECT key, val, sel_count, baseline_count FROM (
+          |  SELECT a.key, a.val,
+          |    count(*) FILTER (WHERE s.name = 'error') AS sel_count,
+          |    count(*) FILTER (WHERE s.name <> 'error') AS baseline_count
+          |  FROM (
+          |    SELECT span_id, 'name' AS key, name AS val FROM spans
+          |    WHERE service_name = 'svc1' AND timestamp_ns < ${StartNs + 15L * 86400L * 1000000000L}
+          |    UNION ALL
+          |    SELECT span_id, 'service_name', service_name FROM spans
+          |    WHERE service_name = 'svc1' AND timestamp_ns < ${StartNs + 15L * 86400L * 1000000000L}
+          |    UNION ALL
+          |    SELECT span_id, 'user', CAST(user_id AS VARCHAR) FROM spans
+          |    WHERE service_name = 'svc1' AND timestamp_ns < ${StartNs + 15L * 86400L * 1000000000L}) a
+          |  JOIN spans s ON s.span_id = a.span_id
+          |  GROUP BY 1, 2) c
+          |ORDER BY sel_count DESC, key, val LIMIT 7""".stripMargin)),
 
     // --- multi-tenancy: per-tenant oid partitions + scan filter -----------
     // (traces.sql:7 leads every key with oid; the spark.graft.tenant conf

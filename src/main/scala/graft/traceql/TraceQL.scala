@@ -20,6 +20,15 @@ object TraceQLAst {
   final case class NumCond(key: String, op: String, value: Double) extends AttrCond
   /** duration intrinsic, value in ns. */
   final case class DurCond(op: String, ns: Long) extends AttrCond
+  /** bare `true`/`false` literal term (`model_v2.go:81` BoolLiteral →
+    * `attr_condition.go:171-174` 1=1 / 0=1).
+    */
+  final case class BoolCond(value: Boolean) extends AttrCond
+  /** `nestedSetParent < 0` — root spans (`attr_condition.go:206-216`:
+    * parent_id empty ⇒ here parent_id IS NULL; every other nestedSet*
+    * comparison is a no-op true there, [[BoolCond]] here).
+    */
+  case object RootCond extends AttrCond
   final case class CondAnd(l: AttrCond, r: AttrCond) extends AttrCond
   final case class CondOr(l: AttrCond, r: AttrCond) extends AttrCond
 
@@ -67,10 +76,14 @@ object TraceQLAst {
   final case class SecondStage(fn: String, k: Int) extends SecondStageOp
   final case class SelectStage(attrs: Seq[String]) extends SecondStageOp
 
-  /** `| compare({sel}, topN)` — selection-vs-baseline attr diff
-    * (`tempo_metrics.go:658-830`).
+  /** `| compare({sel}, topN[, baselineFromNs, baselineToNs])` —
+    * selection-vs-baseline attr diff (`tempo_metrics.go:658-830`,
+    * `model_v2.go:208-229`); explicit baseline epoch-ns bounds evaluate
+    * the baseline span set over its own window
+    * (`tempo/metrics_query.go:748-758`).
     */
-  final case class CompareStage(sel: SpanSet, topN: Int)
+  final case class CompareStage(sel: SpanSet, topN: Int,
+      baselineFromNs: Option[Long] = None, baselineToNs: Option[Long] = None)
 
   final case class Query(expr: TExpr, agg: Option[SpanAgg],
       metrics: Option[Metrics], second: Option[SecondStageOp] = None,
@@ -98,12 +111,27 @@ object TraceQLParser extends RegexParsers {
     */
   private def field: Parser[String] =
     ("resource." ~> ident) | ("span." ~> ident) | ("." ~> ident) |
+    // root intrinsics map onto the span-level columns
+    // (`attr_condition.go:195-204`); statusMessage before status so the
+    // longer literal wins
+    "rootServiceName" ^^^ "service_name" | "rootName" ^^^ "name" |
+    "statusMessage" | "status" | "kind" |
     "duration" | "name" | "service_name"
 
   private def term: Parser[AttrCond] =
     "duration" ~> cmpOp ~ durLit ^^ { case op ~ ns => DurCond(op, ns) } |
+    // nestedSetParent < 0 selects root spans; all other nestedSet*
+    // comparisons are schema-less no-ops (`attr_condition.go:206-221`)
+    "nestedSetParent" ~> cmpOp ~ number ^^ {
+      case "<" ~ n if n == 0.0 => RootCond
+      case _                   => BoolCond(true)
+    } |
+    ("nestedSetLeft" | "nestedSetRight") ~> cmpOp ~ number ^^^ BoolCond(true) |
+    "true" ^^^ BoolCond(true) | "false" ^^^ BoolCond(false) |
     field ~ cmpOp ~ (quoted ^^ (Left(_)) | durLit ^^ (d => Right(d.toDouble)) |
-      number ^^ (Right(_))) ^^ {
+      number ^^ (Right(_)) |
+      "nil" ~> err("nil comparisons are not supported") |
+      ident ^^ (Left(_))) ^^ {
       case f ~ op ~ Left(s)  => StrCond(f, op, s)
       case f ~ op ~ Right(n) => NumCond(f, op, n)
     } |
@@ -182,9 +210,15 @@ object TraceQLParser extends RegexParsers {
       ident ~ ("=" ~> (quoted | """[a-zA-Z0-9_.\-]+""".r)), ",") <~ ")" ^^ (
       _.map { case k ~ v => k -> v }.toMap)
 
+  // baseline bounds parse as Long: epoch-ns exceeds Double's 2^53 exact
+  // integer range, so routing them through `number` would round them
+  private def longLit: Parser[Long] = """[0-9]+""".r ^^ (_.toLong)
+
   private def compareStage: Parser[CompareStage] =
-    "compare" ~> ("(" ~> "{" ~> opt(condExpr) <~ "}") ~ ("," ~> number <~ ")") ^^ {
-      case c ~ n => CompareStage(SpanSet(c), n.toInt)
+    "compare" ~> ("(" ~> "{" ~> opt(condExpr) <~ "}") ~ ("," ~> number) ~
+      opt(("," ~> longLit) ~ ("," ~> longLit)) <~ ")" ^^ {
+      case c ~ n ~ bl => CompareStage(SpanSet(c), n.toInt,
+        bl.map { case f ~ _ => f }, bl.map { case _ ~ t => t })
     }
 
   // stage order mirrors TraceQLScript (model_v2.go:9-18): selector,

@@ -95,6 +95,10 @@ class TraceQLCompiler(spark: SparkSession, dir: String,
         case "<"  => d < ns
         case "<=" => d <= ns
       }
+    // every attr row of a span carries parent_id (GIN carries it since the
+    // closure-table rework), so the literal terms evaluate per-row too
+    case BoolCond(v) => lit(v)
+    case RootCond    => col("parent_id").isNull
     case _ => throw new IllegalStateException("non-leaf")
   }
 
@@ -623,7 +627,38 @@ class TraceQLCompiler(spark: SparkSession, dir: String,
     * every (attr key, value) on both sides, emit the top-N attr pairs by
     * selection count (deterministic key/val tiebreak).
     */
-  def compare(e: TExpr, c: CompareStage): DataFrame = (simpleCond(e), c.sel.cond) match {
+  def compare(e: TExpr, c: CompareStage): DataFrame = c.baselineFromNs match {
+    case Some(bFrom) =>
+      // explicit baseline window (metrics_query.go:748-758): the baseline
+      // (all-spans) set evaluates over [bFrom, bTo) through a compiler
+      // pinned to that window; the selection keeps the request window.
+      // Spans in the baseline set are then classified by selection
+      // membership — countIf(sel)/countIf(!sel), as BuildCompareQuery does
+      val bl = new TraceQLCompiler(spark, dir, bFrom,
+        c.baselineToNs.getOrElse(hiNs))
+      val base = e match {
+        case Sel(ss) => bl.spanSetSpans(ss)
+        case other => bl.spanSetSpans(SpanSet(None))
+          .join(bl.matchingTraces(other), Seq("trace_id"), "left_semi")
+      }
+      val selection = spanSetSpans(c.sel)
+        .select(col("trace_id"), col("span_id"))
+        .withColumn("__sel", lit(true))
+      val marked = base.select(col("trace_id"), col("span_id"))
+        .join(selection, Seq("trace_id", "span_id"), "left")
+        .select(col("trace_id"), col("span_id"),
+          coalesce(col("__sel"), lit(false)).as("__sel"))
+      bl.attrs.join(marked, Seq("trace_id", "span_id"))
+        .groupBy(col("key"), col("val"))
+        .agg(sum(when(col("__sel"), 1L).otherwise(0L)).as("sel_count"),
+          sum(when(col("__sel"), 0L).otherwise(1L)).as("baseline_count"))
+        .orderBy(col("sel_count").desc, col("key"), col("val"))
+        .limit(c.topN)
+    case None => compareSameWindow(e, c)
+  }
+
+  private def compareSameWindow(e: TExpr, c: CompareStage): DataFrame =
+    (simpleCond(e), c.sel.cond) match {
     case (Some(ce), Some(cs)) =>
       // one combined mask agg marks each base span as selected-or-not; one
       // attrs join then counts both sides in a single aggregation — the

@@ -48,6 +48,34 @@ class TraceQLSpec extends SparkSpec {
     assert(pos.nonEmpty && neg.nonEmpty)
   }
 
+  test("parser: intrinsic tail — bool literals, nestedSet, unquoted values") {
+    def cond(q: String): Option[AttrCond] =
+      TraceQLParser.parseOrThrow(q).expr match {
+        case Sel(SpanSet(c)) => c
+        case other           => fail(s"unexpected: $other")
+      }
+    assert(cond("{ true }").contains(BoolCond(true)))
+    assert(cond("{ false }").contains(BoolCond(false)))
+    assert(cond("{ nestedSetParent < 0 }").contains(RootCond))
+    assert(cond("{ nestedSetLeft > 5 }").contains(BoolCond(true)))
+    assert(cond("{ kind = server }").contains(StrCond("kind", "=", "server")))
+    assert(cond("""{ rootServiceName = "svc1" }""")
+      .contains(StrCond("service_name", "=", "svc1")))
+    assert(cond("""{ status != error }""")
+      .contains(StrCond("status", "!=", "error")))
+    val e = intercept[IllegalArgumentException](
+      TraceQLParser.parseOrThrow("""{ .attr != nil }"""))
+    assert(e.getMessage.contains("nil"))
+  }
+
+  test("parser: compare() with explicit baseline window keeps exact ns") {
+    val q = TraceQLParser.parseOrThrow(
+      """{ .name="a" } | compare({ .name="b" }, 5, 1704067200000000001, 1705363200000000000)""")
+    assert(q.compare.contains(CompareStage(
+      SpanSet(Some(StrCond("name", "=", "b"))), 5,
+      Some(1704067200000000001L), Some(1705363200000000000L))))
+  }
+
   test("parser: aggregator and metrics stages") {
     val q1 = TraceQLParser.parseOrThrow("""{ .name="a" } | count() > 3""")
     assert(q1.agg.contains(SpanAgg("count", None, ">", 3.0)))
