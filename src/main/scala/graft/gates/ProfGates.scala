@@ -107,6 +107,65 @@ object ProfGates extends GateSet {
       Some("WITH " + profViews + "\n" +
         """SELECT DISTINCT service_name FROM profs ORDER BY 1""")),
 
+    // --- /querier.v1.QuerierService/ProfileTypes (prof.go:33-84) ----------
+    Gate("profiles_types",
+      (spark: SparkSession, dir: String) =>
+        Profiles.profileTypes(spark, dir),
+      Some(
+        """WITH p AS (
+          |  SELECT DISTINCT
+          |    CASE WHEN event_type IN ('click','view','signup')
+          |         THEN 'process_cpu:cpu:nanoseconds'
+          |         ELSE 'memory:space:bytes' END AS type_id,
+          |    CASE WHEN event_type IN ('click','view','signup')
+          |         THEN [['cpu','nanoseconds'],['samples','count']]
+          |         ELSE [['alloc_space','bytes'],['alloc_objects','count']] END AS stu
+          |  FROM events),
+          |x AS (
+          |  SELECT DISTINCT
+          |    split_part(type_id, ':', 1) AS name,
+          |    u[1] AS sample_type, u[2] AS sample_unit,
+          |    split_part(type_id, ':', 2) AS period_type,
+          |    split_part(type_id, ':', 3) AS period_unit
+          |  FROM p, unnest(p.stu) AS t(u))
+          |SELECT name || ':' || sample_type || ':' || sample_unit || ':' ||
+          |       period_type || ':' || period_unit AS id,
+          |       name, sample_type, sample_unit, period_type, period_unit
+          |FROM x ORDER BY id""".stripMargin)),
+
+    // --- /querier.v1.QuerierService/LabelNames (planner_label_names.go) ---
+    Gate("profiles_label_names",
+      (spark: SparkSession, dir: String) =>
+        Profiles.labelNames(spark, dir, Some("svc1")),
+      Some(
+        """SELECT DISTINCT t.tag.key AS name FROM (
+          |  SELECT unnest([
+          |    struct_pack(key := 'service_name',
+          |                val := 'svc' || CAST(user_id % 5 AS VARCHAR)),
+          |    struct_pack(key := 'event_type', val := event_type),
+          |    struct_pack(key := 'host',
+          |                val := 'host' || CAST(user_id % 7 AS VARCHAR))]) AS tag
+          |  FROM events WHERE user_id % 5 = 1) t
+          |ORDER BY name""".stripMargin)),
+
+    // --- /querier.v1.QuerierService/LabelValues (planner_label_values.go) -
+    Gate("profiles_label_values",
+      (spark: SparkSession, dir: String) =>
+        Profiles.labelValues(spark, dir, "host", Some("svc1")),
+      Some(
+        """SELECT DISTINCT 'host' || CAST(user_id % 7 AS VARCHAR) AS value
+          |FROM events WHERE user_id % 5 = 1 ORDER BY value""".stripMargin)),
+
+    // --- /querier.v1.QuerierService/GetProfileStats (prof.go:334-420) -----
+    Gate("profiles_stats",
+      (spark: SparkSession, dir: String) =>
+        Profiles.profileStats(spark, dir),
+      Some(
+        """SELECT CAST(1 AS INT) AS non_empty,
+          |  min(epoch_ns(ts) - epoch_ns(ts) % 1000) // 1000000 AS oldest_ms,
+          |  max(epoch_ns(ts) - epoch_ns(ts) % 1000) // 1000000 AS newest_ms
+          |FROM events""".stripMargin)),
+
     // --- pprof binary round trip: gzip+protobuf wire codec → stack rows →
     // merge (go_pprof.go ingest + prof_merge groupBy semantics) ------------
     Gate("profiles_pprof_roundtrip",

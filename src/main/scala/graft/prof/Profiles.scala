@@ -36,14 +36,39 @@ object Profiles {
     * main → <event_type> → op<user_id%3>, with self-costs derived from the
     * event value (ns). This is the ingest-side derivation the store
     * materializes once.
+    *
+    * Alongside the tree the row carries the series metadata the reference
+    * stores on `profiles_series` (`ctrl/qryn/sql/profiles.sql:19-49`):
+    * `type_id` = "name:period_type:period_unit", `sample_types_units` =
+    * the (type, unit) pairs of the profile's value columns, and `tags` =
+    * the label set the Pyroscope label APIs enumerate. The synthetic
+    * derivation is pure arithmetic over the event row so the DuckDB
+    * oracle replays it exactly.
     */
   def derive(spark: SparkSession, dir: String): DataFrame = {
     val mid = col("user_id") % 100
     val leaf = round(col("value") * 1000, 0).cast("long")
+    val isCpu = col("event_type").isin("click", "view", "signup")
     Tables.events(spark, dir).select(
       col("event_id").as("profile_id"),
       concat(lit("svc"), (col("user_id") % 5).cast("string")).as("service_name"),
       (col("ts") - pmod(col("ts"), lit(1000L))).as("timestamp_ns"),
+      when(isCpu, lit("process_cpu:cpu:nanoseconds"))
+        .otherwise(lit("memory:space:bytes")).as("type_id"),
+      when(isCpu, array(
+          struct(lit("cpu").as("stype"), lit("nanoseconds").as("unit")),
+          struct(lit("samples").as("stype"), lit("count").as("unit"))))
+        .otherwise(array(
+          struct(lit("alloc_space").as("stype"), lit("bytes").as("unit")),
+          struct(lit("alloc_objects").as("stype"), lit("count").as("unit"))))
+        .as("sample_types_units"),
+      array(
+        struct(lit("service_name").as("key"),
+          concat(lit("svc"), (col("user_id") % 5).cast("string")).as("val")),
+        struct(lit("event_type").as("key"), col("event_type").as("val")),
+        struct(lit("host").as("key"),
+          concat(lit("host"), (col("user_id") % 7).cast("string")).as("val")))
+        .as("tags"),
       array(
         struct(lit(0L).as("parent"), lit(1L).as("node"), lit("main").as("fn"),
           lit(0L).as("self"), (mid + leaf).as("total")),
@@ -208,6 +233,72 @@ object Profiles {
         sum(lit(32) + length(col("n.fn"))).cast("long").as("profile_size"),
         countDistinct(col("service_name")).as("fingerprint_count"))
   }
+
+  /** `/querier.v1.QuerierService/ProfileTypes`
+    * (`reader/service/prof.go:33-84`): distinct (type_id ×
+    * sample_type_unit) over the window, each expanded to the 5-part
+    * Pyroscope type ID `name:sample_type:sample_unit:period_type:
+    * period_unit`. The series metadata is tiny after distinct, so this is
+    * a dictionary scan, not a fact scan.
+    */
+  def profileTypes(spark: SparkSession, dir: String,
+      loNs: Long = 0L, hiNs: Long = Long.MaxValue): DataFrame = {
+    val p = split(col("type_id"), ":")
+    profiles(spark, dir, loNs, hiNs)
+      .select(col("type_id"), explode(col("sample_types_units")).as("stu"))
+      .select(
+        p.getItem(0).as("name"),
+        col("stu.stype").as("sample_type"),
+        col("stu.unit").as("sample_unit"),
+        p.getItem(1).as("period_type"),
+        p.getItem(2).as("period_unit"))
+      .distinct()
+      .select(
+        concat_ws(":", col("name"), col("sample_type"), col("sample_unit"),
+          col("period_type"), col("period_unit")).as("id"),
+        col("name"), col("sample_type"), col("sample_unit"),
+        col("period_type"), col("period_unit"))
+      .orderBy("id")
+  }
+
+  /** `/querier.v1.QuerierService/LabelNames`
+    * (`prof_transpiler/planner_label_names.go:13-15`): distinct tag keys
+    * of the profiles matching the (optional) service selector.
+    */
+  def labelNames(spark: SparkSession, dir: String,
+      service: Option[String] = None,
+      loNs: Long = 0L, hiNs: Long = Long.MaxValue): DataFrame = {
+    val base = profiles(spark, dir, loNs, hiNs)
+    val sel = service.fold(base)(s => base.filter(col("service_name") === s))
+    sel.select(explode(col("tags")).as("t"))
+      .select(col("t.key").as("name")).distinct().orderBy("name")
+  }
+
+  /** `/querier.v1.QuerierService/LabelValues`
+    * (`prof_transpiler/planner_label_values.go:14-21`): distinct values of
+    * one tag key, same selector scoping as labelNames.
+    */
+  def labelValues(spark: SparkSession, dir: String, key: String,
+      service: Option[String] = None,
+      loNs: Long = 0L, hiNs: Long = Long.MaxValue): DataFrame = {
+    val base = profiles(spark, dir, loNs, hiNs)
+    val sel = service.fold(base)(s => base.filter(col("service_name") === s))
+    sel.select(explode(col("tags")).as("t"))
+      .filter(col("t.key") === key)
+      .select(col("t.val").as("value")).distinct().orderBy("value")
+  }
+
+  /** `/querier.v1.QuerierService/GetProfileStats`
+    * (`reader/service/prof.go:334-420`): has-any-data flag plus oldest /
+    * newest profile time in epoch milliseconds. The reference bounds the
+    * min/max scan to the first/last date partitions; here parquet
+    * min/max footer stats give the same one-pass answer.
+    */
+  def profileStats(spark: SparkSession, dir: String): DataFrame =
+    profiles(spark, dir).agg(
+      max(lit(1)).as("non_empty"),
+      floor(min(col("timestamp_ns")) / 1000000L).cast("long").as("oldest_ms"),
+      floor(max(col("timestamp_ns")) / 1000000L).cast("long").as("newest_ms"))
 
   /** Profile value time series per service (SelectSeriesPlanner,
     * `planner_select_series.go:21-86`): per-step sum of root totals.

@@ -44,7 +44,7 @@ object Store {
   // bump the version segment when a table SCHEMA changes: _SUCCESS-guarded
   // writes would otherwise silently keep serving the old schema
   private def rootFor(dir: String): String =
-    "/root/repo/target/graft-store/v6/" + dir.replaceAll("[^a-zA-Z0-9.]+", "_")
+    "/root/repo/target/graft-store/v7/" + dir.replaceAll("[^a-zA-Z0-9.]+", "_")
 
   /** Tenant (`oid`) column — every reference table leads its partition/
     * order key with the organization id (`traces.sql:7`,

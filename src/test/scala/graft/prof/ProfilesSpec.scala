@@ -42,6 +42,26 @@ class ProfilesSpec extends SparkSpec {
     assert(pruned.endsWith("}\n"))
   }
 
+  test("profile types / label APIs / stats over the derived series metadata") {
+    val types = Profiles.profileTypes(spark, sf).collect()
+    assert(types.map(_.getAs[String]("id")).toSet == Set(
+      "process_cpu:cpu:nanoseconds:cpu:nanoseconds",
+      "process_cpu:samples:count:cpu:nanoseconds",
+      "memory:alloc_space:bytes:space:bytes",
+      "memory:alloc_objects:count:space:bytes"))
+    assert(Profiles.labelNames(spark, sf).collect().map(_.getString(0))
+      .toSeq == Seq("event_type", "host", "service_name"))
+    val hosts = Profiles.labelValues(spark, sf, "host", Some("svc1"))
+      .collect().map(_.getString(0))
+    assert(hosts.forall(_.startsWith("host")) && hosts.length <= 7)
+    val svcs = Profiles.labelValues(spark, sf, "service_name")
+      .collect().map(_.getString(0)).toSet
+    assert(svcs.subsetOf(Set("svc0", "svc1", "svc2", "svc3", "svc4")))
+    val st = Profiles.profileStats(spark, sf).head
+    assert(st.getAs[Int]("non_empty") == 1)
+    assert(st.getAs[Long]("oldest_ms") <= st.getAs[Long]("newest_ms"))
+  }
+
   test("flamegraph diff over real services matches per-side merges") {
     val d = Profiles.flamegraphDiff(spark, sf, "svc1", "svc2")
     val l = Profiles.flamegraphLevels(Profiles.mergeTree(spark, sf, "svc1"))
