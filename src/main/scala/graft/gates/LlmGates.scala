@@ -104,6 +104,108 @@ object LlmGates extends GateSet {
            |  FROM shc sa JOIN shc sb ON sa.s = sb.s AND sa.doc_id < sb.doc_id)""".stripMargin,
         0.8))),
 
+    // --- PII scrub: typed placeholder redaction (regexp_replace chain) ----
+    Gate("llm_pii_scrub",
+      (spark: SparkSession, dir: String) =>
+        docs(spark, dir)
+          .select(col("doc_id"),
+            TextOps.scrubPii(concat(col("text"),
+              lit(" reach me at u" ), col("doc_id"),
+              lit("@example.com or 10.0."), (col("doc_id") % 256).cast("string"),
+              lit(".1 or +1 (555) 010-"), (col("doc_id") % 10000).cast("string")))
+              .as("clean"))
+          .orderBy("doc_id"),
+      Some(
+        s"""SELECT doc_id,
+           |  regexp_replace(
+           |    regexp_replace(
+           |      regexp_replace(
+           |        text || ' reach me at u' || CAST(doc_id AS VARCHAR)
+           |             || '@example.com or 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+           |             || '.1 or +1 (555) 010-' || CAST(doc_id % 10000 AS VARCHAR),
+           |        '${TextOps.EmailRe}', '<EMAIL>', 'g'),
+           |      '${TextOps.Ipv4Re}', '<IP>', 'g'),
+           |    '${TextOps.PhoneRe}', '<PHONE>', 'g') AS clean
+           |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // --- chunking: fixed-size training windows with overlap ---------------
+    Gate("llm_chunk",
+      (spark: SparkSession, dir: String) =>
+        TextOps.chunk(docs(spark, dir), chunkTokens = 40, overlap = 10)
+          .orderBy("doc_id", "chunk_id"),
+      Some(
+        """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+          |c AS (SELECT doc_id, k AS chunk_id,
+          |    array_to_string(ws[(k*30+1):(k*30+40)], ' ') AS chunk_text,
+          |    len(ws[(k*30+1):(k*30+40)]) AS n_tokens
+          |  FROM t, unnest([x for x in generate_series(0, greatest((len(ws)-1)//30, 0))]) AS g(k))
+          |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id, chunk_text,
+          |  CAST(n_tokens AS BIGINT) AS n_tokens
+          |FROM c WHERE n_tokens > 0 ORDER BY doc_id, chunk_id""".stripMargin)),
+
+    // --- duplicate clusters: connected components over near-dup pairs -----
+    Gate("llm_dup_clusters",
+      (spark: SparkSession, dir: String) =>
+        Dedup.dupClusters(docs(spark, dir), 0.8).orderBy("doc_id"),
+      Some("WITH RECURSIVE " + shViews + ",\n" +
+        s"""rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= ${Dedup.MaxShingleDf}),
+           |shc AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)),
+           |cand AS (
+           |  SELECT DISTINCT sa.doc_id AS i, sb.doc_id AS j
+           |  FROM shc sa JOIN shc sb ON sa.s = sb.s AND sa.doc_id < sb.doc_id),
+           |inter AS (
+           |  SELECT c.i, c.j, count(*) AS inter
+           |  FROM cand c
+           |  JOIN sh sa ON sa.doc_id = c.i
+           |  JOIN sh sb ON sb.doc_id = c.j AND sb.s = sa.s
+           |  GROUP BY 1, 2),
+           |jac AS (
+           |  SELECT i, j, inter * 1.0 / (si.n + sj.n - inter) AS jaccard
+           |  FROM inter
+           |  JOIN sizes si ON si.doc_id = i
+           |  JOIN sizes sj ON sj.doc_id = j),
+           |pairs AS (
+           |  SELECT i, j FROM jac WHERE jaccard >= 0.8
+           |  UNION ALL
+           |  SELECT j AS i, i AS j FROM jac WHERE jaccard >= 0.8),
+           |reach(src, dst) AS (
+           |  SELECT doc_id, doc_id FROM documents
+           |  UNION
+           |  SELECT r.src, p.j FROM reach r JOIN pairs p ON p.i = r.dst)
+           |SELECT src AS doc_id, min(dst) AS cluster_id
+           |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // --- deterministic stratified sampling (hash-based, rerun-stable) -----
+    Gate("llm_stratified_sample",
+      (spark: SparkSession, dir: String) =>
+        graft.llm.Sampling.stratifiedSample(
+          docs(spark, dir),
+          col("lang"), Map("en" -> 0.5, "fr" -> 0.25), default = 0.1,
+          key = col("doc_id"))
+          .select(col("doc_id"), col("lang")).orderBy("doc_id"),
+      Some(
+        """SELECT doc_id, lang FROM documents
+          |WHERE ('0x' || substr(md5('smp:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+          |      % 1000000 <
+          |  CASE lang WHEN 'en' THEN 500000 WHEN 'fr' THEN 250000 ELSE 100000 END
+          |ORDER BY doc_id""".stripMargin)),
+
+    // --- exactly-N-per-stratum deterministic reservoir ---------------------
+    Gate("llm_topn_per_stratum",
+      (spark: SparkSession, dir: String) =>
+        graft.llm.Sampling.topNPerStratum(
+          docs(spark, dir), col("lang"), 5, key = col("doc_id"))
+          .select(col("doc_id"), col("lang")).orderBy("doc_id"),
+      Some(
+        """WITH h AS (SELECT doc_id, lang,
+          |    ('0x' || substr(md5('smp:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+          |      % 1000000 AS hb
+          |  FROM documents),
+          |r AS (SELECT doc_id, lang,
+          |    row_number() OVER (PARTITION BY lang ORDER BY hb, doc_id) AS rk
+          |  FROM h)
+          |SELECT doc_id, lang FROM r WHERE rk <= 5 ORDER BY doc_id""".stripMargin)),
+
     // --- SimHash signatures (per-bit majority over token hashes) ----------
     Gate("llm_simhash",
       (spark: SparkSession, dir: String) =>

@@ -161,6 +161,68 @@ object Dedup {
     jaccardOf(pairs, docs).filter(col("jaccard") >= threshold)
   }
 
+  /** Duplicate clusters: connected components over the near-dup pair
+    * graph, each doc labeled with its component's smallest doc_id (the
+    * canonical representative a dedup pass keeps). Transitivity matters:
+    * A~B and B~C puts A and C in one cluster even when J(A,C) < threshold
+    * — pairwise filtering alone would keep both.
+    */
+  def dupClusters(docs: DataFrame, threshold: Double): DataFrame = {
+    val edges = Materialize(nearDupPairs(docs, threshold)
+      .select(col("i"), col("j")))
+    // iterate only over edge endpoints: the dup graph is sparse (≪ corpus),
+    // so the CC rounds never shuffle the full doc set — isolated docs are
+    // their own cluster by definition and join back in one pass at the end
+    val touched = edges.select(col("i").as("doc_id"))
+      .union(edges.select(col("j").as("doc_id"))).distinct()
+    val cc = connectedComponents(touched, edges)
+    docs.select(col("doc_id")).join(cc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+  }
+
+  /** Min-label propagation with path halving: each round takes the min
+    * label over neighbors, then short-circuits label ← label(label)
+    * (pointer jumping), giving O(log d) rounds on diameter-d components —
+    * near-dup clusters are dense and shallow, so this converges in 2-3
+    * rounds. Every round is two hash joins + one aggregate, all keyed on
+    * doc_id/label: at 1000 executors each is one shuffle, no driver-side
+    * graph state. (The adversarial-chain-graph hardening would be
+    * large-star/small-star; dup graphs never need it.)
+    */
+  def connectedComponents(nodes: DataFrame, edges0: DataFrame,
+      maxIters: Int = 25): DataFrame = {
+    val edges = Materialize(
+      edges0.union(edges0.select(col("j"), col("i"))).distinct())
+    var labels = Materialize(
+      nodes.select(col("doc_id"), col("doc_id").as("cluster_id")))
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("j"), col("cluster_id").as("nl")),
+          "j")
+        .groupBy(col("i").as("doc_id")).agg(min(col("nl")).as("nbr"))
+      val stepped = labels.join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("nbr"), col("cluster_id")))
+            .as("cluster_id"))
+      // path halving: labels only ever shrink and cluster_id is itself a
+      // doc_id, so label(label(v)) is defined and ≤ label(v)
+      val jumped = Materialize(stepped
+        .join(stepped.select(col("doc_id").as("cluster_id"),
+          col("cluster_id").as("ll")), "cluster_id")
+        .select(col("doc_id"), col("ll").as("cluster_id")))
+      converged = jumped
+        .join(labels.select(col("doc_id"), col("cluster_id").as("prev")),
+          "doc_id")
+        .filter(col("cluster_id") =!= col("prev")).isEmpty
+      labels = jumped
+      iter += 1
+    }
+    labels
+  }
+
   val SimHashBits = 60
 
   /** 60-bit SimHash over distinct tokens: per-bit majority vote of token

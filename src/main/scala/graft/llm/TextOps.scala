@@ -98,4 +98,53 @@ object TextOps {
     val best = array_max(array(scores: _*))
     when(best.getField("score") > 0, best.getField("lang")).otherwise("und")
   }
+
+  // --- PII scrubbing -------------------------------------------------------
+
+  /** PII patterns, kept to the regex subset Java regex and RE2 agree on:
+    * no lookarounds, no backreferences. Order matters — emails first (an
+    * address contains dot-runs an IP pattern could nibble), then IPs,
+    * then phone-shaped digit runs.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val PhoneRe = "\\+?[0-9][0-9()\\-. ]{6,}[0-9]"
+
+  /** Redact emails / IPv4s / phone-shaped digit runs with typed
+    * placeholder tokens (the standard pre-training scrub). Pure codegen'd
+    * regexp_replace chain — no UDF, narrow, no shuffle.
+    */
+  def scrubPii(text: Column): Column = {
+    val e = regexp_replace(text, EmailRe, "<EMAIL>")
+    val i = regexp_replace(e, Ipv4Re, "<IP>")
+    regexp_replace(i, PhoneRe, "<PHONE>")
+  }
+
+  // --- chunking ------------------------------------------------------------
+
+  /** Split each document into training windows of `chunkTokens` whitespace
+    * tokens with `overlap` tokens carried between consecutive chunks.
+    * One explode over the chunk index — the fan-out is rows × ceil(n/stride),
+    * all narrow arithmetic on the pre-split token array (split once per
+    * row, not per chunk).
+    *
+    * Output: (doc_id, chunk_id, chunk_text, n_tokens).
+    */
+  def chunk(df: DataFrame, chunkTokens: Int = 100, overlap: Int = 20,
+      textCol: String = "text"): DataFrame = {
+    require(overlap < chunkTokens, "overlap must be < chunkTokens")
+    val stride = chunkTokens - overlap
+    val toks = split(col(textCol), " ") // case-preserving: chunks are data
+    df.withColumn("__toks", toks)
+      .withColumn("__k",
+        explode(sequence(lit(0),
+          greatest(floor((size(col("__toks")) - 1) / lit(stride)).cast("int"),
+            lit(0)))))
+      .select(col("doc_id"), col("__k").cast("long").as("chunk_id"),
+        array_join(slice(col("__toks"), col("__k") * stride + 1, lit(chunkTokens)),
+          " ").as("chunk_text"),
+        size(slice(col("__toks"), col("__k") * stride + 1, lit(chunkTokens)))
+          .cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+  }
 }

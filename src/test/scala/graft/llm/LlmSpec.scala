@@ -60,6 +60,81 @@ class LlmSpec extends SparkSpec {
     assert(exact.join(lsh, Seq("i", "j"), "left_anti").count() == 0)
   }
 
+  test("connected components label transitive chains with one cluster id") {
+    val s = spark
+    import s.implicits._
+    val nodes = (1L to 7L).toDF("doc_id")
+    // chain 1-2-3, pair 5-6; 4 and 7 isolated
+    val edges = Seq((2L, 1L), (2L, 3L), (6L, 5L)).toDF("i", "j")
+    val got = Dedup.connectedComponents(nodes, edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L))
+  }
+
+  test("dup clusters: every near-dup pair lands in the same cluster") {
+    val labels = Dedup.dupClusters(docs, 0.8)
+    val pairs = Dedup.nearDupPairs(docs, 0.8)
+    val split = pairs
+      .join(labels.select(col("doc_id").as("i"), col("cluster_id").as("ci")), "i")
+      .join(labels.select(col("doc_id").as("j"), col("cluster_id").as("cj")), "j")
+      .filter(col("ci") =!= col("cj"))
+    assert(split.isEmpty)
+    // canonical representative is the component minimum
+    assert(labels.filter(col("cluster_id") > col("doc_id")).isEmpty)
+  }
+
+  test("hash sample at lower fraction is a subset of the higher fraction") {
+    val lo = Sampling.hashSample(docs, col("doc_id"), 0.2)
+    val hi = Sampling.hashSample(docs, col("doc_id"), 0.5)
+    assert(lo.join(hi, Seq("doc_id"), "left_anti").isEmpty)
+    assert(lo.count() > 0 && lo.count() < hi.count())
+  }
+
+  test("topNPerStratum returns at most n rows per stratum, deterministically") {
+    val a = Sampling.topNPerStratum(docs, col("lang"), 5, col("doc_id"))
+    val b = Sampling.topNPerStratum(docs, col("lang"), 5, col("doc_id"))
+    assert(a.groupBy("lang").count().filter(col("count") > 5).isEmpty)
+    assert(a.select("doc_id").except(b.select("doc_id")).isEmpty)
+  }
+
+  test("scrubPii redacts emails, IPs, and phones; leaves clean text alone") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      (1L, "mail bob.smith+x@corp.example.org now"),
+      (2L, "server at 192.168.10.250 is down"),
+      (3L, "call +44 (20) 7946-0958 today"),
+      (4L, "nothing sensitive here at all"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), TextOps.scrubPii(col("text")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows(1L) == "mail <EMAIL> now")
+    assert(rows(2L) == "server at <IP> is down")
+    assert(rows(3L) == "call <PHONE> today")
+    assert(rows(4L) == "nothing sensitive here at all")
+  }
+
+  test("chunking covers every token; consecutive chunks overlap") {
+    val s = spark
+    import s.implicits._
+    val one = Seq((1L, (1 to 95).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val ch = TextOps.chunk(one, chunkTokens = 40, overlap = 10)
+      .orderBy("chunk_id").collect()
+    // stride 30: starts at 0/30/60/90 → 4 chunks, last truncated to 5
+    assert(ch.map(_.getAs[Long]("n_tokens")).toSeq == Seq(40L, 40L, 35L, 5L))
+    assert(ch(0).getAs[String]("chunk_text").startsWith("w1 w2 "))
+    // chunk k's last `overlap` tokens = chunk k+1's first `overlap` tokens
+    val t1 = ch(0).getAs[String]("chunk_text").split(" ").takeRight(10).toSeq
+    val t2 = ch(1).getAs[String]("chunk_text").split(" ").take(10).toSeq
+    assert(t1 == t2)
+    // full corpus invariant: distinct covered tokens == n_tokens of the doc
+    val stats = TextOps.chunk(docs).groupBy("doc_id")
+      .agg(max(col("chunk_id")).as("mk"), sum(col("n_tokens")).as("tot"))
+    assert(stats.filter(col("tot") < col("mk") * 80 + 1).isEmpty)
+  }
+
   test("exact dedup maps identical normalized text to one canonical id") {
     import graft.TestSpark.spark.implicits._
     val d = Seq((1L, "Hello   World"), (2L, "hello world"), (3L, "other"))
