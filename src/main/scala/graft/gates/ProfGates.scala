@@ -156,6 +156,18 @@ object ProfGates extends GateSet {
         """SELECT DISTINCT 'host' || CAST(user_id % 7 AS VARCHAR) AS value
           |FROM events WHERE user_id % 5 = 1 ORDER BY value""".stripMargin)),
 
+    // --- /querier.v1.QuerierService/Series (distinct label sets) ----------
+    Gate("profiles_series_labels",
+      (spark: SparkSession, dir: String) =>
+        Profiles.seriesLabels(spark, dir, Some("svc2")),
+      Some(
+        """SELECT DISTINCT
+          |  'svc' || CAST(user_id % 5 AS VARCHAR) AS service_name,
+          |  event_type,
+          |  'host' || CAST(user_id % 7 AS VARCHAR) AS host
+          |FROM events WHERE user_id % 5 = 2
+          |ORDER BY 1, 2, 3""".stripMargin)),
+
     // --- /querier.v1.QuerierService/GetProfileStats (prof.go:334-420) -----
     Gate("profiles_stats",
       (spark: SparkSession, dir: String) =>

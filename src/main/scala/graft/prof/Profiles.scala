@@ -288,6 +288,27 @@ object Profiles {
       .select(col("t.val").as("value")).distinct().orderBy("value")
   }
 
+  /** `/querier.v1.QuerierService/Series`
+    * (`planner_select_time_series.go:16`, `planner_distinct_time_series
+    * .go:13`): the DISTINCT label sets of profiles matching the selector —
+    * the Pyroscope series dictionary. Tags pivot to one column per key so
+    * the set identity is the row, the same `distinct over a dictionary
+    * scan` shape as the LogQL series API.
+    */
+  def seriesLabels(spark: SparkSession, dir: String,
+      service: Option[String] = None,
+      loNs: Long = 0L, hiNs: Long = Long.MaxValue): DataFrame = {
+    val base = profiles(spark, dir, loNs, hiNs)
+    val sel = service.fold(base)(s => base.filter(col("service_name") === s))
+    val kv = map_from_entries(col("tags"))
+    sel.select(
+        kv.getItem("service_name").as("service_name"),
+        kv.getItem("event_type").as("event_type"),
+        kv.getItem("host").as("host"))
+      .distinct()
+      .orderBy("service_name", "event_type", "host")
+  }
+
   /** `/querier.v1.QuerierService/GetProfileStats`
     * (`reader/service/prof.go:334-420`): has-any-data flag plus oldest /
     * newest profile time in epoch milliseconds. The reference bounds the
