@@ -444,6 +444,27 @@ object TraceQLGates extends GateSet {
     Gate("traceql_tag_values",
       (spark: SparkSession, dir: String) =>
         engine(spark, dir).tagValues("service_name").orderBy("val"),
-      o("""SELECT DISTINCT service_name AS val FROM spans ORDER BY 1"""))
+      o("""SELECT DISTINCT service_name AS val FROM spans ORDER BY 1""")),
+
+    // --- v2 selector-scoped autocomplete (tagsV2Planner/valuesV2Planner) --
+    Gate("traceql_tag_values_scoped",
+      (spark: SparkSession, dir: String) => {
+        val Query(Sel(ss), _, _, _, _, _) = parsed("""{ .name="error" }"""): @unchecked
+        engine(spark, dir).tagValuesV2("user", Some(ss)).orderBy("val")
+      },
+      o("""SELECT DISTINCT CAST(user_id AS VARCHAR) AS val
+          |FROM spans WHERE name = 'error' ORDER BY 1""".stripMargin)),
+
+    Gate("traceql_tag_names_scoped",
+      (spark: SparkSession, dir: String) => {
+        val Query(Sel(ss), _, _, _, _, _) =
+          parsed("""{ .service_name="svc3" }"""): @unchecked
+        engine(spark, dir).tagNamesV2(Some(ss)).orderBy("key")
+      },
+      o("""SELECT DISTINCT key FROM (
+          |  SELECT 'name' AS key FROM spans WHERE service_name = 'svc3'
+          |  UNION ALL SELECT 'service_name' FROM spans WHERE service_name = 'svc3'
+          |  UNION ALL SELECT 'user' FROM spans WHERE service_name = 'svc3')
+          |ORDER BY 1""".stripMargin))
   )
 }

@@ -711,4 +711,31 @@ class TraceQLCompiler(spark: SparkSession, dir: String,
     */
   def tagNames(): DataFrame =
     attrs.select(col("key")).distinct()
+
+  /** v2 selector-scoped tag autocomplete (`/api/v2/search/tags?q={...}`,
+    * `expression_planner_simple.go:38-57` tagsV2Planner): distinct attr
+    * keys of the spans matching the selector — the same bitmask leaf plan
+    * as a search, with the attr scan semi-joined on its result. No
+    * selector → the unscoped v1 dictionary scan.
+    */
+  def tagNamesV2(sel: Option[SpanSet]): DataFrame = sel match {
+    case None => tagNames()
+    case Some(ss) =>
+      attrs.join(spanSetSpans(ss).select(col("trace_id"), col("span_id")),
+          Seq("trace_id", "span_id"), "left_semi")
+        .select(col("key")).distinct()
+  }
+
+  /** v2 selector-scoped tag-VALUE autocomplete
+    * (`/api/v2/search/tag/{tag}/values?q={...}`, valuesV2Planner
+    * `expression_planner_simple.go:59-80`).
+    */
+  def tagValuesV2(key: String, sel: Option[SpanSet]): DataFrame = sel match {
+    case None => tagValues(key)
+    case Some(ss) =>
+      attrs.filter(col("key") === key)
+        .join(spanSetSpans(ss).select(col("trace_id"), col("span_id")),
+          Seq("trace_id", "span_id"), "left_semi")
+        .select(col("val")).distinct()
+  }
 }
