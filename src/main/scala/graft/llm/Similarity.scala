@@ -88,8 +88,11 @@ object Similarity {
     * (buckets ≈ N/2^P), and the verify only scores candidates.
     */
   def embeddingNearDups(corpus: DataFrame, threshold: Double): DataFrame = {
-    val b = withBuckets(corpus.select(col("vec_id"), col("embedding")),
-      "vec_id", "embedding")
+    // materialized once: the 64 hyperplane dot products per vector would
+    // otherwise re-run on BOTH sides of the bucket self-join
+    val b = graft.model.Materialize(
+      withBuckets(corpus.select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding"))
     val cand = b.as("a").join(b.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bkt") === col("b.bkt") &&
           col("a.vec_id") < col("b.vec_id"))
