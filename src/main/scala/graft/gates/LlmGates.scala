@@ -143,6 +143,25 @@ object LlmGates extends GateSet {
           |  CAST(n_tokens AS BIGINT) AS n_tokens
           |FROM c WHERE n_tokens > 0 ORDER BY doc_id, chunk_id""".stripMargin)),
 
+    // --- incremental dedup: new batch (odd ids) vs corpus (even ids) ------
+    Gate("llm_incremental_dedup",
+      (spark: SparkSession, dir: String) => {
+        val d = docs(spark, dir)
+        Dedup.incrementalNearDups(
+          d.filter(col("doc_id") % 2 === 1),
+          d.filter(col("doc_id") % 2 === 0), 0.8)
+          .select(col("i"), col("j"), round(col("jaccard"), 6).as("jaccard"))
+          .orderBy("i", "j")
+      },
+      Some("WITH " + shViews + ",\n" + jaccardSql(
+        s"""rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= ${Dedup.MaxShingleDf}),
+           |shc AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)),
+           |cand AS (
+           |  SELECT DISTINCT sa.doc_id AS i, sb.doc_id AS j
+           |  FROM shc sa JOIN shc sb ON sa.s = sb.s
+           |  WHERE sa.doc_id % 2 = 1 AND sb.doc_id % 2 = 0)""".stripMargin,
+        0.8))),
+
     // --- duplicate clusters: connected components over near-dup pairs -----
     Gate("llm_dup_clusters",
       (spark: SparkSession, dir: String) =>

@@ -161,6 +161,29 @@ object Dedup {
     jaccardOf(pairs, docs).filter(col("jaccard") >= threshold)
   }
 
+  /** Incremental dedup: near-dup pairs of NEW docs against an EXISTING
+    * corpus — the shape ingestion at scale needs, where the corpus's
+    * band buckets are a precomputed index and only the new batch is
+    * shingled + banded per run. Candidates come from a new×corpus band
+    * equi-join (never corpus×corpus, never all-pairs), verified by exact
+    * Jaccard over both sides' shingles. Returns (i=new doc, j=corpus doc,
+    * jaccard ≥ threshold); a new doc with any hit is a duplicate to drop.
+    */
+  def incrementalNearDups(newDocs: DataFrame, corpus: DataFrame,
+      threshold: Double): DataFrame = {
+    val bn = lshBands(Materialize(minhashSignatures(newDocs)),
+      NearDupBands, NearDupRows)
+    val bc = lshBands(Materialize(minhashSignatures(corpus)),
+      NearDupBands, NearDupRows)
+    val pairs = bn.select(col("doc_id").as("i"), col("band"), col("bh"))
+      .join(bc.select(col("doc_id").as("j"), col("band"), col("bh")),
+        Seq("band", "bh"))
+      .select(col("i"), col("j")).distinct()
+    val all = newDocs.select(col("doc_id"), col("text"))
+      .unionByName(corpus.select(col("doc_id"), col("text")))
+    jaccardOf(pairs, all).filter(col("jaccard") >= threshold)
+  }
+
   /** Duplicate clusters: connected components over the near-dup pair
     * graph, each doc labeled with its component's smallest doc_id (the
     * canonical representative a dedup pass keeps). Transitivity matters:

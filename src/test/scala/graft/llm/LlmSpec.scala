@@ -98,6 +98,18 @@ class LlmSpec extends SparkSpec {
     assert(a.select("doc_id").except(b.select("doc_id")).isEmpty)
   }
 
+  test("incremental dedup equals the cross-set slice of full near-dup pairs") {
+    val newB = docs.filter(col("doc_id") % 2 === 1)
+    val corp = docs.filter(col("doc_id") % 2 === 0)
+    val inc = Dedup.incrementalNearDups(newB, corp, 0.8).select("i", "j")
+    // full-corpus pairs restricted to (odd, even) in either orientation
+    val full = Dedup.nearDupPairs(docs, 0.8).select("i", "j")
+    val cross = full.filter(col("i") % 2 === 1 && col("j") % 2 === 0)
+      .unionByName(full.filter(col("i") % 2 === 0 && col("j") % 2 === 1)
+        .select(col("j").as("i"), col("i").as("j")))
+    assert(inc.except(cross).isEmpty && cross.except(inc).isEmpty)
+  }
+
   test("scrubPii redacts emails, IPs, and phones; leaves clean text alone") {
     val s = spark
     import s.implicits._
