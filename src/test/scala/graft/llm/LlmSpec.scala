@@ -98,6 +98,19 @@ class LlmSpec extends SparkSpec {
     assert(a.select("doc_id").except(b.select("doc_id")).isEmpty)
   }
 
+  test("sampling / scrub / chunk compile to shuffle-free narrow plans") {
+    def exchanges(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.toString.sliding(8).count(_ == "Exchange")
+    assert(exchanges(Sampling.stratifiedSample(docs, col("lang"),
+      Map("en" -> 0.5), 0.1, key = col("doc_id"))) == 0)
+    assert(exchanges(Sampling.hashSample(docs, col("doc_id"), 0.3)) == 0)
+    assert(exchanges(docs.select(TextOps.scrubPii(col("text")))) == 0)
+    assert(exchanges(TextOps.chunk(docs)) == 0)
+    // the per-stratum reservoir is the one that legitimately shuffles once
+    assert(exchanges(Sampling.topNPerStratum(docs, col("lang"), 5,
+      key = col("doc_id"))) == 1)
+  }
+
   test("incremental dedup equals the cross-set slice of full near-dup pairs") {
     val newB = docs.filter(col("doc_id") % 2 === 1)
     val corp = docs.filter(col("doc_id") % 2 === 0)
