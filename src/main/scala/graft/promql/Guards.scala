@@ -80,22 +80,22 @@ object Guards {
     }
   }
 
-  /** Matched-series count for one selector: distinct fingerprints in the
-    * family over the query window. Partition-pruned (window) and
-    * column-pruned (`fingerprint` + the `labels` needed by matchers).
+  /** Matched-series count for one selector. With the store enabled this
+    * reads the `prom_series` DICTIONARY (series-ever-seen per family —
+    * MBs where the sample tables are TBs, so admission costs milliseconds
+    * regardless of store size; the count is a safe upper bound on the
+    * window's series). Derived mode falls back to a window-pruned,
+    * column-pruned distinct over the family samples.
     */
   def seriesCount(spark: SparkSession, dir: String, sel: Selector,
       loNs: Long, hiNs: Long): Long = {
+    if (graft.model.Tables.promMetric(sel.name).isEmpty)
+      throw new IllegalArgumentException(s"unknown metric: ${sel.name}")
     val base =
       if (graft.store.Store.enabled(spark))
-        graft.store.Store.promMetric(spark, dir, sel.name, loNs, hiNs)
-          .map(_.drop("date"))
-          .getOrElse(throw new IllegalArgumentException(
-            s"unknown metric: ${sel.name}"))
+        graft.store.Store.promSeries(spark, dir, sel.name)
       else
-        graft.model.Tables.promMetric(sel.name).getOrElse(
-          throw new IllegalArgumentException(
-            s"unknown metric: ${sel.name}"))(spark, dir)
+        graft.model.Tables.promMetric(sel.name).get(spark, dir)
           .filter(col("timestamp_ns") >= loNs && col("timestamp_ns") < hiNs)
     sel.matchers.foldLeft(base)((df, m) => df.filter(matcherCond(m)))
       .agg(approx_count_distinct(col("fingerprint")).as("n"))

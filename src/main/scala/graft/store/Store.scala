@@ -156,6 +156,23 @@ object Store {
           .sortWithinPartitions(col("fingerprint"), col("timestamp_ns"))
           .write.mode("overwrite").partitionBy("oid", "date").parquet(s"$root/prom_gauge_15s")
       }
+      if (!haveTable(s"$root/prom_series")) {
+        // per-family series DICTIONARY — the `time_series` analog for the
+        // metric families. Admission estimates and label lookups read this
+        // instead of the sample tables: at 100 TB the dictionary is MBs
+        // where the families are TBs
+        val fams = Seq(
+          "events_value"  -> Tables.gaugeSamples(spark, dir),
+          "events_total"  -> Tables.counterSamples(spark, dir),
+          "events_bucket" -> Tables.bucketSamples(spark, dir))
+        val dict = fams.map { case (n, f) =>
+          f.select(lit(n).as("family"), col("fingerprint"), col("labels"))
+            .dropDuplicates("family", "fingerprint")
+        }.reduce(_.unionByName(_))
+        withOid(dict)
+          .repartition(dictShards(spark), col("fingerprint"))
+          .write.mode("overwrite").parquet(s"$root/prom_series")
+      }
       root
     })
 
@@ -167,6 +184,15 @@ object Store {
     tenantFilter(spark,
       readTable(spark, s"${ensure(spark, dir)}/time_series")).drop("oid")
 
+  /** Metric-family series dictionary rows for one family:
+    * (fingerprint, labels). Series-ever-seen, not window-scoped — the
+    * cheap upper bound admission checks want.
+    */
+  def promSeries(spark: SparkSession, dir: String, family: String): DataFrame =
+    tenantFilter(spark,
+      readTable(spark, s"${ensure(spark, dir)}/prom_series"))
+      .filter(col("family") === family).drop("oid", "family")
+
   /** Touch every store table once (file-index listing + footer reads) so a
     * fresh session's first real query doesn't pay the cold-reader cost —
     * the cache-warm a resident query service does at startup.
@@ -175,7 +201,7 @@ object Store {
     val root = ensure(spark, dir)
     Seq("samples", "time_series", "metrics_15s", "spans", "span_attrs",
       "span_ancestors", "profiles", "prom_gauge", "prom_counter",
-      "prom_bucket", "prom_gauge_15s")
+      "prom_bucket", "prom_gauge_15s", "prom_series")
       .foreach(t => readTable(spark, s"$root/$t").limit(1).count(): Unit)
   }
 

@@ -20,6 +20,16 @@ class GuardsSpec extends SparkSpec {
     assert(est % points == 0L, s"estimate $est not a multiple of grid points $points")
   }
 
+  test("series dictionary count matches the derived distinct-series count") {
+    val sel = PromQLParser.parseOrThrow("""events_value{level="error"}""")
+      .asInstanceOf[PromQLAst.Selector]
+    val n = Guards.seriesCount(spark, sf, sel, StartNs, EndNs)
+    val expect = graft.model.Tables.gaugeSamples(spark, sf)
+      .filter(element_at(col("labels"), "level") === "error")
+      .select("fingerprint").distinct().count()
+    assert(n == expect, s"dict=$n derived=$expect")
+  }
+
   test("admission: range selector scales by range/scrape-interval budget") {
     val instant = Guards.estimateSamples(spark, sf, "events_value", params)
     val ranged = Guards.estimateSamples(spark, sf, "rate(events_value[1h])", params)
