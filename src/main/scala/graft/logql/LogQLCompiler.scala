@@ -331,7 +331,7 @@ class LogQLCompiler(spark: SparkSession, dir: String, params: EvalParams) {
     case _ => false
   }
 
-  private def applyStage(df: DataFrame, s: Stage): DataFrame = s match {
+  private[logql] def applyStage(df: DataFrame, s: Stage): DataFrame = s match {
     case f: LineFilter => df.filter(lineFilterCond(f))
     case LabelFilterStage(p) => df.filter(predCond(p))
 

@@ -94,13 +94,25 @@ object Store {
     * handles the query window; parquet row-group min/max on the sort keys
     * handles the rest.
     */
-  private def writePartitioned(df: DataFrame, path: String,
+  /** Bounded output-batch size — the writer's 50 MiB insert cap analog
+    * (`writer/service/generic_insert.go:33-35`): no store file exceeds
+    * ~maxRecordsPerFile rows, so downstream readers and compaction see
+    * bounded units regardless of partition skew. Conf knob
+    * `spark.graft.store.maxRecordsPerFile` (rows; 0 disables).
+    */
+  private def maxRecordsPerFile(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.store.maxRecordsPerFile")
+      .map(_.toLong).getOrElse(8000000L)
+
+  private[store] def writePartitioned(df: DataFrame, path: String,
       sortCols: Seq[String]): Unit =
     if (!haveTable(path))
       withOid(withDate(df))
         .repartition(col("oid"), col("date"))
         .sortWithinPartitions(sortCols.map(col): _*)
-        .write.mode("overwrite").partitionBy("oid", "date").parquet(path)
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", maxRecordsPerFile(df.sparkSession))
+        .partitionBy("oid", "date").parquet(path)
 
   /** Build (if absent) and return the store root for a testdata dir. */
   def ensure(spark: SparkSession, dir: String): String =

@@ -229,6 +229,31 @@ class StoreSpec extends SparkSpec {
     assert(after == before)
   }
 
+  test("maxRecordsPerFile bounds store output batches") {
+    val root = "/root/repo/target/test-maxrec"
+    val s = spark
+    import s.implicits._
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+    }
+    rm(new java.io.File(root))
+    spark.conf.set("spark.graft.store.maxRecordsPerFile", "100")
+    try {
+      // one partition's 1000 rows must split into ≥10 bounded files
+      val df = (0L until 1000L).toDF("fingerprint")
+        .withColumn("timestamp_ns", lit(1704067200L) * 1000000000L)
+        .coalesce(1)
+      Store.writePartitioned(df, s"$root/samples",
+        Seq("fingerprint", "timestamp_ns"))
+      val parts = new java.io.File(root)
+        .listFiles().filter(_.getName == "samples").flatMap(_.listFiles())
+        .filter(_.getName.startsWith("oid=")).flatMap(_.listFiles())
+        .flatMap(_.listFiles()).count(_.getName.endsWith(".parquet"))
+      assert(parts >= 10, s"expected >=10 bounded part files, got $parts")
+      assert(spark.read.parquet(s"$root/samples").count() == 1000L)
+    } finally spark.conf.unset("spark.graft.store.maxRecordsPerFile")
+  }
+
   test("store reads are identical across session timezones") {
     // date partitions are epoch-day derived (Store.withDate), so a store
     // written under one session timezone and read under another must
