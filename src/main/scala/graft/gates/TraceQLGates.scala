@@ -242,6 +242,26 @@ object TraceQLGates extends GateSet {
            |FROM spans WHERE service_name = 'svc1'
            |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // --- metrics exemplars: one sampled span per (bucket, series) ---------
+    // (`tempo/metrics_query.go:636-720` BuildGenericExemplarsQuery; the
+    // reference samples with any(), we take the deterministic earliest span
+    // per bucket so the oracle can reproduce the exact choice)
+    Gate("traceql_metrics_exemplars",
+      (spark: SparkSession, dir: String) => {
+        val q = parsed("""{ .name="click" } | rate() by (service_name)""")
+        engine(spark, dir)
+          .exemplars(q.expr, q.metrics.get, StartNs, EndNs, StepS)
+          .orderBy("service_name", "ts")
+      },
+      o(s"""SELECT service_name, (timestamp_ns // ${StepS}000000000) * $StepS AS ts,
+           |  trace_id, duration_ns AS dur_ns, timestamp_ns AS span_ts
+           |FROM (
+           |  SELECT *, row_number() OVER (
+           |      PARTITION BY service_name, timestamp_ns // ${StepS}000000000
+           |      ORDER BY timestamp_ns, trace_id, span_id) AS rn
+           |  FROM spans WHERE name = 'click')
+           |WHERE rn = 1 ORDER BY 1, 2""".stripMargin)),
+
     // --- metrics stage: per-step duration quantile ------------------------
     Gate("traceql_metrics_quantile",
       (spark: SparkSession, dir: String) => {

@@ -436,14 +436,13 @@ class TraceQLCompiler(spark: SparkSession, dir: String,
       .select(col("span_id"), col("parent_id"), col("name"),
         col("service_name"), col("timestamp_ns"), col("duration_ns"))
 
-  /** Metrics stage: per-step span rate / count / quantile / histogram
-    * grouped by attrs (`tempo_metrics.go:18-326`, histogram buckets
-    * `:487-600`). stepS-second tumbling buckets over the span start times.
-    * Histogram buckets are power-of-2 duration milliseconds, computed with
-    * integer bit-length (no FP log2 — boundary-exact by construction).
+  /** The matched + windowed span frame a metrics query aggregates over:
+    * selector-matched spans with intrinsics and any extra group-by attrs
+    * pivot-joined on. Shared by `metrics` and `exemplars` so both see the
+    * exact same span population (`service/tempo_metrics.go:18-326`).
     */
-  def metrics(e: TExpr, m: Metrics, startNs: Long, endNs: Long, stepS: Long): DataFrame = {
-    val stepNs = stepS * 1000000000L
+  private def metricsSpanFrame(e: TExpr, by: Seq[String],
+      startNs: Long, endNs: Long): DataFrame = {
     val matched = e match {
       case Sel(ss) => spanSetSpans(ss)
       case other =>
@@ -456,7 +455,7 @@ class TraceQLCompiler(spark: SparkSession, dir: String,
     // grouping attrs beyond the span intrinsics resolve through an attr
     // pivot join, the same `anyIf(val, key=k)` shape as select()
     // (`tempo/metrics_query.go:442-460` buildByPivotCTE)
-    val extraBy = m.by.filterNot(Set("name", "service_name"))
+    val extraBy = by.filterNot(Set("name", "service_name"))
     val withAttrs =
       if (extraBy.isEmpty) intrinsicAttrs
       else {
@@ -468,10 +467,20 @@ class TraceQLCompiler(spark: SparkSession, dir: String,
             .agg(pivots.head, pivots.tail: _*),
           Seq("trace_id", "span_id"), "left")
       }
+    withAttrs.filter(col("timestamp_ns") >= startNs && col("timestamp_ns") < endNs)
+  }
+
+  /** Metrics stage: per-step span rate / count / quantile / histogram
+    * grouped by attrs (`tempo_metrics.go:18-326`, histogram buckets
+    * `:487-600`). stepS-second tumbling buckets over the span start times.
+    * Histogram buckets are power-of-2 duration milliseconds, computed with
+    * integer bit-length (no FP log2 — boundary-exact by construction).
+    */
+  def metrics(e: TExpr, m: Metrics, startNs: Long, endNs: Long, stepS: Long): DataFrame = {
+    val stepNs = stepS * 1000000000L
     val keyCols = m.by.map(col)
     val bucket = (col("timestamp_ns") - pmod(col("timestamp_ns"), lit(stepNs)))
-    val windowed = withAttrs
-      .filter(col("timestamp_ns") >= startNs && col("timestamp_ns") < endNs)
+    val windowed = metricsSpanFrame(e, m.by, startNs, endNs)
     // aggregation target (`tempo_metrics.go:110-130`, buildAggExpr in
     // tempo/metrics_query.go:240-288): `duration` is the span intrinsic;
     // any other attr is resolved by joining its attr-value rows onto the
@@ -525,6 +534,35 @@ class TraceQLCompiler(spark: SparkSession, dir: String,
           .select(keyCols ++ Seq(col("le"),
             expr("bucket_ns div 1000000000").as("ts"), col("value")): _*)
     }
+  }
+
+  /** Exemplars for a metrics query: one sampled span per (step bucket,
+    * group-by key), returned as (by…, ts, trace_id, dur_ns, span_ts) for
+    * the UI to attach `trace:id` links to each series point
+    * (`tempo/metrics_query.go:636-720` BuildGenericExemplarsQuery,
+    * `service/tempo_metrics.go:191-300`). The reference samples with
+    * ClickHouse `any()` (arbitrary row); we take the earliest span per
+    * bucket — `row_number` ordered by (timestamp_ns, trace_id, span_id) —
+    * so the choice is deterministic and oracle-checkable. Same single
+    * shuffle key as the metrics aggregation itself; the rank window is the
+    * only extra cost.
+    */
+  def exemplars(e: TExpr, m: Metrics, startNs: Long, endNs: Long, stepS: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val stepNs = stepS * 1000000000L
+    val keyCols = m.by.map(col)
+    val bucket = (col("timestamp_ns") - pmod(col("timestamp_ns"), lit(stepNs)))
+    val w = Window.partitionBy(keyCols :+ col("bucket_ns"): _*)
+      .orderBy(col("timestamp_ns"), col("trace_id"), col("span_id"))
+    metricsSpanFrame(e, m.by, startNs, endNs)
+      .withColumn("bucket_ns", bucket)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(keyCols ++ Seq(
+        expr("bucket_ns div 1000000000").as("ts"),
+        col("trace_id"),
+        col("duration_ns").as("dur_ns"),
+        col("timestamp_ns").as("span_ts")): _*)
   }
 
   /** Second stage `| topk/bottomk(n)` over a metrics frame: rank per eval
