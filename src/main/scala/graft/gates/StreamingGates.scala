@@ -71,6 +71,46 @@ object StreamingGates extends GateSet {
            |FROM logs WHERE level = 'error'
            |GROUP BY 2, 3 ORDER BY event_type, ts""".stripMargin)),
 
+    // --- rule groups: PromQL recording rule with label-override writeback -
+    // (`ruler/writeback.go:13-41`: sample labels < rule static labels <
+    // __name__; `router/init.go:100` prom manager; the alerting rule in the
+    // same group is stored but NEVER evaluated, `model.go:5-8` — the gate
+    // output would contain its series if it ran)
+    Gate("streaming_ruler_group_prom",
+      (spark: SparkSession, dir: String) => {
+        import graft.streaming.Rules
+        rmrf(new java.io.File(Ruler.recordedPath(dir)))
+        rmrf(new java.io.File(Rules.rulesPath(dir)))
+        Rules.setGroup(spark, dir, "prom", "ns1", Rules.RuleGroup("g1", 60, Seq(
+          Rules.Rule(record = "clicks_last",
+            expr = """events_value{event_type="click"}""",
+            labels = Map("team" -> "sre", "event_type" -> "checkout")),
+          Rules.Rule(alert = "NeverEvaluated",
+            expr = """events_value{event_type="click"}""",
+            labels = Map("team" -> "oncall")))))
+        Rules.recordGroup(spark, dir, "prom", "ns1", "g1",
+          EvalParams(StartNs, EndNs, StepS))
+        Ruler.recorded(spark, dir)
+          .select(element_at(col("labels"), "__name__").as("name"),
+            element_at(col("labels"), "team").as("team"),
+            element_at(col("labels"), "event_type").as("event_type"),
+            element_at(col("labels"), "level").as("level"),
+            expr("timestamp_ns div 1000000000").as("ts"),
+            round(col("value"), 6).as("value"))
+          .orderBy("ts")
+      },
+      Some(OracleViews.withViews(
+        Seq(OracleViews.metrics,
+          s"grid AS (SELECT unnest(generate_series($StartS, $EndS, $StepS)) AS t)"),
+        s"""SELECT 'clicks_last' AS name, 'sre' AS team, 'checkout' AS event_type,
+           |  'info' AS level, g.t AS ts,
+           |  round(arg_max(value, timestamp_ns), 6) AS value
+           |FROM metrics m JOIN grid g
+           |  ON m.timestamp_ns > (g.t - 300) * 1000000000
+           | AND m.timestamp_ns <= g.t * 1000000000
+           |WHERE m.event_type = 'click'
+           |GROUP BY g.t ORDER BY ts""".stripMargin))),
+
     // --- watermarked tumbling-window aggregation over the stream ----------
     // (readStream → withWatermark → window agg → memory sink; complete
     // mode so the result is deterministic under AvailableNow — the oracle

@@ -1,0 +1,176 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.logql.{EvalParams, LogQLCompiler, LogQLParser}
+import graft.promql.{PromParams, PromQLCompiler}
+
+/** Rule-group storage + the recording-rule evaluation path
+  * (`ruler/model.go:1-36`, `ruler/manager.go:43-250`,
+  * `ruler/controller/controller.go`).
+  *
+  * Groups are namespaced configs (`NamespaceRuleGroups`), persisted as a
+  * tiny parquet table per store; CRUD is read-modify-overwrite with the
+  * working set collected to the driver first — rule configs are
+  * human-authored and bounded, so this is config management, not
+  * data-path work (the reference likewise serializes YAML into a single
+  * config column).
+  *
+  * Evaluation semantics mirror the reference exactly:
+  *   - only recording rules run — alerting rules are stored but never
+  *     evaluated (`model.go:5-8`);
+  *   - LogQL and PromQL rules each evaluate on their own engine
+  *     (`router/init.go:91,100` builds one manager per engine);
+  *   - the constant `vector(N)` shortcut skips the engine entirely
+  *     (`logql_evaluator.go:44-57`);
+  *   - writeback merges labels with rule labels overriding sample labels
+  *     and `__name__` = record name overriding both (`writeback.go:13-41`).
+  */
+object Rules {
+
+  final case class Rule(
+      record: String = "", alert: String = "", expr: String = "",
+      forDur: String = "", labels: Map[String, String] = Map.empty,
+      annotations: Map[String, String] = Map.empty) {
+    def isRecording: Boolean = record.nonEmpty
+  }
+
+  final case class RuleGroup(name: String, intervalS: Long, rules: Seq[Rule])
+
+  private final case class GroupRow(kind: String, namespace: String,
+      name: String, intervalS: Long, rules: Seq[Rule])
+
+  def rulesPath(dir: String): String =
+    "/root/repo/target/graft-store/" +
+      dir.replaceAll("[^a-zA-Z0-9.]+", "_") + "/rules"
+
+  private def load(spark: SparkSession, dir: String): Seq[GroupRow] = {
+    val p = new java.io.File(rulesPath(dir))
+    if (!p.exists) Seq.empty
+    else {
+      import spark.implicits._
+      spark.read.parquet(p.getPath).as[GroupRow].collect().toSeq
+    }
+  }
+
+  private def save(spark: SparkSession, dir: String,
+      rows: Seq[GroupRow]): Unit = {
+    import spark.implicits._
+    // rows are already on the driver, so overwriting the path they were
+    // read from cannot race the read
+    spark.createDataset(rows).repartition(1)
+      .write.mode(SaveMode.Overwrite).parquet(rulesPath(dir))
+  }
+
+  /** Create or replace one group (`controller.go` POST
+    * `/api/v1/rules/{namespace}`).
+    */
+  def setGroup(spark: SparkSession, dir: String, kind: String,
+      namespace: String, g: RuleGroup): Unit = {
+    val rest = load(spark, dir).filterNot(r =>
+      r.kind == kind && r.namespace == namespace && r.name == g.name)
+    save(spark, dir, rest :+ GroupRow(kind, namespace, g.name, g.intervalS, g.rules))
+  }
+
+  def groups(spark: SparkSession, dir: String, kind: String,
+      namespace: String): Seq[RuleGroup] =
+    load(spark, dir)
+      .filter(r => r.kind == kind && r.namespace == namespace)
+      .sortBy(_.name)
+      .map(r => RuleGroup(r.name, r.intervalS, r.rules))
+
+  /** All namespaces with their groups (`NamespaceRuleGroups`). */
+  def allGroups(spark: SparkSession, dir: String,
+      kind: String): Map[String, Seq[RuleGroup]] =
+    load(spark, dir).filter(_.kind == kind)
+      .groupBy(_.namespace)
+      .view.mapValues(_.sortBy(_.name)
+        .map(r => RuleGroup(r.name, r.intervalS, r.rules)).toSeq)
+      .toMap
+
+  def deleteGroup(spark: SparkSession, dir: String, kind: String,
+      namespace: String, name: String): Unit =
+    save(spark, dir, load(spark, dir).filterNot(r =>
+      r.kind == kind && r.namespace == namespace && r.name == name))
+
+  def deleteNamespace(spark: SparkSession, dir: String, kind: String,
+      namespace: String): Unit =
+    save(spark, dir, load(spark, dir).filterNot(r =>
+      r.kind == kind && r.namespace == namespace))
+
+  /** `/api/v1/rules` listing in the Prometheus shape — one row per rule
+    * with its group/file coordinates (`manager.go:12-34` PrometheusRule/
+    * PrometheusGroup).
+    */
+  def listRules(spark: SparkSession, dir: String, kind: String): DataFrame = {
+    import spark.implicits._
+    load(spark, dir).filter(_.kind == kind)
+      .flatMap(g => g.rules.map(r =>
+        (g.namespace, g.name, g.intervalS,
+          if (r.isRecording) r.record else r.alert,
+          r.expr,
+          if (r.isRecording) "recording" else "alerting")))
+      .toDF("file", "group_name", "interval_s", "rule_name", "query", "rule_type")
+      .orderBy("file", "group_name", "rule_name")
+  }
+
+  private val VectorRe = """(?i)^\s*vector\(\s*([0-9.]+)\s*\)\s*$""".r
+
+  /** Evaluate one rule expression over the eval grid on the engine the
+    * group's manager owns → (labels map, ts seconds, value).
+    */
+  def evalVector(spark: SparkSession, dir: String, kind: String,
+      expr0: String, params: EvalParams): DataFrame = expr0 match {
+    case VectorRe(n) =>
+      // constant vector: one unlabelled sample per eval point, no engine
+      // (`logql_evaluator.go:44-57`)
+      spark.range(params.startNs / 1000000000L,
+          params.endNs / 1000000000L + 1, params.stepS)
+        .select(
+          map().cast("map<string,string>").as("labels"),
+          col("id").as("ts"),
+          lit(n.toDouble).as("value"))
+    case _ if kind == "prom" =>
+      new PromQLCompiler(spark, dir,
+          PromParams(params.startNs, params.endNs, params.stepS))
+        .compile(expr0)
+        .select(col("labels"), col("ts"), col("value"))
+    case _ =>
+      new LogQLCompiler(spark, dir, params)
+        .compileMetric(LogQLParser.parseOrThrow(expr0))
+        .select(col("labels"), col("ts"), col("value"))
+  }
+
+  /** Evaluate every RECORDING rule of a group over the grid and append the
+    * results to the recorded-samples store. Label precedence per
+    * `writeback.go:13-41`: sample labels < rule static labels <
+    * `__name__` = record name. Returns samples written.
+    */
+  def recordGroup(spark: SparkSession, dir: String, kind: String,
+      namespace: String, groupName: String, params: EvalParams): Long = {
+    val g = groups(spark, dir, kind, namespace).find(_.name == groupName)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no rule group $kind/$namespace/$groupName"))
+    g.rules.filter(_.isRecording).map { r =>
+      val overrides = r.labels + ("__name__" -> r.record)
+      val keys = overrides.keys.toSeq
+      val overrideMap = map(
+        overrides.flatMap { case (k, v) => Seq(lit(k), lit(v)) }.toSeq: _*)
+      val merged = map_concat(
+        map_filter(col("labels"), (k, _) => !k.isin(keys: _*)),
+        overrideMap)
+      val out = evalVector(spark, dir, kind, r.expr, params)
+        .select(merged.as("labels"),
+          (col("ts") * 1000000000L).as("timestamp_ns"),
+          col("value"))
+        .withColumn("fingerprint",
+          graft.model.Tables.fingerprintOf(col("labels")))
+        .cache()
+      val n = out.count()
+      out.write.mode(SaveMode.Append).parquet(Ruler.recordedPath(dir))
+      out.unpersist()
+      n
+    }.sum
+  }
+}
