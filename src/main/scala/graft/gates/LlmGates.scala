@@ -104,6 +104,29 @@ object LlmGates extends GateSet {
            |  FROM shc sa JOIN shc sb ON sa.s = sb.s AND sa.doc_id < sb.doc_id)""".stripMargin,
         0.8))),
 
+    // --- winnowing document fingerprints (MOSS scheme): k-gram hashes →
+    // min per w-window → distinct; the rolling-hash serial recurrence is
+    // re-expressed as direct k-gram hashing (same output set) -------------
+    Gate("llm_fingerprints",
+      (spark: SparkSession, dir: String) =>
+        TextOps.winnowFingerprints(docs(spark, dir))
+          .select(col("doc_id"), explode(col("fingerprints")).as("fp"))
+          .orderBy("doc_id", "fp"),
+      Some(
+        """WITH n AS (SELECT doc_id,
+          |    regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS t
+          |  FROM documents),
+          |kh AS (SELECT doc_id,
+          |    [('0x'||substr(md5(substr(t, i, 8)),1,15))::BIGINT
+          |     for i in generate_series(1, length(t)-7)] AS kh
+          |  FROM n),
+          |fps AS (SELECT doc_id,
+          |    list_distinct([list_aggregate(kh[j:j+3], 'min')
+          |                   for j in generate_series(1, len(kh)-3)]) AS fps
+          |  FROM kh)
+          |SELECT doc_id, fp FROM (SELECT doc_id, unnest(fps) AS fp FROM fps)
+          |ORDER BY 1, 2""".stripMargin)),
+
     // --- PII scrub: typed placeholder redaction (regexp_replace chain) ----
     Gate("llm_pii_scrub",
       (spark: SparkSession, dir: String) =>

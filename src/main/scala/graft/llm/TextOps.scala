@@ -99,6 +99,50 @@ object TextOps {
     when(best.getField("score") > 0, best.getField("lang")).otherwise("und")
   }
 
+  // --- document fingerprinting (winnowing) --------------------------------
+
+  /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    * scheme): hash every character k-gram of the whitespace-normalized
+    * text, then keep the minimum hash of each window of `w` consecutive
+    * k-gram positions — any shared substring of length ≥ w+k-1 between two
+    * documents is guaranteed to share a fingerprint. The classic
+    * Karp-Rabin rolling-hash recurrence is a serial-CPU trick; the
+    * declarative twin hashes each k-gram directly (same output set, k is a
+    * small constant, everything stays inside whole-stage codegen).
+    *
+    * Output: (doc_id, fingerprints array<long>), distinct per doc.
+    */
+  def winnowFingerprints(df: DataFrame, k: Int = 8, w: Int = 4,
+      textCol: String = "text"): DataFrame = {
+    // Both stages are formulated as zip_with folds over SHIFTED SLICES
+    // (the same discipline as `shingles`): a lambda that captures an
+    // upstream array/string column can get that column's whole expression
+    // inlined into the per-ELEMENT loop (higher-order lambdas are
+    // interpreted, no subexpression elimination), which turns the winnow
+    // into O(n²) regex+md5 work per row. Shifted slices reference each
+    // upstream column a constant (k resp. w) number of times, all outside
+    // any lambda.
+    val norm = regexp_replace(trim(lower(col(textCol))), "\\s+", " ")
+    // k-gram at position i = zip of k shifted char slices; hash each gram
+    val chars = split(col("__norm"), "")
+    val m = greatest(length(col("__norm")) - (k - 1), lit(0))
+    val grams = (1 until k).foldLeft(slice(chars, lit(1), m)) { (acc, o) =>
+      zip_with(acc, slice(chars, lit(o + 1), m), (a, b) => concat(a, b))
+    }
+    val kh = transform(col("__grams"), g => mdhash64(g))
+    // winnow: min of each window of w consecutive hashes = zip-least of w
+    // shifted hash slices
+    val wm = greatest(size(col("__kh")) - (w - 1), lit(0))
+    val fps = array_distinct(
+      (1 until w).foldLeft(slice(col("__kh"), lit(1), wm)) { (acc, o) =>
+        zip_with(acc, slice(col("__kh"), lit(o + 1), wm), (a, b) => least(a, b))
+      })
+    df.withColumn("__norm", norm)
+      .withColumn("__grams", grams)
+      .withColumn("__kh", kh)
+      .select(col("doc_id"), fps.as("fingerprints"))
+  }
+
   // --- PII scrubbing -------------------------------------------------------
 
   /** PII patterns, kept to the regex subset Java regex and RE2 agree on:

@@ -245,4 +245,24 @@ class LlmSpec extends SparkSpec {
       .filter(col("tot") =!= col("n_bytes") || col("n") =!= 4)
     assert(bad.count() == 0)
   }
+
+  test("winnowing: shared substring >= w+k-1 chars shares a fingerprint") {
+    import graft.TestSpark.spark.implicits._
+    // k=8, w=4: any common substring of length >= 11 must share a print
+    val shared = "zqxjvkwpbfy" // 11 chars, unlikely elsewhere
+    val d = Seq(
+      (1L, s"alpha beta $shared gamma delta epsilon"),
+      (2L, s"completely different words $shared and more here"),
+      (3L, "no overlap with the others at all whatsoever"),
+      (4L, "tiny")) // shorter than k: empty fingerprint set
+      .toDF("doc_id", "text")
+    val fps = TextOps.winnowFingerprints(d)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert((fps(1L) intersect fps(2L)).nonEmpty)
+    assert((fps(1L) intersect fps(3L)).isEmpty)
+    assert(fps(4L).isEmpty)
+    // winnow is a sample of the k-gram hashes: strictly fewer prints than
+    // positions, never empty for a real doc
+    assert(fps(1L).nonEmpty && fps(3L).nonEmpty)
+  }
 }
