@@ -242,6 +242,40 @@ object TraceQLGates extends GateSet {
            |FROM spans WHERE service_name = 'svc1'
            |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // --- legacy tag search: k=v terms + duration bounds, newest first -----
+    // (`tempo/sql_index_query.go:13-129` + `traces_query.go:11-50`: per-tag
+    // attr scans intersected on (trace_id, span_id), duration_ms bounds,
+    // ORDER BY start DESC LIMIT n; here one bitmask attr scan)
+    Gate("traceql_tag_search",
+      (spark: SparkSession, dir: String) =>
+        engine(spark, dir).tagSearch(
+          """name=click service_name!=svc0""",
+          minDurNs = 100000000L, limit = 50),
+      o(s"""SELECT trace_id, span_id,
+           |  service_name AS root_service_name, name AS root_trace_name,
+           |  timestamp_ns AS start_time_unix_nano,
+           |  duration_ns // 1000000 AS duration_ms
+           |FROM spans
+           |WHERE name = 'click' AND service_name <> 'svc0'
+           |  AND duration_ns // 1000000 > 100
+           |ORDER BY start_time_unix_nano DESC, span_id LIMIT 50""".stripMargin)),
+
+    // --- instant metrics: one value per group over the whole window -------
+    // (`tempo/metrics_query.go:143-167` BuildMetricsInstantQuery: rate
+    // divides by window seconds, no time buckets)
+    Gate("traceql_metrics_instant",
+      (spark: SparkSession, dir: String) => {
+        val q = parsed("""{ .name="click" } | rate() by (service_name)""")
+        engine(spark, dir)
+          .metricsInstant(q.expr, q.metrics.get, StartNs, EndNs)
+          .select(col("service_name"), round(col("value"), 6).as("value"))
+          .orderBy("service_name")
+      },
+      o(s"""SELECT service_name,
+           |  round(CAST(count(*) AS DOUBLE) / ${EndS - StartS}, 6) AS value
+           |FROM spans WHERE name = 'click'
+           |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // --- metrics exemplars: one sampled span per (bucket, series) ---------
     // (`tempo/metrics_query.go:636-720` BuildGenericExemplarsQuery; the
     // reference samples with any(), we take the deterministic earliest span
@@ -290,6 +324,35 @@ object TraceQLGates extends GateSet {
       o(s"""SELECT name, (timestamp_ns // ${StepS}000000000) * $StepS AS ts,
            |  round(quantile_cont(CAST(user_id AS DOUBLE), 0.5), 6) AS value
            |FROM spans WHERE service_name = 'svc1'
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // --- metrics stage: avg/min/max/sum_over_time (metricsAggFn tail) -----
+    // (`tempo/metrics_query.go:23-29`: avg/min/max/sum over the resolved
+    // target — duration intrinsic here, attr target in the max gate)
+    Gate("traceql_metrics_avg_duration",
+      (spark: SparkSession, dir: String) => {
+        val q = parsed("""{ .service_name="svc2" } | avg_over_time(duration) by (name)""")
+        engine(spark, dir)
+          .metrics(q.expr, q.metrics.get, StartNs, EndNs, StepS)
+          .select(col("name"), col("ts"), round(col("value"), 6).as("value"))
+          .orderBy("name", "ts")
+      },
+      o(s"""SELECT name, (timestamp_ns // ${StepS}000000000) * $StepS AS ts,
+           |  round(avg(CAST(duration_ns AS DOUBLE)), 6) AS value
+           |FROM spans WHERE service_name = 'svc2'
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    Gate("traceql_metrics_max_attr",
+      (spark: SparkSession, dir: String) => {
+        val q = parsed("""{ .name="click" } | max_over_time(.user) by (service_name)""")
+        engine(spark, dir)
+          .metrics(q.expr, q.metrics.get, StartNs, EndNs, StepS)
+          .select(col("service_name"), col("ts"), round(col("value"), 6).as("value"))
+          .orderBy("service_name", "ts")
+      },
+      o(s"""SELECT service_name, (timestamp_ns // ${StepS}000000000) * $StepS AS ts,
+           |  round(max(CAST(user_id AS DOUBLE)), 6) AS value
+           |FROM spans WHERE name = 'click'
            |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
     // --- metrics stage: histogram over a span ATTR target -----------------

@@ -123,6 +123,14 @@ object TextOps {
     // upstream column a constant (k resp. w) number of times, all outside
     // any lambda.
     val norm = regexp_replace(trim(lower(col(textCol))), "\\s+", " ")
+    // md5-per-position is CPU-heavy narrow work: a small corpus arrives in
+    // few input splits (file-size partitioning) and would serialize on one
+    // task — rebalance when under-partitioned. At real scale input splits
+    // already exceed the session parallelism and this branch is a no-op.
+    val parallelism = df.sparkSession.sparkContext.defaultParallelism
+    val src =
+      if (df.rdd.getNumPartitions < parallelism) df.repartition(parallelism)
+      else df
     // k-gram at position i = zip of k shifted char slices; hash each gram
     val chars = split(col("__norm"), "")
     val m = greatest(length(col("__norm")) - (k - 1), lit(0))
@@ -137,10 +145,16 @@ object TextOps {
       (1 until w).foldLeft(slice(col("__kh"), lit(1), wm)) { (acc, o) =>
         zip_with(acc, slice(col("__kh"), lit(o + 1), wm), (a, b) => least(a, b))
       })
-    df.withColumn("__norm", norm)
-      .withColumn("__grams", grams)
-      .withColumn("__kh", kh)
-      .select(col("doc_id"), fps.as("fingerprints"))
+    // materialize the result: downstream explode/join plans otherwise
+    // collapse the projection chain into their Generate node and inline
+    // the md5 transform MANY times (observed 17× in the explode plan —
+    // a 9× wall-clock blowup); same signature-reuse rationale as the
+    // MinHash checkpoint in Dedup
+    graft.model.Materialize(
+      src.withColumn("__norm", norm)
+        .withColumn("__grams", grams)
+        .withColumn("__kh", kh)
+        .select(col("doc_id"), fps.as("fingerprints")))
   }
 
   // --- PII scrubbing -------------------------------------------------------

@@ -194,6 +194,11 @@ object TraceQLParser extends RegexParsers {
     } |
     "histogram_over_time" ~> ("(" ~> field <~ ")") ~ opt(byClause) ^^ {
       case f ~ by => Metrics("histogram_over_time", Some(f), None, by.getOrElse(Nil))
+    } |
+    // attr-target aggregations (`tempo/metrics_query.go:23-29` metricsAggFn)
+    ("avg_over_time" | "min_over_time" | "max_over_time" | "sum_over_time") ~
+      ("(" ~> field <~ ")") ~ opt(byClause) ^^ {
+      case fn ~ f ~ by => Metrics(fn, Some(f), None, by.getOrElse(Nil))
     }
 
   private def secondStage: Parser[SecondStageOp] =
@@ -244,4 +249,29 @@ object TraceQLParser extends RegexParsers {
 
   def parseOrThrow(q: String): Query =
     parse(q).fold(m => throw new IllegalArgumentException(s"TraceQL parse error: $m in: $q"), identity)
+}
+
+/** Legacy Tempo tag-search string (`/api/search?tags=...`): whitespace-
+  * separated `key{=,!=,=~,!~}value` terms, keys/values bare or quoted
+  * (`reader/tempo/tags.go:10-53`).
+  */
+object TempoTagsParser extends RegexParsers {
+  private def bare: Parser[String] = """[^ !=~"]+""".r
+  private def quoted: Parser[String] =
+    "\"" ~> """(\\.|[^"\\])*""".r <~ "\"" ^^ (s =>
+      s.replace("\\\"", "\"").replace("\\\\", "\\"))
+  private def cond: Parser[String] = "!=" | "=~" | "!~" | "="
+  private def tag: Parser[(String, String, String)] =
+    (quoted | bare) ~ cond ~ (quoted | bare) ^^ { case k ~ op ~ v => (k, op, v) }
+
+  def parse(s: String): Either[String, Seq[(String, String, String)]] =
+    parseAll(rep(tag), s) match {
+      case Success(t, _)      => Right(t)
+      case NoSuccess(m, rest) => Left(s"$m at ${rest.pos}")
+      case other              => Left(other.toString)
+    }
+
+  def parseOrThrow(s: String): Seq[(String, String, String)] =
+    parse(s).fold(m => throw new IllegalArgumentException(
+      s"tags parse error: $m in: $s"), identity)
 }

@@ -72,6 +72,7 @@ class TraceQLCompiler(spark: SparkSession, dir: String,
         case "=" => m && col("val") === v
         case "!=" => m && col("val") =!= v
         case "=~" => m && col("val").rlike("^(?:" + v + ")$")
+        case "!~" => m && !col("val").rlike("^(?:" + v + ")$")
         case other => throw new IllegalArgumentException(s"str op $other")
       }
     case NumCond(k, op, v) =>
@@ -430,6 +431,42 @@ class TraceQLCompiler(spark: SparkSession, dir: String,
         count(lit(1)).as("span_count"))
   }
 
+  /** Legacy tag search (`/api/search` without `q=`): conjunction of
+    * `k{=,!=,=~,!~}v` terms over the attr index plus optional duration
+    * bounds, one result row per matched SPAN — hex trace id, span's
+    * service/name as root_*, start ns, duration ms — newest first,
+    * limited (`tempo/sql_index_query.go:13-129` per-tag scans intersected
+    * on (trace_id, span_id); `tempo/traces_query.go:11-50` projection,
+    * `duration_ms > min`, `<= max`, ORDER BY start DESC LIMIT n;
+    * `tempo/tags.go` grammar). Tag terms ride the same bitmask span-set
+    * path as TraceQL `{a && b}` — one attr scan, no per-tag subquery.
+    * span_id is included as the deterministic tie-break under LIMIT.
+    */
+  def tagSearch(tags: String, minDurNs: Long = 0, maxDurNs: Long = 0,
+      limit: Int = 10): DataFrame = {
+    val terms = TempoTagsParser.parseOrThrow(tags)
+    require(terms.nonEmpty, "tags must contain at least one term")
+    val cond = terms.map { case (k, op, v) => StrCond(k, op, v): AttrCond }
+      .reduce(CondAnd(_, _))
+    val durMs = expr("duration_ns div 1000000") // intDiv, as traces_query.go:26
+    var out = spanSetSpans(SpanSet(Some(cond)))
+      .join(spans.select(col("trace_id"), col("span_id"), col("name"),
+        col("service_name")), Seq("trace_id", "span_id"))
+    if (minDurNs > 0) out = out.filter(durMs > minDurNs / 1000000L)
+    if (maxDurNs > 0) out = out.filter(durMs <= maxDurNs / 1000000L)
+    // (the reference hex-encodes trace_id at the HTTP layer; kept numeric
+    // here — rendering is presentation, not query semantics)
+    out.select(
+      col("trace_id"),
+      col("span_id"),
+      col("service_name").as("root_service_name"),
+      col("name").as("root_trace_name"),
+      col("timestamp_ns").as("start_time_unix_nano"),
+      expr("duration_ns div 1000000").as("duration_ms"))
+      .orderBy(col("start_time_unix_nano").desc, col("span_id"))
+      .limit(limit)
+  }
+
   /** `/api/traces/{id}` point lookup (`service/tempo.go:53-160`). */
   def traceById(traceId: Long): DataFrame =
     spans.filter(col("trace_id") === traceId)
@@ -476,26 +513,30 @@ class TraceQLCompiler(spark: SparkSession, dir: String,
     * Histogram buckets are power-of-2 duration milliseconds, computed with
     * integer bit-length (no FP log2 — boundary-exact by construction).
     */
+  /** Aggregation target resolution (`tempo_metrics.go:110-130`, buildAggExpr
+    * in `tempo/metrics_query.go:240-288`): `duration` is the span intrinsic;
+    * any other attr is resolved by joining its attr-value rows onto the
+    * matched spans — same shape as the span-set aggregator above.
+    */
+  private def resolveTarget(windowed: DataFrame,
+      attr: Option[String]): (DataFrame, Column) = attr match {
+    case None | Some("duration") =>
+      (windowed, col("duration_ns").cast("double"))
+    case Some(a) =>
+      (windowed.join(
+        attrs.filter(col("key") === a)
+          .select(col("trace_id"), col("span_id"),
+            col("val").cast("double").as("__av")),
+        Seq("trace_id", "span_id")),
+        col("__av"))
+  }
+
   def metrics(e: TExpr, m: Metrics, startNs: Long, endNs: Long, stepS: Long): DataFrame = {
     val stepNs = stepS * 1000000000L
     val keyCols = m.by.map(col)
     val bucket = (col("timestamp_ns") - pmod(col("timestamp_ns"), lit(stepNs)))
     val windowed = metricsSpanFrame(e, m.by, startNs, endNs)
-    // aggregation target (`tempo_metrics.go:110-130`, buildAggExpr in
-    // tempo/metrics_query.go:240-288): `duration` is the span intrinsic;
-    // any other attr is resolved by joining its attr-value rows onto the
-    // matched spans — same shape as the span-set aggregator above
-    val (withTarget, target) = m.attr match {
-      case None | Some("duration") =>
-        (windowed, col("duration_ns").cast("double"))
-      case Some(a) =>
-        (windowed.join(
-          attrs.filter(col("key") === a)
-            .select(col("trace_id"), col("span_id"),
-              col("val").cast("double").as("__av")),
-          Seq("trace_id", "span_id")),
-          col("__av"))
-    }
+    val (withTarget, target) = resolveTarget(windowed, m.attr)
     m.fn match {
       case "rate" | "count_over_time" =>
         val base = windowed
@@ -507,6 +548,20 @@ class TraceQLCompiler(spark: SparkSession, dir: String,
         }
         base.select(keyCols ++ Seq(
           expr("bucket_ns div 1000000000").as("ts"), value.as("value")): _*)
+      // attr-target aggregations (`tempo/metrics_query.go:23-29`
+      // metricsAggFn: avg/min/max/sum over the resolved target column)
+      case "avg_over_time" | "min_over_time" | "max_over_time" | "sum_over_time" =>
+        val agg = m.fn match {
+          case "avg_over_time" => avg(target)
+          case "min_over_time" => min(target)
+          case "max_over_time" => max(target)
+          case "sum_over_time" => sum(target)
+        }
+        withTarget
+          .groupBy(keyCols :+ bucket.as("bucket_ns"): _*)
+          .agg(agg.as("value"))
+          .select(keyCols ++ Seq(
+            expr("bucket_ns div 1000000000").as("ts"), col("value")): _*)
       case "quantile_over_time" =>
         withTarget
           .groupBy(keyCols :+ bucket.as("bucket_ns"): _*)
@@ -533,6 +588,38 @@ class TraceQLCompiler(spark: SparkSession, dir: String,
           .agg(count(lit(1)).cast("double").as("value"))
           .select(keyCols ++ Seq(col("le"),
             expr("bucket_ns div 1000000000").as("ts"), col("value")): _*)
+    }
+  }
+
+  /** Instant metrics (`/api/metrics/query`): ONE value per group over the
+    * whole [startNs, endNs) window, no time buckets
+    * (`service/tempo_metrics.go:326-430`,
+    * `tempo/metrics_query.go:143-167` BuildMetricsInstantQuery). rate
+    * divides by the window seconds; histogram_over_time returns an empty
+    * series list (`tempo_metrics.go:355-357`).
+    */
+  def metricsInstant(e: TExpr, m: Metrics, startNs: Long, endNs: Long): DataFrame = {
+    val windowS = math.max((endNs - startNs) / 1e9, 1.0)
+    val keyCols = m.by.map(col)
+    val windowed = metricsSpanFrame(e, m.by, startNs, endNs)
+    val (withTarget, target) = resolveTarget(windowed, m.attr)
+    def grouped(src: DataFrame, v: Column): DataFrame =
+      (if (keyCols.isEmpty) src.groupBy() else src.groupBy(keyCols: _*))
+        .agg(v.as("value"))
+    m.fn match {
+      case "rate" =>
+        grouped(windowed, count(lit(1)) / windowS)
+      case "count_over_time" =>
+        grouped(windowed, count(lit(1)).cast("double"))
+      case "avg_over_time" => grouped(withTarget, avg(target))
+      case "min_over_time" => grouped(withTarget, min(target))
+      case "max_over_time" => grouped(withTarget, max(target))
+      case "sum_over_time" => grouped(withTarget, sum(target))
+      case "quantile_over_time" =>
+        grouped(withTarget, percentile(target, lit(m.param.get)))
+      case "histogram_over_time" =>
+        spark.range(0).select(
+          m.by.map(k => lit("").as(k)) :+ lit(0.0).as("value"): _*)
     }
   }
 

@@ -32,6 +32,10 @@ class TraceQLCorpusSpec extends SparkSpec {
     """{ .name="q" } | quantile_over_time(duration, 0.99)""",
     """{ .name="q" } | quantile_over_time(duration, 0.5) by (name)""",
     """{} | histogram_over_time(duration)""",
+    """{ .name="q" } | avg_over_time(duration) by (name)""",
+    """{ .name="q" } | min_over_time(.latency)""",
+    """{ .name="q" } | max_over_time(.user) by (service_name)""",
+    """{ .name="q" } | sum_over_time(.bytes)""",
     """{} | rate() by (name) | topk(5)""",
     """{} | rate() | bottomk(2)""",
     """{ .name="err" } | compare({ .service_name="svc1" }, 10)""")
