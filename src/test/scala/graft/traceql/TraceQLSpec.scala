@@ -167,4 +167,49 @@ class TraceQLSpec extends SparkSpec {
       .orderBy("timestamp_ns").limit(1).collect()(0)
     assert(m0.getAs[String]("root_name") == first.getAs[String]("name"))
   }
+
+  test("instant metrics equal the bucket-summed range metrics") {
+    import graft.gates.EvalWindow._
+    val q = TraceQLParser.parseOrThrow("""{ .name="click" } | rate() by (service_name)""")
+    // Σ per-bucket counts == whole-window count, so instant rate must equal
+    // Σ(range rate × step) / window for every group
+    val range = engine.metrics(q.expr, q.metrics.get, StartNs, EndNs, StepS)
+      .groupBy("service_name")
+      .agg((sum(col("value")) * StepS / (EndS - StartS)).as("expect"))
+    val inst = engine.metricsInstant(q.expr, q.metrics.get, StartNs, EndNs)
+    val bad = inst.join(range, "service_name")
+      .filter(abs(col("value") - col("expect")) > 1e-9)
+    assert(bad.count() == 0)
+    assert(inst.count() > 0)
+  }
+
+  test("exemplars: one row per (bucket, series), each a real matched span") {
+    import graft.gates.EvalWindow._
+    val q = TraceQLParser.parseOrThrow("""{ .name="click" } | rate() by (service_name)""")
+    val ex = engine.exemplars(q.expr, q.metrics.get, StartNs, EndNs, StepS)
+    // key uniqueness: exactly one exemplar per (service_name, ts)
+    assert(ex.groupBy("service_name", "ts").count().filter(col("count") > 1).count() == 0)
+    // every exemplar's bucket count exists in the metrics frame
+    val m = engine.metrics(q.expr, q.metrics.get, StartNs, EndNs, StepS)
+    assert(ex.select("service_name", "ts")
+      .except(m.select("service_name", "ts")).count() == 0)
+    // exemplar spans are matched spans
+    val spans = Tables.spans(spark, sf).filter(col("name") === "click")
+    assert(ex.join(spans, ex("trace_id") === spans("trace_id") &&
+      ex("span_ts") === spans("timestamp_ns"), "left_anti").count() == 0)
+  }
+
+  test("tag search: terms AND, duration bound, limit, newest first") {
+    val res = engine.tagSearch("""name=click service_name=~svc[12]""",
+      minDurNs = 1000000L, limit = 7).collect()
+    assert(res.length <= 7)
+    assert(res.nonEmpty)
+    // newest first
+    val ts = res.map(_.getAs[Long]("start_time_unix_nano"))
+    assert(ts.sameElements(ts.sortBy(-_)))
+    // malformed tags string is a parse error, not a crash
+    intercept[IllegalArgumentException] {
+      engine.tagSearch("""=broken=""")
+    }
+  }
 }
