@@ -65,6 +65,17 @@ object LogQLGates extends GateSet {
            |  AND NOT contains(line, 'view')
            |ORDER BY timestamp_ns, line""".stripMargin)),
 
+    // --- or/and pattern groups after one filter op (model.go:181-212) ----
+    // (`|= ("a" or "b") and "c"`: op applies per leaf, tree combines the
+    // leaf conditions literally; negative op does not De Morgan)
+    Gate("logql_line_filter_or",
+      logQ("""{level="info"} |= (": 1" or ": 2") and "k" != "{" or "9"""", "event_type"),
+      o(s"""SELECT timestamp_ns, line, event_type
+           |FROM logs WHERE level = 'info'
+           |  AND ((contains(line, ': 1') OR contains(line, ': 2')) AND contains(line, 'k'))
+           |  AND (NOT contains(line, '{') OR NOT contains(line, '9'))
+           |ORDER BY timestamp_ns, line""".stripMargin)),
+
     Gate("logql_line_pattern",
       logQ("""{event_type="signup"} |> "{\"k\": 1<_>}"""", "user"),
       o(s"""SELECT timestamp_ns, line, "user"

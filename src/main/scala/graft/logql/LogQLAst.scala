@@ -17,8 +17,24 @@ object LogQLAst {
 
   sealed trait Stage
 
+  /** Line-filter pattern expression: a single needle or an `and`/`or`
+    * tree of needles (`logql_parser/model.go:181-212` LineFilterExp; the
+    * filter op applies to each LEAF and the tree combines the leaf
+    * conditions literally — no De Morgan on negative ops,
+    * `planner_line_filter.go:30-53`).
+    */
+  sealed trait LinePat
+  final case class PatLeaf(value: String) extends LinePat
+  final case class PatAnd(l: LinePat, r: LinePat) extends LinePat
+  final case class PatOr(l: LinePat, r: LinePat) extends LinePat
+
   /** `|= != |~ !~ |>` line filters (planner_line_filter.go:18-148). */
-  final case class LineFilter(op: String, needle: String) extends Stage
+  final case class LineFilter(op: String, pat: LinePat) extends Stage
+  object LineFilter {
+    /** Single-needle convenience form (the overwhelmingly common case). */
+    def apply(op: String, needle: String): LineFilter =
+      LineFilter(op, PatLeaf(needle))
+  }
 
   /** Label predicate tree (planner_label_filter.go:25-172). */
   sealed trait LabelPred

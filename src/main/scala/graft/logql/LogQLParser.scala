@@ -44,8 +44,19 @@ object LogQLParser extends RegexParsers {
     "{" ~> repsep(matcher, ",") <~ "}" ^^ Selector.apply
 
   // --- pipeline stages --------------------------------------------------
+  // pattern expression after a filter op (`model.go:181-212`): right-
+  // recursive `head (and|or tail)?`, parens group, NO precedence between
+  // and/or — `"a" and "b" or "c"` is And(a, Or(b, c)), as the reference
+  private def linePatHead: Parser[LinePat] =
+    "(" ~> linePatExp <~ ")" | quoted ^^ PatLeaf.apply
+  private def linePatExp: Parser[LinePat] =
+    linePatHead ~ opt(("and" | "or") ~ linePatExp) ^^ {
+      case h ~ None            => h
+      case h ~ Some("and" ~ t) => PatAnd(h, t)
+      case h ~ Some(_ ~ t)     => PatOr(h, t)
+    }
   private def lineFilter: Parser[Stage] =
-    ("|=" | "!=" | "|~" | "!~" | "|>") ~ quoted ^^ { case op ~ v => LineFilter(op, v) }
+    ("|=" | "!=" | "|~" | "!~" | "|>") ~ linePatExp ^^ { case op ~ p => LineFilter(op, p) }
 
   private def cmpOp: Parser[String] = ">=" | "<=" | "==" | "!=" | ">" | "<" | "=~" | "!~" | "="
 

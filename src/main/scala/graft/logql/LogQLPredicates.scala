@@ -54,11 +54,26 @@ object LogQLPredicates {
   def patternToLike(p: String): String =
     p.replace("\\", "\\\\").replace("%", "\\%").replace("_", "\\_").replace("<\\_>", "%")
 
-  def lineFilterCond(f: LineFilter): Column = f.op match {
-    case "|=" => col("line").contains(f.needle)
-    case "!=" => !col("line").contains(f.needle)
-    case "|~" => col("line").rlike(f.needle)
-    case "!~" => !col("line").rlike(f.needle)
-    case "|>" => col("line").like(patternToLike(f.needle))
+  /** The filter op applied to ONE leaf needle. */
+  private def leafCond(op: String, needle: String): Column = op match {
+    case "|=" => col("line").contains(needle)
+    case "!=" => !col("line").contains(needle)
+    case "|~" => col("line").rlike(needle)
+    case "!~" => !col("line").rlike(needle)
+    case "|>" => col("line").like(patternToLike(needle))
+  }
+
+  /** `and`/`or` pattern trees combine the LEAF conditions literally —
+    * negative ops do NOT distribute De Morgan-style
+    * (`planner_line_filter.go:30-53`): `!= "a" or "b"` is
+    * `NOT contains(a) OR NOT contains(b)`.
+    */
+  def lineFilterCond(f: LineFilter): Column = {
+    def eval(p: LinePat): Column = p match {
+      case PatLeaf(v)   => leafCond(f.op, v)
+      case PatAnd(l, r) => eval(l) && eval(r)
+      case PatOr(l, r)  => eval(l) || eval(r)
+    }
+    eval(f.pat)
   }
 }

@@ -29,6 +29,21 @@ class LogQLParserSpec extends AnyFunSuite {
         LineFilter("|>", "pat<_>"))))
   }
 
+  test("line filter or/and pattern groups (model.go:181-212)") {
+    // right-recursive, no and/or precedence: a and b or c = And(a, Or(b, c))
+    assert(p("""{a="x"} |= "a" and "b" or "c"""") ==
+      LogExpr(Selector(Seq(LabelMatcher("a", "=", "x"))), Seq(
+        LineFilter("|=", PatAnd(PatLeaf("a"), PatOr(PatLeaf("b"), PatLeaf("c")))))))
+    // parens group; next filter op starts a new stage
+    assert(p("""{a="x"} |= ("foo" or "bar") and "baz" != "q"""") ==
+      LogExpr(Selector(Seq(LabelMatcher("a", "=", "x"))), Seq(
+        LineFilter("|=", PatAnd(PatOr(PatLeaf("foo"), PatLeaf("bar")), PatLeaf("baz"))),
+        LineFilter("!=", "q"))))
+    assert(p("""{app="x"} |~ "POST" or "GET"""") ==
+      LogExpr(Selector(Seq(LabelMatcher("app", "=", "x"))), Seq(
+        LineFilter("|~", PatOr(PatLeaf("POST"), PatLeaf("GET"))))))
+  }
+
   test("backtick strings keep escapes raw") {
     assert(p("""{a="x"} |~ `\d+`""") ==
       LogExpr(Selector(Seq(LabelMatcher("a", "=", "x"))),
