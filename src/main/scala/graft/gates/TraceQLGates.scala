@@ -242,6 +242,23 @@ object TraceQLGates extends GateSet {
            |FROM spans WHERE service_name = 'svc1'
            |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // --- operand-level aggregator in a complex OR -------------------------
+    // (`model_v2.go` Selector-owned aggregator; planner_test.go shape
+    // `{a} | count() > 2 || {b}`: union of the aggregated trace set with
+    // the plain match set)
+    Gate("traceql_agged_or",
+      (spark: SparkSession, dir: String) => {
+        val q = parsed("""{ .service_name="svc1" } | count() > 3 || { .name="error" }""")
+        engine(spark, dir).matchingTraces(q.expr)
+          .orderBy("trace_id")
+      },
+      o("""SELECT DISTINCT trace_id FROM (
+          |  SELECT trace_id FROM spans WHERE service_name = 'svc1'
+          |  GROUP BY 1 HAVING count(DISTINCT span_id) > 3
+          |  UNION ALL
+          |  SELECT trace_id FROM spans WHERE name = 'error')
+          |ORDER BY 1""".stripMargin)),
+
     // --- legacy tag search: k=v terms + duration bounds, newest first -----
     // (`tempo/sql_index_query.go:13-129` + `traces_query.go:11-50`: per-tag
     // attr scans intersected on (trace_id, span_id), duration_ms bounds,

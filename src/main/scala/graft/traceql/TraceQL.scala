@@ -37,6 +37,12 @@ object TraceQLAst {
 
   sealed trait TExpr
   final case class Sel(ss: SpanSet) extends TExpr
+  /** A span-set operand carrying its OWN aggregator inside a complex
+    * expression — `{a} | count() > 2 || {b}` (`model_v2.go`: each Selector
+    * owns an optional aggregator; `complex_or.go` unions the resulting
+    * trace sets).
+    */
+  final case class AggedSel(ss: SpanSet, agg: SpanAgg) extends TExpr
   final case class StructAnd(l: TExpr, r: TExpr) extends TExpr
   final case class StructOr(l: TExpr, r: TExpr) extends TExpr
   /** `{a} > {b}` — direct parent→child: a span matching `r` whose parent
@@ -109,8 +115,19 @@ object TraceQLParser extends RegexParsers {
     * `service_name` intrinsics hit the same attr rows; `duration` is the
     * span intrinsic.
     */
+  /** Dotted attr names (`.service.name`, `.http.status_code`) — OTLP
+    * attribute keys; the store's key normalization maps the well-known
+    * `service.name` onto its intrinsic column key.
+    */
+  private def dottedIdent: Parser[String] =
+    ident ~ rep("." ~> ident) ^^ { case h ~ t => (h +: t).mkString(".") }
+  private def normKey(k: String): String =
+    if (k == "service.name") "service_name" else k
+
   private def field: Parser[String] =
-    ("resource." ~> ident) | ("span." ~> ident) | ("." ~> ident) |
+    ("resource." ~> dottedIdent ^^ normKey) |
+    ("span." ~> dottedIdent ^^ normKey) |
+    ("." ~> dottedIdent ^^ normKey) |
     // root intrinsics map onto the span-level columns
     // (`attr_condition.go:195-204`); statusMessage before status so the
     // longer literal wins
@@ -145,13 +162,33 @@ object TraceQLParser extends RegexParsers {
   private def spanset: Parser[TExpr] =
     "{" ~> opt(condExpr) <~ "}" ^^ (c => Sel(SpanSet(c)))
 
+  private def structOp: Parser[String] =
+    "&>>" | "&&" | "||" | "!>>" | ">>" | ">" |
+      "<<&" | "<<~" | "<<" | "<" | "~"
+
+  /** Each Selector of a complex expression may carry its own aggregator
+    * (`model_v2.go`; planner test `{a} | count() > 2 || {b}`). The HEAD
+    * operand takes one only when a structural op follows (guard) — a lone
+    * `{a} | count() > 2` keeps its aggregator at the query level; tail
+    * operands take theirs unconditionally.
+    */
+  private def headOperand: Parser[TExpr] =
+    spanset ~ opt("|" ~> aggStage <~ guard(structOp)) ^^ {
+      case Sel(ss) ~ Some(a) => AggedSel(ss, a)
+      case s ~ _             => s
+    }
+  private def tailOperand: Parser[TExpr] =
+    spanset ~ opt("|" ~> aggStage) ^^ {
+      case Sel(ss) ~ Some(a) => AggedSel(ss, a)
+      case s ~ _             => s
+    }
+
   // both op dialects: Tempo's `> >> < <<` and the reference lexer's
   // `&>>` (Descendant) / `<<&` (Ancestor) / `!>>` (NotDescendant) /
   // `<<~` (NotAncestor) — longest spellings first so `<<&`/`<<~` win
   // over `<<` and `&>>` over `&&`
   private def structExpr: Parser[TExpr] =
-    spanset ~ rep(("&>>" | "&&" | "||" | "!>>" | ">>" | ">" |
-        "<<&" | "<<~" | "<<" | "<" | "~") ~ spanset) ^^ { case f ~ r =>
+    headOperand ~ rep(structOp ~ tailOperand) ^^ { case f ~ r =>
       r.foldLeft(f) {
         case (a, "&&" ~ b)  => StructAnd(a, b)
         case (a, "||" ~ b)  => StructOr(a, b)

@@ -165,6 +165,10 @@ class TraceQLCompiler(spark: SparkSession, dir: String,
     */
   def matchingTraces(e: TExpr): DataFrame = e match {
     case Sel(ss) => spanSetSpans(ss).select(col("trace_id")).distinct()
+    // operand-level aggregator: traces whose span-set passes its own
+    // HAVING (`complex_or.go` over aggregated selectors)
+    case AggedSel(ss, agg) =>
+      aggregate(Sel(ss), agg).select(col("trace_id"))
     case StructAnd(l, r) => (simpleCond(l), simpleCond(r)) match {
       case (Some(cl), Some(cr)) =>
         // one scan + span agg, then a per-trace bool_or of each mask — no

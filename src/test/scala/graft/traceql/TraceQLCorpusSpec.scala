@@ -38,7 +38,11 @@ class TraceQLCorpusSpec extends SparkSpec {
     """{ .name="q" } | sum_over_time(.bytes)""",
     """{} | rate() by (name) | topk(5)""",
     """{} | rate() | bottomk(2)""",
-    """{ .name="err" } | compare({ .service_name="svc1" }, 10)""")
+    """{ .name="err" } | compare({ .service_name="svc1" }, 10)""",
+    """{ .service.name="svc1" }""",
+    """{ .http.status_code = 500 || resource.service.name="svc2" }""",
+    """{ .service_name="svc1" } | count() > 2 || { .name="error" }""",
+    """{ .name="view" } && { .name="click" } | avg(duration) > 1ms""")
 
   test(s"corpus of ${corpus.size} TraceQL queries parses") {
     val failures = corpus.flatMap { q =>

@@ -48,6 +48,37 @@ class TraceQLSpec extends SparkSpec {
     assert(pos.nonEmpty && neg.nonEmpty)
   }
 
+  test("parser: dotted attr names; service.name normalizes to the intrinsic") {
+    def cond(q: String) = TraceQLParser.parseOrThrow(q).expr match {
+      case Sel(SpanSet(Some(c))) => c
+      case other                 => fail(s"unexpected: $other")
+    }
+    assert(cond("""{ .service.name="svc1" }""") ==
+      cond("""{ .service_name="svc1" }"""))
+    assert(cond("""{ resource.service.name="svc1" }""") ==
+      cond("""{ .service_name="svc1" }"""))
+    assert(cond("""{ .http.status_code = 500 }""") ==
+      NumCond("http.status_code", "=", 500.0))
+  }
+
+  test("operand aggregator: {a}|count()>N || {b} unions agged with plain set") {
+    val q = TraceQLParser.parseOrThrow(
+      """{ .service_name="svc1" } | count() > 3 || { .name="error" }""")
+    assert(q.agg.isEmpty) // the aggregator belongs to the operand
+    val got = engine.matchingTraces(q.expr).collect().map(_.getLong(0)).toSet
+    val agged = engine.aggregate(
+      TraceQLParser.parseOrThrow("""{ .service_name="svc1" } | count() > 3""").expr,
+      TraceQLParser.parseOrThrow("""{ .service_name="svc1" } | count() > 3""").agg.get)
+      .collect().map(_.getLong(0)).toSet
+    val plain = engine.matchingTraces(
+      TraceQLParser.parseOrThrow("""{ .name="error" }""").expr)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == (agged union plain))
+    // a lone aggregated selector still parses at the query level
+    assert(TraceQLParser.parseOrThrow(
+      """{ .service_name="svc1" } | count() > 3""").agg.isDefined)
+  }
+
   test("parser: intrinsic tail — bool literals, nestedSet, unquoted values") {
     def cond(q: String): Option[AttrCond] =
       TraceQLParser.parseOrThrow(q).expr match {
