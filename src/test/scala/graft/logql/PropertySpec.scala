@@ -118,6 +118,66 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  // --- line-filter or/and pattern trees: parse+eval vs direct eval ---------
+
+  private sealed trait TreeG
+  private case class LeafG(s: String) extends TreeG
+  private case class AndG(l: TreeG, r: TreeG) extends TreeG
+  private case class OrG(l: TreeG, r: TreeG) extends TreeG
+
+  private val needleGen: Gen[String] =
+    Gen.choose(1, 3).flatMap(n => Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+
+  private def treeGen(depth: Int): Gen[TreeG] =
+    if (depth == 0) needleGen.map(LeafG.apply)
+    else Gen.frequency(
+      3 -> needleGen.map(LeafG.apply),
+      2 -> Gen.zip(treeGen(depth - 1), treeGen(depth - 1)).map((AndG.apply _).tupled),
+      2 -> Gen.zip(treeGen(depth - 1), treeGen(depth - 1)).map((OrG.apply _).tupled))
+
+  private def render(t: TreeG): String = t match {
+    case LeafG(s)  => "\"" + s + "\""
+    case AndG(l, r) => s"(${render(l)} and ${render(r)})"
+    case OrG(l, r)  => s"(${render(l)} or ${render(r)})"
+  }
+
+  private def evalTree(t: TreeG, line: String, pos: Boolean): Boolean = t match {
+    case LeafG(s)   => if (pos) line.contains(s) else !line.contains(s)
+    case AndG(l, r) => evalTree(l, line, pos) && evalTree(r, line, pos)
+    case OrG(l, r)  => evalTree(l, line, pos) || evalTree(r, line, pos)
+  }
+
+  private val lineGen: Gen[String] =
+    Gen.choose(0, 8).flatMap(n => Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+
+  test("property: or/and line-filter trees agree with direct evaluation") {
+    val trees = cases(treeGen(2))
+    val lines = cases(lineGen).distinct
+    // all (tree, polarity) conditions evaluated in ONE DataFrame pass;
+    // both polarities exercise the no-De-Morgan rule
+    val parsedConds = for {
+      (t, ti) <- trees.zipWithIndex
+      (op, pos) <- Seq("|=" -> true, "!=" -> false)
+    } yield {
+      val q = s"""{x="y"} $op ${render(t)}"""
+      val f = LogQLParser.parseOrThrow(q) match {
+        case LogExpr(_, Seq(f: LineFilter)) => f
+        case other => fail(s"unexpected AST for $q: $other")
+      }
+      (t, ti, op, pos, LogQLPredicates.lineFilterCond(f))
+    }
+    val rows = linesDf(lines).select(
+      col("line") +: parsedConds.map { case (_, ti, _, pos, c) =>
+        c.as(s"c_${ti}_${if (pos) "p" else "n"}") }: _*).collect()
+    rows.foreach { r =>
+      val line = r.getString(0)
+      parsedConds.zipWithIndex.foreach { case ((t, ti, op, pos, _), i) =>
+        assert(r.getBoolean(i + 1) == evalTree(t, line, pos),
+          s"line '$line' tree #$ti $op ${render(t)}")
+      }
+    }
+  }
+
   // --- parser totality: garbage never escapes as a non-parse error ---------
 
   private val garbageGen: Gen[String] =
