@@ -230,6 +230,25 @@ class TraceQLSpec extends SparkSpec {
       ex("span_ts") === spans("timestamp_ns"), "left_anti").count() == 0)
   }
 
+  test("plan shapes: tag search scans the attr table once; exemplars add one window") {
+    def planOf(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.toString
+    // N tag terms must NOT become N attr-table subquery scans — the terms
+    // ride one bitmask scan (sql_index_query.go does one scan per tag;
+    // the Spark design folds them into the single masked aggregate)
+    val p = planOf(engine.tagSearch("""name=click service_name=svc1 user=3""", limit = 5))
+    assert("span_attrs".r.findAllIn(p).size == 1, p.linesIterator.filter(_.contains("span_attrs")).mkString("\n"))
+    // exemplars: rank window rides the same key as the metrics aggregate —
+    // no extra scan of the span table beyond the metrics frame's two
+    import graft.gates.EvalWindow._
+    val q = TraceQLParser.parseOrThrow("""{ .name="click" } | rate() by (service_name)""")
+    val pm = planOf(engine.metrics(q.expr, q.metrics.get, StartNs, EndNs, StepS))
+    val pe = planOf(engine.exemplars(q.expr, q.metrics.get, StartNs, EndNs, StepS))
+    def scans(s: String) = "FileScan".r.findAllIn(s).size
+    assert(scans(pe) == scans(pm), s"exemplars scans=${scans(pe)} metrics scans=${scans(pm)}")
+    assert(pe.contains("Window"))
+  }
+
   test("tag search: terms AND, duration bound, limit, newest first") {
     val res = engine.tagSearch("""name=click service_name=~svc[12]""",
       minDurNs = 1000000L, limit = 7).collect()
