@@ -99,19 +99,56 @@ object Rules {
     save(spark, dir, load(spark, dir).filterNot(r =>
       r.kind == kind && r.namespace == namespace))
 
+  // --- per-rule evaluation health (`manager.go:36-41` RuleHealth,
+  // kept keyed by namespace:group:record; persisted here so a restarted
+  // service still reports the last outcome) ------------------------------
+
+  private final case class HealthRow(kind: String, namespace: String,
+      group: String, rule: String, health: String, lastError: String,
+      lastEvalMs: Long, evalTimeS: Double)
+
+  private def healthPath(dir: String): String = rulesPath(dir) + "_health"
+
+  private def loadHealth(spark: SparkSession, dir: String): Seq[HealthRow] = {
+    val p = new java.io.File(healthPath(dir))
+    if (!p.exists) Seq.empty
+    else {
+      import spark.implicits._
+      spark.read.parquet(p.getPath).as[HealthRow].collect().toSeq
+    }
+  }
+
+  private def saveHealth(spark: SparkSession, dir: String,
+      updates: Seq[HealthRow]): Unit = if (updates.nonEmpty) {
+    import spark.implicits._
+    val keys = updates.map(h => (h.kind, h.namespace, h.group, h.rule)).toSet
+    val rest = loadHealth(spark, dir).filterNot(h =>
+      keys((h.kind, h.namespace, h.group, h.rule)))
+    spark.createDataset(rest ++ updates).repartition(1)
+      .write.mode(SaveMode.Overwrite).parquet(healthPath(dir))
+  }
+
   /** `/api/v1/rules` listing in the Prometheus shape — one row per rule
-    * with its group/file coordinates (`manager.go:12-34` PrometheusRule/
-    * PrometheusGroup).
+    * with its group/file coordinates and last evaluation outcome
+    * (`manager.go:12-41` PrometheusRule/PrometheusGroup/RuleHealth;
+    * never-evaluated rules report "unknown").
     */
   def listRules(spark: SparkSession, dir: String, kind: String): DataFrame = {
     import spark.implicits._
+    val health = loadHealth(spark, dir)
+      .map(h => (h.kind, h.namespace, h.group, h.rule) -> h).toMap
     load(spark, dir).filter(_.kind == kind)
-      .flatMap(g => g.rules.map(r =>
-        (g.namespace, g.name, g.intervalS,
-          if (r.isRecording) r.record else r.alert,
-          r.expr,
-          if (r.isRecording) "recording" else "alerting")))
-      .toDF("file", "group_name", "interval_s", "rule_name", "query", "rule_type")
+      .flatMap(g => g.rules.map { r =>
+        val name = if (r.isRecording) r.record else r.alert
+        val h = health.get((kind, g.namespace, g.name, name))
+        (g.namespace, g.name, g.intervalS, name, r.expr,
+          if (r.isRecording) "recording" else "alerting",
+          h.map(_.health).getOrElse("unknown"),
+          h.map(_.lastError).getOrElse(""),
+          h.map(_.evalTimeS).getOrElse(0.0))
+      })
+      .toDF("file", "group_name", "interval_s", "rule_name", "query",
+        "rule_type", "health", "last_error", "eval_time_s")
       .orderBy("file", "group_name", "rule_name")
   }
 
@@ -152,25 +189,38 @@ object Rules {
     val g = groups(spark, dir, kind, namespace).find(_.name == groupName)
       .getOrElse(throw new IllegalArgumentException(
         s"no rule group $kind/$namespace/$groupName"))
-    g.rules.filter(_.isRecording).map { r =>
-      val overrides = r.labels + ("__name__" -> r.record)
-      val keys = overrides.keys.toSeq
-      val overrideMap = map(
-        overrides.flatMap { case (k, v) => Seq(lit(k), lit(v)) }.toSeq: _*)
-      val merged = map_concat(
-        map_filter(col("labels"), (k, _) => !k.isin(keys: _*)),
-        overrideMap)
-      val out = evalVector(spark, dir, kind, r.expr, params)
-        .select(merged.as("labels"),
-          (col("ts") * 1000000000L).as("timestamp_ns"),
-          col("value"))
-        .withColumn("fingerprint",
-          graft.model.Tables.fingerprintOf(col("labels")))
-        .cache()
-      val n = out.count()
-      out.write.mode(SaveMode.Append).parquet(Ruler.recordedPath(dir))
-      out.unpersist()
-      n
-    }.sum
+    var written = 0L
+    val healths = g.rules.filter(_.isRecording).map { r =>
+      val t0 = System.nanoTime()
+      // a failing rule records health=err and must not block its group
+      // siblings (`manager.go`: per-rule health, evaluation continues)
+      val (health, err) =
+        try {
+          val overrides = r.labels + ("__name__" -> r.record)
+          val keys = overrides.keys.toSeq
+          val overrideMap = map(
+            overrides.flatMap { case (k, v) => Seq(lit(k), lit(v)) }.toSeq: _*)
+          val merged = map_concat(
+            map_filter(col("labels"), (k, _) => !k.isin(keys: _*)),
+            overrideMap)
+          val out = evalVector(spark, dir, kind, r.expr, params)
+            .select(merged.as("labels"),
+              (col("ts") * 1000000000L).as("timestamp_ns"),
+              col("value"))
+            .withColumn("fingerprint",
+              graft.model.Tables.fingerprintOf(col("labels")))
+            .cache()
+          written += out.count()
+          out.write.mode(SaveMode.Append).parquet(Ruler.recordedPath(dir))
+          out.unpersist()
+          ("ok", "")
+        } catch {
+          case e: Exception => ("err", Option(e.getMessage).getOrElse(e.toString))
+        }
+      HealthRow(kind, namespace, groupName, r.record, health, err,
+        System.currentTimeMillis(), (System.nanoTime() - t0) / 1e9)
+    }
+    saveHealth(spark, dir, healths)
+    written
   }
 }

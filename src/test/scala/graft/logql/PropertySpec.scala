@@ -196,6 +196,7 @@ class PropertySpec extends SparkSpec {
       total(LogQLParser.parseOrThrow)
       total(graft.promql.PromQLParser.parseOrThrow)
       total(graft.traceql.TraceQLParser.parseOrThrow)
+      total(graft.traceql.TempoTagsParser.parseOrThrow)
     }
   }
 }

@@ -64,6 +64,23 @@ class RulesSpec extends SparkSpec {
       ("ns1", "g1", "rec_rule", "recording")))
   }
 
+  test("rule health: err rule does not block siblings; listing reports outcomes") {
+    fresh()
+    Rules.setGroup(spark, sf, "loki", "ns1", Rules.RuleGroup("g1", 60, Seq(
+      Rules.Rule(record = "good_rule", expr = "vector(1)"),
+      Rules.Rule(record = "bad_rule", expr = "sum(("),
+      Rules.Rule(alert = "never_run", expr = "vector(2)"))))
+    val n = Rules.recordGroup(spark, sf, "loki", "ns1", "g1",
+      EvalParams(StartNs, StartNs + StepS * 1000000000L, StepS))
+    assert(n == 2) // good_rule's two grid points landed despite bad_rule
+    val rows = Rules.listRules(spark, sf, "loki")
+      .select("rule_name", "health", "last_error")
+      .collect().map(r => r.getString(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(rows("good_rule")._1 == "ok" && rows("good_rule")._2 == "")
+    assert(rows("bad_rule")._1 == "err" && rows("bad_rule")._2.nonEmpty)
+    assert(rows("never_run")._1 == "unknown") // stored, never evaluated
+  }
+
   test("vector(N) shortcut yields one unlabelled sample per eval point") {
     val params = EvalParams(StartNs, StartNs + 4 * StepS * 1000000000L, StepS)
     val rows = Rules.evalVector(spark, sf, "loki", " Vector( 2.5 ) ", params)
