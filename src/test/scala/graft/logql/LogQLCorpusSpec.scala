@@ -87,10 +87,12 @@ class LogQLCorpusSpec extends SparkSpec {
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
-  test(s"corpus of ${corpus.size} queries COMPILES (plan analysis)") {
+  test(s"corpus of ${corpus.size} queries EXECUTES at sf0.001") {
+    // full execution, not just plan analysis: codegen failures, runtime
+    // casts on real data, and window-frame evaluation only surface here
     val eng = new LogQLCompiler(spark, sf, EvalParams(StartNs, EndNs, StepS))
     val failures = corpus.flatMap { q =>
-      try { eng.compileExpr(LogQLParser.parseOrThrow(q)).queryExecution.analyzed; None }
+      try { eng.compileExpr(LogQLParser.parseOrThrow(q)).count(); None }
       catch { case e: Throwable => Some(s"$q -> ${e.getClass.getSimpleName}: ${e.getMessage}") }
     }
     assert(failures.isEmpty, failures.mkString("\n"))

@@ -98,7 +98,8 @@ class PromQLCorpusSpec extends SparkSpec {
       .replaceAll("\\b(up|gauge_metric|cpu_temp|counter_metric|config_version|node_load1|node_memory_free|http_request_duration|some_metric|errors|requests|cache_hits|cache_misses|foo|bar|m|x|y|a|b|metric_a|metric_b|maintenance|nonexistent_metric|node_filesystem_free|build_info|http_responses)\\b", "events_value")
     val failures = corpus.flatMap { q0 =>
       val q = mapped(q0)
-      try { eng.compile(q).queryExecution.analyzed; None }
+      // full execution, not just plan analysis (see LogQLCorpusSpec)
+      try { eng.compile(q).count(); None }
       catch { case e: Throwable =>
         Some(s"$q -> ${e.getClass.getSimpleName}: ${e.getMessage}") }
     }

@@ -55,8 +55,8 @@ class TraceQLCorpusSpec extends SparkSpec {
     val eng = new TraceQLCompiler(spark, sf, StartNs, EndNs)
     val failures = corpus.flatMap { q =>
       try {
-        eng.run(TraceQLParser.parseOrThrow(q), StartNs, EndNs, StepS)
-          .queryExecution.analyzed
+        // full execution, not just plan analysis (see LogQLCorpusSpec)
+        eng.run(TraceQLParser.parseOrThrow(q), StartNs, EndNs, StepS).count()
         None
       } catch { case e: Throwable =>
         Some(s"$q -> ${e.getClass.getSimpleName}: ${e.getMessage}")
