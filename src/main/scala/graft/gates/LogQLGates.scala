@@ -355,6 +355,18 @@ object LogQLGates extends GateSet {
            |FROM logs WHERE event_type = 'view'
            |ORDER BY timestamp_ns, line""".stripMargin)),
 
+    // --- keep preserves __error__ unconditionally; value-qualified drop ---
+    // (`planner_keep.go:56-69`: parser-error labels survive any keep list;
+    // `planner_drop.go:57-75`: `drop k="v"` drops only the matching value)
+    Gate("logql_keep_error_valuedrop",
+      logQ("""{event_type="purchase"} | line_format "{{.user}}-oops" | json | keep user | drop user="7"""",
+        "user", "__error__"),
+      o(s"""SELECT timestamp_ns, "user" || '-oops' AS line,
+           |  CASE WHEN "user" = '7' THEN NULL ELSE "user" END AS "user",
+           |  'JSONParserErr' AS __error__
+           |FROM logs WHERE event_type = 'purchase'
+           |ORDER BY timestamp_ns, line""".stripMargin)),
+
     // --- without grouping (ByWithoutPlanner, without branch) --------------
     Gate("logql_without",
       metricQ("""sum without (user, level) (count_over_time({level="info"}[6h]))""", "event_type"),

@@ -54,8 +54,21 @@ object LogQLAst {
   final case class LineFormatStage(tpl: String) extends Stage
   /** `| label_format dst=src` or `dst="tpl"`. */
   final case class LabelFormatStage(ops: Seq[(String, Either[String, String])]) extends Stage
-  final case class DropStage(keys: Seq[String]) extends Stage
-  final case class KeepStage(keys: Seq[String]) extends Stage
+  /** `| drop a, b="v"` / `| keep a, b="v"`: bare names match the key,
+    * value-qualified entries match the (key, value) pair
+    * (`planner_drop.go:57-75`, `planner_keep.go:56-88`; keep additionally
+    * preserves `__error__`/`__error_details__` regardless of the list).
+    */
+  final case class DropStage(entries: Seq[(String, Option[String])]) extends Stage
+  object DropStage {
+    def apply(keys: Seq[String])(implicit d: DummyImplicit): DropStage =
+      DropStage(keys.map(_ -> None))
+  }
+  final case class KeepStage(entries: Seq[(String, Option[String])]) extends Stage
+  object KeepStage {
+    def apply(keys: Seq[String])(implicit d: DummyImplicit): KeepStage =
+      KeepStage(keys.map(_ -> None))
+  }
   /** `| unwrap lbl` with optional conversion fn (duration/bytes). */
   final case class UnwrapStage(label: String, conv: Option[String]) extends Stage
 

@@ -331,6 +331,16 @@ class LogQLCompiler(spark: SparkSession, dir: String, params: EvalParams) {
     case _ => false
   }
 
+  /** drop/keep entry hit: bare key or (key, value) pair
+    * (`planner_drop.go:57-75`).
+    */
+  private def entryMatch(entries: Seq[(String, Option[String])],
+      k: Column, v: Column): Column =
+    entries.map {
+      case (key, None)      => k === key
+      case (key, Some(req)) => k === key && v === req
+    }.reduceOption(_ || _).getOrElse(lit(false))
+
   private[logql] def applyStage(df: DataFrame, s: Stage): DataFrame = s match {
     case f: LineFilter => df.filter(lineFilterCond(f))
     case LabelFilterStage(p) => df.filter(predCond(p))
@@ -399,11 +409,14 @@ class LogQLCompiler(spark: SparkSession, dir: String, params: EvalParams) {
 
     case DropStage(keys) =>
       df.withColumn("labels",
-        map_filter(col("labels"), (k, _) => !k.isInCollection(keys)))
+        map_filter(col("labels"), (k, v) => !entryMatch(keys, k, v)))
 
     case KeepStage(keys) =>
+      // parser-error labels survive keep regardless of the list
+      // (`planner_keep.go:56-69`, mirroring Loki)
       df.withColumn("labels",
-        map_filter(col("labels"), (k, _) => k.isInCollection(keys)))
+        map_filter(col("labels"), (k, v) =>
+          k.isin("__error__", "__error_details__") || entryMatch(keys, k, v)))
 
     case UnwrapStage(l, conv) =>
       // `_entry` unwraps the log line itself and `__value__` (surface:

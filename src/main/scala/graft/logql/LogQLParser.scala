@@ -87,12 +87,16 @@ object LogQLParser extends RegexParsers {
     "regexp" ~> quoted ^^ RegexpStage.apply |
     "line_format" ~> quoted ^^ LineFormatStage.apply |
     "label_format" ~> repsep(labelFormatOp, ",") ^^ LabelFormatStage.apply |
-    "drop" ~> repsep(ident, ",") ^^ DropStage.apply |
-    "keep" ~> repsep(ident, ",") ^^ KeepStage.apply |
+    "drop" ~> repsep(dropKeepEntry, ",") ^^ (DropStage(_)) |
+    "keep" ~> repsep(dropKeepEntry, ",") ^^ (KeepStage(_)) |
     // unwrap_value before unwrap: the bare literal would match its prefix
     // (`model.go:335` @("unwrap"|"unwrap_value") — value-column unwrap)
     "unwrap_value" ^^^ UnwrapStage("__value__", None) |
     "unwrap" ~> unwrapBody
+
+  // `a` (key match) or `a="v"` ((key,value)-pair match) — model.go Drop/Keep
+  private def dropKeepEntry: Parser[(String, Option[String])] =
+    ident ~ opt("=" ~> quoted) ^^ { case k ~ v => (k, v) }
 
   private def labelFormatOp: Parser[(String, Either[String, String])] =
     ident ~ ("=" ~> (quoted ^^ (Right(_)) | ident ^^ (Left(_)))) ^^ { case d ~ s => (d, s) }

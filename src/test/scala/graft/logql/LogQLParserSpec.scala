@@ -67,6 +67,13 @@ class LogQLParserSpec extends AnyFunSuite {
         DropStage(Seq("a", "b")), KeepStage(Seq("c")))))
   }
 
+  test("value-qualified drop/keep entries (planner_drop.go:57-75)") {
+    assert(p("""{a="x"} | drop a, b="v" | keep c="w", d""") ==
+      LogExpr(Selector(Seq(LabelMatcher("a", "=", "x"))), Seq(
+        DropStage(Seq("a" -> None, "b" -> Some("v"))),
+        KeepStage(Seq("c" -> Some("w"), "d" -> None)))))
+  }
+
   test("label filter predicates: and binds tighter than or") {
     val LogExpr(_, Seq(LabelFilterStage(pred))) =
       p("""{s="1"} | a="1" or b="2" and c="3""""): @unchecked
