@@ -448,6 +448,22 @@ object LogQLGates extends GateSet {
            |FROM logs WHERE event_type = 'purchase'
            |ORDER BY timestamp_ns, line""".stripMargin)),
 
+    // --- __timestamp__ per-entry builtin (template_funcs.go:19): bare use
+    // renders Go time.Time.String() (UTC, trimmed fraction); piped use
+    // feeds the typed timestamp into date ------------------------------
+    Gate("logql_line_format_timestamp",
+      logQ("""{event_type="signup"} | line_format `{{ __timestamp__ }}#{{ __timestamp__ | date "2006-01-02" }}`""",
+        "user"),
+      o(s"""SELECT timestamp_ns,
+           |  strftime(make_timestamp(timestamp_ns // 1000), '%Y-%m-%d %H:%M:%S') ||
+           |    CASE WHEN timestamp_ns % 1000000000 = 0 THEN ''
+           |         ELSE '.' || rtrim(lpad(CAST(timestamp_ns % 1000000000 AS VARCHAR), 9, '0'), '0') END ||
+           |    ' +0000 UTC#' ||
+           |    strftime(make_timestamp(timestamp_ns // 1000), '%Y-%m-%d') AS line,
+           |  "user"
+           |FROM logs WHERE event_type = 'signup'
+           |ORDER BY timestamp_ns, line""".stripMargin)),
+
     // --- sprig/template pipe functions (template_funcs.go:29-101) ---------
     Gate("logql_line_format_fns",
       logQ("""{event_type="view"} | line_format `{{.event_type | upper}}:{{.user | trunc 2}}-{{.level | replace "inf" "I"}}`""",

@@ -176,6 +176,20 @@ class LogQLCompiler(spark: SparkSession, dir: String, params: EvalParams) {
         if (m.start > last) parts += lit(seg.substring(last, m.start))
         val base = m.group(1) match {
           case "__line__" | "_entry" => col("line") // reference bindings
+          // per-entry timestamp builtin (`template_funcs.go:19`): bare use
+          // renders Go's time.Time.String() for UTC (trailing-zero-trimmed
+          // fraction, omitted when zero); piped use (| date, | unixEpoch)
+          // flows the typed timestamp into the pipe chain
+          case "__timestamp__" if m.group(2).trim.nonEmpty =>
+            timestamp_micros(expr("timestamp_ns div 1000"))
+          case "__timestamp__" =>
+            val frac = pmod(col("timestamp_ns"), lit(1000000000L))
+            concat(
+              date_format(timestamp_micros(expr("timestamp_ns div 1000")),
+                "yyyy-MM-dd HH:mm:ss"),
+              when(frac === 0, lit("")).otherwise(concat(lit("."),
+                regexp_replace(lpad(frac.cast("string"), 9, "0"), "0+$", ""))),
+              lit(" +0000 UTC"))
           case name => coalesce(element_at(col("labels"), name), lit(""))
         }
         parts += applyPipes(base, m.group(2))
