@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.model.Tables
+import graft.model.{MapOps, Tables}
 
 /** Wire-format decoders for the remaining ingest surface (SURVEY §2.A,
   * `writer/utils/unmarshal/`). Each decoder turns a DataFrame of request
@@ -59,8 +59,8 @@ object WireFormats {
         explode(col("rl.scopeLogs")).as("sl"))
       .select(col("res"), explode(col("sl.logRecords")).as("r"))
       .select(
-        map_concat(col("res"),
-          attrsToMap(coalesce(col("r.attributes"), array().cast(ArrayType(otlpAttr)))),
+        MapOps.update(MapOps.update(col("res"),
+          attrsToMap(coalesce(col("r.attributes"), array().cast(ArrayType(otlpAttr))))),
           when(col("r.severityText").isNotNull,
             map(lit("level"), lower(col("r.severityText"))))
             .otherwise(map().cast(MapType(StringType, StringType)))).as("labels"),
@@ -148,8 +148,8 @@ object WireFormats {
           coalesce(col("m.sum.dataPoints"), array().cast(ArrayType(otlpDataPoint)))))
           .as("dp"))
       .select(
-        map_concat(col("res"),
-          attrsToMap(coalesce(col("dp.attributes"), array().cast(ArrayType(otlpAttr)))),
+        MapOps.update(MapOps.update(col("res"),
+          attrsToMap(coalesce(col("dp.attributes"), array().cast(ArrayType(otlpAttr))))),
           map(lit("__name__"), col("name"))).as("labels"),
         col("dp.timeUnixNano").cast("long").as("timestamp_ns"),
         coalesce(col("dp.asDouble"), col("dp.asInt").cast("double")).as("value"))
@@ -175,7 +175,7 @@ object WireFormats {
     bodies
       .select(explode(from_json(col("body"), datadogLogsSchema)).as("l"))
       .select(
-        map_concat(tags,
+        MapOps.update(tags,
           map_filter(map(
             lit("service"), col("l.service"),
             lit("ddsource"), col("l.ddsource"),
@@ -240,7 +240,7 @@ object WireFormats {
         concat(col("measurement"), lit("_"), col("field")).as("name"),
         col("labels"), col("timestamp_ns"), col("value"))
       .withColumn("fingerprint", Tables.fingerprintOf(
-        map_concat(col("labels"), map(lit("__name__"), col("name")))))
+        MapOps.update(col("labels"), map(lit("__name__"), col("name")))))
   }
 
   // --- Datadog metrics JSON (`datadog_metrics_json.go`, /api/v1/series) ---
@@ -264,7 +264,7 @@ object WireFormats {
       .select(explode(from_json(col("body"), datadogMetricsSchema)
         .getField("series")).as("s"))
       .select(
-        map_concat(tags, map(lit("__name__"), col("s.metric"))).as("labels"),
+        MapOps.update(tags, map(lit("__name__"), col("s.metric"))).as("labels"),
         explode(col("s.points")).as("p"))
       .select(col("labels"),
         (element_at(col("p"), 1) * 1000000000L).cast("long").as("timestamp_ns"),

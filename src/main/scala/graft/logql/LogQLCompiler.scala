@@ -365,8 +365,8 @@ class LogQLCompiler(spark: SparkSession, dir: String, params: EvalParams) {
       // (internal/planner/parser.go:25-90) instead of dropping the row.
       val parsed = from_json(col("line"), MapType(StringType, StringType))
       df.withColumn("labels",
-        when(parsed.isNotNull, map_concat(col("labels"), parsed))
-          .otherwise(map_concat(col("labels"),
+        when(parsed.isNotNull, graft.model.MapOps.update(col("labels"), parsed))
+          .otherwise(graft.model.MapOps.update(col("labels"),
             map(lit("__error__"), lit("JSONParserErr"),
                 lit("__error_details__"), lit("Value looks like object, but can't find closing '}' symbol")))))
 
@@ -374,7 +374,8 @@ class LogQLCompiler(spark: SparkSession, dir: String, params: EvalParams) {
       val extracted = jsonParams.flatMap { case (l, path) =>
         Seq(lit(l), coalesce(get_json_object(col("line"), "$." + path), lit("")))
       }
-      df.withColumn("labels", map_concat(col("labels"), map(extracted: _*)))
+      df.withColumn("labels",
+        graft.model.MapOps.update(col("labels"), map(extracted: _*)))
 
     case LogfmtStage =>
       // k=v and k="quoted v" pairs → map; quoted values unescaped.
@@ -385,8 +386,8 @@ class LogQLCompiler(spark: SparkSession, dir: String, params: EvalParams) {
         v => when(v.startsWith("\""),
             regexp_replace(v.substr(lit(2), length(v) - 2), "\\\\(.)", "$1"))
           .otherwise(v))
-      df.withColumn("labels",
-        map_concat(col("labels"), map_from_arrays(keys, vals)))
+      df.withColumn("labels", graft.model.MapOps.update(col("labels"),
+        graft.model.MapOps.fromArraysLastWins(keys, vals)))
 
     case RegexpStage(re) =>
       // ONE regex pass per row via the native RegexpAllGroups expression
@@ -398,7 +399,8 @@ class LogQLCompiler(spark: SparkSession, dir: String, params: EvalParams) {
       }
       df.withColumn("__regex_groups",
           graft.functions.RegexpAllGroups(col("line"), jre))
-        .withColumn("labels", map_concat(col("labels"), map(extracted: _*)))
+        .withColumn("labels",
+          graft.model.MapOps.update(col("labels"), map(extracted: _*)))
         .drop("__regex_groups")
 
     case LineFormatStage(tpl) =>
@@ -416,7 +418,7 @@ class LogQLCompiler(spark: SparkSession, dir: String, params: EvalParams) {
         case (dst, Left(src)) if src != dst && !dsts.contains(src) => src
       }.distinct
       val concatd = df.withColumn("labels",
-        map_concat(col("labels"), map(entries: _*)))
+        graft.model.MapOps.update(col("labels"), map(entries: _*)))
       if (renamedAway.isEmpty) concatd
       else concatd.withColumn("labels",
         map_filter(col("labels"), (k, _) => !k.isInCollection(renamedAway)))

@@ -1261,12 +1261,14 @@ class PromQLCompiler(spark: SparkSession, dir: String, params: PromParams) {
       val joined0 = lf.join(rf, Seq("__mfp", "ts"))
       val joined = b.group match {
         case Some(("group_left", extras)) if extras.nonEmpty =>
-          joined0.withColumn("labels", map_concat(col("labels"),
+          // the copied labels OVERWRITE same-named base labels (Prometheus
+          // many-to-one semantics), so no duplicate-key throw
+          joined0.withColumn("labels", graft.model.MapOps.update(col("labels"),
             map_filter(col("__rlabels"), (k, _) => k.isInCollection(extras))))
         case Some(("group_right", extras)) =>
           val keep = joined0.withColumn("labels",
             if (extras.isEmpty) col("__rlabels")
-            else map_concat(col("__rlabels"),
+            else graft.model.MapOps.update(col("__rlabels"),
               map_filter(col("labels"), (k, _) => k.isInCollection(extras))))
           keep.withColumn("fingerprint", Tables.fingerprintOf(col("labels")))
         case _ => joined0

@@ -26,7 +26,8 @@ object Ruler {
     val df = new LogQLCompiler(spark, dir, params)
       .compileMetric(LogQLParser.parseOrThrow(query))
       .select(
-        map_concat(col("labels"), map(lit("__name__"), lit(ruleName))).as("labels"),
+        graft.model.MapOps.update(col("labels"),
+          map(lit("__name__"), lit(ruleName))).as("labels"),
         (col("ts") * 1000000000L).as("timestamp_ns"),
         col("value"))
       .withColumn("fingerprint", graft.model.Tables.fingerprintOf(col("labels")))

@@ -78,6 +78,26 @@ class LogQLCompilerSpec extends SparkSpec {
     assert(!labels.contains("event_type"))
   }
 
+  test("label merges OVERWRITE existing labels (mapUpdate, no dup-key throw)") {
+    // label_format onto an EXISTING label name (sql_misc.go mapUpdate):
+    // previously threw DUPLICATED_MAP_KEY under Spark's default policy
+    val lf = engine.compileLogQuery(
+      """{event_type="view"} | label_format level=`x-{{.level}}`""").limit(1)
+      .select(element_at(col("labels"), "level")).collect()(0).getString(0)
+    assert(lf == "x-info")
+    // json full-extract whose field collides with a stream label
+    val js = engine.compileLogQuery(
+      """{event_type="view"} | line_format `{"level":"olvl"}` | json""").limit(1)
+      .select(element_at(col("labels"), "level")).collect()(0).getString(0)
+    assert(js == "olvl")
+    // logfmt with a repeated key in one line: LAST occurrence wins (Go map)
+    val fmt = engine.compileLogQuery(
+      """{event_type="view"} | line_format "a=1 a=2 b=3" | logfmt""").limit(1)
+      .select(element_at(col("labels"), "a"),
+        element_at(col("labels"), "b")).collect()(0)
+    assert(fmt.getString(0) == "2" && fmt.getString(1) == "3")
+  }
+
   test("json parse failure injects __error__ instead of dropping") {
     val df = engine.compileLogQuery(
       """{event_type="view"} | line_format "notjson" | json""")
