@@ -53,12 +53,13 @@ object Bench {
     }
     val results = Map("_store_build" -> buildS) ++
       selected.map { case (name, fn) =>
-        // sub-2s entries are dominated by scheduler/GC/JIT jitter (observed
-        // 2-4x swings run-to-run on identical plans); a resident query
+        // entries under ~3s are dominated by scheduler/GC/JIT jitter
+        // (observed 2-4x swings run-to-run on identical plans — e.g. one
+        // ~1s query sampled 0.74-2.58s across five runs); a resident query
         // service's steady-state latency is the repeatable quantity, which
-        // min-of-2 estimates. Multi-second entries are stable — timed once.
+        // min-of-2 estimates. Longer entries are stable — timed once.
         val t1 = timeOnce(fn)
-        name -> (if (t1 >= 0 && t1 < 2.0) math.min(t1, timeOnce(fn)) else t1)
+        name -> (if (t1 >= 0 && t1 < 3.0) math.min(t1, timeOnce(fn)) else t1)
       }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
