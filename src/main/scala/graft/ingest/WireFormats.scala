@@ -18,14 +18,50 @@ object WireFormats {
 
   // --- OTLP/HTTP JSON logs (`otlplogs.go:1-165`) --------------------------
 
-  private val otlpAnyValue = StructType(Seq(
+  private val otlpLeafValue = StructType(Seq(
     StructField("stringValue", StringType),
     StructField("intValue", StringType),
-    StructField("doubleValue", DoubleType)))
+    StructField("doubleValue", DoubleType),
+    StructField("boolValue", BooleanType)))
+
+  // one nesting level of kvlist/array with scalar leaves — from_json needs
+  // a closed schema, and the reference's own test fixtures nest one deep
+  private val otlpAnyValue = StructType(otlpLeafValue.fields.toSeq ++ Seq(
+    StructField("kvlistValue", StructType(Seq(
+      StructField("values", ArrayType(StructType(Seq(
+        StructField("key", StringType),
+        StructField("value", otlpLeafValue)))))))),
+    StructField("arrayValue", StructType(Seq(
+      StructField("values", ArrayType(otlpLeafValue)))))))
 
   private val otlpAttr = StructType(Seq(
     StructField("key", StringType),
     StructField("value", otlpAnyValue)))
+
+  /** Go `strconv.FormatFloat(f, 'f', -1, 64)` renders 3.0 as "3". */
+  private def goFloatStr(d: org.apache.spark.sql.Column) =
+    when(d === floor(d), d.cast("long").cast("string"))
+      .otherwise(d.cast("string"))
+
+  private def leafStr(v: org.apache.spark.sql.Column) =
+    coalesce(v.getField("stringValue"), v.getField("intValue"),
+      goFloatStr(v.getField("doubleValue")),
+      v.getField("boolValue").cast("string"))
+
+  /** Body AnyValue → line string (`otlplogs.go:108-145` SanitizeValue):
+    * scalars render Go-style; kvlist → JSON object with SORTED keys (Go
+    * `json.Marshal` of a map); array → JSON array of rendered leaves.
+    */
+  private def bodyStr(b: org.apache.spark.sql.Column) =
+    coalesce(
+      leafStr(b),
+      when(b.getField("kvlistValue").isNotNull, to_json(map_from_entries(
+        array_sort(transform(b.getField("kvlistValue").getField("values"),
+          kv => struct(kv.getField("key").as("key"),
+            leafStr(kv.getField("value")).as("value"))))))),
+      when(b.getField("arrayValue").isNotNull, to_json(
+        transform(b.getField("arrayValue").getField("values"), leafStr(_)))),
+      lit(""))
 
   val otlpLogsSchema: StructType = StructType(Seq(
     StructField("resourceLogs", ArrayType(StructType(Seq(
@@ -40,10 +76,7 @@ object WireFormats {
 
   private def attrsToMap(attrs: org.apache.spark.sql.Column) =
     map_from_entries(transform(attrs, a =>
-      struct(a.getField("key"),
-        coalesce(a.getField("value").getField("stringValue"),
-          a.getField("value").getField("intValue"),
-          a.getField("value").getField("doubleValue").cast("string")))))
+      struct(a.getField("key"), leafStr(a.getField("value")))))
 
   /** OTLP logs → (fingerprint, timestamp_ns, labels, line); resource and
     * record attributes merge into the label set (resource first, record
@@ -65,7 +98,7 @@ object WireFormats {
             map(lit("level"), lower(col("r.severityText"))))
             .otherwise(map().cast(MapType(StringType, StringType)))).as("labels"),
         col("r.timeUnixNano").cast("long").as("timestamp_ns"),
-        coalesce(col("r.body.stringValue"), lit("")).as("line"))
+        bodyStr(col("r.body")).as("line"))
       .withColumn("fingerprint", Tables.fingerprintOf(col("labels")))
 
   // --- OTLP/HTTP JSON traces (`otlp.go:18-166`) ---------------------------

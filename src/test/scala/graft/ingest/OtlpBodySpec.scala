@@ -1,0 +1,62 @@
+package graft.ingest
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** OTLP log-body sanitization (`otlplogs.go:108-145` SanitizeValue; the
+  * reference's own otlplogs_test.go covers kvlist and string bodies):
+  * scalar bodies render Go-style, kvlist bodies serialize as a JSON object
+  * with sorted keys, array bodies as a JSON array.
+  */
+class OtlpBodySpec extends SparkSpec {
+
+  private def lineOf(bodyJson: String): String = {
+    val s = spark
+    import s.implicits._
+    val req =
+      s"""{"resourceLogs":[{"scopeLogs":[{"logRecords":[
+         |{"timeUnixNano":"1704067200000000000","body":$bodyJson}]}]}]}"""
+        .stripMargin.replace("\n", "")
+    WireFormats.decodeOtlpLogs(Seq(req).toDF("body"))
+      .select(col("line")).collect()(0).getString(0)
+  }
+
+  test("string / int / double / bool bodies render Go-style") {
+    assert(lineOf("""{"stringValue":"hello world"}""") == "hello world")
+    assert(lineOf("""{"intValue":"42"}""") == "42")
+    assert(lineOf("""{"doubleValue":3.5}""") == "3.5")
+    assert(lineOf("""{"doubleValue":3.0}""") == "3") // FormatFloat 'f' -1
+    assert(lineOf("""{"boolValue":true}""") == "true")
+  }
+
+  test("kvlist body serializes as a sorted-key JSON object") {
+    val line = lineOf(
+      """{"kvlistValue":{"values":[
+        |{"key":"zeta","value":{"stringValue":"z"}},
+        |{"key":"alpha","value":{"intValue":"1"}},
+        |{"key":"mid","value":{"boolValue":false}}]}}"""
+        .stripMargin.replace("\n", ""))
+    assert(line == """{"alpha":"1","mid":"false","zeta":"z"}""")
+  }
+
+  test("array body serializes as a JSON array of rendered leaves") {
+    val line = lineOf(
+      """{"arrayValue":{"values":[
+        |{"stringValue":"a"},{"intValue":"7"},{"doubleValue":2.5}]}}"""
+        .stripMargin.replace("\n", ""))
+    assert(line == """["a","7","2.5"]""")
+  }
+
+  test("missing / unsupported body renders as empty string") {
+    val s = spark
+    import s.implicits._
+    val req =
+      """{"resourceLogs":[{"scopeLogs":[{"logRecords":[
+        |{"timeUnixNano":"1704067200000000000"}]}]}]}"""
+        .stripMargin.replace("\n", "")
+    val line = WireFormats.decodeOtlpLogs(Seq(req).toDF("body"))
+      .select(col("line")).collect()(0).getString(0)
+    assert(line == "")
+  }
+}
