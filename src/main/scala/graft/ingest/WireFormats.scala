@@ -248,16 +248,25 @@ object WireFormats {
 
   // --- Influx line protocol (`influx.go:15-112`) --------------------------
 
-  /** `measurement[,tag=v...] field=value[,field2=...] [ts_ns]` → one metric
+  /** `measurement[,tag=v...] field=value[,field2=...] [ts]` → one metric
     * sample per (line, numeric field), metric name `measurement_field`
     * (the reference's `%measurement_field%` convention). Tag set → labels.
+    * `precision` scales the line timestamps to ns — ns (default) / us /
+    * ms / s, rejecting anything else (`writer/controller/insert.go:80-96`).
     */
-  def decodeInflux(lines: DataFrame): DataFrame = {
+  def decodeInflux(lines: DataFrame, precision: String = "ns"): DataFrame = {
+    val scale = precision match {
+      case "ns" => 1L
+      case "us" => 1000L
+      case "ms" => 1000000L
+      case "s"  => 1000000000L
+      case other => throw new IllegalArgumentException(s"Invalid precision $other")
+    }
     val parts = lines
       .withColumn("measurement", regexp_extract(col("line"), "^([^,\\s]+)", 1))
       .withColumn("tagstr", regexp_extract(col("line"), "^[^,\\s]+,([^\\s]+)\\s", 1))
       .withColumn("fieldstr", regexp_extract(col("line"), "^[^\\s]+\\s+([^\\s]+)", 1))
-      .withColumn("ts", regexp_extract(col("line"), "\\s+([0-9]+)\\s*$", 1).cast("long"))
+      .withColumn("ts", regexp_extract(col("line"), "\\s+([0-9]+)\\s*$", 1).cast("long") * scale)
     val tags = map_from_entries(transform(
       filter(split(col("tagstr"), ","), t => t =!= ""),
       t => struct(split(t, "=").getItem(0), split(t, "=").getItem(1))))

@@ -48,6 +48,22 @@ class OtlpBodySpec extends SparkSpec {
     assert(line == """["a","7","2.5"]""")
   }
 
+  test("influx precision param scales timestamps to ns; invalid rejected") {
+    val s = spark
+    import s.implicits._
+    val lines = Seq("cpu,host=a usage=0.5 1704067200000").toDF("line")
+    val ms = WireFormats.decodeInflux(lines, "ms")
+      .select(col("timestamp_ns")).collect()(0).getLong(0)
+    assert(ms == 1704067200000L * 1000000L)
+    val ns = WireFormats.decodeInflux(
+      Seq("cpu,host=a usage=0.5 1704067200000000000").toDF("line"))
+      .select(col("timestamp_ns")).collect()(0).getLong(0)
+    assert(ns == 1704067200000000000L)
+    intercept[IllegalArgumentException] {
+      WireFormats.decodeInflux(lines, "m")
+    }
+  }
+
   test("missing / unsupported body renders as empty string") {
     val s = spark
     import s.implicits._
