@@ -43,7 +43,7 @@ object Store {
 
   // bump the version segment when a table SCHEMA changes: _SUCCESS-guarded
   // writes would otherwise silently keep serving the old schema
-  private def rootFor(dir: String): String =
+  private[store] def rootFor(dir: String): String =
     "/root/repo/target/graft-store/v7/" + dir.replaceAll("[^a-zA-Z0-9.]+", "_")
 
   /** Tenant (`oid`) column — every reference table leads its partition/
@@ -114,8 +114,23 @@ object Store {
         .option("maxRecordsPerFile", maxRecordsPerFile(df.sparkSession))
         .partitionBy("oid", "date").parquet(path)
 
-  /** Build (if absent) and return the store root for a testdata dir. */
+  /** Build (if absent) and return the store root for a testdata dir.
+    *
+    * Concurrency: a resident query service fires its first queries in
+    * parallel, and `TrieMap.getOrElseUpdate` may evaluate the builder in
+    * MORE than one thread under contention — two overlapping
+    * `overwrite` writes to the same parquet path corrupt the store. The
+    * lock serializes builds; the lock-free `get` keeps the built path
+    * uncontended. Builds are one-time per dir, so a coarse lock costs
+    * nothing steady-state.
+    */
   def ensure(spark: SparkSession, dir: String): String =
+    built.get(dir).getOrElse(buildLock.synchronized {
+      ensureLocked(spark, dir)
+    })
+
+  private val buildLock = new Object
+  private def ensureLocked(spark: SparkSession, dir: String): String =
     built.getOrElseUpdate(dir, {
       val root = rootFor(dir)
       val logs = Tables.logs(spark, dir)

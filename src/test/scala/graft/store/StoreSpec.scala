@@ -254,6 +254,30 @@ class StoreSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.store.maxRecordsPerFile")
   }
 
+  test("ensure is single-build-safe under concurrent first callers") {
+    // a scratch data dir (events.parquet only) gets its own store root;
+    // four threads race the first build — exactly one must win, and the
+    // store must be fully readable afterwards
+    val scratch = new java.io.File("/root/repo/target/test-concurrent-dir")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+    }
+    rm(scratch); rm(new java.io.File(Store.rootFor(scratch.getPath)))
+    scratch.mkdirs()
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(sf, "events.parquet"),
+      java.nio.file.Paths.get(scratch.getPath, "events.parquet"))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val roots = Await.result(
+      Future.sequence((1 to 4).map(_ => Future(Store.ensure(spark, scratch.getPath)))),
+      5.minutes)
+    assert(roots.distinct.size == 1)
+    val n = spark.read.parquet(roots.head + "/samples").count()
+    assert(n == spark.read.parquet(s"$sf/events.parquet").count())
+  }
+
   test("store reads are identical across session timezones") {
     // date partitions are epoch-day derived (Store.withDate), so a store
     // written under one session timezone and read under another must
