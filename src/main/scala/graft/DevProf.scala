@@ -42,6 +42,41 @@ object DevProf {
       }
       spark.stop(); return
     }
+    if (args.contains("otlpm")) {
+      import org.apache.spark.sql.functions._
+      val g = graft.model.Tables.gaugeSamples(spark, dir)
+      def t(name: String)(f: => Long): Unit = {
+        val t0 = System.nanoTime()
+        val n = f
+        println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%7.2f s ($n rows)")
+      }
+      val attrs = transform(
+        filter(map_entries(col("labels")), e => e.getField("key") =!= "__name__"),
+        e => struct(e.getField("key").as("key"),
+          struct(e.getField("value").as("stringValue")).as("value")))
+      def bodies = g
+        .groupBy(col("labels"),
+          expr("timestamp_ns div 86400000000000").as("__day"))
+        .agg(collect_list(struct(col("timestamp_ns").as("ts"),
+          col("value").as("v"))).as("dps"))
+        .select(to_json(struct(array(struct(array(struct(array(struct(
+          lit("events_value").as("name"),
+          struct(transform(col("dps"), d => struct(
+            d.getField("ts").cast("string").as("timeUnixNano"),
+            d.getField("v").as("asDouble"),
+            attrs.as("attributes"))).as("dataPoints")).as("gauge")))
+          .as("metrics"))).as("scopeMetrics"))).as("resourceMetrics")))
+          .as("body"))
+      val mat = graft.model.Materialize(bodies)
+      for (i <- 1 to 3) {
+        t(s"encode only r$i")(bodies.count())
+        t(s"decode only r$i")(
+          graft.ingest.WireFormats.decodeOtlpMetrics(mat).count())
+        t(s"encode+decode r$i")(
+          graft.ingest.WireFormats.decodeOtlpMetrics(bodies).count())
+      }
+      spark.stop(); return
+    }
     if (args.contains("lshprof")) {
       import graft.llm.Dedup
       val docs = graft.model.Tables.documents(spark, dir)

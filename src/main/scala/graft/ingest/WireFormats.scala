@@ -91,14 +91,23 @@ object WireFormats {
         array().cast(ArrayType(otlpAttr)))).as("res"),
         explode(col("rl.scopeLogs")).as("sl"))
       .select(col("res"), explode(col("sl.logRecords")).as("r"))
-      .select(
-        MapOps.update(MapOps.update(col("res"),
-          attrsToMap(coalesce(col("r.attributes"), array().cast(ArrayType(otlpAttr))))),
-          when(col("r.severityText").isNotNull,
-            map(lit("level"), lower(col("r.severityText"))))
-            .otherwise(map().cast(MapType(StringType, StringType)))).as("labels"),
+      // project the parsed attr map into its own column BEFORE the merge:
+      // MapOps.update's map_filter lambda is interpreted, and a lambda that
+      // captures the whole attrsToMap subtree re-evaluates it once per base
+      // key per row — capturing a cheap attribute ref instead keeps the
+      // parse single-pass (the r7 `weak` on decodeOtlpMetrics)
+      .select(col("res"),
+        attrsToMap(coalesce(col("r.attributes"),
+          array().cast(ArrayType(otlpAttr)))).as("recAttrs"),
+        when(col("r.severityText").isNotNull,
+          map(lit("level"), lower(col("r.severityText"))))
+          .otherwise(map().cast(MapType(StringType, StringType))).as("lvl"),
         col("r.timeUnixNano").cast("long").as("timestamp_ns"),
         bodyStr(col("r.body")).as("line"))
+      .select(
+        MapOps.update(MapOps.update(col("res"), col("recAttrs")), col("lvl"))
+          .as("labels"),
+        col("timestamp_ns"), col("line"))
       .withColumn("fingerprint", Tables.fingerprintOf(col("labels")))
 
   // --- OTLP/HTTP JSON traces (`otlp.go:18-166`) ---------------------------
@@ -180,12 +189,17 @@ object WireFormats {
           coalesce(col("m.gauge.dataPoints"), array().cast(ArrayType(otlpDataPoint))),
           coalesce(col("m.sum.dataPoints"), array().cast(ArrayType(otlpDataPoint)))))
           .as("dp"))
-      .select(
-        MapOps.update(MapOps.update(col("res"),
-          attrsToMap(coalesce(col("dp.attributes"), array().cast(ArrayType(otlpAttr))))),
-          map(lit("__name__"), col("name"))).as("labels"),
+      // same projection-before-merge as decodeOtlpLogs: the data-point attr
+      // map must reach MapOps.update as an attribute ref, not a subtree
+      .select(col("res"), col("name"),
+        attrsToMap(coalesce(col("dp.attributes"),
+          array().cast(ArrayType(otlpAttr)))).as("dpAttrs"),
         col("dp.timeUnixNano").cast("long").as("timestamp_ns"),
         coalesce(col("dp.asDouble"), col("dp.asInt").cast("double")).as("value"))
+      .select(
+        MapOps.update(MapOps.update(col("res"), col("dpAttrs")),
+          map(lit("__name__"), col("name"))).as("labels"),
+        col("timestamp_ns"), col("value"))
       .withColumn("fingerprint", Tables.fingerprintOf(col("labels")))
 
   // --- Datadog logs JSON (`datadog_json.go`) ------------------------------

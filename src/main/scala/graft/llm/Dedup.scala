@@ -227,20 +227,19 @@ object Dedup {
           "j")
         .groupBy(col("i").as("doc_id")).agg(min(col("nl")).as("nbr"))
       val stepped = labels.join(nbrMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
+        .select(col("doc_id"), col("cluster_id").as("prev"),
           least(col("cluster_id"), coalesce(col("nbr"), col("cluster_id")))
             .as("cluster_id"))
       // path halving: labels only ever shrink and cluster_id is itself a
-      // doc_id, so label(label(v)) is defined and ≤ label(v)
+      // doc_id, so label(label(v)) is defined and ≤ label(v). The previous
+      // label rides along so convergence is a count over the materialized
+      // frame — one job per round, not a second join+filter action.
       val jumped = Materialize(stepped
         .join(stepped.select(col("doc_id").as("cluster_id"),
           col("cluster_id").as("ll")), "cluster_id")
-        .select(col("doc_id"), col("ll").as("cluster_id")))
-      converged = jumped
-        .join(labels.select(col("doc_id"), col("cluster_id").as("prev")),
-          "doc_id")
-        .filter(col("cluster_id") =!= col("prev")).isEmpty
-      labels = jumped
+        .select(col("doc_id"), col("prev"), col("ll").as("cluster_id")))
+      converged = jumped.filter(col("cluster_id") =!= col("prev")).isEmpty
+      labels = jumped.select(col("doc_id"), col("cluster_id"))
       iter += 1
     }
     labels

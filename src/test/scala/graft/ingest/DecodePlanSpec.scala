@@ -1,0 +1,81 @@
+package graft.ingest
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.{ArrayTransform, MapFilter, MapFromEntries}
+
+import graft.SparkSpec
+
+/** Plan-shape guard for the decode pipelines (the round-7 `weak`):
+  * higher-order functions are interpreted and a lambda that captures a
+  * non-leaf expression tree re-evaluates it once per map key per row.
+  * `MapOps.update(base, over)` puts `over` INSIDE its map_filter lambda
+  * (`map_contains_key(over, k)`), so every decode call site must hand it an
+  * attribute reference (project the parsed attr map into a column first),
+  * never the inline `attrsToMap(...)` subtree. This spec goes red if a
+  * decode plan's optimized form carries a map-building expression
+  * (map_from_entries / transform) inside any map_filter lambda — exactly
+  * the shape that cost decodeOtlpMetrics a 5× ingest tax in round 7.
+  */
+class DecodePlanSpec extends SparkSpec {
+
+  private def lambdaCaptures(df: DataFrame): Seq[String] = {
+    val plan = df.queryExecution.optimizedPlan
+    val filters = plan.collect { case p => p.expressions }.flatten
+      .flatMap(_.collect { case mf: MapFilter => mf })
+    filters.flatMap(mf => mf.function.collect {
+      case e: MapFromEntries => s"map_from_entries in lambda: $e"
+      case e: ArrayTransform => s"transform in lambda: $e"
+    })
+  }
+
+  private val otlpLogsBody =
+    """{"resourceLogs":[{"resource":{"attributes":[
+      |{"key":"service","value":{"stringValue":"api"}}]},
+      |"scopeLogs":[{"logRecords":[{"timeUnixNano":"1704067200000000000",
+      |"severityText":"INFO","body":{"stringValue":"hello"},
+      |"attributes":[{"key":"k","value":{"stringValue":"v"}}]}]}]}]}"""
+      .stripMargin.replace("\n", "")
+
+  private val otlpMetricsBody =
+    """{"resourceMetrics":[{"resource":{"attributes":[
+      |{"key":"service","value":{"stringValue":"api"}}]},
+      |"scopeMetrics":[{"metrics":[{"name":"m","gauge":{"dataPoints":[
+      |{"timeUnixNano":"1704067200000000000","asDouble":1.5,
+      |"attributes":[{"key":"k","value":{"stringValue":"v"}}]}]}}]}]}]}"""
+      .stripMargin.replace("\n", "")
+
+  test("decodeOtlpLogs: no attr-map subtree captured by a map_filter lambda") {
+    val s = spark
+    import s.implicits._
+    val captures = lambdaCaptures(
+      WireFormats.decodeOtlpLogs(Seq(otlpLogsBody).toDF("body")))
+    assert(captures.isEmpty, captures.mkString("\n"))
+  }
+
+  test("decodeOtlpMetrics: no attr-map subtree captured by a map_filter lambda") {
+    val s = spark
+    import s.implicits._
+    val captures = lambdaCaptures(
+      WireFormats.decodeOtlpMetrics(Seq(otlpMetricsBody).toDF("body")))
+    assert(captures.isEmpty, captures.mkString("\n"))
+  }
+
+  test("decoded OTLP labels still merge record attrs over resource attrs") {
+    val s = spark
+    import s.implicits._
+    val body =
+      """{"resourceLogs":[{"resource":{"attributes":[
+        |{"key":"k","value":{"stringValue":"res"}},
+        |{"key":"only_res","value":{"stringValue":"r"}}]},
+        |"scopeLogs":[{"logRecords":[{"timeUnixNano":"1",
+        |"severityText":"WARN","body":{"stringValue":"x"},
+        |"attributes":[{"key":"k","value":{"stringValue":"rec"}}]}]}]}]}"""
+        .stripMargin.replace("\n", "")
+    val labels = WireFormats.decodeOtlpLogs(Seq(body).toDF("body"))
+      .select(org.apache.spark.sql.functions.col("labels"))
+      .collect()(0).getMap[String, String](0)
+    assert(labels("k") == "rec")          // record attr wins on conflict
+    assert(labels("only_res") == "r")     // resource attr preserved
+    assert(labels("level") == "warn")     // severity → level, lowered
+  }
+}
