@@ -136,6 +136,7 @@ object IngestGates extends GateSet {
           |FROM spans GROUP BY 1 ORDER BY 1""".stripMargin))),
 
     // --- Influx line protocol round trip (influx.go) ----------------------
+    // metric branch: __name__ = sanitized field key, measurement → label
     Gate("ingest_influx_roundtrip",
       (spark: SparkSession, dir: String) => {
         val lines = Tables.events(spark, dir).select(concat(
@@ -144,15 +145,65 @@ object IngestGates extends GateSet {
           lit(" "), (col("ts") - pmod(col("ts"), lit(1000L))).cast("string"))
           .as("line"))
         WireFormats.decodeInflux(lines)
-          .groupBy(col("name"), element_at(col("labels"), "event_type").as("event_type"))
+          .groupBy(col("name"),
+            element_at(col("labels"), "measurement").as("measurement"),
+            element_at(col("labels"), "event_type").as("event_type"))
           .agg(count(lit(1)).as("samples"), round(sum(col("value")), 6).as("total"),
             min(col("timestamp_ns")).as("min_ts"))
-          .orderBy("name", "event_type")
+          .orderBy("name", "measurement", "event_type")
       },
       Some(OracleViews.withViews(Seq(OracleViews.logs, OracleViews.metrics),
-        """SELECT 'events_value' AS name, event_type, count(*) AS samples,
+        """SELECT 'value' AS name, 'events' AS measurement, event_type,
+          |  count(*) AS samples,
           |  round(sum(value), 6) AS total, min(timestamp_ns) AS min_ts
-          |FROM metrics GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))),
+          |FROM metrics GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin))),
+
+    // --- Influx message→log branch (influx.go:16-37,61-73): lines whose
+    // fields carry `message` ingest as LOG entries — message alone when it
+    // is the only field, logfmt-joined with the remaining fields otherwise;
+    // every entry labeled with its measurement ------------------------------
+    Gate("ingest_influx_logs_roundtrip",
+      (spark: SparkSession, dir: String) => {
+        val esc = regexp_replace(col("line"), "([\"\\\\])", "\\\\$1")
+        // error-level lines carry an extra int field (exercises the logfmt
+        // join); the rest send message as the only field (raw passthrough)
+        val lines = Tables.logs(spark, dir).select(concat(
+          lit("syslog,host=h"),
+          pmod(element_at(col("labels"), "user").cast("long"), lit(4)),
+          lit(",event_type="), element_at(col("labels"), "event_type"),
+          lit(" message=\""), esc, lit("\""),
+          when(element_at(col("labels"), "level") === "error",
+            concat(lit(",code="), length(col("line")), lit("i")))
+            .otherwise(lit("")),
+          lit(" "), col("timestamp_ns").cast("string")).as("line"))
+        WireFormats.decodeInflux(lines)
+          .filter(col("sample_type") === "log")
+          .groupBy(
+            element_at(col("labels"), "measurement").as("measurement"),
+            element_at(col("labels"), "host").as("host"),
+            element_at(col("labels"), "event_type").as("event_type"))
+          .agg(count(lit(1)).as("entries"),
+            sum(length(col("line"))).cast("long").as("bytes"),
+            min(col("line")).as("first_line"),
+            min(col("timestamp_ns")).as("min_ts"))
+          .orderBy("measurement", "host", "event_type")
+      },
+      o(""", influx AS (
+          |  SELECT 'syslog' AS measurement,
+          |    'h' || CAST(CAST("user" AS BIGINT) % 4 AS VARCHAR) AS host,
+          |    event_type, timestamp_ns,
+          |    CASE WHEN level = 'error' THEN
+          |      'message=' ||
+          |      CASE WHEN regexp_matches(line, '[ ="]') THEN
+          |        '"' || replace(replace(line, '\', '\\'), '"', '\"') || '"'
+          |      ELSE line END ||
+          |      ' code=' || CAST(length(line) AS VARCHAR)
+          |    ELSE line END AS out_line
+          |  FROM logs)
+          |SELECT measurement, host, event_type, count(*) AS entries,
+          |  CAST(sum(length(out_line)) AS BIGINT) AS bytes,
+          |  min(out_line) AS first_line, min(timestamp_ns) AS min_ts
+          |FROM influx GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)),
 
     // --- OTLP/HTTP JSON traces round trip (otlp.go) -----------------------
     Gate("ingest_otlp_traces_roundtrip",

@@ -262,11 +262,25 @@ object WireFormats {
 
   // --- Influx line protocol (`influx.go:15-112`) --------------------------
 
-  /** `measurement[,tag=v...] field=value[,field2=...] [ts]` → one metric
-    * sample per (line, numeric field), metric name `measurement_field`
-    * (the reference's `%measurement_field%` convention). Tag set → labels.
-    * `precision` scales the line timestamps to ns — ns (default) / us /
-    * ms / s, rejecting anything else (`writer/controller/insert.go:80-96`).
+  /** `measurement[,tag=v...] field=value[,field2=...] [ts]` → canonical
+    * rows, per `influx.go:15-112`:
+    *   - every line carries a `measurement` label plus its tag set; label
+    *     KEYS are sanitized (`(^[^a-zA-Z_]|[^a-zA-Z0-9_])` → `_`,
+    *     `unmarshal.go:272-282`) and label VALUES over 100 chars truncate
+    *     to 100 + "..."
+    *   - a line whose fields contain `message` becomes a LOG entry
+    *     (`sample_type` "log", value 0): the message alone when it is the
+    *     only field, otherwise a logfmt join with `message` first and the
+    *     remaining fields in line order (`getMessage`, `influx.go:16-37`;
+    *     the reference's Go-map order is nondeterministic — line order is
+    *     the deterministic choice)
+    *   - otherwise one METRIC sample per numeric field (ints `42i`,
+    *     floats; strings and bools skipped), `__name__` = the sanitized
+    *     FIELD key (`sanitizeMetricName`, `influx.go:97-101`)
+    * Quoted string values, escaped chars (`\,` `\=` `\ `), and quoted
+    * commas/spaces inside field values are handled. `precision` scales the
+    * line timestamps to ns — ns (default) / us / ms / s, rejecting
+    * anything else (`writer/controller/insert.go:80-96`).
     */
   def decodeInflux(lines: DataFrame, precision: String = "ns"): DataFrame = {
     val scale = precision match {
@@ -276,27 +290,102 @@ object WireFormats {
       case "s"  => 1000000000L
       case other => throw new IllegalArgumentException(s"Invalid precision $other")
     }
+    // head: measurement (escapes allowed), optional ,tags, rest of line
+    val headRe = """^((?:[^,\s\\]|\\.)+)(?:,((?:[^\s\\]|\\.)*))?\s+(.*?)\s*$"""
+    // one k=v field pair: value is a quoted string (may contain commas,
+    // spaces, escaped quotes) or a bare token up to the next comma
+    val pairRe = """(?:[^,=\s\\]|\\.)+=(?:"(?:[^"\\]|\\.)*"|(?:[^,\\]|\\.)*)"""
+    val tagRe = """(?:[^,=\\]|\\.)+=(?:[^,\\]|\\.)*"""
+    val sanKeyRe = "(^[^a-zA-Z_]|[^a-zA-Z0-9_])"
+
+    def unesc(c: org.apache.spark.sql.Column) =
+      regexp_replace(c, """\\(.)""", "$1")
+    def trunc(c: org.apache.spark.sql.Column) =
+      when(length(c) > 100, concat(substring(c, 1, 100), lit("...")))
+        .otherwise(c)
+
     val parts = lines
-      .withColumn("measurement", regexp_extract(col("line"), "^([^,\\s]+)", 1))
-      .withColumn("tagstr", regexp_extract(col("line"), "^[^,\\s]+,([^\\s]+)\\s", 1))
-      .withColumn("fieldstr", regexp_extract(col("line"), "^[^\\s]+\\s+([^\\s]+)", 1))
-      .withColumn("ts", regexp_extract(col("line"), "\\s+([0-9]+)\\s*$", 1).cast("long") * scale)
-    val tags = map_from_entries(transform(
-      filter(split(col("tagstr"), ","), t => t =!= ""),
-      t => struct(split(t, "=").getItem(0), split(t, "=").getItem(1))))
-    parts
-      .withColumn("labels", tags)
-      .select(col("measurement"), col("labels"), col("ts").as("timestamp_ns"),
-        explode(filter(split(col("fieldstr"), ","), f => f =!= "")).as("fv"))
-      .withColumn("field", split(col("fv"), "=").getItem(0))
-      .withColumn("value",
-        regexp_replace(split(col("fv"), "=").getItem(1), "i$", "").cast("double"))
-      .filter(col("value").isNotNull)
-      .select(
-        concat(col("measurement"), lit("_"), col("field")).as("name"),
-        col("labels"), col("timestamp_ns"), col("value"))
-      .withColumn("fingerprint", Tables.fingerprintOf(
-        MapOps.update(col("labels"), map(lit("__name__"), col("name")))))
+      .withColumn("measurement", unesc(regexp_extract(col("line"), headRe, 1)))
+      .withColumn("tagstr", regexp_extract(col("line"), headRe, 2))
+      .withColumn("rest", regexp_extract(col("line"), headRe, 3))
+      .withColumn("tsStr", regexp_extract(col("rest"), """\s+([0-9]+)$""", 1))
+      .withColumn("ts",
+        when(col("tsStr") =!= "", col("tsStr")).cast("long") * scale)
+      .withColumn("fieldstr", regexp_replace(col("rest"), """\s+[0-9]+$""", ""))
+
+    // each field parsed once into (key, rendered string, numeric value,
+    // logfmt-rendered value, sanitized metric name) — one pass per element
+    val withFields = parts.withColumn("fields",
+      transform(regexp_extract_all(col("fieldstr"), lit(pairRe), lit(0)), p => {
+        val key = unesc(regexp_extract(p, """^((?:[^,=\s\\]|\\.)+)=""", 1))
+        val rawv = regexp_replace(p, """^(?:[^,=\s\\]|\\.)+=""", "")
+        val isQuoted = substring(rawv, 1, 1) === "\""
+        val strVal = regexp_replace(
+          regexp_extract(rawv, """^"((?:[^"\\]|\\.)*)"$""", 1),
+          """\\(["\\])""", "$1")
+        val isInt = rawv.rlike("""^-?[0-9]+[iu]$""")
+        val isFloat =
+          rawv.rlike("""^-?(?:[0-9]+\.?[0-9]*|\.[0-9]+)(?:[eE][+-]?[0-9]+)?$""")
+        val isBool =
+          rawv.rlike("""^(?:t|T|true|True|TRUE|f|F|false|False|FALSE)$""")
+        val sv = when(isQuoted, strVal)
+          .when(isInt, regexp_replace(rawv, "[iu]$", ""))
+          .when(isFloat, goFloatStr(rawv.cast("double")))
+          .when(isBool, when(rawv.rlike("^[tT]"), lit("true")).otherwise("false"))
+          .otherwise(rawv)
+        // go-logfmt quotes a value containing space, '=' or '"'
+        val lf = when(sv.rlike("""[ ="]"""),
+          concat(lit("\""), regexp_replace(sv, """(["\\])""", """\\$1"""), lit("\"")))
+          .otherwise(sv)
+        val num = when(isInt, regexp_replace(rawv, "[iu]$", "").cast("double"))
+          .when(isFloat, rawv.cast("double"))
+        struct(key.as("k"), sv.as("sv"), num.as("num"), lf.as("lf"),
+          regexp_replace(key, sanKeyRe, "_").as("sn"))
+      }))
+      .withColumn("labels", MapOps.update(
+        map(lit("measurement"), trunc(col("measurement"))),
+        MapOps.fromArraysLastWins(
+          transform(regexp_extract_all(col("tagstr"), lit(tagRe), lit(0)),
+            t => regexp_replace(
+              unesc(regexp_extract(t, """^((?:[^,=\\]|\\.)+)=""", 1)),
+              sanKeyRe, "_")),
+          transform(regexp_extract_all(col("tagstr"), lit(tagRe), lit(0)),
+            t => trunc(unesc(regexp_replace(t, """^(?:[^,=\\]|\\.)+=""", "")))))))
+
+    val msg = try_element_at(
+      filter(col("fields"), f => f.getField("k") === "message"), lit(1))
+    val others = filter(col("fields"), f => f.getField("k") =!= "message")
+    val logLine = when(size(col("fields")) === 1, msg.getField("sv"))
+      .otherwise(concat(
+        lit("message="), msg.getField("lf"),
+        when(size(others) > 0, concat(lit(" "), array_join(
+          transform(others, f => concat(f.getField("k"), lit("="), f.getField("lf"))),
+          " "))).otherwise(lit(""))))
+
+    val rowType = StructType(Seq(
+      StructField("name", StringType),
+      StructField("labels", MapType(StringType, StringType)),
+      StructField("line", StringType),
+      StructField("value", DoubleType),
+      StructField("sample_type", StringType)))
+    val rows = when(msg.isNotNull,
+      array(struct(lit(null).cast("string").as("name"), col("labels").as("labels"),
+        logLine.as("line"), lit(0.0).as("value"), lit("log").as("sample_type"))))
+      .otherwise(transform(
+        filter(col("fields"), f => f.getField("num").isNotNull),
+        f => struct(f.getField("sn").as("name"),
+          MapOps.update(col("labels"), map(lit("__name__"), f.getField("sn")))
+            .as("labels"),
+          lit("").as("line"), f.getField("num").as("value"),
+          lit("metric").as("sample_type"))))
+      .cast(ArrayType(rowType))
+
+    withFields
+      .select(col("ts").as("timestamp_ns"), explode(rows).as("r"))
+      .select(col("r.name").as("name"), col("r.labels").as("labels"),
+        col("timestamp_ns"), col("r.value").as("value"),
+        col("r.line").as("line"), col("r.sample_type").as("sample_type"))
+      .withColumn("fingerprint", Tables.fingerprintOf(col("labels")))
   }
 
   // --- Datadog metrics JSON (`datadog_metrics_json.go`, /api/v1/series) ---
