@@ -353,6 +353,39 @@ object PromQLGates extends GateSet {
            |  GROUP BY 1) x CROSS JOIN grid g
            |ORDER BY 1, 2""".stripMargin, grid)),
 
+    // --- @ start() / @ end() + negative offset (Prometheus StartOrEnd):
+    // end-pinned 24h count minus a start-pinned count whose `offset -24h`
+    // looks FORWARD into (start, start+24h] — both spread over the grid ----
+    Gate("promql_at_start_end",
+      q("""count_over_time(events_value{event_type="click"}[24h] @ end()) - count_over_time(events_value{event_type="click"}[24h] @ start() offset -24h)""",
+        "event_type"),
+      o(s"""SELECT e.event_type, g.t AS ts, round(e.c - s.c, 6) AS value
+           |FROM (
+           |  SELECT event_type, CAST(count(*) AS DOUBLE) AS c FROM metrics
+           |  WHERE event_type = 'click'
+           |    AND timestamp_ns > ${EndS - 86400}000000000
+           |    AND timestamp_ns <= ${EndS}000000000
+           |  GROUP BY 1) e
+           |JOIN (
+           |  SELECT event_type, CAST(count(*) AS DOUBLE) AS c FROM metrics
+           |  WHERE event_type = 'click'
+           |    AND timestamp_ns > ${StartS}000000000
+           |    AND timestamp_ns <= ${StartS + 86400}000000000
+           |  GROUP BY 1) s USING (event_type)
+           |CROSS JOIN grid g ORDER BY 1, 2""".stripMargin, grid)),
+
+    // --- negative offset on a range selector: the window looks forward,
+    // counting the NEXT 6h of samples at each eval point -------------------
+    Gate("promql_negative_offset",
+      q("""sum by (event_type) (count_over_time(events_value[6h] offset -6h))""",
+        "event_type"),
+      o(s"""SELECT m.event_type, g.t AS ts,
+           |  round(CAST(count(*) AS DOUBLE), 6) AS value
+           |FROM metrics m JOIN grid g
+           |  ON m.timestamp_ns > g.t * 1000000000
+           | AND m.timestamp_ns <= (g.t + $StepS) * 1000000000
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin, grid)),
+
     // --- many-to-one matching with group_left (integer-exact values) ------
     Gate("promql_group_left",
       q("""sum by (event_type, le) (count_over_time(events_bucket[12h])) - on(event_type) group_left sum by (event_type) (count_over_time(events_value[12h]))""",

@@ -66,7 +66,7 @@ object Guards {
     case FnCall(_, args) => args.flatMap(selectors(_, stepNs))
     case a: Agg          => selectors(a.inner, stepNs)
     case b: BinOp        => selectors(b.lhs, stepNs) ++ selectors(b.rhs, stepNs)
-    case Subquery(inner, _, subStepNs) => selectors(inner, subStepNs)
+    case Subquery(inner, _, subStepNs, _, _) => selectors(inner, subStepNs)
     case _               => Nil
   }
 

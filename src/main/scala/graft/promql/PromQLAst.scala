@@ -14,16 +14,26 @@ object PromQLAst {
 
   sealed trait PExpr
 
+  /** `@` modifier target: a literal epoch timestamp, or the query range's
+    * own start/end (`@ start()` / `@ end()` — Prometheus `parser/ast.go`
+    * StartOrEnd; resolved against the evaluation params at compile time).
+    */
+  sealed trait AtMod
+  final case class AtNs(ns: Long) extends AtMod
+  case object AtStart extends AtMod
+  case object AtEnd extends AtMod
+
   /** `metric{l="v"}[5m] offset 1h @ 1704067200` — range is present only
-    * inside range fns; `atNs` pins evaluation to a fixed timestamp (the
-    * `@` modifier), spreading the pinned value across the whole grid.
+    * inside range fns; `at` pins evaluation to a fixed instant (the `@`
+    * modifier), spreading the pinned value across the whole grid.
+    * `offsetNs` may be negative (`offset -5m` looks forward).
     */
   final case class Selector(
       name: String,
       matchers: Seq[Matcher],
       rangeNs: Option[Long],
       offsetNs: Long,
-      atNs: Option[Long] = None) extends PExpr
+      at: Option[AtMod] = None) extends PExpr
 
   /** rate/increase/…/abs/ceil/histogram_quantile — args are exprs;
     * scalar args are NumLit.
@@ -61,9 +71,15 @@ object PromQLAst {
   final case class StrLit(s: String) extends PExpr
 
   /** `expr[range:step]` — inner expr re-evaluated on the finer step grid,
-    * consumed by an outer *_over_time function.
+    * consumed by an outer *_over_time function. Like selectors, subqueries
+    * take `offset` (shifts the inner eval window) and `@` (pins it).
     */
-  final case class Subquery(inner: PExpr, rangeNs: Long, stepNs: Long) extends PExpr
+  final case class Subquery(
+      inner: PExpr,
+      rangeNs: Long,
+      stepNs: Long,
+      offsetNs: Long = 0L,
+      at: Option[AtMod] = None) extends PExpr
 
   val RangeFns: Set[String] = Set(
     "rate", "increase", "delta", "irate", "idelta", "resets", "changes",

@@ -81,9 +81,16 @@ class PromQLCompiler(spark: SparkSession, dir: String, params: PromParams) {
 
   def compileExpr(e: PExpr): DataFrame = e match {
     case s: Selector if s.rangeNs.isDefined => topLevelMatrix(s)
-    case s: Selector if s.atNs.isDefined =>
-      spread(pinnedCompiler(s.atNs.get).compileExpr(s.copy(atNs = None)))
+    case s: Selector if s.at.isDefined =>
+      spread(pinnedCompiler(resolveAt(s.at.get)).compileExpr(s.copy(at = None)))
     case s: Selector  => instantVector(s)
+    case sq: Subquery if sq.at.isDefined =>
+      // matrix results stay instant-only even when pinned (the require
+      // inside topLevelSubquery would vacuously pass under the pinned
+      // single-point grid)
+      require(gridStart == gridEnd,
+        "range vector result is only valid for instant queries")
+      pinnedCompiler(resolveAt(sq.at.get)).topLevelSubquery(sq.copy(at = None))
     case sq: Subquery => topLevelSubquery(sq)
     case f: FnCall    => compileFn(f)
     case a: Agg       => compileAgg(a)
@@ -107,7 +114,7 @@ class PromQLCompiler(spark: SparkSession, dir: String, params: PromParams) {
   private def topLevelMatrix(s: Selector): DataFrame = {
     require(gridStart == gridEnd,
       "range vector result is only valid for instant queries")
-    val t0 = s.atNs.getOrElse(gridStart)
+    val t0 = s.at.map(resolveAt).getOrElse(gridStart)
     val off = s.offsetNs
     scan(s, t0 - off - s.rangeNs.get + 1, t0 - off + 1)
       .select(col("fingerprint"), col("labels"),
@@ -120,10 +127,12 @@ class PromQLCompiler(spark: SparkSession, dir: String, params: PromParams) {
   private def topLevelSubquery(sq: Subquery): DataFrame = {
     require(gridStart == gridEnd,
       "range vector result is only valid for instant queries")
+    // matrix rows keep their own (un-offset) inner eval timestamps
     subquerySamples(sq)
       .filter(col("timestamp_ns") > gridStart - sq.rangeNs)
       .select(col("fingerprint"), col("labels"),
-        expr("timestamp_ns div 1000000000").as("ts"), col("value"))
+        expr(s"(timestamp_ns - ${sq.offsetNs}L) div 1000000000").as("ts"),
+        col("value"))
   }
 
   // --- selectors ---------------------------------------------------------
@@ -145,6 +154,14 @@ class PromQLCompiler(spark: SparkSession, dir: String, params: PromParams) {
   /** `@` modifier: evaluate at the pinned instant, then spread the value
     * across every eval point of the real grid.
     */
+  /** Resolve an `@` target: `start()`/`end()` refer to the query range
+    * itself (Prometheus StartOrEnd semantics). */
+  private def resolveAt(a: AtMod): Long = a match {
+    case AtNs(ns) => ns
+    case AtStart  => params.startNs
+    case AtEnd    => params.endNs
+  }
+
   private def pinnedCompiler(atNs: Long): PromQLCompiler =
     new PromQLCompiler(spark, dir,
       PromParams(atNs, atNs, params.stepS, params.lookbackNs))
@@ -275,14 +292,19 @@ class PromQLCompiler(spark: SparkSession, dir: String, params: PromParams) {
     else percentile(v, q)
 
   private def compileFn(f: FnCall): DataFrame = {
-    // `@` on the argument selector: run the whole function pinned, spread
-    f.args.collectFirst { case s: Selector if s.atNs.isDefined => s } match {
-      case Some(s) =>
+    // `@` on the argument selector/subquery: run the whole function pinned,
+    // spread across the real grid
+    f.args.collectFirst {
+      case s: Selector if s.at.isDefined => s.at.get
+      case sq: Subquery if sq.at.isDefined => sq.at.get
+    } match {
+      case Some(a) =>
         val cleared = FnCall(f.fn, f.args.map {
-          case sel: Selector => sel.copy(atNs = None)
+          case sel: Selector => sel.copy(at = None)
+          case sq: Subquery => sq.copy(at = None)
           case o => o
         })
-        return spread(pinnedCompiler(s.atNs.get).compileFn(cleared))
+        return spread(pinnedCompiler(resolveAt(a)).compileFn(cleared))
       case None =>
     }
     compileFnInner(f)
@@ -877,13 +899,20 @@ class PromQLCompiler(spark: SparkSession, dir: String, params: PromParams) {
   /** Inner subquery eval as plain samples (fingerprint, labels,
     * timestamp_ns, value) on the finer grid, widened left by `range`.
     */
+  /** Inner eval points of `expr[r:s]` as samples on the OUTER timeline:
+    * with `offset o` the inner grid shifts back by o and the returned
+    * timestamps shift forward by o, so every downstream window/frame
+    * treats them exactly like offset-adjusted selector samples.
+    */
   private def subquerySamples(sq: Subquery): DataFrame = {
     require(sq.stepNs % 1000000000L == 0 && sq.stepNs > 0,
       "subquery step must be whole seconds")
+    val off = sq.offsetNs
     val innerParams = PromParams(
-      gridStart - sq.rangeNs, gridEnd, sq.stepNs / 1000000000L, params.lookbackNs)
+      gridStart - off - sq.rangeNs, gridEnd - off,
+      sq.stepNs / 1000000000L, params.lookbackNs)
     val inner = new PromQLCompiler(spark, dir, innerParams).compileExpr(sq.inner)
-    val tsNs = (col("ts") * 1000000000L).as("timestamp_ns")
+    val tsNs = (col("ts") * 1000000000L + lit(off)).as("timestamp_ns")
     inner.select(col("fingerprint"), col("labels"), tsNs, col("value"))
   }
 

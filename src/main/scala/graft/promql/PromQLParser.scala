@@ -33,18 +33,32 @@ object PromQLParser extends RegexParsers {
     "{" ~> repsep(matcher, ",") <~ "}"
 
   private def rangeClause: Parser[Long] = "[" ~> duration <~ "]" ^^ durationToNs
-  private def offsetClause: Parser[Long] = "offset" ~> duration ^^ durationToNs
+  // `offset -5m` looks forward of the eval time (Prometheus negative offset)
+  private def offsetClause: Parser[Long] =
+    "offset" ~> opt("-") ~ duration ^^ {
+      case neg ~ d => (if (neg.isDefined) -1L else 1L) * durationToNs(d)
+    }
 
-  private def atClause: Parser[Long] =
-    "@" ~> """[0-9]+(\.[0-9]+)?""".r ^^ (s => (s.toDouble * 1e9).toLong)
+  private def atClause: Parser[AtMod] =
+    "@" ~> ("start" ~ "(" ~ ")" ^^^ AtStart |
+      "end" ~ "(" ~ ")" ^^^ AtEnd |
+      """-?[0-9]+(\.[0-9]+)?""".r ^^ (s => AtNs((s.toDouble * 1e9).toLong)))
+
+  /** `offset` and `@` may appear in either order, at most once each
+    * (Prometheus grammar). */
+  private def selMods: Parser[(Long, Option[AtMod])] =
+    rep(offsetClause ^^ (Left(_)) | atClause ^^ (Right(_))) ^^ { mods =>
+      (mods.collectFirst { case Left(o) => o }.getOrElse(0L),
+        mods.collectFirst { case Right(a) => a })
+    }
 
   private def selector: Parser[Selector] =
-    metricIdent ~ opt(matchers) ~ opt(rangeClause) ~ opt(offsetClause) ~ opt(atClause) ^^ {
-      case n ~ ms ~ r ~ off ~ at =>
-        Selector(n, ms.getOrElse(Nil), r, off.getOrElse(0L), at)
+    metricIdent ~ opt(matchers) ~ opt(rangeClause) ~ selMods ^^ {
+      case n ~ ms ~ r ~ ((off, at)) =>
+        Selector(n, ms.getOrElse(Nil), r, off, at)
     } |
-    matchers ~ opt(rangeClause) ~ opt(offsetClause) ~ opt(atClause) ^^ {
-      case ms ~ r ~ off ~ at => Selector("", ms, r, off.getOrElse(0L), at)
+    matchers ~ opt(rangeClause) ~ selMods ^^ {
+      case ms ~ r ~ ((off, at)) => Selector("", ms, r, off, at)
     }
 
   private def grouping: Parser[(Seq[String], Seq[String])] =
@@ -124,8 +138,9 @@ object PromQLParser extends RegexParsers {
     */
   private def subquery: Parser[Subquery] =
     (aggExpr | fnCall | "(" ~> expr <~ ")" | selector ^^ identity) ~
-      ("[" ~> duration) ~ (":" ~> duration <~ "]") ^^ {
-      case e ~ r ~ s => Subquery(e, durationToNs(r), durationToNs(s))
+      ("[" ~> duration) ~ (":" ~> duration <~ "]") ~ selMods ^^ {
+      case e ~ r ~ s ~ ((off, at)) =>
+        Subquery(e, durationToNs(r), durationToNs(s), off, at)
     }
 
   // subquery before the bare paren-expr alternative: `(expr)[r:s]` must

@@ -16,6 +16,54 @@ class PromQLSpec extends SparkSpec {
         Some(300000000000L), 3600000000000L))
   }
 
+  test("parser: @ start()/end(), negative offset, either modifier order") {
+    assert(PromQLParser.parseOrThrow("""m @ end()""") ==
+      Selector("m", Nil, None, 0L, Some(AtEnd)))
+    assert(PromQLParser.parseOrThrow("""m[5m] @ start() offset -1h""") ==
+      Selector("m", Nil, Some(300000000000L), -3600000000000L, Some(AtStart)))
+    // offset and @ commute (Prometheus grammar: any order, once each)
+    assert(PromQLParser.parseOrThrow("""m offset -1h @ 1704067200""") ==
+      PromQLParser.parseOrThrow("""m @ 1704067200 offset -1h"""))
+    // subqueries take the same modifiers after the [r:s] brackets
+    assert(PromQLParser.parseOrThrow("""m[1h:5m] @ end() offset 1h""") ==
+      Subquery(Selector("m", Nil, None, 0L), 3600000000000L, 300000000000L,
+        3600000000000L, Some(AtEnd)))
+  }
+
+  test("@ end() equals the numeric end timestamp; subquery @ pins the window") {
+    val qEnd = s"""avg_over_time(events_value{event_type="click"}[24h] @ end())"""
+    val qNum = s"""avg_over_time(events_value{event_type="click"}[24h] @ $EndS)"""
+    val a = engine.result(qEnd, Seq("event_type")).collect()
+    val b = engine.result(qNum, Seq("event_type")).collect()
+    assert(a.nonEmpty && a.toSeq == b.toSeq)
+    // subquery `@ end()` over the full grid == the same subquery compiled
+    // on an instant grid pinned at end, spread over every eval point
+    // (inner is a range fn so sparse sf0.001 clicks still land in windows)
+    val sq =
+      """max_over_time(count_over_time(events_value{event_type="click"}[6h])[24h:6h] @ end())"""
+    val spreadRes = engine.result(sq, Seq("event_type")).collect()
+    val pinned = new PromQLCompiler(spark, sf, PromParams(EndNs, EndNs, StepS))
+      .result(
+        """max_over_time(count_over_time(events_value{event_type="click"}[6h])[24h:6h])""",
+        Seq("event_type")).collect()
+    assert(spreadRes.nonEmpty && pinned.length == 1)
+    assert(spreadRes.map(_.getDouble(2)).distinct.toSeq ==
+      Seq(pinned.head.getDouble(2)))
+  }
+
+  test("negative offset looks forward: count at start == plain count at start+6h") {
+    val neg = engine.result(
+      """count_over_time(events_value{event_type="click"}[6h] offset -6h)""",
+      Seq("event_type")).collect()
+      .map(r => (r.getLong(1), r.getDouble(2))).toMap
+    val plain = engine.result(
+      """count_over_time(events_value{event_type="click"}[6h])""",
+      Seq("event_type")).collect()
+      .map(r => (r.getLong(1), r.getDouble(2))).toMap
+    assert(neg.nonEmpty)
+    for ((t, v) <- neg) assert(plain.get(t + StepS).contains(v), s"at $t")
+  }
+
   test("parser: agg with by + fn nesting") {
     assert(PromQLParser.parseOrThrow("""sum by (a) (rate(m[5m]))""") ==
       Agg("sum", FnCall("rate", Seq(Selector("m", Nil, Some(300000000000L), 0L))),
@@ -182,7 +230,7 @@ class PromQLSpec extends SparkSpec {
     assert(PromQLParser.parseOrThrow("""m[1h:5m]""") ==
       Subquery(Selector("m", Nil, None, 0L), 3600000000000L, 300000000000L))
     // a paren expr with a subquery range binds the range to the parens
-    val Subquery(BinOp("+", _, _, _, _, _, _), r, s) =
+    val Subquery(BinOp("+", _, _, _, _, _, _), r, s, _, _) =
       PromQLParser.parseOrThrow("""(sum(a) + sum(b))[1h:5m]"""): @unchecked
     assert(r == 3600000000000L && s == 300000000000L)
   }
