@@ -278,27 +278,84 @@ object ProfGates extends GateSet {
           |    ' from 10.0.' || CAST(CAST("user" AS BIGINT) % 250 AS VARCHAR) || '.7' ||
           |    ' at 2024-01-02T03:04:05Z path /api/u' || "user" || '/get took ' || "user" || 'ms' AS line
           |  FROM logs)""".stripMargin,
-        """cmask AS (SELECT event_type, array_to_string(
-          |    [CASE
-          |       WHEN regexp_matches(w, '^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$') THEN '<UUID>'
-          |       WHEN regexp_matches(w, '^\d{4}-\d{2}-\d{2}([T ]\d{2}:\d{2}:\d{2}(\.\d+)?(Z|[+-]\d{2}:?\d{2})?)?$') THEN '<TS>'
-          |       WHEN regexp_matches(w, '^\d{1,3}(\.\d{1,3}){3}(:\d+)?$') THEN '<IP>'
-          |       WHEN regexp_matches(w, '^(0x)?[0-9a-fA-F]{8,}$') AND regexp_matches(w, '[a-fA-F]') THEN '<HEX>'
-          |       WHEN regexp_matches(w, '^(/[^/ ]+){2,}/?$') THEN '<PATH>'
-          |       ELSE regexp_replace(w, '[0-9]+', '<N>', 'g') END
-          |     for w in string_split(line, ' ')], ' ') AS pattern
-          |  FROM clines)""".stripMargin),
+        s"""cmask AS (SELECT event_type, array_to_string(
+           |    [${Patterns.duckClassTok("w")}
+           |     for w in string_split(line, ' ')], ' ') AS pattern
+           |  FROM clines)""".stripMargin),
         """SELECT event_type, pattern, count(*) AS samples_count
           |FROM cmask GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))),
+
+    // --- HTTP access-log + syslog classes: method/code/version kept as
+    // valuable literals, CLF timestamp halves, RFC5424 priority, and
+    // prog[pid]: masking (clustering/_lexer.go:40-130, pattern.go:47-62) --
+    Gate("patterns_mine_http",
+      (spark: SparkSession, dir: String) => {
+        val logs = Tables.logs(spark, dir)
+        val u = element_at(col("labels"), "user")
+        val lvl = element_at(col("labels"), "level")
+        val code = when(lvl === "error", lit("500")).otherwise(lit("200"))
+        val access = concat_ws(" ",
+          concat(lit("10.0."), pmod(u.cast("long"), lit(250)).cast("string"),
+            lit(".7")),
+          lit("-"), lit("-"), lit("[06/Jan/2024:15:04:05"), lit("+0000]"),
+          lit("GET"), concat(lit("/api/u"), u, lit("/get")), lit("HTTP/1.1"),
+          code, length(col("line")).cast("string"))
+        val syslog = concat_ws(" ",
+          lit("<34>"), lit("Jan"), lit("23"), lit("14:59:01"),
+          concat(lit("host"), pmod(u.cast("long"), lit(3)).cast("string")),
+          concat(lit("sshd["), u, lit("]:")),
+          upper(lvl), lit("auth"), lit("event"))
+        val stream = element_at(col("labels"), "event_type").as("stream")
+        Patterns.mineLines(
+            logs.select(stream, access.as("line"))
+              .unionByName(logs.select(stream, syslog.as("line"))))
+          .withColumnRenamed("stream", "event_type")
+          .orderBy("event_type", "pattern")
+      },
+      Some(OracleViews.withViews(Seq(OracleViews.logs,
+        """hlines AS (
+          |  SELECT event_type,
+          |    '10.0.' || CAST(CAST("user" AS BIGINT) % 250 AS VARCHAR) ||
+          |    '.7 - - [06/Jan/2024:15:04:05 +0000] GET /api/u' || "user" ||
+          |    '/get HTTP/1.1 ' ||
+          |    CASE WHEN level = 'error' THEN '500' ELSE '200' END ||
+          |    ' ' || CAST(length(line) AS VARCHAR) AS line
+          |  FROM logs
+          |  UNION ALL
+          |  SELECT event_type,
+          |    '<34> Jan 23 14:59:01 host' ||
+          |    CAST(CAST("user" AS BIGINT) % 3 AS VARCHAR) ||
+          |    ' sshd[' || "user" || ']: ' || upper(level) ||
+          |    ' auth event' AS line
+          |  FROM logs)""".stripMargin,
+        s"""htoks AS (SELECT event_type,
+           |    [${Patterns.duckClassTok("w")} for w in string_split(line, ' ')] AS ws
+           |  FROM hlines)""".stripMargin,
+        """hkeyed AS (SELECT event_type, len(ws) AS n, ws[1] AS head, ws FROM htoks)""",
+        """hposed AS (SELECT event_type, n, head,
+          |    unnest([i for i in generate_series(1, len(ws))]) AS pos,
+          |    unnest(ws) AS tok
+          |  FROM hkeyed)""".stripMargin,
+        """hpostok AS (SELECT event_type, n, head, pos,
+          |    CASE WHEN count(DISTINCT tok) = 1 THEN min(tok) ELSE '<_>' END AS tok_out
+          |  FROM hposed GROUP BY 1, 2, 3, 4)""".stripMargin,
+        """hpats AS (SELECT event_type, n, head,
+          |    string_agg(tok_out, ' ' ORDER BY pos) AS pattern
+          |  FROM hpostok GROUP BY 1, 2, 3)""".stripMargin,
+        """hcnts AS (SELECT event_type, n, head, count(*) AS samples_count
+          |  FROM hkeyed GROUP BY 1, 2, 3)""".stripMargin),
+        """SELECT p.event_type, p.pattern, c.samples_count
+          |FROM hpats p JOIN hcnts c USING (event_type, n, head)
+          |ORDER BY 1, 2""".stripMargin))),
 
     // --- Drain-style pattern mining ---------------------------------------
     Gate("patterns_mine",
       (spark: SparkSession, dir: String) =>
         Patterns.mine(spark, dir).orderBy("event_type", "pattern"),
       Some(OracleViews.withViews(Seq(OracleViews.logs,
-        """toksp AS (SELECT event_type,
-          |    [regexp_replace(w, '[0-9]+', '<N>', 'g') for w in string_split(line, ' ')] AS ws
-          |  FROM logs)""".stripMargin,
+        s"""toksp AS (SELECT event_type,
+           |    [${Patterns.duckClassTok("w")} for w in string_split(line, ' ')] AS ws
+           |  FROM logs)""".stripMargin,
         """keyedp AS (SELECT event_type, len(ws) AS n, ws[1] AS head, ws FROM toksp)""",
         """posed AS (SELECT event_type, n, head,
           |    unnest([i for i in generate_series(1, len(ws))]) AS pos,

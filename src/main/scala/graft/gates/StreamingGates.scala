@@ -242,9 +242,9 @@ object StreamingGates extends GateSet {
           .orderBy("event_type", "pattern")
       },
       Some(OracleViews.withViews(Seq(OracleViews.logs,
-        """toksm AS (SELECT event_type,
-          |    [regexp_replace(w, '[0-9]+', '<N>', 'g') for w in string_split(line, ' ')] AS ws
-          |  FROM logs)""".stripMargin,
+        s"""toksm AS (SELECT event_type,
+           |    [${graft.patterns.Patterns.duckClassTok("w")} for w in string_split(line, ' ')] AS ws
+           |  FROM logs)""".stripMargin,
         """keyedm AS (SELECT event_type, len(ws) AS n, ws[1] AS head, ws FROM toksm)""",
         """posedm AS (SELECT event_type, n, head,
           |    unnest([i for i in generate_series(1, len(ws))]) AS pos,

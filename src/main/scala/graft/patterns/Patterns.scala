@@ -24,11 +24,27 @@ import graft.model.Tables
   */
 object Patterns {
 
-  /** Token classing, mirroring the reference lexer's dominant classes
-    * (`clustering/lexer.go` / `_lexer.go:26-40`: UUID, Timestamp,
-    * IPAddress, hex ids, HTTPPathPart; everything else falls through to
-    * digit-run masking). Whole-token regex classes, evaluated in the
-    * lexer's precedence order.
+  /** Log levels and HTTP methods (`_lexer.go:69-70,125-130`) — "valuable"
+    * classes (tokenCosts 30-34, `pattern.go:47-62`): high cost means they
+    * resist generalization, which in this relational re-expression means
+    * they keep their literal value instead of being pre-masked.
+    */
+  val LogLevels: Seq[String] = Seq("INFO", "DEBUG", "WARN", "WARNING",
+    "ERROR", "CRITICAL", "FATAL", "NOTICE", "EMERGENCY", "ALERT")
+  val HttpMethods: Seq[String] = Seq("GET", "POST", "PUT", "DELETE",
+    "PATCH", "HEAD", "OPTIONS", "CONNECT", "TRACE")
+
+  /** Token classing, mirroring the reference lexer's classes
+    * (`clustering/lexer.go` / `_lexer.go:26-150`, costs
+    * `pattern.go:47-62`) in its precedence order. Low-cost classes
+    * (UUID, Priority, Timestamp, IP, PID, digit runs) pre-mask to a
+    * placeholder — they generalize readily in the reference; valuable
+    * classes (LogLevel, ProgramName, HTTPVersion, HTTPMethod, HTTPCode,
+    * Word) keep their literal and only generalize through the per-cluster
+    * `<_>` pass. HTTPCode keeps the reference's quirk: any 3-char numeric
+    * token whose first digit is 0-5 (`isHTTPCode`, `lexer.go:3774`),
+    * which admits "0.5". Common-log `[dd/Mon/yyyy:hh:mm:ss +zzzz]`
+    * timestamps arrive as two space-split tokens — both class `<TS>`.
     */
   def classTok(t: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     // cheap structural guards in front of each full-token regex: most
@@ -39,15 +55,49 @@ object Patterns {
     when(length(t) === 36 && substring(t, 9, 1) === "-" &&
         t.rlike("^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$"),
       "<UUID>")
+    .when(first === "<" && t.rlike("^<\\d+>$"), "<PRI>")
     .when(digitFirst && length(t) >= 10 &&
         t.rlike("^\\d{4}-\\d{2}-\\d{2}([T ]\\d{2}:\\d{2}:\\d{2}(\\.\\d+)?(Z|[+-]\\d{2}:?\\d{2})?)?$"),
       "<TS>")
+    .when(digitFirst && t.rlike("^\\d{2}:\\d{2}:\\d{2}(\\.\\d+)?$"), "<TS>")
+    .when(first === "[" &&
+        t.rlike("^\\[\\d{2}/[A-Za-z]{3}/\\d{4}:\\d{2}:\\d{2}:\\d{2}$"), "<TS>")
+    .when((first === "+" || first === "-") && t.rlike("^[+-]\\d{4}\\]$"), "<TS>")
+    .when(t.isin(LogLevels: _*), t)
+    .when(t.rlike("^[a-zA-Z][a-zA-Z0-9_-]+\\[\\d+\\]:$"),
+      regexp_replace(t, "\\[\\d+\\]:$", "[<PID>]:"))
     .when(digitFirst && t.rlike("^\\d{1,3}(\\.\\d{1,3}){3}(:\\d+)?$"), "<IP>")
     .when(length(t) >= 8 && t.rlike("^(0x)?[0-9a-fA-F]{8,}$") && t.rlike("[a-fA-F]"),
       "<HEX>")
     .when(first === "/" && t.rlike("^(/[^/ ]+){2,}/?$"), "<PATH>")
+    .when(first === "H" && t.rlike("^HTTP(/[12]\\.[01])?$"), t)
+    .when(t.isin(HttpMethods: _*), t)
+    .when(digitFirst && first <= "5" && length(t) === 3 &&
+        t.rlike("^\\d+(\\.\\d+)?$"), t)
     .otherwise(regexp_replace(t, "[0-9]+", "<N>"))
   }
+
+  /** The DuckDB mirror of [[classTok]] — same classes, same precedence —
+    * shared by every oracle that re-derives the classing in SQL.
+    */
+  def duckClassTok(w: String): String =
+    raw"""CASE
+       | WHEN regexp_matches($w, '^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$$') THEN '<UUID>'
+       | WHEN regexp_matches($w, '^<\d+>$$') THEN '<PRI>'
+       | WHEN regexp_matches($w, '^\d{4}-\d{2}-\d{2}([T ]\d{2}:\d{2}:\d{2}(\.\d+)?(Z|[+-]\d{2}:?\d{2})?)?$$') THEN '<TS>'
+       | WHEN regexp_matches($w, '^\d{2}:\d{2}:\d{2}(\.\d+)?$$') THEN '<TS>'
+       | WHEN regexp_matches($w, '^\[\d{2}/[A-Za-z]{3}/\d{4}:\d{2}:\d{2}:\d{2}$$') THEN '<TS>'
+       | WHEN regexp_matches($w, '^[+-]\d{4}\]$$') THEN '<TS>'
+       | WHEN $w IN (${LogLevels.map(l => s"'$l'").mkString(",")}) THEN $w
+       | WHEN regexp_matches($w, '^[a-zA-Z][a-zA-Z0-9_-]+\[\d+\]:$$') THEN regexp_replace($w, '\[\d+\]:$$', '[<PID>]:')
+       | WHEN regexp_matches($w, '^\d{1,3}(\.\d{1,3}){3}(:\d+)?$$') THEN '<IP>'
+       | WHEN regexp_matches($w, '^(0x)?[0-9a-fA-F]{8,}$$') AND regexp_matches($w, '[a-fA-F]') THEN '<HEX>'
+       | WHEN regexp_matches($w, '^(/[^/ ]+){2,}/?$$') THEN '<PATH>'
+       | WHEN regexp_matches($w, '^HTTP(/[12]\.[01])?$$') THEN $w
+       | WHEN $w IN (${HttpMethods.map(m => s"'$m'").mkString(",")}) THEN $w
+       | WHEN length($w) = 3 AND regexp_matches($w, '^[0-5]') AND regexp_matches($w, '^\d+(\.\d+)?$$') THEN $w
+       | ELSE regexp_replace($w, '[0-9]+', '<N>', 'g') END"""
+      .stripMargin.replace("\n", "")
 
   def maskedTokens(line: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     transform(split(line, " "), classTok(_))

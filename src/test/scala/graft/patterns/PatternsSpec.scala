@@ -34,6 +34,36 @@ class PatternsSpec extends SparkSpec {
       "id=<N> <UUID> <IP> <TS> <HEX> <PATH> ok")
   }
 
+  test("lexer classes: level/method/code/version literal, PID/priority/CLF-ts masked") {
+    import graft.TestSpark.spark.implicits._
+    val lines = Seq(
+      ("web", """10.0.3.7 - - [06/Jan/2024:15:04:05 +0000] GET /api/users HTTP/1.1 200 1234"""),
+      ("web", """10.0.9.7 - - [07/Jan/2024:16:05:06 +0000] GET /api/users HTTP/1.1 200 987"""),
+      ("sys", """<34> Jan 23 14:59:01 host1 sshd[4321]: ERROR auth fail"""),
+      ("sys", """<34> Jan 24 09:01:02 host2 sshd[9876]: ERROR auth fail"""))
+      .toDF("stream", "line")
+    val out = Patterns.mineLines(lines).orderBy("stream").collect()
+    assert(out.length == 2)
+    // valuable classes (method, version, code) keep literals; low-cost
+    // classes (IP, CLF timestamp halves, byte count) mask
+    assert(out.find(_.getString(0) == "web").get.getString(1) ==
+      "<IP> - - <TS> <TS> GET <PATH> HTTP/1.1 200 <N>")
+    // priority + BSD-ts + prog[pid]: masking; hostN digit-masks; level kept
+    assert(out.find(_.getString(0) == "sys").get.getString(1) ==
+      "<PRI> Jan <N> <TS> host<N> sshd[<PID>]: ERROR auth fail")
+  }
+
+  test("HTTP code quirk: 3-char numbers starting 0-5 keep literals (incl 0.5)") {
+    import graft.TestSpark.spark.implicits._
+    val lines = Seq(
+      ("s", "code 200 ratio 0.5 big 900 tiny 42"),
+      ("s", "code 200 ratio 0.5 big 901 tiny 7")).toDF("stream", "line")
+    val out = Patterns.mineLines(lines).collect()
+    // 200 and 0.5 are HTTPCode-class (len 3, first digit 0-5) → literal;
+    // 900 fails the first-digit test → <N>; 42/7 → <N>
+    assert(out(0).getString(1) == "code 200 ratio 0.5 big <N> tiny <N>")
+  }
+
   test("two-batch mergeMined equals one-shot mining (associativity)") {
     import graft.TestSpark.spark.implicits._
     // the (s, 3, req) cluster spans BOTH batches with tokens that only
