@@ -22,7 +22,10 @@ object WireFormats {
     StructField("stringValue", StringType),
     StructField("intValue", StringType),
     StructField("doubleValue", DoubleType),
-    StructField("boolValue", BooleanType)))
+    StructField("boolValue", BooleanType),
+    // OTLP/JSON already carries bytesValue base64-encoded, which is exactly
+    // SanitizeValue's rendering (`otlplogs.go:126-127`) — passthrough
+    StructField("bytesValue", StringType)))
 
   // one nesting level of kvlist/array with scalar leaves — from_json needs
   // a closed schema, and the reference's own test fixtures nest one deep
@@ -38,29 +41,52 @@ object WireFormats {
     StructField("key", StringType),
     StructField("value", otlpAnyValue)))
 
-  /** Go `strconv.FormatFloat(f, 'f', -1, 64)` renders 3.0 as "3". */
+  /** Go `strconv.FormatFloat(f, 'f', -1, 64)`: plain decimal, shortest
+    * round-trip digits, no scientific notation; 3.0 renders "3". The
+    * decimal(38,18) bridge covers |x| < 1e20 with up to 18 fractional
+    * digits (beyond that — astronomically large or sub-1e-18 values — the
+    * rendering falls back to Spark's scientific form).
+    */
   private def goFloatStr(d: org.apache.spark.sql.Column) =
-    when(d === floor(d), d.cast("long").cast("string"))
+    when(abs(d) < 9e18 && d === floor(d), d.cast("long").cast("string"))
+      .when(abs(d) < 1e20, regexp_replace(
+        d.cast(DecimalType(38, 18)).cast("string"), "\\.?0+$", ""))
       .otherwise(d.cast("string"))
+
+  /** `SanitizeKey` (`otlplogs.go:103-114`): non-[a-zA-Z0-9_] → `_`, and a
+    * leading digit (or empty key) gains a `_` prefix.
+    */
+  private def sanitizeKey(k: org.apache.spark.sql.Column) = {
+    val s = regexp_replace(k, "[^a-zA-Z0-9_]", "_")
+    val first = substring(s, 1, 1)
+    when(s === "" || (first >= "0" && first <= "9"), concat(lit("_"), s))
+      .otherwise(s)
+  }
 
   private def leafStr(v: org.apache.spark.sql.Column) =
     coalesce(v.getField("stringValue"), v.getField("intValue"),
       goFloatStr(v.getField("doubleValue")),
-      v.getField("boolValue").cast("string"))
+      v.getField("boolValue").cast("string"),
+      v.getField("bytesValue"))
 
   /** Body AnyValue → line string (`otlplogs.go:108-145` SanitizeValue):
-    * scalars render Go-style; kvlist → JSON object with SORTED keys (Go
-    * `json.Marshal` of a map); array → JSON array of rendered leaves.
+    * scalars render Go-style; kvlist → JSON object with SORTED sanitized
+    * keys (Go `json.Marshal` of a map built with SanitizeKey); array →
+    * JSON array of rendered leaves (unsupported kinds render ""). One
+    * nesting level only — `from_json` needs a closed schema and the
+    * reference's own fixtures nest one deep; a deeper AnyValue renders as
+    * its leaves' JSON nulls rather than recursively.
     */
   private def bodyStr(b: org.apache.spark.sql.Column) =
     coalesce(
       leafStr(b),
       when(b.getField("kvlistValue").isNotNull, to_json(map_from_entries(
         array_sort(transform(b.getField("kvlistValue").getField("values"),
-          kv => struct(kv.getField("key").as("key"),
+          kv => struct(sanitizeKey(kv.getField("key")).as("key"),
             leafStr(kv.getField("value")).as("value"))))))),
       when(b.getField("arrayValue").isNotNull, to_json(
-        transform(b.getField("arrayValue").getField("values"), leafStr(_)))),
+        transform(b.getField("arrayValue").getField("values"),
+          v => coalesce(leafStr(v), lit(""))))),
       lit(""))
 
   val otlpLogsSchema: StructType = StructType(Seq(
@@ -78,6 +104,16 @@ object WireFormats {
     map_from_entries(transform(attrs, a =>
       struct(a.getField("key"), leafStr(a.getField("value")))))
 
+  /** LOG-label flattening (`otlplogs.go:98-101` writeAttrValue): keys pass
+    * through SanitizeKey, values through SanitizeValue, collisions
+    * last-win (Go map assignment). Traces/metrics keep raw dotted keys —
+    * the reference sanitizes only on the logs path.
+    */
+  private def attrsToMapSanitized(attrs: org.apache.spark.sql.Column) =
+    MapOps.fromArraysLastWins(
+      transform(attrs, a => sanitizeKey(a.getField("key"))),
+      transform(attrs, a => leafStr(a.getField("value"))))
+
   /** OTLP logs → (fingerprint, timestamp_ns, labels, line); resource and
     * record attributes merge into the label set (resource first, record
     * attrs win on conflict), severityText becomes the `level` label —
@@ -87,7 +123,7 @@ object WireFormats {
     bodies
       .select(explode(from_json(col("body"), otlpLogsSchema)
         .getField("resourceLogs")).as("rl"))
-      .select(attrsToMap(coalesce(col("rl.resource.attributes"),
+      .select(attrsToMapSanitized(coalesce(col("rl.resource.attributes"),
         array().cast(ArrayType(otlpAttr)))).as("res"),
         explode(col("rl.scopeLogs")).as("sl"))
       .select(col("res"), explode(col("sl.logRecords")).as("r"))
@@ -97,7 +133,7 @@ object WireFormats {
       // key per row — capturing a cheap attribute ref instead keeps the
       // parse single-pass (the r7 `weak` on decodeOtlpMetrics)
       .select(col("res"),
-        attrsToMap(coalesce(col("r.attributes"),
+        attrsToMapSanitized(coalesce(col("r.attributes"),
           array().cast(ArrayType(otlpAttr)))).as("recAttrs"),
         when(col("r.severityText").isNotNull,
           map(lit("level"), lower(col("r.severityText"))))

@@ -54,20 +54,49 @@ object Rules {
     }
   }
 
+  /** CRUD is read-modify-write over a tiny driver-side config table;
+    * concurrent mutators would lose updates and Spark's Overwrite deletes
+    * the directory before writing (a crash mid-save loses the table).
+    * All mutations serialize on this lock and publish via temp-dir +
+    * rename, so readers always see a complete table.
+    */
+  private val crudLock = new Object
+
+  private def rmTree(f: java.io.File): Unit = if (f.exists) {
+    Option(f.listFiles).foreach(_.foreach(rmTree))
+    f.delete()
+  }
+
+  /** Write a fresh copy at `path + ".tmp"`, swap it in with renames:
+    * the live directory is replaced in one rename, never truncated.
+    */
+  private def overwriteAtomic(path: String)(write: String => Unit): Unit = {
+    val live = new java.io.File(path)
+    val tmp = new java.io.File(path + ".tmp")
+    val trash = new java.io.File(path + ".trash")
+    rmTree(tmp); rmTree(trash)
+    write(tmp.getPath)
+    if (live.exists && !live.renameTo(trash))
+      throw new java.io.IOException(s"cannot move aside $path")
+    if (!tmp.renameTo(live))
+      throw new java.io.IOException(s"cannot publish $path")
+    rmTree(trash)
+  }
+
   private def save(spark: SparkSession, dir: String,
       rows: Seq[GroupRow]): Unit = {
     import spark.implicits._
-    // rows are already on the driver, so overwriting the path they were
-    // read from cannot race the read
-    spark.createDataset(rows).repartition(1)
-      .write.mode(SaveMode.Overwrite).parquet(rulesPath(dir))
+    overwriteAtomic(rulesPath(dir)) { p =>
+      spark.createDataset(rows).repartition(1)
+        .write.mode(SaveMode.Overwrite).parquet(p)
+    }
   }
 
   /** Create or replace one group (`controller.go` POST
     * `/api/v1/rules/{namespace}`).
     */
   def setGroup(spark: SparkSession, dir: String, kind: String,
-      namespace: String, g: RuleGroup): Unit = {
+      namespace: String, g: RuleGroup): Unit = crudLock.synchronized {
     val rest = load(spark, dir).filterNot(r =>
       r.kind == kind && r.namespace == namespace && r.name == g.name)
     save(spark, dir, rest :+ GroupRow(kind, namespace, g.name, g.intervalS, g.rules))
@@ -90,14 +119,16 @@ object Rules {
       .toMap
 
   def deleteGroup(spark: SparkSession, dir: String, kind: String,
-      namespace: String, name: String): Unit =
+      namespace: String, name: String): Unit = crudLock.synchronized {
     save(spark, dir, load(spark, dir).filterNot(r =>
       r.kind == kind && r.namespace == namespace && r.name == name))
+  }
 
   def deleteNamespace(spark: SparkSession, dir: String, kind: String,
-      namespace: String): Unit =
+      namespace: String): Unit = crudLock.synchronized {
     save(spark, dir, load(spark, dir).filterNot(r =>
       r.kind == kind && r.namespace == namespace))
+  }
 
   // --- per-rule evaluation health (`manager.go:36-41` RuleHealth,
   // kept keyed by namespace:group:record; persisted here so a restarted
@@ -119,13 +150,15 @@ object Rules {
   }
 
   private def saveHealth(spark: SparkSession, dir: String,
-      updates: Seq[HealthRow]): Unit = if (updates.nonEmpty) {
+      updates: Seq[HealthRow]): Unit = if (updates.nonEmpty) crudLock.synchronized {
     import spark.implicits._
     val keys = updates.map(h => (h.kind, h.namespace, h.group, h.rule)).toSet
     val rest = loadHealth(spark, dir).filterNot(h =>
       keys((h.kind, h.namespace, h.group, h.rule)))
-    spark.createDataset(rest ++ updates).repartition(1)
-      .write.mode(SaveMode.Overwrite).parquet(healthPath(dir))
+    overwriteAtomic(healthPath(dir)) { p =>
+      spark.createDataset(rest ++ updates).repartition(1)
+        .write.mode(SaveMode.Overwrite).parquet(p)
+    }
   }
 
   /** `/api/v1/rules` listing in the Prometheus shape — one row per rule

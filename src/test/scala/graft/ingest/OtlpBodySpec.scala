@@ -64,6 +64,42 @@ class OtlpBodySpec extends SparkSpec {
     }
   }
 
+  test("double bodies render plain decimal, never scientific (FormatFloat 'f' -1)") {
+    assert(lineOf("""{"doubleValue":1.0E-7}""") == "0.0000001")
+    assert(lineOf("""{"doubleValue":12345678.5}""") == "12345678.5")
+    assert(lineOf("""{"doubleValue":1e15}""") == "1000000000000000")
+    assert(lineOf("""{"doubleValue":0.30000000000000004}""") == "0.30000000000000004")
+  }
+
+  test("bytes bodies pass through as base64 (SanitizeValue)") {
+    assert(lineOf("""{"bytesValue":"aGVsbG8="}""") == "aGVsbG8=")
+  }
+
+  test("kvlist keys sanitize (SanitizeKey) before the sorted-JSON render") {
+    val line = lineOf(
+      """{"kvlistValue":{"values":[
+        |{"key":"a.b","value":{"stringValue":"x"}},
+        |{"key":"2fast","value":{"intValue":"1"}}]}}"""
+        .stripMargin.replace("\n", ""))
+    assert(line == """{"_2fast":"1","a_b":"x"}""")
+  }
+
+  test("log label keys sanitize; record attrs still win over resource attrs") {
+    val s = spark
+    import s.implicits._
+    val req =
+      """{"resourceLogs":[{"resource":{"attributes":[
+        |{"key":"service.name","value":{"stringValue":"api"}}]},
+        |"scopeLogs":[{"logRecords":[{"timeUnixNano":"1",
+        |"body":{"stringValue":"x"},
+        |"attributes":[{"key":"service.name","value":{"stringValue":"rec"}}]}]}]}]}"""
+        .stripMargin.replace("\n", "")
+    val labels = WireFormats.decodeOtlpLogs(Seq(req).toDF("body"))
+      .select(col("labels")).collect()(0).getMap[String, String](0)
+    assert(labels("service_name") == "rec")
+    assert(!labels.contains("service.name"))
+  }
+
   test("missing / unsupported body renders as empty string") {
     val s = spark
     import s.implicits._
