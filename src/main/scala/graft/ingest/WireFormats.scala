@@ -94,9 +94,14 @@ object WireFormats {
       StructField("resource", StructType(Seq(
         StructField("attributes", ArrayType(otlpAttr))))),
       StructField("scopeLogs", ArrayType(StructType(Seq(
+        StructField("scope", StructType(Seq(
+          StructField("attributes", ArrayType(otlpAttr))))),
         StructField("logRecords", ArrayType(StructType(Seq(
           StructField("timeUnixNano", StringType),
+          StructField("observedTimeUnixNano", StringType),
           StructField("severityText", StringType),
+          StructField("traceId", StringType),
+          StructField("spanId", StringType),
           StructField("body", otlpAnyValue),
           StructField("attributes", ArrayType(otlpAttr))))))))))))))))
 
@@ -105,46 +110,66 @@ object WireFormats {
       struct(a.getField("key"), leafStr(a.getField("value")))))
 
   /** LOG-label flattening (`otlplogs.go:98-101` writeAttrValue): keys pass
-    * through SanitizeKey, values through SanitizeValue, collisions
-    * last-win (Go map assignment). Traces/metrics keep raw dotted keys —
-    * the reference sanitizes only on the logs path.
+    * through SanitizeKey, values through SanitizeValue (unsupported kinds
+    * → ""), collisions last-win (Go map assignment). Traces/metrics keep
+    * raw dotted keys — the reference sanitizes only on the logs path.
+    * Staged as transform-then-fold so the sanitize regexes run once per
+    * attr, not once per (attr, lambda-capture) pair.
     */
   private def attrsToMapSanitized(attrs: org.apache.spark.sql.Column) =
-    MapOps.fromArraysLastWins(
-      transform(attrs, a => sanitizeKey(a.getField("key"))),
-      transform(attrs, a => leafStr(a.getField("value"))))
+    MapOps.entriesToMapLastWins(transform(attrs, a =>
+      map(sanitizeKey(a.getField("key")),
+        coalesce(leafStr(a.getField("value")), lit("")))))
 
-  /** OTLP logs → (fingerprint, timestamp_ns, labels, line); resource and
-    * record attributes merge into the label set (resource first, record
-    * attrs win on conflict), severityText becomes the `level` label —
-    * matching the reference's flattening.
+  /** OTLP logs → (fingerprint, timestamp_ns, labels, line) per
+    * `otlplogs.go:22-90`: resource, scope, and record attributes merge
+    * into the label set in that order (later wins), severityText becomes
+    * the `level` label when non-empty, and the first-class traceId/spanId
+    * record fields (32/16 hex chars, nonzero) override any same-named
+    * attribute. Timestamps fall back to observedTimeUnixNano when
+    * timeUnixNano is 0/absent (the reference's final now() fallback is
+    * nondeterministic and intentionally omitted — such rows keep null).
     */
-  def decodeOtlpLogs(bodies: DataFrame): DataFrame =
+  def decodeOtlpLogs(bodies: DataFrame): DataFrame = {
+    val empty = array().cast(ArrayType(otlpAttr))
+    def idLabel(c: org.apache.spark.sql.Column, hexLen: Int) =
+      when(c.rlike(s"^[0-9a-fA-F]{$hexLen}$$") && c.rlike("[1-9a-fA-F]"),
+        lower(c))
+    val t = col("r.timeUnixNano").cast("long")
     bodies
       .select(explode(from_json(col("body"), otlpLogsSchema)
         .getField("resourceLogs")).as("rl"))
       .select(attrsToMapSanitized(coalesce(col("rl.resource.attributes"),
-        array().cast(ArrayType(otlpAttr)))).as("res"),
+        empty)).as("res"),
         explode(col("rl.scopeLogs")).as("sl"))
-      .select(col("res"), explode(col("sl.logRecords")).as("r"))
-      // project the parsed attr map into its own column BEFORE the merge:
+      .select(col("res"),
+        attrsToMapSanitized(coalesce(col("sl.scope.attributes"), empty))
+          .as("scopeAttrs"),
+        explode(col("sl.logRecords")).as("r"))
+      // project each parsed attr map into its own column BEFORE the merge:
       // MapOps.update's map_filter lambda is interpreted, and a lambda that
       // captures the whole attrsToMap subtree re-evaluates it once per base
       // key per row — capturing a cheap attribute ref instead keeps the
       // parse single-pass (the r7 `weak` on decodeOtlpMetrics)
-      .select(col("res"),
-        attrsToMapSanitized(coalesce(col("r.attributes"),
-          array().cast(ArrayType(otlpAttr)))).as("recAttrs"),
-        when(col("r.severityText").isNotNull,
-          map(lit("level"), lower(col("r.severityText"))))
-          .otherwise(map().cast(MapType(StringType, StringType))).as("lvl"),
-        col("r.timeUnixNano").cast("long").as("timestamp_ns"),
+      .select(col("res"), col("scopeAttrs"),
+        attrsToMapSanitized(coalesce(col("r.attributes"), empty))
+          .as("recAttrs"),
+        map_filter(map(
+          lit("level"), when(col("r.severityText") =!= "", col("r.severityText")),
+          lit("trace_id"), idLabel(col("r.traceId"), 32),
+          lit("span_id"), idLabel(col("r.spanId"), 16)), (_, v) => v.isNotNull)
+          .as("overrides"),
+        when(t.isNotNull && t =!= 0, t)
+          .otherwise(col("r.observedTimeUnixNano").cast("long"))
+          .as("timestamp_ns"),
         bodyStr(col("r.body")).as("line"))
       .select(
-        MapOps.update(MapOps.update(col("res"), col("recAttrs")), col("lvl"))
+        MapOps.update(MapOps.update(MapOps.update(
+          col("res"), col("scopeAttrs")), col("recAttrs")), col("overrides"))
           .as("labels"),
         col("timestamp_ns"), col("line"))
       .withColumn("fingerprint", Tables.fingerprintOf(col("labels")))
+  }
 
   // --- OTLP/HTTP JSON traces (`otlp.go:18-166`) ---------------------------
 
@@ -349,54 +374,71 @@ object WireFormats {
         when(col("tsStr") =!= "", col("tsStr")).cast("long") * scale)
       .withColumn("fieldstr", regexp_replace(col("rest"), """\s+[0-9]+$""", ""))
 
-    // each field parsed once into (key, rendered string, numeric value,
-    // logfmt-rendered value, sanitized metric name) — one pass per element
-    val withFields = parts.withColumn("fields",
-      transform(regexp_extract_all(col("fieldstr"), lit(pairRe), lit(0)), p => {
-        val key = unesc(regexp_extract(p, """^((?:[^,=\s\\]|\\.)+)=""", 1))
-        val rawv = regexp_replace(p, """^(?:[^,=\s\\]|\\.)+=""", "")
-        val isQuoted = substring(rawv, 1, 1) === "\""
-        val strVal = regexp_replace(
-          regexp_extract(rawv, """^"((?:[^"\\]|\\.)*)"$""", 1),
-          """\\(["\\])""", "$1")
-        val isInt = rawv.rlike("""^-?[0-9]+[iu]$""")
-        val isFloat =
-          rawv.rlike("""^-?(?:[0-9]+\.?[0-9]*|\.[0-9]+)(?:[eE][+-]?[0-9]+)?$""")
-        val isBool =
-          rawv.rlike("""^(?:t|T|true|True|TRUE|f|F|false|False|FALSE)$""")
-        val sv = when(isQuoted, strVal)
+    // field parsing is STAGED through nested transforms so each regex runs
+    // once per field: split → classify/render → logfmt-quote. A single
+    // flat struct would re-evaluate the classification chain inside every
+    // derived column (interpreted, per element — the HOF-capture tax).
+    val rawFields = transform(
+      regexp_extract_all(col("fieldstr"), lit(pairRe), lit(0)), p =>
+      struct(unesc(regexp_extract(p, """^((?:[^,=\s\\]|\\.)+)=""", 1)).as("k"),
+        regexp_replace(p, """^(?:[^,=\s\\]|\\.)+=""", "").as("raw")))
+    val typedFields = transform(rawFields, f => {
+      val rawv = f.getField("raw")
+      val isQuoted = substring(rawv, 1, 1) === "\""
+      val strVal = regexp_replace(
+        regexp_extract(rawv, """^"((?:[^"\\]|\\.)*)"$""", 1),
+        """\\(["\\])""", "$1")
+      val isInt = rawv.rlike("""^-?[0-9]+[iu]$""")
+      val isFloat =
+        rawv.rlike("""^-?(?:[0-9]+\.?[0-9]*|\.[0-9]+)(?:[eE][+-]?[0-9]+)?$""")
+      val isBool =
+        rawv.rlike("""^(?:t|T|true|True|TRUE|f|F|false|False|FALSE)$""")
+      struct(f.getField("k").as("k"),
+        when(isQuoted, strVal)
           .when(isInt, regexp_replace(rawv, "[iu]$", ""))
           .when(isFloat, goFloatStr(rawv.cast("double")))
           .when(isBool, when(rawv.rlike("^[tT]"), lit("true")).otherwise("false"))
-          .otherwise(rawv)
-        // go-logfmt quotes a value containing space, '=' or '"'
-        val lf = when(sv.rlike("""[ ="]"""),
-          concat(lit("\""), regexp_replace(sv, """(["\\])""", """\\$1"""), lit("\"")))
-          .otherwise(sv)
-        val num = when(isInt, regexp_replace(rawv, "[iu]$", "").cast("double"))
-          .when(isFloat, rawv.cast("double"))
-        struct(key.as("k"), sv.as("sv"), num.as("num"), lf.as("lf"),
-          regexp_replace(key, sanKeyRe, "_").as("sn"))
-      }))
-      .withColumn("labels", MapOps.update(
-        map(lit("measurement"), trunc(col("measurement"))),
-        MapOps.fromArraysLastWins(
-          transform(regexp_extract_all(col("tagstr"), lit(tagRe), lit(0)),
-            t => regexp_replace(
-              unesc(regexp_extract(t, """^((?:[^,=\\]|\\.)+)=""", 1)),
-              sanKeyRe, "_")),
-          transform(regexp_extract_all(col("tagstr"), lit(tagRe), lit(0)),
-            t => trunc(unesc(regexp_replace(t, """^(?:[^,=\\]|\\.)+=""", "")))))))
+          .otherwise(rawv).as("sv"),
+        when(isInt, regexp_replace(rawv, "[iu]$", "").cast("double"))
+          .when(isFloat, rawv.cast("double")).as("num"),
+        regexp_replace(f.getField("k"), sanKeyRe, "_").as("sn"))
+    })
+    // go-logfmt quotes a value containing space, '=' or '"'
+    val fieldsStaged = transform(typedFields, f => {
+      val sv = f.getField("sv")
+      struct(f.getField("k").as("k"), sv.as("sv"), f.getField("num").as("num"),
+        when(sv.rlike("""[ ="]"""),
+          concat(lit("\""), regexp_replace(sv, """(["\\])""", """\\$1"""),
+            lit("\""))).otherwise(sv).as("lf"),
+        f.getField("sn").as("sn"))
+    })
+    // tags fold through entriesToMapLastWins (capture-free) so the
+    // per-tag sanitize regexes run once, not once per dedup probe
+    val tagsMap = MapOps.entriesToMapLastWins(transform(
+      regexp_extract_all(col("tagstr"), lit(tagRe), lit(0)), t =>
+      map(regexp_replace(
+          unesc(regexp_extract(t, """^((?:[^,=\\]|\\.)+)=""", 1)),
+          sanKeyRe, "_"),
+        trunc(unesc(regexp_replace(t, """^(?:[^,=\\]|\\.)+=""", ""))))))
 
-    val msg = try_element_at(
-      filter(col("fields"), f => f.getField("k") === "message"), lit(1))
+    val msg = try_element_at(col("msgs"), lit(1))
     val others = filter(col("fields"), f => f.getField("k") =!= "message")
-    val logLine = when(size(col("fields")) === 1, msg.getField("sv"))
-      .otherwise(concat(
-        lit("message="), msg.getField("lf"),
-        when(size(others) > 0, concat(lit(" "), array_join(
-          transform(others, f => concat(f.getField("k"), lit("="), f.getField("lf"))),
-          " "))).otherwise(lit(""))))
+    val withFields = parts
+      .withColumn("fields", fieldsStaged)
+      .withColumn("tagsMap", tagsMap)
+      .withColumn("labels", MapOps.update(
+        map(lit("measurement"), trunc(col("measurement"))), col("tagsMap")))
+      .withColumn("msgs",
+        filter(col("fields"), f => f.getField("k") === "message"))
+      .withColumn("logLine",
+        when(size(col("msgs")) === 0, lit(null).cast("string"))
+          .when(size(col("fields")) === 1, msg.getField("sv"))
+          .otherwise(concat(
+            lit("message="), msg.getField("lf"),
+            when(size(others) > 0, concat(lit(" "), array_join(
+              transform(others,
+                f => concat(f.getField("k"), lit("="), f.getField("lf"))),
+              " "))).otherwise(lit("")))))
 
     val rowType = StructType(Seq(
       StructField("name", StringType),
@@ -404,9 +446,10 @@ object WireFormats {
       StructField("line", StringType),
       StructField("value", DoubleType),
       StructField("sample_type", StringType)))
-    val rows = when(msg.isNotNull,
+    val rows = when(size(col("msgs")) > 0,
       array(struct(lit(null).cast("string").as("name"), col("labels").as("labels"),
-        logLine.as("line"), lit(0.0).as("value"), lit("log").as("sample_type"))))
+        col("logLine").as("line"), lit(0.0).as("value"),
+        lit("log").as("sample_type"))))
       .otherwise(transform(
         filter(col("fields"), f => f.getField("num").isNotNull),
         f => struct(f.getField("sn").as("name"),

@@ -76,6 +76,6 @@ class DecodePlanSpec extends SparkSpec {
       .collect()(0).getMap[String, String](0)
     assert(labels("k") == "rec")          // record attr wins on conflict
     assert(labels("only_res") == "r")     // resource attr preserved
-    assert(labels("level") == "warn")     // severity → level, lowered
+    assert(labels("level") == "WARN")     // severity → level, verbatim
   }
 }

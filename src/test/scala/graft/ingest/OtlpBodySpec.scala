@@ -100,6 +100,31 @@ class OtlpBodySpec extends SparkSpec {
     assert(!labels.contains("service.name"))
   }
 
+  test("scope attrs, trace/span id overrides, observed-ts fallback") {
+    val s = spark
+    import s.implicits._
+    val req =
+      """{"resourceLogs":[{"resource":{"attributes":[
+        |{"key":"a","value":{"stringValue":"res"}}]},
+        |"scopeLogs":[{"scope":{"attributes":[
+        |{"key":"a","value":{"stringValue":"scope"}},
+        |{"key":"lib","value":{"stringValue":"sdk"}}]},
+        |"logRecords":[{"observedTimeUnixNano":"777",
+        |"traceId":"0AF7651916CD43DD8448EB211C80319C","spanId":"b7ad6b7169203331",
+        |"body":{"stringValue":"x"},
+        |"attributes":[{"key":"trace_id","value":{"stringValue":"attr-ignored"}}]}]}]}]}"""
+        .stripMargin.replace("\n", "")
+    val row = WireFormats.decodeOtlpLogs(Seq(req).toDF("body"))
+      .select(col("labels"), col("timestamp_ns")).collect()(0)
+    val labels = row.getMap[String, String](0)
+    assert(labels("a") == "scope")  // scope wins over resource
+    assert(labels("lib") == "sdk")
+    // first-class ids override the same-named attribute, lowercased hex
+    assert(labels("trace_id") == "0af7651916cd43dd8448eb211c80319c")
+    assert(labels("span_id") == "b7ad6b7169203331")
+    assert(row.getLong(1) == 777L)  // timeUnixNano absent → observed
+  }
+
   test("missing / unsupported body renders as empty string") {
     val s = spark
     import s.implicits._
