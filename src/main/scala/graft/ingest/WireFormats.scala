@@ -59,7 +59,10 @@ object WireFormats {
   private def sanitizeKey(k: org.apache.spark.sql.Column) = {
     val s = regexp_replace(k, "[^a-zA-Z0-9_]", "_")
     val first = substring(s, 1, 1)
-    when(s === "" || (first >= "0" && first <= "9"), concat(lit("_"), s))
+    // fast path: well-formed keys (the overwhelming majority) pass one
+    // rlike and skip the replace/prefix chain entirely
+    when(k.rlike("^[a-zA-Z_][a-zA-Z0-9_]*$"), k)
+      .when(s === "" || (first >= "0" && first <= "9"), concat(lit("_"), s))
       .otherwise(s)
   }
 

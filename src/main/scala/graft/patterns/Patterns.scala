@@ -64,7 +64,7 @@ object Patterns {
         t.rlike("^\\[\\d{2}/[A-Za-z]{3}/\\d{4}:\\d{2}:\\d{2}:\\d{2}$"), "<TS>")
     .when((first === "+" || first === "-") && t.rlike("^[+-]\\d{4}\\]$"), "<TS>")
     .when(t.isin(LogLevels: _*), t)
-    .when(t.rlike("^[a-zA-Z][a-zA-Z0-9_-]+\\[\\d+\\]:$"),
+    .when(t.endsWith("]:") && t.rlike("^[a-zA-Z][a-zA-Z0-9_-]+\\[\\d+\\]:$"),
       regexp_replace(t, "\\[\\d+\\]:$", "[<PID>]:"))
     .when(digitFirst && t.rlike("^\\d{1,3}(\\.\\d{1,3}){3}(:\\d+)?$"), "<IP>")
     .when(length(t) >= 8 && t.rlike("^(0x)?[0-9a-fA-F]{8,}$") && t.rlike("[a-fA-F]"),
