@@ -60,6 +60,28 @@ class DecodePlanSpec extends SparkSpec {
     assert(captures.isEmpty, captures.mkString("\n"))
   }
 
+  test("decodeInflux: staged field/tag parsing is not re-inlined by the optimizer") {
+    import org.apache.spark.sql.functions._
+    // non-foldable source (a literal frame constant-folds the whole plan)
+    val src = spark.range(2).select(
+      concat(lit("m,a=b f="), col("id"), lit("i,message=\"x y\" 5")).as("line"))
+    val plan = WireFormats.decodeInflux(src).queryExecution.optimizedPlan
+    val perNode = plan.collect { case p =>
+      p -> p.expressions.flatMap(_.collect {
+        case e if e.getClass.getSimpleName == "RegExpExtractAll" => e
+      }).length
+    }
+    // exactly two extract_all (field pairs + tags), both inside one staged
+    // Project — if CollapseProject ever re-inlines the fields array into
+    // its consumers (or into the row-explode Generate), the count fans out
+    // and every per-field regex re-runs once per consumer
+    assert(perNode.map(_._2).sum == 2, plan.toString)
+    val generateCount = perNode.collectFirst {
+      case (p, n) if p.getClass.getSimpleName == "Generate" => n
+    }
+    assert(generateCount.contains(0), plan.toString)
+  }
+
   test("decoded OTLP labels still merge record attrs over resource attrs") {
     val s = spark
     import s.implicits._
