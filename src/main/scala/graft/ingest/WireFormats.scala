@@ -186,34 +186,76 @@ object WireFormats {
           StructField("spanId", StringType),
           StructField("parentSpanId", StringType),
           StructField("name", StringType),
+          StructField("kind", StringType),
           StructField("startTimeUnixNano", StringType),
           StructField("endTimeUnixNano", StringType),
-          StructField("attributes", ArrayType(otlpAttr))))))))))))))))
+          StructField("attributes", ArrayType(otlpAttr)),
+          StructField("status", StructType(Seq(
+            StructField("code", StringType))))))))))))))))))
 
-  /** OTLP traces → canonical span rows; service_name from the resource's
-    * `service.name` attribute (`populateServiceNames`, `otlp.go:60`),
-    * duration from start/end nanos.
+  /** First non-empty of the preference chain in `m`, else `dflt`
+    * (`otlpGetServiceNames`, writer `otlp.go:27-58`).
     */
-  def decodeOtlpTraces(bodies: DataFrame): DataFrame =
+  private def firstNonEmpty(m: org.apache.spark.sql.Column,
+      chain: Seq[String], dflt: String) =
+    coalesce(chain.map(k =>
+      when(element_at(m, k) =!= "", element_at(m, k))) :+ lit(dflt): _*)
+
+  /** OTLP traces → canonical span rows, mirroring the writer's decode
+    * (`otlp.go:60-125`): resource attributes merge INTO the span attr set
+    * (span attrs win), `service.name`/`remoteService.name` are filled
+    * from the preference chain when absent (peer.service > service.name >
+    * faas.name > k8s.deployment.name > process.executable.name; local
+    * defaults to "OTLPResourceNoServiceName"), and span status/kind become
+    * the `status` (error/ok/unset) and `kind` (server/client/producer/
+    * consumer/internal) attrs. `service_name` = the final `service.name`.
+    * Enum fields accept both OTLP/JSON spellings (int and name).
+    */
+  def decodeOtlpTraces(bodies: DataFrame): DataFrame = {
+    val empty = array().cast(ArrayType(otlpAttr))
+    val statusStr =
+      when(col("s.status.code").isin("2", "STATUS_CODE_ERROR"), "error")
+        .when(col("s.status.code").isin("1", "STATUS_CODE_OK"), "ok")
+        .otherwise("unset")
+    val kindStr =
+      when(col("s.kind").isin("2", "SPAN_KIND_SERVER"), "server")
+        .when(col("s.kind").isin("3", "SPAN_KIND_CLIENT"), "client")
+        .when(col("s.kind").isin("4", "SPAN_KIND_PRODUCER"), "producer")
+        .when(col("s.kind").isin("5", "SPAN_KIND_CONSUMER"), "consumer")
+        .otherwise("internal")
+    val localChain = Seq("peer.service", "service.name", "faas.name",
+      "k8s.deployment.name", "process.executable.name")
     bodies
       .select(explode(from_json(col("body"), otlpTracesSchema)
         .getField("resourceSpans")).as("rs"))
-      .select(
-        element_at(attrsToMap(coalesce(col("rs.resource.attributes"),
-          array().cast(ArrayType(otlpAttr)))), "service.name").as("service_name"),
+      .select(attrsToMap(coalesce(col("rs.resource.attributes"), empty))
+        .as("res"),
         explode(col("rs.scopeSpans")).as("ss"))
-      .select(col("service_name"), explode(col("ss.spans")).as("s"))
+      .select(col("res"), explode(col("ss.spans")).as("s"))
+      // staged columns: each merge input is an attribute ref by the time a
+      // MapOps.update lambda captures it (see decodeOtlpLogs)
+      .withColumn("spanAttrs",
+        attrsToMap(coalesce(col("s.attributes"), empty)))
+      .withColumn("merged", MapOps.update(col("res"), col("spanAttrs")))
+      .withColumn("withServ", MapOps.update(
+        map(lit("service.name"),
+            firstNonEmpty(col("merged"), localChain, "OTLPResourceNoServiceName"),
+          lit("remoteService.name"),
+            firstNonEmpty(col("merged"), localChain.tail, "")),
+        col("merged")))
       .select(
         col("s.traceId").as("trace_id_hex"),
         col("s.spanId").as("span_id_hex"),
         col("s.parentSpanId").as("parent_id_hex"),
         col("s.name").as("name"),
-        col("service_name"),
+        element_at(col("withServ"), "service.name").as("service_name"),
         col("s.startTimeUnixNano").cast("long").as("timestamp_ns"),
         (col("s.endTimeUnixNano").cast("long") -
           col("s.startTimeUnixNano").cast("long")).as("duration_ns"),
-        attrsToMap(coalesce(col("s.attributes"),
-          array().cast(ArrayType(otlpAttr)))).as("attrs"))
+        MapOps.update(col("withServ"),
+          map(lit("name"), coalesce(col("s.name"), lit("")),
+            lit("status"), statusStr, lit("kind"), kindStr)).as("attrs"))
+  }
 
   // --- OTLP/HTTP JSON metrics (`writer/metric/`, remote-write analog) -----
 

@@ -136,11 +136,18 @@ object PromQLParser extends RegexParsers {
     * (`m[1h:5m]`; the selector's own rangeClause fails on `:` and
     * backtracks to the rangeless form, so the subquery gets the brackets).
     */
+  /** `m[1h:]` omits the resolution step: Prometheus resolves it via
+    * NoStepSubqueryIntervalFn, which the reference pins to one minute
+    * (`prometheus_query_range.go:18-40` defaultSubqueryInterval).
+    */
+  private val DefaultSubqueryStepNs = 60L * 1000000000L
+
   private def subquery: Parser[Subquery] =
     (aggExpr | fnCall | "(" ~> expr <~ ")" | selector ^^ identity) ~
-      ("[" ~> duration) ~ (":" ~> duration <~ "]") ~ selMods ^^ {
+      ("[" ~> duration) ~ (":" ~> opt(duration) <~ "]") ~ selMods ^^ {
       case e ~ r ~ s ~ ((off, at)) =>
-        Subquery(e, durationToNs(r), durationToNs(s), off, at)
+        Subquery(e, durationToNs(r),
+          s.map(durationToNs).getOrElse(DefaultSubqueryStepNs), off, at)
     }
 
   // subquery before the bare paren-expr alternative: `(expr)[r:s]` must

@@ -161,6 +161,25 @@ object Rules {
     }
   }
 
+  /** Evict health rows whose rule no longer exists in the live rule set
+    * (`manager.go` pruneHealth; `manager_test.go:132-152`): deleting or
+    * replacing a group must not leave stale health behind.
+    */
+  def pruneHealth(spark: SparkSession, dir: String): Unit = crudLock.synchronized {
+    val live = load(spark, dir).flatMap(g => g.rules.map(r =>
+      (g.kind, g.namespace, g.name,
+        if (r.isRecording) r.record else r.alert))).toSet
+    val (keep, drop) = loadHealth(spark, dir).partition(h =>
+      live((h.kind, h.namespace, h.group, h.rule)))
+    if (drop.nonEmpty) {
+      import spark.implicits._
+      overwriteAtomic(healthPath(dir)) { p =>
+        spark.createDataset(keep).repartition(1)
+          .write.mode(SaveMode.Overwrite).parquet(p)
+      }
+    }
+  }
+
   /** `/api/v1/rules` listing in the Prometheus shape — one row per rule
     * with its group/file coordinates and last evaluation outcome
     * (`manager.go:12-41` PrometheusRule/PrometheusGroup/RuleHealth;
@@ -254,6 +273,8 @@ object Rules {
         System.currentTimeMillis(), (System.nanoTime() - t0) / 1e9)
     }
     saveHealth(spark, dir, healths)
+    // the reference prunes on every evaluation pass (evaluateInterval)
+    pruneHealth(spark, dir)
     written
   }
 }

@@ -125,6 +125,51 @@ class OtlpBodySpec extends SparkSpec {
     assert(row.getLong(1) == 777L)  // timeUnixNano absent → observed
   }
 
+  test("trace decode: resource merge, service-name chain, status/kind attrs") {
+    val s = spark
+    import s.implicits._
+    val req =
+      """{"resourceSpans":[{"resource":{"attributes":[
+        |{"key":"service.name","value":{"stringValue":"api"}},
+        |{"key":"region","value":{"stringValue":"us"}}]},
+        |"scopeSpans":[{"spans":[
+        |{"traceId":"t1","spanId":"s1","name":"op","kind":"2",
+        |"startTimeUnixNano":"100","endTimeUnixNano":"350",
+        |"attributes":[
+        |{"key":"peer.service","value":{"stringValue":"downstream"}},
+        |{"key":"region","value":{"stringValue":"eu"}}],
+        |"status":{"code":"STATUS_CODE_ERROR"}},
+        |{"traceId":"t1","spanId":"s2","name":"op2",
+        |"startTimeUnixNano":"10","endTimeUnixNano":"20","attributes":[]}
+        |]}]},
+        |{"resource":{"attributes":[]},"scopeSpans":[{"spans":[
+        |{"traceId":"t2","spanId":"s3","name":"op3",
+        |"startTimeUnixNano":"10","endTimeUnixNano":"20","attributes":[]}
+        |]}]}]}""".stripMargin.replace("\n", "")
+    val rows = WireFormats.decodeOtlpTraces(Seq(req).toDF("body"))
+      .select(col("span_id_hex"), col("service_name"), col("attrs"),
+        col("duration_ns"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a1 = rows("s1").getMap[String, String](2)
+    // span attr wins the merge; service.name kept from the resource (the
+    // chain only fills ABSENT keys), local chain prefers peer.service only
+    // when service.name is absent from the merged set
+    assert(a1("region") == "eu")
+    assert(rows("s1").getString(1) == "api")
+    assert(a1("status") == "error")
+    assert(a1("kind") == "server")
+    assert(a1("remoteService.name") == "api")
+    assert(rows("s1").getLong(3) == 250L)
+    // a bare span still inherits the RESOURCE's service.name via the merge
+    val a2 = rows("s2").getMap[String, String](2)
+    assert(rows("s2").getString(1) == "api")
+    assert(a2("status") == "unset")
+    assert(a2("kind") == "internal")
+    assert(a2("name") == "op2")
+    // no service attrs anywhere → sentinel local name
+    assert(rows("s3").getString(1) == "OTLPResourceNoServiceName")
+  }
+
   test("missing / unsupported body renders as empty string") {
     val s = spark
     import s.implicits._

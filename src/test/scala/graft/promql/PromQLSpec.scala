@@ -28,6 +28,10 @@ class PromQLSpec extends SparkSpec {
     assert(PromQLParser.parseOrThrow("""m[1h:5m] @ end() offset 1h""") ==
       Subquery(Selector("m", Nil, None, 0L), 3600000000000L, 300000000000L,
         3600000000000L, Some(AtEnd)))
+    // no-step subquery: resolution defaults to the engine's 1m interval
+    assert(PromQLParser.parseOrThrow("""avg_over_time(m[1h:])""") ==
+      FnCall("avg_over_time", Seq(
+        Subquery(Selector("m", Nil, None, 0L), 3600000000000L, 60000000000L))))
   }
 
   test("@ end() equals the numeric end timestamp; subquery @ pins the window") {

@@ -59,6 +59,29 @@ class StreamingSpec extends SparkSpec {
     assert(Ruler.recorded(spark, sf).count() == n1 + n2)
   }
 
+  test("pruneHealth evicts health of removed rules, keeps live ones") {
+    import graft.streaming.Rules
+    import graft.streaming.Rules.{Rule, RuleGroup}
+    val params = EvalParams(StartNs, EndNs, StepS)
+    val g = RuleGroup("ph_g", 30, Seq(
+      Rule(record = "ph_live", expr = "vector(1)"),
+      Rule(record = "ph_stale", expr = "vector(2)")))
+    Rules.setGroup(spark, sf, "prom", "ph_ns", g)
+    Rules.recordGroup(spark, sf, "prom", "ph_ns", "ph_g", params)
+    def healthRules() = Rules.listRules(spark, sf, "prom")
+      .filter(col("file") === "ph_ns")
+      .select(col("rule_name"), col("health"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(healthRules() == Map("ph_live" -> "ok", "ph_stale" -> "ok"))
+    // drop ph_stale from the group; the next evaluation pass prunes its
+    // health row (manager_test.go:132-152 semantics)
+    Rules.setGroup(spark, sf, "prom", "ph_ns",
+      RuleGroup("ph_g", 30, Seq(Rule(record = "ph_live", expr = "vector(1)"))))
+    Rules.recordGroup(spark, sf, "prom", "ph_ns", "ph_g", params)
+    assert(healthRules() == Map("ph_live" -> "ok"))
+    Rules.deleteNamespace(spark, sf, "prom", "ph_ns")
+  }
+
   test("watermark drops late rows in append mode; batch accepts them") {
     implicit val sqlCtx = spark.sqlContext
     import graft.TestSpark.spark.implicits._
