@@ -344,27 +344,54 @@ object WireFormats {
     StructField("id", StringType),
     StructField("parentId", StringType),
     StructField("name", StringType),
-    StructField("timestamp", LongType), // µs
-    StructField("duration", LongType),  // µs
+    StructField("kind", StringType),
+    // µs; the reference accepts both JSON numbers and strings
+    // (`stringOrInt64`, zipkin_json.go:166-180) — StringType covers both
+    StructField("timestamp", StringType),
+    StructField("duration", StringType),
     StructField("localEndpoint", StructType(Seq(
+      StructField("serviceName", StringType)))),
+    StructField("remoteEndpoint", StructType(Seq(
       StructField("serviceName", StringType)))),
     StructField("tags", MapType(StringType, StringType)))))
 
-  /** Zipkin span batch → canonical span rows (µs→ns scaling as the
-    * reference normalizes).
+  /** Zipkin span batch → canonical span rows (`zipkin_json.go:67-165`):
+    * µs→ns scaling (numeric or string timestamps), tag set enriched with
+    * `name`, lowercased `kind`, `local_endpoint_service_name` /
+    * `remote_endpoint_service_name`, the final `service.name`, and an
+    * OTel-exported `otel.status_code` tag mapped to the `status` attr
+    * TraceQL queries. The service name follows the reference exactly: the
+    * local endpoint's name, overwritten by the remote endpoint's only
+    * when a local one was set.
     */
-  def decodeZipkin(bodies: DataFrame): DataFrame =
+  def decodeZipkin(bodies: DataFrame): DataFrame = {
+    val local = col("s.localEndpoint.serviceName")
+    val remote = col("s.remoteEndpoint.serviceName")
+    val svc = when(local.isNotNull && local =!= "" && remote.isNotNull, remote)
+      .otherwise(coalesce(local, lit("")))
     bodies
       .select(explode(from_json(col("body"), zipkinSchema)).as("s"))
+      .withColumn("baseTags",
+        coalesce(col("s.tags"), map().cast(MapType(StringType, StringType))))
+      .withColumn("service_name", svc)
       .select(
         col("s.traceId").as("trace_id_hex"),
         col("s.id").as("span_id_hex"),
         col("s.parentId").as("parent_id_hex"),
         col("s.name").as("name"),
-        col("s.localEndpoint.serviceName").as("service_name"),
-        (col("s.timestamp") * 1000L).as("timestamp_ns"),
-        (col("s.duration") * 1000L).as("duration_ns"),
-        coalesce(col("s.tags"), map().cast(MapType(StringType, StringType))).as("tags"))
+        col("service_name"),
+        (col("s.timestamp").cast("long") * 1000L).as("timestamp_ns"),
+        (col("s.duration").cast("long") * 1000L).as("duration_ns"),
+        MapOps.update(col("baseTags"), map_filter(map(
+          lit("name"), col("s.name"),
+          lit("kind"), lower(col("s.kind")),
+          lit("local_endpoint_service_name"), local,
+          lit("remote_endpoint_service_name"), remote,
+          lit("service.name"), col("service_name"),
+          lit("status"), when(element_at(col("baseTags"), "otel.status_code") === "ERROR", "error")
+            .when(element_at(col("baseTags"), "otel.status_code") === "OK", "ok")),
+          (_, v) => v.isNotNull)).as("tags"))
+  }
 
   // --- Influx line protocol (`influx.go:15-112`) --------------------------
 

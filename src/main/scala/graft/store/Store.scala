@@ -41,10 +41,21 @@ object Store {
   def enabled(spark: SparkSession): Boolean =
     !spark.conf.getOption("spark.graft.store.disabled").contains("true")
 
+  /** Store location: `SPARK_GRAFT_STORE_ROOT` env or the
+    * `spark.graft.store.root` system property, defaulting to the repo's
+    * build directory (the sandbox layout). On a cluster point this at a
+    * shared filesystem (HDFS/S3A path) — everything below is plain
+    * `spark.read/write.parquet` against it.
+    */
+  def storeRoot: String =
+    sys.env.getOrElse("SPARK_GRAFT_STORE_ROOT",
+      sys.props.getOrElse("spark.graft.store.root",
+        "/root/repo/target/graft-store"))
+
   // bump the version segment when a table SCHEMA changes: _SUCCESS-guarded
   // writes would otherwise silently keep serving the old schema
   private[store] def rootFor(dir: String): String =
-    "/root/repo/target/graft-store/v7/" + dir.replaceAll("[^a-zA-Z0-9.]+", "_")
+    storeRoot + "/v7/" + dir.replaceAll("[^a-zA-Z0-9.]+", "_")
 
   /** Tenant (`oid`) column — every reference table leads its partition/
     * order key with the organization id (`traces.sql:7`,

@@ -15,7 +15,7 @@ import graft.logql.{EvalParams, LogQLCompiler, LogQLParser}
 object Ruler {
 
   def recordedPath(dir: String): String =
-    "/root/repo/target/graft-store/" +
+    graft.store.Store.storeRoot + "/" +
       dir.replaceAll("[^a-zA-Z0-9.]+", "_") + "/recorded"
 
   /** Evaluate `query` over the window and append the result as samples of

@@ -42,7 +42,7 @@ object Rules {
       name: String, intervalS: Long, rules: Seq[Rule])
 
   def rulesPath(dir: String): String =
-    "/root/repo/target/graft-store/" +
+    graft.store.Store.storeRoot + "/" +
       dir.replaceAll("[^a-zA-Z0-9.]+", "_") + "/rules"
 
   private def load(spark: SparkSession, dir: String): Seq[GroupRow] = {

@@ -170,6 +170,33 @@ class OtlpBodySpec extends SparkSpec {
     assert(rows("s3").getString(1) == "OTLPResourceNoServiceName")
   }
 
+  test("zipkin decode: string timestamps, endpoints, kind, otel status tag") {
+    val s = spark
+    import s.implicits._
+    val body =
+      """[{"traceId":"0af7651916cd43dd8448eb211c80319c","id":"b7ad6b7169203331",
+        |"name":"get","kind":"SERVER","timestamp":"1608239395286533","duration":100000,
+        |"localEndpoint":{"serviceName":"front"},
+        |"remoteEndpoint":{"serviceName":"back"},
+        |"tags":{"http.method":"GET","otel.status_code":"ERROR"}}]"""
+        .stripMargin.replace("\n", "")
+    val r = WireFormats.decodeZipkin(Seq(body).toDF("body"))
+      .select(col("service_name"), col("timestamp_ns"), col("duration_ns"),
+        col("tags")).collect()(0)
+    // remote endpoint overwrites an already-set local one (reference quirk)
+    assert(r.getString(0) == "back")
+    assert(r.getLong(1) == 1608239395286533000L) // string µs → ns
+    assert(r.getLong(2) == 100000000L)
+    val tags = r.getMap[String, String](3)
+    assert(tags("kind") == "server")
+    assert(tags("name") == "get")
+    assert(tags("local_endpoint_service_name") == "front")
+    assert(tags("remote_endpoint_service_name") == "back")
+    assert(tags("service.name") == "back")
+    assert(tags("status") == "error")
+    assert(tags("http.method") == "GET")
+  }
+
   test("missing / unsupported body renders as empty string") {
     val s = spark
     import s.implicits._
