@@ -315,24 +315,40 @@ object WireFormats {
     StructField("ddsource", StringType),
     StructField("ddtags", StringType),
     StructField("hostname", StringType),
-    StructField("service", StringType))))
+    StructField("service", StringType),
+    StructField("timestamp", LongType), // ms
+    StructField("source_type", StringType))))
 
-  /** Datadog log batches → canonical rows; `ddtags` ("k:v,k2:v2") explode
-    * into the label set, service/source/hostname become labels when set.
+  /** Datadog log batches → canonical rows (`datadog_json.go:25-96`):
+    * `ddtags` parse with the reference's tag pattern — keys start with a
+    * letter, values may contain colons, non-matching tokens drop — and
+    * ddsource/service/hostname/source_type plus a constant
+    * `type=datadog` join the label set when non-empty. An explicit
+    * `timestamp` (ms) scales to ns (the reference's now() fallback is
+    * nondeterministic and intentionally omitted — such rows keep null).
     */
   def decodeDatadogLogs(bodies: DataFrame): DataFrame = {
+    val keyRe = """^([\p{L}][\p{L}_0-9\-.\\/]*):"""
+    val valRe = """^[\p{L}][\p{L}_0-9\-.\\/]*:([\p{L}_0-9\-.\\/:]+)"""
     val tags = map_from_entries(transform(
-      filter(split(coalesce(col("l.ddtags"), lit("")), ","), t => t.contains(":")),
-      t => struct(substring_index(t, ":", 1),
-        substring_index(t, ":", -1))))
+      filter(transform(split(coalesce(col("l.ddtags"), lit("")), ","),
+        t => struct(regexp_extract(t, keyRe, 1).as("k"),
+          regexp_extract(t, valRe, 1).as("v"))),
+        e => e.getField("k") =!= "" && e.getField("v") =!= ""),
+      e => struct(e.getField("k"), e.getField("v"))))
     bodies
       .select(explode(from_json(col("body"), datadogLogsSchema)).as("l"))
+      .withColumn("tags", tags)
       .select(
-        MapOps.update(tags,
+        MapOps.update(col("tags"),
           map_filter(map(
-            lit("service"), col("l.service"),
             lit("ddsource"), col("l.ddsource"),
-            lit("hostname"), col("l.hostname")), (_, v) => v.isNotNull)).as("labels"),
+            lit("service"), col("l.service"),
+            lit("hostname"), col("l.hostname"),
+            lit("source_type"), col("l.source_type"),
+            lit("type"), lit("datadog")),
+            (_, v) => v.isNotNull && v =!= "")).as("labels"),
+        (col("l.timestamp") * 1000000L).as("timestamp_ns"),
         coalesce(col("l.message"), lit("")).as("line"))
       .withColumn("fingerprint", Tables.fingerprintOf(col("labels")))
   }
@@ -595,27 +611,41 @@ object WireFormats {
 
   // --- Elastic bulk NDJSON (`elastic.go:29-144`) --------------------------
 
-  /** `_bulk` bodies: alternating action/document lines; index actions keep
-    * the following doc as a log line labeled with `_index`.
+  /** `_bulk` bodies (`elastic.go:29-144`): alternating action/document
+    * lines. `index`/`create` actions label the FOLLOWING document line
+    * with `type=elastic` plus every string field of the action object
+    * (`_index`, `_id`, ...); `delete`/`update` actions clear the label
+    * set, so their tails produce no entries.
     */
   def decodeElasticBulk(bodies: DataFrame): DataFrame = {
+    val emptyMap = map().cast(MapType(StringType, StringType))
     val lines = bodies
       .withColumn("req", monotonically_increasing_id())
       .select(col("req"),
         posexplode(filter(split(col("body"), "\n"), l => trim(l) =!= ""))
           .as(Seq("lineno", "l")))
-      .withColumn("actionIdx",
-        get_json_object(col("l"), "$.index._index"))
-    // an action row's _index applies to the NEXT line (the document);
+      .withColumn("actionObj", coalesce(
+        get_json_object(col("l"), "$.index"),
+        get_json_object(col("l"), "$.create")))
+      .withColumn("isAction", col("actionObj").isNotNull ||
+        get_json_object(col("l"), "$.delete").isNotNull ||
+        get_json_object(col("l"), "$.update").isNotNull)
+      .withColumn("actionLabels",
+        when(col("actionObj").isNotNull, MapOps.update(
+          map(lit("type"), lit("elastic")),
+          map_filter(coalesce(
+            from_json(col("actionObj"), MapType(StringType, StringType)),
+            emptyMap), (k, v) => k =!= "type" && v.isNotNull)))
+          .otherwise(when(col("isAction"), emptyMap))) // delete/update clear
+    // an action row's labels apply to the NEXT line (the document);
     // the lag window is per request body, so decoding stays parallel
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("req")).orderBy(col("lineno"))
     lines
-      .withColumn("docIndex", lag(col("actionIdx"), 1).over(w))
-      .filter(col("actionIdx").isNull && col("docIndex").isNotNull)
-      .select(
-        map(lit("_index"), col("docIndex")).as("labels"),
-        col("l").as("line"))
+      .withColumn("docLabels", lag(col("actionLabels"), 1).over(w))
+      .filter(!col("isAction") && col("docLabels").isNotNull &&
+        size(col("docLabels")) > 0)
+      .select(col("docLabels").as("labels"), col("l").as("line"))
       .withColumn("fingerprint", Tables.fingerprintOf(col("labels")))
   }
 }

@@ -197,6 +197,41 @@ class OtlpBodySpec extends SparkSpec {
     assert(tags("http.method") == "GET")
   }
 
+  test("datadog tag pattern and label assembly; elastic bulk action kinds") {
+    val s = spark
+    import s.implicits._
+    val dd =
+      """[{"message":"m1","ddtags":"env:prod:x,9bad:skip,ok:a.b/c","service":"svc",
+        |"source_type":"agent","timestamp":1700000000123}]"""
+        .stripMargin.replace("\n", "")
+    val row = WireFormats.decodeDatadogLogs(Seq(dd).toDF("body"))
+      .select(col("labels"), col("timestamp_ns")).collect()(0)
+    val labels = row.getMap[String, String](0)
+    assert(labels("env") == "prod:x")    // values may contain colons
+    assert(!labels.contains("9bad"))     // keys must start with a letter
+    assert(labels("ok") == "a.b/c")
+    assert(labels("type") == "datadog")
+    assert(labels("source_type") == "agent")
+    assert(row.getLong(1) == 1700000000123L * 1000000L)
+
+    val bulk = Seq(
+      """{"index":{"_index":"logs","_id":"7"}}""",
+      """{"msg":"doc1"}""",
+      """{"create":{"_index":"logs2"}}""",
+      """{"msg":"doc2"}""",
+      """{"delete":{"_index":"logs","_id":"9"}}""",
+      """{"update":{"_index":"logs","_id":"9"}}""",
+      """{"doc":{"msg":"update-doc-skipped"}}""").mkString("\n")
+    val rows = WireFormats.decodeElasticBulk(Seq(bulk).toDF("body"))
+      .select(col("labels"), col("line")).collect()
+    assert(rows.length == 2)
+    val l1 = rows.map(r => r.getString(1) -> r.getMap[String, String](0)).toMap
+    assert(l1("""{"msg":"doc1"}""")("_index") == "logs")
+    assert(l1("""{"msg":"doc1"}""")("_id") == "7")
+    assert(l1("""{"msg":"doc1"}""")("type") == "elastic")
+    assert(l1("""{"msg":"doc2"}""")("_index") == "logs2")
+  }
+
   test("missing / unsupported body renders as empty string") {
     val s = spark
     import s.implicits._
