@@ -1,18 +1,26 @@
 package graft.ingest
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.model.Tables
+import graft.model.{MapOps, Tables}
 
-/** Loki push-API decoder (`/loki/api/v1/push`), the JSON wire shape of
-  * `writer/utils/unmarshal/unmarshal.go:36-241`:
+/** Loki push-API decoder (`/loki/api/v1/push`), the JSON wire shapes of
+  * `writer/utils/unmarshal/unmarshal.go:36-241`. The modern spelling:
   *
   * {{{
   * {"streams":[{"stream":{"label":"value",...},
   *              "values":[["<unix ns as string>","<log line>"],...]},...]}
   * }}}
+  *
+  * plus the legacy spellings the reference still accepts per stream:
+  * `"labels": "{foo=\"bar\"}"` (Loki label-string form), `"entries":
+  * [{"ts"/"timestamp": ..., "line": ...}]`, RFC3339 or unix-ns
+  * timestamps (`parseTime`, unmarshal.go:284-311), an optional third
+  * numeric element in each value tuple (qryn's metric-via-push), and
+  * label sanitization (key regex + 100-char value truncation,
+  * unmarshal.go:274-282).
   *
   * One call turns a DataFrame of request BODIES (one row per HTTP push)
   * into the canonical pair (time_series, samples) — the same fan-out the
@@ -27,19 +35,78 @@ object LokiPush {
   val pushSchema: StructType = StructType(Seq(
     StructField("streams", ArrayType(StructType(Seq(
       StructField("stream", MapType(StringType, StringType)),
-      StructField("values", ArrayType(ArrayType(StringType)))))))))
+      StructField("labels", StringType),
+      StructField("values", ArrayType(ArrayType(StringType))),
+      StructField("entries", ArrayType(StructType(Seq(
+        StructField("ts", StringType),
+        StructField("timestamp", StringType),
+        StructField("line", StringType),
+        StructField("value", DoubleType)))))))))))
 
-  /** Decode push bodies → flat log rows
-    * (fingerprint, timestamp_ns, labels, line).
+  /** `{foo="bar", baz="q\"x"}` → label map (`parseLabelsLokiFormat`,
+    * unmarshal.go:313-340).
     */
-  def decodeRows(bodies: DataFrame): DataFrame =
-    bodies
+  private def parseLabelString(s: Column): Column =
+    map_from_entries(transform(
+      regexp_extract_all(s, lit("""[a-zA-Z_][a-zA-Z0-9_]*="(?:[^"\\]|\\.)*""""), lit(0)),
+      t => struct(
+        regexp_extract(t, "^([a-zA-Z_][a-zA-Z0-9_]*)=", 1),
+        regexp_replace(
+          regexp_extract(t, """^[^=]+="((?:[^"\\]|\\.)*)"$""", 1),
+          """\\(["\\])""", "$1"))))
+
+  /** sanitizeLabels (unmarshal.go:274-282): keys through the
+    * `(^[^a-zA-Z_]|[^a-zA-Z0-9_])` → `_` regex, values over 100 chars
+    * truncated to 100 + "...". Capture-free fold (entries evaluated once).
+    */
+  private def sanitizeLabels(m: Column): Column =
+    MapOps.entriesToMapLastWins(transform(map_entries(m), e =>
+      map(regexp_replace(e.getField("key"), "(^[^a-zA-Z_]|[^a-zA-Z0-9_])", "_"),
+        when(length(e.getField("value")) > 100,
+          concat(substring(e.getField("value"), 1, 100), lit("...")))
+          .otherwise(e.getField("value")))))
+
+  /** `parseTime`: RFC3339 when the string carries `:-TZ` chars, unix ns
+    * otherwise.
+    */
+  private def tsNs(c: Column): Column =
+    when(c.rlike("[:TZ]"), unix_micros(to_timestamp(c)) * 1000L)
+      .otherwise(when(c =!= "", c).cast("long"))
+
+  /** Decode push bodies → flat rows
+    * (fingerprint, timestamp_ns, labels, line, value, sample_type).
+    * `sample_type` mirrors the reference's bit pair: "log" when only a
+    * line is present, "metric" when only a numeric value is, "both" when
+    * a value tuple carries a third numeric element next to its line.
+    */
+  def decodeRows(bodies: DataFrame): DataFrame = {
+    val streams = bodies
       .select(explode(from_json(col("body"), pushSchema).getField("streams")).as("st"))
-      .select(col("st.stream").as("labels"), explode(col("st.values")).as("v"))
+      .withColumn("labels",
+        sanitizeLabels(coalesce(col("st.stream"), parseLabelString(col("st.labels")),
+          map().cast(MapType(StringType, StringType)))))
+    val numRe = """^-?(?:[0-9]+\.?[0-9]*|\.[0-9]+)(?:[eE][+-]?[0-9]+)?$"""
+    val fromValues = streams
+      .select(col("labels"), explode(col("st.values")).as("v"))
       .select(col("labels"),
-        element_at(col("v"), 1).cast("long").as("timestamp_ns"),
-        element_at(col("v"), 2).as("line"))
+        tsNs(element_at(col("v"), 1)).as("timestamp_ns"),
+        element_at(col("v"), 2).as("line"),
+        when(try_element_at(col("v"), lit(3)).rlike(numRe),
+          try_element_at(col("v"), lit(3)).cast("double")).as("value"))
+    val fromEntries = streams
+      .select(col("labels"), explode(col("st.entries")).as("e"))
+      .select(col("labels"),
+        tsNs(coalesce(col("e.ts"), col("e.timestamp"))).as("timestamp_ns"),
+        col("e.line").as("line"),
+        col("e.value").as("value"))
+    fromValues.unionByName(fromEntries)
+      .withColumn("sample_type",
+        when(col("line").isNotNull && col("value").isNotNull, "both")
+          .when(col("value").isNotNull, "metric")
+          .otherwise("log"))
+      .withColumn("line", coalesce(col("line"), lit("")))
       .withColumn("fingerprint", Tables.fingerprintOf(col("labels")))
+  }
 
   /** Canonical fan-out: (time_series dictionary, samples). */
   def decode(bodies: DataFrame): (DataFrame, DataFrame) = {

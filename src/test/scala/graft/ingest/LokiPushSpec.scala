@@ -26,6 +26,38 @@ class LokiPushSpec extends SparkSpec {
     assert(rows(2).getAs[Map[String, String]]("labels") == Map("job" -> "db"))
   }
 
+  test("legacy spellings: labels string, entries, RFC3339 ts, metric values") {
+    import graft.TestSpark.spark.implicits._
+    val body =
+      """{"streams":[
+        |  {"labels":"{job=\"api\", env=\"pr\\\"od\"}",
+        |   "entries":[{"ts":"2024-01-01T00:00:00Z","line":"legacy"},
+        |              {"timestamp":"1704067200000000005","line":"l2","value":1.5}]},
+        |  {"stream":{"job":"push-metrics","bad key":"v"},
+        |   "values":[["1704067200000000007","", 2.5],
+        |             ["1704067200000000008","plain line"]]}
+        |]}""".stripMargin
+    val rows = LokiPush.decodeRows(Seq(body).toDF("body"))
+      .orderBy("timestamp_ns").collect()
+    assert(rows.length == 4)
+    // labels-string form parses, escapes unescape; RFC3339 ts → ns
+    assert(rows(0).getAs[Map[String, String]]("labels") ==
+      Map("job" -> "api", "env" -> "pr\"od"))
+    assert(rows(0).getAs[Long]("timestamp_ns") == 1704067200000000000L)
+    assert(rows(0).getAs[String]("sample_type") == "log")
+    // entry carrying both line and value → "both" (tp bits 3 → 0)
+    assert(rows(1).getAs[String]("sample_type") == "both")
+    assert(rows(1).getAs[Double]("value") == 1.5)
+    // a value tuple's third numeric element is qryn's metric-via-push;
+    // the second element always sets the LOG bit too
+    assert(rows(2).getAs[Double]("value") == 2.5)
+    assert(rows(2).getAs[String]("sample_type") == "both")
+    assert(rows(3).getAs[String]("sample_type") == "log")
+    // stream keys sanitize
+    assert(rows(3).getAs[Map[String, String]]("labels") ==
+      Map("job" -> "push-metrics", "bad_key" -> "v"))
+  }
+
   test("encode → decode is lossless on the canonical frame") {
     def canon(df: org.apache.spark.sql.DataFrame) = df.select(
       col("fingerprint"), col("timestamp_ns"), col("line"),
