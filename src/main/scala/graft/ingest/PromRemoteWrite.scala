@@ -115,12 +115,21 @@ object PromRemoteWrite {
         }
         q = end
       }
-      val lm = labels.toMap
+      // sanitizeLabels (`unmarshal.go:274-282`, applied by the reference's
+      // remote-write path at `metrics_protobuf.go:32`): key regex + 100-char
+      // value truncation — plain JVM code here since decode is already
+      // partition-side Scala
+      val lm = labels.toMap.map { case (k, v) =>
+        LabelSanitizeRe.replaceAllIn(k, "_") ->
+          (if (v.length > 100) v.substring(0, 100) + "..." else v)
+      }
       samples.foreach { case (v, ts) => out += ((lm, ts, v)) }
       p = tsEnd
     }
     out.toSeq
   }
+
+  private val LabelSanitizeRe = "(^[^a-zA-Z_]|[^a-zA-Z0-9_])".r
 
   private val rowSchema = StructType(Seq(
     StructField("labels", MapType(StringType, StringType)),

@@ -20,6 +20,16 @@ class PromRemoteWriteSpec extends SparkSpec {
     assert(parsed(2)._2 == 1704067200123L)
   }
 
+  test("labels sanitize on decode: key regex + 100-char value truncation") {
+    val longVal = "v" * 120
+    val bytes = PromRemoteWrite.encodeWriteRequest(Seq(
+      (Map("bad.key" -> "x", "9lead" -> "y", "ok" -> longVal),
+        Seq((1704067200000L, 1.0)))))
+    val parsed = PromRemoteWrite.parseWriteRequest(bytes)
+    assert(parsed.head._1 == Map(
+      "bad_key" -> "x", "_lead" -> "y", "ok" -> ("v" * 100 + "...")))
+  }
+
   test("varint edge values survive (large timestamps, negative-bit doubles)") {
     val series = Seq((Map("a" -> "b"),
       Seq((Long.MaxValue / 2, -123.456), (0L, 0.0))))
