@@ -336,26 +336,46 @@ object IngestGates extends GateSet {
           |  min(timestamp_ns // 1000000000) AS min_ts_s
           |FROM metrics GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))),
 
-    // --- Cloudflare log push round trip (datadog_cf_json.go) --------------
+    // --- Cloudflare log push round trip (datadog_cf_json.go:14-146):
+    // Workers/audit-shaped NDJSON records; label set = the decoder's
+    // non-empty field list, raw record preserved as the line ---------------
     Gate("ingest_cloudflare_roundtrip",
       (spark: SparkSession, dir: String) => {
         val recs = Tables.logs(spark, dir).select(to_json(struct(
-          col("timestamp_ns").cast("string").as("EdgeStartTimestamp"),
-          upper(element_at(col("labels"), "event_type")).as("ClientRequestMethod"),
-          element_at(col("labels"), "level").as("EdgeResponseStatus"),
-          col("line").as("ClientRequestURI"))).as("r"),
+          element_at(col("labels"), "event_type").as("EventType"),
+          element_at(col("labels"), "level").as("Outcome"),
+          concat(lit("w"),
+            pmod(element_at(col("labels"), "user").cast("long"), lit(5)))
+            .as("ScriptName"),
+          col("timestamp_ns").as("When"),
+          (element_at(col("labels"), "level") =!= "error").as("ActionResult")))
+          .as("r"),
           (col("timestamp_ns") % 16).as("g"))
         val bodies = recs.groupBy(col("g"))
           .agg(concat_ws("\n", collect_list(col("r"))).as("body"))
-        WireFormats.decodeCloudflare(bodies)
-          .groupBy(element_at(col("labels"), "method").as("method"),
-            element_at(col("labels"), "status").as("status"))
-          .agg(count(lit(1)).as("entries"), min(col("timestamp_ns")).as("min_ts"))
-          .orderBy("method", "status")
+        WireFormats.decodeCloudflare(bodies, ddsource = "cloudflare")
+          .groupBy(element_at(col("labels"), "EventType").as("event_type"),
+            element_at(col("labels"), "Outcome").as("outcome"),
+            element_at(col("labels"), "ScriptName").as("script"),
+            element_at(col("labels"), "ActionResult").as("action_result"),
+            element_at(col("labels"), "ddsource").as("ddsource"))
+          .agg(count(lit(1)).as("entries"),
+            sum(length(col("line"))).cast("long").as("bytes"),
+            min(col("timestamp_ns")).as("min_ts"))
+          .orderBy("event_type", "outcome", "script")
       },
-      o("""SELECT upper(event_type) AS method, level AS status,
-          |  count(*) AS entries, min(timestamp_ns) AS min_ts
-          |FROM logs GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+      o("""SELECT event_type, level AS outcome,
+          |  'w' || CAST(CAST("user" AS BIGINT) % 5 AS VARCHAR) AS script,
+          |  CAST(level != 'error' AS VARCHAR) AS action_result,
+          |  'cloudflare' AS ddsource, count(*) AS entries,
+          |  CAST(sum(length(
+          |    '{"EventType":"' || event_type || '","Outcome":"' || level ||
+          |    '","ScriptName":"w' || CAST(CAST("user" AS BIGINT) % 5 AS VARCHAR) ||
+          |    '","When":' || CAST(timestamp_ns AS VARCHAR) ||
+          |    ',"ActionResult":' || CAST(level != 'error' AS VARCHAR) || '}'
+          |  )) AS BIGINT) AS bytes,
+          |  min(timestamp_ns) AS min_ts
+          |FROM logs GROUP BY 1, 2, 3, 4, 5 ORDER BY 1, 2, 3""".stripMargin)),
 
     // --- Elastic bulk NDJSON round trip (elastic.go) ----------------------
     Gate("ingest_elastic_roundtrip",

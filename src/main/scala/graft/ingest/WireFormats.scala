@@ -587,25 +587,41 @@ object WireFormats {
   // --- Datadog/Cloudflare log push (`datadog_cf_json.go`) -----------------
 
   val cfSchema: StructType = StructType(Seq(
-    StructField("EdgeStartTimestamp", StringType), // ns as string
-    StructField("ClientRequestMethod", StringType),
-    StructField("EdgeResponseStatus", StringType),
-    StructField("ClientRequestURI", StringType)))
+    StructField("EventType", StringType),
+    StructField("Outcome", StringType),
+    StructField("ScriptName", StringType),
+    StructField("EventTimestampMs", LongType),
+    StructField("When", LongType), // ns
+    StructField("ActionResult", BooleanType),
+    StructField("ActionType", StringType),
+    StructField("ActorType", StringType),
+    StructField("ResourceType", StringType)))
 
-  /** Cloudflare push: NDJSON event records → log rows; request method and
-    * response status become labels, the raw record stays as the line.
+  /** Cloudflare push (`datadog_cf_json.go:14-146`): NDJSON records → log
+    * rows. Labels are the reference's exact field set when non-empty
+    * (ScriptName/Outcome/EventType/ActionResult/ActionType/ActorType/
+    * ResourceType, with `ddsource` from the request's query param), the
+    * raw record stays as the line, timestamps come from EventTimestampMs
+    * (ms) or When (ns). The reference's now() fallback is nondeterministic
+    * and intentionally omitted — such rows keep null.
     */
-  def decodeCloudflare(bodies: DataFrame): DataFrame =
+  def decodeCloudflare(bodies: DataFrame, ddsource: String = ""): DataFrame =
     bodies
       .select(explode(filter(split(col("body"), "\n"), l => trim(l) =!= "")).as("l"))
       .withColumn("__p", from_json(col("l"), cfSchema))
       .select(
         map_filter(map(
-          lit("source"), lit("cloudflare"),
-          lit("method"), col("__p.ClientRequestMethod"),
-          lit("status"), col("__p.EdgeResponseStatus")), (_, v) => v.isNotNull)
-          .as("labels"),
-        col("__p.EdgeStartTimestamp").cast("long").as("timestamp_ns"),
+          lit("ddsource"), if (ddsource.isEmpty) lit(null).cast("string") else lit(ddsource),
+          lit("ScriptName"), col("__p.ScriptName"),
+          lit("Outcome"), col("__p.Outcome"),
+          lit("EventType"), col("__p.EventType"),
+          lit("ActionResult"), col("__p.ActionResult").cast("string"),
+          lit("ActionType"), col("__p.ActionType"),
+          lit("ActorType"), col("__p.ActorType"),
+          lit("ResourceType"), col("__p.ResourceType")),
+          (_, v) => v.isNotNull && v =!= "").as("labels"),
+        coalesce(col("__p.EventTimestampMs") * 1000000L, col("__p.When"))
+          .as("timestamp_ns"),
         col("l").as("line"))
       .withColumn("fingerprint", Tables.fingerprintOf(col("labels")))
 
