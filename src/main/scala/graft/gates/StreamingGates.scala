@@ -51,6 +51,33 @@ object StreamingGates extends GateSet {
           |FROM logs WHERE level = 'error' AND line LIKE '%7%'
           |ORDER BY timestamp_ns, line""".stripMargin)),
 
+    // --- live tail WITH parser stages: the reference tails the full
+    // transpiled query (query_range.go:670-800), parsers included — so a
+    // `| json | k >= 50` pipeline must stream. All stages are narrow
+    // expressions, so the micro-batch plan stays stateless.
+    Gate("streaming_live_tail_parsed",
+      (spark: SparkSession, dir: String) => {
+        val schema = Tables.events(spark, dir).schema
+        val stream = Tables.logsFrom(
+          spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet").parquet(dir))
+        val tailed = LiveTail(stream,
+          """{event_type="purchase"} | json | k >= 50""")
+        spark.catalog.dropTempView("live_tail_parsed_sink"): Unit
+        tailed.writeStream.format("memory").queryName("live_tail_parsed_sink")
+          .trigger(Trigger.AvailableNow()).start().awaitTermination()
+        spark.table("live_tail_parsed_sink")
+          .select(col("timestamp_ns"), col("line"),
+            element_at(col("labels"), "user").as("user"),
+            element_at(col("labels"), "k").as("k"))
+          .orderBy("timestamp_ns", "line")
+      },
+      o(s"""SELECT timestamp_ns, line, "user",
+           |  json_extract_string(line, '$$.k') AS k
+           |FROM logs WHERE event_type = 'purchase'
+           |  AND CAST(json_extract_string(line, '$$.k') AS DOUBLE) >= 50
+           |ORDER BY timestamp_ns, line""".stripMargin)),
+
     // --- recording rule: evaluate + write back + read back ----------------
     Gate("streaming_ruler_record",
       (spark: SparkSession, dir: String) => {

@@ -355,7 +355,7 @@ class LogQLCompiler(spark: SparkSession, dir: String, params: EvalParams) {
       case (key, Some(req)) => k === key && v === req
     }.reduceOption(_ || _).getOrElse(lit(false))
 
-  private[logql] def applyStage(df: DataFrame, s: Stage): DataFrame = s match {
+  private[graft] def applyStage(df: DataFrame, s: Stage): DataFrame = s match {
     case f: LineFilter => df.filter(lineFilterCond(f))
     case LabelFilterStage(p) => df.filter(predCond(p))
 
