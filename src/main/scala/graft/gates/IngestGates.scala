@@ -82,6 +82,22 @@ object IngestGates extends GateSet {
         val attrs = transform(map_entries(col("labels")), e =>
           struct(e.getField("key").as("key"),
             struct(e.getField("value").as("stringValue")).as("value")))
+        // one literal fixture body exercises the RECURSIVE AnyValue render:
+        // a nested-kvlist body with extreme doubles plus a kvlist-valued
+        // resource attr (renders as a JSON-string label value)
+        val fixture =
+          """{"resourceLogs":[{"resource":{"attributes":[
+            |{"key":"event_type","value":{"stringValue":"zfixture"}},
+            |{"key":"deploy","value":{"kvlistValue":{"values":[
+            |{"key":"zone","value":{"stringValue":"eu"}},
+            |{"key":"az","value":{"intValue":"2"}}]}}}]},
+            |"scopeLogs":[{"logRecords":[{"timeUnixNano":"1704067200000000001",
+            |"body":{"kvlistValue":{"values":[
+            |{"key":"nest","value":{"kvlistValue":{"values":[
+            |{"key":"a","value":{"intValue":"1"}}]}}},
+            |{"key":"big","value":{"doubleValue":1e21}},
+            |{"key":"tiny","value":{"doubleValue":5e-20}}]}}}]}]}]}"""
+            .stripMargin.replace("\n", "")
         val bodies = logs
           .groupBy(col("labels"))
           .agg(collect_list(struct(col("timestamp_ns").as("ts"),
@@ -92,18 +108,27 @@ object IngestGates extends GateSet {
               struct(v.getField("line").as("stringValue")).as("body"),
               attrs.as("attributes"))).as("logRecords")))
             .as("scopeLogs"))).as("resourceLogs"))).as("body"))
+          .unionByName({
+            val s = spark; import s.implicits._
+            Seq(fixture).toDF("body")
+          })
         WireFormats.decodeOtlpLogs(bodies)
           .groupBy(
             element_at(col("labels"), "event_type").as("event_type"),
             element_at(col("labels"), "level").as("level"),
             element_at(col("labels"), "user").as("user"))
           .agg(count(lit(1)).as("entries"),
-            sum(length(col("line"))).cast("long").as("bytes"))
+            sum(length(col("line"))).cast("long").as("bytes"),
+            max(element_at(col("labels"), "deploy")).as("deploy"))
           .orderBy("event_type", "level", "user")
       },
       o("""SELECT event_type, level, "user", count(*) AS entries,
-          |  CAST(sum(length(line)) AS BIGINT) AS bytes
-          |FROM logs GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)),
+          |  CAST(sum(length(line)) AS BIGINT) AS bytes,
+          |  CAST(NULL AS VARCHAR) AS deploy
+          |FROM logs GROUP BY 1, 2, 3
+          |UNION ALL SELECT 'zfixture', NULL, NULL, 1, 87,
+          |  '{"az":"2","zone":"eu"}'
+          |ORDER BY 1, 2, 3""".stripMargin)),
 
     // --- Zipkin JSON spans round trip (zipkin_json.go) --------------------
     Gate("ingest_zipkin_roundtrip",
@@ -176,6 +201,13 @@ object IngestGates extends GateSet {
             concat(lit(",code="), length(col("line")), lit("i")))
             .otherwise(lit("")),
           lit(" "), col("timestamp_ns").cast("string")).as("line"))
+          // one literal fixture exercises the Go %v float render: e-notation
+          // outside [1e-4, 1e21) with signed two-digit exponents
+          .unionByName({
+            val s = spark; import s.implicits._
+            Seq("zfloat message=\"x\",big=1e21,small=0.00005 1704067200000000002")
+              .toDF("line")
+          })
         WireFormats.decodeInflux(lines)
           .filter(col("sample_type") === "log")
           .groupBy(
@@ -203,7 +235,10 @@ object IngestGates extends GateSet {
           |SELECT measurement, host, event_type, count(*) AS entries,
           |  CAST(sum(length(out_line)) AS BIGINT) AS bytes,
           |  min(out_line) AS first_line, min(timestamp_ns) AS min_ts
-          |FROM influx GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)),
+          |FROM influx GROUP BY 1, 2, 3
+          |UNION ALL SELECT 'zfloat', NULL, NULL, 1, 31,
+          |  'message=x big=1e+21 small=5e-05', 1704067200000000002
+          |ORDER BY 1, 2, 3""".stripMargin)),
 
     // --- OTLP/HTTP JSON traces round trip (otlp.go) -----------------------
     Gate("ingest_otlp_traces_roundtrip",
@@ -281,9 +316,14 @@ object IngestGates extends GateSet {
     // --- Datadog logs round trip (datadog_json.go) ------------------------
     Gate("ingest_datadog_roundtrip",
       (spark: SparkSession, dir: String) => {
+        // error-level rows carry an explicit ms timestamp; the rest are
+        // timestamp-less and take the PINNED ingest-time fallback (the
+        // reference's now(), threaded as a deterministic parameter)
         val bodies = Tables.logs(spark, dir)
           .select(struct(
             col("line").as("message"),
+            when(element_at(col("labels"), "level") === "error",
+              (col("timestamp_ns") / 1000000L).cast("long")).as("timestamp"),
             concat(lit("event_type:"), element_at(col("labels"), "event_type"),
               lit(",level:"), element_at(col("labels"), "level")).as("ddtags"),
             concat(lit("svc"),
@@ -292,16 +332,21 @@ object IngestGates extends GateSet {
           .groupBy((col("m.service")).as("g"))
           .agg(collect_list(col("m")).as("ms"))
           .select(to_json(col("ms")).as("body"))
-        WireFormats.decodeDatadogLogs(bodies)
+        WireFormats.decodeDatadogLogs(bodies,
+            ingestTsNs = Some(1704067201000000000L))
           .groupBy(
             element_at(col("labels"), "event_type").as("event_type"),
             element_at(col("labels"), "service").as("service"))
           .agg(count(lit(1)).as("entries"),
-            sum(length(col("line"))).cast("long").as("bytes"))
+            sum(length(col("line"))).cast("long").as("bytes"),
+            min(col("timestamp_ns")).as("min_ts"))
           .orderBy("event_type", "service")
       },
       o("""SELECT event_type, 'svc' || CAST(CAST("user" AS BIGINT) % 5 AS VARCHAR) AS service,
-          |  count(*) AS entries, CAST(sum(length(line)) AS BIGINT) AS bytes
+          |  count(*) AS entries, CAST(sum(length(line)) AS BIGINT) AS bytes,
+          |  CASE WHEN event_type = 'error'
+          |    THEN min((timestamp_ns // 1000000) * 1000000)
+          |    ELSE 1704067201000000000 END AS min_ts
           |FROM logs GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
     // --- Datadog metrics round trip (datadog_metrics_json.go) -------------
@@ -387,14 +432,19 @@ object IngestGates extends GateSet {
             lit("{\"index\":{\"_index\":\"logs-"), col("et"), lit("\"}}\n"),
             col("line")))).as("body"))
           .select(col("body"))
-        WireFormats.decodeElasticBulk(bodies)
+        // elastic docs are timestamp-less: every entry takes the pinned
+        // ingest-time parameter (the reference's time.Now(), elastic.go:113)
+        WireFormats.decodeElasticBulk(bodies,
+            ingestTsNs = Some(1704067202000000000L))
           .groupBy(element_at(col("labels"), "_index").as("index"))
           .agg(count(lit(1)).as("docs"),
-            sum(length(col("line"))).cast("long").as("bytes"))
+            sum(length(col("line"))).cast("long").as("bytes"),
+            min(col("timestamp_ns")).as("min_ts"))
           .orderBy("index")
       },
       o("""SELECT 'logs-' || event_type AS index, count(*) AS docs,
-          |  CAST(sum(length(line)) AS BIGINT) AS bytes
+          |  CAST(sum(length(line)) AS BIGINT) AS bytes,
+          |  1704067202000000000 AS min_ts
           |FROM logs GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

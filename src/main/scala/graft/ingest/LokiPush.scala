@@ -44,12 +44,14 @@ object LokiPush {
         StructField("value", DoubleType)))))))))))
 
   /** `{foo="bar", baz="q\"x"}` → label map (`parseLabelsLokiFormat`,
-    * unmarshal.go:313-340).
+    * unmarshal.go:313-340). Duplicate names in one label string dedupe
+    * last-wins (Go map assignment) — `map_from_entries` would throw
+    * DUPLICATED_MAP_KEY and fail the whole push batch.
     */
   private def parseLabelString(s: Column): Column =
-    map_from_entries(transform(
+    graft.model.MapOps.entriesToMapLastWins(transform(
       regexp_extract_all(s, lit("""[a-zA-Z_][a-zA-Z0-9_]*="(?:[^"\\]|\\.)*""""), lit(0)),
-      t => struct(
+      t => map(
         regexp_extract(t, "^([a-zA-Z_][a-zA-Z0-9_]*)=", 1),
         regexp_replace(
           regexp_extract(t, """^[^=]+="((?:[^"\\]|\\.)*)"$""", 1),
@@ -66,12 +68,27 @@ object LokiPush {
           concat(substring(e.getField("value"), 1, 100), lit("...")))
           .otherwise(e.getField("value")))))
 
-  /** `parseTime`: RFC3339 when the string carries `:-TZ` chars, unix ns
-    * otherwise.
+  /** `parseTime` (unmarshal.go:284-310), used by the ENTRIES path only:
+    * RFC3339 when the string contains any of `:-TZ` (the reference's
+    * `strings.ContainsAny`, '-' included), unix ns otherwise. RFC3339
+    * keeps FULL nanosecond precision: Spark timestamps are µs-granular,
+    * so the sub-µs digits of the fraction are re-added from the string.
     */
-  private def tsNs(c: Column): Column =
-    when(c.rlike("[:TZ]"), unix_micros(to_timestamp(c)) * 1000L)
+  private def tsNsEntries(c: Column): Column = {
+    val micros = unix_micros(to_timestamp(c)) * 1000L
+    val frac = regexp_extract(c, """\.([0-9]+)""", 1)
+    val nsRem = when(length(frac) > 6,
+      substring(rpad(frac, 9, "0"), 7, 3).cast("long")).otherwise(lit(0L))
+    when(c.rlike("[:TZ-]"), micros + nsRem)
       .otherwise(when(c =!= "", c).cast("long"))
+  }
+
+  /** The VALUES-tuple path accepts only integer unix ns
+    * (`strconv.ParseInt`, unmarshal.go:139-144) — an RFC3339 string there
+    * errors in the reference, so it decodes to null here.
+    */
+  private def tsNsValues(c: Column): Column =
+    when(c.rlike("^-?[0-9]+$"), c.cast("long"))
 
   /** Decode push bodies → flat rows
     * (fingerprint, timestamp_ns, labels, line, value, sample_type).
@@ -89,14 +106,14 @@ object LokiPush {
     val fromValues = streams
       .select(col("labels"), explode(col("st.values")).as("v"))
       .select(col("labels"),
-        tsNs(element_at(col("v"), 1)).as("timestamp_ns"),
+        tsNsValues(element_at(col("v"), 1)).as("timestamp_ns"),
         element_at(col("v"), 2).as("line"),
         when(try_element_at(col("v"), lit(3)).rlike(numRe),
           try_element_at(col("v"), lit(3)).cast("double")).as("value"))
     val fromEntries = streams
       .select(col("labels"), explode(col("st.entries")).as("e"))
       .select(col("labels"),
-        tsNs(coalesce(col("e.ts"), col("e.timestamp"))).as("timestamp_ns"),
+        tsNsEntries(coalesce(col("e.ts"), col("e.timestamp"))).as("timestamp_ns"),
         col("e.line").as("line"),
         col("e.value").as("value"))
     fromValues.unionByName(fromEntries)

@@ -27,31 +27,86 @@ object WireFormats {
     // SanitizeValue's rendering (`otlplogs.go:126-127`) — passthrough
     StructField("bytesValue", StringType)))
 
-  // one nesting level of kvlist/array with scalar leaves — from_json needs
-  // a closed schema, and the reference's own test fixtures nest one deep
-  private val otlpAnyValue = StructType(otlpLeafValue.fields.toSeq ++ Seq(
-    StructField("kvlistValue", StructType(Seq(
-      StructField("values", ArrayType(StructType(Seq(
-        StructField("key", StringType),
-        StructField("value", otlpLeafValue)))))))),
-    StructField("arrayValue", StructType(Seq(
-      StructField("values", ArrayType(otlpLeafValue)))))))
+  /** AnyValue with BOUNDED recursion: `from_json` needs a closed schema,
+    * so kvlist/array values nest [[OtlpNestDepth]] levels (real OTel SDKs
+    * emit 1-2: a resource attr holding a kvlist of scalars/arrays);
+    * anything deeper than the bound decodes as null and renders "" —
+    * the documented depth cutoff of the reference's unbounded Go
+    * recursion (`otlplogs.go:116-145`, `otlp.go:130-152`).
+    */
+  private val OtlpNestDepth = 3
+
+  private def anyValueSchema(depth: Int): StructType =
+    if (depth <= 0) otlpLeafValue
+    else StructType(otlpLeafValue.fields.toSeq ++ Seq(
+      StructField("kvlistValue", StructType(Seq(
+        StructField("values", ArrayType(StructType(Seq(
+          StructField("key", StringType),
+          StructField("value", anyValueSchema(depth - 1))))))))),
+      StructField("arrayValue", StructType(Seq(
+        StructField("values", ArrayType(anyValueSchema(depth - 1))))))))
+
+  private val otlpAnyValue = anyValueSchema(OtlpNestDepth)
 
   private val otlpAttr = StructType(Seq(
     StructField("key", StringType),
     StructField("value", otlpAnyValue)))
 
-  /** Go `strconv.FormatFloat(f, 'f', -1, 64)`: plain decimal, shortest
-    * round-trip digits, no scientific notation; 3.0 renders "3". The
-    * decimal(38,18) bridge covers |x| < 1e20 with up to 18 fractional
-    * digits (beyond that — astronomically large or sub-1e-18 values — the
-    * rendering falls back to Spark's scientific form).
+  /** Shortest-round-trip digits + exponent of a double, derived from the
+    * JVM's `Double.toString` (same shortest-digits contract as Go's
+    * strconv): ("-", "123", 45) for -1.23e45. Only evaluated on the
+    * extreme-magnitude branches where Java always renders E-form
+    * (|x| >= 1e20 or 0 < |x| < 1e-18 ⇒ decimal exponent outside [-3, 7)).
     */
-  private def goFloatStr(d: org.apache.spark.sql.Column) =
+  private def javaEForm(d: org.apache.spark.sql.Column) = {
+    val s = d.cast("string")
+    (when(d < 0, "-").otherwise(""),
+      regexp_replace(regexp_replace(
+        regexp_extract(s, "^-?([0-9.]+)E", 1), "\\.", ""), "0+$", ""),
+      regexp_extract(s, "E(-?[0-9]+)$", 1).cast("int"))
+  }
+
+  /** Go `strconv.FormatFloat(f, 'f', -1, 64)` (`otlplogs.go:125`): plain
+    * decimal, shortest round-trip digits, NEVER scientific notation —
+    * 3.0 renders "3", 1e21 renders "1" + 21 zeros, 5e-20 renders
+    * "0.00000000000000000005". The decimal(38,18) bridge covers the common
+    * band; the extreme bands are reconstructed from the JVM's shortest
+    * E-form digits.
+    */
+  private def goFloatStr(d: org.apache.spark.sql.Column) = {
+    val (sign, digits, expn) = javaEForm(d)
     when(abs(d) < 9e18 && d === floor(d), d.cast("long").cast("string"))
+      // 0 < |x| < 1e-18: below decimal(38,18) resolution — "0." + zeros + digits
+      .when(abs(d) < 1e-18 && d =!= 0.0,
+        concat(sign, lit("0."), repeat(lit("0"), -expn - 1), digits))
       .when(abs(d) < 1e20, regexp_replace(
         d.cast(DecimalType(38, 18)).cast("string"), "\\.?0+$", ""))
-      .otherwise(d.cast("string"))
+      // |x| >= 1e20: always integral (2^53 << 1e20) → digits + zero-pad
+      .when(!isnan(d) && !d.isin(
+          Double.PositiveInfinity, Double.NegativeInfinity),
+        concat(sign, rpad(digits, expn + 1, lit("0"))))
+      .otherwise(d.cast("string")) // NaN/Inf: Go renders NaN/+Inf/-Inf — rare, keep Java's
+  }
+
+  /** Go `%v` / `FormatFloat('g', -1, 64)` — the rendering go-logfmt gives
+    * float field values on the Influx message path (`influx.go:17-27` via
+    * `logfmt.Encoder`): plain shortest decimal inside [1e-4, 1e21),
+    * scientific `1.5e+21` / `2.5e-05` outside (exponent sign always
+    * present for positives, padded to two digits — Go strconv 'g'
+    * shortest semantics).
+    */
+  private[ingest] def goFloatStrG(d: org.apache.spark.sql.Column) = {
+    val (sign, digits, expn) = javaEForm(d)
+    // Go 'g' e-form: one digit, point, rest; exponent signed + 2-digit pad
+    val mant = when(length(digits) > 1,
+        concat(substring(digits, 1, 1), lit("."), substring(digits, 2, 32)))
+      .otherwise(digits)
+    val eform = concat(sign, mant, lit("e"),
+      when(expn < 0, "-").otherwise("+"),
+      lpad(abs(expn).cast("string"), 2, "0"))
+    when(abs(d) >= 1e21 || (d =!= 0.0 && abs(d) < 1e-4), eform)
+      .otherwise(goFloatStr(d))
+  }
 
   /** `SanitizeKey` (`otlplogs.go:103-114`): non-[a-zA-Z0-9_] → `_`, and a
     * leading digit (or empty key) gains a `_` prefix.
@@ -72,25 +127,32 @@ object WireFormats {
       v.getField("boolValue").cast("string"),
       v.getField("bytesValue"))
 
-  /** Body AnyValue → line string (`otlplogs.go:108-145` SanitizeValue):
-    * scalars render Go-style; kvlist → JSON object with SORTED sanitized
-    * keys (Go `json.Marshal` of a map built with SanitizeKey); array →
-    * JSON array of rendered leaves (unsupported kinds render ""). One
-    * nesting level only — `from_json` needs a closed schema and the
-    * reference's own fixtures nest one deep; a deeper AnyValue renders as
-    * its leaves' JSON nulls rather than recursively.
+  /** AnyValue → string (`otlplogs.go:116-145` SanitizeValue), RECURSIVE to
+    * the schema's depth bound: scalars render Go-style; kvlist → JSON
+    * object with SORTED sanitized keys (Go `json.Marshal` of a map built
+    * with SanitizeKey — last-wins on keys that collide after
+    * sanitization, never an error); array → JSON array of recursively
+    * rendered values (unsupported kinds render ""). Beyond the depth
+    * bound a nested value decodes as null and renders "".
     */
-  private def bodyStr(b: org.apache.spark.sql.Column) =
-    coalesce(
-      leafStr(b),
-      when(b.getField("kvlistValue").isNotNull, to_json(map_from_entries(
-        array_sort(transform(b.getField("kvlistValue").getField("values"),
-          kv => struct(sanitizeKey(kv.getField("key")).as("key"),
-            leafStr(kv.getField("value")).as("value"))))))),
-      when(b.getField("arrayValue").isNotNull, to_json(
-        transform(b.getField("arrayValue").getField("values"),
-          v => coalesce(leafStr(v), lit(""))))),
+  private def sanitizeValueStr(v: org.apache.spark.sql.Column,
+      depth: Int): org.apache.spark.sql.Column =
+    if (depth <= 0) coalesce(leafStr(v), lit(""))
+    else coalesce(
+      leafStr(v),
+      when(v.getField("kvlistValue").isNotNull, to_json(map_from_entries(
+        array_sort(map_entries(MapOps.entriesToMapLastWins(
+          transform(v.getField("kvlistValue").getField("values"),
+            kv => map(sanitizeKey(kv.getField("key")),
+              sanitizeValueStr(kv.getField("value"), depth - 1))))))))),
+      when(v.getField("arrayValue").isNotNull, to_json(
+        transform(v.getField("arrayValue").getField("values"),
+          x => sanitizeValueStr(x, depth - 1)))),
       lit(""))
+
+  /** Body AnyValue → line string: the same SanitizeValue rendering. */
+  private def bodyStr(b: org.apache.spark.sql.Column) =
+    sanitizeValueStr(b, OtlpNestDepth)
 
   val otlpLogsSchema: StructType = StructType(Seq(
     StructField("resourceLogs", ArrayType(StructType(Seq(
@@ -112,6 +174,43 @@ object WireFormats {
     map_from_entries(transform(attrs, a =>
       struct(a.getField("key"), leafStr(a.getField("value")))))
 
+  private val emptyEntryArr =
+    array().cast(ArrayType(MapType(StringType, StringType)))
+
+  /** TRACE-attr flattening (`otlp.go:130-160` writeAttrValue /
+    * initAttributesMap): nested kvlist values flatten with dotted key
+    * prefixes, array values with `.<index>` keys; scalars render via fmt —
+    * bools `%v`, doubles `%f` (fixed six decimals), ints `%d`; bytesValue
+    * has NO case in the reference's switch and is dropped. Depth-bounded
+    * like the schema; collisions last-win (Go map assignment).
+    */
+  private def traceAttrEntries(key: org.apache.spark.sql.Column,
+      v: org.apache.spark.sql.Column, depth: Int): org.apache.spark.sql.Column = {
+    val scalar = coalesce(
+      v.getField("stringValue"), v.getField("intValue"),
+      when(v.getField("doubleValue").isNotNull,
+        format_string("%f", v.getField("doubleValue"))),
+      v.getField("boolValue").cast("string"))
+    val leaf = when(scalar.isNotNull, array(map(key, scalar)))
+    if (depth <= 0) coalesce(leaf, emptyEntryArr)
+    else coalesce(
+      leaf,
+      when(v.getField("kvlistValue").isNotNull,
+        flatten(transform(v.getField("kvlistValue").getField("values"),
+          kv => traceAttrEntries(
+            concat(key, lit("."), kv.getField("key")),
+            kv.getField("value"), depth - 1)))),
+      when(v.getField("arrayValue").isNotNull,
+        flatten(transform(v.getField("arrayValue").getField("values"),
+          (x, i) => traceAttrEntries(
+            concat(key, lit("."), i.cast("string")), x, depth - 1)))),
+      emptyEntryArr)
+  }
+
+  private def traceAttrsToMap(attrs: org.apache.spark.sql.Column) =
+    MapOps.entriesToMapLastWins(flatten(transform(attrs, a =>
+      traceAttrEntries(a.getField("key"), a.getField("value"), OtlpNestDepth))))
+
   /** LOG-label flattening (`otlplogs.go:98-101` writeAttrValue): keys pass
     * through SanitizeKey, values through SanitizeValue (unsupported kinds
     * → ""), collisions last-win (Go map assignment). Traces/metrics keep
@@ -122,7 +221,7 @@ object WireFormats {
   private def attrsToMapSanitized(attrs: org.apache.spark.sql.Column) =
     MapOps.entriesToMapLastWins(transform(attrs, a =>
       map(sanitizeKey(a.getField("key")),
-        coalesce(leafStr(a.getField("value")), lit("")))))
+        sanitizeValueStr(a.getField("value"), OtlpNestDepth))))
 
   /** OTLP logs → (fingerprint, timestamp_ns, labels, line) per
     * `otlplogs.go:22-90`: resource, scope, and record attributes merge
@@ -202,8 +301,10 @@ object WireFormats {
       when(element_at(m, k) =!= "", element_at(m, k))) :+ lit(dflt): _*)
 
   /** OTLP traces → canonical span rows, mirroring the writer's decode
-    * (`otlp.go:60-125`): resource attributes merge INTO the span attr set
-    * (span attrs win), `service.name`/`remoteService.name` are filled
+    * (`otlp.go:60-125`): resource attributes are appended after the span
+    * attr set and the map fold last-wins (resource attrs win on key
+    * conflicts; chain lookups stay first-occurrence = span-first),
+    * `service.name`/`remoteService.name` are filled
     * from the preference chain when absent (peer.service > service.name >
     * faas.name > k8s.deployment.name > process.executable.name; local
     * defaults to "OTLPResourceNoServiceName"), and span status/kind become
@@ -228,20 +329,26 @@ object WireFormats {
     bodies
       .select(explode(from_json(col("body"), otlpTracesSchema)
         .getField("resourceSpans")).as("rs"))
-      .select(attrsToMap(coalesce(col("rs.resource.attributes"), empty))
+      .select(traceAttrsToMap(coalesce(col("rs.resource.attributes"), empty))
         .as("res"),
         explode(col("rs.scopeSpans")).as("ss"))
       .select(col("res"), explode(col("ss.spans")).as("s"))
       // staged columns: each merge input is an attribute ref by the time a
       // MapOps.update lambda captures it (see decodeOtlpLogs)
       .withColumn("spanAttrs",
-        attrsToMap(coalesce(col("s.attributes"), empty)))
-      .withColumn("merged", MapOps.update(col("res"), col("spanAttrs")))
+        traceAttrsToMap(coalesce(col("s.attributes"), empty)))
+      // the reference appends resource attrs AFTER span attrs (otlp.go:81)
+      // and reads them two ways: getOtlpAttr takes the FIRST occurrence
+      // (span-first — the service-name chain, otlp.go:18-24), while the
+      // attrsMap fold is Go map assignment over the appended list
+      // (LAST occurrence wins — resource wins, otlp.go:154-160)
+      .withColumn("spanFirst", MapOps.update(col("res"), col("spanAttrs")))
+      .withColumn("merged", MapOps.update(col("spanAttrs"), col("res")))
       .withColumn("withServ", MapOps.update(
         map(lit("service.name"),
-            firstNonEmpty(col("merged"), localChain, "OTLPResourceNoServiceName"),
+            firstNonEmpty(col("spanFirst"), localChain, "OTLPResourceNoServiceName"),
           lit("remoteService.name"),
-            firstNonEmpty(col("merged"), localChain.tail, "")),
+            firstNonEmpty(col("spanFirst"), localChain.tail, "")),
         col("merged")))
       .select(
         col("s.traceId").as("trace_id_hex"),
@@ -327,15 +434,18 @@ object WireFormats {
     * `timestamp` (ms) scales to ns (the reference's now() fallback is
     * nondeterministic and intentionally omitted — such rows keep null).
     */
-  def decodeDatadogLogs(bodies: DataFrame): DataFrame = {
+  def decodeDatadogLogs(bodies: DataFrame,
+      ingestTsNs: Option[Long] = None): DataFrame = {
     val keyRe = """^([\p{L}][\p{L}_0-9\-.\\/]*):"""
     val valRe = """^[\p{L}][\p{L}_0-9\-.\\/]*:([\p{L}_0-9\-.\\/:]+)"""
-    val tags = map_from_entries(transform(
+    // duplicate tag keys ("env:a,env:b") dedupe last-wins — map_from_entries
+    // would throw DUPLICATED_MAP_KEY and fail the whole decode batch
+    val tags = MapOps.entriesToMapLastWins(transform(
       filter(transform(split(coalesce(col("l.ddtags"), lit("")), ","),
         t => struct(regexp_extract(t, keyRe, 1).as("k"),
           regexp_extract(t, valRe, 1).as("v"))),
         e => e.getField("k") =!= "" && e.getField("v") =!= ""),
-      e => struct(e.getField("k"), e.getField("v"))))
+      e => map(e.getField("k"), e.getField("v"))))
     bodies
       .select(explode(from_json(col("body"), datadogLogsSchema)).as("l"))
       .withColumn("tags", tags)
@@ -348,7 +458,13 @@ object WireFormats {
             lit("source_type"), col("l.source_type"),
             lit("type"), lit("datadog")),
             (_, v) => v.isNotNull && v =!= "")).as("labels"),
-        (col("l.timestamp") * 1000000L).as("timestamp_ns"),
+        // the reference stamps receive time when TsMs is 0/absent
+        // (`datadog_json.go:90-93`); the fallback here is an EXPLICIT
+        // ingest-time parameter so replays stay deterministic/oracle-testable
+        when(col("l.timestamp").isNotNull && col("l.timestamp") =!= 0,
+          col("l.timestamp") * 1000000L)
+          .otherwise(ingestTsNs.map(n => lit(n)).getOrElse(lit(null))
+            .cast("long")).as("timestamp_ns"),
         coalesce(col("l.message"), lit("")).as("line"))
       .withColumn("fingerprint", Tables.fingerprintOf(col("labels")))
   }
@@ -376,14 +492,17 @@ object WireFormats {
     * `name`, lowercased `kind`, `local_endpoint_service_name` /
     * `remote_endpoint_service_name`, the final `service.name`, and an
     * OTel-exported `otel.status_code` tag mapped to the `status` attr
-    * TraceQL queries. The service name follows the reference exactly: the
-    * local endpoint's name, overwritten by the remote endpoint's only
-    * when a local one was set.
+    * TraceQL queries. The service name follows the reference exactly
+    * (`zipkin_json.go:119-127`): the local endpoint's name, overwritten by
+    * the remote ENDPOINT whenever a local one was set and a remoteEndpoint
+    * OBJECT is present — even one without a serviceName, which overwrites
+    * with "".
     */
   def decodeZipkin(bodies: DataFrame): DataFrame = {
     val local = col("s.localEndpoint.serviceName")
     val remote = col("s.remoteEndpoint.serviceName")
-    val svc = when(local.isNotNull && local =!= "" && remote.isNotNull, remote)
+    val svc = when(local.isNotNull && local =!= "" &&
+        col("s.remoteEndpoint").isNotNull, coalesce(remote, lit("")))
       .otherwise(coalesce(local, lit("")))
     bodies
       .select(explode(from_json(col("body"), zipkinSchema)).as("s"))
@@ -484,7 +603,9 @@ object WireFormats {
       struct(f.getField("k").as("k"),
         when(isQuoted, strVal)
           .when(isInt, regexp_replace(rawv, "[iu]$", ""))
-          .when(isFloat, goFloatStr(rawv.cast("double")))
+          // logfmt renders float values with %v ⇒ Go 'g' shortest —
+          // e-notation outside [1e-4, 1e21) (go-logfmt via influx.go:20-27)
+          .when(isFloat, goFloatStrG(rawv.cast("double")))
           .when(isBool, when(rawv.rlike("^[tT]"), lit("true")).otherwise("false"))
           .otherwise(rawv).as("sv"),
         when(isInt, regexp_replace(rawv, "[iu]$", "").cast("double"))
@@ -631,9 +752,13 @@ object WireFormats {
     * lines. `index`/`create` actions label the FOLLOWING document line
     * with `type=elastic` plus every string field of the action object
     * (`_index`, `_id`, ...); `delete`/`update` actions clear the label
-    * set, so their tails produce no entries.
+    * set, so their tails produce no entries. Elastic documents carry no
+    * timestamp — the reference stamps receive time on EVERY entry
+    * (`elastic.go:34,113` time.Now().UnixNano()); here that is the
+    * explicit `ingestTsNs` parameter so replays stay deterministic.
     */
-  def decodeElasticBulk(bodies: DataFrame): DataFrame = {
+  def decodeElasticBulk(bodies: DataFrame,
+      ingestTsNs: Option[Long] = None): DataFrame = {
     val emptyMap = map().cast(MapType(StringType, StringType))
     val lines = bodies
       .withColumn("req", monotonically_increasing_id())
@@ -661,7 +786,9 @@ object WireFormats {
       .withColumn("docLabels", lag(col("actionLabels"), 1).over(w))
       .filter(!col("isAction") && col("docLabels").isNotNull &&
         size(col("docLabels")) > 0)
-      .select(col("docLabels").as("labels"), col("l").as("line"))
+      .select(col("docLabels").as("labels"), col("l").as("line"),
+        ingestTsNs.map(n => lit(n)).getOrElse(lit(null))
+          .cast("long").as("timestamp_ns"))
       .withColumn("fingerprint", Tables.fingerprintOf(col("labels")))
   }
 }

@@ -47,10 +47,18 @@ object Rules {
 
   private def load(spark: SparkSession, dir: String): Seq[GroupRow] = {
     val p = new java.io.File(rulesPath(dir))
-    if (!p.exists) Seq.empty
-    else {
-      import spark.implicits._
-      spark.read.parquet(p.getPath).as[GroupRow].collect().toSeq
+    // overwriteAtomic has a window between renameTo(trash) and
+    // tmp.renameTo(live) where the live dir is absent; a reader landing
+    // there (or a crash in the window) must fall back to the .trash copy
+    // — the only surviving one — instead of observing an empty rule set
+    val src =
+      if (p.exists) Some(p)
+      else Some(new java.io.File(rulesPath(dir) + ".trash")).filter(_.exists)
+    src match {
+      case None => Seq.empty
+      case Some(f) =>
+        import spark.implicits._
+        spark.read.parquet(f.getPath).as[GroupRow].collect().toSeq
     }
   }
 

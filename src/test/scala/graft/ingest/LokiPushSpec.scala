@@ -58,6 +58,32 @@ class LokiPushSpec extends SparkSpec {
       Map("job" -> "push-metrics", "bad_key" -> "v"))
   }
 
+  test("duplicate names in a legacy label string dedupe last-wins") {
+    import graft.TestSpark.spark.implicits._
+    val body =
+      """{"streams":[{"labels":"{job=\"a\", job=\"b\"}",
+        |"entries":[{"ts":"1","line":"x"}]}]}""".stripMargin
+    val rows = LokiPush.decodeRows(Seq(body).toDF("body")).collect()
+    assert(rows(0).getAs[Map[String, String]]("labels") == Map("job" -> "b"))
+  }
+
+  test("RFC3339 entry timestamps keep nanosecond precision; values path is integer-only") {
+    import graft.TestSpark.spark.implicits._
+    val body =
+      """{"streams":[
+        |  {"stream":{"job":"t"},
+        |   "entries":[{"ts":"2024-01-01T00:00:00.123456789Z","line":"ns"}],
+        |   "values":[["2024-01-01T00:00:00Z","rfc-in-values"]]}
+        |]}""".stripMargin
+    val rows = LokiPush.decodeRows(Seq(body).toDF("body"))
+      .select("line", "timestamp_ns").collect()
+      .map(r => r.getString(0) -> Option(r.get(1))).toMap
+    // parseTime keeps full UnixNano (sub-µs digits re-added)
+    assert(rows("ns").contains(1704067200123456789L))
+    // the values-tuple path is strconv.ParseInt only — RFC3339 errors there
+    assert(rows("rfc-in-values").isEmpty)
+  }
+
   test("encode → decode is lossless on the canonical frame") {
     def canon(df: org.apache.spark.sql.DataFrame) = df.select(
       col("fingerprint"), col("timestamp_ns"), col("line"),

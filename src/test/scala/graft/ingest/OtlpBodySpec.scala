@@ -151,10 +151,12 @@ class OtlpBodySpec extends SparkSpec {
         col("duration_ns"))
       .collect().map(r => r.getString(0) -> r).toMap
     val a1 = rows("s1").getMap[String, String](2)
-    // span attr wins the merge; service.name kept from the resource (the
-    // chain only fills ABSENT keys), local chain prefers peer.service only
-    // when service.name is absent from the merged set
-    assert(a1("region") == "eu")
+    // resource attr wins the attrs-map merge (resource attrs are appended
+    // AFTER span attrs and Go map assignment last-wins, otlp.go:81,154-160);
+    // service.name kept from the resource (the chain only fills ABSENT
+    // keys), local chain prefers peer.service only when service.name is
+    // absent from the span-first occurrence order
+    assert(a1("region") == "us")
     assert(rows("s1").getString(1) == "api")
     assert(a1("status") == "error")
     assert(a1("kind") == "server")
@@ -242,5 +244,99 @@ class OtlpBodySpec extends SparkSpec {
     val line = WireFormats.decodeOtlpLogs(Seq(req).toDF("body"))
       .select(col("line")).collect()(0).getString(0)
     assert(line == "")
+  }
+
+  test("nested kvlist/array bodies render recursively (SanitizeValue)") {
+    // kvlist-in-kvlist: the inner map renders to a JSON string, which the
+    // outer json.Marshal escapes (otlplogs.go:136-141 recursion)
+    val line = lineOf(
+      """{"kvlistValue":{"values":[
+        |{"key":"nest","value":{"kvlistValue":{"values":[
+        |{"key":"a","value":{"intValue":"1"}}]}}},
+        |{"key":"top","value":{"stringValue":"t"}}]}}"""
+        .stripMargin.replace("\n", ""))
+    assert(line == """{"nest":"{\"a\":\"1\"}","top":"t"}""")
+    // array-in-array: inner renders to "[...]" and is escaped as a string
+    val arr = lineOf(
+      """{"arrayValue":{"values":[
+        |{"arrayValue":{"values":[{"intValue":"1"},{"intValue":"2"}]}},
+        |{"stringValue":"x"}]}}"""
+        .stripMargin.replace("\n", ""))
+    assert(arr == """["[\"1\",\"2\"]","x"]""")
+  }
+
+  test("kvlist keys that collide after sanitization dedupe last-wins") {
+    // "a.b" and "a:b" both sanitize to "a_b" — Go map assignment keeps the
+    // last; map_from_entries would have thrown DUPLICATED_MAP_KEY
+    val line = lineOf(
+      """{"kvlistValue":{"values":[
+        |{"key":"a.b","value":{"stringValue":"first"}},
+        |{"key":"a:b","value":{"stringValue":"second"}}]}}"""
+        .stripMargin.replace("\n", ""))
+    assert(line == """{"a_b":"second"}""")
+  }
+
+  test("nested kvlist ATTRIBUTE values render as JSON strings in labels") {
+    val s = spark
+    import s.implicits._
+    val req =
+      """{"resourceLogs":[{"resource":{"attributes":[
+        |{"key":"deploy","value":{"kvlistValue":{"values":[
+        |{"key":"zone","value":{"stringValue":"eu"}},
+        |{"key":"az","value":{"intValue":"2"}}]}}}]},
+        |"scopeLogs":[{"logRecords":[{"timeUnixNano":"1",
+        |"body":{"stringValue":"x"}}]}]}]}"""
+        .stripMargin.replace("\n", "")
+    val labels = WireFormats.decodeOtlpLogs(Seq(req).toDF("body"))
+      .select(col("labels")).collect()(0).getMap[String, String](0)
+    assert(labels("deploy") == """{"az":"2","zone":"eu"}""")
+  }
+
+  test("extreme doubles render plain decimal per FormatFloat 'f' -1") {
+    assert(lineOf("""{"doubleValue":1e21}""") == "1000000000000000000000")
+    assert(lineOf("""{"doubleValue":1.5e21}""") == "1500000000000000000000")
+    assert(lineOf("""{"doubleValue":5e-20}""") == "0.00000000000000000005")
+    assert(lineOf("""{"doubleValue":-2.5e-19}""") == "-0.00000000000000000025")
+  }
+
+  test("trace attrs flatten nested kvlist/array with dotted keys") {
+    val s = spark
+    import s.implicits._
+    val req =
+      """{"resourceSpans":[{"resource":{"attributes":[
+        |{"key":"env","value":{"kvlistValue":{"values":[
+        |{"key":"region","value":{"stringValue":"eu"}}]}}}]},
+        |"scopeSpans":[{"spans":[
+        |{"traceId":"t1","spanId":"s1","name":"op",
+        |"startTimeUnixNano":"100","endTimeUnixNano":"200",
+        |"attributes":[
+        |{"key":"ports","value":{"arrayValue":{"values":[
+        |{"intValue":"80"},{"intValue":"443"}]}}},
+        |{"key":"ratio","value":{"doubleValue":2.5}},
+        |{"key":"blob","value":{"bytesValue":"aGVsbG8="}}]}]}]}]}"""
+        .stripMargin.replace("\n", "")
+    val attrs = WireFormats.decodeOtlpTraces(Seq(req).toDF("body"))
+      .select(col("attrs")).collect()(0).getMap[String, String](0)
+    assert(attrs("env.region") == "eu")      // kvlist → dotted prefix
+    assert(attrs("ports.0") == "80")         // array → .<index>
+    assert(attrs("ports.1") == "443")
+    assert(attrs("ratio") == "2.500000")     // fmt %f: fixed six decimals
+    assert(!attrs.contains("blob"))          // bytes: no case in the switch
+    assert(!attrs.contains("ports"))
+  }
+
+  test("influx float fields render Go %v ('g'): e-notation outside [1e-4,1e21)") {
+    val s = spark
+    import s.implicits._
+    val lines = Seq(
+      "m message=\"x\",big=1e21,small=0.00005,mid=2.5,edge=0.0001 1704067200000000000")
+      .toDF("line")
+    val line = WireFormats.decodeInflux(lines)
+      .filter(col("sample_type") === "log")
+      .select(col("line")).collect()(0).getString(0)
+    assert(line.contains("big=1e+21"))
+    assert(line.contains("small=5e-05"))
+    assert(line.contains("mid=2.5"))
+    assert(line.contains("edge=0.0001"))
   }
 }

@@ -28,12 +28,25 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("live tail rejects parser stages") {
+  test("live tail applies parser stages (json extract + label filter)") {
+    import graft.TestSpark.spark.implicits._
+    val df = Seq(
+      (1L, "error", """{"k":"7","msg":"keep"}"""),
+      (2L, "error", """{"k":"3","msg":"drop"}"""),
+      (3L, "info", """{"k":"9","msg":"wrong level"}"""))
+      .toDF("timestamp_ns", "l", "line")
+      .select(col("timestamp_ns"), map(lit("level"), col("l")).as("labels"), col("line"))
+    val out = LiveTail(df, """{level="error"} | json | k >= 5""").collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[Map[String, String]]("labels")("k") == "7")
+  }
+
+  test("live tail still rejects metric queries") {
     import graft.TestSpark.spark.implicits._
     val df = Seq((1L, "error", "x")).toDF("timestamp_ns", "l", "line")
       .select(col("timestamp_ns"), map(lit("level"), col("l")).as("labels"), col("line"))
     intercept[IllegalArgumentException] {
-      LiveTail(df, """{level="error"} | json""")
+      LiveTail(df, """count_over_time({level="error"}[5m])""")
     }
   }
 
