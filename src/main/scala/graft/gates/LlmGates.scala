@@ -349,9 +349,11 @@ object LlmGates extends GateSet {
 
     // --- IVF coarse-quantizer ANN vs brute force: per-query hit count of
     // the brute top-10 found by the IVF top-10 (nprobe=4). Centroids are
-    // the deterministic vec_id % 23 sample, so the oracle re-derives the
+    // the deterministic vec_id % max(23, floor(sqrt(n))) sample — the
+    // oracle computes the SAME adaptive spacing, so it re-derives the
     // ENTIRE cell structure (assignment argmax, probe ranking, in-cell
-    // rerank) — the IVF index itself is gated, not just high recall. ------
+    // rerank) at any scale factor — the IVF index itself is gated, not
+    // just high recall. --------------------------------------------------
     Gate("llm_ann_ivf_recall",
       (spark: SparkSession, dir: String) => {
         val emb = Tables.embeddings(spark, dir)
@@ -371,7 +373,8 @@ object LlmGates extends GateSet {
         val cos = (a: String, b: String) =>
           s"${dot64(a, b)} / (sqrt(${dot64(a, a)}) * sqrt(${dot64(b, b)}))"
         s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-           |cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 23 = 0),
+           |cmod AS (SELECT GREATEST(23, CAST(floor(sqrt(count(*))) AS BIGINT)) AS m FROM e),
+           |cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % (SELECT m FROM cmod) = 0),
            |ac AS (SELECT e.vec_id, c.cid, ${cos("e.v", "c.cv")} AS cs
            |  FROM e CROSS JOIN cents c),
            |asg AS (SELECT vec_id AS nid, cid AS cell FROM (
@@ -401,6 +404,48 @@ object LlmGates extends GateSet {
            |SELECT b.qid, CAST(count(i.nid) AS BIGINT) AS hits
            |FROM btop b LEFT JOIN itop i ON i.qid = b.qid AND i.nid = b.nid
            |GROUP BY 1 ORDER BY 1""".stripMargin
+      }),
+
+    // --- IVF query path ALONE (no brute-force harness): this is the entry
+    // whose bench timing tracks the 100 TB scale path — the recall gate
+    // above is quadratic by construction (its ground truth is brute
+    // force), so its timing measures the harness, not the index. ----------
+    Gate("llm_ann_ivf_query",
+      (spark: SparkSession, dir: String) => {
+        val emb = Tables.embeddings(spark, dir)
+        val q = emb.filter(col("vec_id") % 25 === 0)
+        Similarity.ivfTopK(q, emb, 10)
+          .select(col("qid"), col("nid"), col("rank").cast("long").as("rank"))
+          .orderBy("qid", "rank")
+      },
+      Some {
+        val dot64 = (a: String, b: String) =>
+          s"list_sum([$a[i]*$b[i] for i in generate_series(1,64)])"
+        val cos = (a: String, b: String) =>
+          s"${dot64(a, b)} / (sqrt(${dot64(a, a)}) * sqrt(${dot64(b, b)}))"
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |cmod AS (SELECT GREATEST(23, CAST(floor(sqrt(count(*))) AS BIGINT)) AS m FROM e),
+           |cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % (SELECT m FROM cmod) = 0),
+           |ac AS (SELECT e.vec_id, c.cid, ${cos("e.v", "c.cv")} AS cs
+           |  FROM e CROSS JOIN cents c),
+           |asg AS (SELECT vec_id AS nid, cid AS cell FROM (
+           |    SELECT vec_id, cid,
+           |      row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+           |    FROM ac) WHERE rn = 1),
+           |qp AS (SELECT vec_id AS qid, cid AS cell FROM (
+           |    SELECT vec_id, cid,
+           |      row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+           |    FROM ac WHERE vec_id % 25 = 0) WHERE rn <= 4),
+           |cand AS (SELECT qp.qid, asg.nid FROM qp
+           |  JOIN asg ON asg.cell = qp.cell WHERE asg.nid <> qp.qid),
+           |sims AS (SELECT cand.qid, cand.nid, ${cos("qe.v", "ce.v")} AS sim
+           |  FROM cand JOIN e qe ON qe.vec_id = cand.qid
+           |            JOIN e ce ON ce.vec_id = cand.nid)
+           |SELECT qid, nid, rk AS rank FROM (
+           |    SELECT qid, nid,
+           |      row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk
+           |    FROM sims) WHERE rk <= 10
+           |ORDER BY qid, rank""".stripMargin
       }),
 
     // --- embedding-cosine near-dup pairs: sign-LSH bucket candidates →

@@ -103,12 +103,20 @@ object Similarity {
       .filter(col("sim") >= threshold)
   }
 
-  /** Modulus for the IVF coarse-quantizer sample: corpus vectors with
-    * `vec_id % CentroidMod == 0` ARE the centroids (random-sample
-    * initialization without Lloyd refinement — deterministic, so any
-    * engine reproduces the exact cell structure).
+  /** Base modulus for the IVF coarse-quantizer sample: corpus vectors with
+    * `vec_id % mod == 0` ARE the centroids (random-sample initialization
+    * without Lloyd refinement — deterministic, so any engine reproduces
+    * the exact cell structure). The effective modulus grows with corpus
+    * size as `max(CentroidMod, floor(sqrt(n)))`: a FIXED spacing makes the
+    * centroid count linear in n and the assignment pass (n·C dots)
+    * quadratic — the round-9 sf1 scale run measured exactly that (79× at
+    * 10× rows). With C ≈ sqrt(n) centroids, assignment is n·sqrt(n) and
+    * per-query probe cost stays ~constant — the standard IVF scaling.
     */
   val CentroidMod = 23L
+
+  def centroidModFor(corpusRows: Long): Long =
+    math.max(CentroidMod, math.sqrt(corpusRows.toDouble).toLong)
 
   /** IVF-style ANN, the coarse-quantizer scale path: every corpus vector
     * is assigned to its max-cosine centroid in one broadcast pass (N·C
@@ -121,7 +129,10 @@ object Similarity {
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       nprobe: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cents = corpus.filter(pmod(col("vec_id"), lit(CentroidMod)) === 0)
+    // one metadata-cheap count picks the sqrt-scaled centroid spacing;
+    // a resident service would compute this once per index build
+    val mod = centroidModFor(corpus.count())
+    val cents = corpus.filter(pmod(col("vec_id"), lit(mod)) === 0)
       .select(col("vec_id").as("cid"), asDouble(col("embedding")).as("ce"))
     def cellRank(df: DataFrame, id: String, emb: String): DataFrame = {
       val w = Window.partitionBy(col(id))
