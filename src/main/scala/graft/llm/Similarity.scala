@@ -19,11 +19,12 @@ object Similarity {
   /** Cosine similarity between two double-array columns, computed in array
     * order (deterministic, reproducible by any engine).
     */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column) =
-      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-  }
+  /** One fused codegen'd pass (graft.functions.CosineSim) — the composed
+    * aggregate(zip_with) form ran interpreted and traversed each array
+    * three times, which dominated every embedding gate's runtime.
+    */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.CosineSim(a.cast("array<double>"), b.cast("array<double>"))
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 

@@ -82,6 +82,24 @@ class DecodePlanSpec extends SparkSpec {
     assert(generateCount.contains(0), plan.toString)
   }
 
+  test("decodeOtlpLogs: optimized plan stays a bounded single-pass pipeline") {
+    val s = spark
+    import s.implicits._
+    // non-foldable source so constant folding can't hide plan growth
+    import org.apache.spark.sql.functions._
+    val src = spark.range(2).select(
+      regexp_replace(lit(otlpLogsBody), lit("hello"), concat(lit("h"),
+        col("id").cast("string"))).as("body"))
+    val plan = WireFormats.decodeOtlpLogs(src).queryExecution.optimizedPlan
+    val nodes = plan.collect { case p => p }.length
+    // staged decode: scan → project/generate chain. The bound is the
+    // round-9 shape (7 nodes) plus small headroom; if a future fidelity
+    // change doubles the from_json passes or splits the merge into extra
+    // shuffles/projects, this goes red before the bench does (the r8
+    // ingest_otlp_roundtrip 2.4x creep arrived silently).
+    assert(nodes <= 10, s"decodeOtlpLogs plan grew to $nodes nodes:\n$plan")
+  }
+
   test("decoded OTLP labels still merge record attrs over resource attrs") {
     val s = spark
     import s.implicits._
