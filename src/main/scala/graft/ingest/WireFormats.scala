@@ -170,9 +170,13 @@ object WireFormats {
           StructField("body", otlpAnyValue),
           StructField("attributes", ArrayType(otlpAttr))))))))))))))))
 
+  /** Duplicate attr keys dedupe last-wins (Go map assignment in the
+    * reference's attr loops) — map_from_entries would throw
+    * DUPLICATED_MAP_KEY on such input and fail the whole decode batch.
+    */
   private def attrsToMap(attrs: org.apache.spark.sql.Column) =
-    map_from_entries(transform(attrs, a =>
-      struct(a.getField("key"), leafStr(a.getField("value")))))
+    MapOps.entriesToMapLastWins(transform(attrs, a =>
+      map(a.getField("key"), leafStr(a.getField("value")))))
 
   private val emptyEntryArr =
     array().cast(ArrayType(MapType(StringType, StringType)))
@@ -689,10 +693,12 @@ object WireFormats {
     * pairs, tags ("k:v") explode into labels, metric name → __name__.
     */
   def decodeDatadogMetrics(bodies: DataFrame): DataFrame = {
-    val tags = map_from_entries(transform(
+    // duplicate tag keys ("env:a,env:b") dedupe last-wins like the
+    // reference's Go tag map — map_from_entries would throw on them
+    val tags = MapOps.entriesToMapLastWins(transform(
       filter(coalesce(col("s.tags"), array().cast(ArrayType(StringType))),
         t => t.contains(":")),
-      t => struct(substring_index(t, ":", 1), substring_index(t, ":", -1))))
+      t => map(substring_index(t, ":", 1), substring_index(t, ":", -1))))
     bodies
       .select(explode(from_json(col("body"), datadogMetricsSchema)
         .getField("series")).as("s"))

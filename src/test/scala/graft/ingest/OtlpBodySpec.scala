@@ -339,4 +339,37 @@ class OtlpBodySpec extends SparkSpec {
     assert(line.contains("mid=2.5"))
     assert(line.contains("edge=0.0001"))
   }
+
+  test("OTLP metric attrs with duplicate keys dedupe last-wins, not throw") {
+    val s = spark
+    import s.implicits._
+    // Go map assignment keeps the last occurrence; map_from_entries would
+    // throw DUPLICATED_MAP_KEY and fail the whole decode batch
+    val req =
+      """{"resourceMetrics":[{"resource":{"attributes":[
+        |{"key":"env","value":{"stringValue":"old"}},
+        |{"key":"env","value":{"stringValue":"new"}}]},
+        |"scopeMetrics":[{"metrics":[{"name":"m","gauge":{"dataPoints":[
+        |{"timeUnixNano":"1","asDouble":1.0,
+        |"attributes":[{"key":"dc","value":{"stringValue":"a"}},
+        |{"key":"dc","value":{"stringValue":"b"}}]}]}}]}]}]}"""
+        .stripMargin.replace("\n", "")
+    val labels = WireFormats.decodeOtlpMetrics(Seq(req).toDF("body"))
+      .select(col("labels")).collect()(0).getMap[String, String](0)
+    assert(labels("env") == "new")
+    assert(labels("dc") == "b")
+  }
+
+  test("Datadog metric tags with duplicate keys dedupe last-wins, not throw") {
+    val s = spark
+    import s.implicits._
+    val req =
+      """{"series":[{"metric":"cpu","points":[[1704067200,0.5]],
+        |"tags":["env:a","env:b","host:h1"],"type":"gauge"}]}"""
+        .stripMargin.replace("\n", "")
+    val labels = WireFormats.decodeDatadogMetrics(Seq(req).toDF("body"))
+      .select(col("labels")).collect()(0).getMap[String, String](0)
+    assert(labels("env") == "b")
+    assert(labels("host") == "h1")
+  }
 }
