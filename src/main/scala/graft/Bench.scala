@@ -80,17 +80,29 @@ object Bench {
         // (observed 2-4x swings run-to-run on identical plans — e.g. one
         // ~1s query sampled 0.74-2.58s across five runs); a resident query
         // service's steady-state latency is the repeatable quantity, which
-        // min-of-2 estimates. Longer entries are stable unless they breach
-        // their pin — then min-of-2 separates contamination from regression.
+        // min-of-2 estimates. Entries above 1.5x their pin are SUSPECT —
+        // contamination, not regression, with high probability (r8: 11
+        // phantom >2x entries, all <=1.8x in isolation; r9: one episode
+        // poisoned BOTH min-of-2 samples of logql_stddev, 2.82s vs a 1.18
+        // pin that reproduces at 1.01s isolated) — so suspects get up to
+        // THREE samples, keeping the min, until they clear the bar. An
+        // entry still >1.5x pin after three samples is a real regression.
+        // The 0.75s floor keeps pure scheduler jitter on tiny entries from
+        // spamming the retried list.
+        def suspect(t: Double) =
+          t >= 0.75 && pins.get(name).exists(p => t >= 1.5 * p)
         val t1 = timeOnce(fn)
-        val breach = pins.get(name).exists(p => t1 >= math.max(3.0, 1.5 * p))
-        val t =
-          if (t1 >= 0 && (t1 < 3.0 || breach)) {
-            val t2 = timeOnce(fn)
-            if (breach) retried ::= name
-            if (t2 >= 0) math.min(t1, t2) else t1
-          } else t1
-        name -> t
+        var best = t1
+        if (best >= 0) {
+          if (suspect(best)) retried ::= name
+          var attempts = 1
+          while (attempts < 3 && (suspect(best) || (attempts < 2 && best < 3.0))) {
+            val tn = timeOnce(fn)
+            attempts += 1
+            if (tn >= 0) best = math.min(best, tn)
+          }
+        }
+        name -> best
       }
     // slowest first: the driver captures a bounded stdout tail, and the
     // entries worth seeing in a truncated capture are the regressions
