@@ -102,29 +102,21 @@ object Patterns {
   def maskedTokens(line: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     transform(split(line, " "), classTok(_))
 
-  /** Cluster lines of (stream, line) → (stream, pattern, samples_count). */
-  def mineLines(lines: DataFrame): DataFrame = {
-    val keyed = lines.select(col("stream"), maskedTokens(col("line")).as("ws"))
-      .select(col("stream"), size(col("ws")).as("n"),
-        element_at(col("ws"), 1).as("head"), col("ws"))
-
-    val posed = keyed.select(col("stream"), col("n"), col("head"),
-      posexplode(col("ws")).as(Seq("pos", "tok")))
-    // line count rides along as the row count at position 0 — ONE lineage,
-    // no second pass over the masked tokens and no cluster join
-    val posTok = posed
-      .groupBy(col("stream"), col("n"), col("head"), col("pos"))
-      .agg(when(countDistinct(col("tok")) === 1, min(col("tok")))
-        .otherwise(lit("<_>")).as("tok_out"),
-        count(lit(1)).as("cnt"))
-    posTok
-      .groupBy(col("stream"), col("n"), col("head"))
-      .agg(concat_ws(" ", transform(
-        array_sort(collect_list(struct(col("pos"), col("tok_out")))),
-        s => s.getField("tok_out"))).as("pattern"),
-        max(when(col("pos") === 0, col("cnt"))).as("samples_count"))
-      .select(col("stream"), col("pattern"), col("samples_count"))
-  }
+  /** Cluster lines of (stream, line) → (stream, pattern, samples_count).
+    *
+    * Two-phase: (1) ONE hash aggregation collapses the raw lines to
+    * DISTINCT masked token sequences with counts — map-side partial
+    * combine does the heavy reduction, so the shuffle carries
+    * O(distinct patterns), not O(lines); (2) the per-position
+    * generalization pass (posexplode + countDistinct) runs over those
+    * few distinct sequences only. At 100 TB phase 2's input is bounded
+    * by template cardinality (thousands), independent of row count.
+    */
+  def mineLines(lines: DataFrame): DataFrame =
+    generalize(lines
+      .select(col("stream"), maskedTokens(col("line")).as("ws"))
+      .groupBy(col("stream"), col("ws"))
+      .agg(count(lit(1)).as("samples_count")))
 
   /** Mined patterns over the canonical log table, keyed by event_type. */
   def mine(spark: SparkSession, dir: String): DataFrame =
@@ -141,12 +133,20 @@ object Patterns {
     * batch would ( <_> absorbs everything ), so
     * mergeMined(mine(b1) ∪ mine(b2)) == mine(b1 ∪ b2); counts sum.
     */
-  def mergeMined(mined: DataFrame): DataFrame = {
-    val keyed = mined
-      .select(col("stream"), split(col("pattern"), " ").as("ws"),
-        col("samples_count"))
-      .select(col("stream"), size(col("ws")).as("n"),
-        element_at(col("ws"), 1).as("head"), col("ws"), col("samples_count"))
+  def mergeMined(mined: DataFrame): DataFrame =
+    generalize(mined.select(col("stream"),
+      split(col("pattern"), " ").as("ws"), col("samples_count")))
+
+  /** Per-position generalization over weighted token sequences
+    * `(stream, ws, samples_count)`: within a cluster — keyed by Drain's
+    * tree path (token count, head token) — positions whose token differs
+    * become `<_>`, all-equal positions keep the literal; counts sum.
+    * Shared by [[mineLines]] (phase 2) and [[mergeMined]] (where `<_>`
+    * absorbs everything, making the fold associative across batches).
+    */
+  private def generalize(seqs: DataFrame): DataFrame = {
+    val keyed = seqs.select(col("stream"), size(col("ws")).as("n"),
+      element_at(col("ws"), 1).as("head"), col("ws"), col("samples_count"))
     val posed = keyed.select(col("stream"), col("n"), col("head"),
       col("samples_count"), posexplode(col("ws")).as(Seq("pos", "tok")))
     val posTok = posed
