@@ -28,10 +28,11 @@ case class RegexpAllGroups(child: Expression, regex: String)
   override def nullIntolerant: Boolean = true
 
   @transient private lazy val pattern: Pattern = Pattern.compile(regex)
+  @transient private lazy val nGroups: Int = pattern.matcher("").groupCount()
 
   override def nullSafeEval(input: Any): Any = {
     val m = pattern.matcher(input.asInstanceOf[UTF8String].toString)
-    val n = pattern.matcher("").groupCount()
+    val n = nGroups
     val out = new Array[Any](n)
     if (m.find()) {
       var i = 0
@@ -51,6 +52,7 @@ case class RegexpAllGroups(child: Expression, regex: String)
     val patternRef = ctx.addReferenceObj("pattern", pattern, classOf[Pattern].getName)
     val arrCls = classOf[GenericArrayData].getName
     val utf8 = classOf[UTF8String].getName
+    val groupCount = Pattern.compile(regex).matcher("").groupCount()
     nullSafeCodeGen(ctx, ev, input => {
       val m = ctx.freshName("m")
       val n = ctx.freshName("n")
@@ -59,7 +61,7 @@ case class RegexpAllGroups(child: Expression, regex: String)
       val g = ctx.freshName("g")
       s"""
         java.util.regex.Matcher $m = $patternRef.matcher($input.toString());
-        int $n = $patternRef.matcher("").groupCount();
+        int $n = $groupCount;
         Object[] $arr = new Object[$n];
         if ($m.find()) {
           for (int $i = 0; $i < $n; $i++) {

@@ -576,14 +576,24 @@ object WireFormats {
       when(length(c) > 100, concat(substring(c, 1, 100), lit("...")))
         .otherwise(c)
 
+    // ONE anchored pass extracts measurement/tags/rest together
+    // (graft.functions.RegexpAllGroups — codegen'd, pattern compiled once)
+    // instead of three regexp_extract scans of the full line; the trailing
+    // timestamp then splits off rest with substring arithmetic, not two
+    // more anchored scans
     val parts = lines
-      .withColumn("measurement", unesc(regexp_extract(col("line"), headRe, 1)))
-      .withColumn("tagstr", regexp_extract(col("line"), headRe, 2))
-      .withColumn("rest", regexp_extract(col("line"), headRe, 3))
+      .withColumn("head",
+        graft.functions.RegexpAllGroups(col("line"), headRe))
+      .withColumn("measurement", unesc(element_at(col("head"), 1)))
+      .withColumn("tagstr", element_at(col("head"), 2))
+      .withColumn("rest", element_at(col("head"), 3))
       .withColumn("tsStr", regexp_extract(col("rest"), """\s+([0-9]+)$""", 1))
       .withColumn("ts",
         when(col("tsStr") =!= "", col("tsStr")).cast("long") * scale)
-      .withColumn("fieldstr", regexp_replace(col("rest"), """\s+[0-9]+$""", ""))
+      .withColumn("fieldstr",
+        when(col("tsStr") === "", col("rest")).otherwise(rtrim(
+          col("rest").substr(lit(1),
+            length(col("rest")) - length(col("tsStr"))))))
 
     // field parsing is STAGED through nested transforms so each regex runs
     // once per field: split → classify/render → logfmt-quote. A single
