@@ -4,31 +4,46 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // scale-trend experiments size shuffle partitions to the DATA, not the
+    // core count (at sf1 the fixed cpu-count partitioning is itself a
+    // confound — see BENCH_sf1.json notes); default stays = cpus
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // one-time storage materialization, timed as its own entry so query
     // timings aren't distorted by whichever query touches the store first
+    // A store-build failure must be a REPORTED result, not a crash: r9's
+    // BENCH json was a stack-trace tail with rc=1 because an environmental
+    // testdata change threw here, outside any try — which left the round
+    // with no per-query diagnosis at all. Same contract as queries: -1 +
+    // err string, then let each query report its own failure.
     val tb0 = System.nanoTime()
-    graft.store.Store.ensure(spark, sfDir)
-    // warm the store readers (file-index listing + first-job machinery):
-    // a long-running query service holds these caches permanently, so the
-    // per-query timings below shouldn't charge one arbitrary query ~5 s of
-    // session warmup. Counted inside _store_build.
-    graft.store.Store.warm(spark, sfDir)
-    // JIT/codegen warmup, untimed per-query: the first plan through the
-    // session pays ~3 s of whole-stage-codegen compilation and JVM JIT
-    // that a resident query service pays once at startup — without this,
-    // WHICH query absorbs it is an artifact of Map iteration order and
-    // run-to-run comparisons see phantom 2-3x swings on sub-2s entries.
-    // Counted inside _store_build like the reader warmup above.
-    SparkEntry.queries.get("logql_rate_sum_by")
-      .foreach(fn => try fn(spark, sfDir).count() catch { case _: Throwable => })
-    val buildS = (System.nanoTime() - tb0) / 1e9
+    val buildErr: Option[String] = try {
+      graft.store.Store.ensure(spark, sfDir)
+      // warm the store readers (file-index listing + first-job machinery):
+      // a long-running query service holds these caches permanently, so the
+      // per-query timings below shouldn't charge one arbitrary query ~5 s
+      // of session warmup. Counted inside _store_build.
+      graft.store.Store.warm(spark, sfDir)
+      // JIT/codegen warmup, untimed per-query: the first plan through the
+      // session pays ~3 s of whole-stage-codegen compilation and JVM JIT
+      // that a resident query service pays once at startup — without this,
+      // WHICH query absorbs it is an artifact of Map iteration order and
+      // run-to-run comparisons see phantom 2-3x swings on sub-2s entries.
+      // Counted inside _store_build like the reader warmup above.
+      SparkEntry.queries.get("logql_rate_sum_by")
+        .foreach(fn => try fn(spark, sfDir).count() catch { case _: Throwable => })
+      None
+    } catch { case e: Throwable =>
+      Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(300)}")
+    }
+    val buildS =
+      if (buildErr.isEmpty) (System.nanoTime() - tb0) / 1e9 else -1.0
     // optional name-substring filters (dev loop: bench only some queries)
     val selected =
       if (args.isEmpty) SparkEntry.queries
@@ -115,8 +130,15 @@ object Bench {
     // if one of these is STILL >2x its pin after min-of-2, it's a real
     // regression, not measurement noise — the driver/judge can trust it
     val retriedJson = retried.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val errField = buildErr.map { m =>
+      val esc = m.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+      }
+      s""","err":"$esc""""
+    }.getOrElse("")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"retried":$retriedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"retried":$retriedJson,"sf":"$sfDir"$errField}"""
     // the full map also survives on disk, independent of stdout capture;
     // name-filtered dev-loop runs go to a separate file so they can never
     // clobber the full-run artifact the driver/judge read

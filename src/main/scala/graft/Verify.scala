@@ -21,12 +21,22 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Collapse repeated identical root causes into ONE loud line: r9 had
+    // 160 gates fail with the same analysis error, and 160 identical stderr
+    // lines is what "silently zero the round" looks like in practice.
+    val failures = scala.collection.mutable.ListBuffer.empty[(String, String)]
     SparkEntry.queries.filter(kv => selected(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failures += name -> s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(400)}"
       }
+    }
+    failures.groupBy(_._2).toSeq.sortBy(-_._2.size).foreach { case (msg, fs) =>
+      val names = fs.map(_._1)
+      val shown = names.take(5).mkString(", ") +
+        (if (names.size > 5) s", … ${names.size - 5} more" else "")
+      System.err.println(s"[verify] ${names.size} gate(s) FAILED — $shown — $msg")
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -34,7 +34,7 @@ object StreamingGates extends GateSet {
     // --- live tail: selector + line filter over a streaming source --------
     Gate("streaming_live_tail",
       (spark: SparkSession, dir: String) => {
-        val schema = Tables.events(spark, dir).schema
+        val schema = Tables.rawEvents(spark, dir).schema
         val stream = Tables.logsFrom(
           spark.readStream.schema(schema)
             .option("pathGlobFilter", "events.parquet").parquet(dir))
@@ -57,7 +57,7 @@ object StreamingGates extends GateSet {
     // expressions, so the micro-batch plan stays stateless.
     Gate("streaming_live_tail_parsed",
       (spark: SparkSession, dir: String) => {
-        val schema = Tables.events(spark, dir).schema
+        val schema = Tables.rawEvents(spark, dir).schema
         val stream = Tables.logsFrom(
           spark.readStream.schema(schema)
             .option("pathGlobFilter", "events.parquet").parquet(dir))
@@ -144,7 +144,7 @@ object StreamingGates extends GateSet {
     // is the batch tumbling count, proving stream==batch semantics)
     Gate("streaming_window_counts",
       (spark: SparkSession, dir: String) => {
-        val schema = Tables.events(spark, dir).schema
+        val schema = Tables.rawEvents(spark, dir).schema
         val stream = Tables.logsFrom(
           spark.readStream.schema(schema)
             .option("pathGlobFilter", "events.parquet").parquet(dir))
@@ -177,7 +177,7 @@ object StreamingGates extends GateSet {
         val out = "/root/repo/target/stream-fanout/" +
           dir.replaceAll("[^a-zA-Z0-9.]+", "_")
         rmrf(new java.io.File(out))
-        val schema = Tables.events(spark, dir).schema
+        val schema = Tables.rawEvents(spark, dir).schema
         val stream = spark.readStream.schema(schema)
           .option("pathGlobFilter", "events.parquet").parquet(dir)
         stream.writeStream.foreachBatch {
@@ -212,7 +212,7 @@ object StreamingGates extends GateSet {
     // sessionization in SQL — 30min gap over each user's event times)
     Gate("streaming_session_windows",
       (spark: SparkSession, dir: String) => {
-        val schema = Tables.events(spark, dir).schema
+        val schema = Tables.rawEvents(spark, dir).schema
         val stream = Tables.logsFrom(
           spark.readStream.schema(schema)
             .option("pathGlobFilter", "events.parquet").parquet(dir))

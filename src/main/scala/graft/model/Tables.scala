@@ -29,15 +29,50 @@ import org.apache.spark.sql.functions._
   */
 object Tables {
 
-  /** events.ts is parquet TIMESTAMP(NANOS) — Spark 4 has no ns timestamp
-    * type and rejects the column by default; `nanosAsLong` surfaces it as
-    * the raw int64 epoch-ns, which is exactly our canonical timestamp_ns
-    * (full precision, and DuckDB's epoch_ns() agrees bit-for-bit).
+  /** The driver-generated events table AS ENCODED — `ts` may surface as
+    * int64 epoch-ns (parquet TIMESTAMP(NANOS) + `nanosAsLong`: Spark 4 has
+    * no ns timestamp type and rejects the column without the flag), as
+    * TIMESTAMP_NTZ (parquet ms/µs with isAdjustedToUTC=false — what the
+    * current generator emits), or as TIMESTAMP (isAdjustedToUTC=true).
+    * Streaming reads need THIS schema (a LongType override on a
+    * timestamp-encoded parquet column fails the vectorized reader); the
+    * canonical model goes through [[events]].
     */
-  def events(spark: SparkSession, dir: String): DataFrame = {
+  def rawEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$dir/events.parquet")
   }
+
+  /** Normalize `ts` to canonical epoch-ns LongType, independent of BOTH the
+    * parquet timestamp unit and the session timezone:
+    *  - LongType: already epoch-ns (TIMESTAMP(NANOS) via nanosAsLong) — pass.
+    *  - TIMESTAMP_NTZ: pure wall-clock arithmetic via `timestampdiff` from
+    *    the NTZ epoch literal — never casts through the session timezone
+    *    (an NTZ→TIMESTAMP cast would shift by the session zone's offset;
+    *    verified bit-identical across UTC / Pacific/Kiritimati /
+    *    America/New_York). DuckDB's epoch_ns() on the same naive column
+    *    makes the identical wall-clock-as-UTC choice, so oracle parity holds.
+    *  - TIMESTAMP (instant semantics): `unix_micros`, tz-independent by
+    *    construction.
+    * Idempotent, narrow, codegen'd — safe on batch and streaming frames.
+    */
+  def normalizeTs(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    events.schema("ts").dataType match {
+      case LongType => events
+      case TimestampNTZType => events.withColumn("ts",
+        expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)") * lit(1000L))
+      case TimestampType => events.withColumn("ts", unix_micros(col("ts")) * lit(1000L))
+      case other => throw new IllegalStateException(
+        s"events.ts has unsupported type $other — expected int64 ns, TIMESTAMP, or TIMESTAMP_NTZ")
+    }
+  }
+
+  /** Canonical events: `ts` always epoch-ns long, whatever the generator
+    * wrote (see [[rawEvents]]/[[normalizeTs]]).
+    */
+  def events(spark: SparkSession, dir: String): DataFrame =
+    normalizeTs(rawEvents(spark, dir))
 
   def documents(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
@@ -72,9 +107,12 @@ object Tables {
 
   /** The logs derivation over any events-shaped frame — including a
     * STREAMING DataFrame (the live-tail path builds the same projection
-    * over readStream, so batch and stream share one derivation).
+    * over readStream, so batch and stream share one derivation). Accepts
+    * raw (timestamp-typed) or normalized (ns-long) `ts` — normalization is
+    * idempotent and streaming-safe.
     */
-  def logsFrom(events: DataFrame): DataFrame = {
+  def logsFrom(eventsRaw: DataFrame): DataFrame = {
+    val events = normalizeTs(eventsRaw)
     val labels = map(
       lit("event_type"), col("event_type"),
       lit("level"), when(col("event_type") === "error", "error").otherwise("info"),
@@ -188,8 +226,8 @@ object Tables {
   /** Span derivation over any events frame (batch or micro-batch) — the
     * ingest-side transform the streaming fan-out applies per batch.
     */
-  def spansFrom(events: DataFrame): DataFrame =
-    events.select(
+  def spansFrom(eventsRaw: DataFrame): DataFrame =
+    normalizeTs(eventsRaw).select(
       (col("event_id") / 10).cast("long").as("trace_id"),
       col("event_id").as("span_id"),
       when(col("event_id") % 10 === 0, lit(null).cast("long"))

@@ -97,7 +97,7 @@ class PromQLFuzzSpec extends SparkSpec {
   }
 
   private val queries: Seq[String] =
-    (Seq.fill(180)(query()) ++ Seq.fill(30)(subquery())).distinct
+    (Seq.fill(230)(query()) ++ Seq.fill(40)(subquery())).distinct
 
   test(s"${queries.size} generated queries parse") {
     val failures = queries.flatMap(q =>

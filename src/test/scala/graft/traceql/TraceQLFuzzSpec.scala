@@ -52,9 +52,9 @@ class TraceQLFuzzSpec extends SparkSpec {
     s"${spanset()} | $fn ${pick(Seq(">", ">=", "<"))} $cmpVal"
   }
 
-  private val spansets = Seq.fill(90)(spanset()).distinct
-  private val structurals = Seq.fill(60)(structural()).distinct
-  private val aggregateds = Seq.fill(60)(aggregated()).distinct
+  private val spansets = Seq.fill(130)(spanset()).distinct
+  private val structurals = Seq.fill(80)(structural()).distinct
+  private val aggregateds = Seq.fill(80)(aggregated()).distinct
 
   test(s"${spansets.size + structurals.size + aggregateds.size} generated queries parse") {
     val failures = (spansets ++ structurals ++ aggregateds).flatMap(q =>
