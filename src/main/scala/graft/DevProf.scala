@@ -42,6 +42,27 @@ object DevProf {
       }
       spark.stop(); return
     }
+    if (args.contains("plan")) {
+      // pruning/pushdown audit for the events scan post ts-normalization:
+      // the timestampdiff projection must not widen ReadSchema, and the
+      // plan should stay one codegen span scan-to-project
+      def scanLines(df: org.apache.spark.sql.DataFrame): String =
+        df.queryExecution.executedPlan.toString.linesIterator
+          .filter(l => l.contains("ReadSchema") || l.contains("PushedFilters"))
+          .map(_.trim).mkString("\n")
+      val oneCol = graft.model.Tables.logs(spark, dir).select(col("timestamp_ns"))
+      println("logs->timestamp_ns only:\n" + scanLines(oneCol))
+      val filtered = graft.model.Tables.events(spark, dir)
+        .filter(col("event_type") === "error").select(col("event_id"))
+      println("events filter on stored col:\n" + scanLines(filtered))
+      // the plain plan string marks codegen stages with "*(n)"; count
+      // distinct stage ids — the 1-col path should be a single span
+      val wscg = "\\*\\((\\d+)\\)".r
+        .findAllMatchIn(oneCol.queryExecution.executedPlan.toString)
+        .map(_.group(1)).toSet.size
+      println(s"WSCG spans (logs 1-col): $wscg")
+      spark.stop(); return
+    }
     if (args.contains("otlpm")) {
       import org.apache.spark.sql.functions._
       val g = graft.model.Tables.gaugeSamples(spark, dir)
