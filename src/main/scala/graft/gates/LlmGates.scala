@@ -3,7 +3,7 @@ package graft.gates
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.llm.{Dedup, Multimodal, Similarity, TextOps}
+import graft.llm.{Dedup, Multimodal, Ranking, Similarity, TextOps}
 import graft.model.Tables
 
 /** Driver gates for the LLM training-data pipeline operators (north-star
@@ -55,6 +55,9 @@ object LlmGates extends GateSet {
        |  JOIN sizes sj ON sj.doc_id = j)
        |SELECT i, j, round(jaccard, 6) AS jaccard
        |FROM jac WHERE jaccard >= $threshold ORDER BY 1, 2""".stripMargin
+
+  /** Topic seed terms for the BM25 gate — present in the generator vocab. */
+  val Bm25Terms: Seq[String] = Seq("spark", "merge", "window")
 
   override val gates: Seq[Gate] = Seq(
 
@@ -556,6 +559,60 @@ object LlmGates extends GateSet {
            |  FROM documents d CROSS JOIN generate_series(0, ${Multimodal.FeatureBins - 1}) g(b))
            |SELECT g.doc_id, g.bin, CAST(coalesce(c.c, 0) AS DOUBLE) AS cnt
            |FROM grid g LEFT JOIN cnts c ON c.doc_id = g.doc_id AND c.bin = g.bin
-           |ORDER BY 1, 2""".stripMargin))
+           |ORDER BY 1, 2""".stripMargin)),
+
+    // --- BM25 keyword relevance: corpus curation by topic seed terms ------
+    Gate("llm_bm25_topk",
+      (spark: SparkSession, dir: String) =>
+        Ranking.bm25TopK(docs(spark, dir), Bm25Terms, 50),
+      Some(Ranking.bm25OracleSql(Bm25Terms, 50))),
+
+    // --- benchmark decontamination: eval-set 3-gram overlap ---------------
+    Gate("llm_decontaminate",
+      (spark: SparkSession, dir: String) => {
+        val d = docs(spark, dir)
+        Dedup.decontaminate(
+          d.where(col("source") =!= "src0"),
+          d.where(col("source") === "src0"), 3)
+          .orderBy("doc_id")
+      },
+      Some(
+        s"""WITH $shViews,
+           |bsh0 AS (SELECT sh.doc_id AS bench_id, sh.s FROM sh
+           |  JOIN documents d ON d.doc_id = sh.doc_id WHERE d.source = 'src0'),
+           |rare AS (SELECT s FROM bsh0 GROUP BY s HAVING count(*) <= ${Dedup.MaxShingleDf}),
+           |bsh AS (SELECT bench_id, b.s FROM bsh0 b JOIN rare USING (s)),
+           |csh AS (SELECT sh.doc_id, sh.s FROM sh
+           |  JOIN documents d ON d.doc_id = sh.doc_id WHERE d.source <> 'src0'),
+           |ov AS (SELECT c.doc_id, b.bench_id, count(*) AS shared
+           |  FROM csh c JOIN bsh b USING (s) GROUP BY 1, 2),
+           |r AS (SELECT doc_id, bench_id, shared,
+           |    row_number() OVER (PARTITION BY doc_id ORDER BY shared DESC, bench_id) AS rn
+           |  FROM ov)
+           |SELECT doc_id, bench_id, shared FROM r
+           |WHERE rn = 1 AND shared >= 3 ORDER BY doc_id""".stripMargin)),
+
+    // --- Gopher repetition quality: dup-word + top-bigram mass ------------
+    Gate("llm_repetition",
+      (spark: SparkSession, dir: String) =>
+        TextOps.repetitionStats(docs(spark, dir)).orderBy("doc_id"),
+      Some(
+        """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+          |base AS (SELECT doc_id,
+          |    CAST(len(ws) AS BIGINT) AS n_tokens,
+          |    CAST(len(ws) - len(list_distinct(ws)) AS BIGINT) AS dup_tokens,
+          |    [ws[i]||' '||ws[i+1] for i in generate_series(1, len(ws)-1)] AS grams
+          |  FROM toks),
+          |g AS (SELECT doc_id, unnest(grams) AS g FROM base),
+          |cnt AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2),
+          |top AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+          |    CAST(max(c) AS BIGINT) AS top_bigram FROM cnt GROUP BY 1)
+          |SELECT b.doc_id, b.n_tokens, b.dup_tokens,
+          |  coalesce(t.n_bigrams, 0) AS n_bigrams,
+          |  coalesce(t.top_bigram, 0) AS top_bigram,
+          |  CAST(b.dup_tokens * 10 > b.n_tokens * 3
+          |    OR coalesce(t.top_bigram, 0) * 100 > coalesce(t.n_bigrams, 0) * 18
+          |    AS BIGINT) AS "drop"
+          |FROM base b LEFT JOIN top t USING (doc_id) ORDER BY 1""".stripMargin))
   )
 }

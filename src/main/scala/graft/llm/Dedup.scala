@@ -161,6 +161,44 @@ object Dedup {
     jaccardOf(pairs, docs).filter(col("jaccard") >= threshold)
   }
 
+  /** Benchmark decontamination: flag corpus docs sharing ≥ `minShared`
+    * distinct word 3-gram shingles with any benchmark document (the
+    * standard eval-set n-gram-overlap decontamination check a training
+    * pipeline runs before every data release). Returns one row per
+    * contaminated doc: (doc_id, bench_id of the strongest match, shared
+    * shingle count), best match = highest overlap, smallest bench_id on
+    * ties.
+    *
+    * Scale shape: the benchmark set is small (eval suites are thousands of
+    * docs, the corpus is billions), so its shingle table is the broadcast
+    * side of the equi-join and the corpus side streams map-side with no
+    * shuffle; the per-(doc, bench) count shuffles only matched rows, keyed
+    * by corpus doc. The [[MaxShingleDf]] viral-shingle cap is applied on
+    * the BENCHMARK side (a boilerplate shingle present in thousands of
+    * benchmark docs would fan every corpus row out × df) — capping the
+    * small side is exact-enough by the same argument as candidate
+    * generation: a doc overlapping ONLY on ultra-common shingles is not
+    * contamination.
+    */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+      minShared: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bsh0 = docShingles(benchmark).select(col("doc_id").as("bench_id"), col("s"))
+    val rare = bsh0.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= MaxShingleDf).select(col("s"))
+    val bsh = bsh0.join(rare, "s")
+    val overlap = docShingles(corpus)
+      .join(broadcast(bsh), "s")
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("shared"))
+    val best = org.apache.spark.sql.functions.row_number().over(
+      Window.partitionBy(col("doc_id"))
+        .orderBy(col("shared").desc, col("bench_id")))
+    overlap.withColumn("rn", best)
+      .filter(col("rn") === 1 && col("shared") >= minShared)
+      .select(col("doc_id"), col("bench_id"), col("shared"))
+  }
+
   /** Incremental dedup: near-dup pairs of NEW docs against an EXISTING
     * corpus — the shape ingestion at scale needs, where the corpus's
     * band buckets are a precomputed index and only the new batch is

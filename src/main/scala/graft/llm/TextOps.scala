@@ -78,6 +78,47 @@ object TextOps {
           col("n_uniq") * 3 >= col("n_tokens")).cast("long"))
   }
 
+  /** Gopher-style repetition quality signals (Rae et al. 2021 §A1.1 shape):
+    * duplicate-word mass and most-frequent-bigram mass per document —
+    * boilerplate and generated-text detectors a pretraining pipeline runs
+    * on every doc. All-integer outputs (counts, not ratios: callers divide;
+    * the gate's drop rule uses integer cross-multiplication so no float
+    * ever sits on a rounding boundary):
+    *   n_tokens      — token count
+    *   dup_tokens    — tokens beyond each word's first occurrence
+    *   n_bigrams     — total (non-distinct) bigram count
+    *   top_bigram    — occurrences of the most frequent bigram
+    *   drop          — 1 if dup_tokens/n_tokens > 0.3 or
+    *                   top_bigram/n_bigrams > 0.18 (Gopher's thresholds)
+    *
+    * Shape: bigram counting is explode → count keyed by (doc_id, gram) →
+    * max per doc — two shuffles both keyed by doc, no skew beyond document
+    * length, partial aggregation map-side. The per-doc token stats ride
+    * along as narrow expressions.
+    */
+  def repetitionStats(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = tokens(col(textCol))
+    val m = greatest(size(toks) - 1, lit(0))
+    val grams = zip_with(slice(toks, lit(1), m), slice(toks, lit(2), m),
+      (a, b) => concat(a, lit(" "), b))
+    val base = df.select(
+      col("doc_id"),
+      size(toks).cast("long").as("n_tokens"),
+      (size(toks) - size(array_distinct(toks))).cast("long").as("dup_tokens"),
+      grams.as("grams"))
+    val top = base.select(col("doc_id"), explode(col("grams")).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(
+        sum(col("c")).as("n_bigrams"), max(col("c")).as("top_bigram"))
+    base.drop("grams").join(top, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("dup_tokens"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("top_bigram"), lit(0L)).as("top_bigram"))
+      .withColumn("drop",
+        (col("dup_tokens") * 10 > col("n_tokens") * 3 ||
+          col("top_bigram") * 100 > col("n_bigrams") * 18).cast("long"))
+  }
+
   /** Marker-word language-ID heuristic (n-gram-profile style, word-level):
     * score each language by marker hits, argmax wins, ties → "und".
     * The marker lists are tiny by design — the operator shape (profile

@@ -38,7 +38,7 @@ object Rules {
 
   final case class RuleGroup(name: String, intervalS: Long, rules: Seq[Rule])
 
-  private final case class GroupRow(kind: String, namespace: String,
+  final case class GroupRow(kind: String, namespace: String,
       name: String, intervalS: Long, rules: Seq[Rule])
 
   def rulesPath(dir: String): String =
@@ -142,7 +142,7 @@ object Rules {
   // kept keyed by namespace:group:record; persisted here so a restarted
   // service still reports the last outcome) ------------------------------
 
-  private final case class HealthRow(kind: String, namespace: String,
+  final case class HealthRow(kind: String, namespace: String,
       group: String, rule: String, health: String, lastError: String,
       lastEvalMs: Long, evalTimeS: Double)
 

@@ -265,4 +265,58 @@ class LlmSpec extends SparkSpec {
     // positions, never empty for a real doc
     assert(fps(1L).nonEmpty && fps(3L).nonEmpty)
   }
+
+  test("bm25: term-bearing docs only, k bound, idf orders rare above common") {
+    import graft.TestSpark.spark.implicits._
+    val d = Seq(
+      (1L, "rare word here"), // 1 hit of the rare term
+      (2L, "common common common filler filler"), // 3 hits of the common term
+      (3L, "common filler text"),
+      (4L, "common and rare together"),
+      (5L, "nothing relevant at all")).toDF("doc_id", "text")
+    val r = Ranking.bm25TopK(d, Seq("rare", "common"), 10).collect()
+    assert(!r.map(_.getLong(0)).contains(5L)) // zero-score excluded
+    assert(r.length == 4)
+    val byId = r.map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    // doc 4 has both terms: must outrank doc 3 (one common hit, same-ish dl)
+    assert(byId(4L) > byId(3L))
+    // a single rare-term hit outweighs a single common-term hit (idf)
+    assert(byId(1L) > byId(3L))
+    // k bound respected
+    assert(Ranking.bm25TopK(d, Seq("common"), 2).count() == 2)
+  }
+
+  test("decontaminate: verbatim benchmark copy flagged, clean doc not") {
+    import graft.TestSpark.spark.implicits._
+    val bench = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog today"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"), // copy
+      (2L, "prefix words the quick brown fox jumps and then diverges"), // partial
+      (3L, "entirely unrelated text with no overlap whatsoever here"))
+      .toDF("doc_id", "text")
+    val hits = Dedup.decontaminate(corpus, bench, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // the copy shares all 8 distinct 3-gram shingles
+    assert(hits.contains((1L, 100L, 8L)))
+    // partial overlap: "the quick brown","quick brown fox","brown fox jumps" = 3
+    assert(hits.contains((2L, 100L, 3L)))
+    assert(!hits.exists(_._1 == 3L))
+  }
+
+  test("repetition: gopher drop flags repetitive docs, passes diverse ones") {
+    import graft.TestSpark.spark.implicits._
+    val d = Seq(
+      (1L, "spam spam spam spam spam spam spam spam"), // all dup + one bigram
+      (2L, "every word in this sentence is fully distinct today"),
+      (3L, "x")) // single token: no bigrams, no dups
+      .toDF("doc_id", "text")
+    val m = TextOps.repetitionStats(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    assert(m(1L) == ((8L, 7L, 7L, 7L, 1L))) // 8 toks, 7 dups, bigram "spam spam" x7, drop
+    assert(m(2L)._2 == 0L && m(2L)._5 == 0L) // no dups, kept
+    assert(m(3L) == ((1L, 0L, 0L, 0L, 0L))) // degenerate: no bigrams, kept
+  }
 }
