@@ -3,7 +3,7 @@ package graft.gates
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.llm.{Dedup, Multimodal, Ranking, Similarity, TextOps}
+import graft.llm.{Curation, Dedup, Multimodal, Ranking, Similarity, TextOps}
 import graft.model.Tables
 
 /** Driver gates for the LLM training-data pipeline operators (north-star
@@ -58,6 +58,10 @@ object LlmGates extends GateSet {
 
   /** Topic seed terms for the BM25 gate — present in the generator vocab. */
   val Bm25Terms: Seq[String] = Seq("spark", "merge", "window")
+
+  /** Domain-mix gate rates: src<i> kept at (i mod 5) × 0.25. */
+  val MixRates: Map[String, Double] =
+    (0 until 20).map(i => s"src$i" -> (i % 5) * 0.25).toMap
 
   override val gates: Seq[Gate] = Seq(
 
@@ -613,6 +617,50 @@ object LlmGates extends GateSet {
           |  CAST(b.dup_tokens * 10 > b.n_tokens * 3
           |    OR coalesce(t.top_bigram, 0) * 100 > coalesce(t.n_bigrams, 0) * 18
           |    AS BIGINT) AS "drop"
-          |FROM base b LEFT JOIN top t USING (doc_id) ORDER BY 1""".stripMargin))
+          |FROM base b LEFT JOIN top t USING (doc_id) ORDER BY 1""".stripMargin)),
+
+    // --- sequence packing: two-level distributed prefix sum ---------------
+    // shardSpan=64 so sf0.01 (500 docs) actually exercises BOTH levels of
+    // the prefix sum (the default 4096 would collapse to one shard here)
+    Gate("llm_seq_pack",
+      (spark: SparkSession, dir: String) =>
+        Curation.packSequences(docs(spark, dir), 256, shardSpan = 64)
+          .orderBy("doc_id"),
+      Some(Curation.packOracleSql(256))),
+
+    // --- domain mixing: deterministic per-source hash-rate sampling -------
+    // rates cycle {0, .25, .5, .75, 1.0} across src0..src19 — covers the
+    // drop-all and keep-all edges plus three interior rates
+    Gate("llm_domain_mix",
+      (spark: SparkSession, dir: String) =>
+        Curation.domainMix(docs(spark, dir), MixRates).orderBy("doc_id"),
+      Some(Curation.domainMixOracleSql(MixRates))),
+
+    // --- unigram-LM surprisal scoring (CCNet-style quality signal) --------
+    Gate("llm_unigram_surprisal",
+      (spark: SparkSession, dir: String) =>
+        Curation.unigramSurprisal(docs(spark, dir)).orderBy("doc_id"),
+      Some(Curation.UnigramSurprisalOracleSql)),
+
+    // --- TF-IDF top-k characteristic terms per document -------------------
+    Gate("llm_tfidf_topk",
+      (spark: SparkSession, dir: String) =>
+        Curation.tfidfTopTerms(docs(spark, dir), 5).orderBy("doc_id", "rank"),
+      Some(Curation.tfidfOracleSql(5))),
+
+    // --- C4-style heuristic quality flags ---------------------------------
+    Gate("llm_c4_filters",
+      (spark: SparkSession, dir: String) =>
+        Curation.c4Filters(docs(spark, dir)).orderBy("doc_id"),
+      Some(Curation.C4FiltersOracleSql)),
+
+    // --- SemDeDup: IVF-cell clustering + within-cell cosine dedup ---------
+    // threshold 0.35 sits ≥3.5e-4 from the nearest within-cell cosine on
+    // the testdata — no pair near the float boundary
+    Gate("llm_semantic_dedup",
+      (spark: SparkSession, dir: String) =>
+        Curation.semanticDedup(Tables.embeddings(spark, dir), 0.35)
+          .orderBy("vec_id"),
+      Some(Curation.semanticDedupOracleSql(0.35)))
   )
 }

@@ -1,0 +1,320 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import TextOps.mdhash64
+
+/** Corpus-curation operators a pretraining data pipeline runs between raw
+  * crawl and tokenizer: sequence packing, domain mixing, unigram-LM
+  * scoring, TF-IDF keyword extraction, C4-style heuristic filters, and
+  * SemDeDup-style semantic dedup. Everything is codegen'd Spark
+  * expressions + keyed aggregations — no UDFs — and each operator has an
+  * exact DuckDB twin in LlmGates so the driver differential-tests it.
+  */
+object Curation {
+
+  // --- sequence packing ----------------------------------------------------
+
+  /** Greedy contiguous sequence packing (the GPT-style "concatenate the
+    * corpus, cut every `budget` tokens" shape, at document granularity):
+    * within each `source`, documents ordered by doc_id fill sequences of
+    * `budget` tokens; a document belongs to the sequence its FIRST token
+    * lands in (seq_id = floor(tokens-before / budget)).
+    *
+    * Scale shape: a naive `Window.partitionBy(source).orderBy(doc_id)`
+    * running sum puts an entire source in ONE task — the classic prefix-sum
+    * skew trap at 100 TB (a single web crawl source is most of the corpus).
+    * This is the standard two-level distributed prefix sum instead:
+    *   1. shard = floor(doc_id / shardSpan): contiguous, order-preserving
+    *      shards of ≤ shardSpan docs;
+    *   2. per-(source, shard) token totals — a tiny aggregate (rows =
+    *      docs/shardSpan) — get their own running sum, a window over the
+    *      AGGREGATE, cheap at any scale;
+    *   3. the intra-shard running sum is a window bounded by shardSpan rows.
+    * Every wide stage is keyed by (source, shard); no task ever sees more
+    * than shardSpan documents.
+    */
+  def packSequences(docs: DataFrame, budget: Int,
+      shardSpan: Int = 4096): DataFrame = {
+    val nTokens = size(TextOps.tokens(col("text"))).cast("long")
+    val base = docs.select(col("doc_id"), col("source"),
+      nTokens.as("n_tokens"),
+      floor(col("doc_id") / shardSpan).cast("long").as("__shard"))
+    // level 1: running total of whole shards before this one (per source)
+    val shardW = Window.partitionBy(col("source")).orderBy(col("__shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val shardOffsets = base.groupBy(col("source"), col("__shard"))
+      .agg(sum(col("n_tokens")).as("__shard_toks"))
+      .withColumn("__shard_off",
+        coalesce(sum(col("__shard_toks")).over(shardW), lit(0L)))
+      .drop("__shard_toks")
+    // level 2: intra-shard running sum, bounded by shardSpan rows per task
+    val intraW = Window.partitionBy(col("source"), col("__shard"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base.join(shardOffsets, Seq("source", "__shard"))
+      .withColumn("__before",
+        col("__shard_off") + coalesce(sum(col("n_tokens")).over(intraW), lit(0L)))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        floor(col("__before") / budget).cast("long").as("seq_id"),
+        pmod(col("__before"), lit(budget.toLong)).cast("long").as("seq_offset"))
+  }
+
+  /** DuckDB twin of [[packSequences]]: the two-level prefix sum collapses
+    * to one plain running-sum window (the outputs are identical — the
+    * sharding only changes the execution shape, not the math).
+    */
+  def packOracleSql(budget: Int): String =
+    s"""WITH t AS (SELECT doc_id, source,
+       |    len(string_split(lower(text), ' '))::BIGINT AS n_tokens
+       |  FROM documents),
+       |c AS (SELECT doc_id, source, n_tokens,
+       |    coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+       |  FROM t)
+       |SELECT doc_id, source, n_tokens,
+       |  (before // $budget)::BIGINT AS seq_id,
+       |  (before % $budget)::BIGINT AS seq_offset
+       |FROM c ORDER BY doc_id""".stripMargin
+
+  // --- domain mixing -------------------------------------------------------
+
+  /** Deterministic domain-weight sampling (the data-mixing step: each
+    * source kept at its own rate, e.g. up-weight books / down-weight web).
+    * Selection is pure per-row hash-thresholding — `h(doc_id) < rate` with
+    * the shared md5-derived 60-bit hash — so the sample is reproducible by
+    * any engine and stable under corpus growth (a doc's fate never depends
+    * on other rows). The weight table is a broadcast join; the whole
+    * operator is one narrow codegen'd pass over the scan.
+    */
+  val MixScale = 1000000L
+
+  def domainMix(docs: DataFrame, rates: Map[String, Double]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wdf = rates.toSeq.toDF("source", "__rate")
+    docs.join(broadcast(wdf), Seq("source"))
+      .filter(pmod(mdhash64(concat(lit("mix:"), col("doc_id"))), lit(MixScale))
+        < col("__rate") * MixScale)
+      .select(col("doc_id"), col("source"))
+  }
+
+  def domainMixOracleSql(rates: Map[String, Double]): String = {
+    val cases = rates.toSeq.sortBy(_._1)
+      .map { case (s, r) => s"WHEN source = '$s' THEN $r" }
+      .mkString(" ")
+    s"""SELECT doc_id, source FROM documents
+       |WHERE ('0x'||substr(md5('mix:'||doc_id), 1, 15))::BIGINT % $MixScale
+       |  < (CASE $cases ELSE -1 END) * $MixScale
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // --- unigram-LM scoring --------------------------------------------------
+
+  /** Per-document mean token surprisal under the corpus's own unigram LM
+    * (the CCNet/KenLM quality-scoring shape with the simplest possible LM):
+    * score(d) = mean over tokens t of -ln( count(t) / total_tokens ).
+    * Low = stereotyped/boilerplate, high = rare-token soup; pipelines keep
+    * the middle band.
+    *
+    * Scale shape: token frequencies are one vocabulary-bounded groupBy
+    * (map-side partial agg does the heavy lifting — shuffle rows = vocab,
+    * not corpus tokens); the frequency table is broadcast back (a natural
+    *-language vocab is small relative to any 100 TB corpus), so the
+    * per-doc rescore is a map-side join + one doc-keyed aggregate.
+    */
+  def unigramSurprisal(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(TextOps.tokens(col("text"))).as("tok"))
+    val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+    val total = freq.agg(sum(col("tf")).cast("double").as("total"))
+    toks.join(broadcast(freq), Seq("tok"))
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        round(avg(-log(col("tf") / col("total"))), 6).as("surprisal"))
+  }
+
+  val UnigramSurprisalOracleSql: String =
+    """WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+      |  FROM documents),
+      |freq AS (SELECT tok, count(*) AS tf FROM toks GROUP BY 1),
+      |tot AS (SELECT sum(tf)::DOUBLE AS total FROM freq)
+      |SELECT doc_id, count(*)::BIGINT AS n_tokens,
+      |  round(avg(-ln(tf / total)), 6) AS surprisal
+      |FROM toks JOIN freq USING (tok) CROSS JOIN tot
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // --- TF-IDF keyword extraction -------------------------------------------
+
+  /** Top-k characteristic terms per document by TF-IDF
+    * (tf(t,d) · ln(N / df(t)), raw counts, natural log). Ranking compares
+    * the ROUNDED score (6 dp) with ascending-term tie-break so the DuckDB
+    * twin reproduces the exact ranking — an unrounded float rank could
+    * flip on a last-ulp libm difference between engines.
+    *
+    * Scale shape: tf is a (doc, term)-keyed aggregate (explode + groupBy,
+    * map-side partials); df is a vocabulary-bounded aggregate OVER the tf
+    * table (already deduped per doc), broadcast back; the final top-k is a
+    * doc-keyed window — bounded by per-doc vocabulary.
+    */
+  def tfidfTopTerms(docs: DataFrame, k: Int): DataFrame = {
+    val tf = docs.select(col("doc_id"),
+        explode(TextOps.tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
+    val n = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term").asc)
+    tf.join(broadcast(df), Seq("term"))
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"),
+        round(col("tf") * log(col("n_docs") / col("df")), 6).as("tfidf"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank").cast("long").as("rank"),
+        col("term"), col("tfidf"))
+  }
+
+  def tfidfOracleSql(k: Int): String =
+    s"""WITH tf AS (
+       |  SELECT doc_id, tok AS term, count(*) AS tf
+       |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+       |        FROM documents)
+       |  GROUP BY 1, 2),
+       |df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+       |n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+       |sc AS (SELECT doc_id, term,
+       |    round(tf * ln(n_docs / df), 6) AS tfidf
+       |  FROM tf JOIN df USING (term) CROSS JOIN n),
+       |rk AS (SELECT doc_id, term, tfidf,
+       |    row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY tfidf DESC, term) AS rank
+       |  FROM sc)
+       |SELECT doc_id, rank::BIGINT AS rank, term, tfidf
+       |FROM rk WHERE rank <= $k ORDER BY doc_id, rank""".stripMargin
+
+  // --- C4-style heuristic filters ------------------------------------------
+
+  /** C4/RefinedWeb-family heuristic quality flags (Raffel et al. 2020 §2.2
+    * shape), all integer/boolean so no output sits on a float rounding
+    * boundary. mean-word-length bounds use integer cross-multiplication
+    * (3·n ≤ Σlen ≤ 10·n ⇔ 3 ≤ mean ≤ 10). One narrow codegen'd pass.
+    *
+    *   n_words       — whitespace token count
+    *   sum_word_len  — Σ token length (chars)
+    *   n_symbol      — tokens containing a non-alphanumeric char
+    *   has_brace     — contains "{" (code/boilerplate marker)
+    *   has_lorem     — contains "lorem ipsum"
+    *   keep          — word count ≥ MinWords, mean word length in [3,10],
+    *                   symbol tokens ≤ 10%, no brace, no lorem
+    */
+  val MinWords = 50
+
+  def c4Filters(docs: DataFrame): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    docs.withColumn("__toks", toks)
+      .select(
+        col("doc_id"),
+        size(col("__toks")).cast("long").as("n_words"),
+        aggregate(transform(col("__toks"), t => length(t).cast("long")),
+          lit(0L), (acc, x) => acc + x).as("sum_word_len"),
+        size(filter(col("__toks"),
+          t => t.rlike("[^a-z0-9]"))).cast("long").as("n_symbol"),
+        col("text").contains("{").cast("long").as("has_brace"),
+        lower(col("text")).contains("lorem ipsum").cast("long").as("has_lorem"))
+      .withColumn("keep",
+        (col("n_words") >= MinWords &&
+          col("sum_word_len") >= col("n_words") * 3 &&
+          col("sum_word_len") <= col("n_words") * 10 &&
+          col("n_symbol") * 10 <= col("n_words") &&
+          col("has_brace") === 0 && col("has_lorem") === 0).cast("long"))
+  }
+
+  val C4FiltersOracleSql: String =
+    s"""WITH t AS (SELECT doc_id, text,
+       |    string_split(lower(text), ' ') AS ws FROM documents),
+       |f AS (SELECT doc_id,
+       |    len(ws)::BIGINT AS n_words,
+       |    list_sum(list_transform(ws, x -> len(x)))::BIGINT AS sum_word_len,
+       |    len(list_filter(ws, x -> regexp_matches(x, '[^a-z0-9]')))::BIGINT
+       |      AS n_symbol,
+       |    (text LIKE '%{%')::BIGINT AS has_brace,
+       |    (lower(text) LIKE '%lorem ipsum%')::BIGINT AS has_lorem
+       |  FROM t)
+       |SELECT doc_id, n_words, sum_word_len, n_symbol, has_brace, has_lorem,
+       |  (n_words >= $MinWords
+       |    AND sum_word_len >= n_words * 3 AND sum_word_len <= n_words * 10
+       |    AND n_symbol * 10 <= n_words
+       |    AND has_brace = 0 AND has_lorem = 0)::BIGINT AS keep
+       |FROM f ORDER BY doc_id""".stripMargin
+
+  // --- SemDeDup-style semantic dedup ---------------------------------------
+
+  /** Semantic dedup over embeddings (Abbas et al. 2023 SemDeDup shape):
+    * cluster with the IVF coarse quantizer (deterministic sqrt-N sampled
+    * centroids, max-cosine assignment — the exact cell structure
+    * llm_ann_ivf_* already gates), then within each cell mark a vector a
+    * duplicate iff a LOWER-id cell-mate has cosine ≥ threshold; the lowest
+    * such mate is the canonical representative.
+    *
+    * Scale shape: the pairing is per-cell (≈ sqrt(N) members with sqrt-N
+    * centroids → Σ cell² ≈ N^1.5 candidate pairs TOTAL, never all-pairs),
+    * each cell's self-join a bounded shuffle key. Exactly the SemDeDup
+    * argument: the quadratic is confined to clusters.
+    */
+  def semanticDedup(emb: DataFrame, threshold: Double): DataFrame = {
+    val mod = Similarity.centroidModFor(emb.count())
+    val cents = emb.filter(pmod(col("vec_id"), lit(mod)) === 0)
+      .select(col("vec_id").as("cid"), col("embedding").cast("array<double>").as("ce"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("__cs").desc, col("cid").asc)
+    val assigned = graft.model.Materialize(
+      emb.select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+        .crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("e"), col("cid"),
+          Similarity.cosine(col("e"), col("ce")).as("__cs"))
+        .withColumn("__r", row_number().over(w))
+        .filter(col("__r") === 1)
+        .select(col("vec_id"), col("e"), col("cid").as("cell")))
+    val dups = assigned.as("a").join(assigned.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .filter(Similarity.cosine(col("a.e"), col("b.e")) >= threshold)
+      .groupBy(col("b.vec_id").as("vec_id"))
+      .agg(min(col("a.vec_id")).as("__canon"))
+    assigned.join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("__canon"), col("vec_id")).as("canonical_id"),
+        col("__canon").isNotNull.cast("long").as("is_dup"))
+  }
+
+  def semanticDedupOracleSql(threshold: Double): String = {
+    val dot64 = (a: String, b: String) =>
+      s"list_sum([$a[i]*$b[i] for i in generate_series(1,64)])"
+    val cos = (a: String, b: String) =>
+      s"${dot64(a, b)} / (sqrt(${dot64(a, a)}) * sqrt(${dot64(b, b)}))"
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |cmod AS (SELECT GREATEST(23, CAST(floor(sqrt(count(*))) AS BIGINT)) AS m FROM e),
+       |cents AS (SELECT vec_id AS cid, v AS cv FROM e
+       |  WHERE vec_id % (SELECT m FROM cmod) = 0),
+       |ac AS (SELECT e.vec_id, c.cid, ${cos("e.v", "c.cv")} AS cs
+       |  FROM e CROSS JOIN cents c),
+       |asg AS (SELECT vec_id, cid AS cell FROM (
+       |    SELECT vec_id, cid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+       |    FROM ac) WHERE rn = 1),
+       |pairs AS (SELECT a.vec_id AS i, b.vec_id AS j
+       |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  JOIN e ea ON ea.vec_id = a.vec_id
+       |  JOIN e eb ON eb.vec_id = b.vec_id
+       |  WHERE ${cos("ea.v", "eb.v")} >= $threshold),
+       |dups AS (SELECT j AS vec_id, min(i) AS canon FROM pairs GROUP BY 1)
+       |SELECT asg.vec_id, asg.cell,
+       |  coalesce(d.canon, asg.vec_id) AS canonical_id,
+       |  (d.canon IS NOT NULL)::BIGINT AS is_dup
+       |FROM asg LEFT JOIN dups d USING (vec_id)
+       |ORDER BY vec_id""".stripMargin
+  }
+}
