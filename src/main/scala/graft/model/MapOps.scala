@@ -14,41 +14,25 @@ import org.apache.spark.sql.functions._
   */
 object MapOps {
 
-  /** `mapUpdate(base, over)`: merge with `over` winning on key clashes. */
+  /** `mapUpdate(base, over)`: merge with `over` winning on key clashes.
+    * Native codegen'd single pass (graft.functions.MapUpdate); the HOF
+    * form `map_concat(map_filter(base, !contains(over)), over)` ran
+    * interpreted and the decoders chain 3-4 merges per row. Entry-order
+    * semantics are identical (clashing keys move to the end).
+    */
   def update(base: Column, over: Column): Column =
-    map_concat(map_filter(base, (k, _) => !map_contains_key(over, k)), over)
+    graft.functions.MapMerge.update(base, over)
 
   /** Build a map from parallel key/value arrays keeping the LAST
     * occurrence of each duplicated key (Go map-assignment order — a
     * logfmt line `a=1 a=2` yields a=2). `map_from_arrays` would throw.
-    * CALLER BEWARE: `keys` is captured inside the filter lambda and
-    * re-evaluated per element — pass attribute refs or cheap expressions,
-    * never a heavy transform tree (use [[entriesToMapLastWins]] there).
     */
-  def fromArraysLastWins(keys: Column, vals: Column): Column = {
-    val n = size(keys)
-    val keep = filter(sequence(lit(1), n), i =>
-      !array_contains(slice(keys, i + 1, n), element_at(keys, i)))
-    when(n > 0, map_from_arrays(
-      transform(keep, i => element_at(keys, i)),
-      transform(keep, i => element_at(vals, i))))
-      .otherwise(map_from_arrays(keys, vals))
-  }
+  def fromArraysLastWins(keys: Column, vals: Column): Column =
+    graft.functions.MapMerge.fromArraysLastWins(keys, vals)
 
-  /** Fold an array of SINGLE-ENTRY maps (`map(k, v)` per element) into one
-    * last-wins map. Unlike [[fromArraysLastWins]] this captures NOTHING in
-    * its lambdas (only the accumulator and element variables), so the
-    * entry expressions — however expensive — are evaluated exactly once
-    * per row. O(n²) in the entry count per row, which label/tag sets never
-    * make large. (Single-entry maps instead of structs because struct
-    * field aliases inside a transform lambda don't survive into a sibling
-    * aggregate lambda's element type.)
+  /** Fold an array of maps (typically single-entry `map(k, v)` per
+    * element) into one last-wins map, in one native pass.
     */
   def entriesToMapLastWins(entryMaps: Column): Column =
-    aggregate(entryMaps,
-      map().cast(org.apache.spark.sql.types.MapType(
-        org.apache.spark.sql.types.StringType,
-        org.apache.spark.sql.types.StringType)),
-      (acc, m) => map_concat(
-        map_filter(acc, (k, _) => !map_contains_key(m, k)), m))
+    graft.functions.MapMerge.entriesLastWins(entryMaps)
 }
