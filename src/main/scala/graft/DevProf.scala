@@ -63,6 +63,29 @@ object DevProf {
       println(s"WSCG spans (logs 1-col): $wscg")
       spark.stop(); return
     }
+    if (args.contains("curation")) {
+      // plan audit for the curation operators: broadcast sides must be
+      // broadcast, scans pruned, and the narrow ops single-span
+      val docs = graft.model.Tables.documents(spark, dir)
+      val emb = graft.model.Tables.embeddings(spark, dir)
+      def audit(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+        val p = df.queryExecution.executedPlan.toString
+        val bhj = "BroadcastHashJoin|BroadcastNestedLoopJoin".r.findAllIn(p).size
+        val smj = "SortMergeJoin".r.findAllIn(p).size
+        val ex = "Exchange hashpartitioning|Exchange rangepartitioning".r.findAllIn(p).size
+        val scans = p.linesIterator.filter(_.contains("ReadSchema")).map(_.trim).toList
+        println(s"== $name: broadcastJoins=$bhj sortMergeJoins=$smj shuffles=$ex")
+        scans.foreach(s => println(s"   $s"))
+      }
+      audit("packSequences", graft.llm.Curation.packSequences(docs, 256))
+      audit("domainMix", graft.llm.Curation.domainMix(docs,
+        graft.gates.LlmGates.MixRates))
+      audit("unigramSurprisal", graft.llm.Curation.unigramSurprisal(docs))
+      audit("tfidfTopTerms", graft.llm.Curation.tfidfTopTerms(docs, 5))
+      audit("c4Filters", graft.llm.Curation.c4Filters(docs))
+      audit("semanticDedup", graft.llm.Curation.semanticDedup(emb, 0.35))
+      spark.stop(); return
+    }
     if (args.contains("otlpm")) {
       import org.apache.spark.sql.functions._
       val g = graft.model.Tables.gaugeSamples(spark, dir)
