@@ -126,6 +126,8 @@ object Curation {
     * per-doc rescore is a map-side join + one doc-keyed aggregate.
     */
   def unigramSurprisal(docs: DataFrame): DataFrame = {
+    // no rebalance: the explode+groupBy pipeline redistributes anyway, and
+    // an up-front full-text repartition measured slower at sf1
     val toks = docs.select(col("doc_id"),
       explode(TextOps.tokens(col("text"))).as("tok"))
     val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("tf"))

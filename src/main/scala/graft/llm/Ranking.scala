@@ -29,7 +29,7 @@ object Ranking {
     * Zero-score docs (no query term present) are excluded.
     */
   def bm25TopK(docs: DataFrame, terms: Seq[String], k: Int): DataFrame = {
-    val base = docs
+    val base = TextOps.rebalanced(docs)
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
       .withColumn("dl", size(col("toks")).cast("double"))
     val withTf = terms.indices.foldLeft(base) { (df, i) =>

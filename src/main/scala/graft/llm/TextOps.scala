@@ -43,6 +43,19 @@ object TextOps {
     array_distinct(grams)
   }
 
+  /** Rebalance a small-file scan for CPU-heavy narrow work: a corpus that
+    * arrives in fewer input splits than the session parallelism serializes
+    * its per-row regex/hash work on those few tasks (observed: BM25 at the
+    * replicated sf1 ran on 2 splits of a 15 MB parquet, 12× instead of
+    * ~linear at 10× rows). At real scale input splits exceed parallelism
+    * and this is a no-op — same guard winnowFingerprints carries.
+    */
+  def rebalanced(df: DataFrame): DataFrame = {
+    val parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < parallelism) df.repartition(parallelism)
+    else df
+  }
+
   /** GPT2-style pretokenizer regex — counts BPE-ish word/number/punct
     * units. Kept to syntax both Java regex and DuckDB's RE2 agree on.
     */
