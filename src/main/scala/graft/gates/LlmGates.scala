@@ -28,13 +28,13 @@ object LlmGates extends GateSet {
       |       FROM toks),
       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1)""".stripMargin
 
-  private val sigList = (1 to Dedup.K).map(k => s"min(hv[$k])").mkString("list_value(", ", ", ")")
+  private val sigList = Dedup.HashSeeds
+    .map(seed => s"min(xor(h, $seed))").mkString("list_value(", ", ", ")")
   private val bandConcat = (1 to Dedup.Rows).map(r => s"sig[4*b+$r]::VARCHAR").mkString("||','||")
 
   private val minhashViews =
-    s"""hs AS (SELECT doc_id, s,
-       |        [('0x'||substr(md5(CAST(j AS VARCHAR)||':'||s),1,15))::BIGINT
-       |         for j in generate_series(0, ${Dedup.K - 1})] AS hv
+    s"""hs AS (SELECT doc_id,
+       |        ('0x'||substr(md5(s),1,15))::BIGINT AS h
        |      FROM sh),
        |sigs AS (SELECT doc_id, $sigList AS sig FROM hs GROUP BY doc_id),
        |bands AS (SELECT doc_id, g.b AS b, md5($bandConcat) AS bh

@@ -45,17 +45,38 @@ object Dedup {
   val Bands = 4
   val Rows = 4 // K = Bands * Rows
 
+  /** Fixed 60-bit xor masks, one per minhash function: h_j(s) = h(s) ⊕
+    * mask_j. Each mask is a bijection on the 60-bit hash space, so
+    * P[min matches] = Jaccard holds exactly per function (the permutation
+    * argument); the masks are md5-derived constants so the DuckDB oracle
+    * embeds the same literals. Why: the previous formulation ran md5 K
+    * times per (doc, shingle) — 16× the hashing for the whole MinHash
+    * family; one base md5 + K codegen'd xors is the standard
+    * universal-hashing shape. Cross-function independence is weaker than
+    * K independent hashes, which only affects the banding S-curve at
+    * mid-range Jaccard — candidate recall at the operating thresholds is
+    * property-tested in LlmSpec (exact cross-check at 0.8) and the
+    * verify-after-candidates stage makes scores exact regardless.
+    */
+  val HashSeeds: Seq[Long] = (0 until K).map { j =>
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"minhash-seed:$j".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(md.substring(0, 15), 16)
+  }
+
   /** Distinct (doc_id, shingle) pairs. */
   def docShingles(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), explode(shingles(col("text"))).as("s"))
 
-  /** MinHash signatures: K column-wise mins over the shingle hashes —
-    * one narrow aggregate per doc, map-side partial combined.
+  /** MinHash signatures: ONE md5 per (doc, shingle), K xor-masked
+    * column-wise mins per doc — one narrow aggregate, map-side partial
+    * combined.
     */
   def minhashSignatures(docs: DataFrame): DataFrame = {
-    val sh = docShingles(docs)
+    val sh = docShingles(docs).withColumn("h", mdhash64(col("s")))
     val mins = (0 until K).map(j =>
-      min(mdhash64(concat(lit(j + ":"), col("s")))).as(s"h$j"))
+      min(col("h").bitwiseXOR(lit(HashSeeds(j)))).as(s"h$j"))
     sh.groupBy(col("doc_id"))
       .agg(mins.head, mins.tail: _*)
       .select(col("doc_id"),
