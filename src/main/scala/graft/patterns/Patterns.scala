@@ -99,8 +99,14 @@ object Patterns {
        | ELSE regexp_replace($w, '[0-9]+', '<N>', 'g') END"""
       .stripMargin.replace("\n", "")
 
+  /** One native compiled pass (graft.functions.ClassTokens) — the
+    * `transform(..., classTok(_))` higher-order form ran the whole
+    * when-chain interpreted per token and dominated the mining entries.
+    * [[classTok]] above remains the executable spec; PatternsSpec
+    * differential-tests the two against each other.
+    */
   def maskedTokens(line: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    transform(split(line, " "), classTok(_))
+    graft.functions.ClassTokens(split(line, " "))
 
   /** Cluster lines of (stream, line) → (stream, pattern, samples_count).
     *

@@ -96,4 +96,25 @@ class PatternsSpec extends SparkSpec {
       Seq("a b", "a b <_>", "x y z"))
     assert(out.map(_.getAs[Long]("samples_count")).toSeq == Seq(1L, 2L, 1L))
   }
+
+  test("native ClassTokens equals the Column classTok chain on real + edge tokens") {
+    import graft.TestSpark.spark.implicits._
+    // the real testdata lines, plus every class's edge literals
+    val edges = Seq(
+      "550e8400-e29b-41d4-a716-446655440000", "<123>", "2024-01-02T03:04:05Z",
+      "2024-01-02", "03:04:05.123", "[06/Jan/2024:15:04:05", "+0000]",
+      "-0800]", "INFO", "WARNING", "kernel[123]:", "10.1.2.3:8080",
+      "192.168.0.1", "deadbeefcafe", "0xDEADBEEF00", "12345678",
+      "/v1/users/42", "/a/b/", "HTTP/1.1", "HTTP", "GET", "TRACE",
+      "200", "0.5", "599", "600", "999", "abc123def", "x", "", "<", "[",
+      "a[1]:", "ab[12]:", "id=42", "<N>", "<_>").mkString(" ")
+    val real = graft.model.Tables.logs(spark, sf)
+      .select(col("line")).as[String].take(200)
+    val df = (real :+ edges).toSeq.toDF("line")
+    val native = df.select(Patterns.maskedTokens(col("line")).as("t"))
+    val columnForm = df.select(
+      transform(split(col("line"), " "), Patterns.classTok(_)).as("t"))
+    assert(native.exceptAll(columnForm).count() == 0)
+    assert(columnForm.exceptAll(native).count() == 0)
+  }
 }
