@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.functions.RegexpAllGroups
+import graft.functions.{ClassTokens, CosineSim, MapEntriesLastWins, MapFromArraysLastWins, MapUpdate, RegexpAllGroups}
 
 /** Session-level integration: the `spark.sql` surface.
   *
@@ -40,18 +40,44 @@ object Graft {
           s"regexp_all_groups(input, 'regex literal'), got ${other.size} args")
     }
 
-  def registerFunctions(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("regexp_all_groups"),
+  private def arity(name: String, n: Int)(
+      f: Seq[Expression] => Expression)(children: Seq[Expression]): Expression = {
+    if (children.size != n)
+      throw new IllegalArgumentException(s"$name expects $n arguments, got ${children.size}")
+    f(children)
+  }
+
+  /** All native expressions as (name, info, builder) rows — one list feeds
+    * both the extensions injection and the built-session registration.
+    */
+  private[graft] val nativeFunctions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("regexp_all_groups"),
       new ExpressionInfo(classOf[RegexpAllGroups].getName, "regexp_all_groups"),
-      regexpAllGroupsBuilder _)
+      regexpAllGroupsBuilder _),
+    (FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
+      arity("cosine_sim", 2)(c => CosineSim(c(0), c(1))) _),
+    (FunctionIdentifier("map_update"),
+      new ExpressionInfo(classOf[MapUpdate].getName, "map_update"),
+      arity("map_update", 2)(c => MapUpdate(c(0), c(1))) _),
+    (FunctionIdentifier("map_entries_last_wins"),
+      new ExpressionInfo(classOf[MapEntriesLastWins].getName, "map_entries_last_wins"),
+      arity("map_entries_last_wins", 1)(c => MapEntriesLastWins(c(0))) _),
+    (FunctionIdentifier("map_from_arrays_last_wins"),
+      new ExpressionInfo(classOf[MapFromArraysLastWins].getName, "map_from_arrays_last_wins"),
+      arity("map_from_arrays_last_wins", 2)(c => MapFromArraysLastWins(c(0), c(1))) _),
+    (FunctionIdentifier("class_tokens"),
+      new ExpressionInfo(classOf[ClassTokens].getName, "class_tokens"),
+      arity("class_tokens", 1)(c => ClassTokens(c(0))) _))
+
+  def registerFunctions(spark: SparkSession): Unit =
+    nativeFunctions.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
 }
 
 /** `spark.sql.extensions` entry point. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
-    ext.injectFunction((
-      FunctionIdentifier("regexp_all_groups"),
-      new ExpressionInfo(classOf[RegexpAllGroups].getName, "regexp_all_groups"),
-      Graft.regexpAllGroupsBuilder))
+    Graft.nativeFunctions.foreach(ext.injectFunction)
 }
