@@ -654,6 +654,24 @@ object LlmGates extends GateSet {
         Curation.c4Filters(docs(spark, dir)).orderBy("doc_id"),
       Some(Curation.C4FiltersOracleSql)),
 
+    // --- chunk-level (paragraph) near-dup: cross-doc pairs ----------------
+    // threshold 0.85 sits >=0.007 from the nearest distinct chunk-pair
+    // jaccard on the testdata (no pair on the float boundary); ENGINE runs
+    // LSH-then-verify over chunks, ORACLE the exact shingle-share
+    // formulation — recall 1 at 0.85 (cross-checked in CurationSpec)
+    Gate("llm_chunk_neardup",
+      (spark: SparkSession, dir: String) =>
+        Curation.chunkNearDups(docs(spark, dir), 0.85)
+          .select(col("i"), col("j"), round(col("jaccard"), 6).as("jaccard"))
+          .orderBy("i", "j"),
+      Some(Curation.chunkNearDupOracleSql(0.85))),
+
+    // --- token-budget selection: quality-greedy per source ----------------
+    Gate("llm_budget_select",
+      (spark: SparkSession, dir: String) =>
+        Curation.budgetSelect(docs(spark, dir), 600).orderBy("doc_id"),
+      Some(Curation.budgetSelectOracleSql(600))),
+
     // --- SemDeDup: IVF-cell clustering + within-cell cosine dedup ---------
     // threshold 0.35 sits ≥3.5e-4 from the nearest within-cell cosine on
     // the testdata — no pair near the float boundary

@@ -253,6 +253,119 @@ object Curation {
        |    AND has_brace = 0 AND has_lorem = 0)::BIGINT AS keep
        |FROM f ORDER BY doc_id""".stripMargin
 
+  // --- chunk-level (paragraph) near-dup ------------------------------------
+
+  /** Multiplier folding (doc_id, chunk_id) into one synthetic chunk id —
+    * large enough for million-chunk documents. */
+  val ChunkIdBase = 1000000L
+
+  /** Cross-document chunk-level near-duplicate pairs (paragraph dedup, the
+    * RefinedWeb-style fine-grained pass): chunk every document into
+    * `chunkTokens`-token windows, then run the standard LSH-then-verify
+    * near-dup pipeline over the CHUNKS, keeping only pairs from different
+    * documents — boilerplate paragraphs shared across otherwise-distinct
+    * pages, which document-level dedup never sees.
+    *
+    * Scale shape: identical to document near-dup (banded candidates,
+    * exact-Jaccard verify), just on ~(len/stride)× more, smaller units —
+    * every stage stays keyed by chunk/bucket.
+    */
+  def chunkNearDups(docs: DataFrame, threshold: Double,
+      chunkTokens: Int = 40, overlap: Int = 10): DataFrame = {
+    val chunks = TextOps.chunk(docs, chunkTokens, overlap)
+      .select((col("doc_id") * ChunkIdBase + col("chunk_id")).as("doc_id"),
+        col("chunk_text").as("text"))
+    Dedup.nearDupPairs(chunks, threshold)
+      .filter(floor(col("i") / ChunkIdBase) =!= floor(col("j") / ChunkIdBase))
+      .select(col("i"), col("j"), col("jaccard"))
+  }
+
+  def chunkNearDupOracleSql(threshold: Double): String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |ch AS (SELECT doc_id*$ChunkIdBase+k AS cid,
+       |    array_to_string(ws[(k*30+1):(k*30+40)], ' ') AS ctext,
+       |    len(ws[(k*30+1):(k*30+40)]) AS n_tokens
+       |  FROM t, unnest([x for x in generate_series(0, greatest((len(ws)-1)//30, 0))]) AS g(k)),
+       |nc AS (SELECT cid, lower(ctext) AS t FROM ch WHERE n_tokens > 0),
+       |ctoks AS (SELECT cid, string_split(t, ' ') AS ws FROM nc),
+       |csh AS (SELECT DISTINCT cid,
+       |    unnest([ws[i]||' '||ws[i+1]||' '||ws[i+2]
+       |            for i in generate_series(1, len(ws)-2)]) AS s
+       |  FROM ctoks),
+       |csizes AS (SELECT cid, count(*) AS n FROM csh GROUP BY 1),
+       |rare AS (SELECT s FROM csh GROUP BY s HAVING count(*) <= ${Dedup.MaxShingleDf}),
+       |shc AS (SELECT csh.cid, csh.s FROM csh JOIN rare USING (s)),
+       |cand AS (SELECT DISTINCT a.cid AS i, b.cid AS j
+       |  FROM shc a JOIN shc b ON a.s = b.s AND a.cid < b.cid
+       |  WHERE a.cid // $ChunkIdBase <> b.cid // $ChunkIdBase),
+       |inter AS (SELECT c.i, c.j, count(*) AS inter
+       |  FROM cand c
+       |  JOIN csh sa ON sa.cid = c.i
+       |  JOIN csh sb ON sb.cid = c.j AND sb.s = sa.s
+       |  GROUP BY 1, 2),
+       |jac AS (SELECT i, j, inter * 1.0 / (si.n + sj.n - inter) AS jaccard
+       |  FROM inter
+       |  JOIN csizes si ON si.cid = i
+       |  JOIN csizes sj ON sj.cid = j)
+       |SELECT i, j, round(jaccard, 6) AS jaccard
+       |FROM jac WHERE jaccard >= $threshold ORDER BY 1, 2""".stripMargin
+
+  // --- token-budget corpus selection ---------------------------------------
+
+  /** Greedy token-budget selection per source (data selection under a
+    * training budget): rank documents by an integer lexical-diversity
+    * score (distinct-token percentage) and keep, per source, the best
+    * documents whose running token total stays within `budgetTokens` —
+    * the quality-first greedy every budgeted pretraining mix runs.
+    *
+    * Scale shape: the running sum uses the same two-level trick as
+    * [[packSequences]], but banded by the SCORE (101 possible values):
+    * per-(source, score) token totals get the cross-band running sum (a
+    * window over a tiny aggregate), and the intra-band cumsum is keyed by
+    * (source, score) — 101× more parallel than a per-source window; no
+    * task ever sorts a whole source.
+    */
+  def budgetSelect(docs: DataFrame, budgetTokens: Long): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    val base = docs.select(col("doc_id"), col("source"),
+      size(toks).cast("long").as("n_tokens"),
+      floor(size(array_distinct(toks)) * 100 / size(toks)).cast("long")
+        .as("score"))
+    val bandW = Window.partitionBy(col("source"))
+      .orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bandOffsets = base.groupBy(col("source"), col("score"))
+      .agg(sum(col("n_tokens")).as("__band_toks"))
+      .withColumn("__band_off",
+        coalesce(sum(col("__band_toks")).over(bandW), lit(0L)))
+      .drop("__band_toks")
+    val intraW = Window.partitionBy(col("source"), col("score"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base.join(bandOffsets, Seq("source", "score"))
+      .withColumn("cum_tokens",
+        col("__band_off") + sum(col("n_tokens")).over(intraW))
+      .filter(col("cum_tokens") <= budgetTokens)
+      .select(col("doc_id"), col("source"), col("score"),
+        col("n_tokens"), col("cum_tokens"))
+  }
+
+  /** DuckDB twin of [[budgetSelect]] — the banding collapses to one plain
+    * running-sum window ordered by (score desc, doc_id).
+    */
+  def budgetSelectOracleSql(budgetTokens: Long): String =
+    s"""WITH t AS (SELECT doc_id, source,
+       |    string_split(lower(text), ' ') AS ws FROM documents),
+       |q AS (SELECT doc_id, source, len(ws)::BIGINT AS n_tokens,
+       |    ((len(list_distinct(ws)) * 100) // len(ws))::BIGINT AS score
+       |  FROM t),
+       |c AS (SELECT *, sum(n_tokens) OVER (
+       |    PARTITION BY source ORDER BY score DESC, doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+       |  FROM q)
+       |SELECT doc_id, source, score, n_tokens, cum_tokens
+       |FROM c WHERE cum_tokens <= $budgetTokens ORDER BY doc_id""".stripMargin
+
   // --- SemDeDup-style semantic dedup ---------------------------------------
 
   /** Semantic dedup over embeddings (Abbas et al. 2023 SemDeDup shape):

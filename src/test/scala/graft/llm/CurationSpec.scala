@@ -87,6 +87,46 @@ class CurationSpec extends SparkSpec {
     assert(f.filter(col("keep") === 0).count() > 0)
   }
 
+  test("chunk near-dups: cross-doc only, LSH recall equals exact formulation") {
+    val nd = Curation.chunkNearDups(docs, 0.85)
+    // no same-document pair survives
+    assert(nd.filter(floor(col("i") / Curation.ChunkIdBase) ===
+      floor(col("j") / Curation.ChunkIdBase)).count() == 0)
+    // exact cross-check: LSH-then-verify finds every exact shingle-share
+    // pair at the threshold (the gate oracle is the exact formulation)
+    val chunks = TextOps.chunk(docs, 40, 10)
+      .select((col("doc_id") * Curation.ChunkIdBase + col("chunk_id")).as("doc_id"),
+        col("chunk_text").as("text"))
+    val exact = Dedup.ngramJaccardPairs(chunks, 0.85)
+      .filter(floor(col("i") / Curation.ChunkIdBase) =!=
+        floor(col("j") / Curation.ChunkIdBase))
+      .select("i", "j")
+    assert(nd.select("i", "j").exceptAll(exact).count() == 0)
+    assert(exact.exceptAll(nd.select("i", "j")).count() == 0)
+  }
+
+  test("budget select: banded prefix sum equals the single-window greedy") {
+    val sel = Curation.budgetSelect(docs, 600)
+    val toks = TextOps.tokens(col("text"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val naive = docs.select(col("doc_id"), col("source"),
+        size(toks).cast("long").as("n_tokens"),
+        floor(size(array_distinct(toks)) * 100 / size(toks)).cast("long")
+          .as("score"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= 600)
+      .select(col("doc_id"), col("source"), col("score"),
+        col("n_tokens"), col("cum_tokens"))
+    assert(sel.exceptAll(naive).count() == 0)
+    assert(naive.exceptAll(sel).count() == 0)
+    // budget respected per source
+    val over = sel.groupBy("source").agg(max("cum_tokens").as("mx"))
+      .filter(col("mx") > 600)
+    assert(over.count() == 0)
+  }
+
   test("semantic dedup: canonical ids point to a kept lower id in the same cell") {
     val sd = Curation.semanticDedup(emb, 0.35)
     assert(sd.count() == emb.count())
