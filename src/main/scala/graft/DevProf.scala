@@ -63,6 +63,45 @@ object DevProf {
       println(s"WSCG spans (logs 1-col): $wscg")
       spark.stop(); return
     }
+    if (args.contains("ddm")) {
+      import org.apache.spark.sql.functions._
+      val g = graft.model.Tables.gaugeSamples(spark, dir)
+      def t(name: String)(f: => Long): Unit = {
+        val t0 = System.nanoTime()
+        val n = f
+        println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%7.2f s ($n rows)")
+      }
+      def bodies = g
+        .groupBy(element_at(col("labels"), "event_type").as("et"),
+          element_at(col("labels"), "level").as("lv"),
+          expr("timestamp_ns div 86400000000000").as("__day"))
+        .agg(collect_list(array(col("timestamp_ns") / 1e9,
+          col("value"))).as("pts"))
+        .select(to_json(struct(array(struct(
+          lit("events_value").as("metric"),
+          col("pts").as("points"),
+          array(concat(lit("event_type:"), col("et")),
+            concat(lit("level:"), col("lv"))).as("tags"),
+          lit("gauge").as("type"))).as("series"))).as("body"))
+      val mat = graft.model.Materialize(bodies)
+      if (args.contains("explain")) {
+        graft.ingest.WireFormats.decodeDatadogMetrics(mat)
+          .groupBy(element_at(col("labels"), "event_type"))
+          .agg(count(lit(1)), sum(col("value")))
+          .explain("formatted")
+        spark.stop(); return
+      }
+      for (i <- 1 to 2) {
+        t(s"encode only r$i")(bodies.count())
+        t(s"decode only r$i")(
+          graft.ingest.WireFormats.decodeDatadogMetrics(mat).count())
+        val dec = graft.ingest.WireFormats.decodeDatadogMetrics(mat)
+        t(s"decode+agg r$i")(dec.groupBy(
+            element_at(col("labels"), "event_type"))
+          .agg(count(lit(1)), sum(col("value"))).count())
+      }
+      spark.stop(); return
+    }
     if (args.contains("curation")) {
       // plan audit for the curation operators: broadcast sides must be
       // broadcast, scans pruned, and the narrow ops single-span
