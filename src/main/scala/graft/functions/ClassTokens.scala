@@ -17,7 +17,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * dispatches plus UTF8String→String conversions per TOKEN, re-walked for
   * every token of every line; token classing dominated the patterns_mine_*
   * bench entries. Here the class chain is plain Java with precompiled
-  * `java.util.regex` patterns (all anchored, so `matches` ≡ rlike's find)
+  * `java.util.regex` patterns, evaluated with `find()` — with anchored
+  * patterns that is exactly `rlike`'s semantics, including Java's rule
+  * that `$` also matches before a trailing line terminator (a plain
+  * `matches()` would diverge on tokens like `"03:04:05\n"`)
   * and the same precedence order; the classing logic lives in
   * [[ClassTokensUtil.classTok]] which MUST stay in lock-step with the
   * Column form (differential-tested in PatternsSpec) and the DuckDB mirror
@@ -62,24 +65,24 @@ object ClassTokensUtil extends Serializable {
     if (t.isEmpty) return t
     val first = t.charAt(0)
     val digitFirst = first >= '0' && first <= '9'
-    if (t.length == 36 && t.charAt(8) == '-' && Uuid.matcher(t).matches())
+    if (t.length == 36 && t.charAt(8) == '-' && Uuid.matcher(t).find())
       "<UUID>"
-    else if (first == '<' && Pri.matcher(t).matches()) "<PRI>"
-    else if (digitFirst && t.length >= 10 && TsIso.matcher(t).matches()) "<TS>"
-    else if (digitFirst && TsTime.matcher(t).matches()) "<TS>"
-    else if (first == '[' && TsClf.matcher(t).matches()) "<TS>"
-    else if ((first == '+' || first == '-') && TsTz.matcher(t).matches()) "<TS>"
+    else if (first == '<' && Pri.matcher(t).find()) "<PRI>"
+    else if (digitFirst && t.length >= 10 && TsIso.matcher(t).find()) "<TS>"
+    else if (digitFirst && TsTime.matcher(t).find()) "<TS>"
+    else if (first == '[' && TsClf.matcher(t).find()) "<TS>"
+    else if ((first == '+' || first == '-') && TsTz.matcher(t).find()) "<TS>"
     else if (Levels.contains(t)) t
-    else if (t.endsWith("]:") && PidTok.matcher(t).matches())
+    else if (t.endsWith("]:") && PidTok.matcher(t).find())
       PidRepl.matcher(t).replaceAll("[<PID>]:")
-    else if (digitFirst && Ip.matcher(t).matches()) "<IP>"
-    else if (t.length >= 8 && Hex.matcher(t).matches() &&
+    else if (digitFirst && Ip.matcher(t).find()) "<IP>"
+    else if (t.length >= 8 && Hex.matcher(t).find() &&
       HexLetter.matcher(t).find()) "<HEX>"
-    else if (first == '/' && Path.matcher(t).matches()) "<PATH>"
-    else if (first == 'H' && Http.matcher(t).matches()) t
+    else if (first == '/' && Path.matcher(t).find()) "<PATH>"
+    else if (first == 'H' && Http.matcher(t).find()) t
     else if (Methods.contains(t)) t
     else if (digitFirst && first <= '5' && t.length == 3 &&
-      Num3.matcher(t).matches()) t
+      Num3.matcher(t).find()) t
     else DigitRun.matcher(t).replaceAll("<N>")
   }
 

@@ -329,8 +329,8 @@ object Curation {
     val toks = TextOps.tokens(col("text"))
     val base = docs.select(col("doc_id"), col("source"),
       size(toks).cast("long").as("n_tokens"),
-      floor(size(array_distinct(toks)) * 100 / size(toks)).cast("long")
-        .as("score"))
+      floor(size(array_distinct(toks)).cast("long") * 100 / size(toks))
+        .cast("long").as("score"))
     val bandW = Window.partitionBy(col("source"))
       .orderBy(col("score").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -363,7 +363,7 @@ object Curation {
        |    PARTITION BY source ORDER BY score DESC, doc_id
        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
        |  FROM q)
-       |SELECT doc_id, source, score, n_tokens, cum_tokens
+       |SELECT doc_id, source, score, n_tokens, cum_tokens::BIGINT AS cum_tokens
        |FROM c WHERE cum_tokens <= $budgetTokens ORDER BY doc_id""".stripMargin
 
   // --- SemDeDup-style semantic dedup ---------------------------------------

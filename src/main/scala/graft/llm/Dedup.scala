@@ -46,17 +46,20 @@ object Dedup {
   val Rows = 4 // K = Bands * Rows
 
   /** Fixed 60-bit xor masks, one per minhash function: h_j(s) = h(s) ⊕
-    * mask_j. Each mask is a bijection on the 60-bit hash space, so
-    * P[min matches] = Jaccard holds exactly per function (the permutation
-    * argument); the masks are md5-derived constants so the DuckDB oracle
-    * embeds the same literals. Why: the previous formulation ran md5 K
-    * times per (doc, shingle) — 16× the hashing for the whole MinHash
-    * family; one base md5 + K codegen'd xors is the standard
-    * universal-hashing shape. Cross-function independence is weaker than
-    * K independent hashes, which only affects the banding S-curve at
-    * mid-range Jaccard — candidate recall at the operating thresholds is
-    * property-tested in LlmSpec (exact cross-check at 0.8) and the
-    * verify-after-candidates stage makes scores exact regardless.
+    * mask_j. Each mask is a bijection on the 60-bit hash space, but note
+    * an xor family is NOT min-wise independent (and all K functions
+    * derive from the one md5), so P[min matches] = Jaccard is an
+    * empirical approximation here, not an exact identity — on
+    * adversarially correlated shingle sets the banding S-curve can sit
+    * below the textbook curve. The masks are md5-derived constants so the
+    * DuckDB oracle embeds the same literals. Why this trade: the previous
+    * formulation ran md5 K times per (doc, shingle) — 16× the hashing for
+    * the whole MinHash family; one base md5 + K codegen'd xors is the
+    * standard universal-hashing shape. Candidate recall at the operating
+    * thresholds is property-tested in LlmSpec (exact cross-check at 0.8
+    * plus a correlated-corpus recall floor), and every candidate pair is
+    * re-scored with the exact Jaccard afterwards, so precision is exact
+    * regardless — only recall rides on the hash family.
     */
   val HashSeeds: Seq[Long] = (0 until K).map { j =>
     val md = java.security.MessageDigest.getInstance("MD5")

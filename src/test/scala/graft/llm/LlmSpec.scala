@@ -45,6 +45,31 @@ class LlmSpec extends SparkSpec {
     assert(total > 0 && hit.toDouble / total >= 0.5, s"$hit/$total")
   }
 
+  test("banding recall floor holds on a correlated templated corpus") {
+    // The xor-mask minhash family is not min-wise independent (all K
+    // functions derive from one md5) — this pins its EMPIRICAL recall on
+    // exactly the correlated shape the Dedup.HashSeeds comment warns
+    // about: templated docs whose shingle sets overlap heavily and vary
+    // in one token. 40 templates x 5 variants, within-template Jaccard
+    // = 35/41 ≈ 0.854 (theory: 1-(1-j^4)^4 ≈ 0.95 candidate rate at 4x4
+    // banding). Fully deterministic, so the floor cannot flake.
+    val s = spark
+    import s.implicits._
+    val cdocs = (0 until 40).flatMap { t =>
+      (0 until 5).map { v =>
+        val words = (0 until 40).map(w => s"tok${t}_$w").updated(37, s"var$v")
+        (t * 10L + v, words.mkString(" "))
+      }
+    }.toDF("doc_id", "text")
+    val exact = Dedup.ngramJaccardPairs(cdocs, 0.8).select("i", "j")
+    val cand = Dedup.lshCandidates(cdocs)
+    val total = exact.count()
+    val missed = exact.join(cand, Seq("i", "j"), "left_anti").count()
+    assert(total >= 400, s"expected the 400 planted pairs, got $total")
+    val recall = 1.0 - missed.toDouble / total
+    assert(recall >= 0.85, s"correlated-corpus recall $recall ($missed/$total missed)")
+  }
+
   test("minhash near-dups verified: no candidate below threshold survives") {
     val nd = Dedup.minhashNearDups(docs, 0.8)
     assert(nd.filter(col("jaccard") < 0.8).count() == 0)

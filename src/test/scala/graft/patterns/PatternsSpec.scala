@@ -107,7 +107,12 @@ class PatternsSpec extends SparkSpec {
       "192.168.0.1", "deadbeefcafe", "0xDEADBEEF00", "12345678",
       "/v1/users/42", "/a/b/", "HTTP/1.1", "HTTP", "GET", "TRACE",
       "200", "0.5", "599", "600", "999", "abc123def", "x", "", "<", "[",
-      "a[1]:", "ab[12]:", "id=42", "<N>", "<_>").mkString(" ")
+      "a[1]:", "ab[12]:", "id=42", "<N>", "<_>",
+      // embedded line terminators: Java's $ matches BEFORE a trailing
+      // \n under find() (= rlike), so these class the same in the native
+      // find()-based path — a matches()-based native path diverged here
+      "03:04:05\n", "200\n", "deadbeefcafe\n", "10.1.2.3\n",
+      "INFO\n").mkString(" ")
     val real = graft.model.Tables.logs(spark, sf)
       .select(col("line")).as[String].take(200)
     val df = (real :+ edges).toSeq.toDF("line")

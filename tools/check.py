@@ -41,6 +41,14 @@ def main(outdir: str, sfdir: str) -> int:
         diff = None
         for c in got.columns:
             a, b = got[c], want[c]
+            # The driver's compare hashes typed values: an int column on one
+            # side vs float on the other (e.g. a DuckDB HUGEINT window sum
+            # arriving as float64) fails there even when the values are
+            # equal — flag it here so local runs match the driver.
+            ka, kb = a.dtype.kind, b.dtype.kind
+            if ka != kb and {ka, kb} <= {"i", "u", "f"} and "f" in (ka, kb):
+                diff = f"col {c}: dtype kind mismatch spark={a.dtype} oracle={b.dtype}"
+                break
             if a.dtype.kind == "f" or b.dtype.kind == "f":
                 ok = ((a - b).abs() < 1e-9) | (a.isna() & b.isna())
             else:
