@@ -27,4 +27,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // ~190 gate queries x several whole-stage-codegen classes each run in
+  // ONE bench JVM; the JDK default 240m code cache fills mid-run and the
+  // JIT falls back to interpreted for whatever compiles late — a uniform
+  // tail-of-run slowdown that vanishes in isolated reruns
+  "-XX:ReservedCodeCacheSize=512m",
 )

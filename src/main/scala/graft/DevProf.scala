@@ -42,6 +42,22 @@ object DevProf {
       }
       spark.stop(); return
     }
+    if (args.contains("gate")) {
+      // repeat-time a named SparkEntry gate in ONE warmed session: run k
+      // splits first-run (codegen compile + fresh-plan) cost from the
+      // steady-state execution a resident query service sees
+      val name = args(args.indexOf("gate") + 1)
+      val n = args.lift(args.indexOf("gate") + 2).map(_.toInt).getOrElse(5)
+      graft.store.Store.ensure(spark, dir)
+      graft.store.Store.warm(spark, dir)
+      val fn = graft.SparkEntry.queries(name)
+      for (i <- 1 to n) {
+        val t0 = System.nanoTime()
+        val rows = fn(spark, dir).count()
+        println(f"$name run$i ${(System.nanoTime() - t0) / 1e9}%7.3f s ($rows rows)")
+      }
+      spark.stop(); return
+    }
     if (args.contains("plan")) {
       // pruning/pushdown audit for the events scan post ts-normalization:
       // the timestampdiff projection must not widen ReadSchema, and the
