@@ -679,6 +679,40 @@ object LlmGates extends GateSet {
       (spark: SparkSession, dir: String) =>
         Curation.semanticDedup(Tables.embeddings(spark, dir), 0.35)
           .orderBy("vec_id"),
-      Some(Curation.semanticDedupOracleSql(0.35)))
+      Some(Curation.semanticDedupOracleSql(0.35))),
+
+    // --- exact-substring duplication profile (Lee et al. 2021 shape) ------
+    Gate("llm_substring_dedup",
+      (spark: SparkSession, dir: String) =>
+        Dedup.substringDups(docs(spark, dir), 12).orderBy("doc_id"),
+      Some(Dedup.substringDupsOracleSql(12))),
+
+    // --- hybrid retrieval: RRF fusion of BM25 and dense cosine ------------
+    // query vector 0 pairs with the fixed BM25 term list; pools 100 deep,
+    // fused top-25
+    Gate("llm_hybrid_rrf",
+      (spark: SparkSession, dir: String) =>
+        Ranking.hybridRrfTopK(docs(spark, dir), Tables.embeddings(spark, dir),
+          Bm25Terms, 0L, 100, 25).orderBy("rank"),
+      Some(Ranking.hybridRrfOracleSql(Bm25Terms, 0L, 100, 25))),
+
+    // --- int8 scalar quantization of the embedding column -----------------
+    Gate("llm_int8_quant",
+      (spark: SparkSession, dir: String) =>
+        Similarity.scalarQuantize(Tables.embeddings(spark, dir))
+          .orderBy("vec_id"),
+      Some(Similarity.scalarQuantizeOracleSql())),
+
+    // --- hashed-feature linear quality scorer (fastText shape) ------------
+    Gate("llm_quality_score",
+      (spark: SparkSession, dir: String) =>
+        Curation.qualityScore(docs(spark, dir)).orderBy("doc_id"),
+      Some(Curation.qualityScoreOracleSql)),
+
+    // --- content-defined chunking: rolling-hash cut points -----------------
+    Gate("llm_cdc_chunk",
+      (spark: SparkSession, dir: String) =>
+        TextOps.cdcChunks(docs(spark, dir)).orderBy("doc_id", "chunk_id"),
+      Some(TextOps.cdcChunksOracleSql()))
   )
 }

@@ -405,6 +405,62 @@ object Curation {
         col("__canon").isNotNull.cast("long").as("is_dup"))
   }
 
+  // --- hashed-feature linear quality scorer --------------------------------
+
+  /** Feature-hash dimensionality of the quality scorer. */
+  val QualityDim = 256
+
+  /** Deterministic md5-derived weights in [-1, 1) with 3 decimal digits —
+    * the same constant-embedding trick as the LSH hyperplanes, so the
+    * DuckDB oracle carries the identical literals. In production these
+    * would be trained offline (fastText-style) and shipped as a constant;
+    * the Spark plumbing is identical either way.
+    */
+  lazy val qualityWeights: Seq[Double] = (0 until QualityDim).map { j =>
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"qw:$j".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    (java.lang.Long.parseLong(md.substring(0, 15), 16) % 2000L - 1000L) / 1000.0
+  }
+
+  /** Model-based quality filtering, fastText linear-classifier shape:
+    * score = σ(mean over tokens of w[h(token) mod D]) with a fixed hashed
+    * unigram weight table. Returns (doc_id, quality, kept) where `kept`
+    * compares the ROUNDED score to 0.5 so the keep decision is made on
+    * the exact same value both engines emit.
+    *
+    * Scale shape: entirely narrow — one md5 + one array lookup per token,
+    * no shuffle, no UDF; the weight table constant-folds into the plan.
+    * (A trained D≈2M table would ship as a broadcast instead of a
+    * literal; the per-row compute is unchanged.)
+    */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val wArr = array(qualityWeights.map(lit): _*)
+    val toks = TextOps.tokens(col("text"))
+    val raw = aggregate(toks, lit(0.0), (acc, t) =>
+      acc + element_at(wArr,
+        (pmod(TextOps.mdhash64(t), lit(QualityDim.toLong)) + 1L).cast("int"))
+    ) / size(toks)
+    val score = round(lit(1.0) / (lit(1.0) + exp(-raw)), 6)
+    docs.select(col("doc_id"), score.as("quality"),
+      (score >= 0.5).cast("long").as("kept"))
+  }
+
+  /** DuckDB twin of [[qualityScore]] — same md5 bucket, same literal
+    * weight table (3-decimal literals parse to identical doubles).
+    */
+  def qualityScoreOracleSql: String = {
+    val wLit = qualityWeights.mkString("[", ", ", "]")
+    val idx = s"((('0x'||substr(md5(t),1,15))::BIGINT) % $QualityDim) + 1"
+    s"""WITH w AS (SELECT $wLit::DOUBLE[] AS wt),
+       |t AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+       |s AS (SELECT doc_id,
+       |    round(1.0/(1.0 + exp(-(list_sum([wt[$idx] for t in ws]) / len(ws)))), 6)
+       |      AS quality
+       |  FROM t, w)
+       |SELECT doc_id, quality, (quality >= 0.5)::BIGINT AS kept
+       |FROM s ORDER BY doc_id""".stripMargin
+  }
+
   def semanticDedupOracleSql(threshold: Double): String = {
     val dot64 = (a: String, b: String) =>
       s"list_sum([$a[i]*$b[i] for i in generate_series(1,64)])"

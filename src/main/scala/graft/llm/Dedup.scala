@@ -223,6 +223,66 @@ object Dedup {
       .select(col("doc_id"), col("bench_id"), col("shared"))
   }
 
+  /** Exact-substring duplication profile (the Lee et al. 2021
+    * "Deduplicating Training Data" shape, re-expressed relationally):
+    * every length-`w` token window of every document is fingerprinted;
+    * a window whose fingerprint occurs in ≥ 2 DISTINCT documents is a
+    * duplicated span. Returns one row per document that has at least one
+    * window: (doc_id, n_windows, n_dup_windows, dup_ratio) — the profile
+    * a pipeline thresholds to drop or trim boilerplate-heavy documents.
+    *
+    * Scale shape: no suffix array and no pairwise work — windows hash to
+    * 8-byte keys (one md5 per window, same [[TextOps.mdhash64]] the
+    * DuckDB oracle replays), the duplicate test is a (hash, doc) distinct
+    * count, and the only joins are equi-joins on the hash. The first
+    * groupBy collapses windows to per-(hash, doc) counts so the
+    * duplicated-hash join fans out over distinct pairs, never raw window
+    * multiplicity.
+    */
+  def substringDups(docs: DataFrame, w: Int = 12): DataFrame = {
+    val base = docs.select(col("doc_id"), TextOps.tokens(col("text")).as("ws"))
+    // positional w-grams — NOT array_distinct'd (multiplicity counts),
+    // built with the shifted-slice zip_with discipline (see
+    // TextOps.shingles for why not transform-with-element_at)
+    val m = greatest(size(col("ws")) - (w - 1), lit(0))
+    val grams = (1 until w).foldLeft(slice(col("ws"), lit(1), m)) { (acc, o) =>
+      zip_with(acc, slice(col("ws"), lit(o + 1), m),
+        (a, b) => concat(a, lit(" "), b))
+    }
+    val g = base.select(col("doc_id"), explode(grams).as("gram"))
+      .select(col("doc_id"), TextOps.mdhash64(col("gram")).as("h"))
+    val perHashDoc = g.groupBy(col("h"), col("doc_id"))
+      .agg(count(lit(1)).as("c"))
+    val dupHashes = perHashDoc.groupBy(col("h"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+      .select(col("h"))
+    val dup = perHashDoc.join(dupHashes, "h")
+      .groupBy(col("doc_id")).agg(sum(col("c")).as("n_dup_windows"))
+    perHashDoc.groupBy(col("doc_id")).agg(sum(col("c")).as("n_windows"))
+      .join(dup, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        round(coalesce(col("n_dup_windows"), lit(0L)) /
+          col("n_windows"), 6).as("dup_ratio"))
+  }
+
+  /** DuckDB twin of [[substringDups]] — same tokenization, same 60-bit
+    * md5 fingerprint, same distinct-doc duplicate test.
+    */
+  def substringDupsOracleSql(w: Int = 12): String =
+    s"""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+       |g AS (SELECT doc_id,
+       |    ('0x'||substr(md5(array_to_string(ws[i:i+${w - 1}], ' ')),1,15))::BIGINT AS h
+       |  FROM t, unnest([x for x in generate_series(1, len(ws)-${w - 1})]) u(i)),
+       |phd AS (SELECT h, doc_id, count(*) AS c FROM g GROUP BY 1, 2),
+       |dh AS (SELECT h FROM phd GROUP BY h HAVING count(*) >= 2),
+       |dup AS (SELECT doc_id, sum(c)::BIGINT AS nd FROM phd JOIN dh USING (h) GROUP BY 1),
+       |tot AS (SELECT doc_id, sum(c)::BIGINT AS nw FROM phd GROUP BY 1)
+       |SELECT t2.doc_id, nw AS n_windows, coalesce(nd, 0)::BIGINT AS n_dup_windows,
+       |  round(coalesce(nd, 0) / nw::DOUBLE, 6) AS dup_ratio
+       |FROM tot t2 LEFT JOIN dup USING (doc_id) ORDER BY doc_id""".stripMargin
+
   /** Incremental dedup: near-dup pairs of NEW docs against an EXISTING
     * corpus — the shape ingestion at scale needs, where the corpus's
     * band buckets are a precomputed index and only the new batch is

