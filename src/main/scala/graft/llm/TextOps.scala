@@ -285,14 +285,20 @@ object TextOps {
         (a, b) => concat(a, lit(" "), b))
     }
     // gram at 0-based index i spans tokens i+1 .. i+g (1-based): a hit
-    // puts a boundary after token i+g
+    // puts a boundary after token i+g. The gram array is STAGED as a
+    // named column before the transform lambda touches it — a lambda
+    // capturing the raw zip_with chain gets the whole gram build inlined
+    // into the per-element loop (no subexpression elimination inside
+    // HOFs), turning the boundary scan O(n²)
     val cutEnds = filter(
-      transform(grams, (gr, i) =>
+      transform(col("grams"), (gr, i) =>
         when(pmod(mdhash64(gr), lit(mask.toLong)) === 0L, i + g)),
       e => e.isNotNull)
     val ends = array_sort(array_distinct(
       concat(cutEnds, array(size(col("ws"))))))
-    base.withColumn("ends", ends)
+    base.withColumn("grams", grams)
+      .withColumn("ends", ends)
+      .drop("grams")
       .select(col("doc_id"), col("ws"), col("ends"),
         posexplode(col("ends")).as(Seq("k", "end")))
       .select(col("doc_id"), col("ws"), col("end"),
