@@ -59,6 +59,31 @@ object LlmGates extends GateSet {
   /** Topic seed terms for the BM25 gate — present in the generator vocab. */
   val Bm25Terms: Seq[String] = Seq("spark", "merge", "window")
 
+  /** The llm_exact_dedup oracle, shared with the streaming_exact_dedup
+    * gate (a single-batch stream replay must reproduce the batch result).
+    */
+  private[gates] val exactDedupOracleSql: String =
+    """WITH h AS (SELECT doc_id,
+      |    md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS hh
+      |  FROM documents),
+      |c AS (SELECT hh, min(doc_id) AS canonical_id FROM h GROUP BY 1)
+      |SELECT h.doc_id, c.canonical_id,
+      |  CAST(h.doc_id <> c.canonical_id AS BIGINT) AS is_dup
+      |FROM h JOIN c USING (hh) ORDER BY 1""".stripMargin
+
+  /** The llm_ngram_jaccard oracle (exact ≥0.8 pair set), shared with the
+    * streaming_incremental_dedup gate: a batched replay must emit exactly
+    * the one-shot pair set regardless of how the corpus is split.
+    */
+  private[gates] def ngramJaccardOracleSql: String =
+    "WITH " + shViews + ",\n" + jaccardSql(
+      s"""rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= ${Dedup.MaxShingleDf}),
+         |shc AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)),
+         |cand AS (
+         |  SELECT DISTINCT sa.doc_id AS i, sb.doc_id AS j
+         |  FROM shc sa JOIN shc sb ON sa.s = sb.s AND sa.doc_id < sb.doc_id)""".stripMargin,
+      0.8)
+
   /** Domain-mix gate rates: src<i> kept at (i mod 5) × 0.25. */
   val MixRates: Map[String, Double] =
     (0 until 20).map(i => s"src$i" -> (i % 5) * 0.25).toMap
@@ -71,14 +96,7 @@ object LlmGates extends GateSet {
         Dedup.exactDedup(docs(spark, dir))
           .select(col("doc_id"), col("canonical_id"), col("is_dup").cast("long"))
           .orderBy("doc_id"),
-      Some(
-        """WITH h AS (SELECT doc_id,
-          |    md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS hh
-          |  FROM documents),
-          |c AS (SELECT hh, min(doc_id) AS canonical_id FROM h GROUP BY 1)
-          |SELECT h.doc_id, c.canonical_id,
-          |  CAST(h.doc_id <> c.canonical_id AS BIGINT) AS is_dup
-          |FROM h JOIN c USING (hh) ORDER BY 1""".stripMargin)),
+      Some(exactDedupOracleSql)),
 
     // --- MinHash-LSH near-dup: banded buckets → candidates → exact verify -
     Gate("llm_minhash_lsh",
@@ -103,13 +121,7 @@ object LlmGates extends GateSet {
         Dedup.nearDupPairs(docs(spark, dir), 0.8)
           .select(col("i"), col("j"), round(col("jaccard"), 6).as("jaccard"))
           .orderBy("i", "j"),
-      Some("WITH " + shViews + ",\n" + jaccardSql(
-        s"""rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= ${Dedup.MaxShingleDf}),
-           |shc AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)),
-           |cand AS (
-           |  SELECT DISTINCT sa.doc_id AS i, sb.doc_id AS j
-           |  FROM shc sa JOIN shc sb ON sa.s = sb.s AND sa.doc_id < sb.doc_id)""".stripMargin,
-        0.8))),
+      Some(ngramJaccardOracleSql)),
 
     // --- winnowing document fingerprints (MOSS scheme): k-gram hashes →
     // min per w-window → distinct; the rolling-hash serial recurrence is

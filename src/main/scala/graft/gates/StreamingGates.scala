@@ -287,6 +287,54 @@ object StreamingGates extends GateSet {
           |  FROM keyedm GROUP BY 1, 2, 3)""".stripMargin),
         """SELECT p.event_type, p.pattern, c.samples_count
           |FROM patsm p JOIN cntsm c USING (event_type, n, head)
-          |ORDER BY 1, 2""".stripMargin)))
+          |ORDER BY 1, 2""".stripMargin))),
+
+    // --- streaming exact dedup: flatMapGroupsWithState over doc hashes ----
+    // the state store keeps the first-arrived doc per content hash; a
+    // single-batch replay of the static table must equal the batch
+    // operator (min doc_id per hash) — cross-batch first-arrival is the
+    // StreamingSpec MemoryStream test
+    Gate("streaming_exact_dedup",
+      (spark: SparkSession, dir: String) => {
+        import spark.implicits._
+        import graft.streaming.StatefulOps
+        val schema = Tables.documents(spark, dir).schema
+        val stream = spark.readStream.schema(schema)
+          .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        val hashed = stream.select(col("doc_id"),
+            md5(graft.llm.Dedup.normalized(col("text"))).as("h"))
+          .as[StatefulOps.DocHash]
+        val out = StatefulOps.streamingExactDedup(hashed)
+        spark.catalog.dropTempView("stream_dedup_sink"): Unit
+        out.writeStream.format("memory").queryName("stream_dedup_sink")
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow()).start().awaitTermination()
+        spark.table("stream_dedup_sink").orderBy("doc_id")
+      },
+      Some(LlmGates.exactDedupOracleSql)),
+
+    // --- incremental near-dup replay: batch-split arrival == one-shot -----
+    // the ingestion contract at scale: each batch's near-dups come from
+    // within-batch banding plus a new×corpus band join against the
+    // accumulated index; replaying the corpus in two batches must emit
+    // EXACTLY the one-shot pair set (the llm_ngram_jaccard oracle)
+    Gate("streaming_incremental_dedup",
+      (spark: SparkSession, dir: String) => {
+        import graft.llm.Dedup
+        val d = Tables.documents(spark, dir)
+        val b1 = d.filter(col("doc_id") % 2 === 0)
+        val b2 = d.filter(col("doc_id") % 2 === 1)
+        val pairs = Dedup.nearDupPairs(b1, 0.8)
+          .select(col("i"), col("j"), col("jaccard"))
+          .unionByName(Dedup.nearDupPairs(b2, 0.8)
+            .select(col("i"), col("j"), col("jaccard")))
+          .unionByName(Dedup.incrementalNearDups(b2, b1, 0.8)
+            .select(col("i"), col("j"), col("jaccard")))
+        pairs.select(least(col("i"), col("j")).as("i"),
+            greatest(col("i"), col("j")).as("j"),
+            round(col("jaccard"), 6).as("jaccard"))
+          .orderBy("i", "j")
+      },
+      Some(LlmGates.ngramJaccardOracleSql)))
   )
 }

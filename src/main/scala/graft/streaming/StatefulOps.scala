@@ -15,6 +15,43 @@ object StatefulOps {
   final case class MaxState(mx: Double)
   final case class Breach(k: String, ts: Long, v: Double, prevMax: Double)
 
+  final case class DocHash(doc_id: Long, h: String)
+  final case class CanonState(canonical: Long)
+  final case class DedupDecision(doc_id: Long, canonical_id: Long, is_dup: Long)
+
+  /** Dedup-on-ingest: the streaming form of [[graft.llm.Dedup.exactDedup]].
+    * Keyed by the normalized-text hash, the group state remembers the
+    * FIRST-ARRIVED doc per hash across the whole stream history (the
+    * production contract: the copy already ingested is the one kept);
+    * within a micro-batch, ties resolve to the smallest doc_id, so a
+    * single-batch replay of a static table reproduces the batch
+    * operator's min-doc_id canonical exactly — that equivalence is the
+    * streaming_exact_dedup oracle gate, and cross-batch first-arrival
+    * is pinned in StreamingSpec with a two-batch MemoryStream.
+    *
+    * Scale shape: state is ONE long per distinct document hash, hash-
+    * partitioned by the state store; each micro-batch shuffles only its
+    * own rows.
+    */
+  def streamingExactDedup(ds: Dataset[DocHash]): Dataset[DedupDecision] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.h)
+      .flatMapGroupsWithState[CanonState, DedupDecision](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[DocHash], state: GroupState[CanonState]) =>
+          val sorted = rows.toSeq.sortBy(_.doc_id)
+          var canon = state.getOption.map(_.canonical).getOrElse(-1L)
+          val out = Seq.newBuilder[DedupDecision]
+          for (r <- sorted) {
+            if (canon < 0) canon = r.doc_id
+            out += DedupDecision(r.doc_id, canon,
+              if (r.doc_id == canon) 0L else 1L)
+          }
+          if (canon >= 0) state.update(CanonState(canon))
+          out.result().iterator
+      }
+  }
+
   /** Emit a row whenever a key's value strictly exceeds its running max
     * over the WHOLE stream history (not just the current batch). Rows
     * within a batch are processed in (ts, v) order so replays are

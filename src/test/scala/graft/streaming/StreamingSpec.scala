@@ -188,4 +188,47 @@ class StreamingSpec extends SparkSpec {
       assert(s.getAs[Long]("samples_count") == o.getAs[Long]("samples_count"))
     }
   }
+
+  test("streaming exact dedup: first-ARRIVED copy stays canonical across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.TestSpark.spark.implicits._
+    import StatefulOps._
+    val mem = MemoryStream[DocHash]
+    val out = streamingExactDedup(mem.toDS())
+    val q = out.writeStream.format("memory").queryName("sed_sink")
+      .outputMode("append").start()
+    try {
+      // batch 1: doc 10 introduces hash hA; within-batch tie 7 vs 9 on hB
+      mem.addData(DocHash(10L, "hA"), DocHash(9L, "hB"), DocHash(7L, "hB"))
+      q.processAllAvailable()
+      // batch 2: doc 3 repeats hA — SMALLER id, but 10 arrived first and
+      // stays canonical (the already-ingested copy is the one kept)
+      mem.addData(DocHash(3L, "hA"), DocHash(11L, "hB"))
+      q.processAllAvailable()
+      val got = spark.table("sed_sink").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(got(10L) == (10L, 0L))
+      assert(got(3L) == (10L, 1L)) // first-arrival beats smaller id
+      assert(got(7L) == (7L, 0L) && got(9L) == (7L, 1L)) // in-batch: min id
+      assert(got(11L) == (7L, 1L)) // state persisted across batches
+    } finally q.stop()
+  }
+
+  test("incremental near-dup replay is split-invariant: 3-way == one-shot") {
+    import graft.llm.Dedup
+    import graft.model.Tables
+    val d = Tables.documents(spark, sf)
+    val parts = (0 to 2).map(r => d.filter(col("doc_id") % 3 === r))
+    // replay: each batch checks within itself and against all earlier ones
+    val replayed = parts.zipWithIndex.flatMap { case (b, i) =>
+      Dedup.nearDupPairs(b, 0.8).select(col("i"), col("j")) +:
+        parts.take(i).map(prev =>
+          Dedup.incrementalNearDups(b, prev, 0.8).select(col("i"), col("j")))
+    }.reduce(_ unionByName _)
+      .select(least(col("i"), col("j")).as("i"),
+        greatest(col("i"), col("j")).as("j"))
+    val oneShot = Dedup.nearDupPairs(d, 0.8).select(col("i"), col("j"))
+    assert(replayed.exceptAll(oneShot).count() == 0)
+    assert(oneShot.exceptAll(replayed).count() == 0)
+  }
 }
