@@ -336,5 +336,4 @@ object StreamingGates extends GateSet {
           .orderBy("i", "j")
       },
       Some(LlmGates.ngramJaccardOracleSql)))
-  )
 }
