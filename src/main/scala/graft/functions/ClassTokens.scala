@@ -60,8 +60,17 @@ object ClassTokensUtil extends Serializable {
     s
   }
 
-  /** Exact port of the Column when-chain, same precedence. */
-  def classTok(t: String): String = {
+  /** Exact port of the Column when-chain, same precedence. Trailing line
+    * terminators are stripped before classing: Java `$` matches before a
+    * trailing `\n` but DuckDB's RE2 does not, so a token like `"1.2.3.4\n"`
+    * would class `<IP>` here and `<N>.<N>.<N>.<N>\n` in the oracle —
+    * stripping on all three sides (native / Column / DuckDB) makes the
+    * newline question moot.
+    */
+  def classTok(raw: String): String = {
+    var e = raw.length
+    while (e > 0 && { val c = raw.charAt(e - 1); c == '\n' || c == '\r' }) e -= 1
+    val t = if (e == raw.length) raw else raw.substring(0, e)
     if (t.isEmpty) return t
     val first = t.charAt(0)
     val digitFirst = first >= '0' && first <= '9'

@@ -285,6 +285,47 @@ object ProfGates extends GateSet {
         """SELECT event_type, pattern, count(*) AS samples_count
           |FROM cmask GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))),
 
+    // --- trailing-newline edge tokens, oracle-backed: tokens carrying
+    // trailing \n / \r\n must class identically in the native classer and
+    // the DuckDB mirror (Java '$' matches before a trailing \n, RE2 '$'
+    // does not — both sides strip trailing [\r\n]+ before classing) ------
+    Gate("patterns_class_edge",
+      (spark: SparkSession, dir: String) => {
+        val logs = Tables.logs(spark, dir)
+        val u = element_at(col("labels"), "user")
+        val h = md5(u)
+        val uuid = concat_ws("-", substring(h, 1, 8), substring(h, 9, 4),
+          substring(h, 13, 4), substring(h, 17, 4), substring(h, 21, 12))
+        val ip = concat(lit("10.0."),
+          pmod(u.cast("long"), lit(250)).cast("string"), lit(".7"))
+        val base = array(uuid, ip, lit("2024-01-02T03:04:05Z"),
+          lit("03:04:05"), concat(lit("/api/u"), u, lit("/get")),
+          lit("ERROR"), lit("GET"), lit("HTTP/1.1"),
+          concat(u, lit("ms")), lit("deadbeef00"), u)
+        val edged = flatten(array(
+          transform(base, t => concat(t, lit("\n"))),
+          transform(base, t => concat(t, lit("\r\n")))))
+        logs.select(u.as("user"),
+            concat_ws(" ", graft.functions.ClassTokens(edged)).as("classed"))
+          .distinct().orderBy("user")
+      },
+      Some(OracleViews.withViews(Seq(OracleViews.logs,
+        """ebase AS (SELECT DISTINCT "user",
+          |    [substr(md5("user"),1,8)||'-'||substr(md5("user"),9,4)||'-'||
+          |       substr(md5("user"),13,4)||'-'||substr(md5("user"),17,4)||'-'||
+          |       substr(md5("user"),21,12),
+          |     '10.0.'||CAST(CAST("user" AS BIGINT) % 250 AS VARCHAR)||'.7',
+          |     '2024-01-02T03:04:05Z', '03:04:05',
+          |     '/api/u'||"user"||'/get', 'ERROR', 'GET', 'HTTP/1.1',
+          |     "user"||'ms', 'deadbeef00', "user"] AS base
+          |  FROM logs)""".stripMargin,
+        s"""eclassed AS (SELECT "user", array_to_string(
+           |    [${Patterns.duckClassTok("w || chr(10)")} for w in base] ||
+           |    [${Patterns.duckClassTok("w || chr(13) || chr(10)")} for w in base],
+           |    ' ') AS classed
+           |  FROM ebase)""".stripMargin),
+        """SELECT "user", classed FROM eclassed ORDER BY "user""""))),
+
     // --- HTTP access-log + syslog classes: method/code/version kept as
     // valuable literals, CLF timestamp halves, RFC5424 priority, and
     // prog[pid]: masking (clustering/_lexer.go:40-130, pattern.go:47-62) --

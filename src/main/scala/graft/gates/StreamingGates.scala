@@ -306,9 +306,24 @@ object StreamingGates extends GateSet {
           .as[StatefulOps.DocHash]
         val out = StatefulOps.streamingExactDedup(hashed)
         spark.catalog.dropTempView("stream_dedup_sink"): Unit
-        out.writeStream.format("memory").queryName("stream_dedup_sink")
+        val q = out.writeStream.format("memory").queryName("stream_dedup_sink")
           .outputMode("append")
-          .trigger(Trigger.AvailableNow()).start().awaitTermination()
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        // the oracle equivalence (first-arrival == min doc_id) silently
+        // assumes (a) the glob matched the single generator-written file —
+        // a multi-file layout would stream 0/partial rows — and (b) the
+        // whole table arrived in ONE micro-batch; fail loudly if either
+        // layout assumption ever breaks instead of diverging downstream
+        val streamed = q.recentProgress.map(_.numInputRows).sum
+        val expected = Tables.documents(spark, dir).count()
+        require(streamed == expected,
+          s"streaming_exact_dedup streamed $streamed of $expected rows — " +
+            "pathGlobFilter/layout assumption broken")
+        val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+        require(dataBatches == 1,
+          s"streaming_exact_dedup ran $dataBatches data micro-batches — " +
+            "single-batch first-arrival no longer equals min(doc_id)")
         spark.table("stream_dedup_sink").orderBy("doc_id")
       },
       Some(LlmGates.exactDedupOracleSql)),

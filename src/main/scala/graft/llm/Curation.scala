@@ -450,11 +450,14 @@ object Curation {
     */
   def qualityScoreOracleSql: String = {
     val wLit = qualityWeights.mkString("[", ", ", "]")
-    val idx = s"((('0x'||substr(md5(t),1,15))::BIGINT) % $QualityDim) + 1"
+    // the comprehension binding is deliberately NOT named `t`: it would
+    // shadow the CTE alias `t` below (works in DuckDB today, but a scoping
+    // change would silently hash the wrong value instead of erroring)
+    val idx = s"((('0x'||substr(md5(tok),1,15))::BIGINT) % $QualityDim) + 1"
     s"""WITH w AS (SELECT $wLit::DOUBLE[] AS wt),
        |t AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
        |s AS (SELECT doc_id,
-       |    round(1.0/(1.0 + exp(-(list_sum([wt[$idx] for t in ws]) / len(ws)))), 6)
+       |    round(1.0/(1.0 + exp(-(list_sum([wt[$idx] for tok in ws]) / len(ws)))), 6)
        |      AS quality
        |  FROM t, w)
        |SELECT doc_id, quality, (quality >= 0.5)::BIGINT AS kept

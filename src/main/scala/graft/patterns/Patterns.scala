@@ -46,7 +46,11 @@ object Patterns {
     * which admits "0.5". Common-log `[dd/Mon/yyyy:hh:mm:ss +zzzz]`
     * timestamps arrive as two space-split tokens — both class `<TS>`.
     */
-  def classTok(t: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+  def classTok(rawTok: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    // trailing line terminators are stripped before classing (all three
+    // forms — native / Column / DuckDB — agree; Java '$' matches before a
+    // trailing \n, RE2 '$' does not, so the strip removes the divergence)
+    val t = regexp_replace(rawTok, "[\\r\\n]+$", "")
     // cheap structural guards in front of each full-token regex: most
     // tokens are plain words and skip every regex after one length /
     // first-char comparison
@@ -78,9 +82,12 @@ object Patterns {
   }
 
   /** The DuckDB mirror of [[classTok]] — same classes, same precedence —
-    * shared by every oracle that re-derives the classing in SQL.
+    * shared by every oracle that re-derives the classing in SQL. Like the
+    * Spark forms it strips trailing line terminators before classing
+    * (RE2 `$` does not match before a trailing newline, Java `$` does).
     */
-  def duckClassTok(w: String): String =
+  def duckClassTok(rawW: String): String = {
+    val w = raw"regexp_replace($rawW, '[\r\n]+$$', '')"
     raw"""CASE
        | WHEN regexp_matches($w, '^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$$') THEN '<UUID>'
        | WHEN regexp_matches($w, '^<\d+>$$') THEN '<PRI>'
@@ -98,6 +105,7 @@ object Patterns {
        | WHEN length($w) = 3 AND regexp_matches($w, '^[0-5]') AND regexp_matches($w, '^\d+(\.\d+)?$$') THEN $w
        | ELSE regexp_replace($w, '[0-9]+', '<N>', 'g') END"""
       .stripMargin.replace("\n", "")
+  }
 
   /** One native compiled pass (graft.functions.ClassTokens) — the
     * `transform(..., classTok(_))` higher-order form ran the whole

@@ -108,11 +108,13 @@ class PatternsSpec extends SparkSpec {
       "/v1/users/42", "/a/b/", "HTTP/1.1", "HTTP", "GET", "TRACE",
       "200", "0.5", "599", "600", "999", "abc123def", "x", "", "<", "[",
       "a[1]:", "ab[12]:", "id=42", "<N>", "<_>",
-      // embedded line terminators: Java's $ matches BEFORE a trailing
-      // \n under find() (= rlike), so these class the same in the native
-      // find()-based path — a matches()-based native path diverged here
+      // embedded line terminators: all three classer forms strip trailing
+      // [\r\n]+ before classing (Java '$' matches before a trailing \n,
+      // DuckDB's RE2 '$' does not — stripping removes the divergence), so
+      // "10.1.2.3\n" classes <IP> and "INFO\n" stays the INFO literal
       "03:04:05\n", "200\n", "deadbeefcafe\n", "10.1.2.3\n",
-      "INFO\n").mkString(" ")
+      "INFO\n", "ERROR\r\n", "10.1.2.3\r\n", "03:04:05\r", "\n", "\r\n",
+      "a\nb", "42\n\n").mkString(" ")
     val real = graft.model.Tables.logs(spark, sf)
       .select(col("line")).as[String].take(200)
     val df = (real :+ edges).toSeq.toDF("line")

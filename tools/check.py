@@ -46,9 +46,13 @@ def main(outdir: str, sfdir: str) -> int:
             # arriving as float64) fails there even when the values are
             # equal — flag it here so local runs match the driver.
             ka, kb = a.dtype.kind, b.dtype.kind
+            dtype_diff = None
             if ka != kb and {ka, kb} <= {"i", "u", "f"} and "f" in (ka, kb):
-                diff = f"col {c}: dtype kind mismatch spark={a.dtype} oracle={b.dtype}"
-                break
+                # record it but still run the value comparison below: when a
+                # nullable int column holds NULLs on one side, pandas coerces
+                # that side to float64 and the per-row value diff (the
+                # actionable part) would otherwise be hidden
+                dtype_diff = f"col {c}: dtype kind mismatch spark={a.dtype} oracle={b.dtype}"
             if a.dtype.kind == "f" or b.dtype.kind == "f":
                 ok = ((a - b).abs() < 1e-9) | (a.isna() & b.isna())
             else:
@@ -56,6 +60,11 @@ def main(outdir: str, sfdir: str) -> int:
             if not ok.all():
                 i = ok.idxmin()
                 diff = f"col {c} row {i}: spark={a[i]!r} oracle={b[i]!r}"
+                if dtype_diff:
+                    diff = f"{dtype_diff}; {diff}"
+                break
+            if dtype_diff:
+                diff = dtype_diff
                 break
         if diff:
             print(f"FAIL {name}: {diff}"); n_fail += 1
