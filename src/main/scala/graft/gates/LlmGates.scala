@@ -329,16 +329,18 @@ object LlmGates extends GateSet {
         val dot64 = (a: String, b: String) =>
           s"list_sum([$a[i]*$b[i] for i in generate_series(1,64)])"
         s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |pn AS (SELECT GREATEST(8, length(bin(GREATEST(count(*), 2) - 1))) AS pl FROM e),
            |w AS (SELECT t, p, d,
            |    ((('0x'||substr(md5(t::VARCHAR||'|'||p::VARCHAR||'|'||d::VARCHAR),1,15))::BIGINT % 2000) - 1000)/1000.0 AS wt
-           |  FROM generate_series(0,3) tt(t), generate_series(0,7) pp(p),
-           |       generate_series(0,63) dd(d)),
+           |  FROM generate_series(0,3) tt(t), generate_series(0,63) pp(p),
+           |       generate_series(0,63) dd(d)
+           |  WHERE p < (SELECT pl FROM pn)),
            |wl AS (SELECT t, p, list(wt ORDER BY d) AS wv FROM w GROUP BY 1, 2),
            |dots AS (SELECT e.vec_id, wl.t, wl.p,
            |    ${dot64("e.v", "wl.wv")} AS dot
            |  FROM e CROSS JOIN wl),
            |bkt AS (SELECT vec_id, t,
-           |    sum(CASE WHEN dot >= 0 THEN 1 << p ELSE 0 END) AS bkt
+           |    sum(CASE WHEN dot >= 0 THEN 1::BIGINT << p ELSE 0 END) AS bkt
            |  FROM dots GROUP BY 1, 2),
            |cand AS (SELECT DISTINCT q.vec_id AS qid, c.vec_id AS nid
            |  FROM bkt q JOIN bkt c ON q.t = c.t AND q.bkt = c.bkt
@@ -494,16 +496,18 @@ object LlmGates extends GateSet {
            |     for i in generate_series(1,64)] AS v
            |  FROM e0 WHERE vec_id % 50 = 0),
            |e AS (SELECT * FROM e0 UNION ALL SELECT * FROM ep),
+           |pn AS (SELECT GREATEST(8, length(bin(GREATEST(count(*), 2) - 1))) AS pl FROM e),
            |w AS (SELECT t, p, d,
            |    ((('0x'||substr(md5(t::VARCHAR||'|'||p::VARCHAR||'|'||d::VARCHAR),1,15))::BIGINT % 2000) - 1000)/1000.0 AS wt
-           |  FROM generate_series(0,3) tt(t), generate_series(0,7) pp(p),
-           |       generate_series(0,63) dd(d)),
+           |  FROM generate_series(0,3) tt(t), generate_series(0,63) pp(p),
+           |       generate_series(0,63) dd(d)
+           |  WHERE p < (SELECT pl FROM pn)),
            |wl AS (SELECT t, p, list(wt ORDER BY d) AS wv FROM w GROUP BY 1, 2),
            |dots AS (SELECT e.vec_id, wl.t, wl.p,
            |    ${dot64("e.v", "wl.wv")} AS dot
            |  FROM e CROSS JOIN wl),
            |bkt AS (SELECT vec_id, t,
-           |    sum(CASE WHEN dot >= 0 THEN 1 << p ELSE 0 END) AS bkt
+           |    sum(CASE WHEN dot >= 0 THEN 1::BIGINT << p ELSE 0 END) AS bkt
            |  FROM dots GROUP BY 1, 2),
            |cand AS (SELECT DISTINCT a.vec_id AS i, b.vec_id AS j
            |  FROM bkt a JOIN bkt b ON a.t = b.t AND a.bkt = b.bkt

@@ -44,9 +44,22 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
-  val Planes = 8  // planes per table → 256 buckets/table
+  val Planes = 8  // FLOOR of planes per table (≥ 256 buckets/table)
   val Tables = 4  // independent hash tables (multi-table LSH)
   val Dims = 64   // embedding dimensionality (embeddings.parquet)
+
+  /** Planes per table scale with corpus size: `max(8, ⌈log₂(N)⌉)` — a FIXED
+    * plane count makes bucket count constant, so candidate pairs grow
+    * ~N²/2^P per table (the round-11 sf1 run measured embed_neardup 64× at
+    * 10× rows). With ~N buckets the expected bucket size is O(1) and
+    * candidate volume ~N·T — the same argument as the sqrt-N IVF centroid
+    * spacing. Integer-exact bit-length form (`64 - nlz(N-1)`), mirrored in
+    * the oracle as `length(bin(N-1))`, so both engines derive the identical
+    * plane count at any scale factor.
+    */
+  def planesFor(corpusRows: Long): Int =
+    math.max(Planes,
+      64 - java.lang.Long.numberOfLeadingZeros(math.max(corpusRows, 2L) - 1))
 
   /** Deterministic pseudo-random hyperplane weight for (table, plane, dim):
     * md5-derived value scaled to [-1, 1) — the same 60-bit md5 hash the
@@ -61,10 +74,10 @@ object Similarity {
     (java.lang.Long.parseLong(md.substring(0, 15), 16) % 2000L - 1000L) / 1000.0
   }
 
-  /** Sign-bucket of a vector under table t's P hyperplanes. */
-  def lshBucket(emb: Column, t: Int): Column = {
+  /** Sign-bucket of a vector under table t's `planes` hyperplanes. */
+  def lshBucket(emb: Column, t: Int, planes: Int = Planes): Column = {
     val e = asDouble(emb)
-    val dots = (0 until Planes).map { p =>
+    val dots = (0 until planes).map { p =>
       val w = typedLit((0 until Dims).map(d => planeWeight(t, p, d)))
       aggregate(zip_with(e, w, (v, wd) => v * wd), lit(0.0), (acc, v) => acc + v)
     }
@@ -74,9 +87,10 @@ object Similarity {
   }
 
   /** All (table, bucket) keys of a vector — one row per table. */
-  private def withBuckets(df: DataFrame, idCol: String, embCol: String): DataFrame = {
+  private def withBuckets(df: DataFrame, idCol: String, embCol: String,
+      planes: Int): DataFrame = {
     val keys = (0 until Tables).map(t =>
-      struct(lit(t).as("tbl"), lshBucket(col(embCol), t).as("bkt")))
+      struct(lit(t).as("tbl"), lshBucket(col(embCol), t, planes).as("bkt")))
     df.select(col(idCol), asDouble(col(embCol)).as(embCol),
         explode(array(keys: _*)).as("tb"))
       .select(col(idCol), col(embCol), col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
@@ -89,11 +103,14 @@ object Similarity {
     * (buckets ≈ N/2^P), and the verify only scores candidates.
     */
   def embeddingNearDups(corpus: DataFrame, threshold: Double): DataFrame = {
-    // materialized once: the 64 hyperplane dot products per vector would
+    // one metadata-cheap count per index build picks the log₂(N)-scaled
+    // plane count (same pattern as centroidModFor)
+    val planes = planesFor(corpus.count())
+    // materialized once: the hyperplane dot products per vector would
     // otherwise re-run on BOTH sides of the bucket self-join
     val b = graft.model.Materialize(
       withBuckets(corpus.select(col("vec_id"), col("embedding")),
-        "vec_id", "embedding"))
+        "vec_id", "embedding", planes))
     val cand = b.as("a").join(b.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bkt") === col("b.bkt") &&
           col("a.vec_id") < col("b.vec_id"))
@@ -170,9 +187,10 @@ object Similarity {
     * tables or brute force — see LlmSpec's recall property test.
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
-    val q = withBuckets(queries.select(col("vec_id").as("qid"), col("embedding")), "qid", "embedding")
+    val planes = planesFor(corpus.count())
+    val q = withBuckets(queries.select(col("vec_id").as("qid"), col("embedding")), "qid", "embedding", planes)
       .withColumnRenamed("embedding", "qe")
-    val c = withBuckets(corpus.select(col("vec_id").as("nid"), col("embedding")), "nid", "embedding")
+    val c = withBuckets(corpus.select(col("vec_id").as("nid"), col("embedding")), "nid", "embedding", planes)
       .withColumnRenamed("embedding", "ne")
     val cand = c.join(broadcast(q), Seq("tbl", "bkt"))
       .filter(col("qid") =!= col("nid"))
