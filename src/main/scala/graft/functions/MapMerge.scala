@@ -26,8 +26,11 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object MapMergeUtil extends Serializable {
 
-  /** Growable (keys, vals) pair list with remove-then-append upsert. */
-  private final class Pairs(sizeHint: Int) {
+  /** Growable (keys, vals) pair list with remove-then-append upsert.
+    * Shared with [[TraceAttrsUtil]], which folds flattened span attrs with
+    * the same last-wins entry-order semantics.
+    */
+  private[functions] final class Pairs(sizeHint: Int) {
     private var keys = new Array[AnyRef](math.max(sizeHint, 8))
     private var vals = new Array[AnyRef](math.max(sizeHint, 8))
     private var n = 0

@@ -211,9 +211,18 @@ object WireFormats {
       emptyEntryArr)
   }
 
-  private def traceAttrsToMap(attrs: org.apache.spark.sql.Column) =
+  /** Composed-HOF executable spec of the trace-attr flattening — kept for
+    * the OtlpBodySpec differential test; the decode path runs the native
+    * one-pass [[graft.functions.TraceAttrs.flatten]] (the recursive
+    * transform/flatten/coalesce tree here is interpreted per element and
+    * ran twice per span).
+    */
+  private[graft] def traceAttrsToMapSpec(attrs: org.apache.spark.sql.Column) =
     MapOps.entriesToMapLastWins(flatten(transform(attrs, a =>
       traceAttrEntries(a.getField("key"), a.getField("value"), OtlpNestDepth))))
+
+  private def traceAttrsToMap(attrs: org.apache.spark.sql.Column) =
+    graft.functions.TraceAttrs.flatten(attrs)
 
   /** LOG-label flattening (`otlplogs.go:98-101` writeAttrValue): keys pass
     * through SanitizeKey, values through SanitizeValue (unsupported kinds
@@ -452,18 +461,27 @@ object WireFormats {
     * `timestamp` (ms) scales to ns (the reference's now() fallback is
     * nondeterministic and intentionally omitted — such rows keep null).
     */
-  def decodeDatadogLogs(bodies: DataFrame,
-      ingestTsNs: Option[Long] = None): DataFrame = {
+  /** Composed-HOF executable spec of the ddtags parse — kept for the
+    * differential test; the decode path runs the native one-pass
+    * [[graft.functions.DatadogTags.parse]].
+    */
+  private[graft] def datadogTagsSpec(ddtags: org.apache.spark.sql.Column) = {
     val keyRe = """^([\p{L}][\p{L}_0-9\-.\\/]*):"""
     val valRe = """^[\p{L}][\p{L}_0-9\-.\\/]*:([\p{L}_0-9\-.\\/:]+)"""
     // duplicate tag keys ("env:a,env:b") dedupe last-wins — map_from_entries
     // would throw DUPLICATED_MAP_KEY and fail the whole decode batch
-    val tags = MapOps.entriesToMapLastWins(transform(
-      filter(transform(split(coalesce(col("l.ddtags"), lit("")), ","),
+    MapOps.entriesToMapLastWins(transform(
+      filter(transform(split(coalesce(ddtags, lit("")), ","),
         t => struct(regexp_extract(t, keyRe, 1).as("k"),
           regexp_extract(t, valRe, 1).as("v"))),
         e => e.getField("k") =!= "" && e.getField("v") =!= ""),
       e => map(e.getField("k"), e.getField("v"))))
+  }
+
+  def decodeDatadogLogs(bodies: DataFrame,
+      ingestTsNs: Option[Long] = None): DataFrame = {
+    val tags = graft.functions.DatadogTags.parse(
+      coalesce(col("l.ddtags"), lit("")))
     bodies
       .select(explode(from_json(col("body"), datadogLogsSchema)).as("l"))
       .withColumn("tags", tags)

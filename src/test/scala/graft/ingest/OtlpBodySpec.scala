@@ -234,6 +234,22 @@ class OtlpBodySpec extends SparkSpec {
     assert(l1("""{"msg":"doc2"}""")("_index") == "logs2")
   }
 
+  test("native DatadogTagsParse equals the composed-HOF spec form") {
+    val s = spark
+    import s.implicits._
+    val cases = Seq(
+      "env:prod,team:sre", "env:a,env:b", "env:prod:x,9bad:skip,ok:a.b/c",
+      "", ",", "noval,:nokey,k:", "a:1,,b:2,", "Ärger:umlaut-Ök",
+      "path:/var/log\\x,tail:a:b:c", "UPPER:CASE", "k-1.2/3:v-4.5/6:7",
+      null)
+    val df = cases.toDF("t")
+    val both = df.select(
+      to_json(graft.functions.DatadogTags.parse(coalesce(col("t"), lit(""))))
+        .as("n"),
+      to_json(WireFormats.datadogTagsSpec(col("t"))).as("s")).collect()
+    both.foreach(r => assert(r.getString(0) == r.getString(1), r.toString))
+  }
+
   test("missing / unsupported body renders as empty string") {
     val s = spark
     import s.implicits._
@@ -323,6 +339,73 @@ class OtlpBodySpec extends SparkSpec {
     assert(attrs("ratio") == "2.500000")     // fmt %f: fixed six decimals
     assert(!attrs.contains("blob"))          // bytes: no case in the switch
     assert(!attrs.contains("ports"))
+  }
+
+  test("native TraceAttrFlatten equals the composed-HOF spec form") {
+    val s = spark
+    import s.implicits._
+    // every shape the flattener handles: scalar kinds (bytes dropped),
+    // kvlist and array nesting to the depth bound and BEYOND it (decodes
+    // null → no entries), kvlist-in-array, dup keys colliding after the
+    // dotted flatten (last-wins, entry moves to the end), empty values
+    // arrays, absent values, dotted raw keys
+    val attrCases = Seq(
+      """[{"key":"s","value":{"stringValue":"x"}},
+        |{"key":"i","value":{"intValue":"42"}},
+        |{"key":"d","value":{"doubleValue":2.5}},
+        |{"key":"dneg","value":{"doubleValue":-0.125}},
+        |{"key":"b","value":{"boolValue":true}},
+        |{"key":"bytes","value":{"bytesValue":"aGk="}}]""",
+      """[{"key":"env","value":{"kvlistValue":{"values":[
+        |{"key":"region","value":{"stringValue":"eu"}},
+        |{"key":"deep","value":{"kvlistValue":{"values":[
+        |{"key":"z","value":{"kvlistValue":{"values":[
+        |{"key":"edge","value":{"stringValue":"at-bound"}},
+        |{"key":"past-bound","value":{"kvlistValue":{"values":[
+        |{"key":"gone","value":{"stringValue":"dropped"}}]}}}]}}},
+        |{"key":"keep","value":{"intValue":"7"}}]}}}]}}},
+        |{"key":"env.region","value":{"stringValue":"OVERRIDES"}}]""",
+      """[{"key":"arr","value":{"arrayValue":{"values":[
+        |{"intValue":"80"},
+        |{"kvlistValue":{"values":[{"key":"k","value":{"boolValue":false}}]}},
+        |{"arrayValue":{"values":[{"stringValue":"deep"}]}}]}}},
+        |{"key":"empty","value":{"kvlistValue":{"values":[]}}},
+        |{"key":"novalue"},
+        |{"key":"dup","value":{"stringValue":"first"}},
+        |{"key":"dup","value":{"stringValue":"last"}}]""",
+      """[]""").map(_.stripMargin)
+    val reqs = attrCases.map(a =>
+      s"""{"resourceSpans":[{"resource":{"attributes":${a.replace("\n", "")}},
+         |"scopeSpans":[{"spans":[{"traceId":"t","spanId":"s","name":"op",
+         |"startTimeUnixNano":"1","endTimeUnixNano":"2",
+         |"attributes":${a.replace("\n", "")}}]}]}]}"""
+        .stripMargin.replace("\n", ""))
+    val parsed = reqs.toDF("body")
+      .select(explode(from_json(col("body"), WireFormats.otlpTracesSchema)
+        .getField("resourceSpans")).as("rs"))
+      .select(col("rs.resource.attributes").as("ra"),
+        explode(col("rs.scopeSpans")).as("ss"))
+      .select(col("ra"), explode(col("ss.spans")).as("sp"))
+      .select(col("ra"), col("sp.attributes").as("sa"))
+    // to_json is entry-order sensitive — the comparison pins order too
+    val both = parsed.select(
+      to_json(graft.functions.TraceAttrs.flatten(col("ra"))).as("nr"),
+      to_json(WireFormats.traceAttrsToMapSpec(col("ra"))).as("sr"),
+      to_json(graft.functions.TraceAttrs.flatten(col("sa"))).as("ns"),
+      to_json(WireFormats.traceAttrsToMapSpec(col("sa"))).as("ss")).collect()
+    both.foreach { r =>
+      assert(r.getString(0) == r.getString(1), s"resource attrs: $r")
+      assert(r.getString(2) == r.getString(3), s"span attrs: $r")
+    }
+    // and the values themselves are the expected flattened shape
+    assert(both(1).getString(0).contains(""""env.deep.keep":"7""""))
+    assert(both(1).getString(0).contains(""""env.deep.z.edge":"at-bound""""))
+    assert(!both(1).getString(0).contains("past-bound")) // kvlist beyond bound
+    assert(both(1).getString(0).endsWith(""""env.region":"OVERRIDES"}"""))
+    assert(both(2).getString(0).contains(""""arr.0":"80""""))
+    assert(both(2).getString(0).contains(""""arr.1.k":"false""""))
+    assert(both(2).getString(0).contains(""""arr.2.0":"deep""""))
+    assert(both(2).getString(0).endsWith(""""dup":"last"}"""))
   }
 
   test("influx float fields render Go %v ('g'): e-notation outside [1e-4,1e21)") {
