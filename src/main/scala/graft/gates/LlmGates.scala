@@ -40,6 +40,39 @@ object LlmGates extends GateSet {
        |bands AS (SELECT doc_id, g.b AS b, md5($bandConcat) AS bh
        |          FROM sigs CROSS JOIN generate_series(0, ${Dedup.Bands - 1}) g(b))""".stripMargin
 
+  /** The near-dup cluster CTE chain (banded candidates → exact Jaccard →
+    * connected components via RECURSIVE reach), ending in
+    * `clus(doc_id, cluster_id)` — shared by llm_dup_clusters and
+    * llm_keep_best. Host query must start `WITH RECURSIVE shViews, …`.
+    */
+  private def clusterCtes(threshold: Double): String =
+    s"""rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= ${Dedup.MaxShingleDf}),
+       |shc AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)),
+       |cand AS (
+       |  SELECT DISTINCT sa.doc_id AS i, sb.doc_id AS j
+       |  FROM shc sa JOIN shc sb ON sa.s = sb.s AND sa.doc_id < sb.doc_id),
+       |inter AS (
+       |  SELECT c.i, c.j, count(*) AS inter
+       |  FROM cand c
+       |  JOIN sh sa ON sa.doc_id = c.i
+       |  JOIN sh sb ON sb.doc_id = c.j AND sb.s = sa.s
+       |  GROUP BY 1, 2),
+       |jac AS (
+       |  SELECT i, j, inter * 1.0 / (si.n + sj.n - inter) AS jaccard
+       |  FROM inter
+       |  JOIN sizes si ON si.doc_id = i
+       |  JOIN sizes sj ON sj.doc_id = j),
+       |pairs AS (
+       |  SELECT i, j FROM jac WHERE jaccard >= $threshold
+       |  UNION ALL
+       |  SELECT j AS i, i AS j FROM jac WHERE jaccard >= $threshold),
+       |reach(src, dst) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT r.src, p.j FROM reach r JOIN pairs p ON p.i = r.dst),
+       |clus AS (SELECT src AS doc_id, min(dst) AS cluster_id
+       |  FROM reach GROUP BY 1)""".stripMargin
+
   private def jaccardSql(candCte: String, threshold: Double): String =
     s"""$candCte,
        |inter AS (
@@ -208,33 +241,23 @@ object LlmGates extends GateSet {
     Gate("llm_dup_clusters",
       (spark: SparkSession, dir: String) =>
         Dedup.dupClusters(docs(spark, dir), 0.8).orderBy("doc_id"),
-      Some("WITH RECURSIVE " + shViews + ",\n" +
-        s"""rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= ${Dedup.MaxShingleDf}),
-           |shc AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)),
-           |cand AS (
-           |  SELECT DISTINCT sa.doc_id AS i, sb.doc_id AS j
-           |  FROM shc sa JOIN shc sb ON sa.s = sb.s AND sa.doc_id < sb.doc_id),
-           |inter AS (
-           |  SELECT c.i, c.j, count(*) AS inter
-           |  FROM cand c
-           |  JOIN sh sa ON sa.doc_id = c.i
-           |  JOIN sh sb ON sb.doc_id = c.j AND sb.s = sa.s
-           |  GROUP BY 1, 2),
-           |jac AS (
-           |  SELECT i, j, inter * 1.0 / (si.n + sj.n - inter) AS jaccard
-           |  FROM inter
-           |  JOIN sizes si ON si.doc_id = i
-           |  JOIN sizes sj ON sj.doc_id = j),
-           |pairs AS (
-           |  SELECT i, j FROM jac WHERE jaccard >= 0.8
-           |  UNION ALL
-           |  SELECT j AS i, i AS j FROM jac WHERE jaccard >= 0.8),
-           |reach(src, dst) AS (
-           |  SELECT doc_id, doc_id FROM documents
-           |  UNION
-           |  SELECT r.src, p.j FROM reach r JOIN pairs p ON p.i = r.dst)
-           |SELECT src AS doc_id, min(dst) AS cluster_id
-           |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin)),
+      Some("WITH RECURSIVE " + shViews + ",\n" + clusterCtes(0.8) + "\n" +
+        "SELECT doc_id, cluster_id FROM clus ORDER BY 1")),
+
+    // --- quality-aware duplicate retention: keep the HIGHEST-quality
+    // member of each near-dup cluster (the production retention policy;
+    // min-id canonicals discard the best-written copy of a template) -----
+    Gate("llm_keep_best",
+      (spark: SparkSession, dir: String) =>
+        graft.llm.Curation.keepBestPerCluster(docs(spark, dir), 0.8)
+          .orderBy("doc_id"),
+      Some("WITH RECURSIVE " + shViews + ",\n" + clusterCtes(0.8) + ",\n" +
+        graft.llm.Curation.qualityCteSql + "\n" +
+        """SELECT c.doc_id, c.cluster_id, q.quality,
+          |  (row_number() OVER (PARTITION BY c.cluster_id
+          |     ORDER BY q.quality DESC, c.doc_id) = 1)::BIGINT AS kept
+          |FROM clus c JOIN qs q USING (doc_id)
+          |ORDER BY c.doc_id""".stripMargin)),
 
     // --- deterministic stratified sampling (hash-based, rerun-stable) -----
     Gate("llm_stratified_sample",
@@ -718,6 +741,23 @@ object LlmGates extends GateSet {
         Similarity.scalarQuantize(Tables.embeddings(spark, dir))
           .orderBy("vec_id"),
       Some(Similarity.scalarQuantizeOracleSql())),
+
+    // --- product quantization (Jégou et al. 2011): per-subspace sampled
+    // codebook, code-id checksum + total reconstruction error — the
+    // 8-byte-per-vector compression of billion-scale ANN ----------------
+    Gate("llm_pq_quant",
+      (spark: SparkSession, dir: String) =>
+        Similarity.productQuantize(Tables.embeddings(spark, dir))
+          .orderBy("vec_id"),
+      Some(Similarity.productQuantizeOracleSql())),
+
+    // --- bigram-LM surprisal (CCNet/KenLM perplexity-filter shape, one
+    // order above llm_unigram_surprisal; bigram table rejoined by key,
+    // deliberately not broadcast) ----------------------------------------
+    Gate("llm_bigram_surprisal",
+      (spark: SparkSession, dir: String) =>
+        Curation.bigramSurprisal(docs(spark, dir)).orderBy("doc_id"),
+      Some(Curation.bigramSurprisalOracleSql())),
 
     // --- hashed-feature linear quality scorer (fastText shape) ------------
     Gate("llm_quality_score",

@@ -149,6 +149,58 @@ object Curation {
       |FROM toks JOIN freq USING (tok) CROSS JOIN tot
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Per-document mean bigram surprisal under an add-k-smoothed bigram LM
+    * trained on the corpus itself (the CCNet/KenLM perplexity-filter shape
+    * one order up from [[unigramSurprisal]]):
+    * `-ln((c(w1,w2) + k) / (ch(w1) + k·V))`, where `ch(w1)` is the
+    * bigram-table marginal (count of w1 as history) and V the corpus
+    * vocabulary — deriving the history count from the bigram table itself
+    * avoids any last-token off-by-one between engines.
+    *
+    * Scale shape: the bigram count table is keyed by (w1, w2) — a
+    * map-side-combined aggregate whose size is bounded by DISTINCT
+    * bigrams, not rows — and rejoins the per-doc bigram stream on the
+    * same key (an equi-shuffle at 100 TB; deliberately NOT broadcast,
+    * distinct bigrams grow with corpus size). The history marginal and
+    * vocabulary scalar are vocabulary-bounded and broadcast. Documents
+    * with fewer than two tokens contribute no bigrams and drop (mirrored
+    * by the oracle's inner join).
+    */
+  def bigramSurprisal(docs: DataFrame, k: Double = 0.5): DataFrame = {
+    val ws = TextOps.tokens(col("text"))
+    val bigrams = docs.select(col("doc_id"),
+        explode(zip_with(
+          slice(ws, lit(1), size(ws) - 1), slice(ws, lit(2), size(ws) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val bgc = bigrams.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("cbg"))
+    val hist = bgc.groupBy(col("w1"))
+      .agg(sum(col("cbg")).cast("double").as("ch"))
+    val vocab = docs.select(explode(ws).as("tok"))
+      .agg(countDistinct(col("tok")).cast("double").as("vv"))
+    bigrams.join(bgc, Seq("w1", "w2"))
+      .join(broadcast(hist), Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_bigrams"),
+        round(avg(-log((col("cbg") + k) / (col("ch") + col("vv") * k))), 6)
+          .as("surprisal"))
+  }
+
+  def bigramSurprisalOracleSql(k: Double = 0.5): String =
+    s"""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+       |bg AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+       |  FROM t, unnest([x for x in generate_series(1, len(ws)-1)]) u(i)),
+       |bgc AS (SELECT w1, w2, count(*) AS cbg FROM bg GROUP BY 1, 2),
+       |hist AS (SELECT w1, sum(cbg)::DOUBLE AS ch FROM bgc GROUP BY 1),
+       |voc AS (SELECT count(DISTINCT tok)::DOUBLE AS vv FROM
+       |  (SELECT unnest(ws) AS tok FROM t))
+       |SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+       |  round(avg(-ln((cbg + $k) / (ch + $k * vv))), 6) AS surprisal
+       |FROM bg JOIN bgc USING (w1, w2) JOIN hist USING (w1) CROSS JOIN voc
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // --- TF-IDF keyword extraction -------------------------------------------
 
   /** Top-k characteristic terms per document by TF-IDF
@@ -445,23 +497,55 @@ object Curation {
       (score >= 0.5).cast("long").as("kept"))
   }
 
+  /** The (doc_id, quality) CTE chain of the quality-score oracle, shared
+    * by [[qualityScoreOracleSql]] and the cluster-retention oracle (CTE
+    * names prefixed `q` so they can't collide with a host query's).
+    */
+  def qualityCteSql: String = {
+    val wLit = qualityWeights.mkString("[", ", ", "]")
+    // the comprehension binding is deliberately NOT named `qt`: it would
+    // shadow the CTE alias below (works in DuckDB today, but a scoping
+    // change would silently hash the wrong value instead of erroring)
+    val idx = s"((('0x'||substr(md5(tok),1,15))::BIGINT) % $QualityDim) + 1"
+    s"""qw AS (SELECT $wLit::DOUBLE[] AS wt),
+       |qt AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+       |qs AS (SELECT doc_id,
+       |    round(1.0/(1.0 + exp(-(list_sum([wt[$idx] for tok in ws]) / len(ws)))), 6)
+       |      AS quality
+       |  FROM qt, qw)""".stripMargin
+  }
+
   /** DuckDB twin of [[qualityScore]] — same md5 bucket, same literal
     * weight table (3-decimal literals parse to identical doubles).
     */
-  def qualityScoreOracleSql: String = {
-    val wLit = qualityWeights.mkString("[", ", ", "]")
-    // the comprehension binding is deliberately NOT named `t`: it would
-    // shadow the CTE alias `t` below (works in DuckDB today, but a scoping
-    // change would silently hash the wrong value instead of erroring)
-    val idx = s"((('0x'||substr(md5(tok),1,15))::BIGINT) % $QualityDim) + 1"
-    s"""WITH w AS (SELECT $wLit::DOUBLE[] AS wt),
-       |t AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
-       |s AS (SELECT doc_id,
-       |    round(1.0/(1.0 + exp(-(list_sum([wt[$idx] for tok in ws]) / len(ws)))), 6)
-       |      AS quality
-       |  FROM t, w)
+  def qualityScoreOracleSql: String =
+    s"""WITH $qualityCteSql
        |SELECT doc_id, quality, (quality >= 0.5)::BIGINT AS kept
-       |FROM s ORDER BY doc_id""".stripMargin
+       |FROM qs ORDER BY doc_id""".stripMargin
+
+  /** Quality-aware duplicate retention: within each near-dup cluster
+    * (connected components over the banded-LSH pair graph,
+    * [[Dedup.dupClusters]]), keep the HIGHEST-quality member instead of
+    * the lowest id — the retention policy production dedup pipelines
+    * actually run (dropping the best-written copy of a template because
+    * its id is larger wastes the best training signal). Ties break on the
+    * ROUNDED 6-dp quality then ascending doc_id, so the oracle reproduces
+    * the exact choice.
+    *
+    * Scale shape: clusters and scores are both per-doc tables; the
+    * retention pass is one join plus a window partitioned by cluster —
+    * bounded by cluster size, no pairwise work beyond what the cluster
+    * build already did.
+    */
+  def keepBestPerCluster(docs: DataFrame, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val clusters = graft.llm.Dedup.dupClusters(docs, threshold)
+    val quality = qualityScore(docs).select(col("doc_id"), col("quality"))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("quality").desc, col("doc_id").asc)
+    clusters.join(quality, Seq("doc_id"))
+      .withColumn("kept", (row_number().over(w) === 1).cast("long"))
+      .select(col("doc_id"), col("cluster_id"), col("quality"), col("kept"))
   }
 
   def semanticDedupOracleSql(threshold: Double): String = {

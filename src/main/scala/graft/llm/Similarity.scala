@@ -248,6 +248,77 @@ object Similarity {
           (a, b) => abs(a - b))), 6).as("max_abs_err"))
   }
 
+  /** Product quantization (Jégou et al. 2011) — the other memory lever of
+    * billion-vector ANN: split D dims into `m` subspaces, quantize each
+    * sub-vector to its nearest per-subspace centroid, store only the m
+    * code ids (64 dims × f32 → 8 bytes at m=8). Returns one row per
+    * vector: (vec_id, code_sum, recon_err) — the integer sum of assigned
+    * centroid ids pins the code assignment bit-exactly against the
+    * oracle; the total reconstruction error (√Σ per-subspace min-dist²)
+    * is the quantity a pipeline thresholds against its recall budget.
+    *
+    * Deterministic codebook: per subspace, the sub-vectors of corpus rows
+    * with `vec_id % mod == 0` ARE the centroids (mod = the same
+    * √N-scaled spacing as [[centroidModFor]] — a production PQ runs
+    * Lloyd's with fixed K=256, but the sampled codebook is reproducible
+    * by any engine, and keeps the same scale shape: assignment is
+    * n·m·K·(D/m) = n·K·D ≈ n·√n·D, identical to the IVF coarse pass).
+    * Scale: the codebook broadcasts (m·K rows of D/m doubles); the
+    * assignment is a map-side broadcast join + per-(vector, subspace)
+    * argmin window bounded by K; no corpus×corpus work anywhere.
+    * Ties break on ascending centroid id; the per-vector error sums in
+    * subspace order via a sorted collect so both engines add the same
+    * doubles in the same order.
+    */
+  def productQuantize(emb: DataFrame, m: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Dims / m
+    val mod = centroidModFor(emb.count())
+    val e = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val subs = e.select(col("vec_id"), explode(array((0 until m).map(s =>
+        struct(lit(s).as("s"), slice(col("v"), s * d + 1, d).as("sub"))): _*)).as("ss"))
+      .select(col("vec_id"), col("ss.s").as("s"), col("ss.sub").as("sub"))
+    val cents = subs.filter(pmod(col("vec_id"), lit(mod)) === 0)
+      .select(col("vec_id").as("cid"), col("s"), col("sub").as("csub"))
+    val l2 = aggregate(zip_with(col("sub"), col("csub"),
+      (a, b) => (a - b) * (a - b)), lit(0.0), (acc, x) => acc + x)
+    val w = Window.partitionBy(col("vec_id"), col("s"))
+      .orderBy(col("__d").asc, col("cid").asc)
+    val best = subs.join(broadcast(cents), Seq("s"))
+      .select(col("vec_id"), col("s"), col("cid"), l2.as("__d"))
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") === 1)
+    best.groupBy(col("vec_id")).agg(
+      sum(col("cid")).as("code_sum"),
+      round(sqrt(aggregate(
+        transform(array_sort(collect_list(struct(col("s"), col("__d")))),
+          x => x.getField("__d")),
+        lit(0.0), (acc, x) => acc + x)), 6).as("recon_err"))
+  }
+
+  /** DuckDB twin of [[productQuantize]] — same sampled codebook, same
+    * tie-break, same subspace-ordered error summation.
+    */
+  def productQuantizeOracleSql(m: Int = 8): String = {
+    val d = Dims / m
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |cmod AS (SELECT GREATEST(23, CAST(floor(sqrt(count(*))) AS BIGINT)) AS md FROM e),
+       |subs AS (SELECT vec_id, s, v[s*$d+1 : s*$d+$d] AS sub
+       |  FROM e, generate_series(0, ${m - 1}) ss(s)),
+       |cents AS (SELECT vec_id AS cid, s, sub AS csub FROM subs
+       |  WHERE vec_id % (SELECT md FROM cmod) = 0),
+       |dist AS (SELECT subs.vec_id, subs.s, c.cid,
+       |    list_sum([(subs.sub[i]-c.csub[i])*(subs.sub[i]-c.csub[i])
+       |      for i in generate_series(1,$d)]) AS dd
+       |  FROM subs JOIN cents c ON c.s = subs.s),
+       |best AS (SELECT vec_id, s, cid, dd FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY dd, cid) AS rn
+       |    FROM dist) WHERE rn = 1)
+       |SELECT vec_id, SUM(cid)::BIGINT AS code_sum,
+       |  round(sqrt(list_sum(list(dd ORDER BY s))), 6) AS recon_err
+       |FROM best GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** DuckDB twin of [[scalarQuantize]] — same codebook, same rounding
     * (both engines round half away from zero for positive arguments).
     */

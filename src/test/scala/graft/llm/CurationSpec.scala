@@ -10,6 +10,31 @@ class CurationSpec extends SparkSpec {
   private def docs = Tables.documents(spark, sf)
   private def emb = Tables.embeddings(spark, sf)
 
+  test("bigram surprisal: one bigram per adjacent pair, scores strictly positive") {
+    val out = Curation.bigramSurprisal(docs)
+    val toks = docs.select(col("doc_id"),
+      (size(TextOps.tokens(col("text"))) - 1).cast("long").as("want"))
+    // n_bigrams = n_tokens - 1 for every doc with >= 2 tokens
+    assert(out.join(toks, Seq("doc_id"))
+      .filter(col("n_bigrams") =!= col("want")).count() == 0)
+    // add-k smoothing keeps every probability < 1 → surprisal > 0
+    assert(out.filter(col("surprisal") <= 0.0).count() == 0)
+  }
+
+  test("keepBestPerCluster keeps exactly the max-quality member per cluster") {
+    val out = Curation.keepBestPerCluster(docs, 0.8)
+    // exactly one kept per cluster
+    val perCluster = out.groupBy(col("cluster_id"))
+      .agg(sum(col("kept")).as("nk"), max(col("quality")).as("mq"))
+    assert(perCluster.filter(col("nk") =!= 1).count() == 0)
+    // and the kept one carries the cluster's max quality
+    assert(out.filter(col("kept") === 1)
+      .join(perCluster, Seq("cluster_id"))
+      .filter(col("quality") =!= col("mq")).count() == 0)
+    // every document appears exactly once
+    assert(out.count() == docs.count())
+  }
+
   test("packSequences two-level prefix sum equals the single-window form") {
     // the sharding must only change the execution shape, never the math:
     // compare against a plain running-sum window over each source

@@ -9,6 +9,20 @@ class LlmSpec extends SparkSpec {
   private def docs = Tables.documents(spark, sf)
   private def emb = Tables.embeddings(spark, sf)
 
+  test("product quantization: codebook rows reconstruct exactly; errors bounded") {
+    val out = Similarity.productQuantize(emb)
+    assert(out.count() == emb.count())
+    // a sampled-codebook row's own sub-vectors are centroids, so it codes
+    // to itself: code_sum = m * vec_id, recon_err = 0
+    val mod = Similarity.centroidModFor(emb.count())
+    val selfCoded = out.filter(pmod(col("vec_id"), lit(mod)) === 0)
+    assert(selfCoded.filter(col("recon_err") =!= 0.0 ||
+      col("code_sum") =!= col("vec_id") * 8).count() == 0)
+    // every non-centroid row has a non-negative finite error
+    assert(out.filter(col("recon_err") < 0.0 || col("recon_err").isNull)
+      .count() == 0)
+  }
+
   test("minhash signatures are deterministic") {
     val a = Dedup.minhashSignatures(docs).orderBy("doc_id").limit(5)
       .collect().map(_.toString)
