@@ -292,7 +292,12 @@ object ProfGates extends GateSet {
     Gate("patterns_class_edge",
       (spark: SparkSession, dir: String) => {
         val logs = Tables.logs(spark, dir)
-        val u = element_at(col("labels"), "user")
+        // distinct on the ~150 users FIRST: the edge-token arrays are
+        // functions of the user label alone, so classing runs once per
+        // user, not once per log row
+        val du = logs
+          .select(element_at(col("labels"), "user").as("user")).distinct()
+        val u = col("user")
         val h = md5(u)
         val uuid = concat_ws("-", substring(h, 1, 8), substring(h, 9, 4),
           substring(h, 13, 4), substring(h, 17, 4), substring(h, 21, 12))
@@ -305,9 +310,9 @@ object ProfGates extends GateSet {
         val edged = flatten(array(
           transform(base, t => concat(t, lit("\n"))),
           transform(base, t => concat(t, lit("\r\n")))))
-        logs.select(u.as("user"),
+        du.select(col("user"),
             concat_ws(" ", graft.functions.ClassTokens(edged)).as("classed"))
-          .distinct().orderBy("user")
+          .orderBy("user")
       },
       Some(OracleViews.withViews(Seq(OracleViews.logs,
         """ebase AS (SELECT DISTINCT "user",
