@@ -150,9 +150,14 @@ object WireFormats {
           x => sanitizeValueStr(x, depth - 1)))),
       lit(""))
 
-  /** Body AnyValue → line string: the same SanitizeValue rendering. */
-  private def bodyStr(b: org.apache.spark.sql.Column) =
+  /** Body AnyValue → line string: the same SanitizeValue rendering.
+    * Composed spec form of [[bodyStr]] (differential-tested).
+    */
+  private[graft] def bodyStrSpec(b: org.apache.spark.sql.Column) =
     sanitizeValueStr(b, OtlpNestDepth)
+
+  private def bodyStr(b: org.apache.spark.sql.Column) =
+    coalesce(graft.functions.OtlpSanitize.anyValueStr(b), lit(""))
 
   val otlpLogsSchema: StructType = StructType(Seq(
     StructField("resourceLogs", ArrayType(StructType(Seq(
@@ -174,9 +179,12 @@ object WireFormats {
     * reference's attr loops) — map_from_entries would throw
     * DUPLICATED_MAP_KEY on such input and fail the whole decode batch.
     */
-  private def attrsToMap(attrs: org.apache.spark.sql.Column) =
+  private[graft] def attrsToMapSpec(attrs: org.apache.spark.sql.Column) =
     MapOps.entriesToMapLastWins(transform(attrs, a =>
       map(a.getField("key"), leafStr(a.getField("value")))))
+
+  private def attrsToMap(attrs: org.apache.spark.sql.Column) =
+    graft.functions.OtlpSanitize.plainAttrs(attrs)
 
   private val emptyEntryArr =
     array().cast(ArrayType(MapType(StringType, StringType)))
@@ -231,10 +239,13 @@ object WireFormats {
     * Staged as transform-then-fold so the sanitize regexes run once per
     * attr, not once per (attr, lambda-capture) pair.
     */
-  private def attrsToMapSanitized(attrs: org.apache.spark.sql.Column) =
+  private[graft] def attrsToMapSanitizedSpec(attrs: org.apache.spark.sql.Column) =
     MapOps.entriesToMapLastWins(transform(attrs, a =>
       map(sanitizeKey(a.getField("key")),
         sanitizeValueStr(a.getField("value"), OtlpNestDepth))))
+
+  private def attrsToMapSanitized(attrs: org.apache.spark.sql.Column) =
+    graft.functions.OtlpSanitize.sanitizedAttrs(attrs)
 
   /** OTLP logs → (fingerprint, timestamp_ns, labels, line) per
     * `otlplogs.go:22-90`: resource, scope, and record attributes merge

@@ -234,6 +234,88 @@ class OtlpBodySpec extends SparkSpec {
     assert(l1("""{"msg":"doc2"}""")("_index") == "logs2")
   }
 
+  test("native OTLP sanitize family equals the composed-HOF spec forms") {
+    val s = spark
+    import s.implicits._
+    // attr arrays hitting every rendering branch: scalar kinds, doubles in
+    // each goFloatStr band, JSON-escaping edges (quotes, backslash,
+    // control chars incl. named \t\n and \u-form , non-ASCII),
+    // kvlist (sorted sanitized keys, collide-after-sanitize last-wins),
+    // arrays, nesting past the depth bound, keys needing sanitization
+    val attrCases = Seq(
+      """[{"key":"s","value":{"stringValue":"plain"}},
+        |{"key":"esc","value":{"stringValue":"q\" b\\ t\t n\n ctlCTRLCH uUNICH"}},
+        |{"key":"i","value":{"intValue":"42"}},
+        |{"key":"b","value":{"boolValue":false}},
+        |{"key":"by","value":{"bytesValue":"aGk="}},
+        |{"key":"d1","value":{"doubleValue":3.0}},
+        |{"key":"d2","value":{"doubleValue":2.5}},
+        |{"key":"d3","value":{"doubleValue":0.1}},
+        |{"key":"d4","value":{"doubleValue":1e21}},
+        |{"key":"d5","value":{"doubleValue":5e-20}},
+        |{"key":"d6","value":{"doubleValue":-1.5e21}},
+        |{"key":"d7","value":{"doubleValue":-0.125}},
+        |{"key":"d8","value":{"doubleValue":12345678901234567890.5}},
+        |{"key":"d9","value":{"doubleValue":1.0000000000000002}}]""",
+      """[{"key":"9bad key!","value":{"stringValue":"x"}},
+        |{"key":"","value":{"stringValue":"empty"}},
+        |{"key":"ключ","value":{"stringValue":"cyr"}},
+        |{"key":"a.b","value":{"stringValue":"first"}},
+        |{"key":"a:b","value":{"stringValue":"second"}},
+        |{"key":"deploy","value":{"kvlistValue":{"values":[
+        |{"key":"zeta","value":{"stringValue":"z\"q"}},
+        |{"key":"a.x","value":{"intValue":"1"}},
+        |{"key":"a:x","value":{"intValue":"2"}},
+        |{"key":"nest","value":{"kvlistValue":{"values":[
+        |{"key":"in","value":{"arrayValue":{"values":[
+        |{"doubleValue":0.5},{"kvlistValue":{"values":[
+        |{"key":"gone","value":{"stringValue":"past-bound"}}]}}]}}}]}}}]}}},
+        |{"key":"arr","value":{"arrayValue":{"values":[
+        |{"stringValue":"x\ty"},{"boolValue":true}]}}},
+        |{"key":"novalue"}]""",
+      """[]""").map(_.stripMargin
+        .replace("CTRLCH", "\\" + "u0001")
+        .replace("UNICH", "\\" + "u00e9" + "\\" + "u20ac"))
+    val reqs = attrCases.map(a =>
+      s"""{"resourceLogs":[{"resource":{"attributes":${a.replace("\n", "")}},
+         |"scopeLogs":[{"logRecords":[{"timeUnixNano":"1",
+         |"body":{"kvlistValue":{"values":[
+         |{"key":"inner","value":${"""{"arrayValue":{"values":[{"doubleValue":0.1},{"stringValue":"s"}]}}"""}}]}}}]}]}]}"""
+        .stripMargin.replace("\n", ""))
+    val parsed = reqs.toDF("body")
+      .select(explode(from_json(col("body"), WireFormats.otlpLogsSchema)
+        .getField("resourceLogs")).as("rl"))
+      .select(col("rl.resource.attributes").as("ra"),
+        explode(col("rl.scopeLogs")).as("sl"))
+      .select(col("ra"), explode(col("sl.logRecords")).as("r"))
+      .select(col("ra"), col("r.body").as("bd"))
+    val both = parsed.select(
+      to_json(graft.functions.OtlpSanitize.sanitizedAttrs(col("ra"))).as("ns"),
+      to_json(WireFormats.attrsToMapSanitizedSpec(col("ra"))).as("ss"),
+      to_json(graft.functions.OtlpSanitize.plainAttrs(col("ra"))).as("np"),
+      to_json(WireFormats.attrsToMapSpec(col("ra"))).as("sp"),
+      coalesce(graft.functions.OtlpSanitize.anyValueStr(col("bd")), lit(""))
+        .as("nb"),
+      WireFormats.bodyStrSpec(col("bd")).as("sb")).collect()
+    both.foreach { r =>
+      assert(r.getString(0) == r.getString(1), s"sanitized: $r")
+      assert(r.getString(2) == r.getString(3), s"plain: $r")
+      assert(r.getString(4) == r.getString(5), s"body: $r")
+    }
+    // spot-check the values are the expected renderings, not two copies
+    // of the same wrong answer (order-independent: collect order is not
+    // the input order)
+    val allSan = both.map(_.getString(0)).mkString("\n")
+    assert(allSan.contains(""""d3":"0.1""""))
+    assert(allSan.contains(""""d4":"1000000000000000000000""""))
+    assert(allSan.contains(""""d5":"0.00000000000000000005""""))
+    assert(allSan.contains(""""d1":"3""""))
+    assert(allSan.contains(""""_9bad_key_":"x""""))
+    assert(allSan.contains(""""a_b":"second"""")) // last-wins post-sanitize
+    assert(!allSan.contains("past-bound"))
+    assert(both.map(_.getString(4)).exists(_.startsWith("""{"inner":"[\"0.1\",""")))
+  }
+
   test("native DatadogTagsParse equals the composed-HOF spec form") {
     val s = spark
     import s.implicits._
