@@ -60,10 +60,13 @@ object WireFormats {
     */
   private def javaEForm(d: org.apache.spark.sql.Column) = {
     val s = d.cast("string")
+    val expStr = regexp_extract(s, "E(-?[0-9]+)$", 1)
     (when(d < 0, "-").otherwise(""),
       regexp_replace(regexp_replace(
         regexp_extract(s, "^-?([0-9.]+)E", 1), "\\.", ""), "0+$", ""),
-      regexp_extract(s, "E(-?[0-9]+)$", 1).cast("int"))
+      // NaN/Infinity render with no E-form: the empty extract must become
+      // null, not an ANSI cast error that would fail the whole decode batch
+      when(expStr =!= "", expStr).cast("int"))
   }
 
   /** Go `strconv.FormatFloat(f, 'f', -1, 64)` (`otlplogs.go:125`): plain
@@ -607,11 +610,6 @@ object WireFormats {
     }
     // head: measurement (escapes allowed), optional ,tags, rest of line
     val headRe = """^((?:[^,\s\\]|\\.)+)(?:,((?:[^\s\\]|\\.)*))?\s+(.*?)\s*$"""
-    // one k=v field pair: value is a quoted string (may contain commas,
-    // spaces, escaped quotes) or a bare token up to the next comma
-    val pairRe = """(?:[^,=\s\\]|\\.)+=(?:"(?:[^"\\]|\\.)*"|(?:[^,\\]|\\.)*)"""
-    val tagRe = """(?:[^,=\\]|\\.)+=(?:[^,\\]|\\.)*"""
-    val sanKeyRe = "(^[^a-zA-Z_]|[^a-zA-Z0-9_])"
 
     def unesc(c: org.apache.spark.sql.Column) =
       regexp_replace(c, """\\(.)""", "$1")
@@ -638,54 +636,14 @@ object WireFormats {
           col("rest").substr(lit(1),
             length(col("rest")) - length(col("tsStr"))))))
 
-    // field parsing is STAGED through nested transforms so each regex runs
-    // once per field: split → classify/render → logfmt-quote. A single
-    // flat struct would re-evaluate the classification chain inside every
-    // derived column (interpreted, per element — the HOF-capture tax).
-    val rawFields = transform(
-      regexp_extract_all(col("fieldstr"), lit(pairRe), lit(0)), p =>
-      struct(unesc(regexp_extract(p, """^((?:[^,=\s\\]|\\.)+)=""", 1)).as("k"),
-        regexp_replace(p, """^(?:[^,=\s\\]|\\.)+=""", "").as("raw")))
-    val typedFields = transform(rawFields, f => {
-      val rawv = f.getField("raw")
-      val isQuoted = substring(rawv, 1, 1) === "\""
-      val strVal = regexp_replace(
-        regexp_extract(rawv, """^"((?:[^"\\]|\\.)*)"$""", 1),
-        """\\(["\\])""", "$1")
-      val isInt = rawv.rlike("""^-?[0-9]+[iu]$""")
-      val isFloat =
-        rawv.rlike("""^-?(?:[0-9]+\.?[0-9]*|\.[0-9]+)(?:[eE][+-]?[0-9]+)?$""")
-      val isBool =
-        rawv.rlike("""^(?:t|T|true|True|TRUE|f|F|false|False|FALSE)$""")
-      struct(f.getField("k").as("k"),
-        when(isQuoted, strVal)
-          .when(isInt, regexp_replace(rawv, "[iu]$", ""))
-          // logfmt renders float values with %v ⇒ Go 'g' shortest —
-          // e-notation outside [1e-4, 1e21) (go-logfmt via influx.go:20-27)
-          .when(isFloat, goFloatStrG(rawv.cast("double")))
-          .when(isBool, when(rawv.rlike("^[tT]"), lit("true")).otherwise("false"))
-          .otherwise(rawv).as("sv"),
-        when(isInt, regexp_replace(rawv, "[iu]$", "").cast("double"))
-          .when(isFloat, rawv.cast("double")).as("num"),
-        regexp_replace(f.getField("k"), sanKeyRe, "_").as("sn"))
-    })
-    // go-logfmt quotes a value containing space, '=' or '"'
-    val fieldsStaged = transform(typedFields, f => {
-      val sv = f.getField("sv")
-      struct(f.getField("k").as("k"), sv.as("sv"), f.getField("num").as("num"),
-        when(sv.rlike("""[ ="]"""),
-          concat(lit("\""), regexp_replace(sv, """(["\\])""", """\\$1"""),
-            lit("\""))).otherwise(sv).as("lf"),
-        f.getField("sn").as("sn"))
-    })
-    // tags fold through entriesToMapLastWins (capture-free) so the
-    // per-tag sanitize regexes run once, not once per dedup probe
-    val tagsMap = MapOps.entriesToMapLastWins(transform(
-      regexp_extract_all(col("tagstr"), lit(tagRe), lit(0)), t =>
-      map(regexp_replace(
-          unesc(regexp_extract(t, """^((?:[^,=\\]|\\.)+)=""", 1)),
-          sanKeyRe, "_"),
-        trunc(unesc(regexp_replace(t, """^(?:[^,=\\]|\\.)+=""", ""))))))
+    // field/tag parsing is ONE native compiled pass each
+    // (graft.functions.InfluxParse — same regexes, precompiled, with the
+    // classify/render/logfmt-quote chain in plain Java); the composed
+    // chain survives as influxFieldsSpec/influxTagsSpec below for the
+    // differential test. The composed form ran ~15 interpreted regex
+    // nodes per FIELD and made influx-logs the slowest decode at sf1.
+    val fieldsStaged = graft.functions.InfluxParse.fields(col("fieldstr"))
+    val tagsMap = graft.functions.InfluxParse.tags(col("tagstr"))
 
     val msg = try_element_at(col("msgs"), lit(1))
     val others = filter(col("fields"), f => f.getField("k") =!= "message")
@@ -731,6 +689,71 @@ object WireFormats {
         col("timestamp_ns"), col("r.value").as("value"),
         col("r.line").as("line"), col("r.sample_type").as("sample_type"))
       .withColumn("fingerprint", Tables.fingerprintOf(col("labels")))
+  }
+
+  /** Composed-HOF executable specs of the influx field/tag parses — kept
+    * for the differential test; the decode path runs the native
+    * [[graft.functions.InfluxParse]] one-pass forms.
+    */
+  private[graft] def influxFieldsSpec(
+      fieldstr: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val pairRe = """(?:[^,=\s\\]|\\.)+=(?:"(?:[^"\\]|\\.)*"|(?:[^,\\]|\\.)*)"""
+    val sanKeyRe = "(^[^a-zA-Z_]|[^a-zA-Z0-9_])"
+    def unesc(c: org.apache.spark.sql.Column) =
+      regexp_replace(c, """\\(.)""", "$1")
+    val rawFields = transform(
+      regexp_extract_all(fieldstr, lit(pairRe), lit(0)), p =>
+      struct(unesc(regexp_extract(p, """^((?:[^,=\s\\]|\\.)+)=""", 1)).as("k"),
+        regexp_replace(p, """^(?:[^,=\s\\]|\\.)+=""", "").as("raw")))
+    val typedFields = transform(rawFields, f => {
+      val rawv = f.getField("raw")
+      val isQuoted = substring(rawv, 1, 1) === "\""
+      val strVal = regexp_replace(
+        regexp_extract(rawv, """^"((?:[^"\\]|\\.)*)"$""", 1),
+        """\\(["\\])""", "$1")
+      val isInt = rawv.rlike("""^-?[0-9]+[iu]$""")
+      val isFloat =
+        rawv.rlike("""^-?(?:[0-9]+\.?[0-9]*|\.[0-9]+)(?:[eE][+-]?[0-9]+)?$""")
+      val isBool =
+        rawv.rlike("""^(?:t|T|true|True|TRUE|f|F|false|False|FALSE)$""")
+      struct(f.getField("k").as("k"),
+        when(isQuoted, strVal)
+          .when(isInt, regexp_replace(rawv, "[iu]$", ""))
+          // logfmt renders float values with %v ⇒ Go 'g' shortest —
+          // e-notation outside [1e-4, 1e21) (go-logfmt via influx.go:20-27)
+          .when(isFloat, goFloatStrG(rawv.cast("double")))
+          .when(isBool, when(rawv.rlike("^[tT]"), lit("true")).otherwise("false"))
+          .otherwise(rawv).as("sv"),
+        when(isInt, regexp_replace(rawv, "[iu]$", "").cast("double"))
+          .when(isFloat, rawv.cast("double")).as("num"),
+        regexp_replace(f.getField("k"), sanKeyRe, "_").as("sn"))
+    })
+    // go-logfmt quotes a value containing space, '=' or '"'
+    transform(typedFields, f => {
+      val sv = f.getField("sv")
+      struct(f.getField("k").as("k"), sv.as("sv"), f.getField("num").as("num"),
+        when(sv.rlike("""[ ="]"""),
+          concat(lit("\""), regexp_replace(sv, """(["\\])""", """\\$1"""),
+            lit("\""))).otherwise(sv).as("lf"),
+        f.getField("sn").as("sn"))
+    })
+  }
+
+  private[graft] def influxTagsSpec(
+      tagstr: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val tagRe = """(?:[^,=\\]|\\.)+=(?:[^,\\]|\\.)*"""
+    val sanKeyRe = "(^[^a-zA-Z_]|[^a-zA-Z0-9_])"
+    def unesc(c: org.apache.spark.sql.Column) =
+      regexp_replace(c, """\\(.)""", "$1")
+    def trunc(c: org.apache.spark.sql.Column) =
+      when(length(c) > 100, concat(substring(c, 1, 100), lit("...")))
+        .otherwise(c)
+    MapOps.entriesToMapLastWins(transform(
+      regexp_extract_all(tagstr, lit(tagRe), lit(0)), t =>
+      map(regexp_replace(
+          unesc(regexp_extract(t, """^((?:[^,=\\]|\\.)+)=""", 1)),
+          sanKeyRe, "_"),
+        trunc(unesc(regexp_replace(t, """^(?:[^,=\\]|\\.)+=""", ""))))))
   }
 
   // --- Datadog metrics JSON (`datadog_metrics_json.go`, /api/v1/series) ---
