@@ -759,6 +759,26 @@ object LlmGates extends GateSet {
         Curation.bigramSurprisal(docs(spark, dir)).orderBy("doc_id"),
       Some(Curation.bigramSurprisalOracleSql())),
 
+    // --- leakage-free train/eval split: near-dup clusters stay atomic
+    // across the boundary (the Lee et al. contamination mechanism) -------
+    Gate("llm_leakage_split",
+      (spark: SparkSession, dir: String) =>
+        Curation.leakageFreeSplit(docs(spark, dir), 0.8, trainPct = 90)
+          .orderBy("doc_id"),
+      Some("WITH RECURSIVE " + shViews + ",\n" + clusterCtes(0.8) + "\n" +
+        s"""SELECT doc_id, cluster_id,
+           |  CASE WHEN ${Curation.splitBucketSql("cluster_id")} < 90
+           |       THEN 'train' ELSE 'eval' END AS split
+           |FROM clus ORDER BY doc_id""".stripMargin)),
+
+    // --- balanced token shards for N dataloader workers: sort-desc +
+    // round-robin (distributed LPT cousin; one global sort, no driver
+    // state) --------------------------------------------------------------
+    Gate("llm_shard_assign",
+      (spark: SparkSession, dir: String) =>
+        Curation.shardAssign(docs(spark, dir), 8).orderBy("doc_id"),
+      Some(Curation.shardAssignOracleSql(8))),
+
     // --- hashed-feature linear quality scorer (fastText shape) ------------
     Gate("llm_quality_score",
       (spark: SparkSession, dir: String) =>

@@ -548,6 +548,60 @@ object Curation {
       .select(col("doc_id"), col("cluster_id"), col("quality"), col("kept"))
   }
 
+  /** Leakage-free train/eval split: assign every member of a near-dup
+    * cluster to the SAME split, by hashing the cluster id — a per-doc
+    * random split leaks eval content into training whenever a near-dup
+    * pair straddles the boundary (the contamination mechanism Lee et al.
+    * 2021 measure). Deterministic md5-threshold hash, same family as
+    * [[Sampling]], so reruns and the oracle reproduce the split exactly.
+    *
+    * Scale shape: one join of two per-doc tables; the hash is per-row
+    * arithmetic on the already-computed cluster id — nothing beyond the
+    * cluster build itself.
+    */
+  def leakageFreeSplit(docs: DataFrame, threshold: Double,
+      trainPct: Int = 90): DataFrame = {
+    val clusters = graft.llm.Dedup.dupClusters(docs, threshold)
+    val bucket = pmod(TextOps.mdhash64(
+      concat(lit("split:"), col("cluster_id").cast("string"))), lit(100L))
+    clusters.select(col("doc_id"), col("cluster_id"),
+      when(bucket < trainPct, "train").otherwise("eval").as("split"))
+  }
+
+  /** DuckDB twin of [[leakageFreeSplit]]'s hash bucket. */
+  def splitBucketSql(idExpr: String): String =
+    s"(('0x' || substr(md5('split:' || CAST($idExpr AS VARCHAR)), 1, 15))::BIGINT) % 100"
+
+  /** Balanced shard assignment for distributed training: spread documents
+    * over `n` shards so per-shard token totals stay close — sort by token
+    * count descending (ties: doc_id) and deal round-robin, the
+    * longest-processing-time greedy heuristic's distributed-friendly
+    * cousin (true LPT is inherently sequential; round-robin-after-sort
+    * keeps every shard within one max-document of even).
+    *
+    * Scale shape: one global sort (Spark range-partitions it) + per-row
+    * modulo; no shuffle beyond the sort, no driver state. Returns
+    * (doc_id, n_tokens, shard).
+    */
+  def shardAssign(docs: DataFrame, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col("doc_id"),
+      size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+    val w = Window.orderBy(col("n_tokens").desc, col("doc_id").asc)
+    toks.withColumn("shard",
+      pmod(row_number().over(w) - 1, lit(n)).cast("long"))
+  }
+
+  def shardAssignOracleSql(n: Int): String =
+    s"""WITH t AS (SELECT doc_id,
+       |    len(string_split(lower(text), ' '))::BIGINT AS n_tokens
+       |  FROM documents),
+       |r AS (SELECT doc_id, n_tokens,
+       |    row_number() OVER (ORDER BY n_tokens DESC, doc_id) - 1 AS rk
+       |  FROM t)
+       |SELECT doc_id, n_tokens, (rk % $n)::BIGINT AS shard
+       |FROM r ORDER BY doc_id""".stripMargin
+
   def semanticDedupOracleSql(threshold: Double): String = {
     val dot64 = (a: String, b: String) =>
       s"list_sum([$a[i]*$b[i] for i in generate_series(1,64)])"

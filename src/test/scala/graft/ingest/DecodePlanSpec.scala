@@ -68,13 +68,14 @@ class DecodePlanSpec extends SparkSpec {
     val plan = WireFormats.decodeInflux(src).queryExecution.optimizedPlan
     val perNode = plan.collect { case p =>
       p -> p.expressions.flatMap(_.collect {
-        case e if e.getClass.getSimpleName == "RegExpExtractAll" => e
+        case e if e.getClass.getSimpleName == "InfluxFieldsParse" ||
+          e.getClass.getSimpleName == "InfluxTagsParse" => e
       }).length
     }
-    // exactly two extract_all (field pairs + tags), both inside one staged
-    // Project — if CollapseProject ever re-inlines the fields array into
-    // its consumers (or into the row-explode Generate), the count fans out
-    // and every per-field regex re-runs once per consumer
+    // exactly one native fields parse + one tags parse, both inside one
+    // staged Project — if CollapseProject ever re-inlines the fields
+    // array into its consumers (or into the row-explode Generate), the
+    // count fans out and the whole line re-parses once per consumer
     assert(perNode.map(_._2).sum == 2, plan.toString)
     val generateCount = perNode.collectFirst {
       case (p, n) if p.getClass.getSimpleName == "Generate" => n

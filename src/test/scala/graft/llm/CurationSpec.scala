@@ -35,6 +35,31 @@ class CurationSpec extends SparkSpec {
     assert(out.count() == docs.count())
   }
 
+  test("leakageFreeSplit keeps every near-dup cluster on one side") {
+    val out = Curation.leakageFreeSplit(docs, 0.8, trainPct = 90)
+    assert(out.count() == docs.count())
+    // no cluster straddles the boundary
+    assert(out.groupBy(col("cluster_id"))
+      .agg(countDistinct(col("split")).as("ns"))
+      .filter(col("ns") =!= 1).count() == 0)
+    // both sides populated at 90/10 on 500 docs (deterministic hash)
+    val sides = out.groupBy(col("split")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sides.keySet == Set("train", "eval"))
+    assert(sides("train") > sides("eval"))
+  }
+
+  test("shardAssign: round-robin-after-sort keeps shards within one max doc") {
+    val out = Curation.shardAssign(docs, 8)
+    assert(out.count() == docs.count())
+    assert(out.select(countDistinct(col("shard"))).collect()(0).getLong(0) == 8)
+    val totals = out.groupBy(col("shard"))
+      .agg(sum(col("n_tokens")).as("t")).collect().map(_.getLong(1))
+    val maxDoc = out.agg(max(col("n_tokens"))).collect()(0).getLong(0)
+    assert(totals.max - totals.min <= maxDoc,
+      s"spread ${totals.max - totals.min} > max doc $maxDoc")
+  }
+
   test("packSequences two-level prefix sum equals the single-window form") {
     // the sharding must only change the execution shape, never the math:
     // compare against a plain running-sum window over each source
