@@ -759,6 +759,55 @@ object LlmGates extends GateSet {
         Curation.bigramSurprisal(docs(spark, dir)).orderBy("doc_id"),
       Some(Curation.bigramSurprisalOracleSql())),
 
+    // --- media header probe: format + dimensions parsed from the binary
+    // container header (PNG IHDR / GIF LSD / BMP info / JPEG SOF scan) —
+    // the pre-decode resolution/format filter of a multimodal pipeline.
+    // Headers are CONSTRUCTED from doc_id-derived dims, so the oracle
+    // recomputes the expected dims arithmetically and any parser bug
+    // (endianness, offset, marker walk) mismatches. ----------------------
+    Gate("llm_media_probe",
+      (spark: SparkSession, dir: String) => {
+        val d = docs(spark, dir)
+        val w = (col("doc_id") % 1913 + 16).cast("int")
+        val h = (col("doc_id") % 1061 + 9).cast("int")
+        def hex8(c: org.apache.spark.sql.Column) = lpad(hex(c), 8, "0")
+        def hex4(c: org.apache.spark.sql.Column) = lpad(hex(c), 4, "0")
+        def le16(c: org.apache.spark.sql.Column) = {
+          val x = hex4(c); concat(substring(x, 3, 2), substring(x, 1, 2))
+        }
+        def le32(c: org.apache.spark.sql.Column) = {
+          val x = hex8(c)
+          concat(substring(x, 7, 2), substring(x, 5, 2),
+            substring(x, 3, 2), substring(x, 1, 2))
+        }
+        val png = concat(lit("89504E470D0A1A0A0000000D49484452"),
+          hex8(w), hex8(h), lit("0806000000"))
+        val gif = concat(lit("474946383961"), le16(w), le16(h), lit("F70000"))
+        val bmp = concat(lit("424D00000000000000003600000028000000"),
+          le32(w), le32(h))
+        // APP0 before SOF0 exercises the marker-segment walk
+        val jpg = concat(
+          lit("FFD8FFE000104A46494600010100000100010000FFC0001108"),
+          hex4(h), hex4(w), lit("03011100021101031101"))
+        val hexStr = when(col("doc_id") % 4 === 0, png)
+          .when(col("doc_id") % 4 === 1, gif)
+          .when(col("doc_id") % 4 === 2, bmp)
+          .otherwise(jpg)
+        val probe = graft.functions.MediaProbeFn.probe(unhex(hexStr))
+        d.select(col("doc_id"),
+            probe.getField("format").as("format"),
+            probe.getField("width").as("width"),
+            probe.getField("height").as("height"))
+          .orderBy("doc_id")
+      },
+      Some(
+        """SELECT doc_id,
+          |  CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+          |       WHEN 2 THEN 'bmp' ELSE 'jpeg' END AS format,
+          |  (doc_id % 1913 + 16)::INT AS width,
+          |  (doc_id % 1061 + 9)::INT AS height
+          |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // --- leakage-free train/eval split: near-dup clusters stay atomic
     // across the boundary (the Lee et al. contamination mechanism) -------
     Gate("llm_leakage_split",

@@ -23,6 +23,40 @@ class LlmSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("media probe: wav fmt chunk, truncated headers, unknown formats") {
+    val s = spark
+    import s.implicits._
+    def wav(channels: Int, rate: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(44)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes); bb.putInt(36)
+      bb.put("WAVE".getBytes); bb.put("fmt ".getBytes)
+      bb.putInt(16); bb.putShort(1); bb.putShort(channels.toShort)
+      bb.putInt(rate); bb.putInt(rate * channels * 2)
+      bb.putShort((channels * 2).toShort); bb.putShort(16)
+      bb.put("data".getBytes); bb.putInt(0)
+      bb.array()
+    }
+    val cases: Seq[(String, Array[Byte])] = Seq(
+      "wav" -> wav(2, 44100),
+      "trunc_png" -> Array[Byte](0x89.toByte, 'P', 'N', 'G'),
+      "not_media" -> "hello world, definitely not an image".getBytes,
+      "jpeg_no_sof" -> Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte,
+        0xd9.toByte),
+      "empty" -> Array[Byte]())
+    val out = cases.toDF("name", "media")
+      .select(col("name"), graft.functions.MediaProbeFn.probe(col("media"))
+        .as("p"))
+      .select(col("name"), col("p.format"), col("p.width"), col("p.height"))
+      .collect().map(r => r.getString(0) ->
+        (r.getString(1), Option(r.get(2)), Option(r.get(3)))).toMap
+    assert(out("wav") == (("wav", Some(2), Some(44100))))
+    assert(out("trunc_png")._1 == "unknown") // too short for a PNG header
+    assert(out("not_media")._1 == "unknown")
+    assert(out("jpeg_no_sof") == (("jpeg", None, None)))
+    assert(out("empty")._1 == "unknown")
+  }
+
   test("minhash signatures are deterministic") {
     val a = Dedup.minhashSignatures(docs).orderBy("doc_id").limit(5)
       .collect().map(_.toString)
