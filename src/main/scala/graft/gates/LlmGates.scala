@@ -759,6 +759,13 @@ object LlmGates extends GateSet {
         Curation.bigramSurprisal(docs(spark, dir)).orderBy("doc_id"),
       Some(Curation.bigramSurprisalOracleSql())),
 
+    // --- dataset-card summary: the per-source statistics block a corpus
+    // release ships (docs/tokens/vocab/dup-rate/quality) -----------------
+    Gate("llm_dataset_stats",
+      (spark: SparkSession, dir: String) =>
+        Curation.datasetStats(docs(spark, dir)).orderBy("source"),
+      Some(Curation.datasetStatsOracleSql)),
+
     // --- media header probe: format + dimensions parsed from the binary
     // container header (PNG IHDR / GIF LSD / BMP info / JPEG SOF scan) —
     // the pre-decode resolution/format filter of a multimodal pipeline.

@@ -602,6 +602,67 @@ object Curation {
        |SELECT doc_id, n_tokens, (rk % $n)::BIGINT AS shard
        |FROM r ORDER BY doc_id""".stripMargin
 
+  /** Dataset-card summary: the per-source statistics block every corpus
+    * release ships (docs, token totals/means, vocabulary, exact-dup rate,
+    * mean quality, kept fraction) in ONE pass over the corpus plus the
+    * vocabulary/dup aggregates — the sanity dashboard a 100 TB curation
+    * run prints per snapshot.
+    *
+    * Scale shape: two source-keyed aggregates (token stats fold map-side;
+    * distinct-token and distinct-hash counts are (source, key)-keyed
+    * pre-aggregates so the shuffle carries distincts, not rows) joined on
+    * the handful of source keys.
+    */
+  def datasetStats(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("source"),
+      size(TextOps.tokens(col("text"))).cast("long").as("n_toks"))
+    val base = toks.groupBy(col("source")).agg(
+      count(lit(1)).as("docs"),
+      sum(col("n_toks")).as("tokens"),
+      round(avg(col("n_toks")), 6).as("mean_tokens"))
+    val vocab = docs.select(col("source"),
+        explode(TextOps.tokens(col("text"))).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("__c"))
+      .groupBy(col("source")).agg(count(lit(1)).as("vocabulary"))
+    val dups = docs.select(col("source"),
+        md5(graft.llm.Dedup.normalized(col("text"))).as("h"))
+      .groupBy(col("source"), col("h")).agg(count(lit(1)).as("c"))
+      .groupBy(col("source")).agg(
+        round((sum(col("c")) - count(lit(1))) /
+          sum(col("c")).cast("double"), 6).as("exact_dup_rate"))
+    val quality = qualityScore(docs)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("source")).agg(
+        round(avg(col("quality")), 6).as("mean_quality"),
+        round(avg(col("kept").cast("double")), 6).as("kept_frac"))
+    base.join(vocab, Seq("source")).join(dups, Seq("source"))
+      .join(quality, Seq("source"))
+  }
+
+  def datasetStatsOracleSql: String =
+    s"""WITH $qualityCteSql,
+       |tk AS (SELECT source, len(string_split(lower(text), ' '))::BIGINT AS n_toks,
+       |    doc_id, md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS h
+       |  FROM documents),
+       |base AS (SELECT source, count(*) AS docs, sum(n_toks)::BIGINT AS tokens,
+       |    round(avg(n_toks), 6) AS mean_tokens
+       |  FROM tk GROUP BY 1),
+       |vc AS (SELECT source, count(*) AS vocabulary FROM (
+       |    SELECT DISTINCT source, unnest(string_split(lower(text), ' ')) AS tok
+       |    FROM documents) GROUP BY 1),
+       |dp AS (SELECT source,
+       |    round((sum(c) - count(*)) / sum(c)::DOUBLE, 6) AS exact_dup_rate
+       |  FROM (SELECT source, h, count(*) AS c FROM tk GROUP BY 1, 2)
+       |  GROUP BY 1),
+       |ql AS (SELECT d.source, round(avg(q.quality), 6) AS mean_quality,
+       |    round(avg((q.quality >= 0.5)::INT::DOUBLE), 6) AS kept_frac
+       |  FROM qs q JOIN documents d USING (doc_id) GROUP BY 1)
+       |SELECT source, docs, tokens, mean_tokens, vocabulary,
+       |  exact_dup_rate, mean_quality, kept_frac
+       |FROM base JOIN vc USING (source) JOIN dp USING (source)
+       |  JOIN ql USING (source)
+       |ORDER BY source""".stripMargin
+
   def semanticDedupOracleSql(threshold: Double): String = {
     val dot64 = (a: String, b: String) =>
       s"list_sum([$a[i]*$b[i] for i in generate_series(1,64)])"
