@@ -103,6 +103,22 @@ class DecodePlanSpec extends SparkSpec {
     assert(nodes <= 12, s"decodeOtlpLogs plan grew to $nodes nodes:\n$plan")
   }
 
+  test("logs derivation carries no CodegenFallback fingerprint (to_json)") {
+    import org.apache.spark.sql.functions._
+    // the fingerprint is per-row in every logs/series derivation; the
+    // composed xxhash64(to_json(...)) form is a CodegenFallback that
+    // severs whole-stage codegen — the native LabelsFingerprint must be
+    // the one in the plan, and StructsToJson must not reappear
+    val plan = graft.model.Tables.logs(spark, sf).queryExecution.optimizedPlan
+    val exprs = plan.collect { case p => p.expressions }.flatten
+    val fps = exprs.flatMap(_.collect {
+      case e if e.getClass.getSimpleName == "LabelsFingerprint" => e })
+    val jsons = exprs.flatMap(_.collect {
+      case e if e.getClass.getSimpleName == "StructsToJson" => e })
+    assert(fps.nonEmpty, plan.toString)
+    assert(jsons.isEmpty, plan.toString)
+  }
+
   test("decoded OTLP labels still merge record attrs over resource attrs") {
     val s = spark
     import s.implicits._
