@@ -54,17 +54,12 @@ object InfluxParseUtil extends Serializable {
       if (java.lang.Double.isNaN(d)) return "NaN"
       if (d.isInfinite) return if (d > 0) "Infinity" else "-Infinity"
       val s = java.lang.Double.toString(math.abs(d))
+      // Java renders plain decimal only inside [1e-3, 1e7); this branch is
+      // entered only for |d| >= 1e21 or |d| < 1e-4, so E-form is guaranteed
       val ei = s.indexOf('E')
-      val (mantAll, expn) =
-        if (ei >= 0) (s.substring(0, ei).replace(".", ""),
-          Integer.parseInt(s.substring(ei + 1)))
-        else {
-          // Java renders plain decimal inside [1e-3, 1e7) — Go's 'g'
-          // bounds differ, so normalize manually (e.g. 5e-4 → "5.0E-4")
-          val bd = new java.math.BigDecimal(s).stripTrailingZeros
-          val digits = bd.unscaledValue.toString
-          (digits, digits.length - 1 - bd.scale)
-        }
+      assert(ei >= 0, s"expected E-form from Double.toString($d), got $s")
+      val mantAll = s.substring(0, ei).replace(".", "")
+      val expn = Integer.parseInt(s.substring(ei + 1))
       var e = mantAll.length
       while (e > 1 && mantAll.charAt(e - 1) == '0') e -= 1
       val digits = mantAll.substring(0, e)

@@ -12,10 +12,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * pixel dimensions from the binary HEADER alone — the part of multimodal
   * decode that needs no codec library, in pure JVM byte arithmetic
   * (PNG IHDR, GIF logical screen descriptor, BMP info header, JPEG SOF
-  * marker scan, RIFF/WAVE fmt chunk). A 100 TB curation pipeline runs
-  * exactly this pass to filter by resolution / aspect ratio / format
-  * BEFORE paying for full decode; the codec-backed decode stays behind
-  * the mapPartitions stub in [[graft.llm.Multimodal]].
+  * marker scan, RIFF/WAVE fmt chunk, RIFF/WEBP VP8/VP8L/VP8X, ISO-BMFF
+  * moov/trak/tkhd). A 100 TB curation pipeline runs exactly this pass to
+  * filter by resolution / aspect ratio / format BEFORE paying for full
+  * decode; the codec-backed decode stays behind the mapPartitions stub in
+  * [[graft.llm.Multimodal]].
   */
 object MediaProbeUtil extends Serializable {
 
@@ -24,14 +25,120 @@ object MediaProbeUtil extends Serializable {
   private def be32(b: Array[Byte], i: Int): Int =
     ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) |
       ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+  private def be64(b: Array[Byte], i: Int): Long =
+    ((be32(b, i).toLong & 0xffffffffL) << 32) |
+      (be32(b, i + 4).toLong & 0xffffffffL)
   private def le16(b: Array[Byte], i: Int): Int =
     (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+  private def le24(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) | ((b(i + 2) & 0xff) << 16)
   private def le32(b: Array[Byte], i: Int): Int =
     (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) |
       ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
+  private def tag4(b: Array[Byte], i: Int, t: String): Boolean =
+    b(i) == t.charAt(0).toByte && b(i + 1) == t.charAt(1).toByte &&
+      b(i + 2) == t.charAt(2).toByte && b(i + 3) == t.charAt(3).toByte
 
   private def row(fmt: String, w: java.lang.Integer, h: java.lang.Integer) =
     InternalRow(UTF8String.fromString(fmt), w, h)
+
+  /** JPEG marker-segment walk to the first SOFn (C0-CF minus C4/C8/CC).
+    * Real streams carry 0xFF fill bytes before markers and standalone
+    * (length-less) markers — TEM 0x01, RSTn D0-D7, SOI D8 — so the walk
+    * consumes repeated 0xFF, advances standalone markers without reading
+    * a length, and stops at EOI/SOS (SOF must precede scan data).
+    */
+  private def jpegDims(b: Array[Byte]): InternalRow = {
+    var i = 2
+    while (i + 1 < b.length && b(i) == 0xff.toByte) {
+      var j = i + 1
+      while (j < b.length && b(j) == 0xff.toByte) j += 1 // fill bytes
+      if (j >= b.length) return row("jpeg", null, null)
+      val m = b(j) & 0xff
+      if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc) {
+        if (j + 8 <= b.length) return row("jpeg", be16(b, j + 6), be16(b, j + 4))
+        return row("jpeg", null, null)
+      } else if (m == 0x01 || (m >= 0xd0 && m <= 0xd8)) {
+        i = j + 1 // standalone marker: no length field
+      } else if (m == 0xd9 || m == 0xda) {
+        return row("jpeg", null, null) // EOI / start-of-scan: no SOF seen
+      } else {
+        if (j + 3 > b.length) return row("jpeg", null, null)
+        i = j + 1 + be16(b, j + 1)
+      }
+    }
+    row("jpeg", null, null)
+  }
+
+  /** WebP: the RIFF payload's first chunk decides the flavor — VP8 (lossy
+    * frame header behind the 0x9D012A sync code, 14-bit dims), VP8L
+    * (lossless, 14-bit minus-one dims packed little-endian behind 0x2F),
+    * VP8X (extended, 24-bit minus-one dims).
+    */
+  private def webpDims(b: Array[Byte]): InternalRow = {
+    if (b.length >= 30 && tag4(b, 12, "VP8 ") &&
+      b(23) == 0x9d.toByte && b(24) == 0x01 && b(25) == 0x2a)
+      return row("webp", le16(b, 26) & 0x3fff, le16(b, 28) & 0x3fff)
+    if (b.length >= 25 && tag4(b, 12, "VP8L") && b(20) == 0x2f) {
+      val bits = le32(b, 21)
+      return row("webp", (bits & 0x3fff) + 1, ((bits >> 14) & 0x3fff) + 1)
+    }
+    if (b.length >= 30 && tag4(b, 12, "VP8X"))
+      return row("webp", le24(b, 24) + 1, le24(b, 27) + 1)
+    row("webp", null, null)
+  }
+
+  /** ISO-BMFF box walk: `start`/`end` bound a box sequence; calls `f` with
+    * (type-offset, payload-start, payload-end) per box and returns its
+    * first Some. Handles 64-bit largesize and size==0 ("to end of file");
+    * every read is bounds-checked against the bytes actually present.
+    */
+  private def walkBoxes(b: Array[Byte], start: Long, end: Long)(
+      f: (Int, Long, Long) => Option[InternalRow]): Option[InternalRow] = {
+    var i = start
+    while (i + 8 <= end && i + 8 <= b.length) {
+      val ii = i.toInt
+      val sz0 = be32(b, ii).toLong & 0xffffffffL
+      val hdr = if (sz0 == 1) 16L else 8L
+      val sz =
+        if (sz0 == 0) end - i
+        else if (sz0 == 1) {
+          if (i + 16 > b.length) return None
+          be64(b, ii + 8)
+        } else sz0
+      if (sz < hdr) return None // corrupt: box smaller than its header
+      val r = f(ii + 4, i + hdr, math.min(i + sz, end))
+      if (r.isDefined) return r
+      i += sz
+    }
+    None
+  }
+
+  /** MP4 (ISO-BMFF): moov → trak → tkhd; width/height are 16.16 fixed at
+    * payload offset 76 (version 0) / 88 (version 1). The first trak with a
+    * nonzero width wins (audio traks carry 0×0).
+    */
+  private def mp4Dims(b: Array[Byte]): InternalRow = {
+    val dims = walkBoxes(b, 0L, b.length.toLong) { (t, ps, pe) =>
+      if (!tag4(b, t, "moov")) None
+      else walkBoxes(b, ps, pe) { (t2, ts, te) =>
+        if (!tag4(b, t2, "trak")) None
+        else walkBoxes(b, ts, te) { (t3, ks, ke) =>
+          if (!tag4(b, t3, "tkhd") || ks >= b.length) None
+          else {
+            val off = (if ((b(ks.toInt) & 0xff) == 1) ks + 88 else ks + 76).toInt
+            if (off + 8 > ke || off + 8 > b.length) None
+            else {
+              val w = be32(b, off) >>> 16
+              val h = be32(b, off + 4) >>> 16
+              if (w > 0) Some(row("mp4", w, h)) else None
+            }
+          }
+        }
+      }
+    }
+    dims.getOrElse(row("mp4", null, null))
+  }
 
   def probe(b: Array[Byte]): InternalRow = {
     if (b.length >= 24 &&
@@ -44,22 +151,15 @@ object MediaProbeUtil extends Serializable {
       return row("gif", le16(b, 6), le16(b, 8))
     if (b.length >= 26 && b(0) == 'B' && b(1) == 'M')
       return row("bmp", le32(b, 18), le32(b, 22))
-    if (b.length >= 44 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
-      b(3) == 'F' && b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')
+    if (b.length >= 16 && tag4(b, 0, "RIFF") && tag4(b, 8, "WEBP"))
+      return webpDims(b)
+    if (b.length >= 44 && tag4(b, 0, "RIFF") && tag4(b, 8, "WAVE"))
       // "dimensions" of audio: channels × sample rate (fmt chunk at 12)
       return row("wav", le16(b, 22), le32(b, 24))
-    if (b.length >= 4 && b(0) == 0xff.toByte && b(1) == 0xd8.toByte) {
-      // JPEG: walk marker segments to the first SOFn (C0-CF minus
-      // C4/C8/CC); height/width are big-endian at +5/+7 into the segment
-      var i = 2
-      while (i + 9 < b.length && b(i) == 0xff.toByte) {
-        val m = b(i + 1) & 0xff
-        if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc)
-          return row("jpeg", be16(b, i + 7), be16(b, i + 5))
-        i += 2 + be16(b, i + 2)
-      }
-      return row("jpeg", null, null)
-    }
+    if (b.length >= 12 && tag4(b, 4, "ftyp"))
+      return mp4Dims(b)
+    if (b.length >= 4 && b(0) == 0xff.toByte && b(1) == 0xd8.toByte)
+      return jpegDims(b)
     row("unknown", null, null)
   }
 }

@@ -787,18 +787,33 @@ object LlmGates extends GateSet {
           concat(substring(x, 7, 2), substring(x, 5, 2),
             substring(x, 3, 2), substring(x, 1, 2))
         }
+        def le24(c: org.apache.spark.sql.Column) = {
+          val x = lpad(hex(c), 6, "0")
+          concat(substring(x, 5, 2), substring(x, 3, 2), substring(x, 1, 2))
+        }
         val png = concat(lit("89504E470D0A1A0A0000000D49484452"),
           hex8(w), hex8(h), lit("0806000000"))
         val gif = concat(lit("474946383961"), le16(w), le16(h), lit("F70000"))
         val bmp = concat(lit("424D00000000000000003600000028000000"),
           le32(w), le32(h))
-        // APP0 before SOF0 exercises the marker-segment walk
+        // APP0, a standalone TEM marker (FF01), and a 0xFF fill byte
+        // before SOF0 exercise the full marker-segment walk
         val jpg = concat(
-          lit("FFD8FFE000104A46494600010100000100010000FFC0001108"),
+          lit("FFD8FFE000104A46494600010100000100010000FF01FFFFC0001108"),
           hex4(h), hex4(w), lit("03011100021101031101"))
-        val hexStr = when(col("doc_id") % 4 === 0, png)
-          .when(col("doc_id") % 4 === 1, gif)
-          .when(col("doc_id") % 4 === 2, bmp)
+        // RIFF/WEBP with a VP8X extended header: 24-bit LE minus-one dims
+        val webp = concat(lit("524946462400000057454250565038580A000000"),
+          lit("02000000"), le24(w - 1), le24(h - 1))
+        // ISO-BMFF: ftyp(isom) + moov > trak > tkhd v0, 16.16 fixed dims
+        val mp4 = concat(
+          lit("000000106674797069736F6D00000000"),
+          lit("0000006C6D6F6F76000000647472616B0000005C746B686400000007"),
+          lit("0" * 144), hex4(w), lit("0000"), hex4(h), lit("0000"))
+        val hexStr = when(col("doc_id") % 6 === 0, png)
+          .when(col("doc_id") % 6 === 1, gif)
+          .when(col("doc_id") % 6 === 2, bmp)
+          .when(col("doc_id") % 6 === 3, webp)
+          .when(col("doc_id") % 6 === 4, mp4)
           .otherwise(jpg)
         val probe = graft.functions.MediaProbeFn.probe(unhex(hexStr))
         d.select(col("doc_id"),
@@ -809,8 +824,9 @@ object LlmGates extends GateSet {
       },
       Some(
         """SELECT doc_id,
-          |  CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
-          |       WHEN 2 THEN 'bmp' ELSE 'jpeg' END AS format,
+          |  CASE doc_id % 6 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+          |       WHEN 2 THEN 'bmp' WHEN 3 THEN 'webp'
+          |       WHEN 4 THEN 'mp4' ELSE 'jpeg' END AS format,
           |  (doc_id % 1913 + 16)::INT AS width,
           |  (doc_id % 1061 + 9)::INT AS height
           |FROM documents ORDER BY doc_id""".stripMargin)),

@@ -579,17 +579,36 @@ object Curation {
     * cousin (true LPT is inherently sequential; round-robin-after-sort
     * keeps every shard within one max-document of even).
     *
-    * Scale shape: one global sort (Spark range-partitions it) + per-row
-    * modulo; no shuffle beyond the sort, no driver state. Returns
-    * (doc_id, n_tokens, shard).
+    * Scale shape: the global rank is a two-level distributed prefix sum,
+    * NOT an un-partitioned window (which Spark would execute in a single
+    * task): range-partition on the sort key (Spark samples balanced
+    * boundaries deterministically), rank locally within each range
+    * partition, and add the partition's running row-count offset — a
+    * window over a ≤#partitions-row aggregate, broadcast back. No task
+    * ever sorts more than one range partition; the result is identical to
+    * the single global sort because (n_tokens desc, doc_id) is a total
+    * order. Returns (doc_id, n_tokens, shard).
     */
   def shardAssign(docs: DataFrame, n: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val toks = docs.select(col("doc_id"),
       size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
-    val w = Window.orderBy(col("n_tokens").desc, col("doc_id").asc)
-    toks.withColumn("shard",
-      pmod(row_number().over(w) - 1, lit(n)).cast("long"))
+    val parts = toks
+      .repartitionByRange(col("n_tokens").desc, col("doc_id").asc)
+      .withColumn("__pid", spark_partition_id().cast("long"))
+    // rows in range partitions strictly before mine: a window over the
+    // tiny per-partition-count aggregate (≤ shuffle-partitions rows)
+    val offW = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = parts.groupBy(col("__pid"))
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__off", coalesce(sum(col("__cnt")).over(offW), lit(0L)))
+      .drop("__cnt")
+    val localW = Window.partitionBy(col("__pid"))
+      .orderBy(col("n_tokens").desc, col("doc_id").asc)
+    parts.join(broadcast(offsets), Seq("__pid"))
+      .withColumn("__rk", col("__off") + row_number().over(localW) - 1)
+      .select(col("doc_id"), col("n_tokens"),
+        pmod(col("__rk"), lit(n.toLong)).cast("long").as("shard"))
   }
 
   def shardAssignOracleSql(n: Int): String =

@@ -60,6 +60,33 @@ class CurationSpec extends SparkSpec {
       s"spread ${totals.max - totals.min} > max doc $maxDoc")
   }
 
+  test("shardAssign distributed rank equals the single-window form") {
+    // the range-partition + offset rank must only change the execution
+    // shape, never the math: compare against the naive global window
+    val out = Curation.shardAssign(docs, 8)
+    val w = Window.orderBy(col("n_tokens").desc, col("doc_id").asc)
+    val naive = docs.select(col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("shard",
+        pmod(row_number().over(w) - 1, lit(8)).cast("long"))
+    assert(out.exceptAll(naive).count() == 0)
+    assert(naive.exceptAll(out).count() == 0)
+  }
+
+  test("shardAssign: no un-partitioned window over the corpus (plan canary)") {
+    // an un-partitioned Window runs in ONE task; the only one allowed in
+    // this plan is the per-partition-offset window, which sits over a
+    // ≤#partitions-row Aggregate — anything else is the 100 TB killer
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val plan = Curation.shardAssign(docs, 8).queryExecution.optimizedPlan
+    val bad = plan.collect {
+      case w: LWindow if w.partitionSpec.isEmpty &&
+        w.child.collectFirst { case a: Aggregate => a }.isEmpty => w
+    }
+    assert(bad.isEmpty,
+      s"un-partitioned window over non-aggregated input:\n${bad.mkString("\n")}")
+  }
+
   test("packSequences two-level prefix sum equals the single-window form") {
     // the sharding must only change the execution shape, never the math:
     // compare against a plain running-sum window over each source

@@ -57,6 +57,49 @@ class LlmSpec extends SparkSpec {
     assert(out("empty")._1 == "unknown")
   }
 
+  test("media probe: webp flavors, mp4 box walk, jpeg fill/RST markers") {
+    val s = spark
+    import s.implicits._
+    def hx(h: String): Array[Byte] =
+      h.replaceAll("\\s", "").grouped(2)
+        .map(Integer.parseInt(_, 16).toByte).toArray
+    // VP8 lossy: sync 9D012A then 14-bit LE dims (320x240)
+    val vp8 = hx("52494646 20000000 57454250 56503820 14000000" +
+      "000000 9D012A 4001 F000 0000")
+    // VP8L lossless: 0x2F then 14-bit minus-one dims packed LE (17x9)
+    // bits = (17-1) | (9-1)<<14 = 0x20010 -> LE bytes 10 00 02 00
+    val vp8l = hx("52494646 18000000 57454250 5650384C 0C000000" +
+      "2F 10000200 00")
+    // VP8X extended: 24-bit LE minus-one dims (1000x600)
+    val vp8x = hx("52494646 24000000 57454250 56503858 0A000000" +
+      "02000000 E70300 570200")
+    // mp4: ftyp + moov>trak>tkhd v0, audio trak (0x0) FIRST, video 640x480
+    val tkhd0 = "0000005C 746B6864 00000007" + "00" * 72
+    val trakA = "00000064 7472616B " + tkhd0 + "00000000 00000000"
+    val trakV = "00000064 7472616B " + tkhd0 + "02800000 01E00000"
+    val mp4 = hx("00000010 66747970 69736F6D 00000000" +
+      "000000D0 6D6F6F76 " + trakA + trakV)
+    // JPEG with TEM (FF01), an RST (FFD0), and fill bytes before SOF0
+    val jpgFill = hx("FFD8 FFE0 0010 4A46494600010100000100010000" +
+      "FF01 FFD0 FFFF FFC0 0011 08 00F0 0140 03011100021101031101")
+    // JPEG hitting SOS before any SOF: dims stay null
+    val jpgSos = hx("FFD8 FFDA 0008 01 01 11 00 3F 00")
+    val cases = Seq("vp8" -> vp8, "vp8l" -> vp8l, "vp8x" -> vp8x,
+      "mp4" -> mp4, "jpg_fill" -> jpgFill, "jpg_sos" -> jpgSos)
+    val out = cases.toDF("name", "media")
+      .select(col("name"), graft.functions.MediaProbeFn.probe(col("media"))
+        .as("p"))
+      .select(col("name"), col("p.format"), col("p.width"), col("p.height"))
+      .collect().map(r => r.getString(0) ->
+        (r.getString(1), Option(r.get(2)), Option(r.get(3)))).toMap
+    assert(out("vp8") == (("webp", Some(320), Some(240))))
+    assert(out("vp8l") == (("webp", Some(17), Some(9))))
+    assert(out("vp8x") == (("webp", Some(1000), Some(600))))
+    assert(out("mp4") == (("mp4", Some(640), Some(480))))
+    assert(out("jpg_fill") == (("jpeg", Some(320), Some(240))))
+    assert(out("jpg_sos") == (("jpeg", None, None)))
+  }
+
   test("minhash signatures are deterministic") {
     val a = Dedup.minhashSignatures(docs).orderBy("doc_id").limit(5)
       .collect().map(_.toString)

@@ -22,9 +22,17 @@ sbt -batch "Test / compile" < /dev/null
 SUBSET=""
 if [ "$#" -gt 0 ]; then SUBSET="$(IFS=,; echo "$*")"; fi
 echo "== preflight 2/3: graft.Verify @ $SF_DIR (${SUBSET:-ALL gates}) =="
-SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-8}" \
-  sbt -batch "runMain graft.Verify $SF_DIR $OUT_DIR $SUBSET" < /dev/null \
-  | grep -E '\[verify\]' || true
+# Capture sbt's exit status explicitly: a `sbt | grep || true` pipeline
+# would neutralize pipefail and let a nonzero Verify exit slip through.
+VLOG="$OUT_DIR/verify.log"
+if ! SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-8}" \
+    sbt -batch "runMain graft.Verify $SF_DIR $OUT_DIR $SUBSET" \
+    < /dev/null > "$VLOG" 2>&1; then
+  echo "== preflight FAIL: graft.Verify exited nonzero; log tail: =="
+  tail -n 40 "$VLOG"
+  exit 1
+fi
+grep -E '\[verify\]' "$VLOG" || true
 
 echo "== preflight 3/3: tools/check.py vs DuckDB oracle =="
 python3 tools/check.py "$OUT_DIR" "$SF_DIR"
