@@ -45,6 +45,77 @@ object LlmGates extends GateSet {
     * `clus(doc_id, cluster_id)` — shared by llm_dup_clusters and
     * llm_keep_best. Host query must start `WITH RECURSIVE shViews, …`.
     */
+  /** Shared CTE chain of the IVF-PQ gates (through `fr` = exact-reranked
+    * shortlist): mirrors [[graft.llm.Similarity.ivfPqTopK]] at m=16
+    * subspaces of 4 dims, nprobe=4, shortlist 4·k=40, queries =
+    * vec_id % 25 == 0. Coarse assignment runs on RAW arrays (identical
+    * cells to the plain-IVF gates); residuals live in the NORMALIZED
+    * space so ADC's L2 tracks 2−2·cos. Residual codebook = the
+    * `% md == 1` OFFSET sample (the centroids' own residuals are ≈0 and
+    * would collapse the codebook).
+    */
+  private val ivfpqCtes: String = {
+    val dot64 = (a: String, b: String) =>
+      s"list_sum([$a[i]*$b[i] for i in generate_series(1,64)])"
+    val cos = (a: String, b: String) =>
+      s"${dot64(a, b)} / (sqrt(${dot64(a, a)}) * sqrt(${dot64(b, b)}))"
+    val l2sub = (a: String, b: String) =>
+      s"list_sum([($a[i]-$b[i])*($a[i]-$b[i]) for i in generate_series(1,4)])"
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |nv AS (SELECT vec_id,
+       |    [v[i]/sqrt(${dot64("v", "v")}) for i in generate_series(1,64)] AS v
+       |  FROM e),
+       |cmod AS (SELECT GREATEST(23, CAST(floor(sqrt(count(*))) AS BIGINT)) AS md FROM e),
+       |cents AS (SELECT vec_id AS cid, v AS cv FROM e
+       |  WHERE vec_id % (SELECT md FROM cmod) = 0),
+       |ncents AS (SELECT vec_id AS cid, v AS cv FROM nv
+       |  WHERE vec_id % (SELECT md FROM cmod) = 0),
+       |ac AS (SELECT e.vec_id, c.cid, ${cos("e.v", "c.cv")} AS cs
+       |  FROM e CROSS JOIN cents c),
+       |asg AS (SELECT vec_id, cid AS cell FROM (
+       |    SELECT vec_id, cid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+       |    FROM ac) WHERE rn = 1),
+       |resid AS (SELECT a.vec_id, a.cell,
+       |    [x.v[i] - c.cv[i] for i in generate_series(1,64)] AS rv
+       |  FROM asg a JOIN nv x ON x.vec_id = a.vec_id
+       |  JOIN ncents c ON c.cid = a.cell),
+       |rsubs AS (SELECT vec_id, cell, s, rv[s*4+1 : s*4+4] AS sub
+       |  FROM resid, generate_series(0,15) ss(s)),
+       |cb AS (SELECT vec_id AS cid2, s, sub AS csub FROM rsubs
+       |  WHERE vec_id % (SELECT md FROM cmod) = 1),
+       |codes AS (SELECT vec_id AS nid, cell, s, cid2 FROM (
+       |    SELECT r.vec_id, r.cell, r.s, c.cid2,
+       |      row_number() OVER (PARTITION BY r.vec_id, r.s
+       |        ORDER BY ${l2sub("r.sub", "c.csub")}, c.cid2) AS rn
+       |    FROM rsubs r JOIN cb c ON c.s = r.s) WHERE rn = 1),
+       |qp AS (SELECT vec_id AS qid, cid AS cell FROM (
+       |    SELECT vec_id, cid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+       |    FROM ac WHERE vec_id % 25 = 0) WHERE rn <= 4),
+       |qresid AS (SELECT qp.qid, qp.cell,
+       |    [x.v[i] - c.cv[i] for i in generate_series(1,64)] AS qr
+       |  FROM qp JOIN nv x ON x.vec_id = qp.qid
+       |  JOIN ncents c ON c.cid = qp.cell),
+       |qsubs AS (SELECT qid, cell, s, qr[s*4+1 : s*4+4] AS sub
+       |  FROM qresid, generate_series(0,15) ss(s)),
+       |adc AS (SELECT q.qid, q.cell, q.s, c.cid2, ${l2sub("q.sub", "c.csub")} AS qd
+       |  FROM qsubs q JOIN cb c ON c.s = q.s),
+       |pcand AS (SELECT adc.qid, codes.nid, adc.s, adc.qd
+       |  FROM codes JOIN adc ON adc.cell = codes.cell AND adc.s = codes.s
+       |    AND adc.cid2 = codes.cid2
+       |  WHERE adc.qid <> codes.nid),
+       |sc AS (SELECT qid, nid, sqrt(list_sum(list(qd ORDER BY s))) AS adist
+       |  FROM pcand GROUP BY 1, 2),
+       |short AS (SELECT qid, nid, adist FROM (
+       |    SELECT qid, nid, adist,
+       |      row_number() OVER (PARTITION BY qid ORDER BY adist, nid) AS sr
+       |    FROM sc) WHERE sr <= 40),
+       |fr AS (SELECT s.qid, s.nid, s.adist, ${cos("qe.v", "ce.v")} AS sim
+       |  FROM short s JOIN e qe ON qe.vec_id = s.qid
+       |  JOIN e ce ON ce.vec_id = s.nid)""".stripMargin
+  }
+
   private def clusterCtes(threshold: Double): String =
     s"""rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= ${Dedup.MaxShingleDf}),
        |shc AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)),
@@ -490,6 +561,68 @@ object LlmGates extends GateSet {
            |      row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk
            |    FROM sims) WHERE rk <= 10
            |ORDER BY qid, rank""".stripMargin
+      }),
+
+    // --- IVF-PQ (IVFADC, Jégou 2011 §IV): coarse cell + PQ-coded
+    // residual, asymmetric-distance ranking. The oracle re-derives the
+    // whole composed index (adaptive centroid spacing, offset-sample
+    // residual codebook, per-subspace code assignment, per-query ADC
+    // table) bit for bit — the INDEX is gated, not just recall. ----------
+    Gate("llm_ann_ivfpq_query",
+      (spark: SparkSession, dir: String) => {
+        val emb = Tables.embeddings(spark, dir)
+        val q = emb.filter(col("vec_id") % 25 === 0)
+        Similarity.ivfPqTopK(q, emb, 10)
+          .select(col("qid"), col("nid"), col("rank").cast("long").as("rank"),
+            round(col("sim"), 6).as("sim"), round(col("adist"), 6).as("adist"))
+          .orderBy("qid", "rank")
+      },
+      Some(
+        s"""WITH $ivfpqCtes
+           |SELECT qid, nid, rank, round(sim, 6) AS sim,
+           |  round(adist, 6) AS adist FROM (
+           |    SELECT qid, nid, adist, sim,
+           |      row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+           |    FROM fr) WHERE rank <= 10
+           |ORDER BY qid, rank""".stripMargin)),
+
+    // --- IVF-PQ vs brute force: per-query hit count of the brute top-10
+    // found by the ADC top-10 (same probe budget as llm_ann_ivf_recall,
+    // so the two recall gates compare the exact and PQ-coded rerank over
+    // the identical candidate cells). ------------------------------------
+    Gate("llm_ann_ivfpq_recall",
+      (spark: SparkSession, dir: String) => {
+        val emb = Tables.embeddings(spark, dir)
+        val q = emb.filter(col("vec_id") % 25 === 0)
+        val brute = Similarity.bruteForceTopK(q, emb, 10)
+          .select(col("qid"), col("nid"))
+        val pq = Similarity.ivfPqTopK(q, emb, 10)
+          .select(col("qid"), col("nid"), lit(1L).as("__hit"))
+        brute.join(pq, Seq("qid", "nid"), "left")
+          .groupBy(col("qid"))
+          .agg(sum(coalesce(col("__hit"), lit(0L))).cast("long").as("hits"))
+          .orderBy("qid")
+      },
+      Some {
+        val dot64 = (a: String, b: String) =>
+          s"list_sum([$a[i]*$b[i] for i in generate_series(1,64)])"
+        val cos = (a: String, b: String) =>
+          s"${dot64(a, b)} / (sqrt(${dot64(a, a)}) * sqrt(${dot64(b, b)}))"
+        s"""WITH $ivfpqCtes,
+           |ptop AS (SELECT qid, nid FROM (
+           |    SELECT qid, nid,
+           |      row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk
+           |    FROM fr) WHERE rk <= 10),
+           |q2 AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 25 = 0),
+           |bsim AS (SELECT qid, e.vec_id AS nid, ${cos("qv", "e.v")} AS sim
+           |  FROM e CROSS JOIN q2 WHERE e.vec_id <> qid),
+           |btop AS (SELECT qid, nid FROM (
+           |    SELECT qid, nid,
+           |      row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk
+           |    FROM bsim) WHERE rk <= 10)
+           |SELECT b.qid, CAST(count(p.nid) AS BIGINT) AS hits
+           |FROM btop b LEFT JOIN ptop p ON p.qid = b.qid AND p.nid = b.nid
+           |GROUP BY 1 ORDER BY 1""".stripMargin
       }),
 
     // --- embedding-cosine near-dup pairs: sign-LSH bucket candidates →

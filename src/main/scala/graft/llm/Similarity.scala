@@ -248,6 +248,120 @@ object Similarity {
           (a, b) => abs(a - b))), 6).as("max_abs_err"))
   }
 
+  /** IVF-PQ (IVFADC, Jégou et al. 2011 §IV) — the composed index a
+    * billion-vector corpus actually serves from: the IVF coarse quantizer
+    * routes each vector to its max-cosine cell, and PQ codes the RESIDUAL
+    * (x − centroid) in `m` subspaces; a query probes its `nprobe` nearest
+    * cells and ranks the cells' members by asymmetric distance (ADC): the
+    * query's per-(subspace, codeword) distance table is built once per
+    * probed cell, then each member costs m table lookups — never a full
+    * D-dim distance.
+    *
+    * Deterministic structure so any engine reproduces it: coarse centroids
+    * are the `vec_id % mod == 0` sample (mod = √N-scaled, same as
+    * [[ivfTopK]]); the PQ codebook per subspace is the residual
+    * sub-vectors of the `vec_id % mod == 1` sample — the OFFSET sample,
+    * because the centroids' own residuals are ≈0 and would collapse the
+    * codebook. Ties break on ascending id everywhere.
+    *
+    * Scale shape: centroids and codebook broadcast (√N each); corpus
+    * passes are n·√N coarse dots + n·m·√N code assignment (broadcast
+    * join + K-bounded argmin window) — the same n·√n as the plain IVF
+    * build; the query side joins the n·m code table against a broadcast
+    * ADC table keyed (cell, s, code) and folds m lookups per candidate.
+    * No corpus×corpus work anywhere.
+    */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      nprobe: Int = 4, m: Int = 16, rerank: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Dims / m
+    val mod = centroidModFor(corpus.count())
+    val cents = corpus.filter(pmod(col("vec_id"), lit(mod)) === 0)
+      .select(col("vec_id").as("cid"), asDouble(col("embedding")).as("ce"))
+    // coarse assignment runs on the RAW arrays, exactly as [[ivfTopK]]
+    // (cosine is scale-invariant, so the cell structure — and therefore
+    // the candidate set at equal probe budget — is identical bit for bit)
+    def cellRank(df: DataFrame, id: String, emb: String): DataFrame = {
+      val w = Window.partitionBy(col(id))
+        .orderBy(col("__cs").desc, col("cid").asc)
+      df.crossJoin(broadcast(cents))
+        .select(col(id), col(emb), col("cid"), col("ce"),
+          cosine(col(emb), col("ce")).as("__cs"))
+        .withColumn("__r", row_number().over(w))
+    }
+    // residuals live in the NORMALIZED space (x/‖x‖ − c/‖c‖): then
+    // ADC's L2 on residuals equals L2(q̂, x̂-reconstruction) equals
+    // 2−2·cos — the metric the exactness baseline ranks by
+    def unit(c: Column): Column = {
+      val n = sqrt(aggregate(transform(c, x => x * x), lit(0.0),
+        (acc, x) => acc + x))
+      transform(c, x => x / n)
+    }
+    def subspaces(df: DataFrame, id: String, vcol: String): DataFrame =
+      df.select(col(id), col("cell"), explode(array((0 until m).map(s =>
+          struct(lit(s).as("s"), slice(col(vcol), s * d + 1, d).as("sub"))): _*)).as("ss"))
+        .select(col(id), col("cell"), col("ss.s").as("s"), col("ss.sub").as("sub"))
+    val l2 = aggregate(zip_with(col("sub"), col("csub"),
+      (a, b) => (a - b) * (a - b)), lit(0.0), (acc, x) => acc + x)
+    // corpus: best cell, normalized-space residual, residual subspaces
+    // (materialized — the codebook filter and the code assignment both
+    // read it)
+    val assigned = cellRank(
+        corpus.select(col("vec_id").as("nid"), asDouble(col("embedding")).as("ne")),
+        "nid", "ne")
+      .filter(col("__r") === 1)
+      .select(col("nid"), col("cid").as("cell"),
+        zip_with(unit(col("ne")), unit(col("ce")), (a, b) => a - b).as("rv"))
+    val rsubs = graft.model.Materialize(subspaces(assigned, "nid", "rv"))
+    val cb = rsubs.filter(pmod(col("nid"), lit(mod)) === 1)
+      .select(col("nid").as("cid2"), col("s"), col("sub").as("csub"))
+    val cw = Window.partitionBy(col("nid"), col("s"))
+      .orderBy(col("__d").asc, col("cid2").asc)
+    val codes = rsubs.join(broadcast(cb), Seq("s"))
+      .select(col("nid"), col("cell"), col("s"), col("cid2"), l2.as("__d"))
+      .withColumn("__r", row_number().over(cw))
+      .filter(col("__r") === 1)
+      .select(col("nid"), col("cell"), col("s"), col("cid2"))
+    // query: nprobe cells, per-cell normalized residual, ADC table
+    val probes = cellRank(
+        queries.select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qe")),
+        "qid", "qe")
+      .filter(col("__r") <= nprobe)
+      .select(col("qid"), col("cid").as("cell"),
+        zip_with(unit(col("qe")), unit(col("ce")), (a, b) => a - b).as("qr"))
+    val adc = subspaces(probes, "qid", "qr").join(cb, Seq("s"))
+      .select(col("qid"), col("cell"), col("s"), col("cid2"), l2.as("__qd"))
+    // each member's m codes look up the probed cell's ADC entries; the
+    // per-candidate fold sums subspace-ordered so both engines add the
+    // same doubles in the same order
+    val cand = codes.join(broadcast(adc), Seq("cell", "s", "cid2"))
+      .filter(col("qid") =!= col("nid"))
+    val scored = cand.groupBy(col("qid"), col("nid")).agg(
+      sqrt(aggregate(
+        transform(array_sort(collect_list(struct(col("s"), col("__qd")))),
+          x => x.getField("__qd")),
+        lit(0.0), (acc, x) => acc + x)).as("adist"))
+    // ADC shortlist (rerank·k per query), then exact rerank with the full
+    // vectors — Jégou 2011 §V's IVFADC-R: the codes pick the shortlist,
+    // the D-dim distance is paid only rerank·k times per query
+    val sw = Window.partitionBy(col("qid"))
+      .orderBy(col("adist").asc, col("nid").asc)
+    val shortlist = scored.withColumn("__sr", row_number().over(sw))
+      .filter(col("__sr") <= rerank * k)
+      .select(col("qid"), col("nid"), col("adist"))
+    val qe = queries.select(col("vec_id").as("qid"),
+      asDouble(col("embedding")).as("qe"))
+    val ne = corpus.select(col("vec_id").as("nid"),
+      asDouble(col("embedding")).as("ne"))
+    val exact = shortlist.join(ne, Seq("nid")).join(broadcast(qe), Seq("qid"))
+      .select(col("qid"), col("nid"), col("adist"),
+        cosine(col("qe"), col("ne")).as("sim"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("nid").asc)
+    exact.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("rank"), col("sim"), col("adist"))
+  }
+
   /** Product quantization (Jégou et al. 2011) — the other memory lever of
     * billion-vector ANN: split D dims into `m` subspaces, quantize each
     * sub-vector to its nearest per-subspace centroid, store only the m

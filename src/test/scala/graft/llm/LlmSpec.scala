@@ -136,6 +136,30 @@ class LlmSpec extends SparkSpec {
     assert(total > 0 && hit.toDouble / total >= 0.5, s"$hit/$total")
   }
 
+  test("IVF-PQ ranks the same candidate cells as plain IVF; ADC top-1 recall") {
+    val q = emb.filter(col("vec_id") % 10 === 0)
+    // equal probe budget ⇒ identical candidate sets: the PQ layer only
+    // changes the rerank metric, never which cells are probed
+    val ivfAll = Similarity.ivfTopK(q, emb, 1000000).select("qid", "nid")
+    val pqAll = Similarity.ivfPqTopK(q, emb, 1000000).select("qid", "nid")
+    assert(pqAll.exceptAll(ivfAll).count() == 0)
+    assert(ivfAll.exceptAll(pqAll).count() == 0)
+    // top-1 recall vs brute force at k=10: the ADC shortlist (40) covers
+    // every reachable NN, so the exact rerank matches plain IVF's recall
+    // at the identical probe budget — the IVFADC-R equal-recall claim
+    val bruteTop1 = Similarity.bruteForceTopK(q, emb, 1)
+      .select(col("qid"), col("nid"))
+    val pqTop1 = Similarity.ivfPqTopK(q, emb, 10)
+      .filter(col("rank") === 1).select(col("qid"), col("nid"))
+    val ivfTop1 = Similarity.ivfTopK(q, emb, 10)
+      .filter(col("rank") === 1).select(col("qid"), col("nid"))
+    val total = bruteTop1.count()
+    val pqHit = bruteTop1.join(pqTop1, Seq("qid", "nid"), "left_semi").count()
+    val ivfHit = bruteTop1.join(ivfTop1, Seq("qid", "nid"), "left_semi").count()
+    assert(total > 0 && pqHit >= ivfHit, s"pq $pqHit < ivf $ivfHit / $total")
+    assert(pqHit.toDouble / total >= 0.5, s"$pqHit/$total")
+  }
+
   test("banding recall floor holds on a correlated templated corpus") {
     // The xor-mask minhash family is not min-wise independent (all K
     // functions derive from one md5) — this pins its EMPIRICAL recall on
