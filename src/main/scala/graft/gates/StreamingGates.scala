@@ -306,10 +306,17 @@ object StreamingGates extends GateSet {
           .as[StatefulOps.DocHash]
         val out = StatefulOps.streamingExactDedup(hashed)
         spark.catalog.dropTempView("stream_dedup_sink"): Unit
-        val q = out.writeStream.format("memory").queryName("stream_dedup_sink")
-          .outputMode("append")
-          .trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
+        // production-shape state: RocksDB provider (off-heap state store);
+        // restored after the query so other gates keep their pinned config
+        val q = StatefulOps.withStateProvider(spark,
+            StatefulOps.RocksDbProvider) {
+          val q0 = out.writeStream.format("memory")
+            .queryName("stream_dedup_sink")
+            .outputMode("append")
+            .trigger(Trigger.AvailableNow()).start()
+          q0.awaitTermination()
+          q0
+        }
         // the oracle equivalence (first-arrival == min doc_id) silently
         // assumes (a) the glob matched the single generator-written file —
         // a multi-file layout would stream 0/partial rows — and (b) the

@@ -11,6 +11,32 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StatefulOps {
 
+  /** Production state-store provider: at 100 TB of stream history the
+    * dedup state (one long per distinct content hash) must live off-heap
+    * in RocksDB, not in the in-memory HDFS-backed default provider.
+    * Provider choice is pure config — the operator logic is identical,
+    * which StreamingSpec asserts by running the same two-batch stream
+    * under both providers.
+    */
+  val RocksDbProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  /** Run `body` with the given state-store provider set, restoring the
+    * previous setting after (the provider is read at stream START, so the
+    * query must be started AND terminated inside `body`).
+    */
+  def withStateProvider[T](spark: org.apache.spark.sql.SparkSession,
+      provider: String)(body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, provider)
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   final case class KV(k: String, ts: Long, v: Double)
   final case class MaxState(mx: Double)
   final case class Breach(k: String, ts: Long, v: Double, prevMax: Double)

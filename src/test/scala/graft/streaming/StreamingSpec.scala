@@ -214,6 +214,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming exact dedup survives the RocksDB state-store provider") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.TestSpark.spark.implicits._
+    import StatefulOps._
+    val got = withStateProvider(spark, RocksDbProvider) {
+      val mem = MemoryStream[DocHash]
+      val out = streamingExactDedup(mem.toDS())
+      val q = out.writeStream.format("memory").queryName("sed_rocks_sink")
+        .outputMode("append").start()
+      try {
+        mem.addData(DocHash(10L, "hA"), DocHash(9L, "hB"), DocHash(7L, "hB"))
+        q.processAllAvailable()
+        mem.addData(DocHash(3L, "hA"), DocHash(11L, "hB"))
+        q.processAllAvailable()
+        spark.table("sed_rocks_sink").collect()
+          .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      } finally q.stop()
+    }
+    // identical decisions to the default-provider run above: cross-batch
+    // first-arrival state survives the provider choice
+    assert(got(10L) == (10L, 0L))
+    assert(got(3L) == (10L, 1L))
+    assert(got(7L) == (7L, 0L) && got(9L) == (7L, 1L))
+    assert(got(11L) == (7L, 1L))
+    // and the provider conf is restored for subsequent queries
+    assert(!spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+      .contains(RocksDbProvider))
+  }
+
   test("incremental near-dup replay is split-invariant: 3-way == one-shot") {
     import graft.llm.Dedup
     import graft.model.Tables
