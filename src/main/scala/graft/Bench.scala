@@ -153,6 +153,26 @@ object Bench {
         json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case _: Throwable => () }
     println(json)
+    // the full one-line JSON above can overflow a bounded stdout-tail
+    // capture (r12's driver artifact carried a truncated tail and parsed
+    // as null) — so the LAST line is a compact summary that always fits:
+    // total, geomean vs the BASELINE.md pins, worst-5 ratios, and a
+    // pointer to the on-disk full map
+    val ratios = results.collect {
+      case (n, t) if t > 0 && pins.get(n).exists(_ > 0) => n -> (t / pins(n))
+    }
+    def r3(d: Double) = math.rint(d * 1000) / 1000
+    val geomeanField =
+      if (ratios.isEmpty) ""
+      else {
+        val g = math.exp(ratios.values.map(math.log).sum / ratios.size)
+        s""","geomean_vs_pin":${r3(g)},"over2x_vs_pin":${ratios.count(_._2 >= 2.0)}"""
+      }
+    val worst =
+      (if (ratios.nonEmpty) ratios.toSeq.sortBy(-_._2).take(5)
+       else results.toSeq.filter(_._2 > 0).sortBy(-_._2).take(5))
+        .map { case (n, v) => s""""$n":${r3(v)}""" }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","n_queries":${selected.size},"retried_n":${retried.size}$geomeanField,"worst":$worst,"full_map":"target/${if (args.isEmpty) "bench_last" else "bench_partial"}.json"$errField}""")
     spark.stop()
   }
 }
