@@ -168,11 +168,24 @@ object Bench {
         val g = math.exp(ratios.values.map(math.log).sum / ratios.size)
         s""","geomean_vs_pin":${r3(g)},"over2x_vs_pin":${ratios.count(_._2 >= 2.0)}"""
       }
-    val worst =
-      (if (ratios.nonEmpty) ratios.toSeq.sortBy(-_._2).take(5)
-       else results.toSeq.filter(_._2 > 0).sortBy(-_._2).take(5))
-        .map { case (n, v) => s""""$n":${r3(v)}""" }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","n_queries":${selected.size},"retried_n":${retried.size}$geomeanField,"worst":$worst,"full_map":"target/${if (args.isEmpty) "bench_last" else "bench_partial"}.json"$errField}""")
+    // pin-relative ratios and raw seconds are different units — they get
+    // DIFFERENT keys (worst_ratio vs worst_sec) so a consumer can never
+    // misread one as the other on a run where no pins loaded
+    val (worstKey, worstEntries) =
+      if (ratios.nonEmpty) ("worst_ratio", ratios.toSeq.sortBy(-_._2).take(5))
+      else ("worst_sec", results.toSeq.filter(_._2 > 0).sortBy(-_._2).take(5))
+    val worst = worstEntries
+      .map { case (n, v) => s""""$n":${r3(v)}""" }.mkString("{", ",", "}")
+    val summary =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","n_queries":${selected.size},"retried_n":${retried.size}$geomeanField,"$worstKey":$worst,"full_map":"target/${if (args.isEmpty) "bench_last" else "bench_partial"}.json"$errField}"""
+    // the summary also lives in a stable small file so a harness can
+    // recover the numbers even when the stdout tail is truncated mid-line
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("target/bench_summary.json"),
+        summary.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case _: Throwable => () }
+    println(summary)
     spark.stop()
   }
 }

@@ -114,11 +114,39 @@ object MediaProbeUtil extends Serializable {
     None
   }
 
-  /** MP4 (ISO-BMFF): moov → trak → tkhd; width/height are 16.16 fixed at
-    * payload offset 76 (version 0) / 88 (version 1). The first trak with a
-    * nonzero width wins (audio traks carry 0×0).
+  /** ISO-BMFF ftyp major brand → reported format. Any brand-carrying
+    * container (HEIC, AVIF, M4A, MOV, …) shares the ftyp box, so the
+    * brand — not the box structure — decides the label; an unknown but
+    * well-formed brand is reported verbatim (lowercased) so a curation
+    * filter keyed on format never silently buckets AVIF stills as video.
+    */
+  private def isoBrandFormat(b: Array[Byte]): String = {
+    if (b.length < 12) return "unknown"
+    val brand = new String(b, 8, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    brand match {
+      case "isom" | "iso2" | "iso4" | "iso5" | "iso6" | "mp41" | "mp42" |
+           "mp4v" | "avc1" | "dash" | "M4V " => "mp4"
+      case "heic" | "heix" | "hevc" | "hevx" | "mif1" | "msf1" => "heic"
+      case "avif" | "avis" => "avif"
+      case "M4A " => "m4a"
+      case "qt  " => "mov"
+      case other =>
+        val t = other.trim.toLowerCase
+        if (t.nonEmpty && t.forall(c => (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')))
+          t
+        else "unknown"
+    }
+  }
+
+  /** ISO-BMFF video dims: moov → trak → tkhd; width/height are 16.16 fixed
+    * at payload offset 76 (version 0) / 88 (version 1). The first trak
+    * with a nonzero width wins (audio traks carry 0×0). The format label
+    * comes from the ftyp brand ([[isoBrandFormat]]); still-image brands
+    * (heic/avif) keep their dims in meta/ispe, outside this walk, and
+    * probe as (brand, null, null).
     */
   private def mp4Dims(b: Array[Byte]): InternalRow = {
+    val fmt = isoBrandFormat(b)
     val dims = walkBoxes(b, 0L, b.length.toLong) { (t, ps, pe) =>
       if (!tag4(b, t, "moov")) None
       else walkBoxes(b, ps, pe) { (t2, ts, te) =>
@@ -131,13 +159,13 @@ object MediaProbeUtil extends Serializable {
             else {
               val w = be32(b, off) >>> 16
               val h = be32(b, off + 4) >>> 16
-              if (w > 0) Some(row("mp4", w, h)) else None
+              if (w > 0) Some(row(fmt, w, h)) else None
             }
           }
         }
       }
     }
-    dims.getOrElse(row("mp4", null, null))
+    dims.getOrElse(row(fmt, null, null))
   }
 
   def probe(b: Array[Byte]): InternalRow = {

@@ -54,16 +54,65 @@ object LlmGates extends GateSet {
     * `% md == 1` OFFSET sample (the centroids' own residuals are ≈0 and
     * would collapse the codebook).
     */
+  /** Shared CTE chain of the image-dedup gates (through `hashes(id,
+    * dhash)`): recomputes the [[Multimodal.imageFixture]] BMP pixels
+    * arithmetically, then the box-averaged (gridW+1)×gridH thumbnail and
+    * the 60-bit dHash — every constant interpolated from the Multimodal
+    * object the Spark side runs, never a parallel literal.
+    */
+  private val ImgMaxHamming = Multimodal.ImageMaxHamming
+  private val ImgBits = Multimodal.ImageHashGridW * Multimodal.ImageHashGridH
+
+  private val imageCtes: String = {
+    import Multimodal.{FixtureW, FixtureH, ImageHashGridW, ImageHashGridH,
+      PlantOffset, PlantEvery, PerturbDelta, PerturbX, PerturbY}
+    val cellW = FixtureW / (ImageHashGridW + 1)
+    val cellH = FixtureH / ImageHashGridH
+    s"""ids AS (SELECT doc_id AS id, doc_id AS basis, 0 AS pert FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + $PlantOffset, doc_id, 1 FROM documents
+       |  WHERE doc_id % $PlantEvery = 0),
+       |pm AS (SELECT id, gx.x AS x, gy.y AS y, pert,
+       |    basis*2654435761 + gx.x*40503 + gy.y*10859 AS m
+       |  FROM ids, generate_series(0, ${FixtureW - 1}) gx(x),
+       |       generate_series(0, ${FixtureH - 1}) gy(y)),
+       |pix AS (SELECT id, x, y,
+       |    CASE WHEN pert = 1 AND x < $PerturbX AND y < $PerturbY
+       |         THEN (xor(xor(m, m >> 7), m >> 15) % 256 + $PerturbDelta) % 256
+       |         ELSE xor(xor(m, m >> 7), m >> 15) % 256 END AS v
+       |  FROM pm),
+       |cells AS (SELECT id, x // $cellW AS cx, y // $cellH AS cy,
+       |    SUM(v) // ${cellW * cellH} AS g
+       |  FROM pix GROUP BY 1, 2, 3),
+       |bits AS (SELECT l.id, (l.cy * $ImageHashGridW + l.cx) AS b
+       |  FROM cells l JOIN cells r
+       |  ON r.id = l.id AND r.cy = l.cy AND r.cx = l.cx + 1
+       |  WHERE l.g > r.g),
+       |hashes AS (SELECT ids.id,
+       |    COALESCE(SUM(1::BIGINT << b), 0)::BIGINT AS dhash
+       |  FROM ids LEFT JOIN bits ON bits.id = ids.id GROUP BY 1)""".stripMargin
+  }
+
+  // every tunable below is interpolated into the CTE from the SAME
+  // constants the Scala gate calls pass to ivfPqTopK — the two sides can
+  // only diverge by changing one of these, never by a stale literal
+  private val IvfPqK = 10
+  private val IvfPqNprobe = 4
+  private val IvfPqM = 16
+  private val IvfPqRerank = 4
+  private val IvfPqQueryMod = 25
+
   private val ivfpqCtes: String = {
+    val subD = Similarity.Dims / IvfPqM
     val dot64 = (a: String, b: String) =>
-      s"list_sum([$a[i]*$b[i] for i in generate_series(1,64)])"
+      s"list_sum([$a[i]*$b[i] for i in generate_series(1,${Similarity.Dims})])"
     val cos = (a: String, b: String) =>
       s"${dot64(a, b)} / (sqrt(${dot64(a, a)}) * sqrt(${dot64(b, b)}))"
     val l2sub = (a: String, b: String) =>
-      s"list_sum([($a[i]-$b[i])*($a[i]-$b[i]) for i in generate_series(1,4)])"
+      s"list_sum([($a[i]-$b[i])*($a[i]-$b[i]) for i in generate_series(1,$subD)])"
     s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |nv AS (SELECT vec_id,
-       |    [v[i]/sqrt(${dot64("v", "v")}) for i in generate_series(1,64)] AS v
+       |    [v[i]/sqrt(${dot64("v", "v")}) for i in generate_series(1,${Similarity.Dims})] AS v
        |  FROM e),
        |cmod AS (SELECT GREATEST(23, CAST(floor(sqrt(count(*))) AS BIGINT)) AS md FROM e),
        |cents AS (SELECT vec_id AS cid, v AS cv FROM e
@@ -77,11 +126,11 @@ object LlmGates extends GateSet {
        |      row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
        |    FROM ac) WHERE rn = 1),
        |resid AS (SELECT a.vec_id, a.cell,
-       |    [x.v[i] - c.cv[i] for i in generate_series(1,64)] AS rv
+       |    [x.v[i] - c.cv[i] for i in generate_series(1,${Similarity.Dims})] AS rv
        |  FROM asg a JOIN nv x ON x.vec_id = a.vec_id
        |  JOIN ncents c ON c.cid = a.cell),
-       |rsubs AS (SELECT vec_id, cell, s, rv[s*4+1 : s*4+4] AS sub
-       |  FROM resid, generate_series(0,15) ss(s)),
+       |rsubs AS (SELECT vec_id, cell, s, rv[s*$subD+1 : s*$subD+$subD] AS sub
+       |  FROM resid, generate_series(0,${IvfPqM - 1}) ss(s)),
        |cb AS (SELECT vec_id AS cid2, s, sub AS csub FROM rsubs
        |  WHERE vec_id % (SELECT md FROM cmod) = 1),
        |codes AS (SELECT vec_id AS nid, cell, s, cid2 FROM (
@@ -92,13 +141,13 @@ object LlmGates extends GateSet {
        |qp AS (SELECT vec_id AS qid, cid AS cell FROM (
        |    SELECT vec_id, cid,
        |      row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
-       |    FROM ac WHERE vec_id % 25 = 0) WHERE rn <= 4),
+       |    FROM ac WHERE vec_id % $IvfPqQueryMod = 0) WHERE rn <= $IvfPqNprobe),
        |qresid AS (SELECT qp.qid, qp.cell,
-       |    [x.v[i] - c.cv[i] for i in generate_series(1,64)] AS qr
+       |    [x.v[i] - c.cv[i] for i in generate_series(1,${Similarity.Dims})] AS qr
        |  FROM qp JOIN nv x ON x.vec_id = qp.qid
        |  JOIN ncents c ON c.cid = qp.cell),
-       |qsubs AS (SELECT qid, cell, s, qr[s*4+1 : s*4+4] AS sub
-       |  FROM qresid, generate_series(0,15) ss(s)),
+       |qsubs AS (SELECT qid, cell, s, qr[s*$subD+1 : s*$subD+$subD] AS sub
+       |  FROM qresid, generate_series(0,${IvfPqM - 1}) ss(s)),
        |adc AS (SELECT q.qid, q.cell, q.s, c.cid2, ${l2sub("q.sub", "c.csub")} AS qd
        |  FROM qsubs q JOIN cb c ON c.s = q.s),
        |pcand AS (SELECT adc.qid, codes.nid, adc.s, adc.qd
@@ -110,7 +159,7 @@ object LlmGates extends GateSet {
        |short AS (SELECT qid, nid, adist FROM (
        |    SELECT qid, nid, adist,
        |      row_number() OVER (PARTITION BY qid ORDER BY adist, nid) AS sr
-       |    FROM sc) WHERE sr <= 40),
+       |    FROM sc) WHERE sr <= ${IvfPqRerank * IvfPqK}),
        |fr AS (SELECT s.qid, s.nid, s.adist, ${cos("qe.v", "ce.v")} AS sim
        |  FROM short s JOIN e qe ON qe.vec_id = s.qid
        |  JOIN e ce ON ce.vec_id = s.nid)""".stripMargin
@@ -571,8 +620,8 @@ object LlmGates extends GateSet {
     Gate("llm_ann_ivfpq_query",
       (spark: SparkSession, dir: String) => {
         val emb = Tables.embeddings(spark, dir)
-        val q = emb.filter(col("vec_id") % 25 === 0)
-        Similarity.ivfPqTopK(q, emb, 10)
+        val q = emb.filter(col("vec_id") % IvfPqQueryMod === 0)
+        Similarity.ivfPqTopK(q, emb, IvfPqK, IvfPqNprobe, IvfPqM, IvfPqRerank)
           .select(col("qid"), col("nid"), col("rank").cast("long").as("rank"),
             round(col("sim"), 6).as("sim"), round(col("adist"), 6).as("adist"))
           .orderBy("qid", "rank")
@@ -583,7 +632,7 @@ object LlmGates extends GateSet {
            |  round(adist, 6) AS adist FROM (
            |    SELECT qid, nid, adist, sim,
            |      row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
-           |    FROM fr) WHERE rank <= 10
+           |    FROM fr) WHERE rank <= $IvfPqK
            |ORDER BY qid, rank""".stripMargin)),
 
     // --- IVF-PQ vs brute force: per-query hit count of the brute top-10
@@ -593,10 +642,10 @@ object LlmGates extends GateSet {
     Gate("llm_ann_ivfpq_recall",
       (spark: SparkSession, dir: String) => {
         val emb = Tables.embeddings(spark, dir)
-        val q = emb.filter(col("vec_id") % 25 === 0)
-        val brute = Similarity.bruteForceTopK(q, emb, 10)
+        val q = emb.filter(col("vec_id") % IvfPqQueryMod === 0)
+        val brute = Similarity.bruteForceTopK(q, emb, IvfPqK)
           .select(col("qid"), col("nid"))
-        val pq = Similarity.ivfPqTopK(q, emb, 10)
+        val pq = Similarity.ivfPqTopK(q, emb, IvfPqK, IvfPqNprobe, IvfPqM, IvfPqRerank)
           .select(col("qid"), col("nid"), lit(1L).as("__hit"))
         brute.join(pq, Seq("qid", "nid"), "left")
           .groupBy(col("qid"))
@@ -605,21 +654,21 @@ object LlmGates extends GateSet {
       },
       Some {
         val dot64 = (a: String, b: String) =>
-          s"list_sum([$a[i]*$b[i] for i in generate_series(1,64)])"
+          s"list_sum([$a[i]*$b[i] for i in generate_series(1,${Similarity.Dims})])"
         val cos = (a: String, b: String) =>
           s"${dot64(a, b)} / (sqrt(${dot64(a, a)}) * sqrt(${dot64(b, b)}))"
         s"""WITH $ivfpqCtes,
            |ptop AS (SELECT qid, nid FROM (
            |    SELECT qid, nid,
            |      row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk
-           |    FROM fr) WHERE rk <= 10),
-           |q2 AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 25 = 0),
+           |    FROM fr) WHERE rk <= $IvfPqK),
+           |q2 AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % $IvfPqQueryMod = 0),
            |bsim AS (SELECT qid, e.vec_id AS nid, ${cos("qv", "e.v")} AS sim
            |  FROM e CROSS JOIN q2 WHERE e.vec_id <> qid),
            |btop AS (SELECT qid, nid FROM (
            |    SELECT qid, nid,
            |      row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk
-           |    FROM bsim) WHERE rk <= 10)
+           |    FROM bsim) WHERE rk <= $IvfPqK)
            |SELECT b.qid, CAST(count(p.nid) AS BIGINT) AS hits
            |FROM btop b LEFT JOIN ptop p ON p.qid = b.qid AND p.nid = b.nid
            |GROUP BY 1 ORDER BY 1""".stripMargin
@@ -963,6 +1012,42 @@ object LlmGates extends GateSet {
           |  (doc_id % 1913 + 16)::INT AS width,
           |  (doc_id % 1061 + 9)::INT AS height
           |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // --- image perceptual near-dup: dHash over DECODED pixels. The
+    // fixture BMPs carry arithmetically-defined pixels (gray(x,y) =
+    // (id·31+x·7+y·13) mod 256), so the oracle recomputes the decoded
+    // image, the box-averaged thumbnail, the 60-bit dHash, the Hamming
+    // bands, and the verified pairs — the whole index, no codec needed.
+    // Any decode bug (BMP row order, stride, channel order) or hash bug
+    // (bit index, tie direction, floor average) mismatches. -------------
+    Gate("llm_image_dhash",
+      (spark: SparkSession, dir: String) =>
+        Multimodal.imageDHash(Multimodal.imageFixture(docs(spark, dir)))
+          .orderBy("doc_id"),
+      Some(s"""WITH $imageCtes
+              |SELECT id AS doc_id, dhash FROM hashes ORDER BY 1""".stripMargin)),
+
+    Gate("llm_image_neardup",
+      (spark: SparkSession, dir: String) =>
+        Multimodal.imageNearDups(
+            Multimodal.imageDHash(Multimodal.imageFixture(docs(spark, dir))))
+          .orderBy("i", "j"),
+      Some {
+        val bands = ImgMaxHamming + 1
+        val bandBits = (ImgBits + bands - 1) / bands
+        val mask = (1L << bandBits) - 1
+        s"""WITH $imageCtes,
+           |bnd AS (SELECT id, g.b AS bi, (dhash >> (g.b * $bandBits)) & $mask AS key
+           |  FROM hashes, generate_series(0, ${bands - 1}) g(b)),
+           |cand AS (SELECT DISTINCT x.id AS i, y.id AS j
+           |  FROM bnd x JOIN bnd y
+           |  ON x.bi = y.bi AND x.key = y.key AND x.id < y.id)
+           |SELECT i, j, CAST(bit_count(xor(hi.dhash, hj.dhash)) AS BIGINT) AS hamming
+           |FROM cand JOIN hashes hi ON hi.id = cand.i
+           |          JOIN hashes hj ON hj.id = cand.j
+           |WHERE bit_count(xor(hi.dhash, hj.dhash)) <= $ImgMaxHamming
+           |ORDER BY 1, 2""".stripMargin
+      }),
 
     // --- leakage-free train/eval split: near-dup clusters stay atomic
     // across the boundary (the Lee et al. contamination mechanism) -------

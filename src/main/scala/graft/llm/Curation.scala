@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import TextOps.mdhash64
+import graft.model.Materialize
 
 /** Corpus-curation operators a pretraining data pipeline runs between raw
   * crawl and tokenizer: sequence packing, domain mixing, unigram-LM
@@ -592,9 +593,15 @@ object Curation {
   def shardAssign(docs: DataFrame, n: Int): DataFrame = {
     val toks = docs.select(col("doc_id"),
       size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
-    val parts = toks
+    // materialized: both consumers below (the offset aggregate and the
+    // join probe side) must read ONE physical range shuffle — if each
+    // re-evaluated the plan, RangePartitioner resampling under a
+    // different RDD id could draw different boundaries and the two sides'
+    // __pid values would silently disagree. Same discipline as
+    // Similarity.ivfPqTopK's rsubs.
+    val parts = Materialize(toks
       .repartitionByRange(col("n_tokens").desc, col("doc_id").asc)
-      .withColumn("__pid", spark_partition_id().cast("long"))
+      .withColumn("__pid", spark_partition_id().cast("long")))
     // rows in range partitions strictly before mine: a window over the
     // tiny per-partition-count aggregate (≤ shuffle-partitions rows)
     val offW = Window.orderBy(col("__pid"))

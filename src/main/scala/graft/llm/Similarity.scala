@@ -48,6 +48,11 @@ object Similarity {
   val Tables = 4  // independent hash tables (multi-table LSH)
   val Dims = 64   // embedding dimensionality (embeddings.parquet)
 
+  /** Admission ceiling for [[ivfPqTopK]]'s broadcast ADC table (~40 B/row
+    * → ~1.3 GB at the ceiling, inside Spark's practical broadcast range).
+    */
+  val MaxAdcBroadcastRows: Long = 1L << 25
+
   /** Planes per table scale with corpus size: `max(8, ⌈log₂(N)⌉)` — a FIXED
     * plane count makes bucket count constant, so candidate pairs grow
     * ~N²/2^P per table (the round-11 sf1 run measured embed_neardup 64× at
@@ -272,10 +277,24 @@ object Similarity {
     * No corpus×corpus work anywhere.
     */
   def ivfPqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-      nprobe: Int = 4, m: Int = 16, rerank: Int = 4): DataFrame = {
+      nprobe: Int = 4, m: Int = 16, rerank: Int = 4,
+      adcBudgetRows: Long = MaxAdcBroadcastRows): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val d = Dims / m
-    val mod = centroidModFor(corpus.count())
+    val n = corpus.count()
+    val mod = centroidModFor(n)
+    // the per-query ADC table broadcasts queries×nprobe×m×K rows (K =
+    // codebook size ≈ √N) — built for query BATCHES, not corpus-sized
+    // query sets. Admission-check it up front (same fail-fast discipline
+    // as promql.Guards): a clear refusal beats an executor OOM an hour in.
+    val nq = queries.count()
+    val codebookK = n / mod + 1
+    val adcRows = nq * nprobe.toLong * m.toLong * codebookK
+    require(adcRows <= adcBudgetRows,
+      s"ivfPqTopK ADC table would broadcast ~$adcRows rows " +
+        s"($nq queries x $nprobe probes x $m subspaces x ~$codebookK codes) " +
+        s"> budget $adcBudgetRows; batch the query set (the corpus index " +
+        "is reusable across batches) or raise adcBudgetRows")
     val cents = corpus.filter(pmod(col("vec_id"), lit(mod)) === 0)
       .select(col("vec_id").as("cid"), asDouble(col("embedding")).as("ce"))
     // coarse assignment runs on the RAW arrays, exactly as [[ivfTopK]]

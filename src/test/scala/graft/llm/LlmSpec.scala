@@ -100,6 +100,41 @@ class LlmSpec extends SparkSpec {
     assert(out("jpg_sos") == (("jpeg", None, None)))
   }
 
+  test("media probe: ISO-BMFF ftyp brand decides the format label") {
+    val s = spark
+    import s.implicits._
+    def hx(h: String): Array[Byte] =
+      h.replaceAll("\\s", "").grouped(2)
+        .map(Integer.parseInt(_, 16).toByte).toArray
+    def ftyp(brandHex: String) =
+      hx("00000010 66747970 " + brandHex + " 00000000")
+    // an M4A with a real moov>trak>tkhd still reports its audio dims null
+    // (the 0x0 audio trak never matches), but the BRAND must say m4a
+    val tkhd0 = "0000005C 746B6864 00000007" + "00" * 72
+    val trakA = "00000064 7472616B " + tkhd0 + "00000000 00000000"
+    val m4aMoov = hx("00000010 66747970 4D344120 00000000" +
+      "0000006C 6D6F6F76 " + trakA)
+    val cases = Seq(
+      "heic" -> ftyp("68656963"), "mif1" -> ftyp("6D696631"),
+      "avif" -> ftyp("61766966"), "qt" -> ftyp("71742020"),
+      "m4a" -> m4aMoov, "threegp" -> ftyp("33677034"),
+      "garbage_brand" -> ftyp("00010203"), "mp42" -> ftyp("6D703432"))
+    val out = cases.toDF("name", "media")
+      .select(col("name"), graft.functions.MediaProbeFn.probe(col("media"))
+        .as("p"))
+      .select(col("name"), col("p.format"), col("p.width"), col("p.height"))
+      .collect().map(r => r.getString(0) ->
+        (r.getString(1), Option(r.get(2)), Option(r.get(3)))).toMap
+    assert(out("heic") == (("heic", None, None)))
+    assert(out("mif1")._1 == "heic")
+    assert(out("avif")._1 == "avif")
+    assert(out("qt")._1 == "mov")
+    assert(out("m4a") == (("m4a", None, None)))
+    assert(out("threegp")._1 == "3gp4") // unknown printable brand: verbatim
+    assert(out("garbage_brand")._1 == "unknown")
+    assert(out("mp42")._1 == "mp4")
+  }
+
   test("minhash signatures are deterministic") {
     val a = Dedup.minhashSignatures(docs).orderBy("doc_id").limit(5)
       .collect().map(_.toString)
@@ -158,6 +193,20 @@ class LlmSpec extends SparkSpec {
     val ivfHit = bruteTop1.join(ivfTop1, Seq("qid", "nid"), "left_semi").count()
     assert(total > 0 && pqHit >= ivfHit, s"pq $pqHit < ivf $ivfHit / $total")
     assert(pqHit.toDouble / total >= 0.5, s"$pqHit/$total")
+  }
+
+  test("IVF-PQ admission guard refuses a corpus-sized query set") {
+    // the ADC broadcast grows as queries x nprobe x m x sqrt(N): feeding
+    // the whole corpus as queries must fail fast with a clear message,
+    // never reach the broadcast
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.ivfPqTopK(emb, emb, 10, adcBudgetRows = 64L)
+    }
+    assert(ex.getMessage.contains("ADC"))
+    assert(ex.getMessage.contains("batch the query set"))
+    // the same call under the real default budget is admitted (plan builds)
+    val q = emb.filter(col("vec_id") % 10 === 0)
+    assert(Similarity.ivfPqTopK(q, emb, 1).columns.contains("rank"))
   }
 
   test("banding recall floor holds on a correlated templated corpus") {
@@ -365,6 +414,45 @@ class LlmSpec extends SparkSpec {
     assert(s.filter(col("n_uniq") > col("n_tokens")).count() == 0)
     assert(s.filter(col("stop_cnt") > col("n_tokens")).count() == 0)
     assert(s.filter(col("n_bpe") < col("n_tokens")).count() == 0) // BPE at least word-level
+  }
+
+  test("image dHash: every fixture decodes; planted twin within 2 bits") {
+    val media = Multimodal.imageFixture(docs)
+    val hashes = Multimodal.imageDHash(media)
+    // the synthetic BMPs are all well-formed -> one hash per image
+    assert(hashes.count() == media.count())
+    // the perturbation touches thumbnail cells (0,0),(0,1) only -> at most
+    // the two dhash bits they feed can differ
+    val planted = hashes.as("a").join(hashes.as("b"),
+        col("a.doc_id") + Multimodal.PlantOffset === col("b.doc_id"))
+      .select(bit_count(col("a.dhash").bitwiseXOR(col("b.dhash"))).as("d"))
+    assert(planted.count() ==
+      docs.filter(col("doc_id") % Multimodal.PlantEvery === 0).count())
+    assert(planted.filter(col("d") > 2).count() == 0)
+    // undecodable payloads yield no row, never a garbage hash
+    val s = spark
+    import s.implicits._
+    val junk = Seq((1L, "definitely not a bitmap".getBytes)).toDF("doc_id", "media")
+    assert(Multimodal.imageDHash(junk).count() == 0)
+  }
+
+  test("image near-dups: banded search EXACTLY equals brute-force Hamming") {
+    val hashes = Multimodal.imageDHash(Multimodal.imageFixture(docs))
+    val out = Multimodal.imageNearDups(hashes)
+    // pigeonhole completeness: maxHamming+1 bands make the banded join a
+    // pure execution strategy — brute-force all-pairs must match exactly
+    val brute = hashes.as("a").crossJoin(hashes.as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
+        bit_count(col("a.dhash").bitwiseXOR(col("b.dhash"))).cast("long")
+          .as("hamming"))
+      .filter(col("hamming") <= Multimodal.ImageMaxHamming)
+    assert(out.exceptAll(brute).count() == 0)
+    assert(brute.exceptAll(out).count() == 0)
+    // every planted twin is found (hamming <= 2 <= budget)
+    val plantedFound = out.filter(col("j") === col("i") + Multimodal.PlantOffset)
+    assert(plantedFound.count() ==
+      docs.filter(col("doc_id") % Multimodal.PlantEvery === 0).count())
   }
 
   test("multimodal featurizer: histogram sums to payload length") {
