@@ -93,6 +93,72 @@ object LlmGates extends GateSet {
        |  FROM ids LEFT JOIN bits ON bits.id = ids.id GROUP BY 1)""".stripMargin
   }
 
+  /** Shared CTE chain of the audio-fingerprint gates (through
+    * `ahashes(id, afp)`): recomputes the [[Multimodal.audioFixture]] WAV
+    * samples arithmetically, then per-frame energies and the 60-bit
+    * sign-of-energy-delta fingerprint — constants interpolated from the
+    * Multimodal object.
+    */
+  private val audioCtes: String = {
+    import Multimodal.{AudioFpBits, AudioFrameSamples, PlantOffset, PlantEvery}
+    val nSamples = (AudioFpBits + 1) * AudioFrameSamples
+    s"""aids AS (SELECT doc_id AS id, doc_id AS basis, 0 AS pert FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + $PlantOffset, doc_id, 1 FROM documents
+       |  WHERE doc_id % $PlantEvery = 0),
+       |am AS (SELECT id, g.t AS t, pert,
+       |    basis*2654435761 + g.t*97003 AS m
+       |  FROM aids, generate_series(0, ${nSamples - 1}) g(t)),
+       |asamp AS (SELECT id, t,
+       |    xor(xor(m, m >> 6), m >> 13) % 60001 - 30000 +
+       |      CASE WHEN pert = 1 AND t < ${2 * AudioFrameSamples}
+       |           THEN 500 ELSE 0 END AS s
+       |  FROM am),
+       |aen AS (SELECT id, t // $AudioFrameSamples AS f, SUM(s*s) AS e
+       |  FROM asamp GROUP BY 1, 2),
+       |afbits AS (SELECT l.id, l.f AS b FROM aen l
+       |  JOIN aen r ON r.id = l.id AND r.f = l.f + 1 WHERE r.e > l.e),
+       |ahashes AS (SELECT aids.id,
+       |    COALESCE(SUM(1::BIGINT << b), 0)::BIGINT AS afp
+       |  FROM aids LEFT JOIN afbits ON afbits.id = aids.id GROUP BY 1)""".stripMargin
+  }
+
+  /** Shared CTE chain of the video-fingerprint gates (through
+    * `vhashes(id, f, vfp)`): recomputes the [[Multimodal.videoFixture]]
+    * GVID frame pixels arithmetically, then each frame's 60-bit dHash —
+    * constants interpolated from the Multimodal object.
+    */
+  private val videoCtes: String = {
+    import Multimodal.{VideoFrameW, VideoFrameH, VideoFrames, PlantOffset,
+      PlantEvery, PerturbDelta, PerturbX, VideoPerturbY}
+    val gw = VideoFrameW - 1
+    s"""vids AS (SELECT doc_id AS id, doc_id AS basis, 0 AS pert FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + $PlantOffset, doc_id, 1 FROM documents
+       |  WHERE doc_id % $PlantEvery = 0),
+       |vm AS (SELECT id, gf.f AS f, gx.x AS x, gy.y AS y, pert,
+       |    basis*2654435761 + gf.f*131071 + gx.x*40503 + gy.y*10859 AS m
+       |  FROM vids, generate_series(0, ${VideoFrames - 1}) gf(f),
+       |       generate_series(0, ${VideoFrameW - 1}) gx(x),
+       |       generate_series(0, ${VideoFrameH - 1}) gy(y)),
+       |vpix AS (SELECT id, f, x, y,
+       |    CASE WHEN pert = 1 AND f < 2 AND x < $PerturbX AND y < $VideoPerturbY
+       |         THEN (xor(xor(m, m >> 7), m >> 15) % 256 + $PerturbDelta) % 256
+       |         ELSE xor(xor(m, m >> 7), m >> 15) % 256 END AS v
+       |  FROM vm),
+       |vbits AS (SELECT l.id, l.f, (l.y * $gw + l.x) AS b
+       |  FROM vpix l JOIN vpix r
+       |  ON r.id = l.id AND r.f = l.f AND r.y = l.y AND r.x = l.x + 1
+       |  WHERE l.v > r.v),
+       |vframes AS (SELECT id, g.f AS f
+       |  FROM vids, generate_series(0, ${VideoFrames - 1}) g(f)),
+       |vhashes AS (SELECT vframes.id, vframes.f,
+       |    COALESCE(SUM(1::BIGINT << b), 0)::BIGINT AS vfp
+       |  FROM vframes LEFT JOIN vbits
+       |  ON vbits.id = vframes.id AND vbits.f = vframes.f
+       |  GROUP BY 1, 2)""".stripMargin
+  }
+
   // every tunable below is interpolated into the CTE from the SAME
   // constants the Scala gate calls pass to ivfPqTopK — the two sides can
   // only diverge by changing one of these, never by a stale literal
@@ -1046,6 +1112,78 @@ object LlmGates extends GateSet {
            |FROM cand JOIN hashes hi ON hi.id = cand.i
            |          JOIN hashes hj ON hj.id = cand.j
            |WHERE bit_count(xor(hi.dhash, hj.dhash)) <= $ImgMaxHamming
+           |ORDER BY 1, 2""".stripMargin
+      }),
+
+    // --- audio perceptual fingerprint: sign-of-energy-delta over DECODED
+    // PCM frames (Haitsma-Kalker envelope primitive). Fixture WAVs carry
+    // arithmetically-defined samples, so the oracle replays decode →
+    // frame energies → fingerprint → banded near-dup pairs exactly. -----
+    Gate("llm_audio_fp",
+      (spark: SparkSession, dir: String) =>
+        Multimodal.audioFingerprint(Multimodal.audioFixture(docs(spark, dir)))
+          .orderBy("doc_id"),
+      Some(s"""WITH $audioCtes
+              |SELECT id AS doc_id, afp FROM ahashes ORDER BY 1""".stripMargin)),
+
+    Gate("llm_audio_neardup",
+      (spark: SparkSession, dir: String) =>
+        Multimodal.audioNearDups(
+            Multimodal.audioFingerprint(
+              Multimodal.audioFixture(docs(spark, dir))))
+          .orderBy("i", "j"),
+      Some {
+        val bands = Multimodal.AudioMaxHamming + 1
+        val bandBits = (Multimodal.AudioFpBits + bands - 1) / bands
+        val mask = (1L << bandBits) - 1
+        s"""WITH $audioCtes,
+           |abnd AS (SELECT id, g.b AS bi, (afp >> (g.b * $bandBits)) & $mask AS key
+           |  FROM ahashes, generate_series(0, ${bands - 1}) g(b)),
+           |acand AS (SELECT DISTINCT x.id AS i, y.id AS j
+           |  FROM abnd x JOIN abnd y
+           |  ON x.bi = y.bi AND x.key = y.key AND x.id < y.id)
+           |SELECT i, j, CAST(bit_count(xor(hi.afp, hj.afp)) AS BIGINT) AS hamming
+           |FROM acand JOIN ahashes hi ON hi.id = acand.i
+           |           JOIN ahashes hj ON hj.id = acand.j
+           |WHERE bit_count(xor(hi.afp, hj.afp)) <= ${Multimodal.AudioMaxHamming}
+           |ORDER BY 1, 2""".stripMargin
+      }),
+
+    // --- video perceptual fingerprint: per-keyframe dHash sequence, and
+    // near-dup = TOTAL Hamming over aligned frames with per-frame
+    // pigeonhole banding (exact recall, never all-pairs). ----------------
+    Gate("llm_video_fp",
+      (spark: SparkSession, dir: String) =>
+        Multimodal.videoFingerprint(Multimodal.videoFixture(docs(spark, dir)))
+          .orderBy("doc_id", "frame"),
+      Some(s"""WITH $videoCtes
+              |SELECT id AS doc_id, f AS frame, vfp FROM vhashes
+              |ORDER BY 1, 2""".stripMargin)),
+
+    Gate("llm_video_neardup",
+      (spark: SparkSession, dir: String) =>
+        Multimodal.videoNearDups(
+            Multimodal.videoFingerprint(
+              Multimodal.videoFixture(docs(spark, dir))))
+          .orderBy("i", "j"),
+      Some {
+        val perFrame = Multimodal.VideoMaxHamming / Multimodal.VideoFrames
+        val bands = perFrame + 1
+        val bandBits = (Multimodal.VideoFpBits + bands - 1) / bands
+        val mask = (1L << bandBits) - 1
+        s"""WITH $videoCtes,
+           |vbnd AS (SELECT id, f, g.b AS bi,
+           |    (vfp >> (g.b * $bandBits)) & $mask AS key
+           |  FROM vhashes, generate_series(0, ${bands - 1}) g(b)),
+           |vcand AS (SELECT DISTINCT x.id AS i, y.id AS j
+           |  FROM vbnd x JOIN vbnd y
+           |  ON x.f = y.f AND x.bi = y.bi AND x.key = y.key AND x.id < y.id)
+           |SELECT i, j,
+           |  CAST(SUM(bit_count(xor(hi.vfp, hj.vfp))) AS BIGINT) AS hamming
+           |FROM vcand JOIN vhashes hi ON hi.id = vcand.i
+           |           JOIN vhashes hj ON hj.id = vcand.j AND hj.f = hi.f
+           |GROUP BY 1, 2
+           |HAVING SUM(bit_count(xor(hi.vfp, hj.vfp))) <= ${Multimodal.VideoMaxHamming}
            |ORDER BY 1, 2""".stripMargin
       }),
 

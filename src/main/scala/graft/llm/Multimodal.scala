@@ -163,28 +163,134 @@ object Multimodal {
     * driver state, no corpus×corpus product.
     */
   def imageNearDups(hashes: DataFrame, maxHamming: Int = ImageMaxHamming,
-      bits: Int = ImageHashGridW * ImageHashGridH): DataFrame = {
+      bits: Int = ImageHashGridW * ImageHashGridH): DataFrame =
+    hammingNearDups(hashes, "dhash", maxHamming, bits)
+
+  /** The generic exact multi-index Hamming engine behind [[imageNearDups]]
+    * and [[audioNearDups]] — works over any ≤63-bit fingerprint column.
+    */
+  private def hammingNearDups(hashes: DataFrame, hashCol: String,
+      maxHamming: Int, bits: Int): DataFrame = {
     val bands = maxHamming + 1
     val bandBits = (bits + bands - 1) / bands
     val mask = (1L << bandBits) - 1
-    val h = hashes.select(col("doc_id"), col("dhash"))
-    val banded = h.select(col("doc_id"), col("dhash"),
+    val h = hashes.select(col("doc_id"), col(hashCol).as("__fp"))
+    val banded = h.select(col("doc_id"), col("__fp"),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),
-          shiftright(col("dhash"), b * bandBits).bitwiseAND(lit(mask))
+          shiftright(col("__fp"), b * bandBits).bitwiseAND(lit(mask))
             .as("key"))): _*)).as("bd"))
-      .select(col("doc_id"), col("dhash"),
+      .select(col("doc_id"), col("__fp"),
         col("bd.band").as("band"), col("bd.key").as("key"))
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
-        col("a.dhash").as("hi"), col("b.dhash").as("hj"))
+        col("a.__fp").as("hi"), col("b.__fp").as("hj"))
       .distinct()
     cand
       .select(col("i"), col("j"),
         bit_count(col("hi").bitwiseXOR(col("hj"))).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
+  }
+
+  // --- audio perceptual fingerprint: energy-envelope sign deltas ----------
+
+  val AudioFpBits = 60      // sign-safe BIGINT, same discipline as dHash
+  val AudioFrameSamples = 40
+  val AudioMaxHamming = 5   // bands = 6 → exact recall by pigeonhole
+
+  /** Audio perceptual fingerprint over PCM WAV payloads: frame the signal
+    * ([[AudioFrameSamples]] samples per frame), compute per-frame energy
+    * Σs², and set bit f when energy(f+1) > energy(f) — the
+    * sign-of-energy-delta primitive of the Haitsma-Kalker (2002) audio
+    * fingerprint, with the 33-band filterbank simplified to the full-band
+    * envelope (the filterbank needs an FFT; the envelope needs only
+    * integer arithmetic, so the DuckDB oracle replays it exactly). Robust
+    * to gain changes that preserve energy ordering and to codec-level
+    * noise far below frame energy; the content-level audio near-dup key a
+    * multimodal crawl dedups on.
+    *
+    * WAV decode is a pure-JVM chunk walk (RIFF → fmt/data; PCM 16-bit
+    * mono) in the same mapPartitions shape as [[imageDHash]]; payloads
+    * that are not mono PCM16 WAV, or carry fewer than two frames, yield
+    * no row.
+    */
+  def audioFingerprint(media: DataFrame,
+      frameSamples: Int = AudioFrameSamples): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("afp", LongType)))
+    val rdd = media.select(col("doc_id"), col("media")).rdd.mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        val b = r.getAs[Array[Byte]](1)
+        decodeWavPcm16Mono(b) match {
+          case None => None
+          case Some(samples) =>
+            val nFrames = math.min(samples.length / frameSamples, AudioFpBits + 1)
+            if (nFrames < 2) None
+            else {
+              val e = new Array[Long](nFrames)
+              var f = 0
+              while (f < nFrames) {
+                var sum = 0L
+                var t = f * frameSamples
+                val end = t + frameSamples
+                while (t < end) {
+                  val s = samples(t).toLong
+                  sum += s * s
+                  t += 1
+                }
+                e(f) = sum
+                f += 1
+              }
+              var fp = 0L
+              f = 0
+              while (f < nFrames - 1) {
+                if (e(f + 1) > e(f)) fp |= 1L << f
+                f += 1
+              }
+              Some(Row(id, fp))
+            }
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Minimal RIFF/WAVE reader: chunk walk to fmt + data, PCM (format 1)
+    * 16-bit mono only; every read bounds-checked. Returns the samples or
+    * None for anything else (stereo, float, truncated, non-WAV).
+    */
+  private def decodeWavPcm16Mono(b: Array[Byte]): Option[Array[Short]] = {
+    def le16(i: Int) = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+    def le32(i: Int) = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) |
+      ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
+    def tag(i: Int, t: String) =
+      b(i) == t.charAt(0).toByte && b(i + 1) == t.charAt(1).toByte &&
+        b(i + 2) == t.charAt(2).toByte && b(i + 3) == t.charAt(3).toByte
+    if (b.length < 44 || !tag(0, "RIFF") || !tag(8, "WAVE")) return None
+    var i = 12
+    var fmtOk = false
+    var data: Option[Array[Short]] = None
+    while (i + 8 <= b.length && data.isEmpty) {
+      val sz = le32(i + 4)
+      if (sz < 0 || i + 8 + sz > b.length) return None
+      if (tag(i, "fmt ") && sz >= 16) {
+        fmtOk = le16(i + 8) == 1 && le16(i + 10) == 1 && le16(i + 22) == 16
+      } else if (tag(i, "data")) {
+        if (!fmtOk) return None
+        val n = sz / 2
+        val out = new Array[Short](n)
+        var k = 0
+        while (k < n) { out(k) = le16(i + 8 + 2 * k).toShort; k += 1 }
+        data = Some(out)
+      }
+      i += 8 + sz + (sz & 1) // chunks are word-aligned
+    }
+    data
   }
 
   // --- deterministic image fixture (both engines recompute it) ------------
@@ -263,6 +369,65 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** Near-duplicate audio pairs over [[audioFingerprint]] output — the
+    * same exact multi-index Hamming engine as [[imageNearDups]].
+    */
+  def audioNearDups(hashes: DataFrame,
+      maxHamming: Int = AudioMaxHamming): DataFrame =
+    hammingNearDups(hashes, "afp", maxHamming, AudioFpBits)
+
+  /** Deterministic mono PCM16 WAV whose sample s(t) is the xor-folded mix
+    * `m = basisId·2654435761 + t·97003; s = (m ⊕ m≫6 ⊕ m≫13) mod 60001 −
+    * 30000` (so |s| ≤ 30500 even with the planted +500 offset — no
+    * clamping, which would break the arithmetic mirror). The planted twin
+    * shifts the first two frames' samples by +500, moving only frame
+    * energies e0/e1 → at most fingerprint bits 0 and 1 differ.
+    */
+  def syntheticWav(basisId: Long, nSamples: Int,
+      perturb: Boolean): Array[Byte] = {
+    val dataBytes = nSamples * 2
+    val b = java.nio.ByteBuffer.allocate(44 + dataBytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes).putInt(36 + dataBytes).put("WAVE".getBytes)
+    b.put("fmt ".getBytes).putInt(16)
+      .putShort(1).putShort(1).putInt(16000).putInt(32000)
+      .putShort(2).putShort(16)
+    b.put("data".getBytes).putInt(dataBytes)
+    var t = 0
+    while (t < nSamples) {
+      val m = basisId * 2654435761L + t * 97003L
+      var s = ((m ^ (m >> 6) ^ (m >> 13)) % 60001L).toInt - 30000
+      if (perturb && t < 2 * AudioFrameSamples) s += 500
+      b.putShort(s.toShort)
+      t += 1
+    }
+    b.array()
+  }
+
+  /** Audio-corpus fixture, mirroring [[imageFixture]]'s planting scheme:
+    * one synthetic WAV of exactly [[AudioFpBits]]+1 frames per document,
+    * plus a perturbed twin every [[PlantEvery]]-th document.
+    */
+  def audioFixture(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val n = (AudioFpBits + 1) * AudioFrameSamples
+    val ids = docs.select(col("doc_id"), lit(false).as("perturb"))
+      .unionAll(docs.filter(col("doc_id") % PlantEvery === 0)
+        .select(col("doc_id"), lit(true).as("perturb")))
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("media", BinaryType)))
+    val rdd = ids.rdd.mapPartitions { it =>
+      it.map { r =>
+        val basis = r.getLong(0)
+        val perturb = r.getBoolean(1)
+        val id = if (perturb) basis + PlantOffset else basis
+        Row(id, syntheticWav(basis, n, perturb))
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** Frame sampling: byte slice [i·len/n, (i+1)·len/n) of each payload for
     * frame i — the video-frame / audio-chunk access pattern (offset+length
     * on the binary column, row blowup bounded by n).
@@ -277,4 +442,169 @@ object Multimodal {
       .select(col("doc_id"), col("frame_idx"),
         expr("substr(media, __start, __end - __start)").as("frame"),
         (col("__end") - col("__start")).as("frame_bytes"))
+
+  // --- video perceptual near-dup: per-keyframe dHash sequence -------------
+
+  val VideoFrameW = 11    // keyframe thumbnail dims = dHash grid directly
+  val VideoFrameH = 6     // (a real decoder resizes to this; bits = 10*6)
+  val VideoFrames = 6
+  val VideoFpBits = (VideoFrameW - 1) * VideoFrameH // 60, sign-safe BIGINT
+  val VideoMaxHamming = 11 // TOTAL Hamming budget across aligned frames
+  val VideoPerturbY = 2    // planted twin: frames 0-1, x<PerturbX, y<2 →
+                           // ≤4 dhash bits/frame, ≤8 total, inside budget
+
+  /** Per-keyframe perceptual fingerprints over a video payload: decode the
+    * GVID container (magic + dims + raw grayscale keyframe thumbnails —
+    * standing in for the codec+resize step a real deployment runs; the
+    * Spark-side plumbing is the real thing), then dHash each frame exactly
+    * as [[imageDHash]] does its thumbnail — bit (r,c) set when
+    * p(c,r) > p(c+1,r). Output (doc_id, frame, vfp): the frame-aligned
+    * fingerprint sequence video dedup compares.
+    *
+    * Runs in the [[featurize]] mapPartitions shape; payloads that are not
+    * well-formed GVID at exactly [[VideoFrameW]]×[[VideoFrameH]] yield no
+    * rows. Row blowup is bounded by the frame count.
+    */
+  def videoFingerprint(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("frame", LongType),
+      StructField("vfp", LongType)))
+    val (w, h) = (VideoFrameW, VideoFrameH)
+    val rdd = media.select(col("doc_id"), col("media")).rdd.mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        val b = r.getAs[Array[Byte]](1)
+        decodeGvid(b, w, h) match {
+          case None => Iterator.empty
+          case Some(frames) =>
+            frames.iterator.zipWithIndex.map { case (px, f) =>
+              var hash = 0L
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w - 1) {
+                  if ((px(y * w + x) & 0xff) > (px(y * w + x + 1) & 0xff))
+                    hash |= 1L << (y * (w - 1) + x)
+                  x += 1
+                }
+                y += 1
+              }
+              Row(id, f.toLong, hash)
+            }
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Minimal GVID reader: "GVID" magic, LE u16 width/height/frameCount,
+    * then frameCount raw row-major gray frames. Bounds-checked; anything
+    * malformed or at a different thumbnail size returns None.
+    */
+  private def decodeGvid(b: Array[Byte], w: Int, h: Int): Option[Seq[Array[Byte]]] = {
+    def le16(i: Int) = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+    if (b.length < 10 || b(0) != 'G' || b(1) != 'V' || b(2) != 'I' || b(3) != 'D')
+      return None
+    val (fw, fh, n) = (le16(4), le16(6), le16(8))
+    if (fw != w || fh != h || n < 1 || b.length != 10 + fw * fh * n) return None
+    Some((0 until n).map { f =>
+      java.util.Arrays.copyOfRange(b, 10 + f * fw * fh, 10 + (f + 1) * fw * fh)
+    })
+  }
+
+  /** Near-duplicate video pairs: TOTAL Hamming distance over frame-aligned
+    * [[videoFingerprint]] sequences ≤ maxHamming — the multi-frame
+    * extension of the exact multi-index search: if Σ_f d_f ≤ T over F
+    * frames then some frame has d_f ≤ ⌊T/F⌋ (pigeonhole), so banding each
+    * frame's hash at that per-frame budget makes the per-(frame, band,
+    * key) equi-join generate every qualifying pair — exact recall, never
+    * all-pairs, and a skewed key only blows up its own bucket. The verify
+    * stage re-joins the two frame sequences (keyed by id, then frame) and
+    * sums a codegen'd xor+bit_count per aligned frame.
+    */
+  def videoNearDups(fps: DataFrame, maxHamming: Int = VideoMaxHamming,
+      frames: Int = VideoFrames, bits: Int = VideoFpBits): DataFrame = {
+    val perFrame = maxHamming / frames // pigeonhole per-frame budget
+    val bands = perFrame + 1
+    val bandBits = (bits + bands - 1) / bands
+    val mask = (1L << bandBits) - 1
+    val f = fps.select(col("doc_id"), col("frame"), col("vfp"))
+    val banded = f.select(col("doc_id"), col("frame"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("vfp"), b * bandBits).bitwiseAND(lit(mask))
+            .as("key"))): _*)).as("bd"))
+      .select(col("doc_id"), col("frame"),
+        col("bd.band").as("band"), col("bd.key").as("key"))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.frame") === col("b.frame") && col("a.band") === col("b.band") &&
+          col("a.key") === col("b.key") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .distinct()
+    cand.join(f.as("fi"), col("i") === col("fi.doc_id"))
+      .join(f.as("fj"),
+        col("j") === col("fj.doc_id") && col("fi.frame") === col("fj.frame"))
+      .groupBy(col("i"), col("j"))
+      .agg(sum(bit_count(col("fi.vfp").bitwiseXOR(col("fj.vfp"))))
+        .as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Deterministic GVID clip whose frame-f pixel (x,y) gray is the
+    * xor-folded mix `m = basisId·2654435761 + f·131071 + x·40503 +
+    * y·10859; v = (m ⊕ m≫7 ⊕ m≫15) mod 256` — same folding discipline as
+    * [[syntheticGrayBmp]] (a linear pixel function would collapse the
+    * hashes). The planted twin adds [[PerturbDelta]] (mod 256) on the
+    * x<[[PerturbX]], y<[[VideoPerturbY]] corner of the first two frames.
+    */
+  def syntheticGvid(basisId: Long, perturb: Boolean): Array[Byte] = {
+    val (w, h, n) = (VideoFrameW, VideoFrameH, VideoFrames)
+    val b = java.nio.ByteBuffer.allocate(10 + w * h * n)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put('G'.toByte).put('V'.toByte).put('I'.toByte).put('D'.toByte)
+    b.putShort(w.toShort).putShort(h.toShort).putShort(n.toShort)
+    var f = 0
+    while (f < n) {
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val m = basisId * 2654435761L + f * 131071L + x * 40503L + y * 10859L
+          var v = ((m ^ (m >> 7) ^ (m >> 15)) % 256).toInt
+          if (perturb && f < 2 && x < PerturbX && y < VideoPerturbY)
+            v = (v + PerturbDelta.toInt) % 256
+          b.put(v.toByte)
+          x += 1
+        }
+        y += 1
+      }
+      f += 1
+    }
+    b.array()
+  }
+
+  /** Video-corpus fixture, mirroring [[imageFixture]]'s planting scheme:
+    * one synthetic clip per document plus a perturbed twin every
+    * [[PlantEvery]]-th document.
+    */
+  def videoFixture(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val ids = docs.select(col("doc_id"), lit(false).as("perturb"))
+      .unionAll(docs.filter(col("doc_id") % PlantEvery === 0)
+        .select(col("doc_id"), lit(true).as("perturb")))
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("media", BinaryType)))
+    val rdd = ids.rdd.mapPartitions { it =>
+      it.map { r =>
+        val basis = r.getLong(0)
+        val perturb = r.getBoolean(1)
+        val id = if (perturb) basis + PlantOffset else basis
+        Row(id, syntheticGvid(basis, perturb))
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
 }

@@ -455,6 +455,78 @@ class LlmSpec extends SparkSpec {
       docs.filter(col("doc_id") % Multimodal.PlantEvery === 0).count())
   }
 
+  test("audio fingerprint: every fixture decodes; planted twin within 2 bits") {
+    val media = Multimodal.audioFixture(docs)
+    val fps = Multimodal.audioFingerprint(media)
+    assert(fps.count() == media.count())
+    // the +500 sample shift touches frames 0-1 only -> bits 0 and 1
+    val planted = fps.as("a").join(fps.as("b"),
+        col("a.doc_id") + Multimodal.PlantOffset === col("b.doc_id"))
+      .select(bit_count(col("a.afp").bitwiseXOR(col("b.afp"))).as("d"))
+    assert(planted.count() ==
+      docs.filter(col("doc_id") % Multimodal.PlantEvery === 0).count())
+    assert(planted.filter(col("d") > 2).count() == 0)
+    // non-WAV and truncated payloads yield no row
+    val s = spark
+    import s.implicits._
+    val junk = Seq((1L, "not audio at all, certainly".getBytes),
+      (2L, "RIFF1234WAVE".getBytes)).toDF("doc_id", "media")
+    assert(Multimodal.audioFingerprint(junk).count() == 0)
+  }
+
+  test("audio near-dups: banded search EXACTLY equals brute-force Hamming") {
+    val fps = Multimodal.audioFingerprint(Multimodal.audioFixture(docs))
+    val out = Multimodal.audioNearDups(fps)
+    val brute = fps.as("a").crossJoin(fps.as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
+        bit_count(col("a.afp").bitwiseXOR(col("b.afp"))).cast("long")
+          .as("hamming"))
+      .filter(col("hamming") <= Multimodal.AudioMaxHamming)
+    assert(out.exceptAll(brute).count() == 0)
+    assert(brute.exceptAll(out).count() == 0)
+    val plantedFound = out.filter(col("j") === col("i") + Multimodal.PlantOffset)
+    assert(plantedFound.count() ==
+      docs.filter(col("doc_id") % Multimodal.PlantEvery === 0).count())
+  }
+
+  test("video fingerprint: every fixture frame hashes; planted twin within budget") {
+    val media = Multimodal.videoFixture(docs)
+    val fps = Multimodal.videoFingerprint(media)
+    assert(fps.count() == media.count() * Multimodal.VideoFrames)
+    // the corner perturbation touches frames 0-1, <=4 bits each
+    val planted = fps.as("a").join(fps.as("b"),
+        col("a.doc_id") + Multimodal.PlantOffset === col("b.doc_id") &&
+          col("a.frame") === col("b.frame"))
+      .groupBy(col("a.doc_id"))
+      .agg(sum(bit_count(col("a.vfp").bitwiseXOR(col("b.vfp")))).as("d"))
+    assert(planted.count() ==
+      docs.filter(col("doc_id") % Multimodal.PlantEvery === 0).count())
+    assert(planted.filter(col("d") > 8).count() == 0)
+    // malformed payloads (bad magic / wrong dims / truncated) yield no rows
+    val s = spark
+    import s.implicits._
+    val junk = Seq((1L, "not a video".getBytes),
+      (2L, Multimodal.syntheticGvid(3L, perturb = false).dropRight(1)))
+      .toDF("doc_id", "media")
+    assert(Multimodal.videoFingerprint(junk).count() == 0)
+  }
+
+  test("video near-dups: banded search EXACTLY equals brute-force total Hamming") {
+    val fps = Multimodal.videoFingerprint(Multimodal.videoFixture(docs))
+    val out = Multimodal.videoNearDups(fps)
+    val brute = fps.as("a").join(fps.as("b"),
+        col("a.frame") === col("b.frame") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .agg(sum(bit_count(col("a.vfp").bitwiseXOR(col("b.vfp")))).as("hamming"))
+      .filter(col("hamming") <= Multimodal.VideoMaxHamming)
+    assert(out.exceptAll(brute).count() == 0)
+    assert(brute.exceptAll(out).count() == 0)
+    val plantedFound = out.filter(col("j") === col("i") + Multimodal.PlantOffset)
+    assert(plantedFound.count() ==
+      docs.filter(col("doc_id") % Multimodal.PlantEvery === 0).count())
+  }
+
   test("multimodal featurizer: histogram sums to payload length") {
     val m = Multimodal.mediaTable(spark, sf)
     val f = Multimodal.featurize(m)

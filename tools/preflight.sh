@@ -37,4 +37,24 @@ grep -E '\[verify\]' "$VLOG" || true
 echo "== preflight 3/3: tools/check.py vs DuckDB oracle =="
 python3 tools/check.py "$OUT_DIR" "$SF_DIR"
 
+# Optional perf canary (GRAFT_PERF_CANARY=1): one quick entry per query
+# family benched at sf0.1 against the BASELINE.md pins with a generous 3x
+# tripwire — catches accidental plan regressions (un-partitioned window,
+# lost broadcast, unpushed filter) before commit at ~60-90 s cost. Not the
+# 2x certification rule; see tools/perfcheck.py.
+if [ "${GRAFT_PERF_CANARY:-0}" = "1" ]; then
+  echo "== preflight 4/4 (opt-in): perf canary vs BASELINE.md pins =="
+  CANARY_SET="${GRAFT_PERF_CANARY_SET:-logql_rate_sum_by promql_rate traceql_agg_count llm_shard_assign ingest_loki_roundtrip}"
+  BLOG="$OUT_DIR/bench.log"
+  if ! SPARK_GRAFT_SF_DIR="${GRAFT_PERF_SF_DIR:-/root/testdata/sf0.1}" \
+      SPARK_GRAFT_CPUS=32 SPARK_GRAFT_SHUFFLE=32 \
+      sbt -batch "runMain graft.Bench $CANARY_SET" \
+      < /dev/null > "$BLOG" 2>&1; then
+    echo "== preflight FAIL: perf canary bench exited nonzero; log tail: =="
+    tail -n 40 "$BLOG"
+    exit 1
+  fi
+  python3 tools/perfcheck.py target/bench_partial.json BASELINE.md 3.0
+fi
+
 echo "== preflight PASS — safe to commit =="
