@@ -3,7 +3,7 @@ package graft.gates
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.llm.{Curation, Dedup, Multimodal, Ranking, Similarity, TextOps}
+import graft.llm.{Curation, Dedup, Multimodal, Ranking, Similarity, TextOps, Web}
 import graft.model.Tables
 
 /** Driver gates for the LLM training-data pipeline operators (north-star
@@ -307,7 +307,7 @@ object LlmGates extends GateSet {
   val MixRates: Map[String, Double] =
     (0 until 20).map(i => s"src$i" -> (i % 5) * 0.25).toMap
 
-  override val gates: Seq[Gate] = Seq(
+  override lazy val gates: Seq[Gate] = Seq(
 
     // --- exact dedup: normalized-text hash groupBy ------------------------
     Gate("llm_exact_dedup",
@@ -1217,6 +1217,144 @@ object LlmGates extends GateSet {
     Gate("llm_cdc_chunk",
       (spark: SparkSession, dir: String) =>
         TextOps.cdcChunks(docs(spark, dir)).orderBy("doc_id", "chunk_id"),
-      Some(TextOps.cdcChunksOracleSql()))
+      Some(TextOps.cdcChunksOracleSql())),
+
+    // --- crawl front door 1: markup -> text + text-density ratio ----------
+    // Fixture wraps each document in a deterministic page template (nav,
+    // style, script, comment, entities) so the strip/decode chain is
+    // exercised on every row; the oracle rebuilds the SAME template from
+    // the shared token list and replays the SAME regex chain.
+    Gate("llm_html_extract",
+      (spark: SparkSession, dir: String) =>
+        docs(spark, dir)
+          .select(col("doc_id"), htmlFixtureCol.as("html"))
+          .select(col("doc_id"),
+            Web.extractText(col("html")).as("clean"),
+            Web.textRatio(col("html")).as("text_ratio"))
+          .orderBy("doc_id"),
+      Some(htmlExtractOracleSql)),
+
+    // --- crawl front door 2: URL canonicalization + URL-level dedup -------
+    // Even/odd docs spell the SAME page two ways (case, :443, trailing
+    // slash, utm noise, param order, fragment); pages repeat every
+    // UrlPageMod docs (a re-crawl) so canonical keys genuinely collide.
+    Gate("llm_url_canon",
+      (spark: SparkSession, dir: String) => {
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("canon_url")
+        docs(spark, dir)
+          .select(col("doc_id"), urlFixtureCol.as("url"))
+          .withColumn("canon_url", Web.canonicalizeUrl(col("url")))
+          .withColumn("is_dup", col("doc_id") > min("doc_id").over(w))
+          .orderBy("doc_id")
+      },
+      Some(urlCanonOracleSql))
   )
+
+  // ---- crawl-front-door fixtures (shared Spark/DuckDB token lists) -------
+
+  /** HTML page template as literal fragments with `{id}`/`{text}` holes —
+    * ONE list renders both the Spark concat and the oracle's `||` chain,
+    * so the fixture cannot diverge between engines.
+    */
+  private val HtmlFixtureTokens: Seq[String] = Seq(
+    "<html><head><title>Doc ", "{id}",
+    "</title><style type=\"text/css\">body { color: #222; }</style>" +
+      "<script>var n = ", "{id}",
+    "; if (n < 10) { n += 1; }</script></head>" +
+      "<body><nav><a href=\"/\">Home</a> | <a href=\"/about\">About</a></nav>" +
+      "<!-- id ", "{id}",
+    " --><h1>Title ", "{id}", "</h1><p>", "{text}",
+    " &amp; more &lt;tags&gt; &quot;q&quot; &#39;s&#39; non&nbsp;breaking</p>" +
+      "<div class=\"footer\">(c) 2026 Example</div></body></html>")
+
+  private def htmlFixtureCol: org.apache.spark.sql.Column =
+    concat(HtmlFixtureTokens.map {
+      case "{id}" => col("doc_id").cast("string")
+      case "{text}" => col("text")
+      case s => lit(s)
+    }: _*)
+
+  private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  private lazy val htmlFixtureSql: String = HtmlFixtureTokens.map {
+    case "{id}" => "doc_id::VARCHAR"
+    case "{text}" => "text"
+    case s => sqlLit(s)
+  }.mkString(" || ")
+
+  /** DuckDB twin of [[Web.extractText]]: same strip patterns, same entity
+    * chain (interpolated from Web's constants — no parallel literals).
+    */
+  private lazy val htmlExtractOracleSql: String = {
+    val stripped = Seq(Web.CommentRe, Web.ScriptRe, Web.StyleRe, Web.TagRe)
+      .foldLeft("html") { (acc, re) =>
+        s"regexp_replace($acc, ${sqlLit(re)}, ' ', 'g')"
+      }
+    val decoded = Web.Entities.foldLeft(stripped) { case (acc, (e, r)) =>
+      s"replace($acc, ${sqlLit(e)}, ${sqlLit(r)})"
+    }
+    s"""WITH raw AS (SELECT doc_id, $htmlFixtureSql AS html FROM documents),
+       |s AS (SELECT doc_id, html,
+       |  trim(regexp_replace($decoded, ${sqlLit(Web.WsRe)}, ' ', 'g')) AS clean
+       |  FROM raw)
+       |SELECT doc_id, clean,
+       |  round(length(clean)::DOUBLE / length(html), 6) AS text_ratio
+       |FROM s ORDER BY doc_id""".stripMargin
+  }
+
+  /** Pages repeat every UrlPageMod docs; even/odd spelling variants of the
+    * same canonical URL.
+    */
+  private val UrlPageMod = 200
+  private val UrlHostEven = "https://news.example.com"
+  private val UrlHostOdd = "HTTPS://NEWS.Example.COM:443"
+  private val UrlQueryEven = "?a=1&b=2&utm_source=rss"
+  private val UrlQueryOdd = "?b=2&utm_campaign=x&a=1&ref=tw"
+
+  private def urlFixtureCol: org.apache.spark.sql.Column = {
+    val even = col("doc_id") % 2 === 0
+    concat(
+      when(even, lit(UrlHostEven)).otherwise(lit(UrlHostOdd)),
+      lit("/articles/"), (col("doc_id") % UrlPageMod).cast("string"),
+      when(even, lit("")).otherwise(lit("/")),
+      when(even, lit(UrlQueryEven)).otherwise(lit(UrlQueryOdd)),
+      when(even, lit("")).otherwise(lit("#top")))
+  }
+
+  /** DuckDB twin of [[Web.canonicalizeUrl]] over the same fixture (scheme/
+    * host/path/query regexes and the tracking-param filter interpolated
+    * from Web's constants).
+    */
+  private lazy val urlCanonOracleSql: String = {
+    // single-line: interpolated into a stripMargin string, so no line here
+    // may start with a margin char
+    val fixture = Seq(
+      s"CASE WHEN doc_id % 2 = 0 THEN ${sqlLit(UrlHostEven)} ELSE ${sqlLit(UrlHostOdd)} END",
+      s"'/articles/' || (doc_id % $UrlPageMod)::VARCHAR",
+      "CASE WHEN doc_id % 2 = 0 THEN '' ELSE '/' END",
+      s"CASE WHEN doc_id % 2 = 0 THEN ${sqlLit(UrlQueryEven)} ELSE ${sqlLit(UrlQueryOdd)} END",
+      "CASE WHEN doc_id % 2 = 0 THEN '' ELSE '#top' END").mkString(" || ")
+    s"""WITH raw AS (SELECT doc_id, $fixture AS url FROM documents),
+       |p AS (SELECT doc_id, url,
+       |  lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+       |  lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS hostport,
+       |  regexp_replace(regexp_extract(url,
+       |    '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1), '/+$$', '') AS rawpath,
+       |  regexp_extract(url, '\\?([^#]*)', 1) AS q
+       |  FROM raw),
+       |c AS (SELECT doc_id, url,
+       |  scheme || '://' ||
+       |  CASE WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$$', '')
+       |       WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$$', '')
+       |       ELSE hostport END ||
+       |  CASE WHEN rawpath = '' THEN '/' ELSE rawpath END ||
+       |  CASE WHEN cq = '' THEN '' ELSE '?' || cq END AS canon_url
+       |  FROM (SELECT *, array_to_string(list_sort(
+       |          [x for x in string_split(q, '&')
+       |           if x <> '' and not regexp_matches(x, ${sqlLit(Web.TrackingParamRe)})]),
+       |        '&') AS cq FROM p))
+       |SELECT doc_id, url, canon_url,
+       |  doc_id > min(doc_id) OVER (PARTITION BY canon_url) AS is_dup
+       |FROM c ORDER BY doc_id""".stripMargin
+  }
 }

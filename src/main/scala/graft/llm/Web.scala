@@ -1,0 +1,103 @@
+package graft.llm
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Web-crawl front-door operators: markup → text extraction and URL
+  * canonicalization. These are the first two passes of a crawl-derived
+  * training corpus (C4, Raffel et al. 2020 §2.2 strips markup before any
+  * quality filter; URL-level dedup is the cheapest dedup pass and runs
+  * before any content hash), sitting upstream of the [[Curation]] /
+  * [[Dedup]] family.
+  *
+  * Everything is codegen'd `regexp_replace` / string builtins — no UDFs —
+  * and every pattern stays inside the Java-regex ∩ RE2 common subset
+  * (non-greedy `.*?` and inline `(?is)` flags: yes; backreferences and
+  * lookahead: no) so the DuckDB oracles replay the chain bit-for-bit.
+  * Per-row narrow work: at 100 TB both operators scan once with no
+  * shuffle; URL dedup adds exactly one keyed shuffle on the canonical URL.
+  */
+object Web {
+
+  // ---- markup → text ------------------------------------------------------
+
+  /** Entity decode chain shared with the oracle: `&amp;` decodes LAST so
+    * double-escaped entities (`&amp;lt;`) single-decode (to `&lt;`), the
+    * standard one-pass rule.
+    */
+  val Entities: Seq[(String, String)] = Seq(
+    "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+    "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+
+  /** Whitespace class written out explicitly: Java `\s` includes \x0B,
+    * RE2's does not — the explicit class is identical in both engines.
+    */
+  val WsRe = "[ \\t\\r\\n\\f]+"
+
+  /** Strip patterns, applied in order (comments first so a commented-out
+    * script block is not re-opened; script/style before the generic tag
+    * strip so their CONTENT goes too). All in the Java ∩ RE2 subset.
+    */
+  val CommentRe = "(?s)<!--.*?-->"
+  val ScriptRe = "(?is)<script[^>]*>.*?</script>"
+  val StyleRe = "(?is)<style[^>]*>.*?</style>"
+  val TagRe = "<[^>]*>"
+
+  /** Visible text of an HTML/XML-ish document: drops comments, whole
+    * `<script>`/`<style>` elements (their CONTENT is code, not text), then
+    * every remaining tag, decodes the common entities, and collapses
+    * whitespace. Block-level structure is not preserved — the output is
+    * the single-line token stream the downstream shingle/quality operators
+    * consume.
+    */
+  def extractText(html: Column): Column = {
+    val noTags = Seq(CommentRe, ScriptRe, StyleRe, TagRe).foldLeft(html) {
+      (c, re) => regexp_replace(c, re, " ")
+    }
+    val decoded = Entities.foldLeft(noTags) { case (c, (e, r)) =>
+      replace(c, lit(e), lit(r))   // literal replace — mirrors DuckDB replace()
+    }
+    trim(regexp_replace(decoded, WsRe, " "))
+  }
+
+  /** Text density (clean-length / markup-length), the jusText-style signal
+    * a pipeline thresholds to drop nav/boilerplate-dominated pages.
+    * Rounded to 6 places for cross-engine float parity.
+    */
+  def textRatio(html: Column): Column =
+    round(length(extractText(html)).cast("double") / length(html), 6)
+
+  // ---- URL canonicalization ----------------------------------------------
+
+  /** Query params dropped during canonicalization (tracking/click IDs —
+    * they vary per crawl fetch of the same page). Tested against the full
+    * `name=value` token.
+    */
+  val TrackingParamRe = "^(utm_[A-Za-z0-9_]*|fbclid|gclid|ref)="
+
+  /** Canonical form of an absolute URL: lowercase scheme+host, default
+    * port stripped, fragment dropped, tracking params dropped, remaining
+    * params sorted (byte order), trailing slashes trimmed (empty path →
+    * "/"). Two crawl fetches of one page — differing in case, utm noise,
+    * param order, `:443`, or a trailing slash — map to one key.
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostport = lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
+    val host = when(scheme === "https", regexp_replace(hostport, ":443$", ""))
+      .when(scheme === "http", regexp_replace(hostport, ":80$", ""))
+      .otherwise(hostport)
+    val rawPath = regexp_replace(
+      regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1),
+      "/+$", "")
+    val path = when(rawPath === "", lit("/")).otherwise(rawPath)
+    val query = regexp_extract(url, "\\?([^#]*)", 1)
+    // tiny per-URL array (a handful of params) — the interpreted lambda is
+    // off the corpus-hash hot path
+    val kept = filter(split(query, "&"),
+      p => p =!= "" && !p.rlike(TrackingParamRe))
+    val canonQ = array_join(array_sort(kept), "&")
+    concat(scheme, lit("://"), host, path,
+      when(canonQ === "", lit("")).otherwise(concat(lit("?"), canonQ)))
+  }
+}

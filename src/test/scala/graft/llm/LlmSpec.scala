@@ -619,4 +619,41 @@ class LlmSpec extends SparkSpec {
     assert(m(2L)._2 == 0L && m(2L)._5 == 0L) // no dups, kept
     assert(m(3L) == ((1L, 0L, 0L, 0L, 0L))) // degenerate: no bigrams, kept
   }
+
+  test("web: extractText strips blocks/tags and single-decodes entities") {
+    import graft.TestSpark.spark.implicits._
+    val d = Seq(
+      (1, "<p>Hello &amp;lt; <b>World</b></p><!-- note --><script>var a = 1 < 2;</script>"),
+      (2, "<style type=\"text/css\">p { }</style>A&nbsp;B &#39;c&#39; &quot;d&quot;"),
+      (3, "plain text,  extra   spaces"),
+      (4, "<SCRIPT>upper();</SCRIPT><STYLE>x</STYLE>keep")) // case-insensitive flags
+      .toDF("id", "html")
+    val m = d.select($"id", Web.extractText($"html").as("t"))
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    // &amp;lt; decodes ONCE (to &lt;): &amp; is replaced last
+    assert(m(1) == "Hello &lt; World")
+    assert(m(2) == "A B 'c' \"d\"")
+    assert(m(3) == "plain text, extra spaces")
+    assert(m(4) == "keep")
+  }
+
+  test("web: canonicalizeUrl collapses crawl spelling variants to one key") {
+    import graft.TestSpark.spark.implicits._
+    val d = Seq(
+      (1, "HTTPS://WWW.Example.COM:443/a/b/?b=2&utm_source=x&a=1#frag"),
+      (2, "https://www.example.com/a/b?a=1&b=2"), // already canonical twin of 1
+      (3, "http://example.com:80"),               // empty path -> "/", default port
+      (4, "http://example.com:8080/x"),           // NON-default port kept
+      (5, "https://e.com/x?utm_source=1&fbclid=z"), // query fully dropped -> no "?"
+      (6, "https://e.com/x?ref=a&refresh=1"))     // ref= dropped, refresh= kept
+      .toDF("id", "url")
+    val m = d.select($"id", Web.canonicalizeUrl($"url").as("c"))
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(m(1) == "https://www.example.com/a/b?a=1&b=2")
+    assert(m(2) == m(1))
+    assert(m(3) == "http://example.com/")
+    assert(m(4) == "http://example.com:8080/x")
+    assert(m(5) == "https://e.com/x")
+    assert(m(6) == "https://e.com/x?refresh=1")
+  }
 }
