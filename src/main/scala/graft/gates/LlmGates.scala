@@ -1234,6 +1234,17 @@ object LlmGates extends GateSet {
           .orderBy("doc_id"),
       Some(htmlExtractOracleSql)),
 
+    // --- C4-style paragraph dedup with document reassembly ----------------
+    // Fixture gives every doc 4 paragraphs: a global boilerplate (kept
+    // only by the smallest doc_id), the first-15-words slice, a per-source
+    // boilerplate (kept by each source's first doc), and the full text.
+    Gate("llm_paragraph_dedup",
+      (spark: SparkSession, dir: String) =>
+        Dedup.dedupParagraphs(
+          docs(spark, dir).select(col("doc_id"), paraFixtureCol.as("text")))
+          .orderBy("doc_id"),
+      Some(paragraphDedupOracleSql)),
+
     // --- crawl front door 2: URL canonicalization + URL-level dedup -------
     // Even/odd docs spell the SAME page two ways (case, :443, trailing
     // slash, utm noise, param order, fragment); pages repeat every
@@ -1300,6 +1311,49 @@ object LlmGates extends GateSet {
        |SELECT doc_id, clean,
        |  round(length(clean)::DOUBLE / length(html), 6) AS text_ratio
        |FROM s ORDER BY doc_id""".stripMargin
+  }
+
+  /** Paragraph-dedup fixture pieces (shared Spark/DuckDB): one global
+    * boilerplate, one per-source boilerplate, two content paragraphs (the
+    * first-15-words slice and the full text — equal for short docs, which
+    * also exercises WITHIN-doc dedup).
+    */
+  private val ParaBoiler = "subscribe to the newsletter and enable notifications"
+  private val ParaFollowPre = "follow "
+  private val ParaFollowPost = " for updates"
+  private val ParaSliceWords = 15
+
+  private def paraFixtureCol: org.apache.spark.sql.Column =
+    concat(
+      lit(ParaBoiler), lit("\n\n"),
+      array_join(slice(split(col("text"), " "), 1, ParaSliceWords), " "),
+      lit("\n\n"),
+      lit(ParaFollowPre), col("source"), lit(ParaFollowPost), lit("\n\n"),
+      col("text"))
+
+  private lazy val paragraphDedupOracleSql: String = {
+    val fixture = Seq(
+      sqlLit(ParaBoiler),
+      s"array_to_string(string_split(text, ' ')[1:$ParaSliceWords], ' ')",
+      s"${sqlLit(ParaFollowPre)} || source || ${sqlLit(ParaFollowPost)}",
+      "text").mkString(" || e'\\n\\n' || ")
+    s"""WITH raw AS (SELECT doc_id, $fixture AS ptext FROM documents),
+       |px AS (SELECT doc_id, string_split(ptext, e'\\n\\n') AS ps FROM raw),
+       |paras AS (SELECT doc_id,
+       |    unnest([i-1 for i in generate_series(1, len(ps))]) AS pos,
+       |    unnest([ps[i] for i in generate_series(1, len(ps))]) AS para
+       |  FROM px),
+       |k AS (SELECT *, row_number()
+       |        OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
+       |      FROM paras),
+       |reb AS (SELECT doc_id, string_agg(para, e'\\n\\n' ORDER BY pos) AS clean_text,
+       |        count(*) AS n_kept
+       |      FROM k WHERE rn = 1 GROUP BY 1),
+       |tot AS (SELECT doc_id, count(*) AS n_paras FROM paras GROUP BY 1)
+       |SELECT t.doc_id, coalesce(clean_text, '') AS clean_text,
+       |  coalesce(n_kept, 0)::BIGINT AS n_kept,
+       |  (n_paras - coalesce(n_kept, 0))::BIGINT AS n_dropped
+       |FROM tot t LEFT JOIN reb USING (doc_id) ORDER BY doc_id""".stripMargin
   }
 
   /** Pages repeat every UrlPageMod docs; even/odd spelling variants of the

@@ -283,6 +283,42 @@ object Dedup {
        |  round(coalesce(nd, 0) / nw::DOUBLE, 6) AS dup_ratio
        |FROM tot t2 LEFT JOIN dup USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  /** C4-style paragraph-level exact dedup WITH document reassembly
+    * (Raffel et al. 2020 §2.2 removes repeated three-sentence spans but
+    * KEEPS the documents): every paragraph that textually recurs anywhere
+    * in the corpus survives only at its first occurrence (smallest
+    * (doc_id, pos)); each document is rebuilt from its surviving
+    * paragraphs in original order. This is the operator that strips
+    * shared nav/footer boilerplate without dropping whole pages.
+    *
+    * Scale shape: explode → ONE shuffle keyed by paragraph text (the
+    * first-occurrence window is partitioned by that key) → one groupBy
+    * doc_id to reassemble. No all-pairs work anywhere; paragraph count is
+    * bounded by document length.
+    *
+    * Returns (doc_id, clean_text, n_kept, n_dropped); a doc whose every
+    * paragraph was seen earlier comes back with empty clean_text.
+    */
+  def dedupParagraphs(docs: DataFrame, sep: String = "\n\n"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val paras = docs.select(col("doc_id"),
+      posexplode(split(col("text"), sep)).as(Seq("pos", "para")))
+    val w = Window.partitionBy("para").orderBy("doc_id", "pos")
+    val kept = paras.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+    val rebuilt = kept.groupBy("doc_id").agg(
+      array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("para")))),
+        s => s.getField("para")), sep).as("clean_text"),
+      count(lit(1)).as("n_kept"))
+    paras.groupBy("doc_id").agg(count(lit(1)).as("n_paras"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_paras") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+  }
+
   /** Incremental dedup: near-dup pairs of NEW docs against an EXISTING
     * corpus — the shape ingestion at scale needs, where the corpus's
     * band buckets are a precomputed index and only the new batch is

@@ -620,6 +620,21 @@ class LlmSpec extends SparkSpec {
     assert(m(3L) == ((1L, 0L, 0L, 0L, 0L))) // degenerate: no bigrams, kept
   }
 
+  test("paragraph dedup: first occurrence survives, docs reassemble in order") {
+    import graft.TestSpark.spark.implicits._
+    val d = Seq(
+      (1L, "A\n\nB"),
+      (2L, "B\n\nC"),
+      (3L, "B\n\nB")) // every paragraph seen earlier -> empty doc
+      .toDF("doc_id", "text")
+    val m = Dedup.dedupParagraphs(d).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(m(1L) == (("A\n\nB", 2L, 0L)))
+    assert(m(2L) == (("C", 1L, 1L)))
+    assert(m(3L) == (("", 0L, 2L)))
+  }
+
   test("web: extractText strips blocks/tags and single-decodes entities") {
     import graft.TestSpark.spark.implicits._
     val d = Seq(
