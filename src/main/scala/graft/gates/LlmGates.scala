@@ -1234,6 +1234,17 @@ object LlmGates extends GateSet {
           .orderBy("doc_id"),
       Some(htmlExtractOracleSql)),
 
+    // --- distributed spherical k-means (Lloyd) refinement -----------------
+    // The oracle unrolls both Lloyd rounds structurally (assignment
+    // window, per-dim rounded means, empty-cell carry) — the ITERATION is
+    // gated, not just the final labels. Means round to 6 dp before the
+    // next assignment on BOTH sides (the repo's avg-chain parity rule).
+    Gate("llm_kmeans",
+      (spark: SparkSession, dir: String) =>
+        Similarity.kmeansRefine(Tables.embeddings(spark, dir), iters = 2)
+          .orderBy("vec_id"),
+      Some(kmeansOracleSql)),
+
     // --- C4-style paragraph dedup with document reassembly ----------------
     // Fixture gives every doc 4 paragraphs: a global boilerplate (kept
     // only by the smallest doc_id), the first-15-words slice, a per-source
@@ -1311,6 +1322,37 @@ object LlmGates extends GateSet {
        |SELECT doc_id, clean,
        |  round(length(clean)::DOUBLE / length(html), 6) AS text_ratio
        |FROM s ORDER BY doc_id""".stripMargin
+  }
+
+  /** DuckDB twin of [[Similarity.kmeansRefine]] at iters=2: same √N seed
+    * spacing as the IVF oracles, same cosine-argmax tie-break (cid asc),
+    * same 6-dp mean rounding, same empty-cell carry.
+    */
+  private lazy val kmeansOracleSql: String = {
+    val dot = (a: String, b: String) =>
+      s"list_sum([$a[i]*$b[i] for i in generate_series(1,64)])"
+    val cos = (a: String, b: String) =>
+      s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
+    def lloydRound(n: Int, prev: String): String =
+      s"a$n AS (SELECT vec_id, cid FROM (\n" +
+        s"    SELECT e.vec_id, c.cid,\n" +
+        s"      row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cos("e.v", "c.cv")} DESC, c.cid) AS rn\n" +
+        s"    FROM e CROSS JOIN $prev c) WHERE rn = 1),\n" +
+        s"m$n AS (SELECT a$n.cid, g.i, round(avg(e.v[g.i]), 6) AS x\n" +
+        s"  FROM a$n JOIN e USING (vec_id) CROSS JOIN generate_series(1, 64) g(i)\n" +
+        s"  GROUP BY 1, 2),\n" +
+        s"mv$n AS (SELECT cid, list(x ORDER BY i) AS mv FROM m$n GROUP BY 1),\n" +
+        s"c$n AS (SELECT p.cid, coalesce(mv$n.mv, p.cv) AS cv\n" +
+        s"  FROM $prev p LEFT JOIN mv$n USING (cid))"
+    "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),\n" +
+      "cmod AS (SELECT GREATEST(23, CAST(floor(sqrt(count(*))) AS BIGINT)) AS m FROM e),\n" +
+      "c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % (SELECT m FROM cmod) = 0),\n" +
+      lloydRound(1, "c0") + ",\n" + lloydRound(2, "c1") + "\n" +
+      s"SELECT vec_id, cluster, round(cs, 6) AS sim FROM (\n" +
+      s"    SELECT e.vec_id, c.cid AS cluster, ${cos("e.v", "c.cv")} AS cs,\n" +
+      s"      row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cos("e.v", "c.cv")} DESC, c.cid) AS rn\n" +
+      s"    FROM e CROSS JOIN c2 c) WHERE rn = 1\n" +
+      "ORDER BY vec_id"
   }
 
   /** Paragraph-dedup fixture pieces (shared Spark/DuckDB): one global

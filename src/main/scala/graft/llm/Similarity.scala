@@ -184,6 +184,60 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Distributed spherical k-means (Lloyd) refinement: starts from the
+    * same deterministic √N-spaced seed centroids the IVF index uses and
+    * runs `iters` full Lloyd rounds (cosine-argmax assignment → per-cell
+    * element-wise mean), returning the final assignment. This is the
+    * clustering primitive behind data-mixture balancing and
+    * SemDeDup-style curation when the sampled seeds aren't tight enough.
+    *
+    * Scale shape per round: one broadcast crossJoin for assignment (N·C
+    * dots, map-side — centroids must fit a broadcast, the same constraint
+    * the IVF family carries) and one explode→groupBy for the means (C·D
+    * result rows). Each round's centroids are [[graft.model.Materialize]]d
+    * so the two consumers (next assignment + empty-cell carry) read one
+    * physical computation and the plan doesn't double per iteration.
+    *
+    * Determinism across engines: means are rounded to 6 dp BEFORE the
+    * next assignment (the BM25/avg-chain precedent — far above double
+    * summation-order noise, so both engines assign against identical
+    * centroids); argmax ties break on ascending cid. A cell that loses
+    * all members (possible only via an exact-duplicate seed tie) carries
+    * its previous centroid. Cosine is scale-invariant, so the means are
+    * deliberately NOT re-normalized.
+    *
+    * Returns (vec_id, cluster, sim) — cluster = seed vec_id of the final
+    * cell, sim = cosine to its final centroid rounded to 6 dp.
+    */
+  def kmeansRefine(corpus: DataFrame, iters: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val mod = centroidModFor(corpus.count())
+    val e = corpus.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val seeds = e.filter(pmod(col("vec_id"), lit(mod)) === 0)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    def assign(cents: DataFrame): DataFrame = {
+      val w = Window.partitionBy("vec_id")
+        .orderBy(col("__cs").desc, col("cid").asc)
+      e.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("v"), col("cid"),
+          cosine(col("v"), col("cv")).as("__cs"))
+        .withColumn("__r", row_number().over(w)).filter(col("__r") === 1)
+    }
+    val fin = (1 to iters).foldLeft(seeds) { (cents, _) =>
+      val means = assign(cents)
+        .select(col("cid"), posexplode(col("v")).as(Seq("i", "x")))
+        .groupBy(col("cid"), col("i")).agg(round(avg(col("x")), 6).as("x"))
+        .groupBy(col("cid")).agg(
+          transform(array_sort(collect_list(struct(col("i"), col("x")))),
+            s => s.getField("x")).as("mv"))
+      graft.model.Materialize(
+        cents.join(means, Seq("cid"), "left")
+          .select(col("cid"), coalesce(col("mv"), col("cv")).as("cv")))
+    }
+    assign(fin).select(col("vec_id"), col("cid").as("cluster"),
+      round(col("__cs"), 6).as("sim"))
+  }
+
   /** Approximate top-k via multi-table LSH: a candidate shares the query's
     * bucket in ANY of the T tables (union via the exploded (table, bucket)
     * join, deduped). Per-table bucket size ≈ N/2^P, so the candidate set is

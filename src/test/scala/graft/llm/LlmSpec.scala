@@ -620,6 +620,19 @@ class LlmSpec extends SparkSpec {
     assert(m(3L) == ((1L, 0L, 0L, 0L, 0L))) // degenerate: no bigrams, kept
   }
 
+  test("kmeans refine: covers corpus, clusters are seeds, objective rises") {
+    val seed = Similarity.kmeansRefine(emb, iters = 0) // pure seed assignment
+    val ref = Similarity.kmeansRefine(emb, iters = 2)
+    assert(ref.count() == emb.count())
+    val seedIds = seed.select("cluster").distinct().collect().map(_.getLong(0)).toSet
+    val refIds = ref.select("cluster").distinct().collect().map(_.getLong(0)).toSet
+    assert(refIds.subsetOf(seedIds)) // cells only carry seed ids
+    // Lloyd monotonicity: mean cosine to the assigned centroid must not drop
+    def obj(df: org.apache.spark.sql.DataFrame): Double =
+      df.agg(avg("sim")).collect()(0).getDouble(0)
+    assert(obj(ref) >= obj(seed) - 1e-9)
+  }
+
   test("paragraph dedup: first occurrence survives, docs reassemble in order") {
     import graft.TestSpark.spark.implicits._
     val d = Seq(
