@@ -1234,6 +1234,16 @@ object LlmGates extends GateSet {
           .orderBy("doc_id"),
       Some(htmlExtractOracleSql)),
 
+    // --- BPE tokenizer apply (vocabulary-pass + dictionary rejoin) --------
+    // The oracle replays the leftmost-best-pair merge loop as a recursive
+    // CTE from the SAME ranked merge list — the tokenizer itself is
+    // differential-tested, not just counts of a fixed regex.
+    Gate("llm_bpe_tokens",
+      (spark: SparkSession, dir: String) =>
+        TextOps.bpeTokenCounts(docs(spark, dir), BpeMerges)
+          .orderBy("doc_id"),
+      Some(bpeTokensOracleSql)),
+
     // --- distributed spherical k-means (Lloyd) refinement -----------------
     // The oracle unrolls both Lloyd rounds structurally (assignment
     // window, per-dim rounded means, empty-cell carry) — the ITERATION is
@@ -1322,6 +1332,50 @@ object LlmGates extends GateSet {
        |SELECT doc_id, clean,
        |  round(length(clean)::DOUBLE / length(html), 6) AS text_ratio
        |FROM s ORDER BY doc_id""".stripMargin
+  }
+
+  /** BPE merge-table fixture, rank = list index — written over the corpus
+    * vocabulary so multi-step merge chains actually fire (scan/table/
+    * value/fast collapse to one token; suffixes like -er merge partially).
+    */
+  private val BpeMerges: Seq[(String, String)] = Seq(
+    "s" -> "c", "sc" -> "a", "sca" -> "n",
+    "t" -> "a", "ta" -> "b", "tab" -> "l", "tabl" -> "e",
+    "r" -> "o", "ro" -> "w",
+    "k" -> "e", "ke" -> "y",
+    "a" -> "g", "ag" -> "g",
+    "v" -> "a", "va" -> "l", "val" -> "u", "valu" -> "e",
+    "f" -> "a", "fa" -> "s", "fas" -> "t",
+    "e" -> "r", "o" -> "r")
+
+  /** DuckDB twin of [[TextOps.bpeTokenCounts]]: the same merge ranks as a
+    * MAP literal, the same leftmost-best merge per recursive step, the
+    * same distinct-word vocabulary pass.
+    */
+  private lazy val bpeTokensOracleSql: String = {
+    val m = "map([" +
+      BpeMerges.map { case (a, b) => sqlLit(a + " " + b) }.mkString(", ") +
+      "], [" + BpeMerges.indices.mkString(", ") + "])"
+    s"""WITH RECURSIVE
+       |dw AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents),
+       |v AS (SELECT DISTINCT w FROM dw),
+       |init AS (SELECT w, [w[i] for i in generate_series(1, length(w))] AS syms FROM v),
+       |enc AS (
+       |  SELECT w, syms FROM init
+       |  UNION ALL
+       |  SELECT w, list_concat(list_concat(syms[1:bi-1], [syms[bi]||syms[bi+1]]),
+       |                        syms[bi+2:len(syms)]) AS syms
+       |  FROM (
+       |    SELECT w, syms, list_position(rnk, list_min(rnk)) AS bi,
+       |           list_min(rnk) AS best
+       |    FROM (SELECT w, syms,
+       |            [coalesce(map_extract($m, syms[i]||' '||syms[i+1])[1], 1000000)
+       |             for i in generate_series(1, len(syms)-1)] AS rnk
+       |          FROM enc)
+       |  ) WHERE best < 1000000),
+       |fin AS (SELECT w, min(len(syms))::INTEGER AS n_tok FROM enc GROUP BY 1)
+       |SELECT doc_id, count(*) AS n_words, sum(n_tok)::BIGINT AS n_bpe_tokens
+       |FROM dw JOIN fin USING (w) GROUP BY 1 ORDER BY doc_id""".stripMargin
   }
 
   /** DuckDB twin of [[Similarity.kmeansRefine]] at iters=2: same √N seed

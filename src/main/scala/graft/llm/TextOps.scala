@@ -65,6 +65,25 @@ object TextOps {
   def bpeTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit(BpeTokenRe), lit(0)))
 
+  /** Corpus-level BPE tokenizer APPLY against a ranked merge table
+    * ([[graft.functions.BpeEncode]]): per-doc whitespace word count and
+    * true BPE token count. The encode loop runs ONCE PER DISTINCT WORD
+    * (Heaps'-law vocabulary, ~√corpus), then a broadcast dictionary join
+    * rejoins counts to the exploded words — tokenizing 100 TB costs a
+    * vocabulary pass plus one map-side join, not a per-row merge loop.
+    */
+  def bpeTokenCounts(docs: DataFrame,
+      merges: Seq[(String, String)]): DataFrame = {
+    val words = docs.select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+    val vocab = words.select(col("w")).distinct()
+      .select(col("w"),
+        size(graft.functions.BpeEncode(col("w"), merges)).as("n_tok"))
+    words.join(broadcast(vocab), "w")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_tok")).as("n_bpe_tokens"))
+  }
+
   val Stopwords: Seq[String] =
     Seq("the", "a", "of", "and", "in", "to", "is", "it", "for", "on")
 

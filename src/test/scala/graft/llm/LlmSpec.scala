@@ -620,6 +620,18 @@ class LlmSpec extends SparkSpec {
     assert(m(3L) == ((1L, 0L, 0L, 0L, 0L))) // degenerate: no bigrams, kept
   }
 
+  test("bpe encode: ranked merges apply leftmost-first through codegen") {
+    import graft.TestSpark.spark.implicits._
+    val merges = Seq("s" -> "c", "sc" -> "a", "sca" -> "n", "e" -> "r")
+    val out = Seq("scan", "scanner", "xyz", "").toDF("w")
+      .select(graft.functions.BpeEncode($"w", merges).as("t"))
+      .collect().map(_.getSeq[String](0))
+    assert(out(0) == Seq("scan"))      // full chain fires in rank order
+    assert(out(1) == Seq("scan", "n", "er")) // partial merge + suffix
+    assert(out(2) == Seq("x", "y", "z"))     // no applicable merge
+    assert(out(3) == Seq())                  // empty word
+  }
+
   test("kmeans refine: covers corpus, clusters are seeds, objective rises") {
     val seed = Similarity.kmeansRefine(emb, iters = 0) // pure seed assignment
     val ref = Similarity.kmeansRefine(emb, iters = 2)
