@@ -1234,6 +1234,13 @@ object LlmGates extends GateSet {
           .orderBy("doc_id"),
       Some(htmlExtractOracleSql)),
 
+    // --- DSIR importance weighting (hashed-n-gram target vs raw ratio) ----
+    Gate("llm_dsir_weights",
+      (spark: SparkSession, dir: String) =>
+        Curation.dsirWeights(docs(spark, dir), col("source") === "src0")
+          .orderBy("doc_id"),
+      Some(Curation.dsirOracleSql())),
+
     // --- BPE tokenizer apply (vocabulary-pass + dictionary rejoin) --------
     // The oracle replays the leftmost-best-pair merge loop as a recursive
     // CTE from the SAME ranked merge list — the tokenizer itself is

@@ -150,6 +150,65 @@ object Curation {
       |FROM toks JOIN freq USING (tok) CROSS JOIN tot
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): hashed unigram+bigram
+    * features, a B-bucket target distribution estimated from the docs
+    * matching `isTarget` and a raw distribution from the whole corpus,
+    * per-document log importance weight `Σ_f ln(p_t[h(f)]/p_r[h(f)])`
+    * with add-1 smoothing. `keep` flags documents whose (rounded) weight
+    * is positive — more target-like than corpus-average; a sampler would
+    * draw ∝ exp(weight).
+    *
+    * Scale shape: feature explode → one B-bounded groupBy for both
+    * distributions (B = `buckets`, constant) → the tiny log-ratio table
+    * broadcasts back onto the feature stream → one per-doc sum. Nothing
+    * grows beyond the exploded feature stream; 100 TB-safe.
+    */
+  def dsirWeights(docs: DataFrame, isTarget: Column,
+      buckets: Int = 256): DataFrame = {
+    val toks = docs.select(col("doc_id"), isTarget.as("is_t"),
+      TextOps.tokens(col("text")).as("ws"))
+    val m = greatest(size(col("ws")) - 1, lit(0))
+    val bigrams = zip_with(slice(col("ws"), lit(1), m),
+      slice(col("ws"), lit(2), m), (a, b) => concat(a, lit(" "), b))
+    val fb = toks.select(col("doc_id"), col("is_t"),
+        explode(concat(col("ws"), bigrams)).as("f"))
+      .select(col("doc_id"), col("is_t"),
+        pmod(mdhash64(col("f")), lit(buckets.toLong)).as("b"))
+    val bc = fb.groupBy(col("b")).agg(count(lit(1)).as("n_r"),
+      sum(when(col("is_t"), 1L).otherwise(0L)).as("n_t"))
+    val tot = bc.agg(sum(col("n_r")).as("t_r"), sum(col("n_t")).as("t_t"))
+    val lr = bc.crossJoin(broadcast(tot))
+      .select(col("b"),
+        (log((col("n_t") + 1).cast("double") / (col("t_t") + buckets)) -
+          log((col("n_r") + 1).cast("double") / (col("t_r") + buckets))).as("lw"))
+    fb.join(broadcast(lr), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("lw")), 6).as("weight"))
+      .select(col("doc_id"), col("weight"), (col("weight") > 0).as("keep"))
+  }
+
+  /** DuckDB twin of [[dsirWeights]] with target = `source = 'src0'`. */
+  def dsirOracleSql(buckets: Int = 256): String =
+    s"""WITH toks AS (SELECT doc_id, source = 'src0' AS is_t,
+       |    string_split(lower(text), ' ') AS ws FROM documents),
+       |fb AS (SELECT doc_id, is_t,
+       |    ('0x'||substr(md5(f),1,15))::BIGINT % $buckets AS b
+       |  FROM (SELECT doc_id, is_t,
+       |      unnest(list_concat(ws,
+       |        [ws[i]||' '||ws[i+1] for i in generate_series(1, len(ws)-1)])) AS f
+       |    FROM toks)),
+       |bc AS (SELECT b, count(*) AS n_r,
+       |    sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS n_t FROM fb GROUP BY 1),
+       |tot AS (SELECT sum(n_r) AS t_r, sum(n_t) AS t_t FROM bc),
+       |lr AS (SELECT b, ln((n_t+1)::DOUBLE/(t_t+$buckets)) -
+       |         ln((n_r+1)::DOUBLE/(t_r+$buckets)) AS lw
+       |  FROM bc CROSS JOIN tot),
+       |w AS (SELECT doc_id, round(sum(lw), 6) AS weight
+       |  FROM fb JOIN lr USING (b) GROUP BY 1)
+       |SELECT doc_id, weight, weight > 0 AS keep
+       |FROM w ORDER BY doc_id""".stripMargin
+
   /** Per-document mean bigram surprisal under an add-k-smoothed bigram LM
     * trained on the corpus itself (the CCNet/KenLM perplexity-filter shape
     * one order up from [[unigramSurprisal]]):

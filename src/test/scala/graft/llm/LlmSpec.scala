@@ -620,6 +620,15 @@ class LlmSpec extends SparkSpec {
     assert(m(3L) == ((1L, 0L, 0L, 0L, 0L))) // degenerate: no bigrams, kept
   }
 
+  test("dsir: target-domain docs average a higher importance weight") {
+    val w = Curation.dsirWeights(docs, col("source") === "src0")
+    assert(w.count() == docs.count())
+    val bySrc = w.join(docs.select("doc_id", "source"), "doc_id")
+      .groupBy(col("source") === "src0").agg(avg("weight").as("aw"))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(bySrc(true) > bySrc(false)) // the resampling signal exists
+  }
+
   test("bpe encode: ranked merges apply leftmost-first through codegen") {
     import graft.TestSpark.spark.implicits._
     val merges = Seq("s" -> "c", "sc" -> "a", "sca" -> "n", "e" -> "r")
