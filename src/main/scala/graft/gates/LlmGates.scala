@@ -1234,6 +1234,46 @@ object LlmGates extends GateSet {
           .orderBy("doc_id"),
       Some(htmlExtractOracleSql)),
 
+    // --- hard-negative mining: top-k different-label neighbors (IVF) ------
+    Gate("llm_hard_negatives",
+      (spark: SparkSession, dir: String) => {
+        val emb = Tables.embeddings(spark, dir)
+        val q = emb.filter(col("vec_id") % 25 === 0)
+        Similarity.ivfHardNegatives(q, emb, 10).orderBy("qid", "rank")
+      },
+      Some {
+        val dot64 = (a: String, b: String) =>
+          s"list_sum([$a[i]*$b[i] for i in generate_series(1,64)])"
+        val cos = (a: String, b: String) =>
+          s"${dot64(a, b)} / (sqrt(${dot64(a, a)}) * sqrt(${dot64(b, b)}))"
+        s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+           |cmod AS (SELECT GREATEST(23, CAST(floor(sqrt(count(*))) AS BIGINT)) AS m FROM e),
+           |cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % (SELECT m FROM cmod) = 0),
+           |ac AS (SELECT e.vec_id, c.cid, ${cos("e.v", "c.cv")} AS cs
+           |  FROM e CROSS JOIN cents c),
+           |asg AS (SELECT vec_id AS nid, cid AS cell FROM (
+           |    SELECT vec_id, cid,
+           |      row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+           |    FROM ac) WHERE rn = 1),
+           |qp AS (SELECT vec_id AS qid, cid AS cell FROM (
+           |    SELECT vec_id, cid,
+           |      row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+           |    FROM ac WHERE vec_id % 25 = 0) WHERE rn <= 4),
+           |cand AS (SELECT qp.qid, asg.nid FROM qp
+           |  JOIN asg ON asg.cell = qp.cell
+           |  JOIN e ql ON ql.vec_id = qp.qid
+           |  JOIN e nl ON nl.vec_id = asg.nid
+           |  WHERE asg.nid <> qp.qid AND ql.label <> nl.label),
+           |sims AS (SELECT cand.qid, cand.nid, ${cos("qe.v", "ce.v")} AS sim
+           |  FROM cand JOIN e qe ON qe.vec_id = cand.qid
+           |            JOIN e ce ON ce.vec_id = cand.nid)
+           |SELECT qid, nid, rk AS rank, round(sim, 6) AS sim FROM (
+           |    SELECT qid, nid, sim,
+           |      row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk
+           |    FROM sims) WHERE rk <= 10
+           |ORDER BY qid, rank""".stripMargin
+      }),
+
     // --- DSIR importance weighting (hashed-n-gram target vs raw ratio) ----
     Gate("llm_dsir_weights",
       (spark: SparkSession, dir: String) =>
@@ -1468,7 +1508,7 @@ object LlmGates extends GateSet {
   private val UrlQueryEven = "?a=1&b=2&utm_source=rss"
   private val UrlQueryOdd = "?b=2&utm_campaign=x&a=1&ref=tw"
 
-  private def urlFixtureCol: org.apache.spark.sql.Column = {
+  private[gates] def urlFixtureCol: org.apache.spark.sql.Column = {
     val even = col("doc_id") % 2 === 0
     concat(
       when(even, lit(UrlHostEven)).otherwise(lit(UrlHostOdd)),
@@ -1482,7 +1522,10 @@ object LlmGates extends GateSet {
     * host/path/query regexes and the tracking-param filter interpolated
     * from Web's constants).
     */
-  private lazy val urlCanonOracleSql: String = {
+  /** CTE chain `raw → p → c(doc_id, url, canon_url)` shared by the batch
+    * llm_url_canon gate and the streaming_url_dedup gate.
+    */
+  private[gates] lazy val urlCanonCtes: String = {
     // single-line: interpolated into a stripMargin string, so no line here
     // may start with a margin char
     val fixture = Seq(
@@ -1491,7 +1534,7 @@ object LlmGates extends GateSet {
       "CASE WHEN doc_id % 2 = 0 THEN '' ELSE '/' END",
       s"CASE WHEN doc_id % 2 = 0 THEN ${sqlLit(UrlQueryEven)} ELSE ${sqlLit(UrlQueryOdd)} END",
       "CASE WHEN doc_id % 2 = 0 THEN '' ELSE '#top' END").mkString(" || ")
-    s"""WITH raw AS (SELECT doc_id, $fixture AS url FROM documents),
+    s"""raw AS (SELECT doc_id, $fixture AS url FROM documents),
        |p AS (SELECT doc_id, url,
        |  lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
        |  lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS hostport,
@@ -1509,9 +1552,20 @@ object LlmGates extends GateSet {
        |  FROM (SELECT *, array_to_string(list_sort(
        |          [x for x in string_split(q, '&')
        |           if x <> '' and not regexp_matches(x, ${sqlLit(Web.TrackingParamRe)})]),
-       |        '&') AS cq FROM p))
+       |        '&') AS cq FROM p))""".stripMargin
+  }
+
+  private lazy val urlCanonOracleSql: String =
+    s"""WITH $urlCanonCtes
        |SELECT doc_id, url, canon_url,
        |  doc_id > min(doc_id) OVER (PARTITION BY canon_url) AS is_dup
        |FROM c ORDER BY doc_id""".stripMargin
-  }
+
+  /** Streaming form: same canon key, exact-dedup decision shape. */
+  private[gates] lazy val urlDedupOracleSql: String =
+    s"""WITH $urlCanonCtes
+       |SELECT doc_id, min(doc_id) OVER (PARTITION BY canon_url) AS canonical_id,
+       |  (CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY canon_url)
+       |        THEN 0 ELSE 1 END)::BIGINT AS is_dup
+       |FROM c ORDER BY doc_id""".stripMargin
 }

@@ -335,6 +335,44 @@ object StreamingGates extends GateSet {
       },
       Some(LlmGates.exactDedupOracleSql)),
 
+    // --- streaming URL-level dedup: the crawl front door incrementally ----
+    // same first-arrived-wins state machine as streaming_exact_dedup, but
+    // keyed by the CANONICAL URL (Web.canonicalizeUrl over the shared
+    // llm_url_canon fixture) — the frontier dedup a continuous crawl runs
+    // before fetching content
+    Gate("streaming_url_dedup",
+      (spark: SparkSession, dir: String) => {
+        import spark.implicits._
+        import graft.streaming.StatefulOps
+        val schema = Tables.documents(spark, dir).schema
+        val stream = spark.readStream.schema(schema)
+          .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        val keyed = stream.select(col("doc_id"),
+            graft.llm.Web.canonicalizeUrl(LlmGates.urlFixtureCol).as("h"))
+          .as[StatefulOps.DocHash]
+        val out = StatefulOps.streamingExactDedup(keyed)
+        spark.catalog.dropTempView("stream_url_sink"): Unit
+        val q = StatefulOps.withStateProvider(spark,
+            StatefulOps.RocksDbProvider) {
+          val q0 = out.writeStream.format("memory")
+            .queryName("stream_url_sink")
+            .outputMode("append")
+            .trigger(Trigger.AvailableNow()).start()
+          q0.awaitTermination()
+          q0
+        }
+        val streamed = q.recentProgress.map(_.numInputRows).sum
+        val expected = Tables.documents(spark, dir).count()
+        require(streamed == expected,
+          s"streaming_url_dedup streamed $streamed of $expected rows — " +
+            "pathGlobFilter/layout assumption broken")
+        require(q.recentProgress.count(_.numInputRows > 0) == 1,
+          "streaming_url_dedup needs the single-batch first-arrival " +
+            "equivalence to mirror the min(doc_id) oracle")
+        spark.table("stream_url_sink").orderBy("doc_id")
+      },
+      Some(LlmGates.urlDedupOracleSql)),
+
     // --- incremental near-dup replay: batch-split arrival == one-shot -----
     // the ingestion contract at scale: each batch's near-dups come from
     // within-batch banding plus a new×corpus band join against the

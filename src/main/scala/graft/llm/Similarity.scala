@@ -141,6 +141,22 @@ object Similarity {
   def centroidModFor(corpusRows: Long): Long =
     math.max(CentroidMod, math.sqrt(corpusRows.toDouble).toLong)
 
+  /** Rank every row of `df` against the broadcast centroid table by
+    * cosine (desc, cid-asc tie-break): the shared coarse-quantizer pass
+    * of [[ivfTopK]] / [[ivfHardNegatives]]. Keeps (id, emb, cid, __cs,
+    * __r).
+    */
+  private def cellRankAgainst(cents: DataFrame)(
+      df: DataFrame, id: String, emb: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(id))
+      .orderBy(col("__cs").desc, col("cid").asc)
+    df.crossJoin(broadcast(cents))
+      .select(col(id), col(emb), col("cid"),
+        cosine(col(emb), col("ce")).as("__cs"))
+      .withColumn("__r", row_number().over(w))
+  }
+
   /** IVF-style ANN, the coarse-quantizer scale path: every corpus vector
     * is assigned to its max-cosine centroid in one broadcast pass (N·C
     * dots, map-side, no shuffle until the per-vector argmax); a query
@@ -157,14 +173,8 @@ object Similarity {
     val mod = centroidModFor(corpus.count())
     val cents = corpus.filter(pmod(col("vec_id"), lit(mod)) === 0)
       .select(col("vec_id").as("cid"), asDouble(col("embedding")).as("ce"))
-    def cellRank(df: DataFrame, id: String, emb: String): DataFrame = {
-      val w = Window.partitionBy(col(id))
-        .orderBy(col("__cs").desc, col("cid").asc)
-      df.crossJoin(broadcast(cents))
-        .select(col(id), col(emb), col("cid"),
-          cosine(col(emb), col("ce")).as("__cs"))
-        .withColumn("__r", row_number().over(w))
-    }
+    def cellRank(df: DataFrame, id: String, emb: String): DataFrame =
+      cellRankAgainst(cents)(df, id, emb)
     val assigned = cellRank(
         corpus.select(col("vec_id").as("nid"), asDouble(col("embedding")).as("ne")),
         "nid", "ne")
@@ -182,6 +192,44 @@ object Similarity {
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("sim").desc, col("nid").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Hard-negative mining for contrastive training (the retrieval-training
+    * data-prep pass of DPR/Contriever-style pipelines): for each query
+    * vector, the top-k most-similar corpus vectors carrying a DIFFERENT
+    * label — near-misses the trainer must learn to separate. Same IVF
+    * probe shape as [[ivfTopK]] (n·√N coarse assignment, nprobe cells per
+    * query, exact rerank inside the candidate set), with the label
+    * inequality applied BEFORE the rank window so the k guarantee holds
+    * among negatives. Returns (qid, nid, rank, sim 6dp).
+    */
+  def ivfHardNegatives(queries: DataFrame, corpus: DataFrame, k: Int,
+      nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val mod = centroidModFor(corpus.count())
+    val cents = corpus.filter(pmod(col("vec_id"), lit(mod)) === 0)
+      .select(col("vec_id").as("cid"), asDouble(col("embedding")).as("ce"))
+    val assigned = cellRankAgainst(cents)(
+        corpus.select(col("vec_id").as("nid"), asDouble(col("embedding")).as("ne")),
+        "nid", "ne")
+      .filter(col("__r") === 1)
+      .select(col("nid"), col("ne"), col("cid").as("cell"))
+      .join(corpus.select(col("vec_id").as("nid"), col("label").as("nlbl")), "nid")
+    val probes = cellRankAgainst(cents)(
+        queries.select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qe")),
+        "qid", "qe")
+      .filter(col("__r") <= nprobe)
+      .select(col("qid"), col("qe"), col("cid").as("cell"))
+      .join(queries.select(col("vec_id").as("qid"), col("label").as("qlbl")), "qid")
+    val cand = assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("qid") =!= col("nid") && col("qlbl") =!= col("nlbl"))
+    val scored = cand.select(col("qid"), col("nid"),
+      cosine(col("qe"), col("ne")).as("sim"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("rank").cast("long").as("rank"),
+        round(col("sim"), 6).as("sim"))
   }
 
   /** Distributed spherical k-means (Lloyd) refinement: starts from the

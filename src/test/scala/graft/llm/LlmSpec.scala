@@ -620,6 +620,17 @@ class LlmSpec extends SparkSpec {
     assert(m(3L) == ((1L, 0L, 0L, 0L, 0L))) // degenerate: no bigrams, kept
   }
 
+  test("hard negatives: every mined neighbor carries a different label") {
+    val out = Similarity.ivfHardNegatives(
+      emb.filter(col("vec_id") % 25 === 0), emb, 5)
+    val j = out
+      .join(emb.select(col("vec_id").as("qid"), col("label").as("ql")), "qid")
+      .join(emb.select(col("vec_id").as("nid"), col("label").as("nl")), "nid")
+    assert(j.count() > 0)
+    assert(j.filter(col("ql") === col("nl")).count() == 0)
+    assert(out.filter(col("rank") < 1 || col("rank") > 5).count() == 0)
+  }
+
   test("dsir: target-domain docs average a higher importance weight") {
     val w = Curation.dsirWeights(docs, col("source") === "src0")
     assert(w.count() == docs.count())
