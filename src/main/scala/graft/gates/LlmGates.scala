@@ -1326,8 +1326,41 @@ object LlmGates extends GateSet {
           .withColumn("is_dup", col("doc_id") > min("doc_id").over(w))
           .orderBy("doc_id")
       },
-      Some(urlCanonOracleSql))
+      Some(urlCanonOracleSql)),
+
+    // --- stupid-backoff trigram LM scoring (CCNet perplexity filter) ------
+    // LM trained on the src0 trusted split, whole corpus scored; backoff
+    // genuinely fires (19 of 20 sources contain trigrams the split never
+    // saw), so all three CASE arms are oracle-certified.
+    Gate("llm_lm_score",
+      (spark: SparkSession, dir: String) =>
+        Curation.lmScore(docs(spark, dir), col("source") === "src0")
+          .orderBy("doc_id"),
+      Some(Curation.LmScoreOracleSql)),
+
+    // --- fastText-style hashed linear classifier --------------------------
+    // Deterministic md5-derived demo model: both engines build the SAME
+    // (bucket, weight) table, so the gate certifies the hashing + broadcast
+    // scoring plumbing bit-for-bit.
+    Gate("llm_hash_classifier",
+      (spark: SparkSession, dir: String) =>
+        Curation.hashClassifierScore(docs(spark, dir),
+          Curation.demoClassifierWeights(spark, ClassifierDim), ClassifierDim)
+          .orderBy("doc_id"),
+      Some(Curation.hashClassifierOracleSql(ClassifierDim))),
+
+    // --- JL signed random projection (64 → 16 dims) ------------------------
+    // outDim = 16 makes the 1/√d scale exactly 0.25, so the oracle's
+    // interpolated constant is bit-exact; signs come from the shared md5.
+    Gate("llm_rand_proj",
+      (spark: SparkSession, dir: String) =>
+        Similarity.randomProject(Tables.embeddings(spark, dir), RandProjDim)
+          .orderBy("vec_id", "j"),
+      Some(Similarity.randomProjectOracleSql(RandProjDim)))
   )
+
+  private val ClassifierDim = 1024
+  private val RandProjDim = 16
 
   // ---- crawl-front-door fixtures (shared Spark/DuckDB token lists) -------
 

@@ -261,6 +261,160 @@ object Curation {
        |FROM bg JOIN bgc USING (w1, w2) JOIN hist USING (w1) CROSS JOIN voc
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** CCNet-style LM quality filter with a stupid-backoff trigram model
+    * (Brants et al. 2007 "Large Language Models in Machine Translation";
+    * CCNet trains its filter LM on a trusted corpus and scores the crawl —
+    * here the trusted split is the rows matching `isTrain`). Each document
+    * scores as the mean negative log stupid-backoff score of its trigram
+    * positions:
+    *
+    *   S(w3|w1,w2) = c3(w1,w2,w3) / c2(w1,w2)                if trigram seen
+    *               = 0.4 · c2(w2,w3) / c1(w2)                 else if bigram seen
+    *               = 0.4² · (c1(w3)+1) / (N+V)                otherwise (add-1 floor)
+    *
+    * where counts come from the training split, N its token count, V its
+    * vocabulary. Documents with fewer than three tokens produce no trigram
+    * positions and drop (mirrored by the oracle's inner join).
+    *
+    * Scale shape: counting is keyed map-side-combined aggregation; the
+    * backoff CASE is evaluated once per DISTINCT corpus trigram — the
+    * count tables (distinct-trigram/-bigram-bounded, growing with the
+    * corpus) join that distinct table by key, never broadcast; only the
+    * vocabulary-bounded unigram table and the (N,V) scalar broadcast. The
+    * per-document stream then rejoins the scored-trigram table on one
+    * 3-column key — a single equi-shuffle at 100 TB.
+    */
+  def lmScore(docs: DataFrame, isTrain: Column): DataFrame = {
+    val ws = TextOps.tokens(col("text"))
+    def grams(n: Int): Column = {
+      val m = greatest(size(ws) - (n - 1), lit(0))
+      val pair = zip_with(slice(ws, lit(1), m), slice(ws, lit(2), m),
+        (a, b) => struct(a.as("w1"), b.as("w2")))
+      if (n == 2) pair
+      else zip_with(pair, slice(ws, lit(3), m), (p, c) =>
+        struct(p.getField("w1").as("w1"), p.getField("w2").as("w2"), c.as("w3")))
+    }
+    val tg = docs.select(col("doc_id"), isTrain.as("is_tr"), explode(grams(3)).as("g"))
+      .select(col("doc_id"), col("is_tr"),
+        col("g.w1").as("w1"), col("g.w2").as("w2"), col("g.w3").as("w3"))
+    val tri = tg.filter(col("is_tr"))
+      .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c3"))
+    val big = docs.filter(isTrain).select(explode(grams(2)).as("g"))
+      .select(col("g.w1").as("w1"), col("g.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val uni = docs.filter(isTrain).select(explode(ws).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c1"))
+    val tot = uni.agg(sum(col("c1")).as("n"), count(lit(1)).as("v"))
+    val scored = tg.select("w1", "w2", "w3").distinct()
+      .join(tri, Seq("w1", "w2", "w3"), "left")
+      .join(big.withColumnRenamed("c2", "h12"), Seq("w1", "w2"), "left")
+      .join(big.select(col("w1").as("w2"), col("w2").as("w3"), col("c2").as("c23")),
+        Seq("w2", "w3"), "left")
+      .join(broadcast(uni.select(col("w").as("w2"), col("c1").as("u2"))), Seq("w2"), "left")
+      .join(broadcast(uni.select(col("w").as("w3"), col("c1").as("u3"))), Seq("w3"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("w1"), col("w2"), col("w3"),
+        when(col("c3").isNotNull, col("c3").cast("double") / col("h12"))
+          .when(col("c23").isNotNull, lit(0.4) * col("c23").cast("double") / col("u2"))
+          .otherwise(lit(0.16) * (coalesce(col("u3"), lit(0L)) + lit(1L)).cast("double")
+            / (col("n") + col("v"))).as("s"))
+    tg.join(scored, Seq("w1", "w2", "w3"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_trigrams"),
+        round(avg(-log(col("s"))), 6).as("lm_score"))
+  }
+
+  /** DuckDB twin of [[lmScore]] with training split `source = 'src0'`. */
+  val LmScoreOracleSql: String =
+    """WITH t AS (SELECT doc_id, source = 'src0' AS is_tr,
+      |    string_split(lower(text), ' ') AS ws FROM documents),
+      |tg AS (SELECT doc_id, is_tr, ws[i] AS w1, ws[i+1] AS w2, ws[i+2] AS w3
+      |  FROM t, unnest([x for x in generate_series(1, len(ws)-2)]) u(i)),
+      |tri AS (SELECT w1, w2, w3, count(*) AS c3 FROM tg WHERE is_tr GROUP BY 1,2,3),
+      |big AS (SELECT ws[i] AS w1, ws[i+1] AS w2
+      |    FROM t, unnest([x for x in generate_series(1, len(ws)-1)]) u(i)
+      |    WHERE is_tr),
+      |bgc AS (SELECT w1, w2, count(*) AS c2 FROM big GROUP BY 1, 2),
+      |uni AS (SELECT w, count(*) AS c1 FROM
+      |  (SELECT unnest(ws) AS w FROM t WHERE is_tr) GROUP BY 1),
+      |tot AS (SELECT sum(c1) AS n, count(*) AS v FROM uni),
+      |dt AS (SELECT DISTINCT w1, w2, w3 FROM tg),
+      |sc AS (SELECT dt.w1, dt.w2, dt.w3,
+      |    CASE WHEN tr.c3 IS NOT NULL THEN tr.c3::DOUBLE / b12.c2
+      |         WHEN b23.c2 IS NOT NULL THEN 0.4 * b23.c2::DOUBLE / u2.c1
+      |         ELSE 0.16 * (coalesce(u3.c1, 0) + 1)::DOUBLE / (tot.n + tot.v)
+      |    END AS s
+      |  FROM dt
+      |  LEFT JOIN tri tr ON tr.w1 = dt.w1 AND tr.w2 = dt.w2 AND tr.w3 = dt.w3
+      |  LEFT JOIN bgc b12 ON b12.w1 = dt.w1 AND b12.w2 = dt.w2
+      |  LEFT JOIN bgc b23 ON b23.w1 = dt.w2 AND b23.w2 = dt.w3
+      |  LEFT JOIN uni u2 ON u2.w = dt.w2
+      |  LEFT JOIN uni u3 ON u3.w = dt.w3
+      |  CROSS JOIN tot)
+      |SELECT tg.doc_id, count(*)::BIGINT AS n_trigrams,
+      |  round(avg(-ln(sc.s)), 6) AS lm_score
+      |FROM tg JOIN sc ON sc.w1 = tg.w1 AND sc.w2 = tg.w2 AND sc.w3 = tg.w3
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** fastText-style hashed linear text classifier (Joulin et al. 2016,
+    * "Bag of Tricks for Efficient Text Classification") applied at corpus
+    * scale — the quality-classifier stage of the LLaMA/RefinedWeb data
+    * recipes: features are unigrams + bigrams hashed into `dim` buckets,
+    * a document scores `sigmoid(bias + mean bucket weight)` and keeps when
+    * the (rounded) score clears 0.5. `weights` is the trained model as a
+    * `(b, w)` table with `dim` rows.
+    *
+    * Scale shape: one feature explode (the [[dsirWeights]] shape), the
+    * dim-bounded model broadcast onto it, one per-document aggregate —
+    * no corpus-sized state; classification is a single narrow pass plus
+    * one doc-keyed shuffle at 100 TB.
+    */
+  def hashClassifierScore(docs: DataFrame, weights: DataFrame, dim: Int,
+      bias: Double = 0.0): DataFrame = {
+    val toks = docs.select(col("doc_id"), TextOps.tokens(col("text")).as("ws"))
+    val m = greatest(size(col("ws")) - 1, lit(0))
+    val bigrams = zip_with(slice(col("ws"), lit(1), m),
+      slice(col("ws"), lit(2), m), (a, b) => concat(a, lit(" "), b))
+    val fb = toks.select(col("doc_id"),
+        explode(concat(col("ws"), bigrams)).as("f"))
+      .select(col("doc_id"), pmod(mdhash64(col("f")), lit(dim.toLong)).as("b"))
+    fb.join(broadcast(weights), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_features"),
+        round(lit(1.0) / (lit(1.0) + exp(-(lit(bias) + avg(col("w"))))), 6)
+          .as("score"))
+      .select(col("doc_id"), col("n_features"), col("score"),
+        (col("score") >= 0.5).as("keep"))
+  }
+
+  /** Deterministic stand-in model for gates/specs: `dim` buckets with
+    * w(b) = (h("w:"+b) mod 2001)/1000 − 1 ∈ [−1, 1] — both engines derive
+    * the identical table from the shared md5 hash, so the gate certifies
+    * the classifier plumbing bit-for-bit without shipping trained floats.
+    */
+  def demoClassifierWeights(spark: org.apache.spark.sql.SparkSession,
+      dim: Int): DataFrame =
+    spark.range(dim).select(col("id").as("b"),
+      (pmod(mdhash64(concat(lit("w:"), col("id"))), lit(2001L)) / lit(1000.0)
+        - lit(1.0)).as("w"))
+
+  /** DuckDB twin of [[hashClassifierScore]] over [[demoClassifierWeights]]. */
+  def hashClassifierOracleSql(dim: Int, bias: Double = 0.0): String =
+    s"""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+       |    FROM documents),
+       |fb AS (SELECT doc_id, ('0x'||substr(md5(f),1,15))::BIGINT % $dim AS b
+       |  FROM (SELECT doc_id, unnest(list_concat(ws,
+       |      [ws[i]||' '||ws[i+1] for i in generate_series(1, len(ws)-1)])) AS f
+       |    FROM toks)),
+       |wt AS (SELECT b,
+       |    ('0x'||substr(md5('w:'||b),1,15))::BIGINT % 2001 / 1000.0 - 1.0 AS w
+       |  FROM generate_series(0, ${dim - 1}) g(b)),
+       |sc AS (SELECT doc_id, count(*)::BIGINT AS n_features,
+       |    round(1.0 / (1.0 + exp(-($bias + avg(w)))), 6) AS score
+       |  FROM fb JOIN wt USING (b) GROUP BY 1)
+       |SELECT doc_id, n_features, score, score >= 0.5 AS keep
+       |FROM sc ORDER BY doc_id""".stripMargin
+
   // --- TF-IDF keyword extraction -------------------------------------------
 
   /** Top-k characteristic terms per document by TF-IDF

@@ -557,6 +557,55 @@ object Similarity {
   /** DuckDB twin of [[scalarQuantize]] — same codebook, same rounding
     * (both engines round half away from zero for positive arguments).
     */
+  /** Johnson–Lindenstrauss signed random projection (Achlioptas 2003 dense
+    * ±1 variant): reduce the `Dims`-dim embedding to `outDim` dims with a
+    * seeded md5-derived sign matrix, y_j = (Σ_i x_i·r(i,j)) / √outDim —
+    * the dimensionality-reduction pass a pipeline runs before LSH/IVF when
+    * raw embeddings are wider than the index needs. Emitted in long form
+    * `(vec_id, j, y)` so the result is fully ordered.
+    *
+    * Scale shape: one codegen'd narrow pass per row
+    * ([[graft.functions.VecProject]], the matrix rides the plan as a
+    * reference object — no join, no shuffle until the caller aggregates);
+    * the posexplode multiplies rows by outDim only at output.
+    */
+  def randomProject(emb: DataFrame, outDim: Int): DataFrame =
+    emb.select(col("vec_id"),
+        posexplode(graft.functions.VecProject(
+          asDouble(col("embedding")), Dims, outDim)))
+      .select(col("vec_id"), col("pos").as("j"), round(col("col"), 6).as("y"))
+
+  /** Executable spec of [[randomProject]]: the composed higher-order-
+    * function form (transform over out dims, aggregate(zip_with) dot) —
+    * kept as the differential-test twin of the codegen'd expression.
+    */
+  private[graft] def randomProjectSpec(emb: DataFrame, outDim: Int): DataFrame = {
+    val scale = 1.0 / math.sqrt(outDim.toDouble)
+    val rows = (0 until outDim).map { j =>
+      val w = typedLit((0 until Dims).map(i => graft.functions.VecProject.sign(j, i)))
+      struct(lit(j).as("j"),
+        round(aggregate(zip_with(asDouble(col("embedding")), w, (v, s) => v * s),
+          lit(0.0), (acc, v) => acc + v) * scale, 6).as("y"))
+    }
+    emb.select(col("vec_id"), explode(array(rows: _*)).as("r"))
+      .select(col("vec_id"), col("r.j").as("j"), col("r.y").as("y"))
+  }
+
+  /** DuckDB twin of [[randomProject]] (scale interpolated from the same
+    * Scala constant so no engine-side sqrt is involved).
+    */
+  def randomProjectOracleSql(outDim: Int): String = {
+    val scale = 1.0 / math.sqrt(outDim.toDouble)
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |pj AS (SELECT vec_id, j,
+       |    round(list_sum([v[i] *
+       |        (CASE WHEN ('0x'||substr(md5('rp:'||j||':'||(i-1)),1,15))::BIGINT
+       |                   % 2 = 0 THEN 1.0 ELSE -1.0 END)
+       |      for i in generate_series(1, $Dims)]) * $scale, 6) AS y
+       |  FROM e CROSS JOIN generate_series(0, ${outDim - 1}) g(j))
+       |SELECT vec_id, j, y FROM pj ORDER BY vec_id, j""".stripMargin
+  }
+
   def scalarQuantizeOracleSql(dims: Int = Dims): String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |dx AS (SELECT i, min(v[i]) AS mn, max(v[i]) AS mx

@@ -716,4 +716,46 @@ class LlmSpec extends SparkSpec {
     assert(m(5) == "https://e.com/x")
     assert(m(6) == "https://e.com/x?refresh=1")
   }
+
+  test("lm score: in-split docs score lower; every backoff arm fires") {
+    val out = Curation.lmScore(docs, col("source") === "src0")
+    // every doc has >= 3 tokens in the fixture, so nothing drops
+    assert(out.count() == docs.count())
+    assert(out.filter(col("lm_score").isNull || col("n_trigrams") < 1).count() == 0)
+    // the training split's own trigrams are all seen -> lower surprisal
+    val bySplit = out.join(docs.select("doc_id", "source"), "doc_id")
+      .groupBy(col("source") === "src0").agg(avg("lm_score").as("s"))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(bySplit(true) < bySplit(false))
+    // backoff genuinely fires: an out-of-split doc scores STRICTLY worse
+    // than the pure case-1 floor of -ln(1) = 0 and the arms disagree
+    assert(bySplit(false) > bySplit(true) + 0.1)
+  }
+
+  test("hash classifier: scores in (0,1), keep tracks the 0.5 line") {
+    val dim = 1024
+    val w = Curation.demoClassifierWeights(spark, dim)
+    assert(w.count() == dim)
+    val out = Curation.hashClassifierScore(docs, w, dim)
+    assert(out.count() == docs.count())
+    assert(out.filter(col("score") <= 0.0 || col("score") >= 1.0).count() == 0)
+    assert(out.filter((col("score") >= 0.5) =!= col("keep")).count() == 0)
+    // a nonzero-bias model shifts every score the same direction
+    val shifted = Curation.hashClassifierScore(docs, w, dim, bias = 2.0)
+    val j = out.select(col("doc_id"), col("score").as("s0"))
+      .join(shifted.select(col("doc_id"), col("score").as("s1")), "doc_id")
+    assert(j.filter(col("s1") <= col("s0")).count() == 0)
+  }
+
+  test("random projection: codegen'd expression matches the HOF spec form") {
+    val native = Similarity.randomProject(emb, 16)
+    val spec = Similarity.randomProjectSpec(emb, 16)
+    assert(native.count() == emb.count() * 16)
+    assert(native.except(spec).count() == 0)
+    assert(spec.except(native).count() == 0)
+    // a projection is not degenerate: each output dim varies across rows
+    val degenerate = native.groupBy("j")
+      .agg(countDistinct(col("y")).as("nv")).filter(col("nv") < 2)
+    assert(degenerate.count() == 0)
+  }
 }
