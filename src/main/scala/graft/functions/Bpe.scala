@@ -62,6 +62,33 @@ object BpeUtil extends Serializable {
     while (k < syms.size) { out(k) = UTF8String.fromString(syms.get(k)); k += 1 }
     new GenericArrayData(out)
   }
+
+  /** Apply ONE merge (l, r) → l·r to a symbol array, non-overlapping
+    * left-to-right — the BPE TRAINING-loop primitive (apply the freshly
+    * learned pair everywhere before counting the next). A single left
+    * fold suffices: the merge result can never be an operand of the same
+    * merge (l·r = l or l·r = r would need an empty operand), so no
+    * replacement can enable another occurrence to its left — fold ≡
+    * replace-leftmost-then-rescan to fixpoint, which is what the DuckDB
+    * oracle's recursive CTE replays.
+    */
+  def mergeOnce(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+      l: UTF8String, r: UTF8String): GenericArrayData = {
+    val n = arr.numElements()
+    val out = new java.util.ArrayList[UTF8String](n)
+    var i = 0
+    while (i < n) {
+      val cur = arr.getUTF8String(i)
+      if (!out.isEmpty && out.get(out.size - 1).equals(l) && cur.equals(r))
+        out.set(out.size - 1, UTF8String.concat(l, r))
+      else out.add(cur)
+      i += 1
+    }
+    val res = new Array[AnyRef](out.size)
+    var k = 0
+    while (k < out.size) { res(k) = out.get(k); k += 1 }
+    new GenericArrayData(res)
+  }
 }
 
 case class BpeEncode(child: Expression, merges: Seq[(String, String)])
@@ -97,4 +124,46 @@ object BpeEncode {
 
   def apply(word: Column, merges: Seq[(String, String)]): Column =
     ColumnBridge.column(BpeEncode(ColumnBridge.expr(word), merges))
+}
+
+/** Apply a single learned merge to a symbol-array column (see
+  * [[BpeUtil.mergeOnce]]) — evaluated once per distinct vocabulary word
+  * per training iteration.
+  */
+case class BpeMergeOnce(child: Expression, l: String, r: String)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"bpe_merge_once needs array<string>, got ${other.simpleString}")
+  }
+
+  @transient private lazy val lu = UTF8String.fromString(l)
+  @transient private lazy val ru = UTF8String.fromString(r)
+
+  override def nullSafeEval(syms: Any): Any =
+    BpeUtil.mergeOnce(
+      syms.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], lu, ru)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val util = ctx.addReferenceObj("bpeUtil", BpeUtil,
+        BpeUtil.getClass.getName.stripSuffix("$") + "$")
+      val lv = ctx.addReferenceObj("bpeL", lu, classOf[UTF8String].getName)
+      val rv = ctx.addReferenceObj("bpeR", ru, classOf[UTF8String].getName)
+      s"${ev.value} = $util.mergeOnce($x, $lv, $rv);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): BpeMergeOnce =
+    copy(child = newChild)
+}
+
+object BpeMergeOnce {
+  import org.apache.spark.sql.graftbridge.ColumnBridge
+
+  def apply(syms: Column, l: String, r: String): Column =
+    ColumnBridge.column(BpeMergeOnce(ColumnBridge.expr(syms), l, r))
 }

@@ -1349,6 +1349,15 @@ object LlmGates extends GateSet {
           .orderBy("doc_id"),
       Some(Curation.hashClassifierOracleSql(ClassifierDim))),
 
+    // --- BPE vocabulary TRAINING (learn_bpe over the word-freq table) -----
+    // The oracle replays every training stage structurally: pair count →
+    // (count desc, l, r) argmax → recursive single-merge apply. The
+    // ITERATION is gated — rank k's pick depends on all earlier merges.
+    Gate("llm_bpe_train",
+      (spark: SparkSession, dir: String) =>
+        TextOps.bpeTrain(docs(spark, dir), BpeTrainN).orderBy("rank"),
+      Some(bpeTrainOracleSql(BpeTrainN))),
+
     // --- JL signed random projection (64 → 16 dims) ------------------------
     // outDim = 16 makes the 1/√d scale exactly 0.25, so the oracle's
     // interpolated constant is bit-exact; signs come from the shared md5.
@@ -1361,6 +1370,50 @@ object LlmGates extends GateSet {
 
   private val ClassifierDim = 1024
   private val RandProjDim = 16
+  private val BpeTrainN = 10
+
+  /** DuckDB twin of [[TextOps.bpeTrain]]: n unrolled training stages.
+    * Stage k: `pc_k` counts adjacent pairs of the current segmentation
+    * weighted by word frequency, `b_k` is the deterministic argmax,
+    * `a_k` applies that merge by replace-leftmost-then-rescan (a
+    * recursive CTE; equals the Scala fold — see BpeUtil.mergeOnce),
+    * `f_{k+1}` keeps each word's shortest (= final) state.
+    */
+  private def bpeTrainOracleSql(n: Int): String = {
+    def stage(k: Int): String = {
+      val prev = if (k == 0) "e0" else s"f$k"
+      s"""pc$k AS (SELECT syms[i] AS l, syms[i+1] AS r, sum(cnt)::BIGINT AS c
+         |  FROM $prev, unnest([x for x in generate_series(1, len(syms)-1)]) u(i)
+         |  GROUP BY 1, 2),
+         |b$k AS MATERIALIZED (SELECT l, r, c FROM pc$k ORDER BY c DESC, l, r LIMIT 1),
+         |a$k AS (
+         |  SELECT w, cnt, syms FROM $prev
+         |  UNION ALL
+         |  SELECT w, cnt,
+         |    list_concat(list_concat(syms[1:p-1], [syms[p]||syms[p+1]]),
+         |                syms[p+2:len(syms)]) AS syms
+         |  FROM (SELECT e.w, e.cnt, e.syms,
+         |      list_position([e.syms[i]||' '||e.syms[i+1]
+         |          for i in generate_series(1, len(e.syms)-1)],
+         |        b.l||' '||b.r) AS p
+         |    FROM a$k e CROSS JOIN b$k b) WHERE p > 0),
+         |f${k + 1} AS MATERIALIZED (SELECT w, cnt, min_by(syms, len(syms)) AS syms
+         |  FROM a$k GROUP BY 1, 2)""".stripMargin
+    }
+    val finals = (0 until n).map(k =>
+      s"SELECT CAST($k AS BIGINT) AS rank, l, r, c AS pair_count FROM b$k")
+      .mkString("\nUNION ALL\n")
+    s"""WITH RECURSIVE
+       |wf AS (SELECT w, count(*) AS cnt FROM
+       |  (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+       |  GROUP BY 1),
+       |e0 AS MATERIALIZED (SELECT w, cnt,
+       |  [w[i] for i in generate_series(1, length(w))] AS syms FROM wf),
+       |${(0 until n).map(stage).mkString(",\n")}
+       |SELECT * FROM (
+       |$finals
+       |) ORDER BY rank""".stripMargin
+  }
 
   // ---- crawl-front-door fixtures (shared Spark/DuckDB token lists) -------
 

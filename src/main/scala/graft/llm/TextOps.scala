@@ -84,6 +84,62 @@ object TextOps {
         sum(col("n_tok")).as("n_bpe_tokens"))
   }
 
+  /** BPE vocabulary TRAINING (Sennrich et al. 2016 learn_bpe): learn
+    * `nMerges` merges from the corpus. Classic formulation on the word-
+    * frequency table: start char-split, then per iteration (1) count
+    * adjacent symbol pairs weighted by word frequency, (2) take the
+    * argmax with a deterministic (count desc, left, right) tie-break,
+    * (3) apply that single merge everywhere ([[graft.functions
+    * .BpeMergeOnce]], non-overlapping left-to-right). Returns the learned
+    * merge table `(rank, l, r, pair_count)` — the artifact
+    * [[bpeTokenCounts]] consumes.
+    *
+    * Scale shape: training state is the Heaps'-law VOCABULARY table
+    * (distinct words ~√corpus, counted once with a map-side-combined
+    * aggregate), never the corpus; each iteration is one pair-count
+    * aggregate over it (key space = distinct symbol pairs) plus one
+    * TakeOrdered(1) — the only driver-side data is the single argmax row
+    * per iteration, and the updated segmentation is re-materialized
+    * ([[graft.model.Materialize]]) so plan depth stays O(1) per
+    * iteration. This iterations×vocab-pass cost is the standard
+    * distributed-BPE shape; the gate's oracle replays every stage
+    * structurally (count → argmax → recursive merge apply).
+    */
+  def bpeTrain(docs: DataFrame, nMerges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wf = docs.select(explode(tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+    // char split; drop the "" artifact Java regex split leaves for empty
+    // words (DuckDB's comprehension init yields [] there)
+    var enc = graft.model.Materialize(wf.select(col("w"), col("cnt"),
+      filter(split(col("w"), ""), s => length(s) > 0).as("syms")))
+    val learned = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
+    var k = 0
+    var exhausted = false
+    while (k < nMerges && !exhausted) {
+      val m = greatest(size(col("syms")) - 1, lit(0))
+      val best = enc.select(col("cnt"),
+          explode(zip_with(slice(col("syms"), lit(1), m),
+            slice(col("syms"), lit(2), m),
+            (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("c"))
+        .orderBy(col("c").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (l, r, c) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        learned += ((k.toLong, l, r, c))
+        enc = graft.model.Materialize(enc.withColumn("syms",
+          graft.functions.BpeMergeOnce(col("syms"), l, r)))
+        k += 1
+      }
+    }
+    learned.toSeq.toDF("rank", "l", "r", "pair_count")
+  }
+
   val Stopwords: Seq[String] =
     Seq("the", "a", "of", "and", "in", "to", "is", "it", "for", "on")
 

@@ -747,6 +747,43 @@ class LlmSpec extends SparkSpec {
     assert(j.filter(col("s1") <= col("s0")).count() == 0)
   }
 
+  test("bpe merge-once: non-overlapping leftmost fold through codegen") {
+    import graft.TestSpark.spark.implicits._
+    val out = Seq(Seq("a", "a", "a"), Seq("a", "a", "a", "a"),
+        Seq("x", "a", "b"), Seq.empty[String])
+      .toDF("s").select(graft.functions.BpeMergeOnce($"s", "a", "a").as("t"))
+      .collect().map(_.getSeq[String](0))
+    assert(out(0) == Seq("aa", "a"))   // overlap: leftmost wins, no re-merge
+    assert(out(1) == Seq("aa", "aa"))  // two disjoint occurrences both fire
+    assert(out(2) == Seq("x", "a", "b")) // pair absent -> unchanged
+    assert(out(3) == Seq())
+  }
+
+  test("bpe train: ranks ordered, counts non-increasing, operands constructible") {
+    val merges = TextOps.bpeTrain(docs, 8)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(merges.map(_._1).toSeq == (0L until 8L))
+    // best-pair count can never rise: existing pairs only lose mass and a
+    // new pair's count is bounded by the merge that created its symbol
+    assert(merges.sliding(2).forall { case Array(a, b) => b._4 <= a._4 })
+    // every operand is a single char or the result of an EARLIER merge
+    val built = scala.collection.mutable.Set[String]()
+    merges.foreach { case (_, l, r, _) =>
+      assert(l.length == 1 || built.contains(l), s"left '$l' not constructible")
+      assert(r.length == 1 || built.contains(r), s"right '$r' not constructible")
+      built += (l + r)
+    }
+    // applying the learned table shrinks the corpus token count vs chars
+    val learned = merges.map(m => (m._2, m._3)).toSeq
+    val enc = TextOps.bpeTokenCounts(docs, learned)
+      .agg(sum("n_bpe_tokens")).collect()(0).getLong(0)
+    val chars = docs.select(
+        sum(length(regexp_replace(lower(col("text")), " ", ""))))
+      .collect()(0).getLong(0)
+    assert(enc < chars)
+  }
+
   test("random projection: codegen'd expression matches the HOF spec form") {
     val native = Similarity.randomProject(emb, 16)
     val spec = Similarity.randomProjectSpec(emb, 16)
