@@ -1358,6 +1358,18 @@ object LlmGates extends GateSet {
         TextOps.bpeTrain(docs(spark, dir), BpeTrainN).orderBy("rank"),
       Some(bpeTrainOracleSql(BpeTrainN))),
 
+    // --- Unicode NFC + whitespace/control cleanup --------------------------
+    // Each doc carries a probe exercising every rule: a combining-acute
+    // sequence (NFC-composes, so n_after < n_before even without the
+    // collapses), tab + NBSP runs, and a C0 control. JDK Normalizer vs
+    // DuckDB nfc_normalize certify the same UAX #15 result.
+    Gate("llm_unicode_norm",
+      (spark: SparkSession, dir: String) =>
+        TextOps.cleanText(
+          docs(spark, dir).select(col("doc_id"), normFixtureCol.as("text")))
+          .orderBy("doc_id"),
+      Some(unicodeNormOracleSql)),
+
     // --- JL signed random projection (64 → 16 dims) ------------------------
     // outDim = 16 makes the 1/√d scale exactly 0.25, so the oracle's
     // interpolated constant is bit-exact; signs come from the shared md5.
@@ -1371,6 +1383,30 @@ object LlmGates extends GateSet {
   private val ClassifierDim = 1024
   private val RandProjDim = 16
   private val BpeTrainN = 10
+
+  /** Unicode probe for llm_unicode_norm, as CODEPOINTS (never `\ u`
+    * source literals — the Scala lexer processes those anywhere): space,
+    * "cafe" + combining acute U+0301, TAB, x, NBSP, y, SOH, z.
+    */
+  private val NormProbeCps: Seq[Int] =
+    Seq(0x20, 0x63, 0x61, 0x66, 0x65, 0x301, 0x9, 0x78, 0xA0, 0x79, 0x1, 0x7A)
+
+  private def normFixtureCol: org.apache.spark.sql.Column =
+    concat(col("text"),
+      lit(NormProbeCps.map(cp => new String(Character.toChars(cp))).mkString))
+
+  private lazy val unicodeNormOracleSql: String = {
+    val probe = NormProbeCps.map(cp => s"chr($cp)").mkString("||")
+    s"""WITH raw AS (SELECT doc_id, text || $probe AS t FROM documents),
+       |c AS (SELECT doc_id, t,
+       |    trim(regexp_replace(regexp_replace(nfc_normalize(t),
+       |      ${sqlLit(TextOps.WsRunRe)}, ' ', 'g'),
+       |      ${sqlLit(TextOps.CtrlRe)}, '', 'g')) AS clean
+       |  FROM raw)
+       |SELECT doc_id, length(t)::BIGINT AS n_before,
+       |  length(clean)::BIGINT AS n_after, clean <> t AS changed, clean
+       |FROM c ORDER BY doc_id""".stripMargin
+  }
 
   /** DuckDB twin of [[TextOps.bpeTrain]]: n unrolled training stages.
     * Stage k: `pc_k` counts adjacent pairs of the current segmentation

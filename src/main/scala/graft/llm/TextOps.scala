@@ -84,6 +84,39 @@ object TextOps {
         sum(col("n_tok")).as("n_bpe_tokens"))
   }
 
+  /** Whitespace-run class for [[cleanText]]: ASCII whitespace + NBSP.
+    * `\x{...}` escapes only — Java regex and DuckDB's RE2 read them
+    * identically, and the Scala lexer never sees a `\ u` literal.
+    */
+  val WsRunRe: String = "[ \\t\\r\\n\\x{00A0}]+"
+
+  /** Residual C0 control characters (whitespace already collapsed). */
+  val CtrlRe: String = "[\\x{0001}-\\x{001F}]"
+
+  /** CCNet-style text cleanup — the normalization pass a crawl pipeline
+    * runs before any hashing/dedup/tokenization sees the text:
+    * Unicode NFC composition ([[graft.functions.NfcNormalize]], so
+    * canonically-equivalent spellings hash identically), whitespace-run
+    * collapse (incl. NBSP), residual C0 control strip, trim. Emits the
+    * cleaned text plus the before/after char counts and a change flag —
+    * the audit columns a 100 TB run monitors.
+    *
+    * Scale shape: one codegen'd narrow pass per row (native expression +
+    * two regexp_replace), no shuffle, no UDF.
+    */
+  def cleanText(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.select(col("doc_id"), col(textCol))
+      .withColumn("clean",
+        trim(regexp_replace(
+          regexp_replace(graft.functions.NfcNormalize(col(textCol)),
+            WsRunRe, " "),
+          CtrlRe, "")))
+      .select(col("doc_id"),
+        length(col(textCol)).cast("long").as("n_before"),
+        length(col("clean")).cast("long").as("n_after"),
+        (col("clean") =!= col(textCol)).as("changed"),
+        col("clean"))
+
   /** BPE vocabulary TRAINING (Sennrich et al. 2016 learn_bpe): learn
     * `nMerges` merges from the corpus. Classic formulation on the word-
     * frequency table: start char-split, then per iteration (1) count

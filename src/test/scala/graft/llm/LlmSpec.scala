@@ -747,6 +747,26 @@ class LlmSpec extends SparkSpec {
     assert(j.filter(col("s1") <= col("s0")).count() == 0)
   }
 
+  test("unicode norm: NFC composes, whitespace collapses, controls strip") {
+    import graft.TestSpark.spark.implicits._
+    def cp(i: Int) = new String(Character.toChars(i))
+    val d = Seq(
+      (1L, "cafe" + cp(0x301)),                    // NFC composes to café
+      (2L, "a" + cp(0x9) + "b" + cp(0xA0) + "c"),  // tab + NBSP -> spaces
+      (3L, "x" + cp(0x1) + "y"),                   // SOH stripped
+      (4L, "  padded  "),                          // runs collapse + trim
+      (5L, "already clean"))                       // fast path: unchanged
+      .toDF("doc_id", "text")
+    val m = TextOps.cleanText(d).collect()
+      .map(r => r.getLong(0) -> (r.getString(4), r.getBoolean(3),
+        r.getLong(1), r.getLong(2))).toMap
+    assert(m(1) == (("caf" + cp(0xE9), true, 5L, 4L)))
+    assert(m(2)._1 == "a b c")
+    assert(m(3)._1 == "xy")
+    assert(m(4) == (("padded", true, 10L, 6L)))
+    assert(m(5) == (("already clean", false, 13L, 13L)))
+  }
+
   test("bpe merge-once: non-overlapping leftmost fold through codegen") {
     import graft.TestSpark.spark.implicits._
     val out = Seq(Seq("a", "a", "a"), Seq("a", "a", "a", "a"),
