@@ -1358,6 +1358,15 @@ object LlmGates extends GateSet {
         TextOps.bpeTrain(docs(spark, dir), BpeTrainN).orderBy("rank"),
       Some(bpeTrainOracleSql(BpeTrainN))),
 
+    // --- quality-classifier TRAINING (logistic GD on hashed features) -----
+    // 3 unrolled gradient-descent stages; weights round to 6 dp after
+    // every step on both engines (iterative-float parity rule).
+    Gate("llm_classifier_train",
+      (spark: SparkSession, dir: String) =>
+        Curation.trainHashClassifier(docs(spark, dir),
+          col("source") === "src0", ClassifierDim).orderBy("b"),
+      Some(Curation.classifierTrainOracleSql(ClassifierDim))),
+
     // --- Unicode NFC + whitespace/control cleanup --------------------------
     // Each doc carries a probe exercising every rule: a combining-acute
     // sequence (NFC-composes, so n_after < n_before even without the

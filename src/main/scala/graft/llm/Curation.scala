@@ -398,6 +398,92 @@ object Curation {
       (pmod(mdhash64(concat(lit("w:"), col("id"))), lit(2001L)) / lit(1000.0)
         - lit(1.0)).as("w"))
 
+  /** TRAIN the [[hashClassifierScore]] model: full-batch logistic
+    * regression by gradient descent on the hashed unigram+bigram features
+    * (the fastText training objective restricted to one output class,
+    * which is exactly the quality-classifier shape — label = "is this
+    * doc from the trusted source"). Model: p_d = σ(Σ_b share_{d,b}·w_b)
+    * with share = per-doc feature mass per bucket (so scoring matches
+    * [[hashClassifierScore]]'s mean-of-bucket-weights form);
+    * update: w ← round(w − lr·Σ_d (p_d − y_d)·share_{d,b}, 6) — weights
+    * round to 6 dp after EVERY step on both engines (the repo's
+    * iterative-float parity rule, as in kmeansRefine).
+    *
+    * Scale shape: the feature-share table is built once (two keyed
+    * aggregates) and materialized; per iteration the dim-bounded weight
+    * vector broadcasts onto it (one per-doc aggregate → residuals), the
+    * residual table rejoins the feature stream by doc_id (an equi-shuffle
+    * at 100 TB — corpus-sized, deliberately not broadcast) and one
+    * dim-bounded aggregate forms the gradient. Iterations are the
+    * standard GD sequential dependency; nothing corpus-sized ever sits
+    * on the driver.
+    */
+  def trainHashClassifier(docs: DataFrame, label: Column, dim: Int,
+      iters: Int = 3, lr: Double = 1.0): DataFrame = {
+    val spark = docs.sparkSession
+    val toks = docs.select(col("doc_id"), label.as("y"),
+      TextOps.tokens(col("text")).as("ws"))
+    val m = greatest(size(col("ws")) - 1, lit(0))
+    val bigrams = zip_with(slice(col("ws"), lit(1), m),
+      slice(col("ws"), lit(2), m), (a, b) => concat(a, lit(" "), b))
+    val fb = toks.select(col("doc_id"), col("y"),
+        explode(concat(col("ws"), bigrams)).as("f"))
+      .select(col("doc_id"), col("y"),
+        pmod(mdhash64(col("f")), lit(dim.toLong)).as("b"))
+      .groupBy("doc_id", "y", "b").agg(count(lit(1)).as("c"))
+    val nd = fb.groupBy("doc_id").agg(sum(col("c")).as("n"))
+    val fbs = graft.model.Materialize(fb.join(nd, "doc_id")
+      .select(col("doc_id"), col("y"), col("b"),
+        (col("c").cast("double") / col("n")).as("share")))
+    var w = spark.range(dim).select(col("id").as("b"), lit(0.0).as("w"))
+    for (_ <- 0 until iters) {
+      val resid = fbs.join(broadcast(w), "b")
+        .groupBy(col("doc_id"), col("y"))
+        .agg(sum(col("share") * col("w")).as("z"))
+        .select(col("doc_id"),
+          (lit(1.0) / (lit(1.0) + exp(-col("z"))) -
+            when(col("y"), lit(1.0)).otherwise(lit(0.0))).as("resid"))
+      val grad = fbs.join(resid, "doc_id")
+        .groupBy("b").agg(sum(col("share") * col("resid")).as("g"))
+      w = graft.model.Materialize(w.join(grad, Seq("b"), "left")
+        .select(col("b"),
+          round(col("w") - lit(lr) * coalesce(col("g"), lit(0.0)), 6).as("w")))
+    }
+    w
+  }
+
+  /** DuckDB twin of [[trainHashClassifier]] with label `source = 'src0'`:
+    * all `iters` GD stages unrolled structurally — the ITERATION is
+    * gated, since step k's gradient depends on step k−1's weights.
+    */
+  def classifierTrainOracleSql(dim: Int, iters: Int = 3,
+      lr: Double = 1.0): String = {
+    def stage(k: Int): String =
+      s"""z$k AS (SELECT doc_id, y, sum(share * w) AS z
+         |  FROM fbs JOIN w$k USING (b) GROUP BY 1, 2),
+         |r$k AS (SELECT doc_id,
+         |    1.0/(1.0+exp(-z)) - (CASE WHEN y THEN 1.0 ELSE 0.0 END) AS resid
+         |  FROM z$k),
+         |g$k AS (SELECT b, sum(share * resid) AS g
+         |  FROM fbs JOIN r$k USING (doc_id) GROUP BY 1),
+         |w${k + 1} AS MATERIALIZED (SELECT w$k.b,
+         |    round(w$k.w - $lr * coalesce(g$k.g, 0), 6) AS w
+         |  FROM w$k LEFT JOIN g$k USING (b))""".stripMargin
+    s"""WITH toks AS (SELECT doc_id, source = 'src0' AS y,
+       |    string_split(lower(text), ' ') AS ws FROM documents),
+       |fb AS (SELECT doc_id, y,
+       |    ('0x'||substr(md5(f),1,15))::BIGINT % $dim AS b, count(*) AS c
+       |  FROM (SELECT doc_id, y, unnest(list_concat(ws,
+       |      [ws[i]||' '||ws[i+1] for i in generate_series(1, len(ws)-1)])) AS f
+       |    FROM toks) GROUP BY 1, 2, 3),
+       |nd AS (SELECT doc_id, sum(c) AS n FROM fb GROUP BY 1),
+       |fbs AS MATERIALIZED (SELECT doc_id, y, b, c::DOUBLE / n AS share
+       |  FROM fb JOIN nd USING (doc_id)),
+       |w0 AS (SELECT b, 0.0 AS w FROM generate_series(0, ${dim - 1}) g(b)),
+       |${(0 until iters).map(stage).mkString(",\n")}
+       |SELECT b, w FROM w$iters ORDER BY b""".stripMargin
+  }
+
   /** DuckDB twin of [[hashClassifierScore]] over [[demoClassifierWeights]]. */
   def hashClassifierOracleSql(dim: Int, bias: Double = 0.0): String =
     s"""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS ws

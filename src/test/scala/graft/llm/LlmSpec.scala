@@ -747,6 +747,27 @@ class LlmSpec extends SparkSpec {
     assert(j.filter(col("s1") <= col("s0")).count() == 0)
   }
 
+  test("classifier train: GD reduces log-loss and separates the label") {
+    val dim = 1024
+    val y = col("source") === "src0"
+    val w0 = Curation.trainHashClassifier(docs, y, dim, iters = 0)
+    val w3 = Curation.trainHashClassifier(docs, y, dim, iters = 3)
+    def loss(w: org.apache.spark.sql.DataFrame): Double =
+      Curation.hashClassifierScore(docs, w, dim)
+        .join(docs.select(col("doc_id"), y.as("yy")), "doc_id")
+        .select(avg(when(col("yy"), -log(col("score")))
+          .otherwise(-log(lit(1.0) - col("score")))).as("l"))
+        .collect()(0).getDouble(0)
+    val (l0, l3) = (loss(w0), loss(w3))
+    assert(math.abs(l0 - math.log(2.0)) < 1e-4) // zero weights -> p = 0.5
+    assert(l3 < l0)
+    val sc = Curation.hashClassifierScore(docs, w3, dim)
+      .join(docs.select(col("doc_id"), y.as("yy")), "doc_id")
+      .groupBy("yy").agg(avg("score").as("s"))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(sc(true) > sc(false)) // trained weights rank target docs higher
+  }
+
   test("unicode norm: NFC composes, whitespace collapses, controls strip") {
     import graft.TestSpark.spark.implicits._
     def cp(i: Int) = new String(Character.toChars(i))
