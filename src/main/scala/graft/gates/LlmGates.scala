@@ -1358,6 +1358,20 @@ object LlmGates extends GateSet {
         TextOps.bpeTrain(docs(spark, dir), BpeTrainN).orderBy("rank"),
       Some(bpeTrainOracleSql(BpeTrainN))),
 
+    // --- semantic benchmark decontamination (embedding cosine) ------------
+    // Eval split = vec_id % 25 == 0 (the ANN-gate query fixture), corpus
+    // = the rest; threshold 0.35 reuses the semantic-dedup margin
+    // measured on this embedding distribution.
+    Gate("llm_semantic_decon",
+      (spark: SparkSession, dir: String) => {
+        val e = Tables.embeddings(spark, dir)
+        Similarity.semanticDecontaminate(
+          e.filter(col("vec_id") % 25 =!= 0),
+          e.filter(col("vec_id") % 25 === 0), 0.35)
+          .orderBy("vec_id")
+      },
+      Some(Similarity.semanticDeconOracleSql(0.35))),
+
     // --- quality-classifier TRAINING (logistic GD on hashed features) -----
     // 3 unrolled gradient-descent stages; weights round to 6 dp after
     // every step on both engines (iterative-float parity rule).

@@ -557,6 +557,48 @@ object Similarity {
   /** DuckDB twin of [[scalarQuantize]] — same codebook, same rounding
     * (both engines round half away from zero for positive arguments).
     */
+  /** Embedding-level benchmark decontamination — the semantic complement
+    * of the n-gram [[graft.llm.Dedup.decontaminate]]: a corpus vector is
+    * contaminated when its cosine to ANY held-out eval vector clears the
+    * threshold (paraphrased eval leakage that n-gram overlap misses).
+    * Emits every corpus vector with its max eval similarity (rounded
+    * 6 dp, then thresholded — the repo's boundary rule) and the flag.
+    *
+    * Scale shape: the eval set is small by construction — it broadcasts,
+    * and the plan is a map-side loop over the corpus scan (fused
+    * [[graft.functions.CosineSim]] per pair) with one per-vector
+    * aggregate; no corpus×corpus work, no shuffle before the agg. If the
+    * corpus contains an eval vector verbatim it self-flags at sim 1.0 —
+    * which IS contamination.
+    */
+  def semanticDecontaminate(corpus: DataFrame, bench: DataFrame,
+      threshold: Double): DataFrame = {
+    val c = corpus.select(col("vec_id"), asDouble(col("embedding")).as("ce"))
+    val b = bench.select(col("vec_id").as("bid"), asDouble(col("embedding")).as("be"))
+    c.crossJoin(broadcast(b))
+      .groupBy("vec_id")
+      .agg(round(max(cosine(col("ce"), col("be"))), 6).as("max_sim"))
+      .select(col("vec_id"), col("max_sim"),
+        (col("max_sim") >= threshold).as("contaminated"))
+  }
+
+  /** DuckDB twin of [[semanticDecontaminate]] with eval = `vec_id % 25 = 0`
+    * and corpus = the rest.
+    */
+  def semanticDeconOracleSql(threshold: Double): String = {
+    val dot = (a: String, b: String) =>
+      s"list_sum([$a[i]*$b[i] for i in generate_series(1,$Dims)])"
+    val cos = (a: String, b: String) =>
+      s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |b AS (SELECT vec_id AS bid, v AS bv FROM e WHERE vec_id % 25 = 0),
+       |c AS (SELECT vec_id, v FROM e WHERE vec_id % 25 <> 0),
+       |s AS (SELECT c.vec_id, round(max(${cos("c.v", "b.bv")}), 6) AS max_sim
+       |  FROM c CROSS JOIN b GROUP BY 1)
+       |SELECT vec_id, max_sim, max_sim >= $threshold AS contaminated
+       |FROM s ORDER BY vec_id""".stripMargin
+  }
+
   /** Johnson–Lindenstrauss signed random projection (Achlioptas 2003 dense
     * ±1 variant): reduce the `Dims`-dim embedding to `outDim` dims with a
     * seeded md5-derived sign matrix, y_j = (Σ_i x_i·r(i,j)) / √outDim —

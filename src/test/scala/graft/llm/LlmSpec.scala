@@ -747,6 +747,21 @@ class LlmSpec extends SparkSpec {
     assert(j.filter(col("s1") <= col("s0")).count() == 0)
   }
 
+  test("semantic decon: verbatim eval vectors self-flag at sim 1.0") {
+    val bench = emb.filter(col("vec_id") % 25 === 0)
+    // corpus INCLUDES the eval split -> every eval vector must self-flag
+    val out = Similarity.semanticDecontaminate(emb, bench, 0.35)
+    assert(out.count() == emb.count())
+    val self = out.filter(col("vec_id") % 25 === 0)
+    assert(self.filter(col("max_sim") =!= 1.0 || !col("contaminated")).count() == 0)
+    assert(out.filter((col("max_sim") >= 0.35) =!= col("contaminated")).count() == 0)
+    // and the flag is non-trivial on the disjoint corpus
+    val disjoint = Similarity.semanticDecontaminate(
+      emb.filter(col("vec_id") % 25 =!= 0), bench, 0.35)
+    val n = disjoint.filter(col("contaminated")).count()
+    assert(n > 0 && n < disjoint.count())
+  }
+
   test("classifier train: GD reduces log-loss and separates the label") {
     val dim = 1024
     val y = col("source") === "src0"
