@@ -1358,6 +1358,17 @@ object LlmGates extends GateSet {
         TextOps.bpeTrain(docs(spark, dir), BpeTrainN).orderBy("rank"),
       Some(bpeTrainOracleSql(BpeTrainN))),
 
+    // --- domain reputation roll-up (RefinedWeb URL-filtering stage) -------
+    // Fixture: 20 domains (one per source); sources 0-9 publish unique
+    // pages, 10-19 re-crawl the same 10 pages (flag_dup separates them);
+    // quality counts come from the real per-doc text rule.
+    Gate("llm_domain_reputation",
+      (spark: SparkSession, dir: String) =>
+        Web.domainReputation(docs(spark, dir)
+          .select(col("doc_id"), domainUrlFixtureCol.as("url"), col("text")))
+          .orderBy("domain"),
+      Some(domainReputationOracleSql)),
+
     // --- semantic benchmark decontamination (embedding cosine) ------------
     // Eval split = vec_id % 25 == 0 (the ANN-gate query fixture), corpus
     // = the rest; threshold 0.35 reuses the semantic-dedup margin
@@ -1670,6 +1681,31 @@ object LlmGates extends GateSet {
   /** CTE chain `raw → p → c(doc_id, url, canon_url)` shared by the batch
     * llm_url_canon gate and the streaming_url_dedup gate.
     */
+  /** Generalized canonicalization CTE chain: `raw(doc_id$extra, url) →
+    * p → c(doc_id$extra, url, canon_url)` for any URL fixture expression —
+    * ONE copy of the regex chain serves every URL-family gate.
+    */
+  private[gates] def canonCtesFor(fixture: String, extra: String = ""): String =
+    s"""raw AS (SELECT doc_id$extra, $fixture AS url FROM documents),
+       |p AS (SELECT doc_id$extra, url,
+       |  lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+       |  lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS hostport,
+       |  regexp_replace(regexp_extract(url,
+       |    '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1), '/+$$', '') AS rawpath,
+       |  regexp_extract(url, '\\?([^#]*)', 1) AS q
+       |  FROM raw),
+       |c AS (SELECT doc_id$extra, url,
+       |  scheme || '://' ||
+       |  CASE WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$$', '')
+       |       WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$$', '')
+       |       ELSE hostport END ||
+       |  CASE WHEN rawpath = '' THEN '/' ELSE rawpath END ||
+       |  CASE WHEN cq = '' THEN '' ELSE '?' || cq END AS canon_url
+       |  FROM (SELECT *, coalesce(array_to_string(list_sort(
+       |          [x for x in string_split(q, '&')
+       |           if x <> '' and not regexp_matches(x, ${sqlLit(Web.TrackingParamRe)})]),
+       |        '&'), '') AS cq FROM p))""".stripMargin
+
   private[gates] lazy val urlCanonCtes: String = {
     // single-line: interpolated into a stripMargin string, so no line here
     // may start with a margin char
@@ -1679,25 +1715,51 @@ object LlmGates extends GateSet {
       "CASE WHEN doc_id % 2 = 0 THEN '' ELSE '/' END",
       s"CASE WHEN doc_id % 2 = 0 THEN ${sqlLit(UrlQueryEven)} ELSE ${sqlLit(UrlQueryOdd)} END",
       "CASE WHEN doc_id % 2 = 0 THEN '' ELSE '#top' END").mkString(" || ")
-    s"""raw AS (SELECT doc_id, $fixture AS url FROM documents),
-       |p AS (SELECT doc_id, url,
-       |  lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-       |  lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS hostport,
-       |  regexp_replace(regexp_extract(url,
-       |    '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1), '/+$$', '') AS rawpath,
-       |  regexp_extract(url, '\\?([^#]*)', 1) AS q
-       |  FROM raw),
-       |c AS (SELECT doc_id, url,
-       |  scheme || '://' ||
-       |  CASE WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$$', '')
-       |       WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$$', '')
-       |       ELSE hostport END ||
-       |  CASE WHEN rawpath = '' THEN '/' ELSE rawpath END ||
-       |  CASE WHEN cq = '' THEN '' ELSE '?' || cq END AS canon_url
-       |  FROM (SELECT *, array_to_string(list_sort(
-       |          [x for x in string_split(q, '&')
-       |           if x <> '' and not regexp_matches(x, ${sqlLit(Web.TrackingParamRe)})]),
-       |        '&') AS cq FROM p))""".stripMargin
+    canonCtesFor(fixture)
+  }
+
+  /** Domain fixture for llm_domain_reputation: domain = source (20 at any
+    * SF), www-prefix + tracking-param noise on even docs, and a page key
+    * that makes sources 0-9 publish unique pages while 10-19 re-crawl the
+    * same ten.
+    */
+  private def domainUrlFixtureCol: org.apache.spark.sql.Column = {
+    val even = col("doc_id") % 2 === 0
+    val page = when(col("doc_id") % 20 < 10, col("doc_id"))
+      .otherwise(col("doc_id") % 20)
+    concat(lit("https://"),
+      when(even, lit("www.")).otherwise(lit("")),
+      col("source"), lit(".example.com/a/"), page.cast("string"),
+      when(even, lit("?utm_source=x")).otherwise(lit("")))
+  }
+
+  private lazy val domainReputationOracleSql: String = {
+    val fixture = "'https://' || CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END" +
+      " || source || '.example.com/a/'" +
+      " || (CASE WHEN doc_id % 20 < 10 THEN doc_id ELSE doc_id % 20 END)::VARCHAR" +
+      " || CASE WHEN doc_id % 2 = 0 THEN '?utm_source=x' ELSE '' END"
+    val stops = TextOps.Stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
+    s"""WITH ${canonCtesFor(fixture, ", text")},
+       |h AS (SELECT regexp_replace(regexp_replace(
+       |      lower(regexp_extract(url, ${sqlLit(Web.HostRe)}, 1)),
+       |      ${sqlLit(Web.PortSuffixRe)}, ''), ${sqlLit(Web.WwwPrefixRe)}, '')
+       |      AS domain,
+       |    canon_url, string_split(lower(text), ' ') AS ws
+       |  FROM c),
+       |d AS (SELECT domain, canon_url,
+       |    CAST(len(ws) >= 10 AND len(ws) <= 100000
+       |      AND len(list_filter(ws, w -> list_contains($stops, w))) * 20 >= len(ws)
+       |      AND len(list_distinct(ws)) * 3 >= len(ws) AS BIGINT) AS quality
+       |  FROM h),
+       |agg AS (SELECT domain, count(*) AS n_docs,
+       |    count(DISTINCT canon_url) AS n_pages,
+       |    sum(quality)::BIGINT AS n_quality
+       |  FROM d GROUP BY 1)
+       |SELECT domain, n_docs, n_pages, n_quality,
+       |  (n_docs - n_pages) * 2 > n_docs AS flag_dup,
+       |  n_quality * 2 < n_docs AS flag_lowq,
+       |  ((n_docs - n_pages) * 2 > n_docs) OR (n_quality * 2 < n_docs) AS blocked
+       |FROM agg ORDER BY domain""".stripMargin
   }
 
   private lazy val urlCanonOracleSql: String =

@@ -176,6 +176,15 @@ object TextOps {
   val Stopwords: Seq[String] =
     Seq("the", "a", "of", "and", "in", "to", "is", "it", "for", "on")
 
+  /** The [[stats]] trainability rule as a standalone Column — token
+    * count bounds + stopword density + distinct ratio, all integer
+    * arithmetic (no float boundary). Shared by [[stats]] and
+    * [[Web.domainReputation]] so the rule cannot fork.
+    */
+  def qualityOf(nTokens: Column, nUniq: Column, stopCnt: Column): Column =
+    (nTokens >= 10 && nTokens <= 100000 &&
+      stopCnt * 20 >= nTokens && nUniq * 3 >= nTokens).cast("long")
+
   /** Per-document integer stats (integers only: ratio outputs would sit on
     * rounding boundaries; callers derive ratios). quality = simple
     * trainability filter on token count and stopword density, all integer
@@ -194,9 +203,7 @@ object TextOps {
           t => t.isInCollection(Stopwords))).cast("long").as("stop_cnt"),
         bpeTokenCount(col(textCol)).cast("long").as("n_bpe"))
       .withColumn("quality",
-        (col("n_tokens") >= 10 && col("n_tokens") <= 100000 &&
-          col("stop_cnt") * 20 >= col("n_tokens") &&
-          col("n_uniq") * 3 >= col("n_tokens")).cast("long"))
+        qualityOf(col("n_tokens"), col("n_uniq"), col("stop_cnt")))
   }
 
   /** Gopher-style repetition quality signals (Rae et al. 2021 §A1.1 shape):

@@ -81,6 +81,57 @@ object Web {
     * "/"). Two crawl fetches of one page — differing in case, utm noise,
     * param order, `:443`, or a trailing slash — map to one key.
     */
+  /** Host extraction pieces, exposed so the DuckDB oracle interpolates
+    * THE SAME literals (no parallel copies).
+    */
+  val HostRe = "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)"
+  val PortSuffixRe = ":[0-9]+$"
+  val WwwPrefixRe = "^www\\."
+
+  /** Host of an absolute URL: lowercased, port stripped, leading `www.`
+    * dropped — the aggregation key for domain-level reputation.
+    */
+  def hostOf(url: Column): Column =
+    regexp_replace(regexp_replace(
+      lower(regexp_extract(url, HostRe, 1)),
+      PortSuffixRe, ""), WwwPrefixRe, "")
+
+  /** Per-domain reputation roll-up — the RefinedWeb-style URL-filtering
+    * stage: aggregate each domain's doc count, distinct canonical pages,
+    * and quality-pass count ([[TextOps.qualityOf]], the same rule
+    * TextOps.stats gates on), then flag domains a pipeline would block —
+    * `flag_dup` when over half the fetches are re-crawls of existing
+    * pages, `flag_lowq` when under half the docs pass quality. All
+    * integer counts and integer cross-multiplied flags (no float ever
+    * sits on a rounding boundary).
+    *
+    * Input: `(doc_id, url, text)`. Scale shape: one narrow pass derives
+    * (domain, canon_url, quality), then a domain-keyed aggregate whose
+    * count-distinct runs as the standard two-level (domain, canon_url)
+    * partial aggregation — skew bounded by pages-per-domain, map-side
+    * combined; output is domain-bounded.
+    */
+  def domainReputation(d: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val staged = d.withColumn("__toks", TextOps.tokens(col("text")))
+      .select(
+        hostOf(col("url")).as("domain"),
+        canonicalizeUrl(col("url")).as("cu"),
+        TextOps.qualityOf(size(col("__toks")).cast("long"),
+          size(array_distinct(col("__toks"))).cast("long"),
+          size(filter(col("__toks"),
+            t => t.isInCollection(TextOps.Stopwords))).cast("long"))
+          .as("quality"))
+    staged.groupBy("domain")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("cu")).as("n_pages"),
+        sum(col("quality")).as("n_quality"))
+      .select(col("domain"), col("n_docs"), col("n_pages"), col("n_quality"),
+        ((col("n_docs") - col("n_pages")) * 2 > col("n_docs")).as("flag_dup"),
+        (col("n_quality") * 2 < col("n_docs")).as("flag_lowq"))
+      .withColumn("blocked", col("flag_dup") || col("flag_lowq"))
+  }
+
   def canonicalizeUrl(url: Column): Column = {
     val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     val hostport = lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))

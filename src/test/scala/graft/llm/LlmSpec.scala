@@ -747,6 +747,34 @@ class LlmSpec extends SparkSpec {
     assert(j.filter(col("s1") <= col("s0")).count() == 0)
   }
 
+  test("domain reputation: re-crawl domains flag dup; hostOf normalizes") {
+    import graft.TestSpark.spark.implicits._
+    val hosts = Seq("https://WWW.Ex.COM:443/a", "http://ex.com:8080/b",
+        "https://sub.ex.com/c").toDF("url")
+      .select(Web.hostOf(col("url")).as("h")).collect().map(_.getString(0))
+    assert(hosts.toSeq == Seq("ex.com", "ex.com", "sub.ex.com"))
+
+    val even = col("doc_id") % 2 === 0
+    val page = when(col("doc_id") % 20 < 10, col("doc_id"))
+      .otherwise(col("doc_id") % 20)
+    val url = concat(lit("https://"),
+      when(even, lit("www.")).otherwise(lit("")),
+      col("source"), lit(".example.com/a/"), page.cast("string"),
+      when(even, lit("?utm_source=x")).otherwise(lit("")))
+    val out = Web.domainReputation(
+      docs.select(col("doc_id"), url.as("url"), col("text")))
+    val rows = out.collect().map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getBoolean(4))).toMap
+    assert(rows.size == 20)
+    assert(rows.values.map(_._1).sum == docs.count())
+    // sources 0-9 publish unique pages; 10-19 re-crawl ten pages
+    (0 until 20).foreach { n =>
+      val (nd, np, dup) = rows(s"src$n.example.com")
+      if (n < 10) { assert(np == nd && !dup) }
+      else { assert(np < nd && dup) }
+    }
+  }
+
   test("semantic decon: verbatim eval vectors self-flag at sim 1.0") {
     val bench = emb.filter(col("vec_id") % 25 === 0)
     // corpus INCLUDES the eval split -> every eval vector must self-flag
