@@ -1358,6 +1358,24 @@ object LlmGates extends GateSet {
         TextOps.bpeTrain(docs(spark, dir), BpeTrainN).orderBy("rank"),
       Some(bpeTrainOracleSql(BpeTrainN))),
 
+    // --- vocabulary coverage curve (top-K token-mass fraction) ------------
+    // K grid spans the corpus vocabulary (31 words at every SF) so the
+    // min(K, |V|) clamp and interior points are all exercised; the rank
+    // is shardAssign's two-level distributed prefix sum.
+    Gate("llm_vocab_coverage",
+      (spark: SparkSession, dir: String) =>
+        Curation.vocabCoverage(docs(spark, dir), VocabKs).orderBy("k"),
+      Some(Curation.vocabCoverageOracleSql(VocabKs))),
+
+    // --- blocklist term filter (C4 dirty-word drop) ------------------------
+    // 'dup' is rare, 'slow' common, 'xyzzy' absent -> n_blocked spans
+    // {0,1,2} and the drop flag genuinely splits the corpus.
+    Gate("llm_blocklist_filter",
+      (spark: SparkSession, dir: String) =>
+        Curation.blocklistFilter(docs(spark, dir), BlockTerms)
+          .orderBy("doc_id"),
+      Some(Curation.blocklistOracleSql(BlockTerms))),
+
     // --- domain reputation roll-up (RefinedWeb URL-filtering stage) -------
     // Fixture: 20 domains (one per source); sources 0-9 publish unique
     // pages, 10-19 re-crawl the same 10 pages (flag_dup separates them);
@@ -1417,6 +1435,8 @@ object LlmGates extends GateSet {
   private val ClassifierDim = 1024
   private val RandProjDim = 16
   private val BpeTrainN = 10
+  private val VocabKs: Seq[Long] = Seq(1L, 3L, 10L, 25L, 100L)
+  private val BlockTerms: Seq[String] = Seq("dup", "slow", "xyzzy")
 
   /** Unicode probe for llm_unicode_norm, as CODEPOINTS (never `\ u`
     * source literals — the Scala lexer processes those anywhere): space,

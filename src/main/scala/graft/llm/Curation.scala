@@ -927,6 +927,93 @@ object Curation {
        |SELECT doc_id, n_tokens, (rk % $n)::BIGINT AS shard
        |FROM r ORDER BY doc_id""".stripMargin
 
+  /** Vocabulary coverage curve — the tokenizer-eval staple: what fraction
+    * of the corpus token MASS do the top-K most frequent words cover, for
+    * each K in `ks`? (Drives vocab-size choices and OOV-rate estimates.)
+    * Returns one row per requested K: (k, n_vocab = min(K, |V|),
+    * covered = token mass of the top-n_vocab words, coverage rounded 6dp).
+    *
+    * Scale shape: word counts are a map-side-combined keyed aggregate;
+    * the global frequency rank + running mass use [[shardAssign]]'s
+    * two-level distributed prefix sum (range-partition on the total order
+    * (cnt desc, w), local rank/cumsum per range, per-partition count AND
+    * mass offsets from one ≤#partitions-row aggregate broadcast back) —
+    * no task ever sorts or scans the whole vocabulary. The K probe rows
+    * broadcast onto the ranked table.
+    */
+  def vocabCoverage(docs: DataFrame, ks: Seq[Long]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wc = docs.select(explode(TextOps.tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+    // materialized for the same exchange-reuse reason as shardAssign
+    val parts = Materialize(wc
+      .repartitionByRange(col("cnt").desc, col("w").asc)
+      .withColumn("__pid", spark_partition_id().cast("long")))
+    val offW = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = parts.groupBy(col("__pid"))
+      .agg(count(lit(1)).as("__c"), sum(col("cnt")).as("__m"))
+      .select(col("__pid"),
+        coalesce(sum(col("__c")).over(offW), lit(0L)).as("__off"),
+        coalesce(sum(col("__m")).over(offW), lit(0L)).as("__moff"))
+    val localW = Window.partitionBy(col("__pid"))
+      .orderBy(col("cnt").desc, col("w").asc)
+    val ranked = parts.join(broadcast(offsets), Seq("__pid"))
+      .select(col("cnt"),
+        (col("__off") + row_number().over(localW)).as("rk"),
+        (col("__moff") + sum(col("cnt"))
+          .over(localW.rowsBetween(Window.unboundedPreceding, 0))).as("cum"))
+    val tot = wc.agg(sum(col("cnt")).cast("double").as("total"),
+      count(lit(1)).as("v"))
+    ks.toDF("k").crossJoin(broadcast(tot))
+      .join(ranked, col("rk") === least(col("k"), col("v")))
+      .select(col("k"), least(col("k"), col("v")).as("n_vocab"),
+        col("cum").as("covered"), round(col("cum") / col("total"), 6).as("coverage"))
+  }
+
+  /** DuckDB twin of [[vocabCoverage]]. */
+  def vocabCoverageOracleSql(ks: Seq[Long]): String =
+    s"""WITH wc AS (SELECT w, count(*) AS cnt FROM
+       |  (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+       |  GROUP BY 1),
+       |r AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, w) AS rk,
+       |    sum(cnt) OVER (ORDER BY cnt DESC, w ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM wc),
+       |tot AS (SELECT sum(cnt)::DOUBLE AS total, count(*) AS v FROM wc)
+       |SELECT ks.k::BIGINT AS k, least(ks.k, tot.v)::BIGINT AS n_vocab,
+       |  r.cum::BIGINT AS covered, round(r.cum / tot.total, 6) AS coverage
+       |FROM (SELECT unnest([${ks.mkString(", ")}]) AS k) ks
+       |CROSS JOIN tot JOIN r ON r.rk = least(ks.k, tot.v)
+       |ORDER BY k""".stripMargin
+
+  /** Blocklist term filter (the C4 §2.2 "dirty word" drop, generalized to
+    * any broadcastable term list): per document, the count of DISTINCT
+    * blocklisted terms present and the drop flag. The blocklist constant-
+    * folds into the plan (a production list of a few thousand terms ships
+    * the same way); matching is exact-token, the C4 rule.
+    *
+    * Scale shape: one narrow array pass per row (distinct tokens ∩
+    * literal list), no shuffle, no UDF.
+    */
+  def blocklistFilter(docs: DataFrame, terms: Seq[String]): DataFrame =
+    docs.select(col("doc_id"),
+        size(array_intersect(array_distinct(TextOps.tokens(col("text"))),
+          typedLit(terms))).cast("long").as("n_blocked"))
+      .withColumn("drop", col("n_blocked") > 0)
+
+  /** DuckDB twin of [[blocklistFilter]]. */
+  def blocklistOracleSql(terms: Seq[String]): String = {
+    val list = terms.map(t => "'" + t.replace("'", "''") + "'")
+      .mkString("[", ", ", "]")
+    s"""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+       |    FROM documents)
+       |SELECT doc_id,
+       |  len(list_intersect(list_distinct(ws), $list))::BIGINT AS n_blocked,
+       |  len(list_intersect(list_distinct(ws), $list)) > 0 AS drop
+       |FROM t ORDER BY doc_id""".stripMargin
+  }
+
   /** Dataset-card summary: the per-source statistics block every corpus
     * release ships (docs, token totals/means, vocabulary, exact-dup rate,
     * mean quality, kept fraction) in ONE pass over the corpus plus the

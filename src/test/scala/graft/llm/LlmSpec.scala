@@ -747,6 +747,31 @@ class LlmSpec extends SparkSpec {
     assert(j.filter(col("s1") <= col("s0")).count() == 0)
   }
 
+  test("vocab coverage: monotone in k, clamps at |V|, full mass at the top") {
+    val out = Curation.vocabCoverage(docs, Seq(1L, 3L, 10L, 100L))
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.map(_._1).toSeq == Seq(1L, 3L, 10L, 100L))
+    // coverage and covered mass are monotone non-decreasing in k
+    assert(out.sliding(2).forall { case Array(a, b) =>
+      b._3 >= a._3 && b._4 >= a._4 })
+    // k beyond the vocabulary clamps to |V| and covers everything
+    val last = out.last
+    assert(last._2 < 100L && last._4 == 1.0)
+    // a distributed rank must agree with a plain global sort
+    val total = docs.select(explode(TextOps.tokens(col("text")))).count()
+    assert(last._3 == total)
+  }
+
+  test("blocklist filter: distinct-term counts and the drop split") {
+    val out = Curation.blocklistFilter(docs, Seq("dup", "slow", "xyzzy"))
+    assert(out.count() == docs.count())
+    assert(out.filter(col("n_blocked") > 2).count() == 0) // xyzzy never hits
+    val dropped = out.filter(col("drop")).count()
+    assert(dropped > 0 && dropped < out.count())
+    assert(out.filter((col("n_blocked") > 0) =!= col("drop")).count() == 0)
+  }
+
   test("domain reputation: re-crawl domains flag dup; hostOf normalizes") {
     import graft.TestSpark.spark.implicits._
     val hosts = Seq("https://WWW.Ex.COM:443/a", "http://ex.com:8080/b",
