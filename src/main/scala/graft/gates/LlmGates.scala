@@ -1376,6 +1376,16 @@ object LlmGates extends GateSet {
           .orderBy("doc_id"),
       Some(Curation.blocklistOracleSql(BlockTerms))),
 
+    // --- Aho-Corasick substring blocklist ----------------------------------
+    // Patterns exercise the automaton's hard cases: a cross-token phrase
+    // ("hash join"), a pattern that is a strict prefix of another
+    // ("slo" / "slow" - dict-suffix output links), and an absent one.
+    Gate("llm_substring_blocklist",
+      (spark: SparkSession, dir: String) =>
+        Curation.substringBlocklist(docs(spark, dir), AcPatterns)
+          .orderBy("doc_id"),
+      Some(Curation.substringBlocklistOracleSql(AcPatterns))),
+
     // --- domain reputation roll-up (RefinedWeb URL-filtering stage) -------
     // Fixture: 20 domains (one per source); sources 0-9 publish unique
     // pages, 10-19 re-crawl the same 10 pages (flag_dup separates them);
@@ -1437,6 +1447,8 @@ object LlmGates extends GateSet {
   private val BpeTrainN = 10
   private val VocabKs: Seq[Long] = Seq(1L, 3L, 10L, 25L, 100L)
   private val BlockTerms: Seq[String] = Seq("dup", "slow", "xyzzy")
+  private val AcPatterns: Seq[String] =
+    Seq("hash join", "slo", "slow", "dup", "zzz")
 
   /** Unicode probe for llm_unicode_norm, as CODEPOINTS (never `\ u`
     * source literals — the Scala lexer processes those anywhere): space,

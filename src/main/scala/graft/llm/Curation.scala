@@ -1014,6 +1014,44 @@ object Curation {
        |FROM t ORDER BY doc_id""".stripMargin
   }
 
+  /** Substring blocklist scan over [[graft.functions.AcFindAll]] — the
+    * FlashText/Aho–Corasick pass a pipeline runs when the blocklist has
+    * PHRASES and subword fragments an exact-token filter can't see
+    * ("hash join" across a space, "slo" inside "slow"). One automaton
+    * walk per row finds every pattern regardless of list size; emits the
+    * hit count and the comma-joined hit names in pattern-id order.
+    *
+    * Scale shape: the automaton ships once as a plan reference object;
+    * per row one byte-walk of the text — no shuffle, no UDF, cost
+    * independent of pattern count.
+    */
+  def substringBlocklist(docs: DataFrame, patterns: Seq[String]): DataFrame = {
+    val names = typedLit(patterns)
+    docs.select(col("doc_id"),
+        graft.functions.AcFindAll(lower(col("text")), patterns).as("__ids"))
+      .select(col("doc_id"),
+        size(col("__ids")).cast("long").as("n_found"),
+        array_join(transform(col("__ids"),
+          i => element_at(names, i + 1)), ",").as("found"))
+      .withColumn("drop", col("n_found") > 0)
+  }
+
+  /** DuckDB twin of [[substringBlocklist]]: per-pattern strpos over the
+    * SAME list — the comprehension keeps literal order = pattern-id
+    * order, so the joined names match the automaton's sorted ids.
+    */
+  def substringBlocklistOracleSql(patterns: Seq[String]): String = {
+    val list = patterns.map(p => "'" + p.replace("'", "''") + "'")
+      .mkString("[", ", ", "]")
+    s"""WITH t AS (SELECT doc_id, lower(text) AS tl FROM documents),
+       |f AS (SELECT doc_id,
+       |    [p for p in $list if strpos(tl, p) > 0] AS hits FROM t)
+       |SELECT doc_id, len(hits)::BIGINT AS n_found,
+       |  coalesce(array_to_string(hits, ','), '') AS found,
+       |  len(hits) > 0 AS drop
+       |FROM f ORDER BY doc_id""".stripMargin
+  }
+
   /** Dataset-card summary: the per-source statistics block every corpus
     * release ships (docs, token totals/means, vocabulary, exact-dup rate,
     * mean quality, kept fraction) in ONE pass over the corpus plus the

@@ -747,6 +747,24 @@ class LlmSpec extends SparkSpec {
     assert(j.filter(col("s1") <= col("s0")).count() == 0)
   }
 
+  test("aho-corasick: phrases, prefix patterns, absent patterns") {
+    import graft.TestSpark.spark.implicits._
+    val pats = Seq("hash join", "slo", "slow", "dup", "zzz")
+    val d = Seq(
+      (1L, "batch window spark order data"), // no hits
+      (2L, "a slow hash join here"),         // phrase + slo + slow
+      (3L, "slo"),                           // exact prefix pattern only
+      (4L, "dupdup zzzz"),                   // repeats + overlap
+      (5L, "")).toDF("doc_id", "text")
+    val m = Curation.substringBlocklist(d, pats).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(m(1) == ((0L, "")))
+    assert(m(2) == ((3L, "hash join,slo,slow")))
+    assert(m(3) == ((1L, "slo")))
+    assert(m(4) == ((2L, "dup,zzz")))
+    assert(m(5) == ((0L, "")))
+  }
+
   test("vocab coverage: monotone in k, clamps at |V|, full mass at the top") {
     val out = Curation.vocabCoverage(docs, Seq(1L, 3L, 10L, 100L))
       .orderBy("k").collect()
