@@ -430,6 +430,21 @@ object LlmGates extends GateSet {
       Some("WITH RECURSIVE " + shViews + ",\n" + clusterCtes(0.8) + "\n" +
         "SELECT doc_id, cluster_id FROM clus ORDER BY 1")),
 
+    // --- cross-source near-dup overlap matrix (release contamination
+    // report); rides the same cluster build + oracle CTE chain ------------
+    Gate("llm_source_overlap",
+      (spark: SparkSession, dir: String) =>
+        Dedup.sourceOverlap(docs(spark, dir), 0.8)
+          .orderBy("src_a", "src_b"),
+      Some("WITH RECURSIVE " + shViews + ",\n" + clusterCtes(0.8) + ",\n" +
+        """cs AS (SELECT DISTINCT c.cluster_id, d.source
+          |  FROM clus c JOIN documents d USING (doc_id))
+          |SELECT a.source AS src_a, b.source AS src_b,
+          |  count(*) AS n_clusters
+          |FROM cs a JOIN cs b
+          |  ON a.cluster_id = b.cluster_id AND a.source < b.source
+          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // --- quality-aware duplicate retention: keep the HIGHEST-quality
     // member of each near-dup cluster (the production retention policy;
     // min-id canonicals discard the best-written copy of a template) -----

@@ -403,6 +403,30 @@ object Dedup {
     labels
   }
 
+  /** Cross-source near-duplicate overlap matrix — the inter-source
+    * contamination report a corpus release ships: for every unordered
+    * source pair, how many near-dup clusters contain documents from BOTH
+    * (a mirror site, a syndicated feed, or a benchmark leaking between
+    * snapshots shows up as a hot cell). Rides [[dupClusters]]' existing
+    * component build.
+    *
+    * Scale shape: the (cluster, source) table is distinct-projected
+    * (bounded by clusters × sources-per-cluster), the per-cluster
+    * self-join fans out only by sources-per-cluster (≤ #sources), and the
+    * output is source²-bounded. Nothing beyond the cluster build touches
+    * corpus-sized data.
+    */
+  def sourceOverlap(docs: DataFrame, threshold: Double): DataFrame = {
+    val cs = dupClusters(docs, threshold)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .select(col("cluster_id"), col("source")).distinct()
+    cs.as("a").join(cs.as("b"),
+        col("a.cluster_id") === col("b.cluster_id") &&
+          col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_clusters"))
+  }
+
   val SimHashBits = 60
 
   /** 60-bit SimHash over distinct tokens: per-bit majority vote of token

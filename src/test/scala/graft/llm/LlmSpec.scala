@@ -747,6 +747,22 @@ class LlmSpec extends SparkSpec {
     assert(j.filter(col("s1") <= col("s0")).count() == 0)
   }
 
+  test("source overlap: symmetric-free pairs, consistent with clusters") {
+    val out = Dedup.sourceOverlap(docs, 0.8)
+    assert(out.count() > 0)
+    // strictly ordered pairs only (no self-pairs, no mirrored duplicates)
+    assert(out.filter(col("src_a") >= col("src_b")).count() == 0)
+    // every reported pair is backed by a real multi-source cluster
+    val cs = Dedup.dupClusters(docs, 0.8)
+      .join(docs.select("doc_id", "source"), "doc_id")
+      .select("cluster_id", "source").distinct()
+    val expected = cs.as("a").join(cs.as("b"),
+        col("a.cluster_id") === col("b.cluster_id") &&
+          col("a.source") < col("b.source"))
+      .select(col("a.source"), col("b.source")).distinct().count()
+    assert(out.count() == expected)
+  }
+
   test("aho-corasick: phrases, prefix patterns, absent patterns") {
     import graft.TestSpark.spark.implicits._
     val pats = Seq("hash join", "slo", "slow", "dup", "zzz")
