@@ -417,9 +417,11 @@ object Dedup {
     * corpus-sized data.
     */
   def sourceOverlap(docs: DataFrame, threshold: Double): DataFrame = {
-    val cs = dupClusters(docs, threshold)
+    // materialized: the self-join below reads cs twice, and without the
+    // checkpoint each read re-runs the corpus-sized cluster rejoin
+    val cs = Materialize(dupClusters(docs, threshold)
       .join(docs.select(col("doc_id"), col("source")), "doc_id")
-      .select(col("cluster_id"), col("source")).distinct()
+      .select(col("cluster_id"), col("source")).distinct())
     cs.as("a").join(cs.as("b"),
         col("a.cluster_id") === col("b.cluster_id") &&
           col("a.source") < col("b.source"))
