@@ -1391,6 +1391,12 @@ object LlmGates extends GateSet {
           .orderBy("doc_id"),
       Some(Curation.blocklistOracleSql(BlockTerms))),
 
+    // --- per-source length trimming (percentile band) -----------------------
+    Gate("llm_length_trim",
+      (spark: SparkSession, dir: String) =>
+        Curation.lengthTrim(docs(spark, dir)).orderBy("doc_id"),
+      Some(Curation.lengthTrimOracleSql())),
+
     // --- Aho-Corasick substring blocklist ----------------------------------
     // Patterns exercise the automaton's hard cases: a cross-token phrase
     // ("hash join"), a pattern that is a strict prefix of another

@@ -1052,6 +1052,49 @@ object Curation {
        |FROM f ORDER BY doc_id""".stripMargin
   }
 
+  /** Per-source document-length trimming: keep documents whose token
+    * count sits inside the source's [lo, hi] percentile band — the
+    * outlier filter (truncated boilerplate at one end, concatenation
+    * accidents at the other) a pipeline applies per source because
+    * length distributions differ wildly between a news site and a code
+    * dump. Bounds are EXACT linear-interpolation percentiles rounded to
+    * 6 dp (both engines implement the same 1 + p·(n−1) rank rule), and
+    * the keep test compares an integer to the rounded bound, so no float
+    * ever sits on a decision boundary that the oracle could flip.
+    *
+    * Scale shape: Spark's exact percentile aggregate buffers
+    * (value → count) pairs, so per-source state is bounded by DISTINCT
+    * document lengths, not rows; the source-bounded bounds table
+    * broadcasts back onto the corpus stream.
+    */
+  def lengthTrim(docs: DataFrame, lo: Double = 0.05,
+      hi: Double = 0.95): DataFrame = {
+    val t = docs.select(col("doc_id"), col("source"),
+      size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+    val b = t.groupBy("source").agg(
+      round(percentile(col("n_tokens"), lit(lo)), 6).as("lo_bound"),
+      round(percentile(col("n_tokens"), lit(hi)), 6).as("hi_bound"))
+    t.join(broadcast(b), "source")
+      .select(col("doc_id"), col("n_tokens"), col("lo_bound"), col("hi_bound"),
+        (col("n_tokens") >= col("lo_bound") &&
+          col("n_tokens") <= col("hi_bound")).as("keep"))
+  }
+
+  /** DuckDB twin of [[lengthTrim]] (quantile_cont = the same
+    * linear-interpolation percentile).
+    */
+  def lengthTrimOracleSql(lo: Double = 0.05, hi: Double = 0.95): String =
+    s"""WITH t AS (SELECT doc_id, source,
+       |    len(string_split(lower(text), ' '))::BIGINT AS n_tokens
+       |  FROM documents),
+       |b AS (SELECT source,
+       |    round(quantile_cont(n_tokens, $lo), 6) AS lo_bound,
+       |    round(quantile_cont(n_tokens, $hi), 6) AS hi_bound
+       |  FROM t GROUP BY 1)
+       |SELECT doc_id, n_tokens, lo_bound, hi_bound,
+       |  n_tokens >= lo_bound AND n_tokens <= hi_bound AS keep
+       |FROM t JOIN b USING (source) ORDER BY doc_id""".stripMargin
+
   /** Dataset-card summary: the per-source statistics block every corpus
     * release ships (docs, token totals/means, vocabulary, exact-dup rate,
     * mean quality, kept fraction) in ONE pass over the corpus plus the

@@ -747,6 +747,18 @@ class LlmSpec extends SparkSpec {
     assert(j.filter(col("s1") <= col("s0")).count() == 0)
   }
 
+  test("length trim: ~90% kept per source, bounds ordered, flag consistent") {
+    val out = Curation.lengthTrim(docs)
+    assert(out.count() == docs.count())
+    assert(out.filter(col("lo_bound") > col("hi_bound")).count() == 0)
+    assert(out.filter((col("n_tokens") >= col("lo_bound") &&
+      col("n_tokens") <= col("hi_bound")) =!= col("keep")).count() == 0)
+    // a [p5, p95] band keeps roughly 90% of each source (exact fraction
+    // depends on ties; 25-doc sources keep 23/25 at minimum interpolation)
+    val frac = out.filter(col("keep")).count().toDouble / out.count()
+    assert(frac > 0.85 && frac <= 0.96)
+  }
+
   test("source overlap: symmetric-free pairs, consistent with clusters") {
     val out = Dedup.sourceOverlap(docs, 0.8)
     assert(out.count() > 0)
