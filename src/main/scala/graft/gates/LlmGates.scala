@@ -1467,7 +1467,7 @@ object LlmGates extends GateSet {
   private val RandProjDim = 16
   private val BpeTrainN = 10
   private val VocabKs: Seq[Long] = Seq(1L, 3L, 10L, 25L, 100L)
-  private val BlockTerms: Seq[String] = Seq("dup", "slow", "xyzzy")
+  private[gates] val BlockTerms: Seq[String] = Seq("dup", "slow", "xyzzy")
   private val AcPatterns: Seq[String] =
     Seq("hash join", "slo", "slow", "dup", "zzz")
 

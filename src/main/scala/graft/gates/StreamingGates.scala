@@ -335,6 +335,30 @@ object StreamingGates extends GateSet {
       },
       Some(LlmGates.exactDedupOracleSql)),
 
+    // --- streaming curation filter: the stateless quality + blocklist
+    // front door in the live path — ONE plan (Curation.curationFilter)
+    // serves batch and stream; the gate certifies the streaming result
+    // against the batch DuckDB oracle
+    Gate("streaming_quality_filter",
+      (spark: SparkSession, dir: String) => {
+        val schema = Tables.documents(spark, dir).schema
+        val stream = spark.readStream.schema(schema)
+          .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        val out = graft.llm.Curation.curationFilter(stream, LlmGates.BlockTerms)
+        spark.catalog.dropTempView("stream_qf_sink"): Unit
+        val q = out.writeStream.format("memory")
+          .queryName("stream_qf_sink")
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        val streamed = q.recentProgress.map(_.numInputRows).sum
+        val expected = Tables.documents(spark, dir).count()
+        require(streamed == expected,
+          s"streaming_quality_filter streamed $streamed of $expected rows")
+        spark.table("stream_qf_sink").orderBy("doc_id")
+      },
+      Some(graft.llm.Curation.curationFilterOracleSql(LlmGates.BlockTerms))),
+
     // --- streaming URL-level dedup: the crawl front door incrementally ----
     // same first-arrived-wins state machine as streaming_exact_dedup, but
     // keyed by the CANONICAL URL (Web.canonicalizeUrl over the shared

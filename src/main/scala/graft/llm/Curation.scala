@@ -1095,6 +1095,43 @@ object Curation {
        |  n_tokens >= lo_bound AND n_tokens <= hi_bound AS keep
        |FROM t JOIN b USING (source) ORDER BY doc_id""".stripMargin
 
+  /** Stateless curation front door — ONE plan that runs identically in
+    * batch and Structured Streaming (no state, no watermark): per-doc
+    * blocklist hit count + the [[TextOps.qualityOf]] trainability flag,
+    * keep = clean on both. This is the filter a continuous crawl applies
+    * in the live path before anything stateful (dedup) sees the doc;
+    * the streaming gate certifies plan parity against the batch oracle.
+    */
+  def curationFilter(d: DataFrame, terms: Seq[String]): DataFrame =
+    d.withColumn("__toks", TextOps.tokens(col("text")))
+      .select(col("doc_id"),
+        size(array_intersect(array_distinct(col("__toks")),
+          typedLit(terms))).cast("long").as("n_blocked"),
+        TextOps.qualityOf(size(col("__toks")).cast("long"),
+          size(array_distinct(col("__toks"))).cast("long"),
+          size(filter(col("__toks"),
+            t => t.isInCollection(TextOps.Stopwords))).cast("long"))
+          .as("quality"))
+      .withColumn("keep", col("quality") === 1 && col("n_blocked") === 0)
+
+  /** DuckDB twin of [[curationFilter]]. */
+  def curationFilterOracleSql(terms: Seq[String]): String = {
+    val list = terms.map(t => "'" + t.replace("'", "''") + "'")
+      .mkString("[", ", ", "]")
+    val stops = TextOps.Stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
+    s"""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+       |    FROM documents),
+       |f AS (SELECT doc_id,
+       |    len(list_intersect(list_distinct(ws), $list))::BIGINT AS n_blocked,
+       |    CAST(len(ws) >= 10 AND len(ws) <= 100000
+       |      AND len(list_filter(ws, w -> list_contains($stops, w))) * 20 >= len(ws)
+       |      AND len(list_distinct(ws)) * 3 >= len(ws) AS BIGINT) AS quality
+       |  FROM t)
+       |SELECT doc_id, n_blocked, quality,
+       |  quality = 1 AND n_blocked = 0 AS keep
+       |FROM f ORDER BY doc_id""".stripMargin
+  }
+
   /** Dataset-card summary: the per-source statistics block every corpus
     * release ships (docs, token totals/means, vocabulary, exact-dup rate,
     * mean quality, kept fraction) in ONE pass over the corpus plus the

@@ -747,6 +747,20 @@ class LlmSpec extends SparkSpec {
     assert(j.filter(col("s1") <= col("s0")).count() == 0)
   }
 
+  test("curation filter: keep = quality AND no blocklist hit; batch form") {
+    val out = Curation.curationFilter(docs, Seq("dup", "slow", "xyzzy"))
+    assert(out.count() == docs.count())
+    assert(out.filter((col("quality") === 1 && col("n_blocked") === 0)
+      =!= col("keep")).count() == 0)
+    val kept = out.filter(col("keep")).count()
+    assert(kept > 0 && kept < out.count())
+    // consistency with the standalone operators it composes
+    val bl = Curation.blocklistFilter(docs, Seq("dup", "slow", "xyzzy"))
+      .select(col("doc_id"), col("n_blocked").as("nb2"))
+    assert(out.join(bl, "doc_id")
+      .filter(col("n_blocked") =!= col("nb2")).count() == 0)
+  }
+
   test("length trim: ~90% kept per source, bounds ordered, flag consistent") {
     val out = Curation.lengthTrim(docs)
     assert(out.count() == docs.count())
