@@ -930,6 +930,13 @@ object LlmGates extends GateSet {
           .orderBy("doc_id"),
       Some(Curation.packOracleSql(256))),
 
+    // --- packing-efficiency report (training-batch utilization) -----------
+    Gate("llm_pack_report",
+      (spark: SparkSession, dir: String) =>
+        Curation.packReport(docs(spark, dir), 256, shardSpan = 64)
+          .orderBy("source"),
+      Some(Curation.packReportOracleSql(256))),
+
     // --- domain mixing: deterministic per-source hash-rate sampling -------
     // rates cycle {0, .25, .5, .75, 1.0} across src0..src19 — covers the
     // drop-all and keep-all edges plus three interior rates

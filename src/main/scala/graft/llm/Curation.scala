@@ -67,18 +67,60 @@ object Curation {
     * to one plain running-sum window (the outputs are identical — the
     * sharding only changes the execution shape, not the math).
     */
+  /** Shared CTE chain `t → c(doc_id, source, n_tokens, before)` of the
+    * packing oracles.
+    */
+  def packCtes: String =
+    """t AS (SELECT doc_id, source,
+      |    len(string_split(lower(text), ' '))::BIGINT AS n_tokens
+      |  FROM documents),
+      |c AS (SELECT doc_id, source, n_tokens,
+      |    coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+      |  FROM t)""".stripMargin
+
   def packOracleSql(budget: Int): String =
-    s"""WITH t AS (SELECT doc_id, source,
-       |    len(string_split(lower(text), ' '))::BIGINT AS n_tokens
-       |  FROM documents),
-       |c AS (SELECT doc_id, source, n_tokens,
-       |    coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
-       |  FROM t)
+    s"""WITH $packCtes
        |SELECT doc_id, source, n_tokens,
        |  (before // $budget)::BIGINT AS seq_id,
        |  (before % $budget)::BIGINT AS seq_offset
        |FROM c ORDER BY doc_id""".stripMargin
+
+  /** Packing-efficiency report over [[packSequences]] — the per-source
+    * training-batch utilization dashboard: sequence count, mean fill
+    * rate against the token budget, and how many sequences a document
+    * overflows into its neighbor (`spill_seqs`, fill > budget — the
+    * cross-boundary carry GPT-style contiguous packing accepts).
+    *
+    * Scale shape: rides the packing assignment (two-level prefix sums),
+    * then two keyed aggregates — (source, seq) then source; output is
+    * source-bounded.
+    */
+  def packReport(docs: DataFrame, budget: Int,
+      shardSpan: Int = 64): DataFrame = {
+    val p = packSequences(docs, budget, shardSpan)
+    val perSeq = p.groupBy(col("source"), col("seq_id"))
+      .agg(sum(col("n_tokens")).as("fill"), count(lit(1)).as("ndocs"))
+    perSeq.groupBy(col("source"))
+      .agg(sum(col("ndocs")).as("n_docs"),
+        count(lit(1)).as("n_seqs"),
+        sum(col("fill")).as("total_tokens"),
+        round(sum(col("fill")).cast("double") /
+          (count(lit(1)) * budget), 6).as("fill_rate"),
+        sum(when(col("fill") > budget, 1L).otherwise(0L)).as("spill_seqs"))
+  }
+
+  /** DuckDB twin of [[packReport]]. */
+  def packReportOracleSql(budget: Int): String =
+    s"""WITH $packCtes,
+       |p AS (SELECT source, before // $budget AS seq_id, n_tokens FROM c),
+       |s AS (SELECT source, seq_id, sum(n_tokens) AS fill,
+       |    count(*) AS ndocs FROM p GROUP BY 1, 2)
+       |SELECT source, sum(ndocs)::BIGINT AS n_docs, count(*)::BIGINT AS n_seqs,
+       |  sum(fill)::BIGINT AS total_tokens,
+       |  round(sum(fill)::DOUBLE / (count(*) * $budget), 6) AS fill_rate,
+       |  sum(CASE WHEN fill > $budget THEN 1 ELSE 0 END)::BIGINT AS spill_seqs
+       |FROM s GROUP BY 1 ORDER BY 1""".stripMargin
 
   // --- domain mixing -------------------------------------------------------
 

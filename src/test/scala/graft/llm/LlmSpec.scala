@@ -747,6 +747,18 @@ class LlmSpec extends SparkSpec {
     assert(j.filter(col("s1") <= col("s0")).count() == 0)
   }
 
+  test("pack report: doc/token totals reconcile with the packing itself") {
+    val rep = Curation.packReport(docs, 256)
+    val pack = Curation.packSequences(docs, 256)
+    assert(rep.agg(sum("n_docs")).collect()(0).getLong(0) == docs.count())
+    val tokTotal = pack.agg(sum("n_tokens")).collect()(0).getLong(0)
+    assert(rep.agg(sum("total_tokens")).collect()(0).getLong(0) == tokTotal)
+    // fill rate is a utilization: positive, and > 1 only via spill
+    assert(rep.filter(col("fill_rate") <= 0).count() == 0)
+    assert(rep.filter(col("fill_rate") > 1.0 && col("spill_seqs") === 0)
+      .count() == 0)
+  }
+
   test("curation filter: keep = quality AND no blocklist hit; batch form") {
     val out = Curation.curationFilter(docs, Seq("dup", "slow", "xyzzy"))
     assert(out.count() == docs.count())
