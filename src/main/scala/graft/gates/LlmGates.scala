@@ -814,21 +814,28 @@ object LlmGates extends GateSet {
         docs(spark, dir)
           .select(col("doc_id"), TextOps.langId(col("text")).as("lang"))
           .orderBy("doc_id"),
-      Some(
-        """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
-          |s AS (SELECT doc_id,
-          |  len(list_filter(ws, w -> w IN ('the','and','of','is','with'))) AS s_en,
-          |  len(list_filter(ws, w -> w IN ('der','die','und','ist','mit'))) AS s_de,
-          |  len(list_filter(ws, w -> w IN ('el','la','de','es','con'))) AS s_es,
-          |  len(list_filter(ws, w -> w IN ('le','la','et','est','avec'))) AS s_fr
-          |  FROM t)
-          |SELECT doc_id, CASE
-          |  WHEN greatest(s_en, s_de, s_es, s_fr) = 0 THEN 'und'
-          |  WHEN s_fr >= s_en AND s_fr >= s_de AND s_fr >= s_es THEN 'fr'
-          |  WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
-          |  WHEN s_en >= s_de THEN 'en'
-          |  ELSE 'de' END AS lang
-          |FROM s ORDER BY doc_id""".stripMargin)),
+      Some(s"""WITH $langCtes
+          |SELECT doc_id, lang FROM lng ORDER BY doc_id""".stripMargin)),
+
+    // --- tokenizer fertility report per detected language -----------------
+    // fertility = pretokenizer (BPE-ish regex) tokens per whitespace word,
+    // THE tokenizer-eval number compared across languages; rides the
+    // lang-ID chain + the text_stats n_bpe mirror
+    Gate("llm_fertility",
+      (spark: SparkSession, dir: String) =>
+        Curation.fertilityReport(docs(spark, dir)).orderBy("lang"),
+      Some {
+        s"""WITH $langCtes,
+           |f AS (SELECT lng.lang,
+           |    len(t.ws)::BIGINT AS nw,
+           |    len(regexp_extract_all(t.text,
+           |      '${TextOps.BpeTokenRe.replace("'", "''")}'))::BIGINT AS nb
+           |  FROM lng JOIN t USING (doc_id))
+           |SELECT lang, count(*)::BIGINT AS n_docs, sum(nw)::BIGINT AS n_words,
+           |  sum(nb)::BIGINT AS n_bpe,
+           |  round(sum(nb)::DOUBLE / sum(nw), 6) AS fertility
+           |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
+      }),
 
     // --- per-doc text stats / quality filter (all-integer outputs) --------
     Gate("llm_text_stats",
@@ -1469,6 +1476,27 @@ object LlmGates extends GateSet {
           .orderBy("vec_id", "j"),
       Some(Similarity.randomProjectOracleSql(RandProjDim)))
   )
+
+  /** Lang-ID CTE chain `t(doc_id, text, ws) -> s -> lng(doc_id, lang)` —
+    * ONE copy of the marker CASE chain serves llm_lang_id and
+    * llm_fertility (argmax tie-break identical to TextOps.langId's
+    * struct array_max ordering).
+    */
+  private lazy val langCtes: String =
+    """t AS (SELECT doc_id, text, string_split(lower(text), ' ') AS ws FROM documents),
+      |s AS (SELECT doc_id,
+      |  len(list_filter(ws, w -> w IN ('the','and','of','is','with'))) AS s_en,
+      |  len(list_filter(ws, w -> w IN ('der','die','und','ist','mit'))) AS s_de,
+      |  len(list_filter(ws, w -> w IN ('el','la','de','es','con'))) AS s_es,
+      |  len(list_filter(ws, w -> w IN ('le','la','et','est','avec'))) AS s_fr
+      |  FROM t),
+      |lng AS (SELECT doc_id, CASE
+      |  WHEN greatest(s_en, s_de, s_es, s_fr) = 0 THEN 'und'
+      |  WHEN s_fr >= s_en AND s_fr >= s_de AND s_fr >= s_es THEN 'fr'
+      |  WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
+      |  WHEN s_en >= s_de THEN 'en'
+      |  ELSE 'de' END AS lang
+      |FROM s)""".stripMargin
 
   private val ClassifierDim = 1024
   private val RandProjDim = 16

@@ -1174,6 +1174,22 @@ object Curation {
        |FROM f ORDER BY doc_id""".stripMargin
   }
 
+  /** Tokenizer fertility report per detected language — THE tokenizer-eval
+    * number (subword tokens per whitespace word) a multilingual corpus
+    * compares across languages to spot under-served scripts: pretokenizer
+    * ([[TextOps.bpeTokenCount]]) tokens over word counts, grouped by
+    * [[TextOps.langId]]. One narrow pass + a language-bounded aggregate.
+    */
+  def fertilityReport(docs: DataFrame): DataFrame =
+    docs.select(TextOps.langId(col("text")).as("lang"),
+        size(TextOps.tokens(col("text"))).cast("long").as("nw"),
+        TextOps.bpeTokenCount(col("text")).cast("long").as("nb"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("nw")).as("n_words"),
+        sum(col("nb")).as("n_bpe"),
+        round(sum(col("nb")).cast("double") / sum(col("nw")), 6)
+          .as("fertility"))
+
   /** Dataset-card summary: the per-source statistics block every corpus
     * release ships (docs, token totals/means, vocabulary, exact-dup rate,
     * mean quality, kept fraction) in ONE pass over the corpus plus the

@@ -747,6 +747,18 @@ class LlmSpec extends SparkSpec {
     assert(j.filter(col("s1") <= col("s0")).count() == 0)
   }
 
+  test("fertility: totals reconcile with stats; fertility >= 1") {
+    val rep = Curation.fertilityReport(docs)
+    assert(rep.agg(sum("n_docs")).collect()(0).getLong(0) == docs.count())
+    // pretokenizer units never merge across whitespace -> nb >= nw per doc
+    assert(rep.filter(col("fertility") < 1.0).count() == 0)
+    val st = TextOps.stats(docs)
+    assert(rep.agg(sum("n_bpe")).collect()(0).getLong(0) ==
+      st.agg(sum("n_bpe")).collect()(0).getLong(0))
+    assert(rep.agg(sum("n_words")).collect()(0).getLong(0) ==
+      st.agg(sum("n_tokens")).collect()(0).getLong(0))
+  }
+
   test("pack report: doc/token totals reconcile with the packing itself") {
     val rep = Curation.packReport(docs, 256)
     val pack = Curation.packSequences(docs, 256)
