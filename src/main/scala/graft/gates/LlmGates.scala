@@ -1421,6 +1421,20 @@ object LlmGates extends GateSet {
           .orderBy("doc_id"),
       Some(Curation.substringBlocklistOracleSql(AcPatterns))),
 
+    // --- robots/opt-out URL filter (longest-prefix disallow) --------------
+    // Rules cover: whole-domain block (src0 /a/), partial block with a
+    // longer-rule precedence case (src1 /a/1 vs /a/181), a single-page
+    // domain (src12), and a rule for a domain absent from the corpus.
+    Gate("llm_robots_filter",
+      (spark: SparkSession, dir: String) => {
+        import spark.implicits._
+        Web.robotsFilter(
+          docs(spark, dir).select(col("doc_id"), domainUrlFixtureCol.as("url")),
+          RobotsRules.toDF("domain", "prefix"))
+          .orderBy("doc_id")
+      },
+      Some(robotsOracleSql)),
+
     // --- domain reputation roll-up (RefinedWeb URL-filtering stage) -------
     // Fixture: 20 domains (one per source); sources 0-9 publish unique
     // pages, 10-19 re-crawl the same 10 pages (flag_dup separates them);
@@ -1819,6 +1833,37 @@ object LlmGates extends GateSet {
       when(even, lit("www.")).otherwise(lit("")),
       col("source"), lit(".example.com/a/"), page.cast("string"),
       when(even, lit("?utm_source=x")).otherwise(lit("")))
+  }
+
+  private val RobotsRules: Seq[(String, String)] = Seq(
+    "src0.example.com" -> "/a/",
+    "src1.example.com" -> "/a/1",
+    "src1.example.com" -> "/a/181",
+    "src12.example.com" -> "/a/12",
+    "missing.example.com" -> "/x")
+
+  private lazy val robotsOracleSql: String = {
+    val fixture = "'https://' || CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END" +
+      " || source || '.example.com/a/'" +
+      " || (CASE WHEN doc_id % 20 < 10 THEN doc_id ELSE doc_id % 20 END)::VARCHAR" +
+      " || CASE WHEN doc_id % 2 = 0 THEN '?utm_source=x' ELSE '' END"
+    val vals = RobotsRules.map { case (d, p) => s"(${sqlLit(d)}, ${sqlLit(p)})" }
+      .mkString(", ")
+    s"""WITH raw AS (SELECT doc_id, $fixture AS url FROM documents),
+       |u AS (SELECT doc_id,
+       |    regexp_replace(regexp_replace(
+       |      lower(regexp_extract(url, ${sqlLit(Web.HostRe)}, 1)),
+       |      ${sqlLit(Web.PortSuffixRe)}, ''), ${sqlLit(Web.WwwPrefixRe)}, '')
+       |      AS domain,
+       |    regexp_extract(url, ${sqlLit(Web.PathRe)}, 1) AS path
+       |  FROM raw),
+       |r AS (SELECT * FROM (VALUES $vals) t(domain, prefix)),
+       |a AS (SELECT u.doc_id, u.domain,
+       |    max(CASE WHEN r.prefix IS NOT NULL AND starts_with(u.path, r.prefix)
+       |        THEN {'l': length(r.prefix), 'p': r.prefix} END) AS m
+       |  FROM u LEFT JOIN r USING (domain) GROUP BY 1, 2)
+       |SELECT doc_id, domain, m IS NOT NULL AS blocked, m.p AS matched_prefix
+       |FROM a ORDER BY doc_id""".stripMargin
   }
 
   private lazy val domainReputationOracleSql: String = {

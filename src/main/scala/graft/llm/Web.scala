@@ -132,6 +132,39 @@ object Web {
       .withColumn("blocked", col("flag_dup") || col("flag_lowq"))
   }
 
+  /** Path component of an absolute URL (same regex the canonicalizer
+    * uses, exposed for the robots matcher).
+    */
+  val PathRe = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)"
+
+  /** Robots/opt-out filter — the compliance front door a crawl-derived
+    * corpus applies before anything else: `rules` is a `(domain, prefix)`
+    * disallow table (robots.txt Disallow lines, publisher opt-out lists);
+    * a document is blocked when ANY rule of its domain prefix-matches its
+    * URL path, and the LONGEST matching prefix is reported (the
+    * robots.txt precedence rule). Domains without rules pass.
+    *
+    * Scale shape: the rule table is small by nature — it broadcasts onto
+    * the corpus stream; per doc one prefix test per same-domain rule,
+    * then a doc-keyed aggregate. Longest-match selection is a struct max
+    * (length, prefix) — no window.
+    */
+  def robotsFilter(d: org.apache.spark.sql.DataFrame,
+      rules: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val u = d.select(col("doc_id"), hostOf(col("url")).as("domain"),
+      regexp_extract(col("url"), PathRe, 1).as("path"))
+    val hit = col("prefix").isNotNull && col("path").startsWith(col("prefix"))
+    u.join(broadcast(rules), Seq("domain"), "left")
+      .groupBy(col("doc_id"), col("domain"))
+      .agg(max(when(hit,
+          struct(length(col("prefix")).as("l"), col("prefix").as("p"))))
+        .as("m"))
+      .select(col("doc_id"), col("domain"),
+        col("m").isNotNull.as("blocked"),
+        col("m.p").as("matched_prefix"))
+  }
+
   def canonicalizeUrl(url: Column): Column = {
     val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     val hostport = lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))

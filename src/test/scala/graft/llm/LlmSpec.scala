@@ -747,6 +747,24 @@ class LlmSpec extends SparkSpec {
     assert(j.filter(col("s1") <= col("s0")).count() == 0)
   }
 
+  test("robots filter: longest-prefix precedence, whole-domain, no-rule pass") {
+    import graft.TestSpark.spark.implicits._
+    val d = Seq(
+      (1L, "https://www.ex.com/a/181?x=1"), // both /a/1 and /a/181 match
+      (2L, "https://ex.com/a/19"),          // /a/1 matches
+      (3L, "https://ex.com/b/1"),           // no rule matches
+      (4L, "https://other.com/a/181"))      // domain without rules
+      .toDF("doc_id", "url")
+    val rules = Seq("ex.com" -> "/a/1", "ex.com" -> "/a/181")
+      .toDF("domain", "prefix")
+    val m = Web.robotsFilter(d, rules).collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(2), Option(r.getString(3)))).toMap
+    assert(m(1) == ((true, Some("/a/181")))) // longest wins
+    assert(m(2) == ((true, Some("/a/1"))))
+    assert(m(3) == ((false, None)))
+    assert(m(4) == ((false, None)))
+  }
+
   test("fertility: totals reconcile with stats; fertility >= 1") {
     val rep = Curation.fertilityReport(docs)
     assert(rep.agg(sum("n_docs")).collect()(0).getLong(0) == docs.count())
