@@ -1421,6 +1421,30 @@ object LlmGates extends GateSet {
           .orderBy("doc_id"),
       Some(Curation.substringBlocklistOracleSql(AcPatterns))),
 
+    // --- Bloom-filter cross-snapshot dedup ---------------------------------
+    // History = even doc_ids; incoming = odd doc_ids (mostly novel — every
+    // sf0.01 text is distinct) plus a re-crawl of doc_id % 10 == 0 under
+    // shifted ids (guaranteed true hits), so maybe_dup genuinely splits.
+    // The oracle replays build+probe as distinct-position set membership —
+    // identical to the bitset, false positives included.
+    Gate("llm_bloom_dedup",
+      (spark: SparkSession, dir: String) => {
+        val d = docs(spark, dir)
+        val bits = Dedup.bloomBitset(d.filter(col("doc_id") % 2 === 0))
+        val incoming = d.filter(col("doc_id") % 2 === 1)
+          .select(col("doc_id"), col("text"))
+          .unionAll(d.filter(col("doc_id") % 10 === 0)
+            .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        Dedup.bloomDedup(incoming, bits)
+          .select(col("doc_id"), col("maybe_dup")).orderBy("doc_id")
+      },
+      Some(Dedup.bloomDedupOracleSql(
+        "SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0",
+        """SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+          |  UNION ALL
+          |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0"""
+          .stripMargin))),
+
     // --- robots/opt-out URL filter (longest-prefix disallow) --------------
     // Rules cover: whole-domain block (src0 /a/), partial block with a
     // longer-rule precedence case (src1 /a/1 vs /a/181), a single-page

@@ -447,4 +447,88 @@ object Dedup {
       .agg(sum(when(col("v") > 0,
         expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(0L)).as("simhash"))
   }
+
+  // --- Bloom-filter cross-snapshot dedup -----------------------------------
+
+  /** Bloom parameters for the snapshot dedup: k seeded hash functions over
+    * an m-bit set. Sized for the gate fixture; production callers size
+    * m ≈ −n·ln(p)/ln(2)² for history size n and FP target p (Bloom 1970).
+    */
+  val BloomK = 5
+  val BloomBits = 1 << 17
+
+  /** Seeded bit position of a text's normalized content for hash function
+    * `seed`: the repo's shared md5-derived 60-bit hash of "bf<seed>:<text>",
+    * mod the bit width. Non-negative by construction (60-bit hash), so
+    * DuckDB's plain `%` mirrors Spark's `pmod` exactly.
+    */
+  def bloomPosition(text: Column, seed: Int, mBits: Int = BloomBits): Column =
+    pmod(mdhash64(concat(lit(s"bf$seed:"), normalized(text))), lit(mBits.toLong))
+
+  /** Build the Bloom bitset of a history corpus: one distributed pass — each
+    * partition ORs its docs' k bit positions into a local m-bit array, then
+    * the arrays OR-merge up a tree. Memory is O(m) everywhere (driver,
+    * executor) REGARDLESS of history size; bit-OR is commutative and
+    * associative, so the result is partition-layout invariant.
+    *
+    * This is the cross-snapshot dedup shape at 100 TB: dedup a new crawl
+    * against ALL prior snapshots without re-shuffling the prior corpus —
+    * the alternative (an exact anti-join) shuffles the full multi-TB hash
+    * set of history every run. A 2^17-bit set (16 KB) here; a 10 B-doc
+    * history at 1% FP needs ~12 GB, past single-broadcast comfort — at
+    * that size shard the bitset by a hash-prefix into B independent blooms
+    * (each doc probes exactly one shard), which this builder composes with
+    * by prefix-filtering history per shard.
+    */
+  def bloomBitset(history: DataFrame, text: Column = col("text"),
+      k: Int = BloomK, mBits: Int = BloomBits): Array[Long] = {
+    import org.apache.spark.sql.Encoders
+    val words = (mBits + 63) >>> 6
+    history
+      .select(explode(array((0 until k).map(s =>
+        bloomPosition(text, s, mBits)): _*)).as("p"))
+      .as[Long](Encoders.scalaLong)
+      .rdd
+      .treeAggregate(new Array[Long](words))(
+        (b, p) => { b((p >>> 6).toInt) |= 1L << (p & 63); b },
+        (a, b) => { var i = 0; while (i < words) { a(i) |= b(i); i += 1 }; a })
+  }
+
+  /** Probe incoming docs against a history bitset from [[bloomBitset]]:
+    * `maybe_dup` is true iff ALL k seeded positions are set — Bloom
+    * semantics, so false means definitely-new and true means
+    * duplicate-with-FP-probability (1−e^(−kn/m))^k. One narrow codegen'd
+    * pass (k [[graft.functions.BitsetProbe]]s AND-ed), no shuffle, no join:
+    * the history never moves again.
+    */
+  def bloomDedup(incoming: DataFrame, bits: Array[Long],
+      text: Column = col("text"), k: Int = BloomK,
+      mBits: Int = BloomBits): DataFrame =
+    incoming.withColumn("maybe_dup",
+      (0 until k).map(s =>
+        graft.functions.BitsetProbe(bloomPosition(text, s, mBits), bits))
+        .reduce(_ && _))
+
+  /** DuckDB twin of build+probe: history positions as a distinct set, a
+    * probe doc is maybe_dup iff every seeded position joins — identical to
+    * the bitset's union-of-set-bits membership, FPs included.
+    * `historySql`/`incomingSql` must yield (doc_id, text).
+    */
+  def bloomDedupOracleSql(historySql: String, incomingSql: String,
+      k: Int = BloomK, mBits: Int = BloomBits): String =
+    s"""WITH hist AS ($historySql),
+       |inc AS ($incomingSql),
+       |hp AS (SELECT DISTINCT
+       |    ('0x'||substr(md5('bf'||g.s||':'||
+       |        regexp_replace(trim(lower(hist.text)), '\\s+', ' ', 'g')),1,15))::BIGINT
+       |      % $mBits AS p
+       |  FROM hist CROSS JOIN generate_series(0, ${k - 1}) g(s)),
+       |ip AS (SELECT inc.doc_id, g.s,
+       |    ('0x'||substr(md5('bf'||g.s||':'||
+       |        regexp_replace(trim(lower(inc.text)), '\\s+', ' ', 'g')),1,15))::BIGINT
+       |      % $mBits AS p
+       |  FROM inc CROSS JOIN generate_series(0, ${k - 1}) g(s))
+       |SELECT ip.doc_id, bool_and(hp.p IS NOT NULL) AS maybe_dup
+       |FROM ip LEFT JOIN hp ON hp.p = ip.p
+       |GROUP BY 1 ORDER BY 1""".stripMargin
 }

@@ -1006,4 +1006,39 @@ class LlmSpec extends SparkSpec {
       .agg(countDistinct(col("y")).as("nv")).filter(col("nv") < 2)
     assert(degenerate.count() == 0)
   }
+
+  test("bloom dedup: zero false negatives; FPs bounded; layout-invariant") {
+    val history = docs.filter(col("doc_id") % 2 === 0)
+    val bits = Dedup.bloomBitset(history)
+    // partition-layout invariance: the OR-merge is commutative, so a
+    // different partitioning must build the identical bitset
+    val bits2 = Dedup.bloomBitset(history.repartition(7, col("doc_id")))
+    assert(java.util.Arrays.equals(bits, bits2))
+    // every history doc probes positive against its own bitset (no FNs)
+    val self = Dedup.bloomDedup(history, bits)
+    assert(self.filter(!col("maybe_dup")).count() == 0)
+    // novel odd docs: FP rate stays under 10x the analytic bound
+    val novel = docs.filter(col("doc_id") % 2 === 1)
+    val n = history.count().toDouble
+    val p = math.pow(1.0 - math.exp(-Dedup.BloomK * n / Dedup.BloomBits),
+      Dedup.BloomK)
+    val fps = Dedup.bloomDedup(novel, bits).filter(col("maybe_dup")).count()
+    assert(fps <= math.max(1.0, 10.0 * p * novel.count()),
+      s"$fps FPs vs analytic ${p * novel.count()}")
+  }
+
+  test("bitset probe: interpreted and codegen paths agree on edge bits") {
+    val s = spark
+    import s.implicits._
+    val bits = new Array[Long](4) // 256 bits
+    bits(0) = 1L | (1L << 63) // positions 0 and 63
+    bits(3) = 1L << 62        // position 254
+    val positions = Seq(0L, 1L, 63L, 64L, 254L, 255L, 300L, -1L)
+    val df = positions.toDF("p")
+      .select(col("p"), graft.functions.BitsetProbe(col("p"), bits).as("hit"))
+    val got = df.collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val want = Map(0L -> true, 1L -> false, 63L -> true, 64L -> false,
+      254L -> true, 255L -> false, 300L -> false, -1L -> false)
+    assert(got == want)
+  }
 }
