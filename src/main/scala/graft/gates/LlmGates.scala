@@ -1445,6 +1445,19 @@ object LlmGates extends GateSet {
           |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0"""
           .stripMargin))),
 
+    // --- host link-graph PageRank (crawl prioritization signal) -----------
+    // The oracle unrolls all 5 power-iteration rounds structurally
+    // (dangling mass, contribution join, per-round 6 dp rounding) — the
+    // ITERATION is gated, not just the final ranks. Fixture includes a
+    // pure sink host so the dangling-redistribution path is exercised.
+    Gate("llm_pagerank",
+      (spark: SparkSession, dir: String) =>
+        graft.llm.Graph.pageRank(
+          graft.llm.Graph.hostEdgesFixture(docs(spark, dir)))
+          .orderBy("node"),
+      Some(graft.llm.Graph.pageRankOracleSql(
+        graft.llm.Graph.HostEdgesFixtureSql))),
+
     // --- robots/opt-out URL filter (longest-prefix disallow) --------------
     // Rules cover: whole-domain block (src0 /a/), partial block with a
     // longer-rule precedence case (src1 /a/1 vs /a/181), a single-page

@@ -1007,6 +1007,25 @@ class LlmSpec extends SparkSpec {
     assert(degenerate.count() == 0)
   }
 
+  test("pagerank: hand-computed 2-node chain; mass conserved on host graph") {
+    val s = spark
+    import s.implicits._
+    // A -> B, B dangling: two rounds by hand (d=0.85, N=2, r0=1):
+    //   r1 = (0.575, 1.425); r2 = (0.755625, 1.244375)
+    val tiny = Seq(("a", "b")).toDF("src", "dst")
+    val got = Graph.pageRank(tiny, iters = 2).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got == Map("a" -> 0.755625, "b" -> 1.244375))
+    // host fixture: 21 nodes (20 hosts + sink); dangling redistribution
+    // conserves total mass at N up to per-round rounding
+    val pr = Graph.pageRank(Graph.hostEdgesFixture(docs))
+    val rows = pr.collect()
+    assert(rows.length == 21)
+    val mass = rows.map(_.getDouble(1)).sum
+    assert(math.abs(mass - 21.0) < 1e-3, s"mass $mass")
+    assert(rows.forall(_.getDouble(1) > 0.14))
+  }
+
   test("bloom dedup: zero false negatives; FPs bounded; layout-invariant") {
     val history = docs.filter(col("doc_id") % 2 === 0)
     val bits = Dedup.bloomBitset(history)
