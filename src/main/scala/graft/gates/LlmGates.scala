@@ -1367,6 +1367,13 @@ object LlmGates extends GateSet {
           .orderBy("doc_id"),
       Some(Curation.LmScoreOracleSql)),
 
+    // --- CCNet perplexity buckets (head/middle/tail per language) ---------
+    Gate("llm_ccnet_buckets",
+      (spark: SparkSession, dir: String) =>
+        Curation.ccnetBuckets(docs(spark, dir), col("source") === "src0")
+          .orderBy("doc_id"),
+      Some(Curation.CcnetBucketsOracleSql)),
+
     // --- fastText-style hashed linear classifier --------------------------
     // Deterministic md5-derived demo model: both engines build the SAME
     // (bucket, weight) table, so the gate certifies the hashing + broadcast

@@ -366,9 +366,60 @@ object Curation {
         round(avg(-log(col("s"))), 6).as("lm_score"))
   }
 
-  /** DuckDB twin of [[lmScore]] with training split `source = 'src0'`. */
-  val LmScoreOracleSql: String =
-    """WITH t AS (SELECT doc_id, source = 'src0' AS is_tr,
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020 §3): per
+    * LANGUAGE, split the corpus into head / middle / tail at the 1/3 and
+    * 2/3 quantiles of the [[lmScore]] LM score (lower = more fluent).
+    * CCNet keeps head+middle and drops or down-weights tail — the
+    * standard quality gradation a multilingual crawl applies after
+    * language ID and before dedup.
+    *
+    * Scale shape: rides the lmScore chain (one equi-shuffle), then ONE
+    * tiny per-language quantile aggregate (exact `percentile`, matching
+    * DuckDB quantile_cont's linear interpolation — the lengthTrim parity
+    * precedent) broadcast back over a narrow pass. Cutoffs and scores are
+    * 6 dp-rounded before comparison so both engines bucket identical
+    * doubles. Docs with <3 tokens have no trigrams and drop out of the
+    * scored stream on both sides.
+    */
+  def ccnetBuckets(docs: DataFrame, isTrain: Column): DataFrame = {
+    val dl = docs.select(col("doc_id"), col("lang"))
+      .join(lmScore(docs, isTrain).select(col("doc_id"), col("lm_score")),
+        "doc_id")
+    val cuts = dl.groupBy("lang").agg(
+      round(percentile(col("lm_score"), lit(1.0 / 3)), 6).as("q33"),
+      round(percentile(col("lm_score"), lit(2.0 / 3)), 6).as("q67"))
+    dl.join(broadcast(cuts), "lang")
+      .select(col("doc_id"), col("lang"), col("lm_score"),
+        when(col("lm_score") <= col("q33"), lit("head"))
+          .when(col("lm_score") <= col("q67"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+  }
+
+  /** DuckDB twin of [[ccnetBuckets]] (training split `source = 'src0'`).
+    * lazy: [[LmScoreCtes]] is defined later in the object body.
+    */
+  lazy val CcnetBucketsOracleSql: String =
+    s"""WITH $LmScoreCtes,
+       |dl AS (SELECT d.doc_id, d.lang, ds.lm_score
+       |  FROM documents d JOIN ds USING (doc_id)),
+       |cuts AS (SELECT lang,
+       |    round(quantile_cont(lm_score, ${1.0 / 3}), 6) AS q33,
+       |    round(quantile_cont(lm_score, ${2.0 / 3}), 6) AS q67
+       |  FROM dl GROUP BY 1)
+       |SELECT doc_id, dl.lang, lm_score,
+       |  CASE WHEN lm_score <= q33 THEN 'head'
+       |       WHEN lm_score <= q67 THEN 'middle'
+       |       ELSE 'tail' END AS bucket
+       |FROM dl JOIN cuts ON cuts.lang = dl.lang
+       |ORDER BY doc_id""".stripMargin
+
+  /** The [[lmScore]] oracle's CTE chain (through `sc` = scored distinct
+    * trigrams and `tg` = the per-doc trigram stream), shared by the
+    * llm_lm_score and llm_ccnet_buckets oracles. Training split
+    * `source = 'src0'`.
+    */
+  val LmScoreCtes: String =
+    """t AS (SELECT doc_id, source = 'src0' AS is_tr,
       |    string_split(lower(text), ' ') AS ws FROM documents),
       |tg AS (SELECT doc_id, is_tr, ws[i] AS w1, ws[i+1] AS w2, ws[i+2] AS w3
       |  FROM t, unnest([x for x in generate_series(1, len(ws)-2)]) u(i)),
@@ -392,11 +443,16 @@ object Curation {
       |  LEFT JOIN bgc b23 ON b23.w1 = dt.w2 AND b23.w2 = dt.w3
       |  LEFT JOIN uni u2 ON u2.w = dt.w2
       |  LEFT JOIN uni u3 ON u3.w = dt.w3
-      |  CROSS JOIN tot)
-      |SELECT tg.doc_id, count(*)::BIGINT AS n_trigrams,
-      |  round(avg(-ln(sc.s)), 6) AS lm_score
-      |FROM tg JOIN sc ON sc.w1 = tg.w1 AND sc.w2 = tg.w2 AND sc.w3 = tg.w3
-      |GROUP BY 1 ORDER BY 1""".stripMargin
+      |  CROSS JOIN tot),
+      |ds AS (SELECT tg.doc_id, count(*)::BIGINT AS n_trigrams,
+      |    round(avg(-ln(sc.s)), 6) AS lm_score
+      |  FROM tg JOIN sc ON sc.w1 = tg.w1 AND sc.w2 = tg.w2 AND sc.w3 = tg.w3
+      |  GROUP BY 1)""".stripMargin
+
+  /** DuckDB twin of [[lmScore]] with training split `source = 'src0'`. */
+  val LmScoreOracleSql: String =
+    s"""WITH $LmScoreCtes
+       |SELECT doc_id, n_trigrams, lm_score FROM ds ORDER BY 1""".stripMargin
 
   /** fastText-style hashed linear text classifier (Joulin et al. 2016,
     * "Bag of Tricks for Efficient Text Classification") applied at corpus

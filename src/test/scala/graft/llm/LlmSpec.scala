@@ -1007,6 +1007,28 @@ class LlmSpec extends SparkSpec {
     assert(degenerate.count() == 0)
   }
 
+  test("ccnet buckets: per-language thirds, ordered head <= middle <= tail") {
+    val out = Curation.ccnetBuckets(docs, col("source") === "src0")
+    val sizes = out.groupBy("lang", "bucket").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val langs = sizes.keys.map(_._1).toSet
+    assert(langs.nonEmpty)
+    for (l <- langs) {
+      val h = sizes.getOrElse((l, "head"), 0L)
+      val m = sizes.getOrElse((l, "middle"), 0L)
+      val t = sizes.getOrElse((l, "tail"), 0L)
+      val n = h + m + t
+      // quantile split: each bucket within 2 of n/3
+      assert(Seq(h, m, t).forall(b => math.abs(b - n / 3.0) <= 2.0),
+        s"$l: $h/$m/$t of $n")
+    }
+    // bucket ordering respects the score: max(head) <= min(tail) per lang
+    val agg = out.groupBy("lang").agg(
+      max(when(col("bucket") === "head", col("lm_score"))).as("maxh"),
+      min(when(col("bucket") === "tail", col("lm_score"))).as("mint"))
+    assert(agg.filter(col("maxh") > col("mint")).count() == 0)
+  }
+
   test("pagerank: hand-computed 2-node chain; mass conserved on host graph") {
     val s = spark
     import s.implicits._
