@@ -1331,6 +1331,15 @@ object LlmGates extends GateSet {
           .orderBy("vec_id"),
       Some(kmeansOracleSql)),
 
+    // --- prototypicality pruning (per-cluster easy-core drop) -------------
+    // Shares the kmeans CTE chain; the keep rule is integer
+    // cross-multiplication so no float boundary exists.
+    Gate("llm_proto_prune",
+      (spark: SparkSession, dir: String) =>
+        Similarity.protoPrune(Tables.embeddings(spark, dir))
+          .orderBy("vec_id"),
+      Some(protoPruneOracleSql)),
+
     // --- C4-style paragraph dedup with document reassembly ----------------
     // Fixture gives every doc 4 paragraphs: a global boilerplate (kept
     // only by the smallest doc_id), the first-15-words slice, a per-source
@@ -1731,7 +1740,11 @@ object LlmGates extends GateSet {
     * spacing as the IVF oracles, same cosine-argmax tie-break (cid asc),
     * same 6-dp mean rounding, same empty-cell carry.
     */
-  private lazy val kmeansOracleSql: String = {
+  /** The kmeans oracle's CTE chain, ending in `fin(vec_id, cluster, sim)`
+    * — shared by llm_kmeans and llm_proto_prune. Host query must start
+    * `WITH <kmeansCtes>`.
+    */
+  private lazy val kmeansCtes: String = {
     val dot = (a: String, b: String) =>
       s"list_sum([$a[i]*$b[i] for i in generate_series(1,64)])"
     val cos = (a: String, b: String) =>
@@ -1747,16 +1760,28 @@ object LlmGates extends GateSet {
         s"mv$n AS (SELECT cid, list(x ORDER BY i) AS mv FROM m$n GROUP BY 1),\n" +
         s"c$n AS (SELECT p.cid, coalesce(mv$n.mv, p.cv) AS cv\n" +
         s"  FROM $prev p LEFT JOIN mv$n USING (cid))"
-    "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),\n" +
+    "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),\n" +
       "cmod AS (SELECT GREATEST(23, CAST(floor(sqrt(count(*))) AS BIGINT)) AS m FROM e),\n" +
       "c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % (SELECT m FROM cmod) = 0),\n" +
-      lloydRound(1, "c0") + ",\n" + lloydRound(2, "c1") + "\n" +
-      s"SELECT vec_id, cluster, round(cs, 6) AS sim FROM (\n" +
+      lloydRound(1, "c0") + ",\n" + lloydRound(2, "c1") + ",\n" +
+      s"fin AS (SELECT vec_id, cluster, round(cs, 6) AS sim FROM (\n" +
       s"    SELECT e.vec_id, c.cid AS cluster, ${cos("e.v", "c.cv")} AS cs,\n" +
       s"      row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cos("e.v", "c.cv")} DESC, c.cid) AS rn\n" +
-      s"    FROM e CROSS JOIN c2 c) WHERE rn = 1\n" +
-      "ORDER BY vec_id"
+      s"    FROM e CROSS JOIN c2 c) WHERE rn = 1)"
   }
+
+  private lazy val kmeansOracleSql: String =
+    s"WITH $kmeansCtes\nSELECT vec_id, cluster, sim FROM fin ORDER BY vec_id"
+
+  private lazy val protoPruneOracleSql: String =
+    s"""WITH $kmeansCtes,
+       |rk AS (SELECT vec_id, cluster, sim,
+       |    row_number() OVER (PARTITION BY cluster ORDER BY sim DESC, vec_id)::BIGINT AS rank,
+       |    count(*) OVER (PARTITION BY cluster)::BIGINT AS csize
+       |  FROM fin)
+       |SELECT vec_id, cluster, sim, rank, csize,
+       |  rank * ${Similarity.ProtoPruneDen} > csize * ${Similarity.ProtoPruneNum} AS keep
+       |FROM rk ORDER BY vec_id""".stripMargin
 
   /** Paragraph-dedup fixture pieces (shared Spark/DuckDB): one global
     * boilerplate, one per-source boilerplate, two content paragraphs (the

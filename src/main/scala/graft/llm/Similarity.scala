@@ -286,6 +286,40 @@ object Similarity {
       round(col("__cs"), 6).as("sim"))
   }
 
+  /** Default prototypicality-prune fraction as a RATIONAL (1/5): the keep
+    * rule is integer cross-multiplication (`rank·den > csize·num`), so no
+    * float sits on a comparison boundary in either engine.
+    */
+  val ProtoPruneNum = 1
+  val ProtoPruneDen = 5
+
+  /** Prototypicality pruning (Sorscher et al. 2022, "Beyond neural scaling
+    * laws"): within each k-means cluster, rank examples by closeness to
+    * their centroid (cosine sim desc) and DROP the most prototypical
+    * `num/den` fraction — when data is abundant, the easy/redundant core
+    * of each cluster contributes least to the scaling curve, and pruning
+    * it beats random pruning. Keep = rank·den > csize·num.
+    *
+    * Scale shape: rides [[kmeansRefine]] (broadcast-assignment rounds),
+    * then one window partitioned by cluster — cluster sizes are ≈ N/√N =
+    * √N by construction of the seed grid, so no window partition degrades
+    * toward the un-partitioned case. Ties (sim, then vec_id) are total, so
+    * ranks are deterministic.
+    *
+    * Returns (vec_id, cluster, sim, rank, csize, keep).
+    */
+  def protoPrune(corpus: DataFrame, num: Int = ProtoPruneNum,
+      den: Int = ProtoPruneDen, iters: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val a = kmeansRefine(corpus, iters)
+    val w = Window.partitionBy("cluster")
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    a.withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("csize",
+        count(lit(1)).over(Window.partitionBy("cluster")).cast("long"))
+      .withColumn("keep", col("rank") * den > col("csize") * num)
+  }
+
   /** Approximate top-k via multi-table LSH: a candidate shares the query's
     * bucket in ANY of the T tables (union via the exploded (table, bucket)
     * join, deduped). Per-table bucket size ≈ N/2^P, so the candidate set is

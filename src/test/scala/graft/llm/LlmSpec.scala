@@ -1007,6 +1007,21 @@ class LlmSpec extends SparkSpec {
     assert(degenerate.count() == 0)
   }
 
+  test("proto prune: drops exactly floor(csize/5) per cluster, the closest") {
+    val out = Similarity.protoPrune(emb)
+    assert(out.count() == emb.count())
+    // per cluster: dropped count = floor(csize/5), and every dropped row
+    // has sim >= every kept row's sim
+    val bad = out.groupBy("cluster").agg(
+      sum(when(!col("keep"), 1L).otherwise(0L)).as("dropped"),
+      first(col("csize")).as("cs"),
+      min(when(!col("keep"), col("sim"))).as("minDropped"),
+      max(when(col("keep"), col("sim"))).as("maxKept"))
+      .filter(col("dropped") =!= floor(col("cs") / 5) ||
+        (col("minDropped").isNotNull && col("minDropped") < col("maxKept") - 1e-9))
+    assert(bad.count() == 0)
+  }
+
   test("ccnet buckets: per-language thirds, ordered head <= middle <= tail") {
     val out = Curation.ccnetBuckets(docs, col("source") === "src0")
     val sizes = out.groupBy("lang", "bucket").count().collect()
