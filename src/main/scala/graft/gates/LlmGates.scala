@@ -1376,6 +1376,16 @@ object LlmGates extends GateSet {
           .orderBy("doc_id"),
       Some(Curation.LmScoreOracleSql)),
 
+    // --- JSONL corpus interchange roundtrip --------------------------------
+    // Export + re-parse must reproduce the source rows exactly — the
+    // oracle is the original table, so any escaping or extraction
+    // infidelity in the JSON codec hash-mismatches.
+    Gate("llm_jsonl_roundtrip",
+      (spark: SparkSession, dir: String) =>
+        Curation.jsonlRoundtrip(docs(spark, dir)).orderBy("doc_id"),
+      Some("""SELECT doc_id, lang, n_chars, source, text
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // --- CCNet perplexity buckets (head/middle/tail per language) ---------
     Gate("llm_ccnet_buckets",
       (spark: SparkSession, dir: String) =>

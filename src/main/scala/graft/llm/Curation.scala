@@ -648,6 +648,42 @@ object Curation {
        |SELECT doc_id, rank::BIGINT AS rank, term, tfidf
        |FROM rk WHERE rank <= $k ORDER BY doc_id, rank""".stripMargin
 
+  // --- corpus interchange (JSONL) ------------------------------------------
+
+  /** Export a corpus as JSON-lines (the de-facto LLM-corpus interchange
+    * format — one self-describing JSON object per document): (doc_id,
+    * line). Fields serialize in sorted-name order so the byte output is
+    * schema-order independent. Narrow codegen'd pass, no shuffle; at
+    * 100 TB this is `df.write.text` fronted by exactly this projection.
+    */
+  def toJsonl(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      to_json(struct(docs.columns.sorted.map(col).toIndexedSeq: _*)).as("line"))
+
+  /** Parse JSON-lines back into typed columns. `schema` drives the typed
+    * extraction (a permissive parse: missing fields null, as a crawl
+    * ingest must tolerate). Narrow pass; the Jackson parse is the cost.
+    */
+  def fromJsonl(lines: DataFrame,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    lines.select(from_json(col("line"), schema).as("d")).select(col("d.*"))
+
+  /** JSONL roundtrip certification: export then re-parse, returning the
+    * parsed fields — equal to the source table iff the writer's escaping
+    * and the parser's extraction are both faithful (the gate's oracle is
+    * simply the original rows).
+    */
+  def jsonlRoundtrip(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType),
+      StructField("n_chars", LongType), StructField("source", StringType),
+      StructField("text", StringType)))
+    fromJsonl(toJsonl(docs).select(col("line")), schema)
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("source"),
+        col("text"))
+  }
+
   // --- C4-style heuristic filters ------------------------------------------
 
   /** C4/RefinedWeb-family heuristic quality flags (Raffel et al. 2020 §2.2

@@ -1007,6 +1007,23 @@ class LlmSpec extends SparkSpec {
     assert(degenerate.count() == 0)
   }
 
+  test("jsonl roundtrip survives quotes, newlines, unicode, and nulls") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.types._
+    val nasty = Seq(
+      (1L, "he said \"hi\"\nand left\t\\end", "en"),
+      (2L, "unicode: é中文 😀 ctrl:", "zh"),
+      (3L, null.asInstanceOf[String], "en"))
+      .toDF("doc_id", "text", "lang")
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("lang", StringType), StructField("text", StringType)))
+    val back = Curation.fromJsonl(
+      Curation.toJsonl(nasty).select(col("line")), schema)
+      .select("doc_id", "text", "lang")
+    assert(back.except(nasty).count() == 0 && nasty.except(back).count() == 0)
+  }
+
   test("proto prune: drops exactly floor(csize/5) per cluster, the closest") {
     val out = Similarity.protoPrune(emb)
     assert(out.count() == emb.count())
