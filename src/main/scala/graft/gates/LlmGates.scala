@@ -1376,6 +1376,12 @@ object LlmGates extends GateSet {
           .orderBy("doc_id"),
       Some(Curation.LmScoreOracleSql)),
 
+    // --- temperature-scaled language mixture (alpha sampling) -------------
+    Gate("llm_temperature_mix",
+      (spark: SparkSession, dir: String) =>
+        Curation.temperatureMix(docs(spark, dir)).orderBy("lang"),
+      Some(Curation.temperatureMixOracleSql())),
+
     // --- JSONL corpus interchange roundtrip --------------------------------
     // Export + re-parse must reproduce the source rows exactly — the
     // oracle is the original table, so any escaping or extraction

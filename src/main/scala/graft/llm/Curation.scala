@@ -648,6 +648,55 @@ object Curation {
        |SELECT doc_id, rank::BIGINT AS rank, term, tfidf
        |FROM rk WHERE rank <= $k ORDER BY doc_id, rank""".stripMargin
 
+  /** Temperature-scaled language-mixture weights (the multilingual
+    * rebalance of XLM-R, Conneau et al. 2020 §3.1: sample languages
+    * ∝ p_l^α with α < 1 to lift low-resource languages): from the
+    * corpus's own per-language token mass, compute the natural share
+    * p_raw, the α-smoothed target share p_alpha, and the per-language
+    * keep fraction (upsampling ratio normalized so the most-boosted
+    * language keeps 100% — never past one epoch). This PRODUCES the
+    * rates table [[domainMix]] consumes.
+    *
+    * Scale shape: one map-side-combined aggregate to |langs| rows, then
+    * scalar math over that tiny table (the un-partitioned windows run
+    * over ≤|langs| rows — the sanctioned tiny-aggregate pattern). All
+    * doubles round to 6 dp; `pow` drift between libms sits ~10 orders
+    * below the rounding grid.
+    */
+  def temperatureMix(docs: DataFrame, alpha: Double = 0.3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val all = Window.partitionBy()
+    val t = docs
+      .select(col("lang"),
+        size(TextOps.tokens(col("text"))).cast("long").as("nt"))
+      .groupBy("lang").agg(sum(col("nt")).as("n_tokens"))
+    t.withColumn("p_raw", col("n_tokens").cast("double")
+        / sum(col("n_tokens")).over(all))
+      .withColumn("w", pow(col("p_raw"), lit(alpha)))
+      .withColumn("p_alpha", col("w") / sum(col("w")).over(all))
+      .withColumn("ratio", col("p_alpha") / col("p_raw"))
+      .select(col("lang"), col("n_tokens"),
+        round(col("p_raw"), 6).as("p_raw"),
+        round(col("p_alpha"), 6).as("p_alpha"),
+        round(col("ratio") / max(col("ratio")).over(all), 6)
+          .as("sample_frac"))
+  }
+
+  /** DuckDB twin of [[temperatureMix]]. */
+  def temperatureMixOracleSql(alpha: Double = 0.3): String =
+    s"""WITH t AS (SELECT lang,
+       |    sum(len(string_split(lower(text), ' ')))::BIGINT AS n_tokens
+       |  FROM documents GROUP BY 1),
+       |s AS (SELECT lang, n_tokens,
+       |    n_tokens::DOUBLE / (SELECT sum(n_tokens) FROM t) AS p_raw FROM t),
+       |w AS (SELECT *, pow(p_raw, $alpha) AS w FROM s),
+       |z AS (SELECT *, w / (SELECT sum(w) FROM w) AS p_alpha FROM w),
+       |r AS (SELECT *, p_alpha / p_raw AS ratio FROM z)
+       |SELECT lang, n_tokens, round(p_raw, 6) AS p_raw,
+       |  round(p_alpha, 6) AS p_alpha,
+       |  round(ratio / (SELECT max(ratio) FROM r), 6) AS sample_frac
+       |FROM r ORDER BY lang""".stripMargin
+
   // --- corpus interchange (JSONL) ------------------------------------------
 
   /** Export a corpus as JSON-lines (the de-facto LLM-corpus interchange

@@ -1007,6 +1007,21 @@ class LlmSpec extends SparkSpec {
     assert(degenerate.count() == 0)
   }
 
+  test("temperature mix lifts low-resource langs; fractions in (0, 1]") {
+    val out = Curation.temperatureMix(docs).collect()
+      .map(r => (r.getString(0), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    // alpha < 1 compresses shares: biggest lang loses mass, smallest gains
+    val big = out.maxBy(_._2); val small = out.minBy(_._2)
+    assert(big._3 <= big._2 + 1e-9, s"$big")
+    assert(small._3 >= small._2 - 1e-9, s"$small")
+    assert(out.forall(r => r._4 > 0 && r._4 <= 1.0))
+    // the smallest lang is the most boosted -> keeps everything
+    assert(math.abs(small._4 - 1.0) < 1e-9)
+    // shares each sum to 1
+    assert(math.abs(out.map(_._2).sum - 1.0) < 1e-4)
+    assert(math.abs(out.map(_._3).sum - 1.0) < 1e-4)
+  }
+
   test("jsonl roundtrip survives quotes, newlines, unicode, and nulls") {
     val s = spark
     import s.implicits._
