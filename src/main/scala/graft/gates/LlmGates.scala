@@ -342,6 +342,17 @@ object LlmGates extends GateSet {
           .orderBy("i", "j"),
       Some(ngramJaccardOracleSql)),
 
+    // --- edit-similarity near-dup verification (code-dedup metric) --------
+    // Threshold 0.4: the corpus has no exact near-dup prose pairs, so a
+    // high cut would gate an empty set; 0.4 keeps genuinely split rows
+    // (shared-template docs) while still exercising the filter.
+    Gate("llm_edit_similarity",
+      (spark: SparkSession, dir: String) =>
+        Dedup.editSimilarityPairs(docs(spark, dir), threshold = 0.4)
+          .orderBy("i", "j"),
+      Some("WITH " + shViews + ",\n" +
+        Dedup.editSimilarityOracleSql(threshold = 0.4))),
+
     // --- winnowing document fingerprints (MOSS scheme): k-gram hashes →
     // min per w-window → distinct; the rolling-hash serial recurrence is
     // re-expressed as direct k-gram hashing (same output set) -------------

@@ -448,6 +448,63 @@ object Dedup {
         expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(0L)).as("simhash"))
   }
 
+  // --- edit-similarity near-dup verification --------------------------------
+
+  /** Edit-similarity near-dup pairs (the verification metric code-dataset
+    * dedup uses — Chen et al. 2021 HumanEval decontamination; insertion/
+    * deletion-sensitive where Jaccard is bag-of-shingles-blind): candidate
+    * pairs share ≥1 non-viral shingle (the [[ngramJaccardPairs]] capped
+    * equi-join — never all-pairs), verified by Levenshtein over the
+    * lowercased `prefix`-char head. edit_sim = 1 − dist/max(len); prefix
+    * bounds the O(len²) DP per pair, the standard production cap.
+    *
+    * Engine parity: Spark's levenshtein counts code points, DuckDB's
+    * counts bytes — identical on ASCII (asserted for the testdata; the
+    * operator itself is code-point-correct).
+    *
+    * Returns (i, j, dist, edit_sim) for pairs at or above `threshold`.
+    */
+  def editSimilarityPairs(docs: DataFrame, threshold: Double = 0.8,
+      prefix: Int = 256): DataFrame = {
+    val sh = docShingles(docs)
+    val rare = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= MaxShingleDf).select(col("s"))
+    val shc = sh.join(rare, "s")
+    val cand = shc.as("a").join(shc.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j")).distinct()
+    val t = docs.select(col("doc_id"),
+      substring(lower(col("text")), 1, prefix).as("t"))
+    cand
+      .join(t.select(col("doc_id").as("i"), col("t").as("ti")), "i")
+      .join(t.select(col("doc_id").as("j"), col("t").as("tj")), "j")
+      .withColumn("dist", levenshtein(col("ti"), col("tj")).cast("long"))
+      .withColumn("edit_sim", round(lit(1.0) - col("dist").cast("double")
+        / greatest(length(col("ti")), length(col("tj"))), 6))
+      .filter(col("edit_sim") >= threshold)
+      .select(col("i"), col("j"), col("dist"), col("edit_sim"))
+  }
+
+  /** DuckDB twin of [[editSimilarityPairs]]. Host query must start
+    * `WITH <shViews>` (for `sh`).
+    */
+  def editSimilarityOracleSql(threshold: Double = 0.8,
+      prefix: Int = 256): String =
+    s"""rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= $MaxShingleDf),
+       |shc AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)),
+       |cand AS (
+       |  SELECT DISTINCT sa.doc_id AS i, sb.doc_id AS j
+       |  FROM shc sa JOIN shc sb ON sa.s = sb.s AND sa.doc_id < sb.doc_id),
+       |tx AS (SELECT doc_id, substr(lower(text), 1, $prefix) AS t
+       |  FROM documents),
+       |ed AS (SELECT c.i, c.j,
+       |    levenshtein(a.t, b.t)::BIGINT AS dist,
+       |    round(1.0 - levenshtein(a.t, b.t)::DOUBLE /
+       |      greatest(length(a.t), length(b.t)), 6) AS edit_sim
+       |  FROM cand c JOIN tx a ON a.doc_id = c.i JOIN tx b ON b.doc_id = c.j)
+       |SELECT i, j, dist, edit_sim FROM ed
+       |WHERE edit_sim >= $threshold ORDER BY i, j""".stripMargin
+
   // --- Bloom-filter cross-snapshot dedup -----------------------------------
 
   /** Bloom parameters for the snapshot dedup: k seeded hash functions over

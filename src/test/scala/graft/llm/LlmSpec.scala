@@ -1007,6 +1007,21 @@ class LlmSpec extends SparkSpec {
     assert(degenerate.count() == 0)
   }
 
+  test("edit similarity: planted one-word edit scores high, unrelated low") {
+    val s = spark
+    import s.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and runs far away today " * 3
+    val corpus = Seq(
+      (1L, base),
+      (2L, base.replace("quick", "rapid")), // one-word edit of 1
+      (3L, "completely different content with no overlap whatsoever at all " * 4))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.editSimilarityPairs(corpus, threshold = 0.8).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+    val sim = pairs.head.getDouble(3)
+    assert(sim > 0.9 && sim < 1.0, s"sim $sim")
+  }
+
   test("temperature mix lifts low-resource langs; fractions in (0, 1]") {
     val out = Curation.temperatureMix(docs).collect()
       .map(r => (r.getString(0), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
