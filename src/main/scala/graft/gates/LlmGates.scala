@@ -1387,6 +1387,16 @@ object LlmGates extends GateSet {
           .orderBy("doc_id"),
       Some(Curation.LmScoreOracleSql)),
 
+    // --- Count-Min sketch token frequency ----------------------------------
+    // Query set spans heavy hitters (join/hash/scan), mid/rare corpus
+    // terms, and an absent token; the oracle recomputes every cell as the
+    // exact-count sum of colliding tokens, so est (collisions included)
+    // and the >= 0 overcount are certified cell-for-cell.
+    Gate("llm_count_min",
+      (spark: SparkSession, dir: String) =>
+        TextOps.cmReport(docs(spark, dir), CmQueryTerms).orderBy("term"),
+      Some(TextOps.cmReportOracleSql(CmQueryTerms))),
+
     // --- temperature-scaled language mixture (alpha sampling) -------------
     Gate("llm_temperature_mix",
       (spark: SparkSession, dir: String) =>
@@ -1599,6 +1609,8 @@ object LlmGates extends GateSet {
   private[gates] val BlockTerms: Seq[String] = Seq("dup", "slow", "xyzzy")
   private val AcPatterns: Seq[String] =
     Seq("hash join", "slo", "slow", "dup", "zzz")
+  private val CmQueryTerms: Seq[String] =
+    Seq("join", "hash", "scan", "customer", "dup", "slow", "xyzzy")
 
   /** Unicode probe for llm_unicode_norm, as CODEPOINTS (never `\ u`
     * source literals — the Scala lexer processes those anywhere): space,

@@ -449,4 +449,99 @@ object TextOps {
        |  array_to_string(ws[start_tok:end_tok], ' ') AS chunk_text
        |FROM c ORDER BY doc_id, chunk_id""".stripMargin
   }
+
+  // --- Count-Min sketch token frequency ------------------------------------
+
+  /** Count-Min geometry (Cormode & Muthukrishnan 2005): d seeded rows ×
+    * w columns. Estimate error ≤ 2N/w with prob ≥ 1 − (1/2)^d; this
+    * fixture-sized sketch is 4×16384 cells = 512 KB.
+    */
+  val CmDepth = 4
+  val CmWidth = 1 << 14
+
+  /** Row-r cell of a token: shared md5-derived hash of "cm<r>:<token>"
+    * mod the width — non-negative, so DuckDB's `%` mirrors `pmod`.
+    */
+  def cmPosition(term: Column, r: Int): Column =
+    pmod(mdhash64(concat(lit(s"cm$r:"), term)), lit(CmWidth.toLong))
+
+  /** Build the sketch over the corpus token stream: one distributed pass —
+    * each partition increments a local d×w long array (one cell per row
+    * per token occurrence), arrays element-wise-add up a tree. Addition is
+    * commutative, so the sketch is partition-layout invariant; memory is
+    * O(d·w) everywhere regardless of corpus size. This is how a 100 TB
+    * pipeline estimates token/n-gram frequencies (viral-shingle caps,
+    * stop-lists, heavy hitters) WITHOUT the full-vocabulary groupBy
+    * shuffle the exact count pays.
+    */
+  def cmBuild(docs: DataFrame, text: Column = col("text")): Array[Long] = {
+    import org.apache.spark.sql.Encoders
+    docs.select(explode(tokens(text)).as("t"))
+      .select(explode(array((0 until CmDepth).map(r =>
+        cmPosition(col("t"), r) + lit(r.toLong * CmWidth)): _*)).as("p"))
+      .as[Long](Encoders.scalaLong)
+      .rdd
+      .treeAggregate(new Array[Long](CmDepth * CmWidth))(
+        (b, p) => { b(p.toInt) += 1; b },
+        (a, b) => {
+          var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a
+        })
+  }
+
+  /** Point-query the sketch: est(term) = min over the d rows' cells —
+    * d codegen'd [[graft.functions.LongArrayGet]] reads, no join, never
+    * an underestimate. Adds `est` to `terms` (must carry a `term` col).
+    */
+  def cmEstimate(terms: DataFrame, cms: Array[Long]): DataFrame =
+    terms.withColumn("est", (0 until CmDepth).map(r =>
+      graft.functions.LongArrayGet(
+        cmPosition(col("term"), r) + lit(r.toLong * CmWidth), cms))
+      .reduce(least(_, _)))
+
+  /** Gate shape: sketch-estimate vs exact count for a fixed query-term
+    * set. `overcount = est − true_count ≥ 0` is the CMS guarantee the
+    * oracle certifies cell-for-cell. The exact count here only covers the
+    * handful of query terms (the sketch exists so the FULL vocabulary
+    * never needs that groupBy).
+    */
+  def cmReport(docs: DataFrame, queryTerms: Seq[String]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val cms = cmBuild(docs)
+    val tc = docs.select(explode(tokens(col("text"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("true_count"))
+    cmEstimate(queryTerms.toDF("term"), cms)
+      .join(tc, Seq("term"), "left")
+      .select(col("term"), coalesce(col("true_count"), lit(0L)).as("true_count"),
+        col("est"), (col("est") - coalesce(col("true_count"), lit(0L)))
+          .as("overcount"))
+  }
+
+  /** DuckDB twin of [[cmReport]]: cell values recomputed as the sum of
+    * exact counts of all tokens hashing to the cell — identical to the
+    * incremented array, collisions (and thus overcounts) included.
+    */
+  def cmReportOracleSql(queryTerms: Seq[String]): String = {
+    val qlist = queryTerms.map(t => "'" + t.replace("'", "''") + "'")
+      .mkString("[", ", ", "]")
+    s"""WITH toks AS (SELECT unnest(string_split(lower(text), ' ')) AS w
+       |    FROM documents),
+       |tc AS (SELECT w, count(*)::BIGINT AS c FROM toks GROUP BY 1),
+       |cells AS (SELECT g.r,
+       |    ('0x'||substr(md5('cm'||g.r||':'||w),1,15))::BIGINT % $CmWidth AS p,
+       |    sum(c)::BIGINT AS v
+       |  FROM tc CROSS JOIN generate_series(0, ${CmDepth - 1}) g(r)
+       |  GROUP BY 1, 2),
+       |q AS (SELECT unnest($qlist) AS term),
+       |qp AS (SELECT term, g.r,
+       |    ('0x'||substr(md5('cm'||g.r||':'||term),1,15))::BIGINT % $CmWidth AS p
+       |  FROM q CROSS JOIN generate_series(0, ${CmDepth - 1}) g(r)),
+       |est AS (SELECT term, min(coalesce(cells.v, 0))::BIGINT AS est
+       |  FROM qp LEFT JOIN cells ON cells.r = qp.r AND cells.p = qp.p
+       |  GROUP BY 1)
+       |SELECT q.term, coalesce(tc.c, 0)::BIGINT AS true_count, est.est,
+       |  (est.est - coalesce(tc.c, 0))::BIGINT AS overcount
+       |FROM q JOIN est USING (term) LEFT JOIN tc ON tc.w = q.term
+       |ORDER BY term""".stripMargin
+  }
 }
