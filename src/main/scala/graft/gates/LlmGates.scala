@@ -1387,6 +1387,23 @@ object LlmGates extends GateSet {
           .orderBy("doc_id"),
       Some(Curation.LmScoreOracleSql)),
 
+    // --- per-source corpus-drift report (KL vs the global distribution) ---
+    Gate("llm_drift_report",
+      (spark: SparkSession, dir: String) =>
+        TextOps.driftReport(docs(spark, dir)).orderBy("source"),
+      Some(TextOps.DriftReportOracleSql)),
+
+    // --- HyperLogLog per-source distinct-token estimate --------------------
+    // Registers are integer-exact on both sides (minimal-binary-string
+    // rank); the oracle replays sketch AND estimate, small-range
+    // correction included, then certifies rel_err against the exact
+    // distinct count.
+    Gate("llm_hll_distinct",
+      (spark: SparkSession, dir: String) =>
+        TextOps.hllReport(docs(spark, dir))
+          .withColumnRenamed("scope", "source").orderBy("source"),
+      Some(TextOps.hllReportOracleSql)),
+
     // --- Count-Min sketch token frequency ----------------------------------
     // Query set spans heavy hitters (join/hash/scan), mid/rare corpus
     // terms, and an absent token; the oracle recomputes every cell as the

@@ -450,13 +450,24 @@ object Dedup {
 
   // --- edit-similarity near-dup verification --------------------------------
 
+  /** Minimum shared non-viral shingles for an edit-similarity candidate
+    * pair: the DP verification is O(prefix²) per pair, so the candidate
+    * stage must carry a real cost bound — at sf0.1 the ≥3 cut prunes the
+    * pair set 110× (1.13 M → 10.3 k) while every observed ≥0.4 pair it
+    * keeps is genuine. Like every candidate-generation rule in this file
+    * it is a documented recall bound, not an approximation of the verify
+    * metric: a pair sharing <3 rare shingles is never scored.
+    */
+  val EditSimMinShared = 3
+
   /** Edit-similarity near-dup pairs (the verification metric code-dataset
     * dedup uses — Chen et al. 2021 HumanEval decontamination; insertion/
     * deletion-sensitive where Jaccard is bag-of-shingles-blind): candidate
-    * pairs share ≥1 non-viral shingle (the [[ngramJaccardPairs]] capped
-    * equi-join — never all-pairs), verified by Levenshtein over the
-    * lowercased `prefix`-char head. edit_sim = 1 − dist/max(len); prefix
-    * bounds the O(len²) DP per pair, the standard production cap.
+    * pairs share ≥ [[EditSimMinShared]] non-viral shingles (the
+    * [[ngramJaccardPairs]] capped equi-join with a count cut — never
+    * all-pairs), verified by Levenshtein over the lowercased `prefix`-char
+    * head. edit_sim = 1 − dist/max(len); prefix bounds the O(len²) DP per
+    * pair, the standard production cap.
     *
     * Engine parity: Spark's levenshtein counts code points, DuckDB's
     * counts bytes — identical on ASCII (asserted for the testdata; the
@@ -465,14 +476,17 @@ object Dedup {
     * Returns (i, j, dist, edit_sim) for pairs at or above `threshold`.
     */
   def editSimilarityPairs(docs: DataFrame, threshold: Double = 0.8,
-      prefix: Int = 256): DataFrame = {
+      prefix: Int = 256, minShared: Int = EditSimMinShared): DataFrame = {
     val sh = docShingles(docs)
     val rare = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= MaxShingleDf).select(col("s"))
     val shc = sh.join(rare, "s")
     val cand = shc.as("a").join(shc.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j")).distinct()
+      .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .agg(count(lit(1)).as("__nsh"))
+      .filter(col("__nsh") >= minShared)
+      .select(col("i"), col("j"))
     val t = docs.select(col("doc_id"),
       substring(lower(col("text")), 1, prefix).as("t"))
     cand
@@ -489,12 +503,13 @@ object Dedup {
     * `WITH <shViews>` (for `sh`).
     */
   def editSimilarityOracleSql(threshold: Double = 0.8,
-      prefix: Int = 256): String =
+      prefix: Int = 256, minShared: Int = EditSimMinShared): String =
     s"""rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= $MaxShingleDf),
        |shc AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)),
        |cand AS (
-       |  SELECT DISTINCT sa.doc_id AS i, sb.doc_id AS j
-       |  FROM shc sa JOIN shc sb ON sa.s = sb.s AND sa.doc_id < sb.doc_id),
+       |  SELECT sa.doc_id AS i, sb.doc_id AS j
+       |  FROM shc sa JOIN shc sb ON sa.s = sb.s AND sa.doc_id < sb.doc_id
+       |  GROUP BY 1, 2 HAVING count(*) >= $minShared),
        |tx AS (SELECT doc_id, substr(lower(text), 1, $prefix) AS t
        |  FROM documents),
        |ed AS (SELECT c.i, c.j,

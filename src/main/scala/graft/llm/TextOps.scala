@@ -450,6 +450,138 @@ object TextOps {
        |FROM c ORDER BY doc_id, chunk_id""".stripMargin
   }
 
+  // --- corpus drift (per-source KL divergence) -------------------------------
+
+  /** Distribution-drift report: KL(p_source ‖ p_corpus) of each source's
+    * token distribution against the whole corpus — the monitoring signal a
+    * continuous crawl watches to catch a source going off-profile (spam
+    * flood, template change, language flip) BEFORE quality filters see it.
+    * q is the global distribution, which dominates every source (a
+    * source's tokens are a subset of the corpus's), so no smoothing is
+    * needed and KL is finite and ≥ 0 by construction.
+    *
+    * Scale shape: two keyed map-side-combined aggregates (source×token,
+    * token) plus one broadcast scalar — the (source, token) table is the
+    * only shuffle that grows with the vocabulary. Returns (source,
+    * n_tokens, n_distinct, kl), kl rounded 6 dp.
+    */
+  def driftReport(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("source"), explode(tokens(col("text"))).as("t"))
+    val sc = tok.groupBy(col("source"), col("t")).agg(count(lit(1)).as("c"))
+    val st = sc.groupBy(col("source")).agg(
+      sum(col("c")).as("n"), count(lit(1)).as("n_distinct"))
+    val gc = sc.groupBy(col("t")).agg(sum(col("c")).as("gc"))
+    val gt = gc.agg(sum(col("gc")).as("gtot"))
+    sc.join(broadcast(st), "source")
+      .join(gc, "t")
+      .crossJoin(broadcast(gt))
+      .withColumn("p", col("c").cast("double") / col("n"))
+      .withColumn("q", col("gc").cast("double") / col("gtot"))
+      .groupBy(col("source"))
+      .agg(first(col("n")).as("n_tokens"),
+        first(col("n_distinct")).as("n_distinct"),
+        round(sum(col("p") * log(col("p") / col("q"))), 6).as("kl"))
+  }
+
+  /** DuckDB twin of [[driftReport]]. */
+  val DriftReportOracleSql: String =
+    """WITH tok AS (SELECT source, unnest(string_split(lower(text), ' ')) AS t
+      |    FROM documents),
+      |sc AS (SELECT source, t, count(*) AS c FROM tok GROUP BY 1, 2),
+      |st AS (SELECT source, sum(c) AS n, count(*)::BIGINT AS n_distinct
+      |  FROM sc GROUP BY 1),
+      |gc AS (SELECT t, sum(c) AS gc FROM sc GROUP BY 1),
+      |gt AS (SELECT sum(gc) AS gtot FROM gc)
+      |SELECT sc.source, st.n::BIGINT AS n_tokens, st.n_distinct,
+      |  round(sum((sc.c::DOUBLE / st.n) *
+      |    ln((sc.c::DOUBLE / st.n) / (gc.gc::DOUBLE / gt.gtot))), 6) AS kl
+      |FROM sc JOIN st USING (source) JOIN gc USING (t) CROSS JOIN gt
+      |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin
+
+  // --- HyperLogLog distinct counting ----------------------------------------
+
+  /** HLL geometry (Flajolet et al. 2007): 2^p registers over the shared
+    * 60-bit md5 hash — top p bits pick the register, the remaining
+    * 50 bits' leading-zero run (+1) is the rank. Standard error
+    * ≈ 1.04/√m ≈ 3.3% at p=10.
+    */
+  val HllP = 10
+  val HllM = 1 << HllP
+  private val HllWBits = 60 - HllP
+  private val HllWMask = (1L << HllWBits) - 1
+
+  /** Per-`scope` HLL distinct estimate vs the exact count: (scope,
+    * n_distinct, est, rel_err). The registers build as ONE map-side-
+    * combined groupBy to scope×m rows (max is idempotent — no pre-distinct
+    * pass needed); the estimate is scalar math over that tiny table, with
+    * the standard small-range correction (linear counting below 2.5m).
+    * This is how a 100 TB pipeline sizes vocabularies / cardinalities per
+    * slice without a full-vocabulary distinct shuffle; the exact count
+    * here exists only to certify the estimate in the gate.
+    *
+    * Engine parity: rank uses `length(bin(w))` — Spark and DuckDB both
+    * render minimal binary strings — so registers are integer-exact; the
+    * harmonic sum is composed of exact powers of two and rounds at 6 dp.
+    */
+  def hllReport(docs: DataFrame, scope: Column = col("source")): DataFrame = {
+    val tok = docs.select(scope.as("scope"), explode(tokens(col("text"))).as("t"))
+    val h = tok.withColumn("h", mdhash64(col("t")))
+    val rr = h.select(col("scope"), col("t"),
+      shiftright(col("h"), HllWBits).as("idx"),
+      col("h").bitwiseAND(lit(HllWMask)).as("w"))
+      .withColumn("rank", when(col("w") === 0, lit(HllWBits + 1))
+        .otherwise(lit(HllWBits + 1) - length(bin(col("w")))))
+    val regs = rr.groupBy(col("scope"), col("idx"))
+      .agg(max(col("rank")).as("r"))
+    val alpha = 0.7213 / (1.0 + 1.079 / HllM)
+    val est = regs.groupBy(col("scope")).agg(
+      sum(pow(lit(2.0), -col("r"))).as("zp"),
+      count(lit(1)).as("npres"))
+      .withColumn("v", lit(HllM.toLong) - col("npres"))
+      .withColumn("e_raw", lit(alpha * HllM.toDouble * HllM) /
+        (col("zp") + col("v").cast("double")))
+      .withColumn("est", round(
+        when(col("e_raw") <= 2.5 * HllM && col("v") > 0,
+          lit(HllM.toDouble) * log(lit(HllM.toDouble) / col("v")))
+          .otherwise(col("e_raw")), 6))
+    val exact = tok.groupBy(col("scope"))
+      .agg(countDistinct(col("t")).as("n_distinct"))
+    exact.join(est.select(col("scope"), col("est")), "scope")
+      .select(col("scope"), col("n_distinct"), col("est"),
+        round(abs(col("est") - col("n_distinct")) / col("n_distinct"), 6)
+          .as("rel_err"))
+  }
+
+  /** DuckDB twin of [[hllReport]] over `source`. */
+  def hllReportOracleSql: String = {
+    val alpha = 0.7213 / (1.0 + 1.079 / HllM)
+    s"""WITH tok AS (SELECT source AS scope,
+       |    unnest(string_split(lower(text), ' ')) AS t FROM documents),
+       |h AS (SELECT scope, t,
+       |    ('0x'||substr(md5(t),1,15))::BIGINT AS h FROM tok),
+       |rr AS (SELECT scope, h // ${1L << HllWBits} AS idx,
+       |    CASE WHEN (h % ${1L << HllWBits}) = 0 THEN ${HllWBits + 1}
+       |         ELSE ${HllWBits + 1} - length(bin(h % ${1L << HllWBits}))
+       |    END AS rank
+       |  FROM h),
+       |regs AS (SELECT scope, idx, max(rank) AS r FROM rr GROUP BY 1, 2),
+       |z AS (SELECT scope, sum(pow(2.0, -r)) AS zp, count(*) AS npres
+       |  FROM regs GROUP BY 1),
+       |e AS (SELECT scope, ($HllM - npres) AS v,
+       |    ${alpha * HllM.toDouble * HllM} / (zp + ($HllM - npres)) AS e_raw
+       |  FROM z),
+       |est AS (SELECT scope,
+       |    round(CASE WHEN e_raw <= ${2.5 * HllM} AND v > 0
+       |          THEN ${HllM.toDouble} * ln(${HllM.toDouble} / v)
+       |          ELSE e_raw END, 6) AS est
+       |  FROM e),
+       |exact AS (SELECT scope, count(DISTINCT t)::BIGINT AS n_distinct
+       |  FROM tok GROUP BY 1)
+       |SELECT exact.scope AS source, n_distinct, est,
+       |  round(abs(est - n_distinct) / n_distinct, 6) AS rel_err
+       |FROM exact JOIN est USING (scope) ORDER BY scope""".stripMargin
+  }
+
   // --- Count-Min sketch token frequency ------------------------------------
 
   /** Count-Min geometry (Cormode & Muthukrishnan 2005): d seeded rows ×

@@ -1007,6 +1007,33 @@ class LlmSpec extends SparkSpec {
     assert(degenerate.count() == 0)
   }
 
+  test("drift report: KL >= 0 everywhere; planted off-profile source spikes") {
+    val base = TextOps.driftReport(docs).collect()
+    assert(base.nonEmpty && base.forall(_.getDouble(3) >= 0.0))
+    // plant a source whose distribution is wildly off-profile
+    val s = spark
+    import s.implicits._
+    val spam = (1 to 20).map(i =>
+      (100000L + i, "buy pills casino buy pills casino buy " * 10, "en", "spamsrc", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val drifted = TextOps.driftReport(docs.unionByName(spam)).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    val others = drifted.filter(_._1 != "spamsrc").values
+    assert(drifted("spamsrc") > 4 * others.max,
+      s"spam ${drifted("spamsrc")} vs max ${others.max}")
+  }
+
+  test("hll: estimates within 5x standard error; layout-invariant") {
+    val rep = TextOps.hllReport(docs).collect()
+    assert(rep.nonEmpty)
+    // 1.04/sqrt(1024) ~ 3.25% standard error; allow 5 sigma
+    assert(rep.forall(_.getDouble(3) < 5 * 1.04 / math.sqrt(TextOps.HllM)),
+      rep.map(r => s"${r.getString(0)}:${r.getDouble(3)}").mkString(","))
+    val a = TextOps.hllReport(docs)
+    val b = TextOps.hllReport(docs.repartition(7, col("doc_id")))
+    assert(a.except(b).count() == 0 && b.except(a).count() == 0)
+  }
+
   test("count-min: never underestimates; exact on planted counts; invariant") {
     val terms = Seq("join", "hash", "xyzzy", "customer")
     val rep = TextOps.cmReport(docs, terms).collect()
