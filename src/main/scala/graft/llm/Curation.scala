@@ -382,6 +382,12 @@ object Curation {
     * scored stream on both sides.
     */
   def ccnetBuckets(docs: DataFrame, isTrain: Column): DataFrame = {
+    // dl is consumed twice (quantile aggregate + bucket join) and relies
+    // on exchange reuse to evaluate the lmScore chain once. Deliberately
+    // NOT Materialize'd: unlike shardAssign there is no sampling
+    // nondeterminism — a reuse miss re-computes the identical result, a
+    // perf-only risk — and the A/B at sf1 showed localCheckpoint costing
+    // more than reuse saves (24.6-55 s vs 16.4-26.5 s).
     val dl = docs.select(col("doc_id"), col("lang"))
       .join(lmScore(docs, isTrain).select(col("doc_id"), col("lm_score")),
         "doc_id")
