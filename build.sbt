@@ -26,10 +26,13 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-  // ~190 gate queries x several whole-stage-codegen classes each run in
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // ~250 gate queries x several whole-stage-codegen classes each run in
   // ONE bench JVM; the JDK default 240m code cache fills mid-run and the
   // JIT falls back to interpreted for whatever compiles late — a uniform
-  // tail-of-run slowdown that vanishes in isolated reruns
-  "-XX:ReservedCodeCacheSize=512m",
+  // tail-of-run slowdown that vanishes in isolated reruns. 512m sufficed
+  // at ~190 queries; the 251-query surface runs against 1g (the r15 full
+  // run at 512m degraded uniformly past mid-run — min-of-3 retries stayed
+  // 2-8x pin on entries that reproduce AT pin in a small JVM)
+  "-XX:ReservedCodeCacheSize=1g",
 )

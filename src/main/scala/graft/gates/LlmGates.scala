@@ -1387,6 +1387,16 @@ object LlmGates extends GateSet {
           .orderBy("doc_id"),
       Some(Curation.LmScoreOracleSql)),
 
+    // --- declarative data-quality constraint validation --------------------
+    // allowed-lang domain deliberately excludes 'zh' and minChars=100
+    // catches the short tail, so two rules genuinely fail while the
+    // structural five pass — the report's pass column splits.
+    Gate("llm_data_checks",
+      (spark: SparkSession, dir: String) =>
+        Curation.dataChecks(docs(spark, dir), Seq("en", "de", "es", "fr"))
+          .orderBy("check"),
+      Some(Curation.dataChecksOracleSql(Seq("en", "de", "es", "fr")))),
+
     // --- per-source corpus-drift report (KL vs the global distribution) ---
     Gate("llm_drift_report",
       (spark: SparkSession, dir: String) =>

@@ -654,6 +654,74 @@ object Curation {
        |SELECT doc_id, rank::BIGINT AS rank, term, tfidf
        |FROM rk WHERE rank <= $k ORDER BY doc_id, rank""".stripMargin
 
+  /** Declarative data-quality constraint validation (the Deequ/
+    * great-expectations shape, Schelter et al. 2018): evaluate a fixed
+    * rule set over the corpus in ONE aggregate pass and return one row
+    * per rule — (check, violations, pass). A pipeline gates promotion of
+    * a new snapshot on `pass` being all-true; at 100 TB this is a single
+    * map-side-combined aggregate (every rule is a SUM of per-row
+    * indicators, plus one count-distinct for the key-uniqueness rule),
+    * not N table scans.
+    *
+    * The rule set certified here: primary key present + unique, payload
+    * present, derived length consistent, language in the allowed domain,
+    * source id well-formed, payload at least `minChars` chars.
+    */
+  def dataChecks(docs: DataFrame, allowedLangs: Seq[String],
+      minChars: Int = 100): DataFrame = {
+    val agg = docs.agg(
+      sum(when(col("doc_id").isNull, 1L).otherwise(0L)).as("doc_id_not_null"),
+      (count(lit(1)) - countDistinct(col("doc_id"))).as("doc_id_unique"),
+      sum(when(col("text").isNull || col("text") === "", 1L).otherwise(0L))
+        .as("text_not_empty"),
+      sum(when(col("n_chars") =!= length(col("text")), 1L).otherwise(0L))
+        .as("n_chars_consistent"),
+      sum(when(!col("lang").isInCollection(allowedLangs), 1L).otherwise(0L))
+        .as("lang_in_domain"),
+      sum(when(!col("source").rlike("^src[0-9]+$"), 1L).otherwise(0L))
+        .as("source_well_formed"),
+      sum(when(length(col("text")) < minChars, 1L).otherwise(0L))
+        .as("min_length"))
+    val checks = Seq("doc_id_not_null", "doc_id_unique", "text_not_empty",
+      "n_chars_consistent", "lang_in_domain", "source_well_formed",
+      "min_length")
+    agg.select(explode(array(checks.map(c =>
+        struct(lit(c).as("check"), col(c).cast("long").as("violations"))): _*))
+        .as("r"))
+      .select(col("r.check"), col("r.violations"),
+        (col("r.violations") === 0).as("pass"))
+  }
+
+  /** DuckDB twin of [[dataChecks]]. */
+  def dataChecksOracleSql(allowedLangs: Seq[String],
+      minChars: Int = 100): String = {
+    val langs = allowedLangs.map(l => s"'$l'").mkString("[", ", ", "]")
+    s"""WITH a AS (SELECT
+       |    sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS doc_id_not_null,
+       |    count(*) - count(DISTINCT doc_id) AS doc_id_unique,
+       |    sum(CASE WHEN text IS NULL OR text = '' THEN 1 ELSE 0 END)
+       |      AS text_not_empty,
+       |    sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END)
+       |      AS n_chars_consistent,
+       |    sum(CASE WHEN NOT list_contains($langs, lang) THEN 1 ELSE 0 END)
+       |      AS lang_in_domain,
+       |    sum(CASE WHEN NOT regexp_matches(source, '^src[0-9]+$$')
+       |      THEN 1 ELSE 0 END) AS source_well_formed,
+       |    sum(CASE WHEN length(text) < $minChars THEN 1 ELSE 0 END)
+       |      AS min_length
+       |  FROM documents),
+       |u AS (
+       |  SELECT 'doc_id_not_null' AS "check", doc_id_not_null AS v FROM a
+       |  UNION ALL SELECT 'doc_id_unique', doc_id_unique FROM a
+       |  UNION ALL SELECT 'text_not_empty', text_not_empty FROM a
+       |  UNION ALL SELECT 'n_chars_consistent', n_chars_consistent FROM a
+       |  UNION ALL SELECT 'lang_in_domain', lang_in_domain FROM a
+       |  UNION ALL SELECT 'source_well_formed', source_well_formed FROM a
+       |  UNION ALL SELECT 'min_length', min_length FROM a)
+       |SELECT "check", v::BIGINT AS violations, v = 0 AS pass
+       |FROM u ORDER BY "check"""".stripMargin
+  }
+
   /** Temperature-scaled language-mixture weights (the multilingual
     * rebalance of XLM-R, Conneau et al. 2020 §3.1: sample languages
     * ∝ p_l^α with α < 1 to lift low-resource languages): from the

@@ -1007,6 +1007,47 @@ class LlmSpec extends SparkSpec {
     assert(degenerate.count() == 0)
   }
 
+  test("data checks: planted violations are counted; clean corpus passes") {
+    val s = spark
+    import s.implicits._
+    val clean = docs
+    val langs = Seq("en", "de", "es", "fr", "zh")
+    val base = Curation.dataChecks(clean, langs, minChars = 0).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(base.values.forall(_ == 0L), base.toString)
+    // plant: one dup key, one empty text, one bad lang, one bad source
+    val bad = Seq(
+      (0L, "", "xx", "weird src", 0L),
+      (0L, "short", "en", "src1", 99L)) // n_chars lies about the length
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = Curation.dataChecks(clean.unionByName(bad), langs, minChars = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("doc_id_unique") >= 1 && got("text_not_empty") == 1 &&
+      got("lang_in_domain") == 1 && got("source_well_formed") == 1 &&
+      got("n_chars_consistent") >= 1 && got("min_length") >= 2, got.toString)
+  }
+
+  test("sketch probes are narrow: no join or shuffle in the probe plan") {
+    // the whole point of the bloom/CMS probes is that the history/counts
+    // never move again — the probe side must stay a narrow projection; a
+    // Join or Exchange appearing here means someone broke the reference-
+    // object shipping and reintroduced the shuffle the sketch exists to
+    // avoid (the 100 TB killer for a cross-snapshot filter)
+    val history = docs.filter(col("doc_id") % 2 === 0)
+    val probe = Dedup.bloomDedup(docs, Dedup.bloomBitset(history))
+    val p1 = probe.queryExecution.executedPlan.toString
+    assert(!p1.contains("Join") && !p1.contains("Exchange"), p1)
+    // probe over a parquet-backed term column (a local Seq const-folds to
+    // a LocalTableScan, which would vacuously pass the no-join check)
+    val est = TextOps.cmEstimate(docs.select(col("lang").as("term")),
+      TextOps.cmBuild(docs))
+    val p2 = est.queryExecution.executedPlan.toString
+    assert(!p2.contains("Join") && !p2.contains("Exchange"), p2)
+    // and both probes run inside whole-stage codegen (the "*(n)" span
+    // prefix in the executed-plan string)
+    assert(p1.contains("*(") && p2.contains("*("), p1)
+  }
+
   test("drift report: KL >= 0 everywhere; planted off-profile source spikes") {
     val base = TextOps.driftReport(docs).collect()
     assert(base.nonEmpty && base.forall(_.getDouble(3) >= 0.0))
