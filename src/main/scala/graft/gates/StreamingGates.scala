@@ -359,6 +359,37 @@ object StreamingGates extends GateSet {
       },
       Some(graft.llm.Curation.curationFilterOracleSql(LlmGates.BlockTerms))),
 
+    // --- streaming Bloom snapshot filter -----------------------------------
+    // The cross-snapshot dedup in the LIVE path: the bitset of prior
+    // snapshots (even doc_ids here) broadcasts once; the stream probes it
+    // STATELESSLY — no state store, no watermark, O(m) memory at any
+    // history size. Same plan as the batch llm_bloom_dedup probe; the
+    // gate certifies the streaming result against the batch oracle.
+    Gate("streaming_bloom_filter",
+      (spark: SparkSession, dir: String) => {
+        val docsB = Tables.documents(spark, dir)
+        val bits = graft.llm.Dedup.bloomBitset(
+          docsB.filter(col("doc_id") % 2 === 0))
+        val stream = spark.readStream.schema(docsB.schema)
+          .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        val out = graft.llm.Dedup.bloomDedup(stream, bits)
+          .select(col("doc_id"), col("maybe_dup"))
+        spark.catalog.dropTempView("stream_bloom_sink"): Unit
+        val q = out.writeStream.format("memory")
+          .queryName("stream_bloom_sink")
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        val streamed = q.recentProgress.map(_.numInputRows).sum
+        val expected = docsB.count()
+        require(streamed == expected,
+          s"streaming_bloom_filter streamed $streamed of $expected rows")
+        spark.table("stream_bloom_sink").orderBy("doc_id")
+      },
+      Some(graft.llm.Dedup.bloomDedupOracleSql(
+        "SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0",
+        "SELECT doc_id, text FROM documents"))),
+
     // --- streaming URL-level dedup: the crawl front door incrementally ----
     // same first-arrived-wins state machine as streaming_exact_dedup, but
     // keyed by the CANONICAL URL (Web.canonicalizeUrl over the shared
