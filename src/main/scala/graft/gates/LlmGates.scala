@@ -1321,6 +1321,17 @@ object LlmGates extends GateSet {
           .orderBy("doc_id"),
       Some(Curation.dsirOracleSql())),
 
+    // --- DSIR importance resampling (Gumbel top-k, hash uniforms) ---------
+    // Completes the DSIR loop: weights -> an actual deterministic draw.
+    // The plan canary in CurationSpec pins the top-n as
+    // TakeOrderedAndProject, never a global sort.
+    Gate("llm_dsir_resample",
+      (spark: SparkSession, dir: String) =>
+        Curation.dsirResample(docs(spark, dir),
+          col("source") === "src0", n = 100)
+          .orderBy(col("gumbel_key").desc, col("doc_id")),
+      Some(Curation.dsirResampleOracleSql(n = 100))),
+
     // --- BPE tokenizer apply (vocabulary-pass + dictionary rejoin) --------
     // The oracle replays the leftmost-best-pair merge loop as a recursive
     // CTE from the SAME ranked merge list — the tokenizer itself is

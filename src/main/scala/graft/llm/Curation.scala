@@ -230,9 +230,51 @@ object Curation {
       .select(col("doc_id"), col("weight"), (col("weight") > 0).as("keep"))
   }
 
+  /** DSIR importance RESAMPLING — the selection step the weights exist
+    * for (Xie et al. 2023 §3 sample ∝ importance weight): draw n docs
+    * without replacement via the Gumbel-top-k trick (Kool et al. 2019)
+    * with hash-derived uniforms, so the "random" draw is deterministic
+    * and both engines replay it bit-for-bit: u = (h+0.5)/M ∈ (0,1),
+    * key = log-weight − ln(−ln u), take the global top-n keys.
+    *
+    * Scale shape: the weights chain plus ONE narrow pass and a
+    * distributed top-n (`orderBy().limit()` → TakeOrderedAndProject:
+    * per-partition partial top-n, driver merges n·partitions rows — no
+    * global sort). For corpus-sized budgets use [[budgetSelect]]'s
+    * two-level prefix sum instead; this is the n ≪ N sampler.
+    */
+  def dsirResample(docs: DataFrame, isTarget: Column, n: Int): DataFrame = {
+    val M = 1000000L
+    val u = (pmod(TextOps.mdhash64(concat(lit("dsir:"),
+      col("doc_id").cast("string"))), lit(M)).cast("double") + 0.5) / M
+    dsirWeights(docs, isTarget)
+      .withColumn("gumbel_key", col("weight") - log(-log(u)))
+      .orderBy(col("gumbel_key").desc, col("doc_id"))
+      .limit(n)
+      .select(col("doc_id"), col("weight"),
+        round(col("gumbel_key"), 6).as("gumbel_key"))
+  }
+
+  /** DuckDB twin of [[dsirResample]] with target = `source = 'src0'`. */
+  def dsirResampleOracleSql(n: Int, buckets: Int = 256): String = {
+    val uExpr = "((('0x'||substr(md5('dsir:'||doc_id::VARCHAR),1,15))::BIGINT" +
+      " % 1000000 + 0.5) / 1000000)"
+    s"""WITH ${dsirCtes(buckets)},
+       |g AS (SELECT doc_id, weight,
+       |    weight - ln(-ln($uExpr)) AS gk
+       |  FROM w)
+       |SELECT * FROM (
+       |  SELECT doc_id, weight, round(gk, 6) AS gumbel_key
+       |  FROM g ORDER BY gk DESC, doc_id LIMIT $n)
+       |ORDER BY gumbel_key DESC, doc_id""".stripMargin
+  }
+
   /** DuckDB twin of [[dsirWeights]] with target = `source = 'src0'`. */
-  def dsirOracleSql(buckets: Int = 256): String =
-    s"""WITH toks AS (SELECT doc_id, source = 'src0' AS is_t,
+  /** The DSIR oracle's CTE chain ending in `w(doc_id, weight)`, shared by
+    * llm_dsir_weights and llm_dsir_resample. Target = `source = 'src0'`.
+    */
+  def dsirCtes(buckets: Int = 256): String =
+    s"""toks AS (SELECT doc_id, source = 'src0' AS is_t,
        |    string_split(lower(text), ' ') AS ws FROM documents),
        |fb AS (SELECT doc_id, is_t,
        |    ('0x'||substr(md5(f),1,15))::BIGINT % $buckets AS b
@@ -247,7 +289,10 @@ object Curation {
        |         ln((n_r+1)::DOUBLE/(t_r+$buckets)) AS lw
        |  FROM bc CROSS JOIN tot),
        |w AS (SELECT doc_id, round(sum(lw), 6) AS weight
-       |  FROM fb JOIN lr USING (b) GROUP BY 1)
+       |  FROM fb JOIN lr USING (b) GROUP BY 1)""".stripMargin
+
+  def dsirOracleSql(buckets: Int = 256): String =
+    s"""WITH ${dsirCtes(buckets)}
        |SELECT doc_id, weight, weight > 0 AS keep
        |FROM w ORDER BY doc_id""".stripMargin
 

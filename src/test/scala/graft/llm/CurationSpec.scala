@@ -60,6 +60,24 @@ class CurationSpec extends SparkSpec {
       s"spread ${totals.max - totals.min} > max doc $maxDoc")
   }
 
+  test("dsirResample: top-n is TakeOrderedAndProject; draw is deterministic") {
+    val out = Curation.dsirResample(docs, col("source") === "src0", n = 20)
+    // scale canary: the global top-n must compile to the distributed
+    // partial-top-n operator, never a full global Sort
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(out.count() == 20)
+    // deterministic across partition layouts
+    val again = Curation.dsirResample(
+      docs.repartition(7, col("doc_id")), col("source") === "src0", n = 20)
+    assert(out.except(again).count() == 0 && again.except(out).count() == 0)
+    // higher-weight docs are favored: mean selected weight beats corpus mean
+    val selMean = out.agg(avg(col("weight"))).collect()(0).getDouble(0)
+    val allMean = Curation.dsirWeights(docs, col("source") === "src0")
+      .agg(avg(col("weight"))).collect()(0).getDouble(0)
+    assert(selMean > allMean, s"$selMean <= $allMean")
+  }
+
   test("shardAssign distributed rank equals the single-window form") {
     // the range-partition + offset rank must only change the execution
     // shape, never the math: compare against the naive global window
