@@ -1353,6 +1353,13 @@ object LlmGates extends GateSet {
           .orderBy("vec_id"),
       Some(kmeansOracleSql)),
 
+    // --- embedding-corpus quality report (norms + anisotropy) -------------
+    Gate("llm_embed_stats",
+      (spark: SparkSession, dir: String) =>
+        Similarity.embedStats(Tables.embeddings(spark, dir))
+          .orderBy("label"),
+      Some(Similarity.EmbedStatsOracleSql)),
+
     // --- prototypicality pruning (per-cluster easy-core drop) -------------
     // Shares the kmeans CTE chain; the keep rule is integer
     // cross-multiplication so no float boundary exists.

@@ -28,6 +28,58 @@ object Similarity {
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
+  /** Embedding-corpus quality report — the QA pass run before trusting
+    * any cosine-based curation (Ethayarajh 2019 measures anisotropy as
+    * the expected cosine between random embeddings; a collapsed/
+    * anisotropic space makes every near-dup threshold meaningless):
+    * per-label norm statistics plus the mean cosine to the GLOBAL mean
+    * vector, the O(n·d) estimator of pairwise anisotropy (exact
+    * E[cos(v, μ)] instead of sampling pairs — no n² work).
+    *
+    * Scale shape: one posexplode aggregate for μ (d rows, broadcast
+    * back), one narrow pass for norms/cosines, one per-label aggregate.
+    * μ's per-dimension means round to 6 dp before the cosine pass so
+    * both engines score against identical doubles (the kmeans rule).
+    * Returns (label, n, avg_norm, min_norm, max_norm, mean_cos_mu).
+    */
+  def embedStats(corpus: DataFrame): DataFrame = {
+    val e = corpus.select(col("label"), asDouble(col("embedding")).as("v"))
+    val mu = e.select(posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy(col("i")).agg(round(avg(col("x")), 6).as("x"))
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("x")))),
+        s => s.getField("x")).as("mv"))
+    val norm = sqrt(aggregate(transform(col("v"), x => x * x),
+      lit(0.0), (acc, x) => acc + x))
+    e.crossJoin(broadcast(mu))
+      .select(col("label"), norm.as("norm"),
+        cosine(col("v"), col("mv")).as("cmu"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("norm")), 6).as("avg_norm"),
+        round(min(col("norm")), 6).as("min_norm"),
+        round(max(col("norm")), 6).as("max_norm"),
+        round(avg(col("cmu")), 6).as("mean_cos_mu"))
+  }
+
+  /** DuckDB twin of [[embedStats]]. */
+  val EmbedStatsOracleSql: String = {
+    val dot = (a: String, b: String) =>
+      s"list_sum([$a[i]*$b[i] for i in generate_series(1,64)])"
+    val cos = (a: String, b: String) =>
+      s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
+    s"""WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+       |m AS (SELECT g.i, round(avg(v[g.i]), 6) AS x
+       |  FROM e CROSS JOIN generate_series(1, 64) g(i) GROUP BY 1),
+       |mu AS (SELECT list(x ORDER BY i) AS mv FROM m),
+       |sc AS (SELECT label, sqrt(${dot("v", "v")}) AS norm,
+       |    ${cos("v", "mv")} AS cmu
+       |  FROM e CROSS JOIN mu)
+       |SELECT label, count(*)::BIGINT AS n,
+       |  round(avg(norm), 6) AS avg_norm, round(min(norm), 6) AS min_norm,
+       |  round(max(norm), 6) AS max_norm, round(avg(cmu), 6) AS mean_cos_mu
+       |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** Exact top-k neighbors for each query vector (self excluded).
     * `queries` should be small relative to `corpus` — it is broadcast, so
     * the plan is a map-side loop over the corpus scan, no shuffle until

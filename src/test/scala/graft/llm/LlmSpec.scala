@@ -1146,6 +1146,24 @@ class LlmSpec extends SparkSpec {
     assert(back.except(nasty).count() == 0 && nasty.except(back).count() == 0)
   }
 
+  test("embed stats: norms positive, anisotropy in [-1,1], exact on a fixture") {
+    val out = Similarity.embedStats(emb).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => r.getDouble(2) > 0 && r.getDouble(4) >= r.getDouble(3)))
+    assert(out.forall(r => math.abs(r.getDouble(5)) <= 1.0))
+    // hand fixture: unit axes e1,e2 (label 0) -> mu=(.5,.5,0...), both
+    // vectors' cosine to mu = 0.5/(1*sqrt(0.5)) = sqrt(0.5)
+    val s = spark
+    import s.implicits._
+    val d = 64
+    def axis(i: Int) = Array.tabulate(d)(j => if (j == i) 1.0f else 0.0f)
+    val tiny = Seq((1L, axis(0), 0), (2L, axis(1), 0))
+      .toDF("vec_id", "embedding", "label")
+    val r = Similarity.embedStats(tiny).collect()(0)
+    assert(r.getLong(1) == 2 && r.getDouble(2) == 1.0)
+    assert(math.abs(r.getDouble(5) - 0.707107) < 1e-6, r.toString)
+  }
+
   test("proto prune: drops exactly floor(csize/5) per cluster, the closest") {
     val out = Similarity.protoPrune(emb)
     assert(out.count() == emb.count())
