@@ -704,6 +704,49 @@ object LlmGates extends GateSet {
            |ORDER BY qid, rank""".stripMargin
       }),
 
+    // --- metadata-filtered ANN (pre-filtered IVF top-k) --------------------
+    // pred = even label; the oracle replays the IVF chain with the same
+    // pre-filter on the assigned index rows, so the k-among-matching
+    // guarantee is certified, not just recall.
+    Gate("llm_ann_filtered",
+      (spark: SparkSession, dir: String) => {
+        val emb = Tables.embeddings(spark, dir)
+        val q = emb.filter(col("vec_id") % 25 === 0)
+        Similarity.ivfFilteredTopK(q, emb, 10, col("label") % 2 === 0)
+          .orderBy("qid", "rank")
+      },
+      Some {
+        val dot64 = (a: String, b: String) =>
+          s"list_sum([$a[i]*$b[i] for i in generate_series(1,64)])"
+        val cos = (a: String, b: String) =>
+          s"${dot64(a, b)} / (sqrt(${dot64(a, a)}) * sqrt(${dot64(b, b)}))"
+        s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+           |cmod AS (SELECT GREATEST(23, CAST(floor(sqrt(count(*))) AS BIGINT)) AS m FROM e),
+           |cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % (SELECT m FROM cmod) = 0),
+           |ac AS (SELECT e.vec_id, c.cid, ${cos("e.v", "c.cv")} AS cs
+           |  FROM e CROSS JOIN cents c),
+           |asg AS (SELECT vec_id AS nid, cid AS cell FROM (
+           |    SELECT vec_id, cid,
+           |      row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+           |    FROM ac) WHERE rn = 1),
+           |asgf AS (SELECT asg.nid, asg.cell FROM asg
+           |  JOIN e ON e.vec_id = asg.nid WHERE e.label % 2 = 0),
+           |qp AS (SELECT vec_id AS qid, cid AS cell FROM (
+           |    SELECT vec_id, cid,
+           |      row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+           |    FROM ac WHERE vec_id % 25 = 0) WHERE rn <= 4),
+           |cand AS (SELECT qp.qid, asgf.nid FROM qp
+           |  JOIN asgf ON asgf.cell = qp.cell WHERE asgf.nid <> qp.qid),
+           |sims AS (SELECT cand.qid, cand.nid, ${cos("qe.v", "ce.v")} AS sim
+           |  FROM cand JOIN e qe ON qe.vec_id = cand.qid
+           |            JOIN e ce ON ce.vec_id = cand.nid)
+           |SELECT qid, nid, rk AS rank, round(sim, 6) AS sim FROM (
+           |    SELECT qid, nid, sim,
+           |      row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk
+           |    FROM sims) WHERE rk <= 10
+           |ORDER BY qid, rank""".stripMargin
+      }),
+
     // --- IVF-PQ (IVFADC, Jégou 2011 §IV): coarse cell + PQ-coded
     // residual, asymmetric-distance ranking. The oracle re-derives the
     // whole composed index (adaptive centroid spacing, offset-sample

@@ -246,6 +246,49 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Metadata-filtered ANN (the filtered-search every vector store
+    * exposes: top-k among corpus rows satisfying a predicate — tenant,
+    * language, date-range). PRE-filtering: `pred` (over the corpus's
+    * metadata columns, carried through the index) applies to the assigned
+    * index rows BEFORE the probe join, so (a) the k guarantee holds among
+    * matching rows — no post-filter shortfall when the filter is
+    * selective, the classic filtered-ANN failure mode — and (b) Catalyst
+    * pushes the predicate into the index-side scan. Probe shape is
+    * [[ivfTopK]]'s (n·√N coarse assignment, nprobe cells, exact rerank in
+    * the candidate set). [[ivfHardNegatives]] is the per-query-relative
+    * special case of this (pred depends on the query row); this is the
+    * constant-predicate form. Returns (qid, nid, rank, sim 6dp).
+    */
+  def ivfFilteredTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      pred: Column, nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val mod = centroidModFor(corpus.count())
+    val cents = corpus.filter(pmod(col("vec_id"), lit(mod)) === 0)
+      .select(col("vec_id").as("cid"), asDouble(col("embedding")).as("ce"))
+    val meta = corpus.drop("embedding").withColumnRenamed("vec_id", "nid")
+    val assigned = cellRankAgainst(cents)(
+        corpus.select(col("vec_id").as("nid"), asDouble(col("embedding")).as("ne")),
+        "nid", "ne")
+      .filter(col("__r") === 1)
+      .select(col("nid"), col("ne"), col("cid").as("cell"))
+      .join(meta, "nid")
+      .filter(pred)
+    val probes = cellRankAgainst(cents)(
+        queries.select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qe")),
+        "qid", "qe")
+      .filter(col("__r") <= nprobe)
+      .select(col("qid"), col("qe"), col("cid").as("cell"))
+    val cand = assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("qid") =!= col("nid"))
+    val scored = cand.select(col("qid"), col("nid"),
+      cosine(col("qe"), col("ne")).as("sim"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("rank").cast("long").as("rank"),
+        round(col("sim"), 6).as("sim"))
+  }
+
   /** Hard-negative mining for contrastive training (the retrieval-training
     * data-prep pass of DPR/Contriever-style pipelines): for each query
     * vector, the top-k most-similar corpus vectors carrying a DIFFERENT

@@ -1146,6 +1146,29 @@ class LlmSpec extends SparkSpec {
     assert(back.except(nasty).count() == 0 && nasty.except(back).count() == 0)
   }
 
+  test("filtered ANN: every hit satisfies the predicate; k holds when dense") {
+    val q = emb.filter(col("vec_id") % 25 === 0)
+    val out = Similarity.ivfFilteredTopK(q, emb, 5, col("label") % 2 === 0)
+    // predicate holds on every returned neighbor
+    val lbl = out.join(emb.select(col("vec_id").as("nid"), col("label")), "nid")
+    assert(lbl.filter(col("label") % 2 =!= 0).count() == 0)
+    // pre-filtering: each query still gets k hits (the filter keeps ~half
+    // the corpus, far more than k per probed cell set)
+    val short = out.groupBy("qid").count().filter(col("count") < 5)
+    assert(short.count() == 0)
+    // and filtered results = unfiltered results with non-matching dropped,
+    // re-ranked (on the same probed cells)
+    val unf = Similarity.ivfTopK(q, emb, 1000)
+      .join(emb.select(col("vec_id").as("nid"), col("label")), "nid")
+      .filter(col("label") % 2 === 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
+    val ref = unf.withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+      .select(col("qid"), col("nid"), col("rk").cast("long").as("rank"))
+    val got = out.select(col("qid"), col("nid"), col("rank"))
+    assert(got.except(ref).count() == 0 && ref.except(got).count() == 0)
+  }
+
   test("embed stats: norms positive, anisotropy in [-1,1], exact on a fixture") {
     val out = Similarity.embedStats(emb).collect()
     assert(out.nonEmpty)
