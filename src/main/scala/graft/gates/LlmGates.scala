@@ -376,6 +376,12 @@ object LlmGates extends GateSet {
           |SELECT doc_id, fp FROM (SELECT doc_id, unnest(fps) AS fp FROM fps)
           |ORDER BY 1, 2""".stripMargin)),
 
+    // --- MOSS match step: fingerprint-overlap pairs ------------------------
+    Gate("llm_winnow_pairs",
+      (spark: SparkSession, dir: String) =>
+        TextOps.winnowOverlapPairs(docs(spark, dir)).orderBy("i", "j"),
+      Some(TextOps.winnowOverlapOracleSql())),
+
     // --- PII scrub: typed placeholder redaction (regexp_replace chain) ----
     Gate("llm_pii_scrub",
       (spark: SparkSession, dir: String) =>

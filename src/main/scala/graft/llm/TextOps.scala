@@ -326,6 +326,71 @@ object TextOps {
         .select(col("doc_id"), fps.as("fingerprints")))
   }
 
+  /** Viral-fingerprint document-frequency cap for [[winnowOverlapPairs]]:
+    * same rationale as Dedup.MaxShingleDf — pair blowup is Σ df² per
+    * fingerprint, so boilerplate fingerprints shared by everyone are
+    * excluded from pair FORMATION (they still count in each doc's size,
+    * so containment is true).
+    */
+  val MaxFpDf = 50
+
+  /** MOSS match step (Schleimer et al. §5: report document pairs ranked
+    * by shared fingerprints): explode the winnow fingerprints, equi-join
+    * on the fingerprint (capped at [[MaxFpDf]] docs — never all-pairs),
+    * and score each pair by shared count and containment
+    * `shared / min(|fp_i|, |fp_j|)` — the asymmetric measure that
+    * catches a small doc embedded in a large one, which Jaccard dilutes.
+    *
+    * Returns (i, j, n_shared, containment 6dp) for pairs sharing at
+    * least `minShared` fingerprints. One keyed shuffle on the
+    * fingerprint plus one pair aggregate.
+    */
+  def winnowOverlapPairs(df: DataFrame, minShared: Int = 2): DataFrame = {
+    val fp = winnowFingerprints(df)
+      .select(col("doc_id"), explode(col("fingerprints")).as("fp"))
+    val sizes = fp.groupBy(col("doc_id")).agg(count(lit(1)).as("nfp"))
+    val rare = fp.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= MaxFpDf).select(col("fp"))
+    val fpr = fp.join(rare, "fp")
+    fpr.as("a").join(fpr.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .join(broadcast(sizes.select(col("doc_id").as("i"), col("nfp").as("ni"))), "i")
+      .join(broadcast(sizes.select(col("doc_id").as("j"), col("nfp").as("nj"))), "j")
+      .select(col("i"), col("j"), col("n_shared"),
+        round(col("n_shared").cast("double") / least(col("ni"), col("nj")), 6)
+          .as("containment"))
+  }
+
+  /** DuckDB twin of [[winnowOverlapPairs]] (shares the llm_fingerprints
+    * oracle's winnow chain).
+    */
+  def winnowOverlapOracleSql(minShared: Int = 2): String =
+    s"""WITH n AS (SELECT doc_id,
+       |    regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS t
+       |  FROM documents),
+       |kh AS (SELECT doc_id,
+       |    [('0x'||substr(md5(substr(t, i, 8)),1,15))::BIGINT
+       |     for i in generate_series(1, length(t)-7)] AS kh
+       |  FROM n),
+       |fps AS (SELECT doc_id,
+       |    list_distinct([list_aggregate(kh[j:j+3], 'min')
+       |                   for j in generate_series(1, len(kh)-3)]) AS fps
+       |  FROM kh),
+       |fp AS (SELECT doc_id, unnest(fps) AS fp FROM fps),
+       |sizes AS (SELECT doc_id, count(*) AS nfp FROM fp GROUP BY 1),
+       |rare AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) <= $MaxFpDf),
+       |fpr AS (SELECT fp.doc_id, fp.fp FROM fp JOIN rare USING (fp)),
+       |pc AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS n_shared
+       |  FROM fpr a JOIN fpr b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2 HAVING count(*) >= $minShared)
+       |SELECT i, j, n_shared::BIGINT AS n_shared,
+       |  round(n_shared::DOUBLE / least(si.nfp, sj.nfp), 6) AS containment
+       |FROM pc JOIN sizes si ON si.doc_id = i JOIN sizes sj ON sj.doc_id = j
+       |ORDER BY i, j""".stripMargin
+
   // --- PII scrubbing -------------------------------------------------------
 
   /** PII patterns, kept to the regex subset Java regex and RE2 agree on:

@@ -1146,6 +1146,23 @@ class LlmSpec extends SparkSpec {
     assert(back.except(nasty).count() == 0 && nasty.except(back).count() == 0)
   }
 
+  test("winnow pairs: planted shared substring is caught with containment 1") {
+    val s = spark
+    import s.implicits._
+    val shared = "this exact block of text is lifted verbatim into another doc"
+    val corpus = Seq(
+      (1L, shared),
+      (2L, "a much longer host document begins here " + shared +
+        " and then continues with plenty of extra original material after"),
+      (3L, "totally unrelated content with nothing in common at all here"))
+      .toDF("doc_id", "text")
+    val pairs = TextOps.winnowOverlapPairs(corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    // the small doc is fully contained in the big one: containment = 1
+    assert(pairs.keySet == Set((1L, 2L)), pairs.toString)
+    assert(pairs((1L, 2L)) == 1.0, pairs.toString)
+  }
+
   test("filtered ANN: every hit satisfies the predicate; k holds when dense") {
     val q = emb.filter(col("vec_id") % 25 === 0)
     val out = Similarity.ivfFilteredTopK(q, emb, 5, col("label") % 2 === 0)
