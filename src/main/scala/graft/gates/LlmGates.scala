@@ -1454,6 +1454,17 @@ object LlmGates extends GateSet {
           .orderBy("doc_id"),
       Some(Curation.LmScoreOracleSql)),
 
+    // --- ANALYZE-style column statistics (corpus catalog) ------------------
+    // text excluded: its min/max would be whole documents; the planner
+    // stats that matter are the key/dimension columns.
+    Gate("llm_column_stats",
+      (spark: SparkSession, dir: String) =>
+        Curation.columnStats(docs(spark, dir),
+          Seq("doc_id", "lang", "n_chars", "source"))
+          .orderBy("column"),
+      Some(Curation.columnStatsOracleSql(
+        Seq("doc_id", "lang", "n_chars", "source")))),
+
     // --- declarative data-quality constraint validation --------------------
     // allowed-lang domain deliberately excludes 'zh' and minChars=100
     // catches the short tail, so two rules genuinely fail while the

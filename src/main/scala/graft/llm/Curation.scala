@@ -767,6 +767,45 @@ object Curation {
        |FROM u ORDER BY "check"""".stripMargin
   }
 
+  /** ANALYZE-style column statistics for the corpus catalog — the stats a
+    * cost-based planner (or a dataset card) reads per column: null count,
+    * distinct count, min/max rendered as strings so one report covers
+    * mixed types. One pass per column batched into a single aggregate
+    * (count-distincts expand to one Expand + aggregate, still map-side
+    * partial); at 100 TB swap the exact distinct for [[TextOps.hllReport]]
+    * — same report schema, sketch-powered.
+    *
+    * Returns (column, n_null, n_distinct, min_val, max_val) per column.
+    */
+  def columnStats(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nn"),
+        countDistinct(col(c)).as(s"${c}__nd"),
+        min(col(c)).cast("string").as(s"${c}__mn"),
+        max(col(c)).cast("string").as(s"${c}__mx"))
+    }
+    val agg = df.agg(aggs.head, aggs.tail: _*)
+    agg.select(explode(array(cols.map(c =>
+        struct(lit(c).as("column"),
+          col(s"${c}__nn").cast("long").as("n_null"),
+          col(s"${c}__nd").cast("long").as("n_distinct"),
+          col(s"${c}__mn").as("min_val"),
+          col(s"${c}__mx").as("max_val"))): _*)).as("r"))
+      .select(col("r.*"))
+  }
+
+  /** DuckDB twin of [[columnStats]] over the documents table. */
+  def columnStatsOracleSql(cols: Seq[String]): String = {
+    val rows = cols.map { c =>
+      s"""SELECT '$c' AS "column",
+         |    sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
+         |    count(DISTINCT $c)::BIGINT AS n_distinct,
+         |    min($c)::VARCHAR AS min_val, max($c)::VARCHAR AS max_val
+         |  FROM documents""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""SELECT * FROM (\n$rows\n) ORDER BY "column""""
+  }
+
   /** Temperature-scaled language-mixture weights (the multilingual
     * rebalance of XLM-R, Conneau et al. 2020 §3.1: sample languages
     * ∝ p_l^α with α < 1 to lift low-resource languages): from the

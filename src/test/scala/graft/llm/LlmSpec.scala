@@ -1064,6 +1064,19 @@ class LlmSpec extends SparkSpec {
       s"spam ${drifted("spamsrc")} vs max ${others.max}")
   }
 
+  test("column stats: exact on planted values, incl. nulls") {
+    val s = spark
+    import s.implicits._
+    val tiny = Seq((1L, Some("a"), 10L), (2L, None, 20L), (3L, Some("a"), 10L))
+      .toDF("id", "tag", "v")
+    val got = Curation.columnStats(tiny, Seq("id", "tag", "v")).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3), r.getString(4))).toMap
+    assert(got("id") == (0L, 3L, "1", "3"))
+    assert(got("tag") == (1L, 1L, "a", "a"))
+    assert(got("v") == (0L, 2L, "10", "20"))
+  }
+
   test("hll: estimates within 5x standard error; layout-invariant") {
     val rep = TextOps.hllReport(docs).collect()
     assert(rep.nonEmpty)
