@@ -1454,6 +1454,13 @@ object LlmGates extends GateSet {
           .orderBy("doc_id"),
       Some(Curation.LmScoreOracleSql)),
 
+    // --- per-source boilerplate n-gram report -------------------------------
+    Gate("llm_boilerplate_ngrams",
+      (spark: SparkSession, dir: String) =>
+        Curation.boilerplateNgrams(docs(spark, dir))
+          .orderBy("source", "rank"),
+      Some(Curation.boilerplateNgramsOracleSql())),
+
     // --- ANALYZE-style column statistics (corpus catalog) ------------------
     // text excluded: its min/max would be whole documents; the planner
     // stats that matter are the key/dimension columns.

@@ -767,6 +767,58 @@ object Curation {
        |FROM u ORDER BY "check"""".stripMargin
   }
 
+  /** Per-source boilerplate n-gram report: the top-k most document-
+    * frequent shingles of each source (df ≥ 2 — a shingle in one doc is
+    * content, in many docs boilerplate). This is the ANALYSIS pass that
+    * feeds a site-specific boilerplate strip list (the C4 appendix shape:
+    * inspect what repeats, then filter it) — dedupParagraphs removes
+    * verbatim repeats mechanically; this report shows a curator WHAT
+    * repeats per source.
+    *
+    * Scale shape: one keyed count (source, shingle) then the salted
+    * two-stage top-k (the logql_topk pattern): rank inside (source, salt)
+    * buckets first, keep ≤k per bucket, then rank the ≤k·salts survivors
+    * per source — no per-source partition ever ranks more than its salt
+    * bucket, so a source with billions of distinct shingles never lands
+    * in one task. Returns (source, shingle, df, rank).
+    */
+  def boilerplateNgrams(docs: DataFrame, k: Int = 5,
+      salts: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs.select(col("doc_id"), col("source"))
+      .join(Dedup.docShingles(docs), "doc_id")
+      .groupBy(col("source"), col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2)
+    val w1 = Window
+      .partitionBy(col("source"), pmod(TextOps.mdhash64(col("s")), lit(salts.toLong)))
+      .orderBy(col("df").desc, col("s").asc)
+    val w2 = Window.partitionBy(col("source"))
+      .orderBy(col("df").desc, col("s").asc)
+    counts.withColumn("__r1", row_number().over(w1)).filter(col("__r1") <= k)
+      .withColumn("rank", row_number().over(w2).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("source"), col("s").as("shingle"), col("df"), col("rank"))
+  }
+
+  /** DuckDB twin of [[boilerplateNgrams]] (the salted first stage only
+    * changes the execution shape, never the result — a per-source top-k
+    * survives its salt bucket's top-k by construction).
+    */
+  def boilerplateNgramsOracleSql(k: Int = 5): String =
+    s"""WITH t AS (SELECT doc_id, source, string_split(lower(text), ' ') AS ws
+       |    FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, source,
+       |    unnest([ws[i]||' '||ws[i+1]||' '||ws[i+2]
+       |            for i in generate_series(1, len(ws)-2)]) AS s
+       |  FROM t),
+       |c AS (SELECT source, s, count(*) AS df FROM sh GROUP BY 1, 2
+       |      HAVING count(*) >= 2),
+       |r AS (SELECT source, s, df,
+       |    row_number() OVER (PARTITION BY source ORDER BY df DESC, s) AS rank
+       |  FROM c)
+       |SELECT source, s AS shingle, df::BIGINT AS df, rank::BIGINT AS rank
+       |FROM r WHERE rank <= $k ORDER BY source, rank""".stripMargin
+
   /** ANALYZE-style column statistics for the corpus catalog — the stats a
     * cost-based planner (or a dataset card) reads per column: null count,
     * distinct count, min/max rendered as strings so one report covers

@@ -1064,6 +1064,32 @@ class LlmSpec extends SparkSpec {
       s"spam ${drifted("spamsrc")} vs max ${others.max}")
   }
 
+  test("boilerplate ngrams: salted two-stage equals the naive window; planted hit") {
+    val s = spark
+    import s.implicits._
+    val boiler = "subscribe to our newsletter"
+    val corpus = (1 to 12).map(i =>
+      (i.toLong, s"unique lead $i words here " + boiler + s" trailing $i", "srcA"))
+      .toDF("doc_id", "text", "source")
+    val out = Curation.boilerplateNgrams(corpus, k = 3).collect()
+    // every shingle inside the boilerplate phrase has df=12; rank 1 is one
+    assert(out.nonEmpty && out.forall(_.getLong(2) >= 2))
+    assert(out.filter(_.getLong(3) == 1L).forall(_.getLong(2) == 12L))
+    // two-stage == naive single-window on the real corpus
+    val twoStage = Curation.boilerplateNgrams(docs, k = 5)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("df").desc, col("s").asc)
+    val naive = docs.select(col("doc_id"), col("source"))
+      .join(Dedup.docShingles(docs), "doc_id")
+      .groupBy(col("source"), col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("source"), col("s").as("shingle"), col("df"), col("rank"))
+    assert(twoStage.except(naive).count() == 0 &&
+      naive.except(twoStage).count() == 0)
+  }
+
   test("column stats: exact on planted values, incl. nulls") {
     val s = spark
     import s.implicits._
