@@ -1112,6 +1112,16 @@ class LlmSpec extends SparkSpec {
     val a = TextOps.hllReport(docs)
     val b = TextOps.hllReport(docs.repartition(7, col("doc_id")))
     assert(a.except(b).count() == 0 && b.except(a).count() == 0)
+    // mergeability — the property that makes the sketch a partial
+    // aggregate at cluster scale: the whole-corpus estimate equals the
+    // estimate from slice sketches merged by register-wise max. Proven
+    // here by scoping the WHOLE corpus under one key: the groupBy's
+    // map-side partial aggregation IS the per-slice sketch + max-merge,
+    // so equality with the per-source run's union is the merge law.
+    val whole = TextOps.hllReport(docs, scope = lit("all")).collect()(0)
+    val union = TextOps.hllReport(
+      docs.repartition(13, col("source")), scope = lit("all")).collect()(0)
+    assert(whole.getDouble(2) == union.getDouble(2))
   }
 
   test("count-min: never underestimates; exact on planted counts; invariant") {
