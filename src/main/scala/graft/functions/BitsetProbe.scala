@@ -33,18 +33,18 @@ case class BitsetProbe(child: Expression, bits: Array[Long])
 
   override def nullSafeEval(input: Any): Any = {
     val pos = input.asInstanceOf[Long]
-    val w = (pos >>> 6).toInt
-    pos >= 0 && w < bits.length && ((bits(w) >>> (pos & 63)) & 1L) == 1L
+    // Range-check the long position itself (not the truncated word index,
+    // which wraps negative past 2^37 and would dodge a `w < length` guard).
+    pos >= 0 && pos < (bits.length.toLong << 6) &&
+      ((bits((pos >>> 6).toInt) >>> (pos & 63)) & 1L) == 1L
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val b = ctx.addReferenceObj("bitset", bits, "long[]")
     nullSafeCodeGen(ctx, ev, pos => {
-      val w = ctx.freshName("w")
       s"""
-        int $w = (int) ($pos >>> 6);
-        ${ev.value} = $pos >= 0L && $w < $b.length
-          && (($b[$w] >>> ($pos & 63L)) & 1L) == 1L;
+        ${ev.value} = $pos >= 0L && $pos < ((long) $b.length << 6)
+          && (($b[(int) ($pos >>> 6)] >>> ($pos & 63L)) & 1L) == 1L;
       """
     })
   }

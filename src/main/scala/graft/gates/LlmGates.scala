@@ -1610,6 +1610,34 @@ object LlmGates extends GateSet {
           |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0"""
           .stripMargin))),
 
+    // --- SHARDED Bloom dedup (multi-GB filter histories) -------------------
+    // Same fixture split as llm_bloom_dedup, but the filter is 8
+    // independent hash-prefix blooms built in ONE distributed groupBy pass
+    // (BitsetAgg) and probed via an equi-join on the shard — the 100 TB
+    // shape where the total bitset exceeds single-broadcast size. The
+    // oracle replays per-shard build+probe as (shard, position) set
+    // membership, per-shard FPs included; shards=1 ≡ the unsharded
+    // operator is spec-asserted (LlmSpec).
+    Gate("llm_bloom_dedup_sharded",
+      (spark: SparkSession, dir: String) => {
+        val d = docs(spark, dir)
+        val bitsets = Dedup.bloomBitsetsSharded(
+          d.filter(col("doc_id") % 2 === 0), shards = 8)
+        val incoming = d.filter(col("doc_id") % 2 === 1)
+          .select(col("doc_id"), col("text"))
+          .unionAll(d.filter(col("doc_id") % 10 === 0)
+            .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        Dedup.bloomDedupSharded(incoming, bitsets, shards = 8)
+          .select(col("doc_id"), col("maybe_dup")).orderBy("doc_id")
+      },
+      Some(Dedup.bloomDedupShardedOracleSql(
+        "SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0",
+        """SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+          |  UNION ALL
+          |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0"""
+          .stripMargin,
+        shards = 8))),
+
     // --- host link-graph PageRank (crawl prioritization signal) -----------
     // The oracle unrolls all 5 power-iteration rounds structurally
     // (dangling mass, contribution join, per-round 6 dp rounding) — the

@@ -248,11 +248,15 @@ object Curation {
     val u = (pmod(TextOps.mdhash64(concat(lit("dsir:"),
       col("doc_id").cast("string"))), lit(M)).cast("double") + 0.5) / M
     dsirWeights(docs, isTarget)
-      .withColumn("gumbel_key", col("weight") - log(-log(u)))
+      // The cut is taken on the 6 dp-ROUNDED key (doc_id tie-break), not
+      // the raw one: ln(-ln(u)) is libm-dependent in its last ulp, so a
+      // raw-key boundary could select different doc sets per engine. The
+      // rounding grid makes the selection boundary engine-invariant —
+      // the repo's standard rule for ordering-sensitive float comparisons.
+      .withColumn("gumbel_key", round(col("weight") - log(-log(u)), 6))
       .orderBy(col("gumbel_key").desc, col("doc_id"))
       .limit(n)
-      .select(col("doc_id"), col("weight"),
-        round(col("gumbel_key"), 6).as("gumbel_key"))
+      .select(col("doc_id"), col("weight"), col("gumbel_key"))
   }
 
   /** DuckDB twin of [[dsirResample]] with target = `source = 'src0'`. */
@@ -261,11 +265,11 @@ object Curation {
       " % 1000000 + 0.5) / 1000000)"
     s"""WITH ${dsirCtes(buckets)},
        |g AS (SELECT doc_id, weight,
-       |    weight - ln(-ln($uExpr)) AS gk
+       |    round(weight - ln(-ln($uExpr)), 6) AS gumbel_key
        |  FROM w)
        |SELECT * FROM (
-       |  SELECT doc_id, weight, round(gk, 6) AS gumbel_key
-       |  FROM g ORDER BY gk DESC, doc_id LIMIT $n)
+       |  SELECT doc_id, weight, gumbel_key
+       |  FROM g ORDER BY gumbel_key DESC, doc_id LIMIT $n)
        |ORDER BY gumbel_key DESC, doc_id""".stripMargin
   }
 

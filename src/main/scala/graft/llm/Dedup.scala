@@ -470,8 +470,11 @@ object Dedup {
     * pair, the standard production cap.
     *
     * Engine parity: Spark's levenshtein counts code points, DuckDB's
-    * counts bytes — identical on ASCII (asserted for the testdata; the
-    * operator itself is code-point-correct).
+    * counts bytes — identical on ASCII. The gate RELIES on the documents
+    * fixture being ASCII in its first `prefix` chars; DedupSpec asserts
+    * that property so a fixture change fails with a pointer here rather
+    * than as an opaque hash mismatch. The operator itself is
+    * code-point-correct regardless.
     *
     * Returns (i, j, dist, edit_sim) for pairs at or above `threshold`.
     */
@@ -548,9 +551,9 @@ object Dedup {
     * the alternative (an exact anti-join) shuffles the full multi-TB hash
     * set of history every run. A 2^17-bit set (16 KB) here; a 10 B-doc
     * history at 1% FP needs ~12 GB, past single-broadcast comfort — at
-    * that size shard the bitset by a hash-prefix into B independent blooms
-    * (each doc probes exactly one shard), which this builder composes with
-    * by prefix-filtering history per shard.
+    * that size use [[bloomDedupSharded]]: B independent hash-prefix
+    * blooms, built in one distributed pass and joined per shard, so no
+    * single bitset exceeds m/8 bytes anywhere.
     */
   def bloomBitset(history: DataFrame, text: Column = col("text"),
       k: Int = BloomK, mBits: Int = BloomBits): Array[Long] = {
@@ -603,4 +606,103 @@ object Dedup {
        |SELECT ip.doc_id, bool_and(hp.p IS NOT NULL) AS maybe_dup
        |FROM ip LEFT JOIN hp ON hp.p = ip.p
        |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --- sharded Bloom (multi-GB filter histories) ----------------------------
+
+  /** Shard id of a text's normalized content: a hash-prefix routing key
+    * INDEPENDENT of the k probe hashes (its own seed string), so shard
+    * choice is uncorrelated with which bits a doc sets.
+    */
+  def bloomShard(text: Column, shards: Int): Column =
+    pmod(mdhash64(concat(lit("bfshard:"), normalized(text))),
+      lit(shards.toLong))
+
+  /** Build B independent Bloom bitsets keyed by hash-prefix shard, in ONE
+    * distributed pass over the history (no per-shard rescan): explode each
+    * doc's k positions tagged with its shard, then
+    * `groupBy(shard).agg(BitsetAgg)` — map-side partial bitsets OR-merge
+    * through the shuffle, and the output is B rows of (shard, m-bit
+    * binary). Nothing is collected to the driver and no bitset is ever
+    * broadcast: at the 10 B-doc / ~12 GB-total scale the unsharded
+    * [[bloomBitset]] can't broadcast, this keeps every single array at
+    * m/8 bytes (pick B = totalBits/2^31 or finer so a shard fits a row).
+    *
+    * Reference anchor: the fingerprint discipline that makes identity
+    * probes cheap at scale (writer/utils/helputils/fingerprint.go) — here
+    * re-expressed as Bloom membership so history never re-shuffles.
+    */
+  def bloomBitsetsSharded(history: DataFrame, text: Column = col("text"),
+      shards: Int = 8, k: Int = BloomK, mBits: Int = BloomBits): DataFrame =
+    history
+      .select(bloomShard(text, shards).as("shard"),
+        explode(array((0 until k).map(s =>
+          bloomPosition(text, s, mBits)): _*)).as("p"))
+      .groupBy(col("shard"))
+      .agg(graft.functions.BitsetAgg(col("p"), mBits).as("bits"))
+
+  /** Probe incoming docs against sharded Bloom bitsets from
+    * [[bloomBitsetsSharded]]: each doc routes to exactly ONE shard (same
+    * hash-prefix key), left-joins that shard's bitset, and is `maybe_dup`
+    * iff the bitset exists and all k seeded positions are set. Shards with
+    * no history row mean definitely-new.
+    *
+    * Scale shape: the join on `shard` moves each bitset to its matching
+    * incoming partition once — the history itself never moves. With B
+    * shards the probe join has B distinct keys; `replication` R > 1
+    * salts it (each bitset duplicated R ways, incoming salted by doc hash)
+    * for B·R-way parallelism when incoming is huge — semantics invariant,
+    * spec-asserted. shards = 1 degenerates to exactly [[bloomDedup]]
+    * (also spec-asserted).
+    */
+  def bloomDedupSharded(incoming: DataFrame, bitsets: DataFrame,
+      text: Column = col("text"), shards: Int = 8, k: Int = BloomK,
+      mBits: Int = BloomBits, replication: Int = 1): DataFrame = {
+    import graft.functions.BitsetProbeBin
+    val probe = (0 until k).map(s =>
+      BitsetProbeBin(bloomPosition(text, s, mBits), col("bits")))
+      .reduce(_ && _)
+    val joined =
+      if (replication <= 1) {
+        incoming.withColumn("shard", bloomShard(text, shards))
+          .join(bitsets, Seq("shard"), "left")
+      } else {
+        val rep = bitsets.withColumn("salt",
+          explode(sequence(lit(0L), lit(replication - 1L))))
+        incoming.withColumn("shard", bloomShard(text, shards))
+          .withColumn("salt", pmod(mdhash64(concat(lit("bfsalt:"),
+            normalized(text))), lit(replication.toLong)))
+          .join(rep, Seq("shard", "salt"), "left")
+          .drop("salt")
+      }
+    joined
+      .withColumn("maybe_dup", coalesce(probe, lit(false)))
+      .drop("shard", "bits")
+  }
+
+  /** DuckDB twin of the sharded build+probe: per-shard distinct position
+    * sets, probe joins on (shard, position) — identical to B independent
+    * bitsets' membership, per-shard FPs included (a position set only in
+    * ANOTHER shard's bitset does not hit, which is where the sharded
+    * semantics differ from [[bloomDedupOracleSql]] unless shards = 1).
+    */
+  def bloomDedupShardedOracleSql(historySql: String, incomingSql: String,
+      shards: Int = 8, k: Int = BloomK, mBits: Int = BloomBits): String = {
+    def norm(t: String) =
+      s"regexp_replace(trim(lower($t)), '\\s+', ' ', 'g')"
+    def shard(t: String) =
+      s"('0x'||substr(md5('bfshard:'||${norm(t)}),1,15))::BIGINT % $shards"
+    def pos(t: String) =
+      s"('0x'||substr(md5('bf'||g.s||':'||${norm(t)}),1,15))::BIGINT % $mBits"
+    s"""WITH hist AS ($historySql),
+       |inc AS ($incomingSql),
+       |hp AS (SELECT DISTINCT ${shard("hist.text")} AS shard,
+       |    ${pos("hist.text")} AS p
+       |  FROM hist CROSS JOIN generate_series(0, ${k - 1}) g(s)),
+       |ip AS (SELECT inc.doc_id, ${shard("inc.text")} AS shard, g.s,
+       |    ${pos("inc.text")} AS p
+       |  FROM inc CROSS JOIN generate_series(0, ${k - 1}) g(s))
+       |SELECT ip.doc_id, bool_and(hp.p IS NOT NULL) AS maybe_dup
+       |FROM ip LEFT JOIN hp ON hp.shard = ip.shard AND hp.p = ip.p
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
 }

@@ -357,8 +357,12 @@ object TextOps {
       .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
-      .join(broadcast(sizes.select(col("doc_id").as("i"), col("nfp").as("ni"))), "i")
-      .join(broadcast(sizes.select(col("doc_id").as("j"), col("nfp").as("nj"))), "j")
+      // No broadcast hint: `sizes` is per-document (unbounded at corpus
+      // scale), while the pair table after the minShared cut is small —
+      // a plain shuffled join keys on the small side either way, and AQE
+      // may still elect a broadcast when sizes is measured small.
+      .join(sizes.select(col("doc_id").as("i"), col("nfp").as("ni")), "i")
+      .join(sizes.select(col("doc_id").as("j"), col("nfp").as("nj")), "j")
       .select(col("i"), col("j"), col("n_shared"),
         round(col("n_shared").cast("double") / least(col("ni"), col("nj")), 6)
           .as("containment"))

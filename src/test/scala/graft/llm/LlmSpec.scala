@@ -1163,6 +1163,21 @@ class LlmSpec extends SparkSpec {
     assert(sim > 0.9 && sim < 1.0, s"sim $sim")
   }
 
+  test("edit similarity fixture contract: documents text is ASCII in the " +
+      "levenshtein prefix (Spark counts code points, DuckDB bytes)") {
+    // The llm_edit_similarity gate relies on this property (see the
+    // Dedup.editSimilarityPairs docstring): if the fixture ever gains
+    // non-ASCII text in its first 256 chars, fail HERE with a pointer
+    // rather than as an opaque oracle hash mismatch.
+    val nonAscii = docs
+      .filter(substring(col("text"), 1, 256).rlike("[^\\x00-\\x7F]"))
+      .count()
+    assert(nonAscii == 0,
+      s"$nonAscii documents have non-ASCII in the first 256 chars; " +
+        "Spark/DuckDB levenshtein parity no longer holds - see " +
+        "Dedup.editSimilarityPairs")
+  }
+
   test("temperature mix lifts low-resource langs; fractions in (0, 1]") {
     val out = Curation.temperatureMix(docs).collect()
       .map(r => (r.getString(0), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
@@ -1327,6 +1342,41 @@ class LlmSpec extends SparkSpec {
     val fps = Dedup.bloomDedup(novel, bits).filter(col("maybe_dup")).count()
     assert(fps <= math.max(1.0, 10.0 * p * novel.count()),
       s"$fps FPs vs analytic ${p * novel.count()}")
+  }
+
+  test("sharded bloom: shards=1 equals unsharded; replication invariant; " +
+      "no FNs; probes stay in-shard") {
+    val history = docs.filter(col("doc_id") % 2 === 0)
+    val incoming = docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("text"))
+      .unionAll(docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "maybe_dup").collect()
+        .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    // shard count 1 degenerates to exactly the unsharded operator
+    val one = asMap(Dedup.bloomDedupSharded(incoming,
+      Dedup.bloomBitsetsSharded(history, shards = 1), shards = 1))
+    val flat = asMap(Dedup.bloomDedup(incoming, Dedup.bloomBitset(history)))
+    assert(one == flat)
+    // replication salting never changes semantics
+    val bs8 = Dedup.bloomBitsetsSharded(history, shards = 8)
+    val r1 = asMap(Dedup.bloomDedupSharded(incoming, bs8, shards = 8))
+    val r3 = asMap(Dedup.bloomDedupSharded(incoming, bs8, shards = 8,
+      replication = 3))
+    assert(r1 == r3)
+    // zero false negatives: every history doc self-probes positive
+    val self = Dedup.bloomDedupSharded(
+      history.select(col("doc_id"), col("text")), bs8, shards = 8)
+    assert(self.filter(!col("maybe_dup")).count() == 0)
+    // the re-crawled docs (planted true dups) all hit through the shards
+    assert(r1.filter(_._1 >= 1000000L).forall(_._2),
+      "a planted re-crawl missed its shard's bitset")
+    // sharding only REMOVES false positives vs one flat bitset of the
+    // same total geometry (a probe can no longer hit bits set by another
+    // shard's docs), never adds them
+    assert(r1.forall { case (id, dup) => !dup || flat(id) },
+      "sharded probe hit where the flat bitset missed")
   }
 
   test("bitset probe: interpreted and codegen paths agree on edge bits") {
