@@ -1718,7 +1718,36 @@ object LlmGates extends GateSet {
       (spark: SparkSession, dir: String) =>
         Similarity.randomProject(Tables.embeddings(spark, dir), RandProjDim)
           .orderBy("vec_id", "j"),
-      Some(Similarity.randomProjectOracleSql(RandProjDim)))
+      Some(Similarity.randomProjectOracleSql(RandProjDim))),
+
+    // --- END-TO-END curation DAG: html → url → robots → url-dedup →
+    // paragraph-dedup → C4 quality → MinHash dedup → temperature mix →
+    // seq pack, as ONE gate (Curation.curationPipeline). Every stage is
+    // individually gated elsewhere; this certifies their COMPOSITION —
+    // schema handoffs, filter ordering, no double-normalization. Fixture:
+    // the robots URL fixture (planted URL dups + blocked domains) + an
+    // HTML page template with pbreak paragraph sentinels + planted
+    // near-dup pairs (doc_id % 7 == 3 re-publishes its predecessor's text
+    // with a 3-word tail). The oracle is the composed CTE chain; every
+    // stage genuinely splits (sf0.01: 500 → 444 → 228 → 124 → 108 → 77).
+    Gate("llm_curation_e2e",
+      (spark: SparkSession, dir: String) => {
+        import spark.implicits._
+        val d = docs(spark, dir)
+        val prev = d.select((col("doc_id") + 1).as("doc_id"),
+          col("text").as("__prev"))
+        val base = d.join(prev, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("source"), col("lang"),
+            when(col("doc_id") % 7 === 3 && col("__prev").isNotNull,
+              concat(col("__prev"), lit(" " + E2eDupTail)))
+              .otherwise(col("text")).as("content"))
+        val raw = base.select(col("doc_id"), col("source"), col("lang"),
+          domainUrlFixtureCol.as("url"), e2eHtmlCol.as("html"))
+        Curation.curationPipeline(raw, RobotsRules.toDF("domain", "prefix"),
+          threshold = 0.8, budget = E2eBudget)
+          .orderBy("doc_id")
+      },
+      Some(curationE2eOracleSql))
   )
 
   /** Lang-ID CTE chain `t(doc_id, text, ws) -> s -> lng(doc_id, lang)` —
@@ -2112,6 +2141,170 @@ object LlmGates extends GateSet {
        |  FROM u LEFT JOIN r USING (domain) GROUP BY 1, 2)
        |SELECT doc_id, domain, m IS NOT NULL AS blocked, m.p AS matched_prefix
        |FROM a ORDER BY doc_id""".stripMargin
+  }
+
+  // --- e2e curation fixture + oracle ---------------------------------------
+
+  /** Tail appended to the predecessor's text for planted near-dup pages
+    * (doc_id % 7 == 3): 3 extra words over a ≥50-word base keeps exact
+    * Jaccard ≈ n/(n+5) ≥ 0.8, so the pairs survive the quality gate and
+    * genuinely exercise the near-dup stage.
+    */
+  private val E2eDupTail = "tail marker words"
+  private val E2eBudget = 256
+
+  /** Crawl-page template for the e2e gate: style + comment + script blocks
+    * (extraction must drop them — the style brace would otherwise trip the
+    * C4 has_brace filter), a global nav paragraph and newsletter
+    * boilerplate (paragraph dedup strips them corpus-wide), a per-source
+    * follow line, with [[Curation.ParaSep]] sentinels between paragraphs.
+    */
+  private val E2eHtmlPre = "<html><head><style>body{color:red}</style>" +
+    "</head><body><!-- tracker --><div class=\"nav\">Home nav About</div>" +
+    " pbreak subscribe to our newsletter today pbreak "
+  private val E2eHtmlMid = " pbreak follow "
+  private val E2eHtmlPost = " for updates<script>var x=1;</script></body></html>"
+
+  private def e2eHtmlCol: org.apache.spark.sql.Column =
+    concat(lit(E2eHtmlPre), col("content"),
+      lit(E2eHtmlMid), col("source"), lit(E2eHtmlPost))
+
+  /** DuckDB twin of the whole [[Curation.curationPipeline]] chain over the
+    * e2e fixture — each CTE block replays the matching certified stage's
+    * oracle formulation (extract regex chain, canon chain, robots
+    * prefix-match, first-occurrence paragraph window, C4 metrics, exact
+    * ≥0.8 Jaccard pairs, temperature mix + hash draw, packing prefix sum),
+    * all constants interpolated from the Scala definitions.
+    */
+  private lazy val curationE2eOracleSql: String = {
+    val urlFixture = "'https://' || CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END" +
+      " || source || '.example.com/a/'" +
+      " || (CASE WHEN doc_id % 20 < 10 THEN doc_id ELSE doc_id % 20 END)::VARCHAR" +
+      " || CASE WHEN doc_id % 2 = 0 THEN '?utm_source=x' ELSE '' END"
+    val htmlFixture = s"${sqlLit(E2eHtmlPre)} || content || " +
+      s"${sqlLit(E2eHtmlMid)} || source || ${sqlLit(E2eHtmlPost)}"
+    val stripped = Seq(Web.CommentRe, Web.ScriptRe, Web.StyleRe, Web.TagRe)
+      .foldLeft("html") { (acc, re) =>
+        s"regexp_replace($acc, ${sqlLit(re)}, ' ', 'g')"
+      }
+    val decoded = Web.Entities.foldLeft(stripped) { case (acc, (e, r)) =>
+      s"replace($acc, ${sqlLit(e)}, ${sqlLit(r)})"
+    }
+    val extract = s"trim(regexp_replace($decoded, ${sqlLit(Web.WsRe)}, ' ', 'g'))"
+    val robotVals = RobotsRules
+      .map { case (d, p) => s"(${sqlLit(d)}, ${sqlLit(p)})" }.mkString(", ")
+    val sep = sqlLit(Curation.ParaSep)
+    s"""WITH base AS (
+       |  SELECT d.doc_id, d.source, d.lang,
+       |    CASE WHEN d.doc_id % 7 = 3 AND p.text IS NOT NULL
+       |         THEN p.text || ' ' || ${sqlLit(E2eDupTail)} ELSE d.text END AS content
+       |  FROM documents d LEFT JOIN documents p ON p.doc_id = d.doc_id - 1),
+       |raw AS (SELECT doc_id, source, lang, $urlFixture AS url,
+       |    $htmlFixture AS html FROM base),
+       |ext AS (SELECT doc_id, source, lang, url, $extract AS clean FROM raw),
+       |up AS (SELECT *,
+       |  lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+       |  lower(regexp_extract(url, ${sqlLit(Web.HostRe)}, 1)) AS hostport,
+       |  regexp_replace(regexp_extract(url, ${sqlLit(Web.PathRe)}, 1),
+       |    '/+$$', '') AS rawpath,
+       |  regexp_extract(url, '\\?([^#]*)', 1) AS q
+       |  FROM ext),
+       |canon AS (SELECT doc_id, source, lang, url, clean,
+       |  scheme || '://' ||
+       |  CASE WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$$', '')
+       |       WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$$', '')
+       |       ELSE hostport END ||
+       |  CASE WHEN rawpath = '' THEN '/' ELSE rawpath END ||
+       |  CASE WHEN cq = '' THEN '' ELSE '?' || cq END AS canon_url
+       |  FROM (SELECT *, coalesce(array_to_string(list_sort(
+       |          [x for x in string_split(q, '&')
+       |           if x <> '' and not regexp_matches(x, ${sqlLit(Web.TrackingParamRe)})]),
+       |        '&'), '') AS cq FROM up)),
+       |uu AS (SELECT doc_id,
+       |    regexp_replace(regexp_replace(
+       |      lower(regexp_extract(url, ${sqlLit(Web.HostRe)}, 1)),
+       |      ${sqlLit(Web.PortSuffixRe)}, ''), ${sqlLit(Web.WwwPrefixRe)}, '')
+       |      AS domain,
+       |    regexp_extract(url, ${sqlLit(Web.PathRe)}, 1) AS path
+       |  FROM canon),
+       |rr AS (SELECT * FROM (VALUES $robotVals) t(domain, prefix)),
+       |blk AS (SELECT uu.doc_id, bool_or(starts_with(uu.path, rr.prefix)) AS blocked
+       |  FROM uu JOIN rr USING (domain) GROUP BY 1),
+       |f1 AS (SELECT c.* FROM canon c LEFT JOIN blk b USING (doc_id)
+       |  WHERE NOT coalesce(b.blocked, false)),
+       |f2 AS (SELECT * FROM (SELECT *, row_number()
+       |    OVER (PARTITION BY canon_url ORDER BY doc_id) AS urn FROM f1)
+       |  WHERE urn = 1),
+       |px AS (SELECT doc_id, string_split(clean, $sep) AS ps FROM f2),
+       |paras AS (SELECT doc_id,
+       |    unnest([i-1 for i in generate_series(1, len(ps))]) AS pos,
+       |    unnest([ps[i] for i in generate_series(1, len(ps))]) AS para
+       |  FROM px),
+       |fo AS (SELECT *, row_number()
+       |    OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn FROM paras),
+       |reb AS (SELECT doc_id, string_agg(para, $sep ORDER BY pos) AS clean_text
+       |  FROM fo WHERE rn = 1 GROUP BY 1),
+       |pd AS (SELECT f2.doc_id, f2.source, f2.lang,
+       |    coalesce(reb.clean_text, '') AS text
+       |  FROM f2 LEFT JOIN reb USING (doc_id)),
+       |qt AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM pd),
+       |qf AS (SELECT doc_id,
+       |    len(ws)::BIGINT AS n_words,
+       |    list_sum(list_transform(ws, x -> len(x)))::BIGINT AS sum_word_len,
+       |    len(list_filter(ws, x -> regexp_matches(x, '[^a-z0-9]')))::BIGINT
+       |      AS n_symbol
+       |  FROM qt),
+       |f3 AS (SELECT pd.* FROM pd JOIN qf USING (doc_id)
+       |  WHERE qf.n_words >= ${Curation.MinWords}
+       |    AND qf.sum_word_len >= qf.n_words * 3
+       |    AND qf.sum_word_len <= qf.n_words * 10
+       |    AND qf.n_symbol * 10 <= qf.n_words
+       |    AND NOT (pd.text LIKE '%{%')
+       |    AND NOT (lower(pd.text) LIKE '%lorem ipsum%')),
+       |ntoks AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM f3),
+       |sh AS (SELECT DISTINCT doc_id,
+       |    unnest([ws[i]||' '||ws[i+1]||' '||ws[i+2]
+       |            for i in generate_series(1, len(ws)-2)]) AS s
+       |  FROM ntoks),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |rare AS (SELECT s FROM sh GROUP BY s
+       |  HAVING count(*) <= ${Dedup.MaxShingleDf}),
+       |shc AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)),
+       |cand AS (SELECT DISTINCT sa.doc_id AS i, sb.doc_id AS j
+       |  FROM shc sa JOIN shc sb ON sa.s = sb.s AND sa.doc_id < sb.doc_id),
+       |inter AS (SELECT c.i, c.j, count(*) AS inter
+       |  FROM cand c JOIN sh sa ON sa.doc_id = c.i
+       |  JOIN sh sb ON sb.doc_id = c.j AND sb.s = sa.s GROUP BY 1, 2),
+       |jac AS (SELECT i, j, inter * 1.0 / (si.n + sj.n - inter) AS jaccard
+       |  FROM inter JOIN sizes si ON si.doc_id = i
+       |  JOIN sizes sj ON sj.doc_id = j),
+       |dropped AS (SELECT DISTINCT j AS doc_id FROM jac WHERE jaccard >= 0.8),
+       |f4 AS (SELECT f3.* FROM f3 LEFT JOIN dropped USING (doc_id)
+       |  WHERE dropped.doc_id IS NULL),
+       |lt AS (SELECT lang,
+       |    sum(len(string_split(lower(text), ' ')))::BIGINT AS n_tokens
+       |  FROM f4 GROUP BY 1),
+       |ls AS (SELECT lang, n_tokens,
+       |    n_tokens::DOUBLE / (SELECT sum(n_tokens) FROM lt) AS p_raw FROM lt),
+       |lw AS (SELECT *, pow(p_raw, 0.3) AS w FROM ls),
+       |lz AS (SELECT *, w / (SELECT sum(w) FROM lw) AS p_alpha FROM lw),
+       |lr AS (SELECT *, p_alpha / p_raw AS ratio FROM lz),
+       |tm AS (SELECT lang,
+       |    round(ratio / (SELECT max(ratio) FROM lr), 6) AS sample_frac FROM lr),
+       |f5 AS (SELECT f4.* FROM f4 JOIN tm USING (lang)
+       |  WHERE ('0x'||substr(md5(${sqlLit(Curation.TmixSalt)}||f4.doc_id),
+       |      1, 15))::BIGINT % ${Curation.MixScale}
+       |    < tm.sample_frac * ${Curation.MixScale}),
+       |pk AS (SELECT doc_id, source, lang,
+       |    len(string_split(lower(text), ' '))::BIGINT AS n_tokens FROM f5),
+       |pc AS (SELECT *, coalesce(sum(n_tokens)
+       |    OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+       |  FROM pk)
+       |SELECT doc_id, source, lang, n_tokens,
+       |  (before // $E2eBudget)::BIGINT AS seq_id,
+       |  (before % $E2eBudget)::BIGINT AS seq_offset
+       |FROM pc ORDER BY doc_id""".stripMargin
   }
 
   private lazy val domainReputationOracleSql: String = {

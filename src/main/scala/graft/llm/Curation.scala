@@ -1606,6 +1606,97 @@ object Curation {
        |  JOIN ql USING (source)
        |ORDER BY source""".stripMargin
 
+  // --- end-to-end curation pipeline ----------------------------------------
+
+  /** Paragraph-boundary sentinel the e2e pipeline's extraction stage
+    * emits: [[graft.llm.Web.extractText]] collapses all whitespace (block
+    * structure is gone by design), so crawl fixtures that need paragraph
+    * semantics downstream mark boundaries with an explicit token — the
+    * same role trafilatura's double-newline markers play in a real crawl
+    * stack.
+    */
+  val ParaSep = " pbreak "
+
+  /** Hash salt + scale of the temperature-sampling stage's deterministic
+    * per-doc draw (same rule as [[domainMix]]: keep iff
+    * h(doc) / M < sample_frac — reproducible, row-independent).
+    */
+  val TmixSalt = "tmix:"
+
+  /** The composed curation DAG — every stage is an operator this file (or
+    * [[Web]] / [[Dedup]]) already certifies individually; THIS operator
+    * certifies their composition: schema handoffs, filter ordering, and
+    * no double-normalization between stages. Input `raw` is the crawl
+    * front door `(doc_id, source, lang, url, html)`; output is the final
+    * packed training assignment `(doc_id, source, lang, n_tokens, seq_id,
+    * seq_offset)` for every document that survives the whole chain:
+    *
+    *   1. markup → text ([[Web.extractText]]; paragraph boundaries as
+    *      [[ParaSep]] tokens)
+    *   2. URL canonicalization ([[Web.canonicalizeUrl]])
+    *   3. robots/opt-out filter ([[Web.robotsFilter]] — compliance first)
+    *   4. URL-level dedup (keep the smallest doc_id per canonical URL —
+    *      the cheapest dedup pass, before any content work)
+    *   5. paragraph-level exact dedup with reassembly
+    *      ([[Dedup.dedupParagraphs]] — strips shared boilerplate)
+    *   6. C4 quality heuristics ([[c4Filters]] keep flag)
+    *   7. MinHash near-dup dedup ([[Dedup.nearDupPairs]] ≥ `threshold`;
+    *      the larger doc_id of every pair drops)
+    *   8. temperature mixing ([[temperatureMix]] per-lang sample_frac,
+    *      applied as a deterministic per-doc hash draw)
+    *   9. greedy sequence packing ([[packSequences]])
+    *
+    * Scale shape: inherited stage by stage from the certified operators —
+    * the composition adds only doc_id-keyed equi-joins between stages (and
+    * one broadcast of the lang-bounded mix table); nothing here widens a
+    * shuffle beyond what the stages already do.
+    */
+  def curationPipeline(raw: DataFrame, robotsRules: DataFrame,
+      threshold: Double = 0.8, budget: Int = 256): DataFrame = {
+    // 1-2: extract + canonicalize (narrow, one pass)
+    val ext = raw
+      .withColumn("clean", Web.extractText(col("html")))
+      .withColumn("canon_url", Web.canonicalizeUrl(col("url")))
+      .drop("html")
+    // 3: robots compliance
+    val rob = Web.robotsFilter(ext.select(col("doc_id"), col("url")),
+      robotsRules)
+    val allowed = ext
+      .join(rob.select(col("doc_id"), col("blocked")), Seq("doc_id"))
+      .filter(!col("blocked"))
+    // 4: URL dedup — min doc_id per canonical URL (keyed agg + equi-join,
+    // the exactDedup shape; no global window)
+    val urlCanon = allowed.groupBy(col("canon_url"))
+      .agg(min(col("doc_id")).as("doc_id"))
+    val urlKept = allowed.join(urlCanon, Seq("canon_url", "doc_id"))
+    // 5: paragraph dedup with reassembly over the SURVIVING doc set
+    val pd = Dedup.dedupParagraphs(
+      urlKept.select(col("doc_id"), col("clean").as("text")), ParaSep)
+    val cleaned = urlKept.select(col("doc_id"), col("source"), col("lang"))
+      .join(pd.select(col("doc_id"), col("clean_text").as("text")),
+        Seq("doc_id"))
+    // 6: C4 quality gate
+    val quality = cleaned.join(
+      c4Filters(cleaned.select(col("doc_id"), col("text")))
+        .filter(col("keep") === 1).select(col("doc_id")), Seq("doc_id"))
+    // 7: near-dup dedup — drop the larger id of every verified pair
+    val dupJ = Dedup.nearDupPairs(quality, threshold)
+      .select(col("j").as("doc_id")).distinct()
+    val deduped = quality.join(dupJ, Seq("doc_id"), "left_anti")
+    // 8: temperature sampling — lang-bounded mix table broadcasts back
+    val mix = temperatureMix(deduped)
+      .select(col("lang"), col("sample_frac"))
+    val sampled = deduped.join(broadcast(mix), Seq("lang"))
+      .filter(pmod(mdhash64(concat(lit(TmixSalt), col("doc_id"))),
+        lit(MixScale)) < col("sample_frac") * MixScale)
+    // 9: pack the final corpus
+    packSequences(sampled.select(col("doc_id"), col("source"), col("text")),
+      budget)
+      .join(sampled.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .select(col("doc_id"), col("source"), col("lang"), col("n_tokens"),
+        col("seq_id"), col("seq_offset"))
+  }
+
   def semanticDedupOracleSql(threshold: Double): String = {
     val dot64 = (a: String, b: String) =>
       s"list_sum([$a[i]*$b[i] for i in generate_series(1,64)])"
