@@ -190,8 +190,22 @@ object Similarity {
     */
   val CentroidMod = 23L
 
+  /** Production centroid-count cap: √n centroids must fit a broadcast
+    * (the assignment pass ships C·D doubles to every executor) AND bound
+    * the Lloyd means shuffle at C·D rows. √n crosses 4096 at ~16.7 M
+    * vectors — past that, spacing widens to n/4096 so C stays ≤ 4096
+    * (a 2 MB broadcast at D = 64): cells grow beyond √n instead, which
+    * only lengthens the per-query rerank, the side that parallelizes
+    * freely. Below 16.7 M rows the cap never binds, so every fixture
+    * result (and DuckDB oracle, which mirrors the full formula) is
+    * unchanged.
+    */
+  val MaxCentroids = 4096L
+
   def centroidModFor(corpusRows: Long): Long =
-    math.max(CentroidMod, math.sqrt(corpusRows.toDouble).toLong)
+    math.max(CentroidMod, math.max(
+      math.sqrt(corpusRows.toDouble).toLong,
+      (corpusRows + MaxCentroids - 1) / MaxCentroids))
 
   /** Rank every row of `df` against the broadcast centroid table by
     * cosine (desc, cid-asc tie-break): the shared coarse-quantizer pass
@@ -355,7 +369,14 @@ object Similarity {
   def kmeansRefine(corpus: DataFrame, iters: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val mod = centroidModFor(corpus.count())
-    val e = corpus.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    // The assignment input is read by every Lloyd round (iters + 1 assign
+    // passes): materialize the float→double conversion ONCE so each round
+    // reads cached blocks instead of re-running scan + conversion — the
+    // standard "cache the training set across iterations" rule. Measured
+    // at sf1 (BENCH_sf1.json r16 note): the un-cached chain re-ran the
+    // conversion 3× and its isolated-JVM time swung 6× with JIT/GC state.
+    val e = graft.model.Materialize(
+      corpus.select(col("vec_id"), asDouble(col("embedding")).as("v")))
     val seeds = e.filter(pmod(col("vec_id"), lit(mod)) === 0)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
     def assign(cents: DataFrame): DataFrame = {
@@ -666,7 +687,7 @@ object Similarity {
   def productQuantizeOracleSql(m: Int = 8): String = {
     val d = Dims / m
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-       |cmod AS (SELECT GREATEST(23, CAST(floor(sqrt(count(*))) AS BIGINT)) AS md FROM e),
+       |cmod AS (SELECT GREATEST(23, CAST(floor(sqrt(count(*))) AS BIGINT), (count(*) + 4095) // 4096) AS md FROM e),
        |subs AS (SELECT vec_id, s, v[s*$d+1 : s*$d+$d] AS sub
        |  FROM e, generate_series(0, ${m - 1}) ss(s)),
        |cents AS (SELECT vec_id AS cid, s, sub AS csub FROM subs
