@@ -98,6 +98,40 @@ object StreamingGates extends GateSet {
            |FROM logs WHERE level = 'error'
            |GROUP BY 2, 3 ORDER BY event_type, ts""".stripMargin)),
 
+    // --- alerting-rule EVALUATION: pending -> firing state machine --------
+    // Beyond reference parity (the reference stores alert rules but never
+    // evaluates them, ruler/manager.go:12-41): the Prometheus/Loki ruler
+    // state machine run relationally. Threshold 17 over the 6h count grid
+    // makes activity flicker (sf0.01: 150 episodes, lengths 1-7, 18 of
+    // them reaching firing at for=2 steps), so pending-only episodes,
+    // pending->firing transitions, AND gap-resets are all in the gate.
+    Gate("streaming_ruler_alerts",
+      (spark: SparkSession, dir: String) =>
+        Ruler.alertStates(spark, dir, "HighTraffic",
+          """sum by (event_type) (count_over_time({level=~"info|error"}[6h])) > 17""",
+          forS = 2 * StepS, EvalParams(StartNs, EndNs, StepS))
+          .select(col("alertname"),
+            element_at(col("labels"), "event_type").as("event_type"),
+            col("ts"), round(col("value"), 6).as("value"),
+            col("active_since"), col("state"))
+          .orderBy("event_type", "ts"),
+      o(s"""SELECT * FROM (
+           |  SELECT 'HighTraffic' AS alertname, event_type, ts, value,
+           |    min(ts) OVER (PARTITION BY event_type, ep) AS active_since,
+           |    CASE WHEN ts - min(ts) OVER (PARTITION BY event_type, ep)
+           |           >= ${2 * StepS} THEN 'firing' ELSE 'pending' END AS state
+           |  FROM (
+           |    SELECT *, ts - $StepS * row_number()
+           |        OVER (PARTITION BY event_type ORDER BY ts) AS ep
+           |    FROM (
+           |      SELECT event_type,
+           |        (timestamp_ns // ${StepS}000000000) * $StepS AS ts,
+           |        CAST(count(*) AS DOUBLE) AS value
+           |      FROM logs WHERE level IN ('info', 'error')
+           |      GROUP BY 1, 2) b
+           |    WHERE value > 17))
+           |ORDER BY event_type, ts""".stripMargin)),
+
     // --- rule groups: PromQL recording rule with label-override writeback -
     // (`ruler/writeback.go:13-41`: sample labels < rule static labels <
     // __name__; `router/init.go:100` prom manager; the alerting rule in the

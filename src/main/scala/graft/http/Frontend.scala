@@ -1,0 +1,459 @@
+package graft.http
+
+import java.net.InetSocketAddress
+import java.net.URLDecoder
+import java.nio.charset.StandardCharsets.UTF_8
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.logql.{EvalParams, LogQLApi, LogQLCompiler, LogQLParser}
+import graft.logql.LogQLAst.LogExpr
+import graft.promql.{PromParams, PromQLApi, PromQLCompiler}
+import graft.traceql.{TraceQLCompiler, TraceQLParser}
+
+import Json._
+
+/** Thin HTTP frontend over the three query engines — the reference's
+  * router surface (`reader/router/router_v1.go` route table) re-expressed
+  * as one dispatcher over the compiled Spark plans. Routes:
+  *
+  *   - `/loki/api/v1/query_range` (streams or matrix), `/loki/api/v1/
+  *     labels`, `/loki/api/v1/label/{k}/values`, `/loki/api/v1/series`,
+  *     `/loki/api/v1/index/{stats,volume}`, `/loki/api/v1/
+  *     detected_{labels,fields}` (reference
+  *     `reader/controller/query_range.go:28`, `label.go`)
+  *   - `/api/v1/query_range`, `/api/v1/query` (instant = single-point
+  *     grid), `/api/v1/metadata` (reference `prom.go`, `metadata.go`)
+  *   - `/api/search?q=<traceql>`, `/api/{v2/}search/tags`,
+  *     `/api/{v2/}search/tag/{k}/values`, `/api/traces/{hex}`
+  *     (reference `tempo.go:53-160`)
+  *   - `/ready` + `/api/echo` liveness probes
+  *
+  * Serving model: this is a LIBRARY frontend (one JVM, the dev/test and
+  * small-deployment shape — the e2e fixture tests drive it over real
+  * sockets). At 100 TB the same `route` dispatch sits behind a Spark
+  * Connect or Livy-style session pool; nothing here holds per-request
+  * state, so horizontal replication is free. The only `collect()` is the
+  * response materialization itself — every route's result is bounded by
+  * `limit`/label-cardinality/grid size, the same bound the reference's
+  * JSON writers have.
+  *
+  * Wire formats follow the public Loki/Prometheus/Tempo HTTP API: sample
+  * values are strings, stream timestamps are ns strings, matrix
+  * timestamps are unix seconds, `status`/`data`/`resultType` envelopes.
+  * Errors return the Prometheus error envelope with HTTP 400.
+  */
+class Frontend(spark: SparkSession, dir: String) {
+
+  // ---- time / duration parsing --------------------------------------------
+
+  /** Loki/Prom timestamps: RFC3339 (`2024-01-01T00:00:00Z`), float unix
+    * seconds (`1704067200.5`), integer unix seconds, or integer unix
+    * NANOSECONDS (≥ 16 digits — the Loki convention; second-precision ns
+    * values and ns-precision values cannot collide below year 33658).
+    */
+  private def parseTimeNs(s: String): Long =
+    if (s.exists(c => c == 'T' || c == 'Z' || c == '-' && s.length > 10))
+      java.time.Instant.parse(s).toEpochMilli * 1000000L
+    else if (s.contains('.')) (s.toDouble * 1e9).toLong
+    else if (s.forall(_.isDigit) && s.length >= 16) s.toLong
+    else s.toLong * 1000000000L
+
+  /** Durations: bare (float) seconds or Go-style `15s`/`5m`/`6h`/`500ms`. */
+  private def parseDurationS(s: String): Long = {
+    val m = "^([0-9.]+)(ms|s|m|h|d)$".r
+    s match {
+      case m(n, u) =>
+        val mult = u match {
+          case "ms" => 0.001
+          case "s" => 1.0
+          case "m" => 60.0
+          case "h" => 3600.0
+          case "d" => 86400.0
+        }
+        math.max(1L, (n.toDouble * mult).toLong)
+      case _ => math.max(1L, s.toDouble.toLong)
+    }
+  }
+
+  // ---- response envelopes --------------------------------------------------
+
+  private def ok(data: String): HttpResult =
+    HttpResult(200, s"""{"status":"success","data":$data}""")
+
+  private def badRequest(msg: String): HttpResult =
+    HttpResult(400, obj(Seq(
+      "status" -> str("error"), "errorType" -> str("bad_data"),
+      "error" -> str(msg))))
+
+  private def notFound(path: String): HttpResult =
+    HttpResult(404, obj(Seq(
+      "status" -> str("error"), "errorType" -> str("not_found"),
+      "error" -> str(s"unknown route: $path"))))
+
+  private def labelsJson(m: Map[String, String]): String =
+    sortedObj(m.toSeq.map { case (k, v) => k -> str(v) })
+
+  // ---- Loki ----------------------------------------------------------------
+
+  /** Streams response: rows grouped by label set, values as
+    * [ns-string, line] pairs in request direction per stream (the limit
+    * was already applied by the compiled plan's TakeOrderedAndProject;
+    * the per-stream re-sort here is over the ≤limit collected rows).
+    */
+  private def lokiStreams(rows: Seq[Row], forward: Boolean): String = {
+    val byStream = rows.groupBy(r => r.getMap[String, String](1).toMap)
+    val streams = byStream.toSeq
+      .map { case (labels, rs) =>
+        val ordered = rs.sortBy(r => (r.getLong(0), r.getString(2)))
+        labelsJson(labels) -> arr(
+          (if (forward) ordered else ordered.reverse).map(r =>
+            arr(Seq(str(r.getLong(0).toString), str(r.getString(2))))))
+      }
+      .sortBy(_._1)
+      .map { case (lj, vals) =>
+        obj(Seq("stream" -> lj, "values" -> vals))
+      }
+    obj(Seq("resultType" -> str("streams"), "result" -> arr(streams)))
+  }
+
+  /** Matrix response shared by Loki metric queries and PromQL range
+    * queries: rows (ts seconds, labels, value) grouped by label set.
+    */
+  private def matrix(rows: Seq[Row]): String = {
+    val bySeries = rows.groupBy(r => r.getMap[String, String](1).toMap)
+    val series = bySeries.toSeq
+      .map { case (labels, rs) =>
+        labelsJson(labels) -> arr(rs.sortBy(_.getLong(0)).map(r =>
+          arr(Seq(num(r.getLong(0).toDouble), str(num(r.getDouble(2)))))))
+      }
+      .sortBy(_._1)
+      .map { case (lj, vals) => obj(Seq("metric" -> lj, "values" -> vals)) }
+    obj(Seq("resultType" -> str("matrix"), "result" -> arr(series)))
+  }
+
+  private def lokiQueryRange(p: Params): HttpResult = {
+    val q = p.required("query")
+    val ev = EvalParams(
+      parseTimeNs(p.required("start")), parseTimeNs(p.required("end")),
+      parseDurationS(p.first("step").getOrElse("15s")))
+    val c = new LogQLCompiler(spark, dir, ev)
+    LogQLParser.parseOrThrow(q) match {
+      case LogExpr(_, _) =>
+        // Loki defaults to backward (newest first)
+        val forward = p.first("direction").contains("forward")
+        val limit = p.first("limit").map(_.toInt).getOrElse(100)
+        val rows = c.compileLogQuery(q, Some(limit), forward)
+          .select(col("timestamp_ns"), col("labels"), col("line"))
+          .collect().toSeq
+        ok(lokiStreams(rows, forward))
+      case _ =>
+        val rows = c.compile(q)
+          .select(col("ts"), col("labels"),
+            round(col("value"), 6).as("value"))
+          .collect().toSeq
+        ok(matrix(rows))
+    }
+  }
+
+  private def lokiLabels(p: Params): HttpResult = {
+    val names = LogQLApi.labelNames(spark, dir, evalParams(p),
+        p.first("query").getOrElse("{}"))
+      .collect().map(_.getString(0)).sorted
+    ok(arr(names.toSeq.map(str)))
+  }
+
+  private def lokiLabelValues(p: Params, key: String): HttpResult = {
+    val values = LogQLApi.labelValues(spark, dir, evalParams(p), key,
+        p.first("query").getOrElse("{}"))
+      .collect().map(_.getString(0)).sorted
+    ok(arr(values.toSeq.map(str)))
+  }
+
+  private def lokiSeries(p: Params): HttpResult = {
+    val matches = p.all("match[]") ++ p.all("match")
+    if (matches.isEmpty) badRequest("at least one match[] required")
+    else {
+      val sets = LogQLApi.series(spark, dir, evalParams(p), matches)
+        .collect().map(r => labelsJson(r.getMap[String, String](0).toMap))
+        .sorted
+      ok(arr(sets.toSeq))
+    }
+  }
+
+  /** `/loki/api/v1/index/stats` — Loki returns this one BARE (no
+    * status/data envelope), matching the upstream wire shape. `chunks`
+    * is 0: the parquet store has no chunk objects.
+    */
+  private def lokiIndexStats(p: Params): HttpResult = {
+    val r = LogQLApi.indexStats(spark, dir, evalParams(p),
+      p.required("query")).collect().head
+    HttpResult(200, obj(Seq(
+      "streams" -> num(r.getLong(0).toDouble),
+      "chunks" -> num(0),
+      "entries" -> num(r.getLong(1).toDouble),
+      "bytes" -> num(if (r.isNullAt(2)) 0 else r.getLong(2).toDouble))))
+  }
+
+  /** `/loki/api/v1/index/volume` — Prom-style vector of per-label-value
+    * byte volumes at the window end (the shape Grafana's volume panel
+    * consumes).
+    */
+  private def lokiIndexVolume(p: Params): HttpResult = {
+    val ev = evalParams(p)
+    val by = p.first("aggregateBy").getOrElse("event_type")
+    val endSec = ev.endNs / 1000000000L
+    val rows = LogQLApi.indexVolume(spark, dir, ev, p.required("query"), by)
+      .collect().toSeq
+      .filter(!_.isNullAt(0))
+      .map(r => sortedObj(Seq(by -> str(r.getString(0)))) ->
+        arr(Seq(num(endSec.toDouble), str(num(r.getLong(1).toDouble)))))
+      .sortBy(_._1)
+      .map { case (m, v) => obj(Seq("metric" -> m, "value" -> v)) }
+    ok(obj(Seq("resultType" -> str("vector"), "result" -> arr(rows))))
+  }
+
+  private def lokiDetectedLabels(p: Params): HttpResult = {
+    val rows = LogQLApi.detectedLabels(spark, dir, evalParams(p),
+        p.first("query").getOrElse("{}"))
+      .collect().toSeq.sortBy(_.getString(0))
+      .map(r => obj(Seq(
+        "label" -> str(r.getString(0)),
+        "cardinality" -> num(r.getLong(1).toDouble))))
+    HttpResult(200, obj(Seq("detectedLabels" -> arr(rows))))
+  }
+
+  private def lokiDetectedFields(p: Params): HttpResult = {
+    val rows = LogQLApi.detectedFields(spark, dir, evalParams(p),
+        p.required("query"))
+      .collect().toSeq.sortBy(r => (r.getString(0), r.getString(1)))
+      .map(r => obj(Seq(
+        "label" -> str(r.getString(0)),
+        "type" -> str(r.getString(2)),
+        "cardinality" -> num(r.getLong(3).toDouble),
+        "parsers" -> arr(Seq(str(r.getString(1)))))))
+    HttpResult(200, obj(Seq("fields" -> arr(rows))))
+  }
+
+  private def evalParams(p: Params): EvalParams = EvalParams(
+    parseTimeNs(p.first("start").getOrElse("0")),
+    p.first("end").map(parseTimeNs).getOrElse(Long.MaxValue),
+    parseDurationS(p.first("step").getOrElse("15s")))
+
+  // ---- PromQL ---------------------------------------------------------------
+
+  private def promQueryRange(p: Params): HttpResult = {
+    val q = p.required("query")
+    val params = PromParams(
+      parseTimeNs(p.required("start")), parseTimeNs(p.required("end")),
+      parseDurationS(p.required("step")))
+    val rows = new PromQLCompiler(spark, dir, params).compile(q)
+      .select(col("ts"), col("labels"), round(col("value"), 6).as("value"))
+      .collect().toSeq
+    ok(matrix(rows))
+  }
+
+  /** Instant query: a single-point grid (start = end = time) — the same
+    * staleness-carry evaluation the promql_instant gate certifies —
+    * rendered as a `vector`.
+    */
+  private def promInstant(p: Params): HttpResult = {
+    val q = p.required("query")
+    val tNs = parseTimeNs(p.required("time"))
+    val rows = new PromQLCompiler(spark, dir, PromParams(tNs, tNs, 15L))
+      .compile(q)
+      .select(col("ts"), col("labels"), round(col("value"), 6).as("value"))
+      .collect().toSeq
+    val vector = rows
+      .map(r => labelsJson(r.getMap[String, String](1).toMap) ->
+        arr(Seq(num(r.getLong(0).toDouble), str(num(r.getDouble(2))))))
+      .sortBy(_._1)
+      .map { case (lj, v) => obj(Seq("metric" -> lj, "value" -> v)) }
+    ok(obj(Seq("resultType" -> str("vector"), "result" -> arr(vector))))
+  }
+
+  private def promMetadata: HttpResult = {
+    val fams = PromQLApi.metadata(spark, dir).collect().toSeq
+      .sortBy(_.getString(0))
+      .map(r => r.getString(0) -> arr(Seq(obj(Seq(
+        "type" -> str(r.getString(1)),
+        "help" -> str(""),
+        "unit" -> str(""))))))
+    ok(obj(fams))
+  }
+
+  // ---- TraceQL / Tempo ------------------------------------------------------
+
+  private def tempoSearch(p: Params): HttpResult = {
+    val q = p.required("q")
+    val loNs = p.first("start").map(parseTimeNs).getOrElse(0L)
+    val hiNs = p.first("end").map(parseTimeNs).getOrElse(Long.MaxValue)
+    val limit = p.first("limit").map(_.toInt).getOrElse(20)
+    val c = new TraceQLCompiler(spark, dir, loNs, hiNs)
+    val metas = c.traceMeta(TraceQLParser.parseOrThrow(q).expr)
+      .orderBy(col("start_ns").desc, col("trace_id"))
+      .limit(limit)
+      .collect().toSeq
+      .map { r =>
+        obj(Seq(
+          "traceID" -> str("%016x".format(r.getLong(0))),
+          "rootServiceName" -> str(r.getString(3)),
+          "rootTraceName" -> str(r.getString(4)),
+          "startTimeUnixNano" -> str(r.getLong(1).toString),
+          "durationMs" -> num(r.getLong(2).toDouble),
+          "spanCount" -> num(r.getLong(5).toDouble)))
+      }
+    HttpResult(200, obj(Seq("traces" -> arr(metas))))
+  }
+
+  /** Optional TraceQL scope selector (`q={...}`) for v2 tag/value
+    * autocomplete — a bare span-set selector; anything else is bad_data.
+    */
+  private def scopeOf(p: Params): Option[graft.traceql.TraceQLAst.SpanSet] =
+    p.first("q").filter(_.nonEmpty).map { q =>
+      TraceQLParser.parseOrThrow(q).expr match {
+        case graft.traceql.TraceQLAst.Sel(ss) => ss
+        case _ => throw new IllegalArgumentException(
+          "tag autocomplete scope must be a plain span-set selector")
+      }
+    }
+
+  private def tempoCompiler(p: Params): TraceQLCompiler =
+    new TraceQLCompiler(spark, dir,
+      p.first("start").map(parseTimeNs).getOrElse(0L),
+      p.first("end").map(parseTimeNs).getOrElse(Long.MaxValue))
+
+  /** `/api/search/tags` (v1) and `/api/v2/search/tags?q=` — v2 reports
+    * under one `span` scope (attrs are span-scoped in the store).
+    */
+  private def tempoTags(p: Params, v2: Boolean): HttpResult = {
+    val names = tempoCompiler(p).tagNamesV2(scopeOf(p))
+      .collect().map(_.getString(0)).sorted.toSeq.map(str)
+    HttpResult(200,
+      if (v2) obj(Seq("scopes" -> arr(Seq(obj(Seq(
+        "name" -> str("span"), "tags" -> arr(names)))))))
+      else obj(Seq("tagNames" -> arr(names))))
+  }
+
+  private def tempoTagValues(p: Params, key: String, v2: Boolean): HttpResult = {
+    val values = tempoCompiler(p).tagValuesV2(key, scopeOf(p))
+      .collect().map(_.getString(0)).sorted.toSeq
+    HttpResult(200,
+      if (v2) obj(Seq("tagValues" -> arr(values.map(v => obj(Seq(
+        "type" -> str("string"), "value" -> str(v)))))))
+      else obj(Seq("tagValues" -> arr(values.map(str)))))
+  }
+
+  private def tempoTraceById(hexId: String): HttpResult = {
+    val id = java.lang.Long.parseUnsignedLong(hexId, 16)
+    val spans = new TraceQLCompiler(spark, dir).traceById(id)
+      .orderBy(col("timestamp_ns"), col("span_id"))
+      .collect().toSeq
+      .map { r =>
+        obj(Seq(
+          "spanID" -> str("%016x".format(r.getLong(0))),
+          "parentSpanID" -> (if (r.isNullAt(1)) "null"
+            else str("%016x".format(r.getLong(1)))),
+          "name" -> str(r.getString(2)),
+          "serviceName" -> str(r.getString(3)),
+          "startTimeUnixNano" -> str(r.getLong(4).toString),
+          "durationNanos" -> str(r.getLong(5).toString)))
+      }
+    if (spans.isEmpty) HttpResult(404, obj(Seq(
+      "status" -> str("error"), "errorType" -> str("not_found"),
+      "error" -> str(s"trace $hexId not found"))))
+    else HttpResult(200, obj(Seq(
+      "traceID" -> str(hexId), "spans" -> arr(spans))))
+  }
+
+  // ---- dispatch -------------------------------------------------------------
+
+  private val LabelValuesRe = "^/loki/api/v1/label/([^/]+)/values$".r
+  private val TraceByIdRe = "^/api/traces/([0-9a-fA-F]+)$".r
+  private val TagValuesRe = "^/api/search/tag/([^/]+)/values$".r
+  private val TagValuesV2Re = "^/api/v2/search/tag/([^/]+)/values$".r
+
+  /** Pure dispatcher — the whole API surface minus the socket, so specs
+    * can drive it directly AND through a real server.
+    */
+  def route(path: String, p: Params): HttpResult =
+    try {
+      path match {
+        case "/ready" => HttpResult(200, str("ready"))
+        case "/api/echo" => HttpResult(200, str("echo"))
+        case "/loki/api/v1/query_range" => lokiQueryRange(p)
+        case "/loki/api/v1/labels" => lokiLabels(p)
+        case LabelValuesRe(key) => lokiLabelValues(p, key)
+        case "/loki/api/v1/series" => lokiSeries(p)
+        case "/loki/api/v1/index/stats" => lokiIndexStats(p)
+        case "/loki/api/v1/index/volume" => lokiIndexVolume(p)
+        case "/loki/api/v1/detected_labels" => lokiDetectedLabels(p)
+        case "/loki/api/v1/detected_fields" => lokiDetectedFields(p)
+        case "/api/v1/query_range" => promQueryRange(p)
+        case "/api/v1/query" => promInstant(p)
+        case "/api/v1/metadata" => promMetadata
+        case "/api/search" => tempoSearch(p)
+        case "/api/search/tags" => tempoTags(p, v2 = false)
+        case "/api/v2/search/tags" => tempoTags(p, v2 = true)
+        case TagValuesRe(key) => tempoTagValues(p, key, v2 = false)
+        case TagValuesV2Re(key) => tempoTagValues(p, key, v2 = true)
+        case TraceByIdRe(hexId) => tempoTraceById(hexId)
+        case other => notFound(other)
+      }
+    } catch {
+      case e: IllegalArgumentException => badRequest(e.getMessage)
+      case e: java.time.format.DateTimeParseException =>
+        badRequest(e.getMessage)
+      case e: NumberFormatException => badRequest(e.getMessage)
+    }
+
+  /** Start a real HTTP server (port 0 = ephemeral; read the bound port
+    * from the returned server). One JDK HttpServer, a small fixed
+    * executor — request handling is dominated by the Spark jobs anyway.
+    */
+  def start(port: Int = 0): HttpServer = {
+    val server = HttpServer.create(new InetSocketAddress(port), 0)
+    server.createContext("/", (exchange: HttpExchange) => {
+      val res = route(exchange.getRequestURI.getPath,
+        Params.fromQuery(exchange.getRequestURI.getRawQuery))
+      val bytes = res.body.getBytes(UTF_8)
+      exchange.getResponseHeaders.set("Content-Type", "application/json")
+      exchange.sendResponseHeaders(res.status, bytes.length)
+      val os = exchange.getResponseBody
+      try os.write(bytes) finally os.close()
+    })
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
+    server.start()
+    server
+  }
+}
+
+final case class HttpResult(status: Int, body: String)
+
+/** Decoded query parameters; repeatable keys (match[]) keep every value. */
+final case class Params(values: Map[String, Seq[String]]) {
+  def all(key: String): Seq[String] = values.getOrElse(key, Nil)
+  def first(key: String): Option[String] = all(key).headOption
+  def required(key: String): String = first(key).getOrElse(
+    throw new IllegalArgumentException(s"missing required parameter: $key"))
+}
+
+object Params {
+  def apply(kvs: (String, String)*): Params =
+    Params(kvs.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) })
+
+  def fromQuery(rawQuery: String): Params =
+    if (rawQuery == null || rawQuery.isEmpty) Params(Map.empty[String, Seq[String]])
+    else Params(rawQuery.split("&").toSeq
+      .filter(_.nonEmpty)
+      .map { kv =>
+        val i = kv.indexOf('=')
+        if (i < 0) (URLDecoder.decode(kv, UTF_8), "")
+        else (URLDecoder.decode(kv.take(i), UTF_8),
+          URLDecoder.decode(kv.drop(i + 1), UTF_8))
+      }
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) })
+}

@@ -1,0 +1,41 @@
+package graft.http
+
+/** Minimal JSON writer for the HTTP frontend's response bodies — the
+  * output side only (requests carry no JSON bodies on the implemented
+  * routes), so a full parser dependency would be dead weight. Emits
+  * compact RFC 8259 JSON with sorted-key objects where the caller wants
+  * deterministic bytes.
+  */
+object Json {
+
+  def str(s: String): String = {
+    val b = new StringBuilder(s.length + 2)
+    b += '"'
+    s.foreach {
+      case '"' => b ++= "\\\""
+      case '\\' => b ++= "\\\\"
+      case '\n' => b ++= "\\n"
+      case '\r' => b ++= "\\r"
+      case '\t' => b ++= "\\t"
+      case c if c < 0x20 => b ++= "\\u%04x".format(c.toInt)
+      case c => b += c
+    }
+    b += '"'
+    b.result()
+  }
+
+  /** Prometheus/Loki sample values are STRINGS in the wire format; whole
+    * doubles render without the trailing `.0` (the upstream
+    * `strconv.FormatFloat(v, 'f', -1, 64)` shape).
+    */
+  def num(v: Double): String =
+    if (v.isWhole && math.abs(v) < 1e15) v.toLong.toString else v.toString
+
+  def obj(fields: Seq[(String, String)]): String =
+    fields.map { case (k, v) => s"${str(k)}:$v" }.mkString("{", ",", "}")
+
+  def sortedObj(fields: Seq[(String, String)]): String =
+    obj(fields.sortBy(_._1))
+
+  def arr(items: Seq[String]): String = items.mkString("[", ",", "]")
+}

@@ -40,4 +40,46 @@ object Ruler {
 
   def recorded(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(recordedPath(dir))
+
+  /** Alerting-rule EVALUATION — the step the reference stores rules for
+    * but never executes (`ruler/manager.go:12-41` persists `alert:` rules;
+    * evaluation is delegated to an external ruler). This is the
+    * Prometheus/Loki ruler state machine, run relationally over the eval
+    * grid so a batch replay is deterministic and oracle-checkable:
+    *
+    *   - the rule's LogQL metric expr (normally carrying a comparison)
+    *     yields a sample per (series, grid point) where the condition
+    *     holds — those are the series' ACTIVE evaluation points;
+    *   - consecutive active points form an episode (gaps-and-islands:
+    *     `ts − step·row_number()` is constant within a run);
+    *   - a point's state is `firing` once its episode has been active for
+    *     at least `forS` seconds (`ts − active_since ≥ forS`; forS = 0
+    *     fires immediately), else `pending`. Inactive points emit nothing
+    *     — exactly Prometheus's ALERTS series semantics, where resolved
+    *     alerts just stop being exported.
+    *
+    * Scale shape: one compiled metric frame + one fingerprint-keyed
+    * window pass (episodes) + one (fingerprint, episode)-keyed min —
+    * series-bounded partitions, no global windows, nothing beyond the
+    * grid frame the expr already materializes.
+    *
+    * Returns (alertname, labels, ts, value, active_since, state).
+    */
+  def alertStates(spark: SparkSession, dir: String, alertName: String,
+      expr: String, forS: Long, params: EvalParams): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val frame = new LogQLCompiler(spark, dir, params)
+      .compileMetric(LogQLParser.parseOrThrow(expr))
+    val w = Window.partitionBy(col("fingerprint")).orderBy(col("ts"))
+    val episodes = frame
+      .withColumn("__ep",
+        col("ts") - lit(params.stepS) * row_number().over(w))
+    episodes
+      .withColumn("active_since", min(col("ts")).over(
+        Window.partitionBy(col("fingerprint"), col("__ep"))))
+      .select(lit(alertName).as("alertname"), col("labels"), col("ts"),
+        col("value"), col("active_since"),
+        when(col("ts") - col("active_since") >= forS, "firing")
+          .otherwise("pending").as("state"))
+  }
 }

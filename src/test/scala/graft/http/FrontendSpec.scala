@@ -1,0 +1,214 @@
+package graft.http
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+import graft.SparkSpec
+
+/** End-to-end frontend spec: a REAL HttpServer on an ephemeral port,
+  * driven over sockets with the JDK HttpClient — request parsing,
+  * dispatch, Spark execution, and JSON rendering all in the loop. Shape
+  * and invariant assertions run against the sf0.001 fixture; the exact
+  * numeric content is certified by the underlying query gates, so this
+  * spec pins the WIRE format (envelopes, value-as-string, ns-string
+  * stream timestamps, error envelope + status codes).
+  */
+class FrontendSpec extends SparkSpec {
+
+  private lazy val server = {
+    val s = new Frontend(spark, sf).start(0)
+    sys.addShutdownHook(s.stop(0))
+    s
+  }
+  private lazy val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+  private lazy val client = HttpClient.newHttpClient()
+
+  private def get(pathAndQuery: String): (Int, String) = {
+    val res = client.send(
+      HttpRequest.newBuilder(URI.create(base + pathAndQuery)).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    (res.statusCode(), res.body())
+  }
+
+  // the gates' evaluation window (testdata spans 2024-01)
+  private val StartS = 1704067200L
+  private val EndS = 1706659200L
+
+  test("/ready answers over a real socket") {
+    assert(get("/ready") == (200, "\"ready\""))
+  }
+
+  test("loki query_range: log selector returns streams with ns-string " +
+      "timestamps, honoring limit and direction") {
+    val (code, body) = get("/loki/api/v1/query_range" +
+      s"?query=%7Bevent_type%3D%22signup%22%7D" +
+      s"&start=${StartS}000000000&end=${EndS}000000000&limit=5")
+    assert(code == 200)
+    assert(body.startsWith("""{"status":"success","data":{"resultType":"streams","result":["""))
+    def perStreamTs(b: String): Seq[Seq[Long]] = b.split("""\{"stream":""").toSeq.tail
+      .map(chunk => """\["(\d{19})",""".r.findAllMatchIn(chunk)
+        .map(_.group(1).toLong).toSeq)
+    // default direction=backward: values newest-first WITHIN each stream
+    val ts = perStreamTs(body)
+    assert(ts.nonEmpty && ts.map(_.size).sum <= 5 && ts.map(_.size).sum > 0)
+    assert(ts.forall(s => s == s.sorted.reverse), s"backward order violated: $ts")
+    // forward flips the per-stream order
+    val (_, fwd) = get("/loki/api/v1/query_range" +
+      s"?query=%7Bevent_type%3D%22signup%22%7D" +
+      s"&start=${StartS}000000000&end=${EndS}000000000&limit=5&direction=forward")
+    val fts = perStreamTs(fwd)
+    assert(fts.forall(s => s == s.sorted), s"forward order violated: $fts")
+  }
+
+  test("loki query_range: metric query returns a matrix with string values " +
+      "on the 6h grid") {
+    val (code, body) = get("/loki/api/v1/query_range" +
+      "?query=" + enc("""sum by (event_type) (count_over_time({event_type="signup"}[6h]))""") +
+      s"&start=$StartS&end=$EndS&step=6h")
+    assert(code == 200)
+    assert(body.contains(""""resultType":"matrix""""))
+    assert(body.contains(""""metric":{"event_type":"signup"}"""))
+    // matrix samples are [unix_sec, "value-string"] pairs on the grid
+    val pair = """\[(\d{10}),"(\d+(\.\d+)?)"\]""".r
+    val samples = pair.findAllMatchIn(body).map(m => m.group(1).toLong).toSeq
+    assert(samples.nonEmpty)
+    assert(samples.forall(t => t >= StartS && t < EndS && (t - StartS) % 21600 == 0))
+  }
+
+  test("loki labels + label values surface the stream dictionary") {
+    val (c1, labels) = get(s"/loki/api/v1/labels?start=$StartS&end=$EndS")
+    assert(c1 == 200)
+    assert(labels.contains("\"event_type\"") && labels.contains("\"level\""))
+    val (c2, values) = get(s"/loki/api/v1/label/level/values?start=$StartS&end=$EndS")
+    assert(c2 == 200)
+    assert(values.contains("\"info\"") && values.contains("\"error\""))
+  }
+
+  test("loki series: match[] union of selectors, sorted-key label objects") {
+    val (code, body) = get("/loki/api/v1/series" +
+      "?match%5B%5D=" + enc("""{event_type="signup"}""") +
+      s"&start=$StartS&end=$EndS")
+    assert(code == 200)
+    assert(body.contains(""""event_type":"signup""""))
+    // missing match[] is a 400 with the Prometheus error envelope
+    val (bad, err) = get(s"/loki/api/v1/series?start=$StartS&end=$EndS")
+    assert(bad == 400 && err.contains(""""errorType":"bad_data""""))
+  }
+
+  test("prom query_range: matrix envelope; instant query: vector envelope") {
+    val (code, body) = get("/api/v1/query_range" +
+      "?query=" + enc("""sum by (event_type) (events_value{event_type="click"})""") +
+      s"&start=$StartS&end=$EndS&step=21600")
+    assert(code == 200)
+    assert(body.startsWith("""{"status":"success","data":{"resultType":"matrix""""))
+    assert(body.contains(""""metric":{"event_type":"click"}"""))
+    // instant: 1 s after the fixture's last click sample, so the 5 m
+    // staleness carry provably has a sample to pick up
+    val instT = 1706643059L
+    val (ci, inst) = get("/api/v1/query" +
+      "?query=" + enc("""events_value{event_type="click"}""") +
+      s"&time=$instT")
+    assert(ci == 200)
+    assert(inst.contains(""""resultType":"vector""""))
+    // instant samples are single [sec, "v"] VALUES, not arrays of pairs
+    assert(inst.contains(s""""value":[$instT,""""), inst.take(300))
+  }
+
+  test("prom metadata lists the three metric families with types") {
+    val (code, body) = get("/api/v1/metadata")
+    assert(code == 200)
+    assert(body ==
+      """{"status":"success","data":{""" +
+      """"events_bucket":[{"type":"histogram","help":"","unit":""}],""" +
+      """"events_total":[{"type":"counter","help":"","unit":""}],""" +
+      """"events_value":[{"type":"gauge","help":"","unit":""}]}}""")
+  }
+
+  test("tempo search: TraceQL q= returns trace metas, newest first, " +
+      "16-hex ids; traces/{id} returns the span tree") {
+    val (code, body) = get("/api/search?q=" + enc("""{ .name="purchase" }""") +
+      s"&start=${StartS}000000000&end=${EndS}000000000&limit=3")
+    assert(code == 200)
+    val ids = """"traceID":"([0-9a-f]{16})"""".r
+      .findAllMatchIn(body).map(_.group(1)).toSeq
+    assert(ids.nonEmpty && ids.size <= 3)
+    val starts = """"startTimeUnixNano":"(\d+)"""".r
+      .findAllMatchIn(body).map(_.group(1).toLong).toSeq
+    assert(starts == starts.sorted.reverse)
+    // point lookup round-trips one of the returned ids
+    val (tc, trace) = get(s"/api/traces/${ids.head}")
+    assert(tc == 200)
+    assert(trace.contains(s""""traceID":"${ids.head}""""))
+    assert(trace.contains(""""spanID":""") && trace.contains(""""durationNanos":""""))
+    // unknown trace id is a 404
+    assert(get("/api/traces/ffffffffffffffff")._1 == 404)
+  }
+
+  test("loki index stats (bare object) + volume (vector of byte counts)") {
+    val (c1, stats) = get("/loki/api/v1/index/stats?query=" +
+      enc("""{event_type="signup"}""") + s"&start=$StartS&end=$EndS")
+    assert(c1 == 200)
+    assert(stats.matches("""\{"streams":\d+,"chunks":0,"entries":\d+,"bytes":\d+\}"""),
+      stats)
+    val (c2, vol) = get("/loki/api/v1/index/volume?query=" +
+      enc("""{level="info"}""") + s"&start=$StartS&end=$EndS&aggregateBy=event_type")
+    assert(c2 == 200)
+    assert(vol.contains(""""resultType":"vector""""))
+    assert(vol.contains(s""""value":[$EndS,"""") &&
+      vol.contains(""""event_type":"""), vol.take(300))
+  }
+
+  test("loki detected labels and fields report cardinalities and types") {
+    val (c1, dl) = get("/loki/api/v1/detected_labels?query=" +
+      enc("""{event_type="signup"}""") + s"&start=$StartS&end=$EndS")
+    assert(c1 == 200)
+    assert(dl.startsWith("""{"detectedLabels":[{"label":"""), dl.take(120))
+    assert(dl.contains(""""cardinality":"""))
+    val (c2, df) = get("/loki/api/v1/detected_fields?query=" +
+      enc("""{event_type="signup"}""") + s"&start=$StartS&end=$EndS")
+    assert(c2 == 200)
+    assert(df.startsWith("""{"fields":["""), df.take(120))
+    assert(df.contains(""""parsers":["""), df.take(300))
+  }
+
+  test("tempo tag autocomplete: v1 flat, v2 scoped under span; q= narrows") {
+    val (c1, v1) = get("/api/search/tags")
+    assert(c1 == 200 && v1.startsWith("""{"tagNames":["""), v1.take(120))
+    assert(v1.contains("\"name\"") && v1.contains("\"service_name\""))
+    val (c2, v2) = get("/api/v2/search/tags?q=" + enc("""{ .name="purchase" }"""))
+    assert(c2 == 200)
+    assert(v2.startsWith("""{"scopes":[{"name":"span","tags":["""), v2.take(120))
+    val (c3, tv) = get("/api/search/tag/name/values")
+    assert(c3 == 200 && tv.contains("\"purchase\""), tv.take(200))
+    val (c4, tv2) = get("/api/v2/search/tag/name/values?q=" +
+      enc("""{ .name="purchase" }"""))
+    assert(c4 == 200)
+    assert(tv2 == """{"tagValues":[{"type":"string","value":"purchase"}]}""", tv2)
+    assert(get("/api/echo") == (200, "\"echo\""))
+  }
+
+  test("error envelopes: parse errors are 400 bad_data, unknown routes 404") {
+    val (code, body) = get("/loki/api/v1/query_range?query=" +
+      enc("{unclosed") + s"&start=$StartS&end=$EndS")
+    assert(code == 400)
+    assert(body.contains(""""status":"error"""") &&
+      body.contains(""""errorType":"bad_data""""))
+    // missing required param
+    assert(get("/api/v1/query_range?query=up")._1 == 400)
+    assert(get("/api/v1/nope")._1 == 404)
+  }
+
+  test("time parsing: RFC3339, float seconds, and ns forms agree") {
+    def q(start: String, end: String) = get("/loki/api/v1/query_range" +
+      "?query=" + enc("""{event_type="signup"}""") +
+      s"&start=$start&end=$end&limit=3&direction=forward")._2
+    val ns = q(s"${StartS}000000000", s"${EndS}000000000")
+    val secs = q(StartS.toString, EndS.toString)
+    val rfc = q("2024-01-01T00:00:00Z", "2024-01-31T00:00:00Z")
+    val flt = q(s"$StartS.0", s"$EndS.0")
+    assert(ns == secs && secs == rfc && rfc == flt)
+  }
+
+  private def enc(s: String): String =
+    java.net.URLEncoder.encode(s, java.nio.charset.StandardCharsets.UTF_8)
+}
