@@ -376,10 +376,41 @@ class Frontend(spark: SparkSession, dir: String) {
   private val TagValuesRe = "^/api/search/tag/([^/]+)/values$".r
   private val TagValuesV2Re = "^/api/v2/search/tag/([^/]+)/values$".r
 
+  // ---- ingest ----------------------------------------------------------------
+
+  /** `POST /loki/api/v1/push` — decode the push body (JSON streams; both
+    * the `values` and legacy `entries` spellings, metric-bearing third
+    * elements included) and append it to the QUERYABLE store
+    * ([[graft.store.Store.appendLogs]]): samples + new dictionary entries
+    * + the batch's 15s downsample partials. 204 on success, like Loki.
+    */
+  private def lokiPush(body: String): HttpResult = {
+    import spark.implicits._
+    val rows = graft.ingest.LokiPush.decodeRows(Seq(body).toDF("body"))
+    val n = graft.store.Store.appendLogs(spark, dir, rows)
+    if (n == 0) badRequest("push body contained no entries")
+    else HttpResult(204, "")
+  }
+
   /** Pure dispatcher — the whole API surface minus the socket, so specs
     * can drive it directly AND through a real server.
     */
-  def route(path: String, p: Params): HttpResult =
+  def route(path: String, p: Params, method: String = "GET",
+      body: String = ""): HttpResult =
+    try {
+      (method, path) match {
+        case ("POST", "/loki/api/v1/push") => lokiPush(body)
+        case ("POST", other) => notFound(s"POST $other")
+        case _ => routeGet(path, p)
+      }
+    } catch {
+      case e: IllegalArgumentException => badRequest(e.getMessage)
+      case e: java.time.format.DateTimeParseException =>
+        badRequest(e.getMessage)
+      case e: NumberFormatException => badRequest(e.getMessage)
+    }
+
+  private def routeGet(path: String, p: Params): HttpResult =
     try {
       path match {
         case "/ready" => HttpResult(200, str("ready"))
@@ -417,13 +448,17 @@ class Frontend(spark: SparkSession, dir: String) {
   def start(port: Int = 0): HttpServer = {
     val server = HttpServer.create(new InetSocketAddress(port), 0)
     server.createContext("/", (exchange: HttpExchange) => {
+      val body = new String(exchange.getRequestBody.readAllBytes(), UTF_8)
       val res = route(exchange.getRequestURI.getPath,
-        Params.fromQuery(exchange.getRequestURI.getRawQuery))
+        Params.fromQuery(exchange.getRequestURI.getRawQuery),
+        exchange.getRequestMethod, body)
       val bytes = res.body.getBytes(UTF_8)
       exchange.getResponseHeaders.set("Content-Type", "application/json")
-      exchange.sendResponseHeaders(res.status, bytes.length)
+      // 204 must not carry a body; -1 signals no content on the JDK server
+      exchange.sendResponseHeaders(res.status,
+        if (bytes.isEmpty) -1 else bytes.length)
       val os = exchange.getResponseBody
-      try os.write(bytes) finally os.close()
+      try { if (bytes.nonEmpty) os.write(bytes) } finally os.close()
     })
     server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
     server.start()

@@ -355,6 +355,70 @@ object Store {
     "span_attrs", "span_ancestors", "profiles", "prom_gauge",
     "prom_counter", "prom_bucket", "prom_gauge_15s")
 
+  /** Live ingest append — the batched fan-out write a push endpoint makes
+    * (`writer/service/insert/`, one insert per canonical table): a decoded
+    * batch (the [[graft.ingest.LokiPush.decodeRows]] shape — fingerprint,
+    * labels, timestamp_ns, line, value) lands in the QUERYABLE store:
+    *
+    *   - `samples` gains the rows (same oid/date partition layout as the
+    *     build; small-file accumulation is what [[compact]] exists for);
+    *   - `time_series` gains only NEW fingerprints (anti-join against the
+    *     dictionary — dup dictionary rows would fan out every broadcast
+    *     join downstream);
+    *   - `metrics_15s` gains the batch's own 15s PARTIALS: the downsample
+    *     readers merge per-bucket partials additively (sum(cnt)/
+    *     sum(bytes) over the window), so independent batch partials
+    *     compose without read-modify-write.
+    *
+    * Cached readers + the catalog file index for the touched tables are
+    * invalidated, so the next compiled query sees the pushed rows. At
+    * 100 TB this is the `foreachBatch` body of the ingest stream; each
+    * append is one bounded batch write, never a table rewrite. Returns
+    * the number of sample rows appended.
+    */
+  def appendLogs(spark: SparkSession, dir: String, rows: DataFrame): Long = {
+    val root = ensure(spark, dir)
+    val batch = graft.model.Materialize(rows) // 3 consumers below
+    val n = batch.count()
+    if (n > 0) appendLock.synchronized {
+      withOid(withDate(batch.select(col("timestamp_ns"), col("fingerprint"),
+          col("line"), col("value"))))
+        .sortWithinPartitions(col("fingerprint"), col("timestamp_ns"))
+        .write.mode("append").partitionBy("oid", "date")
+        .parquet(s"$root/samples")
+      val existing = spark.read.parquet(s"$root/time_series")
+        .select(col("fingerprint")).distinct()
+      withOid(batch.select(col("fingerprint"), col("labels"))
+          .dropDuplicates("fingerprint")
+          .join(existing, Seq("fingerprint"), "left_anti"))
+        .write.mode("append").parquet(s"$root/time_series")
+      val bucketNs = 15L * 1000 * 1000 * 1000
+      val partials = batch
+        .groupBy(col("fingerprint"),
+          (col("timestamp_ns") - pmod(col("timestamp_ns"), lit(bucketNs)))
+            .as("timestamp_ns"))
+        .agg(
+          max_by(col("value"), col("timestamp_ns")).as("last"),
+          max(col("timestamp_ns")).as("last_ts"),
+          min(col("value")).as("min"),
+          max(col("value")).as("max"),
+          sum(col("value")).as("sum"),
+          count(lit(1)).as("cnt"),
+          sum(length(col("line"))).as("bytes"))
+      withOid(withDate(partials))
+        .sortWithinPartitions(col("fingerprint"), col("timestamp_ns"))
+        .write.mode("append").partitionBy("oid", "date")
+        .parquet(s"$root/metrics_15s")
+      for (t <- Seq("samples", "time_series", "metrics_15s")) {
+        readers.remove((spark, s"$root/$t"))
+        spark.catalog.refreshByPath(s"$root/$t")
+      }
+    }
+    n
+  }
+
+  private val appendLock = new Object
+
   /** TTL retention (`ctrl/qryn/maintenance/rotate.go:48-66`, which issues
     * `ALTER TABLE ... DROP PARTITION` per expired day): drop every `date=`
     * partition strictly before the cutoff (ISO yyyy-MM-dd) across the

@@ -187,6 +187,65 @@ class FrontendSpec extends SparkSpec {
     assert(get("/api/echo") == (200, "\"echo\""))
   }
 
+  test("push -> query round trip: POSTed streams become queryable " +
+      "(samples, dictionary, downsample partials), idempotent dictionary") {
+    // a COPY of the fixture dir: the push mutates its store, and the
+    // shared sf0.001 store's contents are load-bearing for other suites
+    val tmp = java.nio.file.Files.createTempDirectory("graft-push").toFile
+    tmp.deleteOnExit()
+    for (f <- new java.io.File(sf).listFiles(); if f.getName.endsWith(".parquet"))
+      java.nio.file.Files.copy(f.toPath,
+        new java.io.File(tmp, f.getName).toPath)
+    val srv = new Frontend(spark, tmp.getAbsolutePath).start(0)
+    try {
+      val b = s"http://127.0.0.1:${srv.getAddress.getPort}"
+      def get2(pq: String): (Int, String) = {
+        val r = client.send(HttpRequest.newBuilder(URI.create(b + pq)).GET()
+          .build(), HttpResponse.BodyHandlers.ofString())
+        (r.statusCode(), r.body())
+      }
+      def post(path: String, body: String): Int =
+        client.send(HttpRequest.newBuilder(URI.create(b + path))
+          .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+          HttpResponse.BodyHandlers.ofString()).statusCode()
+      def pushedLines: Seq[String] = {
+        val (_, body) = get2("/loki/api/v1/query_range?query=" +
+          enc("""{event_type="pushed"}""") +
+          s"&start=${StartS}000000000&end=${EndS}000000000&limit=100")
+        """\["\d{19}","([^"]*)"\]""".r.findAllMatchIn(body)
+          .map(_.group(1)).toSeq
+      }
+      assert(pushedLines.isEmpty)
+      def body(ts1: Long, ts2: Long) =
+        s"""{"streams":[{"stream":{"event_type":"pushed","level":"info"},
+           |"values":[["${ts1}000000000","hello pushed one"],
+           |          ["${ts2}000000000","hello pushed two"]]}]}"""
+          .stripMargin.replace("\n", "")
+      assert(post("/loki/api/v1/push", body(StartS + 100, StartS + 200)) == 204)
+      // the pushed stream is queryable: lines, label value, and the
+      // downsample-routed count all see it
+      assert(pushedLines.toSet ==
+        Set("hello pushed one", "hello pushed two"))
+      val (_, vals) = get2(s"/loki/api/v1/label/event_type/values" +
+        s"?start=$StartS&end=$EndS")
+      assert(vals.contains("\"pushed\""))
+      val (_, cnt) = get2("/loki/api/v1/query_range?query=" +
+        enc("""sum by (event_type) (count_over_time({event_type="pushed"}[6h]))""") +
+        s"&start=$StartS&end=$EndS&step=6h")
+      val total = ""","(\d+)"\]""".r.findAllMatchIn(cnt)
+        .map(_.group(1).toLong).sum
+      assert(total == 2, cnt.take(300))
+      // second push, same stream: dictionary must NOT duplicate (dup
+      // dictionary rows would fan every line out 2x through the broadcast
+      // join) - 4 lines total, not 8
+      assert(post("/loki/api/v1/push", body(StartS + 300, StartS + 400)) == 204)
+      assert(pushedLines.size == 4)
+      // a push with no entries is a 400
+      assert(post("/loki/api/v1/push", """{"streams":[]}""") == 400)
+      assert(post("/api/v1/nope", "x") == 404)
+    } finally srv.stop(0)
+  }
+
   test("error envelopes: parse errors are 400 bad_data, unknown routes 404") {
     val (code, body) = get("/loki/api/v1/query_range?query=" +
       enc("{unclosed") + s"&start=$StartS&end=$EndS")
