@@ -1720,6 +1720,54 @@ object LlmGates extends GateSet {
           .orderBy("vec_id", "j"),
       Some(Similarity.randomProjectOracleSql(RandProjDim))),
 
+    // --- classifier evaluation: ROC AUC + calibration curve ---------------
+    // The quality-gate audit pair: AUC over the 6dp-bounded score
+    // histogram (never a global doc rank) and the 10-bin reliability
+    // curve. Label = src0 membership, the same signal the classifier
+    // gates train/score against, so the AUC is a real discriminative
+    // number (src0's vocabulary differs by construction).
+    Gate("llm_classifier_auc",
+      (spark: SparkSession, dir: String) => {
+        val d = docs(spark, dir)
+        val scored = Curation.hashClassifierScore(d,
+            Curation.demoClassifierWeights(spark, ClassifierDim), ClassifierDim)
+          .join(d.select(col("doc_id"), col("source")), Seq("doc_id"))
+        Curation.classifierAuc(scored, col("source") === "src0")
+      },
+      Some(Curation.classifierAucOracleSql(ClassifierDim))),
+
+    Gate("llm_classifier_calibration",
+      (spark: SparkSession, dir: String) => {
+        val d = docs(spark, dir)
+        val scored = Curation.hashClassifierScore(d,
+            Curation.demoClassifierWeights(spark, ClassifierDim), ClassifierDim)
+          .join(d.select(col("doc_id"), col("source")), Seq("doc_id"))
+        Curation.classifierCalibration(scored, col("source") === "src0")
+          .orderBy("bin")
+      },
+      Some(Curation.classifierCalibrationOracleSql(ClassifierDim))),
+
+    // --- corpus snapshot diff (release-to-release audit) -------------------
+    // Fixture: old drops doc_id%10==3 (those become 'added' in new), new
+    // drops doc_id%10==7 ('removed'), and new rewrites doc_id%5==0 with a
+    // marker suffix ('changed') — all four statuses occur in every source.
+    Gate("llm_snapshot_diff",
+      (spark: SparkSession, dir: String) => {
+        val d = docs(spark, dir)
+        val oldSnap = d.filter(col("doc_id") % 10 =!= 3)
+        val newSnap = d.filter(col("doc_id") % 10 =!= 7)
+          .select(col("doc_id"), col("source"),
+            when(col("doc_id") % 5 === 0,
+              concat(col("text"), lit(" rewritten"))).otherwise(col("text"))
+              .as("text"))
+        Curation.snapshotDiff(oldSnap, newSnap).orderBy("source")
+      },
+      Some(Curation.snapshotDiffOracleSql(
+        "SELECT doc_id, source, text FROM documents WHERE doc_id % 10 <> 3",
+        """SELECT doc_id, source,
+          |  CASE WHEN doc_id % 5 = 0 THEN text || ' rewritten' ELSE text END AS text
+          |FROM documents WHERE doc_id % 10 <> 7""".stripMargin))),
+
     // --- END-TO-END curation DAG: html → url → robots → url-dedup →
     // paragraph-dedup → C4 quality → MinHash dedup → temperature mix →
     // seq pack, as ONE gate (Curation.curationPipeline). Every stage is

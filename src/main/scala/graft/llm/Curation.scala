@@ -551,6 +551,147 @@ object Curation {
       (pmod(mdhash64(concat(lit("w:"), col("id"))), lit(2001L)) / lit(1000.0)
         - lit(1.0)).as("w"))
 
+  /** ROC AUC of a quality classifier's scores against binary labels —
+    * the metric a pipeline checks before trusting a classifier gate
+    * (fastText-style filters are accepted/rejected on exactly this
+    * number). Mann-Whitney formulation with exact tie handling:
+    * AUC = Σ_s n_pos(s)·(cumneg_below(s) + n_neg(s)/2) / (N_pos·N_neg).
+    *
+    * Scale shape: scores are 6 dp-rounded sigmoids, so DISTINCT scores
+    * are bounded by the rounding grid (≤ ~10^6) no matter the corpus
+    * size — one map-side-combined groupBy(score) collapses N docs to the
+    * bounded histogram, and the cumulative window runs over THAT, never
+    * over rows. This is why the formulation beats the textbook
+    * rank-statistic: a global rank over docs is an unpartitioned window
+    * at corpus scale; a cumulative over the score grid is not.
+    *
+    * Returns one row: (n_pos, n_neg, auc 6dp).
+    */
+  def classifierAuc(scored: DataFrame, label: Column): DataFrame = {
+    val h = scored
+      .groupBy(col("score"))
+      .agg(sum(when(label, 1L).otherwise(0L)).as("np"),
+        sum(when(label, 0L).otherwise(1L)).as("nn"))
+    val w = Window.orderBy(col("score"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    h.withColumn("cumneg", coalesce(sum(col("nn")).over(w), lit(0L)))
+      .agg(sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"),
+        sum(col("np") * (col("cumneg") + col("nn") / lit(2.0))).as("u"))
+      .select(col("n_pos"), col("n_neg"),
+        round(col("u") / (col("n_pos") * col("n_neg")), 6).as("auc"))
+  }
+
+  /** Calibration (reliability) curve of classifier scores: `bins` equal
+    * score buckets, each with count, mean score, and observed positive
+    * fraction — a well-calibrated classifier has mean_score ≈ frac_pos
+    * per bin. One doc-keyed pass + a bins-bounded aggregate.
+    */
+  def classifierCalibration(scored: DataFrame, label: Column,
+      bins: Int = 10): DataFrame =
+    scored
+      .withColumn("bin", least(floor(col("score") * bins), lit(bins - 1L))
+        .cast("long"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("score")), 6).as("mean_score"),
+        round(avg(when(label, 1.0).otherwise(0.0)), 6).as("frac_pos"))
+
+  /** DuckDB twins of [[classifierAuc]] / [[classifierCalibration]] over
+    * [[hashClassifierScore]] with the demo weights and label
+    * `source = 'src0'`. Host query must start `WITH <scoreCtes(dim)>`
+    * (ending in `sc(doc_id, y, score)`).
+    */
+  def classifierScoreCtes(dim: Int): String =
+    s"""toks AS (SELECT doc_id, source = 'src0' AS y,
+       |    string_split(lower(text), ' ') AS ws FROM documents),
+       |fb AS (SELECT doc_id, y,
+       |    ('0x'||substr(md5(f),1,15))::BIGINT % $dim AS b
+       |  FROM (SELECT doc_id, y,
+       |      unnest(list_concat(ws,
+       |        [ws[i]||' '||ws[i+1] for i in generate_series(1, len(ws)-1)])) AS f
+       |    FROM toks)),
+       |wt AS (SELECT b,
+       |    ('0x'||substr(md5('w:'||b),1,15))::BIGINT % 2001 / 1000.0 - 1.0 AS w
+       |  FROM (SELECT unnest(generate_series(0, ${dim - 1})) AS b)),
+       |sc AS (SELECT doc_id, any_value(y) AS y,
+       |    round(1.0 / (1.0 + exp(-avg(w))), 6) AS score
+       |  FROM fb JOIN wt USING (b) GROUP BY doc_id)""".stripMargin
+
+  def classifierAucOracleSql(dim: Int): String =
+    s"""WITH ${classifierScoreCtes(dim)},
+       |h AS (SELECT score,
+       |    sum(CASE WHEN y THEN 1 ELSE 0 END)::BIGINT AS np,
+       |    sum(CASE WHEN y THEN 0 ELSE 1 END)::BIGINT AS nn
+       |  FROM sc GROUP BY 1),
+       |c AS (SELECT *, coalesce(sum(nn) OVER (ORDER BY score
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumneg
+       |  FROM h)
+       |SELECT sum(np)::BIGINT AS n_pos, sum(nn)::BIGINT AS n_neg,
+       |  round(sum(np * (cumneg + nn / 2.0)) /
+       |    (sum(np) * sum(nn)), 6) AS auc
+       |FROM c""".stripMargin
+
+  def classifierCalibrationOracleSql(dim: Int, bins: Int = 10): String =
+    s"""WITH ${classifierScoreCtes(dim)}
+       |SELECT least(floor(score * $bins), ${bins - 1})::BIGINT AS bin,
+       |  count(*)::BIGINT AS n,
+       |  round(avg(score), 6) AS mean_score,
+       |  round(avg(CASE WHEN y THEN 1.0 ELSE 0.0 END), 6) AS frac_pos
+       |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --- snapshot diff ---------------------------------------------------------
+
+  /** Corpus snapshot diff — the release-to-release audit every recurring
+    * curation run prints (what did this crawl add, drop, or rewrite?):
+    * full outer join of two snapshots on doc_id, content compared by the
+    * exact-dedup normalization hash, rolled up per source. One
+    * doc_id-keyed equi-join of two scans plus a source-bounded aggregate;
+    * at 100 TB both sides are the already-stored corpora, nothing is
+    * recomputed beyond the per-row hash.
+    *
+    * Returns (source, n_added, n_removed, n_changed, n_unchanged).
+    */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame): DataFrame = {
+    def keyed(df: DataFrame, side: String) = df.select(col("doc_id"),
+      col("source").as(s"source_$side"),
+      md5(Dedup.normalized(col("text"))).as(s"h_$side"))
+    keyed(oldSnap, "old").join(keyed(newSnap, "new"), Seq("doc_id"), "full_outer")
+      .select(coalesce(col("source_new"), col("source_old")).as("source"),
+        when(col("h_old").isNull, "added")
+          .when(col("h_new").isNull, "removed")
+          .when(col("h_old") =!= col("h_new"), "changed")
+          .otherwise("unchanged").as("status"))
+      .groupBy(col("source"))
+      .agg(
+        sum(when(col("status") === "added", 1L).otherwise(0L)).as("n_added"),
+        sum(when(col("status") === "removed", 1L).otherwise(0L)).as("n_removed"),
+        sum(when(col("status") === "changed", 1L).otherwise(0L)).as("n_changed"),
+        sum(when(col("status") === "unchanged", 1L).otherwise(0L)).as("n_unchanged"))
+  }
+
+  /** DuckDB twin of [[snapshotDiff]]; `oldSql`/`newSql` must yield
+    * (doc_id, source, text).
+    */
+  def snapshotDiffOracleSql(oldSql: String, newSql: String): String =
+    s"""WITH o AS (SELECT doc_id, source,
+       |    md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS h
+       |  FROM ($oldSql)),
+       |n AS (SELECT doc_id, source,
+       |    md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS h
+       |  FROM ($newSql)),
+       |j AS (SELECT coalesce(n.source, o.source) AS source,
+       |    CASE WHEN o.h IS NULL THEN 'added'
+       |         WHEN n.h IS NULL THEN 'removed'
+       |         WHEN o.h <> n.h THEN 'changed'
+       |         ELSE 'unchanged' END AS status
+       |  FROM o FULL OUTER JOIN n USING (doc_id))
+       |SELECT source,
+       |  sum(CASE WHEN status = 'added' THEN 1 ELSE 0 END)::BIGINT AS n_added,
+       |  sum(CASE WHEN status = 'removed' THEN 1 ELSE 0 END)::BIGINT AS n_removed,
+       |  sum(CASE WHEN status = 'changed' THEN 1 ELSE 0 END)::BIGINT AS n_changed,
+       |  sum(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END)::BIGINT AS n_unchanged
+       |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** TRAIN the [[hashClassifierScore]] model: full-batch logistic
     * regression by gradient descent on the hashed unigram+bigram features
     * (the fastText training objective restricted to one output class,
