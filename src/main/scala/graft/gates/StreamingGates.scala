@@ -6,7 +6,7 @@ import org.apache.spark.sql.streaming.Trigger
 
 import graft.logql.EvalParams
 import graft.model.{OracleViews, Tables}
-import graft.streaming.{LiveTail, Ruler}
+import graft.streaming.{LiveTail, Ruler, StatefulOps}
 
 /** Oracle gates for the streaming surface (SURVEY §2.H): each gate drives
   * the REAL Structured Streaming path deterministically — live tail runs
@@ -115,6 +115,47 @@ object StreamingGates extends GateSet {
             col("ts"), round(col("value"), 6).as("value"),
             col("active_since"), col("state"))
           .orderBy("event_type", "ts"),
+      o(s"""SELECT * FROM (
+           |  SELECT 'HighTraffic' AS alertname, event_type, ts, value,
+           |    min(ts) OVER (PARTITION BY event_type, ep) AS active_since,
+           |    CASE WHEN ts - min(ts) OVER (PARTITION BY event_type, ep)
+           |           >= ${2 * StepS} THEN 'firing' ELSE 'pending' END AS state
+           |  FROM (
+           |    SELECT *, ts - $StepS * row_number()
+           |        OVER (PARTITION BY event_type ORDER BY ts) AS ep
+           |    FROM (
+           |      SELECT event_type,
+           |        (timestamp_ns // ${StepS}000000000) * $StepS AS ts,
+           |        CAST(count(*) AS DOUBLE) AS value
+           |      FROM logs WHERE level IN ('info', 'error')
+           |      GROUP BY 1, 2) b
+           |    WHERE value > 17))
+           |ORDER BY event_type, ts""".stripMargin)),
+
+    // --- STREAMING alert evaluation: same state machine, incremental ------
+    // The flatMapGroupsWithState cursor form of streaming_ruler_alerts: a
+    // one-batch replay of the same rule must reproduce the batch window
+    // plan's output exactly (same oracle); cross-batch episode continuity
+    // is pinned in StreamingSpec with a mid-episode MemoryStream split.
+    Gate("streaming_alert_states",
+      (spark: SparkSession, dir: String) => {
+        import spark.implicits._
+        import graft.logql.{LogQLCompiler, LogQLParser}
+        val frame = new LogQLCompiler(spark, dir,
+            EvalParams(StartNs, EndNs, StepS))
+          .compileMetric(LogQLParser.parseOrThrow(
+            """sum by (event_type) (count_over_time({level=~"info|error"}[6h])) > 17"""))
+          .select(element_at(col("labels"), "event_type").as("series"),
+            col("ts"), col("value"))
+          .as[StatefulOps.AlertEval]
+        StatefulOps.streamingAlertStates(frame, StepS, 2 * StepS)
+          .toDF()
+          .select(lit("HighTraffic").as("alertname"),
+            col("series").as("event_type"), col("ts"),
+            round(col("value"), 6).as("value"),
+            col("active_since"), col("state"))
+          .orderBy("event_type", "ts")
+      },
       o(s"""SELECT * FROM (
            |  SELECT 'HighTraffic' AS alertname, event_type, ts, value,
            |    min(ts) OVER (PARTITION BY event_type, ep) AS active_since,

@@ -78,6 +78,53 @@ object StatefulOps {
       }
   }
 
+  final case class AlertEval(series: String, ts: Long, value: Double)
+  final case class AlertCursor(activeSince: Long, lastTs: Long)
+  final case class AlertRow(series: String, ts: Long, value: Double,
+      active_since: Long, state: String)
+
+  /** Streaming form of [[graft.streaming.Ruler.alertStates]]: the
+    * pending → firing state machine run INCREMENTALLY — the group state
+    * is the per-series episode cursor (active_since, last active tick),
+    * so episodes survive micro-batch boundaries and the output is
+    * split-invariant (asserted in StreamingSpec with a mid-episode batch
+    * split; single-batch parity with the batch operator is the
+    * streaming_alert_states oracle gate).
+    *
+    * Contract: evaluation points arrive in event-time order ACROSS
+    * batches per series (a ruler evaluates ticks in order); within a
+    * batch they sort. A point continues its episode iff it lands exactly
+    * one `stepS` after the last active tick; anything else starts a new
+    * episode (the gap reset).
+    *
+    * Scale shape: state is two longs per ACTIVE series, hash-partitioned
+    * by the state store (RocksDB in production, like the dedup state);
+    * each micro-batch shuffles only its own evaluation rows.
+    */
+  def streamingAlertStates(ds: Dataset[AlertEval], stepS: Long,
+      forS: Long): Dataset[AlertRow] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.series)
+      .flatMapGroupsWithState[AlertCursor, AlertRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (k: String, rows: Iterator[AlertEval], state: GroupState[AlertCursor]) =>
+          val sorted = rows.toSeq.sortBy(_.ts)
+          var cur = state.getOption.getOrElse(AlertCursor(-1L, Long.MinValue))
+          val out = Seq.newBuilder[AlertRow]
+          for (r <- sorted) {
+            val since =
+              if (cur.lastTs != Long.MinValue && r.ts == cur.lastTs + stepS)
+                cur.activeSince
+              else r.ts
+            cur = AlertCursor(since, r.ts)
+            out += AlertRow(k, r.ts, r.value, since,
+              if (r.ts - since >= forS) "firing" else "pending")
+          }
+          if (cur.lastTs != Long.MinValue) state.update(cur)
+          out.result().iterator
+      }
+  }
+
   /** Emit a row whenever a key's value strictly exceeds its running max
     * over the WHOLE stream history (not just the current batch). Rows
     * within a batch are processed in (ts, v) order so replays are

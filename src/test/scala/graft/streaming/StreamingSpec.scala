@@ -244,6 +244,38 @@ class StreamingSpec extends SparkSpec {
       .contains(RocksDbProvider))
   }
 
+  test("streaming alert states: episodes survive a mid-episode batch split") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.TestSpark.spark.implicits._
+    import StatefulOps._
+    val step = 60L
+    val t0 = 1704067200L
+    // one series, actives at t0, t0+60, t0+120 (episode of 3), a gap,
+    // then t0+300 (fresh episode). for = 2 steps -> firing at t0+120.
+    val evals = Seq(0L, 60L, 120L, 300L).map(d =>
+      AlertEval("s1", t0 + d, 42.0))
+    def run(batches: Seq[Seq[AlertEval]]): Seq[AlertRow] = {
+      val mem = MemoryStream[AlertEval]
+      val q = streamingAlertStates(mem.toDS(), step, 2 * step)
+        .writeStream.format("memory").queryName("alert_sink")
+        .outputMode("append").start()
+      try {
+        for (b <- batches) { mem.addData(b: _*); q.processAllAvailable() }
+        spark.table("alert_sink").as[AlertRow].collect().toSeq.sortBy(_.ts)
+      } finally { q.stop(); spark.catalog.dropTempView("alert_sink"): Unit }
+    }
+    val want = Seq(
+      AlertRow("s1", t0, 42.0, t0, "pending"),
+      AlertRow("s1", t0 + 60, 42.0, t0, "pending"),
+      AlertRow("s1", t0 + 120, 42.0, t0, "firing"), // held 2 steps
+      AlertRow("s1", t0 + 300, 42.0, t0 + 300, "pending")) // gap reset
+    // one batch, a MID-EPISODE split (the firing tick arrives in batch 2
+    // and must inherit batch 1's active_since), and a per-tick replay
+    assert(run(Seq(evals)) == want)
+    assert(run(Seq(evals.take(2), evals.drop(2))) == want)
+    assert(run(evals.map(Seq(_))) == want)
+  }
+
   test("incremental near-dup replay is split-invariant: 3-way == one-shot") {
     import graft.llm.Dedup
     import graft.model.Tables
