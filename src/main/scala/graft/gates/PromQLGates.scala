@@ -1,6 +1,7 @@
 package graft.gates
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, element_at}
 
 import graft.model.OracleViews
 import graft.promql.{PromParams, PromQLCompiler}
@@ -564,6 +565,34 @@ object PromQLGates extends GateSet {
           |  FROM metrics) u
           |ORDER BY metric_name""".stripMargin,
         OracleViews.counters, OracleViews.buckets)),
+
+    // --- /api/v1/series + /api/v1/labels: dictionary-surface entry points -
+    // series = UNION of two selectors (one regex-matched, one exact) over
+    // the family dictionaries; labels = distinct label names across all
+    // families (le appears only via events_bucket).
+    Gate("promql_series_api",
+      (spark: SparkSession, dir: String) =>
+        graft.promql.PromQLApi.series(spark, dir, Seq(
+            """events_value{event_type=~"click|view"}""",
+            """events_total{level="info"}"""))
+          .select(element_at(col("labels"), "__name__").as("name"),
+            element_at(col("labels"), "event_type").as("event_type"),
+            element_at(col("labels"), "level").as("level"))
+          .orderBy("name", "event_type"),
+      o("""SELECT * FROM (
+          |  SELECT DISTINCT 'events_value' AS name, event_type, level
+          |  FROM metrics
+          |  WHERE regexp_matches(event_type, '^(?:click|view)$')
+          |  UNION ALL
+          |  SELECT DISTINCT 'events_total', event_type, level
+          |  FROM metrics WHERE level = 'info') u
+          |ORDER BY name, event_type""".stripMargin)),
+
+    Gate("promql_labels_api",
+      (spark: SparkSession, dir: String) =>
+        graft.promql.PromQLApi.labelNames(spark, dir).orderBy("name"),
+      o("""SELECT unnest(['__name__', 'event_type', 'le', 'level']) AS name
+          |ORDER BY name""".stripMargin)),
 
     // --- label_replace: regex capture into a new label --------------------
     Gate("promql_label_replace",

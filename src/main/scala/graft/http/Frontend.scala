@@ -275,6 +275,22 @@ class Frontend(spark: SparkSession, dir: String) {
     ok(obj(Seq("resultType" -> str("vector"), "result" -> arr(vector))))
   }
 
+  private def promLabels: HttpResult =
+    ok(arr(PromQLApi.labelNames(spark, dir)
+      .collect().map(_.getString(0)).sorted.toSeq.map(str)))
+
+  private def promLabelValues(key: String): HttpResult =
+    ok(arr(PromQLApi.labelValues(spark, dir, key)
+      .collect().map(_.getString(0)).sorted.toSeq.map(str)))
+
+  private def promSeries(p: Params): HttpResult = {
+    val matches = p.all("match[]") ++ p.all("match")
+    if (matches.isEmpty) badRequest("at least one match[] required")
+    else ok(arr(PromQLApi.series(spark, dir, matches)
+      .collect().map(r => labelsJson(r.getMap[String, String](0).toMap))
+      .sorted.toSeq))
+  }
+
   private def promMetadata: HttpResult = {
     val fams = PromQLApi.metadata(spark, dir).collect().toSeq
       .sortBy(_.getString(0))
@@ -372,6 +388,7 @@ class Frontend(spark: SparkSession, dir: String) {
   // ---- dispatch -------------------------------------------------------------
 
   private val LabelValuesRe = "^/loki/api/v1/label/([^/]+)/values$".r
+  private val PromLabelValuesRe = "^/api/v1/label/([^/]+)/values$".r
   private val TraceByIdRe = "^/api/traces/([0-9a-fA-F]+)$".r
   private val TagValuesRe = "^/api/search/tag/([^/]+)/values$".r
   private val TagValuesV2Re = "^/api/v2/search/tag/([^/]+)/values$".r
@@ -426,6 +443,9 @@ class Frontend(spark: SparkSession, dir: String) {
         case "/api/v1/query_range" => promQueryRange(p)
         case "/api/v1/query" => promInstant(p)
         case "/api/v1/metadata" => promMetadata
+        case "/api/v1/labels" => promLabels
+        case PromLabelValuesRe(key) => promLabelValues(key)
+        case "/api/v1/series" => promSeries(p)
         case "/api/search" => tempoSearch(p)
         case "/api/search/tags" => tempoTags(p, v2 = false)
         case "/api/v2/search/tags" => tempoTags(p, v2 = true)

@@ -25,4 +25,63 @@ object PromQLApi {
         .select(lit(name).as("metric_name"), lit(typ).as("type"),
           col("series"))
     }.reduce(_ unionByName _)
+
+  /** All family dictionaries with `__name__` folded into the label map —
+    * the Prometheus label surface treats the metric name as label zero
+    * (`reader/service/metadata.go` serves labels off the same
+    * time_series-style dictionary).
+    */
+  private def allSeries(spark: SparkSession, dir: String): DataFrame =
+    Families.map { case (name, _) =>
+      graft.store.Store.promSeries(spark, dir, name)
+        .select(graft.model.MapOps.update(col("labels"),
+          map(lit("__name__"), lit(name))).as("labels"))
+    }.reduce(_ unionByName _)
+
+  /** `/api/v1/labels` — distinct label names across every family
+    * dictionary (dictionary-sized scan, never the sample tables).
+    */
+  def labelNames(spark: SparkSession, dir: String): DataFrame =
+    allSeries(spark, dir)
+      .select(explode(map_keys(col("labels"))).as("name"))
+      .distinct()
+
+  /** `/api/v1/label/{key}/values` — `__name__` enumerates the families. */
+  def labelValues(spark: SparkSession, dir: String, key: String): DataFrame =
+    allSeries(spark, dir)
+      .select(element_at(col("labels"), key).as("value"))
+      .filter(col("value").isNotNull)
+      .distinct()
+
+  /** `/api/v1/series?match[]=…` — distinct label sets matching the UNION
+    * of the given vector selectors, evaluated on the dictionaries (a
+    * selector's matchers apply to the label map exactly as the compiler's
+    * scan path applies them to samples).
+    */
+  def series(spark: SparkSession, dir: String,
+      matches: Seq[String]): DataFrame = {
+    import PromQLAst._
+    val parts = matches.map { m =>
+      val sel = PromQLParser.parseOrThrow(m) match {
+        case s: Selector => s
+        case other => throw new IllegalArgumentException(
+          s"not a series selector: $other")
+      }
+      val base = allSeries(spark, dir)
+        .filter(element_at(col("labels"), "__name__") === sel.name)
+      sel.matchers.foldLeft(base) { (df, mt) =>
+        val v = element_at(col("labels"), mt.label)
+        df.filter(mt.op match {
+          case "="  => if (mt.value.isEmpty) v.isNull || v === "" else v === mt.value
+          case "!=" => !(v <=> lit(mt.value))
+          case "=~" => coalesce(v, lit("")).rlike("^(?:" + mt.value + ")$")
+          case "!~" => !coalesce(v, lit("")).rlike("^(?:" + mt.value + ")$")
+        })
+      }
+    }
+    parts.reduce(_ unionByName _)
+      .select(array_sort(map_entries(col("labels"))).as("__e"))
+      .distinct()
+      .select(map_from_entries(col("__e")).as("labels"))
+  }
 }

@@ -114,6 +114,23 @@ class FrontendSpec extends SparkSpec {
     assert(inst.contains(s""""value":[$instT,""""), inst.take(300))
   }
 
+  test("prom labels / label values / series ride the family dictionaries") {
+    val (c1, names) = get("/api/v1/labels")
+    assert(c1 == 200)
+    assert(names.contains("\"__name__\"") && names.contains("\"event_type\""))
+    val (c2, fams) = get("/api/v1/label/__name__/values")
+    assert(c2 == 200)
+    assert(fams == """{"status":"success","data":["events_bucket","events_total","events_value"]}""",
+      fams)
+    val (c3, series) = get("/api/v1/series?match%5B%5D=" +
+      enc("""events_value{event_type="click"}"""))
+    assert(c3 == 200)
+    assert(series.contains(""""__name__":"events_value"""") &&
+      series.contains(""""event_type":"click""""), series.take(300))
+    assert(!series.contains("events_total"))
+    assert(get("/api/v1/series")._1 == 400)
+  }
+
   test("prom metadata lists the three metric families with types") {
     val (code, body) = get("/api/v1/metadata")
     assert(code == 200)
