@@ -1379,6 +1379,36 @@ class LlmSpec extends SparkSpec {
       "sharded probe hit where the flat bitset missed")
   }
 
+  test("plan canaries: sharded bloom has no cartesian product and one " +
+      "bitset aggregate; the e2e curation DAG has no cartesian product " +
+      "and no un-partitioned corpus window") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val history = docs.filter(col("doc_id") % 2 === 0)
+    val sharded = Dedup.bloomDedupSharded(
+      docs.select(col("doc_id"), col("text")),
+      Dedup.bloomBitsetsSharded(history, shards = 8), shards = 8)
+    val sp = sharded.queryExecution.executedPlan.toString
+    assert(!sp.contains("CartesianProduct"), sp)
+    assert(sp.contains("bitset_agg"), sp)
+
+    val raw = docs.select(col("doc_id"), col("source"), col("lang"),
+      concat(lit("https://"), col("source"), lit(".example.com/p/"),
+        col("doc_id")).as("url"),
+      concat(lit("<html><body>"), col("text"), lit("</body></html>")).as("html"))
+    val s = spark
+    import s.implicits._
+    val e2e = Curation.curationPipeline(raw,
+      Seq(("none.example.com", "/x")).toDF("domain", "prefix"))
+    val lp = e2e.queryExecution.optimizedPlan
+    val badWindows = lp.collect {
+      case w: LWindow if w.partitionSpec.isEmpty &&
+        w.child.collectFirst { case a: Aggregate => a }.isEmpty => w
+    }
+    assert(badWindows.isEmpty, badWindows.mkString("\n"))
+    val ep = e2e.queryExecution.executedPlan.toString
+    assert(!ep.contains("CartesianProduct"), "cartesian product in e2e plan")
+  }
+
   test("bitset probe: interpreted and codegen paths agree on edge bits") {
     val s = spark
     import s.implicits._
