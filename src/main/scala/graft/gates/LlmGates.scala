@@ -180,7 +180,7 @@ object LlmGates extends GateSet {
        |nv AS (SELECT vec_id,
        |    [v[i]/sqrt(${dot64("v", "v")}) for i in generate_series(1,${Similarity.Dims})] AS v
        |  FROM e),
-       |cmod AS (SELECT GREATEST(23, CAST(floor(sqrt(count(*))) AS BIGINT), (count(*) + 4095) // 4096) AS md FROM e),
+       |cmod AS (SELECT ${Similarity.CentroidModSql} AS md FROM e),
        |cents AS (SELECT vec_id AS cid, v AS cv FROM e
        |  WHERE vec_id % (SELECT md FROM cmod) = 0),
        |ncents AS (SELECT vec_id AS cid, v AS cv FROM nv
@@ -635,7 +635,7 @@ object LlmGates extends GateSet {
         val cos = (a: String, b: String) =>
           s"${dot64(a, b)} / (sqrt(${dot64(a, a)}) * sqrt(${dot64(b, b)}))"
         s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-           |cmod AS (SELECT GREATEST(23, CAST(floor(sqrt(count(*))) AS BIGINT), (count(*) + 4095) // 4096) AS m FROM e),
+           |cmod AS (SELECT ${Similarity.CentroidModSql} AS m FROM e),
            |cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % (SELECT m FROM cmod) = 0),
            |ac AS (SELECT e.vec_id, c.cid, ${cos("e.v", "c.cv")} AS cs
            |  FROM e CROSS JOIN cents c),
@@ -686,7 +686,7 @@ object LlmGates extends GateSet {
         val cos = (a: String, b: String) =>
           s"${dot64(a, b)} / (sqrt(${dot64(a, a)}) * sqrt(${dot64(b, b)}))"
         s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-           |cmod AS (SELECT GREATEST(23, CAST(floor(sqrt(count(*))) AS BIGINT), (count(*) + 4095) // 4096) AS m FROM e),
+           |cmod AS (SELECT ${Similarity.CentroidModSql} AS m FROM e),
            |cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % (SELECT m FROM cmod) = 0),
            |ac AS (SELECT e.vec_id, c.cid, ${cos("e.v", "c.cv")} AS cs
            |  FROM e CROSS JOIN cents c),
@@ -727,7 +727,7 @@ object LlmGates extends GateSet {
         val cos = (a: String, b: String) =>
           s"${dot64(a, b)} / (sqrt(${dot64(a, a)}) * sqrt(${dot64(b, b)}))"
         s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
-           |cmod AS (SELECT GREATEST(23, CAST(floor(sqrt(count(*))) AS BIGINT), (count(*) + 4095) // 4096) AS m FROM e),
+           |cmod AS (SELECT ${Similarity.CentroidModSql} AS m FROM e),
            |cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % (SELECT m FROM cmod) = 0),
            |ac AS (SELECT e.vec_id, c.cid, ${cos("e.v", "c.cv")} AS cs
            |  FROM e CROSS JOIN cents c),
@@ -1336,7 +1336,7 @@ object LlmGates extends GateSet {
         val cos = (a: String, b: String) =>
           s"${dot64(a, b)} / (sqrt(${dot64(a, a)}) * sqrt(${dot64(b, b)}))"
         s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
-           |cmod AS (SELECT GREATEST(23, CAST(floor(sqrt(count(*))) AS BIGINT), (count(*) + 4095) // 4096) AS m FROM e),
+           |cmod AS (SELECT ${Similarity.CentroidModSql} AS m FROM e),
            |cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % (SELECT m FROM cmod) = 0),
            |ac AS (SELECT e.vec_id, c.cid, ${cos("e.v", "c.cv")} AS cs
            |  FROM e CROSS JOIN cents c),
@@ -2017,7 +2017,7 @@ object LlmGates extends GateSet {
         s"c$n AS (SELECT p.cid, coalesce(mv$n.mv, p.cv) AS cv\n" +
         s"  FROM $prev p LEFT JOIN mv$n USING (cid))"
     "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),\n" +
-      "cmod AS (SELECT GREATEST(23, CAST(floor(sqrt(count(*))) AS BIGINT), (count(*) + 4095) // 4096) AS m FROM e),\n" +
+      s"cmod AS (SELECT ${Similarity.CentroidModSql} AS m FROM e),\n" +
       "c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % (SELECT m FROM cmod) = 0),\n" +
       lloydRound(1, "c0") + ",\n" + lloydRound(2, "c1") + ",\n" +
       s"fin AS (SELECT vec_id, cluster, round(cs, 6) AS sim FROM (\n" +

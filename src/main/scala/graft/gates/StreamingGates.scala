@@ -29,6 +29,29 @@ object StreamingGates extends GateSet {
   private def o(body: String): Option[String] =
     Some(OracleViews.withViews(Seq(OracleViews.logs), body))
 
+  /** ONE oracle for both alert-evaluation gates (the batch window plan
+    * and the incremental cursor form must agree by construction): the
+    * gaps-and-islands replay of the pending->firing state machine over
+    * the thresholded 6h count grid.
+    */
+  private lazy val alertStatesOracle: Option[String] =
+    o(s"""SELECT * FROM (
+         |  SELECT 'HighTraffic' AS alertname, event_type, ts, value,
+         |    min(ts) OVER (PARTITION BY event_type, ep) AS active_since,
+         |    CASE WHEN ts - min(ts) OVER (PARTITION BY event_type, ep)
+         |           >= ${2 * StepS} THEN 'firing' ELSE 'pending' END AS state
+         |  FROM (
+         |    SELECT *, ts - $StepS * row_number()
+         |        OVER (PARTITION BY event_type ORDER BY ts) AS ep
+         |    FROM (
+         |      SELECT event_type,
+         |        (timestamp_ns // ${StepS}000000000) * $StepS AS ts,
+         |        CAST(count(*) AS DOUBLE) AS value
+         |      FROM logs WHERE level IN ('info', 'error')
+         |      GROUP BY 1, 2) b
+         |    WHERE value > 17))
+         |ORDER BY event_type, ts""".stripMargin)
+
   override val gates: Seq[Gate] = Seq(
 
     // --- live tail: selector + line filter over a streaming source --------
@@ -115,22 +138,7 @@ object StreamingGates extends GateSet {
             col("ts"), round(col("value"), 6).as("value"),
             col("active_since"), col("state"))
           .orderBy("event_type", "ts"),
-      o(s"""SELECT * FROM (
-           |  SELECT 'HighTraffic' AS alertname, event_type, ts, value,
-           |    min(ts) OVER (PARTITION BY event_type, ep) AS active_since,
-           |    CASE WHEN ts - min(ts) OVER (PARTITION BY event_type, ep)
-           |           >= ${2 * StepS} THEN 'firing' ELSE 'pending' END AS state
-           |  FROM (
-           |    SELECT *, ts - $StepS * row_number()
-           |        OVER (PARTITION BY event_type ORDER BY ts) AS ep
-           |    FROM (
-           |      SELECT event_type,
-           |        (timestamp_ns // ${StepS}000000000) * $StepS AS ts,
-           |        CAST(count(*) AS DOUBLE) AS value
-           |      FROM logs WHERE level IN ('info', 'error')
-           |      GROUP BY 1, 2) b
-           |    WHERE value > 17))
-           |ORDER BY event_type, ts""".stripMargin)),
+      alertStatesOracle),
 
     // --- STREAMING alert evaluation: same state machine, incremental ------
     // The flatMapGroupsWithState cursor form of streaming_ruler_alerts: a
@@ -156,22 +164,7 @@ object StreamingGates extends GateSet {
             col("active_since"), col("state"))
           .orderBy("event_type", "ts")
       },
-      o(s"""SELECT * FROM (
-           |  SELECT 'HighTraffic' AS alertname, event_type, ts, value,
-           |    min(ts) OVER (PARTITION BY event_type, ep) AS active_since,
-           |    CASE WHEN ts - min(ts) OVER (PARTITION BY event_type, ep)
-           |           >= ${2 * StepS} THEN 'firing' ELSE 'pending' END AS state
-           |  FROM (
-           |    SELECT *, ts - $StepS * row_number()
-           |        OVER (PARTITION BY event_type ORDER BY ts) AS ep
-           |    FROM (
-           |      SELECT event_type,
-           |        (timestamp_ns // ${StepS}000000000) * $StepS AS ts,
-           |        CAST(count(*) AS DOUBLE) AS value
-           |      FROM logs WHERE level IN ('info', 'error')
-           |      GROUP BY 1, 2) b
-           |    WHERE value > 17))
-           |ORDER BY event_type, ts""".stripMargin)),
+      alertStatesOracle),
 
     // --- rule groups: PromQL recording rule with label-override writeback -
     // (`ruler/writeback.go:13-41`: sample labels < rule static labels <

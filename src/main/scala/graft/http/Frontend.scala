@@ -62,21 +62,19 @@ class Frontend(spark: SparkSession, dir: String) {
     else if (s.forall(_.isDigit) && s.length >= 16) s.toLong
     else s.toLong * 1000000000L
 
-  /** Durations: bare (float) seconds or Go-style `15s`/`5m`/`6h`/`500ms`. */
+  /** Durations: bare (float) seconds or Go-style unit strings, compound
+    * forms included (`15s`, `5m`, `1h30m`, `1m30s500ms`) — upstream
+    * Loki/Prometheus accept the full Go duration grammar.
+    */
   private def parseDurationS(s: String): Long = {
-    val m = "^([0-9.]+)(ms|s|m|h|d)$".r
-    s match {
-      case m(n, u) =>
-        val mult = u match {
-          case "ms" => 0.001
-          case "s" => 1.0
-          case "m" => 60.0
-          case "h" => 3600.0
-          case "d" => 86400.0
-        }
-        math.max(1L, (n.toDouble * mult).toLong)
-      case _ => math.max(1L, s.toDouble.toLong)
-    }
+    val unit = "([0-9.]+)(ms|s|m|h|d)".r
+    val parts = unit.findAllMatchIn(s).toSeq
+    if (parts.nonEmpty && parts.map(_.matched).mkString == s) {
+      val mult = Map("ms" -> 0.001, "s" -> 1.0, "m" -> 60.0,
+        "h" -> 3600.0, "d" -> 86400.0)
+      math.max(1L, parts.map(m =>
+        m.group(1).toDouble * mult(m.group(2))).sum.toLong)
+    } else math.max(1L, s.toDouble.toLong)
   }
 
   // ---- response envelopes --------------------------------------------------
@@ -418,13 +416,22 @@ class Frontend(spark: SparkSession, dir: String) {
       (method, path) match {
         case ("POST", "/loki/api/v1/push") => lokiPush(body)
         case ("POST", other) => notFound(s"POST $other")
-        case _ => routeGet(path, p)
+        case ("GET", _) => routeGet(path, p)
+        case (other, _) => HttpResult(405, obj(Seq(
+          "status" -> str("error"), "errorType" -> str("bad_data"),
+          "error" -> str(s"method $other not allowed"))))
       }
     } catch {
       case e: IllegalArgumentException => badRequest(e.getMessage)
       case e: java.time.format.DateTimeParseException =>
         badRequest(e.getMessage)
       case e: NumberFormatException => badRequest(e.getMessage)
+      // anything the Spark execution throws (bad regex compiled into a
+      // plan, schema errors) must still come back as an HTTP envelope —
+      // a dropped connection is the one thing a client can't handle
+      case e: Exception => HttpResult(500, obj(Seq(
+        "status" -> str("error"), "errorType" -> str("internal"),
+        "error" -> str(String.valueOf(e.getMessage)))))
     }
 
   private def routeGet(path: String, p: Params): HttpResult =

@@ -25,11 +25,16 @@ object Json {
   }
 
   /** Prometheus/Loki sample values are STRINGS in the wire format; whole
-    * doubles render without the trailing `.0` (the upstream
-    * `strconv.FormatFloat(v, 'f', -1, 64)` shape).
+    * doubles render without the trailing `.0` and large magnitudes never
+    * fall into scientific notation (the upstream
+    * `strconv.FormatFloat(v, 'f', -1, 64)` shape) — whole doubles are
+    * exact up to 2^53, and beyond that BigDecimal renders plain.
     */
   def num(v: Double): String =
-    if (v.isWhole && math.abs(v) < 1e15) v.toLong.toString else v.toString
+    if (v.isWhole && math.abs(v) <= 9007199254740992.0) v.toLong.toString
+    else if (math.abs(v) >= 1e15 || (v != 0 && math.abs(v) < 1e-4))
+      new java.math.BigDecimal(v).toPlainString
+    else v.toString
 
   def obj(fields: Seq[(String, String)]): String =
     fields.map { case (k, v) => s"${str(k)}:$v" }.mkString("{", ",", "}")

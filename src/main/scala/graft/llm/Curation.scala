@@ -1849,7 +1849,7 @@ object Curation {
     val cos = (a: String, b: String) =>
       s"${dot64(a, b)} / (sqrt(${dot64(a, a)}) * sqrt(${dot64(b, b)}))"
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-       |cmod AS (SELECT GREATEST(23, CAST(floor(sqrt(count(*))) AS BIGINT), (count(*) + 4095) // 4096) AS m FROM e),
+       |cmod AS (SELECT ${graft.llm.Similarity.CentroidModSql} AS m FROM e),
        |cents AS (SELECT vec_id AS cid, v AS cv FROM e
        |  WHERE vec_id % (SELECT m FROM cmod) = 0),
        |ac AS (SELECT e.vec_id, c.cid, ${cos("e.v", "c.cv")} AS cs

@@ -207,6 +207,15 @@ object Similarity {
       math.sqrt(corpusRows.toDouble).toLong,
       (corpusRows + MaxCentroids - 1) / MaxCentroids))
 
+  /** THE DuckDB expression of [[centroidModFor]] over `count(*)`, built
+    * from the same constants — every centroid-family oracle interpolates
+    * this one string (a hand-copied fragment drifting from the Scala
+    * formula would only surface as a gate failure past ~16.7 M vectors).
+    */
+  val CentroidModSql: String =
+    s"GREATEST($CentroidMod, CAST(floor(sqrt(count(*))) AS BIGINT), " +
+      s"(count(*) + ${MaxCentroids - 1}) // $MaxCentroids)"
+
   /** Rank every row of `df` against the broadcast centroid table by
     * cosine (desc, cid-asc tie-break): the shared coarse-quantizer pass
     * of [[ivfTopK]] / [[ivfHardNegatives]]. Keeps (id, emb, cid, __cs,
@@ -687,7 +696,7 @@ object Similarity {
   def productQuantizeOracleSql(m: Int = 8): String = {
     val d = Dims / m
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-       |cmod AS (SELECT GREATEST(23, CAST(floor(sqrt(count(*))) AS BIGINT), (count(*) + 4095) // 4096) AS md FROM e),
+       |cmod AS (SELECT ${CentroidModSql} AS md FROM e),
        |subs AS (SELECT vec_id, s, v[s*$d+1 : s*$d+$d] AS sub
        |  FROM e, generate_series(0, ${m - 1}) ss(s)),
        |cents AS (SELECT vec_id AS cid, s, sub AS csub FROM subs

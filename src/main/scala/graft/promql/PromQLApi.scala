@@ -61,23 +61,17 @@ object PromQLApi {
   def series(spark: SparkSession, dir: String,
       matches: Seq[String]): DataFrame = {
     import PromQLAst._
+    val dict = allSeries(spark, dir)
     val parts = matches.map { m =>
       val sel = PromQLParser.parseOrThrow(m) match {
         case s: Selector => s
         case other => throw new IllegalArgumentException(
           s"not a series selector: $other")
       }
-      val base = allSeries(spark, dir)
+      val base = dict
         .filter(element_at(col("labels"), "__name__") === sel.name)
-      sel.matchers.foldLeft(base) { (df, mt) =>
-        val v = element_at(col("labels"), mt.label)
-        df.filter(mt.op match {
-          case "="  => if (mt.value.isEmpty) v.isNull || v === "" else v === mt.value
-          case "!=" => !(v <=> lit(mt.value))
-          case "=~" => coalesce(v, lit("")).rlike("^(?:" + mt.value + ")$")
-          case "!~" => !coalesce(v, lit("")).rlike("^(?:" + mt.value + ")$")
-        })
-      }
+      // the compiler's matcher semantics, one shared implementation
+      sel.matchers.foldLeft(base)((df, mt) => df.filter(Matchers.cond(mt)))
     }
     parts.reduce(_ unionByName _)
       .select(array_sort(map_entries(col("labels"))).as("__e"))

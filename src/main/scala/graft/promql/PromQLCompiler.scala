@@ -170,15 +170,7 @@ class PromQLCompiler(spark: SparkSession, dir: String, params: PromParams) {
     df.drop("ts").crossJoin(gridDf)
       .select(col("fingerprint"), col("labels"), col("ts"), col("value"))
 
-  private def matcherCond(m: Matcher): Column = {
-    val v = element_at(col("labels"), m.label)
-    m.op match {
-      case "="  => if (m.value.isEmpty) v.isNull || v === "" else v === m.value
-      case "!=" => !(v <=> lit(m.value))
-      case "=~" => coalesce(v, lit("")).rlike("^(?:" + m.value + ")$")
-      case "!~" => !coalesce(v, lit("")).rlike("^(?:" + m.value + ")$")
-    }
-  }
+  private def matcherCond(m: Matcher): Column = Matchers.cond(m)
 
   /** Scan the metric family for a selector, matchers applied, over
     * [loNs, hiNs). The name picks the source statically so only the queried

@@ -274,6 +274,38 @@ class FrontendSpec extends SparkSpec {
     assert(get("/api/v1/nope")._1 == 404)
   }
 
+  test("robustness: execution errors return a 500 envelope (never a " +
+      "dropped connection); non-GET/POST is 405; compound durations work; " +
+      "value strings never go scientific") {
+    // a matcher regex that PARSES but fails at execution (bad pattern
+    // compiled into the plan) must still produce an HTTP envelope
+    val (c1, b1) = get("/api/v1/query_range?query=" +
+      enc("""events_value{event_type=~"("}""") +
+      s"&start=$StartS&end=$EndS&step=6h")
+    assert(c1 == 400 || c1 == 500, s"$c1")
+    assert(b1.contains(""""status":"error""""), b1.take(200))
+    // non-GET/POST methods are rejected, not silently executed
+    val del = client.send(
+      HttpRequest.newBuilder(URI.create(base + "/loki/api/v1/labels"))
+        .method("DELETE", HttpRequest.BodyPublishers.noBody()).build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(del.statusCode() == 405, del.body().take(200))
+    // Go-style compound durations parse (1h30m = 5400s steps)
+    val (c2, b2) = get("/loki/api/v1/query_range?query=" +
+      enc("""sum by (event_type) (count_over_time({event_type="signup"}[6h]))""") +
+      s"&start=$StartS&end=$EndS&step=1h30m")
+    assert(c2 == 200, b2.take(200))
+    // wire values stay plain decimal at any magnitude
+    assert(Json.num(1e15) == "1000000000000000")
+    assert(Json.num(2.0e16) == "20000000000000000")
+    assert(!Json.num(1.23e17).toLowerCase.contains("e"))
+    // prom matcher semantics: a missing label equals "", so le!="" must
+    // match NO events_value series (they carry no le label)
+    val (c3, b3) = get("/api/v1/series?match%5B%5D=" +
+      enc("""events_value{le!=""}"""))
+    assert(c3 == 200 && b3 == """{"status":"success","data":[]}""", b3)
+  }
+
   test("time parsing: RFC3339, float seconds, and ns forms agree") {
     def q(start: String, end: String) = get("/loki/api/v1/query_range" +
       "?query=" + enc("""{event_type="signup"}""") +
