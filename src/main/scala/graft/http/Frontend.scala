@@ -323,6 +323,63 @@ class Frontend(spark: SparkSession, dir: String) {
     HttpResult(200, obj(Seq("traces" -> arr(metas))))
   }
 
+  /** `/loki/api/v1/patterns` — Drain-mined log patterns for a selector's
+    * stream (Loki 3.x patterns endpoint shape). The miner aggregates over
+    * the whole window, so each pattern carries ONE (endSec, count)
+    * sample — the per-step breakdown is the miner's documented
+    * whole-window granularity, not a wire-format shortcut.
+    */
+  private def lokiPatterns(p: Params): HttpResult = {
+    val ev = evalParams(p)
+    val lines = new LogQLCompiler(spark, dir, ev)
+      .compileLogQuery(p.first("query").getOrElse("{}"))
+      .select(lit("q").as("stream"), col("line"))
+    val endSec = ev.endNs / 1000000000L
+    val rows = graft.patterns.Patterns.mineLines(lines)
+      .collect().toSeq
+      .map(r => r.getString(1) -> r.getLong(2))
+      .sortBy { case (pat, n) => (-n, pat) }
+      .map { case (pat, n) =>
+        obj(Seq("pattern" -> str(pat),
+          "samples" -> arr(Seq(arr(Seq(num(endSec.toDouble), num(n.toDouble)))))))
+      }
+    ok(arr(rows))
+  }
+
+  /** `/api/metrics/query_range?q=<traceql metrics>` — Tempo's TraceQL
+    * metrics endpoint: every non-(ts, value) column of the compiled
+    * metrics frame is a series label.
+    */
+  private def tempoMetrics(p: Params): HttpResult = {
+    val q = TraceQLParser.parseOrThrow(p.required("q"))
+    if (q.metrics.isEmpty)
+      badRequest("q must be a TraceQL metrics query (… | rate() etc.)")
+    else {
+      val stepS = parseDurationS(p.first("step").getOrElse("15s"))
+      val df = new TraceQLCompiler(spark, dir,
+          p.first("start").map(parseTimeNs).getOrElse(0L),
+          p.first("end").map(parseTimeNs).getOrElse(Long.MaxValue))
+        .run(q, stepS = stepS)
+      val labelCols = df.columns.filterNot(Set("ts", "value")).toSeq
+      val rows = df.collect().toSeq
+      val bySeries = rows.groupBy(r =>
+        labelCols.map(c => c -> String.valueOf(r.getAs[Any](c))))
+      val series = bySeries.toSeq
+        .map { case (labels, rs) =>
+          val lj = arr(labels.map { case (k, v) =>
+            obj(Seq("key" -> str(k), "value" -> str(v))) })
+          lj -> arr(rs.sortBy(_.getAs[Long]("ts")).map(r =>
+            obj(Seq(
+              "timestampMs" -> num(r.getAs[Long]("ts") * 1000.0),
+              "value" -> num(r.getAs[Double]("value"))))))
+        }
+        .sortBy(_._1)
+        .map { case (lj, samples) =>
+          obj(Seq("labels" -> lj, "samples" -> samples)) }
+      HttpResult(200, obj(Seq("series" -> arr(series))))
+    }
+  }
+
   /** Optional TraceQL scope selector (`q={...}`) for v2 tag/value
     * autocomplete — a bare span-set selector; anything else is bad_data.
     */
@@ -447,6 +504,8 @@ class Frontend(spark: SparkSession, dir: String) {
         case "/loki/api/v1/index/volume" => lokiIndexVolume(p)
         case "/loki/api/v1/detected_labels" => lokiDetectedLabels(p)
         case "/loki/api/v1/detected_fields" => lokiDetectedFields(p)
+        case "/loki/api/v1/patterns" => lokiPatterns(p)
+        case "/api/metrics/query_range" => tempoMetrics(p)
         case "/api/v1/query_range" => promQueryRange(p)
         case "/api/v1/query" => promInstant(p)
         case "/api/v1/metadata" => promMetadata

@@ -274,6 +274,28 @@ class FrontendSpec extends SparkSpec {
     assert(get("/api/v1/nope")._1 == 404)
   }
 
+  test("loki patterns endpoint mines the selector's stream; tempo metrics " +
+      "endpoint serves TraceQL rate() series") {
+    val (c1, pats) = get("/loki/api/v1/patterns?query=" +
+      enc("""{event_type="signup"}""") + s"&start=$StartS&end=$EndS")
+    assert(c1 == 200)
+    assert(pats.startsWith("""{"status":"success","data":[{"pattern":"""),
+      pats.take(120))
+    // the class masker generalized the numeric payload to one pattern
+    assert(pats.contains("<N>"), pats.take(200))
+    assert("""\[\[\d{10},\d+\]\]""".r.findFirstIn(pats).isDefined, pats.take(200))
+    val (c2, m) = get("/api/metrics/query_range?q=" +
+      enc("""{ .name="purchase" } | rate() by (service_name)""") +
+      s"&start=${StartS}000000000&end=${EndS}000000000&step=6h")
+    assert(c2 == 200)
+    assert(m.startsWith("""{"series":["""), m.take(120))
+    assert(m.contains(""""key":"service_name"""") &&
+      m.contains(""""timestampMs":"""), m.take(300))
+    // non-metrics q is rejected
+    assert(get("/api/metrics/query_range?q=" +
+      enc("""{ .name="purchase" }"""))._1 == 400)
+  }
+
   test("robustness: execution errors return a 500 envelope (never a " +
       "dropped connection); non-GET/POST is 405; compound durations work; " +
       "value strings never go scientific") {
