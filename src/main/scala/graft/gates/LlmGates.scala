@@ -1720,6 +1720,32 @@ object LlmGates extends GateSet {
           .orderBy("vec_id", "j"),
       Some(Similarity.randomProjectOracleSql(RandProjDim))),
 
+    // --- dedup-threshold tuning histogram ----------------------------------
+    // Candidate-pair counts per Jaccard decile (the cut-selection plot);
+    // engine and oracle both use the EXACT df-capped candidate
+    // formulation, so this gate has no LSH-recall dependency. The gate
+    // exercises the production lever too: sampleMod=2 halves the docs,
+    // quartering the pair volume.
+    Gate("llm_jaccard_histogram",
+      (spark: SparkSession, dir: String) =>
+        Dedup.jaccardHistogram(docs(spark, dir), sampleMod = 2)
+          .orderBy("bin"),
+      Some(Dedup.jaccardHistogramOracleSql(sampleMod = 2))),
+
+    // --- language-ID confusion matrix --------------------------------------
+    // Declared lang vs detected; the fixture's lang column is generator-
+    // assigned while the text is English-vocab, so off-diagonal cells are
+    // guaranteed non-empty and the matrix genuinely splits.
+    Gate("llm_lang_confusion",
+      (spark: SparkSession, dir: String) =>
+        Curation.langConfusion(docs(spark, dir)).orderBy("lang", "detected"),
+      Some(
+        s"""WITH $langCtes
+           |SELECT d.lang, lng.lang AS detected, count(*)::BIGINT AS n,
+           |  d.lang = lng.lang AS is_match
+           |FROM documents d JOIN lng USING (doc_id)
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // --- classifier evaluation: ROC AUC + calibration curve ---------------
     // The quality-gate audit pair: AUC over the 6dp-bounded score
     // histogram (never a global doc rank) and the 10-bin reliability

@@ -639,6 +639,18 @@ object Curation {
        |  round(avg(CASE WHEN y THEN 1.0 ELSE 0.0 END), 6) AS frac_pos
        |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Language-ID confusion matrix — declared `lang` column vs
+    * [[TextOps.langId]]'s detection, with the per-cell match flag: the QA
+    * grid a multilingual pipeline reads to decide whether its detector is
+    * trustworthy per language before any lang-conditioned filtering. One
+    * narrow detection pass + a |langs|²-bounded aggregate.
+    */
+  def langConfusion(docs: DataFrame): DataFrame =
+    docs.select(col("lang"), TextOps.langId(col("text")).as("detected"))
+      .groupBy(col("lang"), col("detected"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("is_match", col("lang") === col("detected"))
+
   // --- snapshot diff ---------------------------------------------------------
 
   /** Corpus snapshot diff — the release-to-release audit every recurring

@@ -448,6 +448,48 @@ object Dedup {
         expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(0L)).as("simhash"))
   }
 
+  /** Dedup-threshold tuning histogram: candidate-pair counts per Jaccard
+    * decile — THE plot a pipeline reads before fixing its near-dup cut
+    * (how many pairs does 0.7 vs 0.8 vs 0.9 remove?). Low-J bins are
+    * invisible to the banded LSH path (its recall is tuned for the
+    * operating threshold), so the sweep necessarily runs the EXACT
+    * df-capped candidate chain — which is why it takes `sampleMod`: the
+    * production shape is the sweep over a deterministic doc sample
+    * (`doc_id % sampleMod == 0`), since pair volume falls ~quadratically
+    * in the sample rate and a tuning plot doesn't need the full corpus.
+    * Returns (bin = floor(j·10)/10, n_pairs).
+    */
+  def jaccardHistogram(docs: DataFrame, sampleMod: Long = 1L): DataFrame =
+    ngramJaccardPairs(docs.filter(col("doc_id") % sampleMod === 0), 0.0)
+      .select((floor(col("jaccard") * 10) / 10).as("bin"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_pairs"))
+
+  /** DuckDB twin of [[jaccardHistogram]] (self-contained: the sampled
+    * shingle chain is rebuilt from `documents`).
+    */
+  def jaccardHistogramOracleSql(sampleMod: Long = 1L): String =
+    s"""WITH nd AS (SELECT doc_id, lower(text) AS t FROM documents
+       |  WHERE doc_id % $sampleMod = 0),
+       |toks AS (SELECT doc_id, string_split(t, ' ') AS ws FROM nd),
+       |sh AS (SELECT DISTINCT doc_id,
+       |    unnest([ws[i]||' '||ws[i+1]||' '||ws[i+2]
+       |            for i in generate_series(1, len(ws)-2)]) AS s
+       |  FROM toks),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= $MaxShingleDf),
+       |shc AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)),
+       |cand AS (SELECT DISTINCT sa.doc_id AS i, sb.doc_id AS j
+       |  FROM shc sa JOIN shc sb ON sa.s = sb.s AND sa.doc_id < sb.doc_id),
+       |inter AS (SELECT c.i, c.j, count(*) AS inter
+       |  FROM cand c JOIN sh sa ON sa.doc_id = c.i
+       |  JOIN sh sb ON sb.doc_id = c.j AND sb.s = sa.s GROUP BY 1, 2),
+       |jac AS (SELECT i, j, inter * 1.0 / (si.n + sj.n - inter) AS jaccard
+       |  FROM inter JOIN sizes si ON si.doc_id = i
+       |  JOIN sizes sj ON sj.doc_id = j)
+       |SELECT floor(jaccard * 10) / 10 AS bin, count(*)::BIGINT AS n_pairs
+       |FROM jac GROUP BY 1 ORDER BY 1""".stripMargin
+
   // --- edit-similarity near-dup verification --------------------------------
 
   /** Minimum shared non-viral shingles for an edit-similarity candidate
