@@ -50,14 +50,20 @@ class Frontend(spark: SparkSession, dir: String) {
 
   // ---- time / duration parsing --------------------------------------------
 
-  /** Loki/Prom timestamps: RFC3339 (`2024-01-01T00:00:00Z`), float unix
+  /** Loki/Prom timestamps: RFC3339 (`2024-01-01T00:00:00Z`, numeric UTC
+    * offsets like `+02:00` included — upstream accepts both, so
+    * OffsetDateTime rather than Instant does the parse), float unix
     * seconds (`1704067200.5`), integer unix seconds, or integer unix
     * NANOSECONDS (≥ 16 digits — the Loki convention; second-precision ns
     * values and ns-precision values cannot collide below year 33658).
+    * RFC3339 fractional seconds keep full ns precision (epochSecond*1e9 +
+    * getNano, not the ms-truncating toEpochMilli).
     */
   private def parseTimeNs(s: String): Long =
-    if (s.exists(c => c == 'T' || c == 'Z' || c == '-' && s.length > 10))
-      java.time.Instant.parse(s).toEpochMilli * 1000000L
+    if (s.exists(c => c == 'T' || c == 'Z' || c == '-' && s.length > 10)) {
+      val i = java.time.OffsetDateTime.parse(s).toInstant
+      i.getEpochSecond * 1000000000L + i.getNano
+    }
     else if (s.contains('.')) (s.toDouble * 1e9).toLong
     else if (s.forall(_.isDigit) && s.length >= 16) s.toLong
     else s.toLong * 1000000000L
@@ -368,10 +374,14 @@ class Frontend(spark: SparkSession, dir: String) {
         .map { case (labels, rs) =>
           val lj = arr(labels.map { case (k, v) =>
             obj(Seq("key" -> str(k), "value" -> str(v))) })
-          lj -> arr(rs.sortBy(_.getAs[Long]("ts")).map(r =>
+          lj -> arr(rs.sortBy(_.getAs[Long]("ts")).map { r =>
+            // a bare non-finite number is invalid JSON — quote it, the
+            // way the Loki/Prom paths always do via str(num(...))
+            val v = r.getAs[Double]("value")
             obj(Seq(
               "timestampMs" -> num(r.getAs[Long]("ts") * 1000.0),
-              "value" -> num(r.getAs[Double]("value"))))))
+              "value" -> (if (v.isNaN || v.isInfinite) str(num(v)) else num(v))))
+          })
         }
         .sortBy(_._1)
         .map { case (lj, samples) =>
@@ -464,6 +474,22 @@ class Frontend(spark: SparkSession, dir: String) {
     else HttpResult(204, "")
   }
 
+  /** Routes the reference registers for BOTH GET and POST
+    * (`prometheus_query_range.go:65-66`, `select_labels.go:17-20`):
+    * Grafana falls back to form-encoded POST for long queries, so these
+    * parse the urlencoded body into Params (merged with the query string)
+    * and dispatch through the GET handlers.
+    */
+  private def isQueryPostRoute(path: String): Boolean = path match {
+    case "/api/v1/query_range" | "/api/v1/query" | "/api/v1/labels" |
+         "/api/v1/series" | "/loki/api/v1/query_range" |
+         "/loki/api/v1/query" | "/loki/api/v1/labels" |
+         "/loki/api/v1/series" => true
+    case LabelValuesRe(_) => true
+    case PromLabelValuesRe(_) => true
+    case _ => false
+  }
+
   /** Pure dispatcher — the whole API surface minus the socket, so specs
     * can drive it directly AND through a real server.
     */
@@ -472,6 +498,8 @@ class Frontend(spark: SparkSession, dir: String) {
     try {
       (method, path) match {
         case ("POST", "/loki/api/v1/push") => lokiPush(body)
+        case ("POST", qp) if isQueryPostRoute(qp) =>
+          routeGet(qp, Params.merge(p, Params.fromQuery(body)))
         case ("POST", other) => notFound(s"POST $other")
         case ("GET", _) => routeGet(path, p)
         case (other, _) => HttpResult(405, obj(Seq(
@@ -565,6 +593,13 @@ final case class Params(values: Map[String, Seq[String]]) {
 object Params {
   def apply(kvs: (String, String)*): Params =
     Params(kvs.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) })
+
+  /** Query-string params first, form-body params appended per key — the
+    * Go ParseForm merge order the reference's POST routes inherit.
+    */
+  def merge(query: Params, form: Params): Params =
+    Params((query.values.keySet ++ form.values.keySet).map(k =>
+      k -> (query.all(k) ++ form.all(k))).toMap)
 
   def fromQuery(rawQuery: String): Params =
     if (rawQuery == null || rawQuery.isEmpty) Params(Map.empty[String, Seq[String]])

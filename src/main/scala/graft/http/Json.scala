@@ -28,12 +28,21 @@ object Json {
     * doubles render without the trailing `.0` and large magnitudes never
     * fall into scientific notation (the upstream
     * `strconv.FormatFloat(v, 'f', -1, 64)` shape) — whole doubles are
-    * exact up to 2^53, and beyond that BigDecimal renders plain.
+    * exact up to 2^53. Outside that, `BigDecimal.valueOf` goes through
+    * Double.toString's SHORTEST round-trip form before the plain-text
+    * expansion (the exact-value `new BigDecimal(double)` constructor would
+    * render 0.000046 as its 67-char binary expansion). Non-finite values
+    * render as their Go spellings ("NaN"/"+Inf"-style is caller-quoted:
+    * the string-valued wire paths wrap num() in str(), and bare-number
+    * paths must guard these — BigDecimal would throw on them.
     */
   def num(v: Double): String =
-    if (v.isWhole && math.abs(v) <= 9007199254740992.0) v.toLong.toString
+    if (v.isNaN || v.isInfinite) v.toString
+    else if (v.isWhole && math.abs(v) <= 9007199254740992.0) v.toLong.toString
     else if (math.abs(v) >= 1e15 || (v != 0 && math.abs(v) < 1e-4))
-      new java.math.BigDecimal(v).toPlainString
+      // stripTrailingZeros: valueOf(5e-20) is "5.0E-20" and would
+      // otherwise expand with a spurious trailing zero digit
+      java.math.BigDecimal.valueOf(v).stripTrailingZeros.toPlainString
     else v.toString
 
   def obj(fields: Seq[(String, String)]): String =

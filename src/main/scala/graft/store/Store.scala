@@ -379,7 +379,18 @@ object Store {
   def appendLogs(spark: SparkSession, dir: String, rows: DataFrame): Long = {
     val root = ensure(spark, dir)
     val batch = graft.model.Materialize(rows) // 3 consumers below
-    val n = batch.count()
+    // a null timestamp_ns (e.g. a non-integer values-path timestamp in a
+    // Loki push) would land in a date=null partition every window scan
+    // drops — silent data loss behind a 204. Loki 400s the push instead;
+    // reject the whole batch the same way (the IllegalArgumentException
+    // maps to the bad_data envelope at the route layer).
+    val counted = batch.agg(count(lit(1)).as("total"),
+      count(col("timestamp_ns")).as("timestamped")).head()
+    val total = counted.getLong(0)
+    val n = counted.getLong(1)
+    if (n < total)
+      throw new IllegalArgumentException(
+        s"${total - n} of $total entries have missing/invalid timestamps")
     if (n > 0) appendLock.synchronized {
       withOid(withDate(batch.select(col("timestamp_ns"), col("fingerprint"),
           col("line"), col("value"))))

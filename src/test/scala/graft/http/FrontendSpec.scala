@@ -259,6 +259,16 @@ class FrontendSpec extends SparkSpec {
       assert(pushedLines.size == 4)
       // a push with no entries is a 400
       assert(post("/loki/api/v1/push", """{"streams":[]}""") == 400)
+      // invalid timestamps 400 the whole push (Loki's contract) instead
+      // of writing date=null rows every window scan silently drops
+      assert(post("/loki/api/v1/push",
+        """{"streams":[{"stream":{"event_type":"badts"},
+          |"values":[["2024-01-01T00:00:00Z","iso not allowed here"],
+          |["1704067500000000000","fine"]]}]}""".stripMargin
+          .replace("\n", "")) == 400)
+      val (_, badVals) = get2(s"/loki/api/v1/label/event_type/values" +
+        s"?start=$StartS&end=$EndS")
+      assert(!badVals.contains("badts"), badVals)
       assert(post("/api/v1/nope", "x") == 404)
     } finally srv.stop(0)
   }
@@ -321,6 +331,13 @@ class FrontendSpec extends SparkSpec {
     assert(Json.num(1e15) == "1000000000000000")
     assert(Json.num(2.0e16) == "20000000000000000")
     assert(!Json.num(1.23e17).toLowerCase.contains("e"))
+    // small magnitudes take the SHORTEST round-trip form, not the exact
+    // binary expansion (a 6dp-rounded rate() sample must stay 8 chars)
+    assert(Json.num(0.000046) == "0.000046")
+    assert(Json.num(5e-20) == "0.00000000000000000005")
+    // non-finite doubles render as quoted-context text, never a throw
+    assert(Json.num(Double.NaN) == "NaN")
+    assert(Json.num(Double.PositiveInfinity) == "Infinity")
     // prom matcher semantics: a missing label equals "", so le!="" must
     // match NO events_value series (they carry no le label)
     val (c3, b3) = get("/api/v1/series?match%5B%5D=" +
@@ -337,6 +354,33 @@ class FrontendSpec extends SparkSpec {
     val rfc = q("2024-01-01T00:00:00Z", "2024-01-31T00:00:00Z")
     val flt = q(s"$StartS.0", s"$EndS.0")
     assert(ns == secs && secs == rfc && rfc == flt)
+    // numeric UTC offsets (upstream-accepted RFC3339 forms) parse too;
+    // the + must be percent-encoded or it decodes as a space
+    val off = q(enc("2024-01-01T02:00:00+02:00"), enc("2024-01-31T03:00:00+03:00"))
+    assert(off == rfc)
+  }
+
+  test("POST form-encoded query routes dispatch like GET (Grafana's " +
+      "long-query fallback); non-query POSTs stay 404") {
+    def post(path: String, form: String): (Int, String) = {
+      val res = client.send(
+        HttpRequest.newBuilder(URI.create(base + path))
+          .header("Content-Type", "application/x-www-form-urlencoded")
+          .POST(HttpRequest.BodyPublishers.ofString(form)).build(),
+        HttpResponse.BodyHandlers.ofString())
+      (res.statusCode(), res.body())
+    }
+    val form = "query=" + enc("""sum by (event_type) (events_value{event_type="click"})""") +
+      s"&start=$StartS&end=$EndS&step=21600"
+    val viaPost = post("/api/v1/query_range", form)
+    val viaGet = get("/api/v1/query_range?" + form)
+    assert(viaPost == viaGet && viaPost._1 == 200)
+    // body and query-string params merge (match[] split across both)
+    val (cs, series) = post("/api/v1/series?match%5B%5D=" +
+      enc("""events_total"""), "match%5B%5D=" + enc("""events_value"""))
+    assert(cs == 200 && series.contains("events_total") &&
+      series.contains("events_value"), series.take(300))
+    assert(post("/api/v1/metadata", "")._1 == 404)
   }
 
   private def enc(s: String): String =
