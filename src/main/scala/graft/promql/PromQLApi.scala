@@ -18,13 +18,21 @@ object PromQLApi {
     ("events_total", "counter"),
     ("events_value", "gauge"))
 
-  def metadata(spark: SparkSession, dir: String): DataFrame =
-    Families.map { case (name, typ) =>
+  def metadata(spark: SparkSession, dir: String): DataFrame = {
+    val built = Families.map { case (name, typ) =>
       Tables.promMetric(name).get(spark, dir)
         .agg(countDistinct(col("fingerprint")).as("series"))
         .select(lit(name).as("metric_name"), lit(typ).as("type"),
           col("series"))
     }.reduce(_ unionByName _)
+    // HTTP-pushed families carry no scrape metadata — Prometheus reports
+    // such metrics with type "unknown"
+    val pushed = graft.store.Store.promSeriesPushed(spark, dir)
+      .groupBy(col("family").as("metric_name"))
+      .agg(countDistinct(col("fingerprint")).as("series"))
+      .select(col("metric_name"), lit("unknown").as("type"), col("series"))
+    built.unionByName(pushed)
+  }
 
   /** All family dictionaries with `__name__` folded into the label map —
     * the Prometheus label surface treats the metric name as label zero
@@ -37,6 +45,9 @@ object PromQLApi {
         .select(graft.model.MapOps.update(col("labels"),
           map(lit("__name__"), lit(name))).as("labels"))
     }.reduce(_ unionByName _)
+      // pushed-family dictionary rows already carry __name__ in the map
+      .unionByName(graft.store.Store.promSeriesPushed(spark, dir)
+        .select(col("labels")))
 
   /** `/api/v1/labels` — distinct label names across every family
     * dictionary (dictionary-sized scan, never the sample tables).

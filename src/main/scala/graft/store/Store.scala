@@ -430,6 +430,172 @@ object Store {
 
   private val appendLock = new Object
 
+  private def invalidate(spark: SparkSession, root: String,
+      tables: Seq[String]): Unit =
+    for (t <- tables) {
+      readers.remove((spark, s"$root/$t"))
+      spark.catalog.refreshByPath(s"$root/$t")
+    }
+
+  /** Conform an append batch to the STORED table's columns: missing
+    * columns null-fill with the stored type, extras drop. Parquet happily
+    * appends a drifted schema, after which scans become file-order
+    * dependent — this pins every append to the build-time contract.
+    */
+  private def conformTo(spark: SparkSession, path: String,
+      df: DataFrame, partCols: Set[String]): DataFrame = {
+    val target = readTable(spark, path).schema
+      .filterNot(f => partCols.contains(f.name))
+    df.select(target.map(f =>
+      (if (df.columns.contains(f.name)) col(f.name)
+       else lit(null)).cast(f.dataType).as(f.name)): _*)
+  }
+
+  /** Reject batches carrying null timestamps (same contract as
+    * [[appendLogs]]: a date=null partition is silent data loss behind a
+    * 2xx) and return the batch size.
+    */
+  private def countStrict(batch: DataFrame): Long = {
+    val counted = batch.agg(count(lit(1)).as("total"),
+      count(col("timestamp_ns")).as("timestamped")).head()
+    val total = counted.getLong(0)
+    if (counted.getLong(1) < total)
+      throw new IllegalArgumentException(
+        s"${total - counted.getLong(1)} of $total entries have " +
+          "missing/invalid timestamps")
+    total
+  }
+
+  /** Live trace ingest (`writer/service/insert/` tempo path): a decoded
+    * span batch — (trace_id, span_id, parent_id, name, service_name,
+    * timestamp_ns, duration_ns, attrs map) with LONG ids — fans out to
+    * the three queryable trace tables:
+    *
+    *   - `spans` gains the rows (null-filled to the stored schema);
+    *   - `span_attrs` gains the exploded attr pairs (the GIN analog), so
+    *     TraceQL bitmask leaves see pushed attributes;
+    *   - `span_ancestors` gains the batch's OWN ancestor closure: clients
+    *     push whole traces per request (the reference's per-batch GIN
+    *     insert makes the same assumption), so parent links resolve
+    *     within the batch.
+    *
+    * Same bounded-batch shape as [[appendLogs]] — one append per table,
+    * never a rewrite. Returns the number of span rows appended.
+    */
+  def appendSpans(spark: SparkSession, dir: String, spans: DataFrame): Long = {
+    val root = ensure(spark, dir)
+    val batch = graft.model.Materialize(spans) // spans+attrs+closure consumers
+    val n = countStrict(batch)
+    if (n > 0) appendLock.synchronized {
+      withOid(withDate(conformTo(spark, s"$root/spans", batch,
+          Set("oid", "date"))))
+        .sortWithinPartitions(col("trace_id"), col("span_id"))
+        .write.mode("append").partitionBy("oid", "date")
+        .parquet(s"$root/spans")
+      val attrs = batch.select(col("trace_id"), col("span_id"),
+          col("parent_id"), col("timestamp_ns"), col("duration_ns"),
+          explode(col("attrs")).as(Seq("key", "val")))
+      withOid(withDate(conformTo(spark, s"$root/span_attrs", attrs,
+          Set("oid", "date"))))
+        .sortWithinPartitions(col("key"), col("val"), col("trace_id"))
+        .write.mode("append").partitionBy("oid", "date")
+        .parquet(s"$root/span_attrs")
+      val anc = ancestorClosure(batch.select(col("trace_id"), col("span_id"),
+        col("parent_id"), col("timestamp_ns")))
+      withOid(withDate(conformTo(spark, s"$root/span_ancestors", anc,
+          Set("oid", "date"))))
+        .sortWithinPartitions(col("trace_id"), col("span_id"))
+        .write.mode("append").partitionBy("oid", "date")
+        .parquet(s"$root/span_ancestors")
+      invalidate(spark, root, Seq("spans", "span_attrs", "span_ancestors"))
+    }
+    n
+  }
+
+  /** Live metric ingest (remote-write / OTLP metrics / Datadog series /
+    * Influx fields): decoded samples — (timestamp_ns, labels, value,
+    * fingerprint), `__name__` inside the label map — land in the
+    * `prom_pushed` fact table (same oid/date layout + fingerprint sort as
+    * the built families) and NEW (family, fingerprint) pairs join the
+    * `prom_series` dictionary, so the labels/series/metadata APIs and the
+    * PromQL compiler (via [[promMetric]]'s pushed-family fallback) see
+    * them without any table rewrite. Returns sample rows appended.
+    */
+  def appendMetrics(spark: SparkSession, dir: String, rows: DataFrame): Long = {
+    val root = ensure(spark, dir)
+    val batch = graft.model.Materialize(rows.select(col("timestamp_ns"),
+      col("labels"), col("value"), col("fingerprint")))
+    val n = countStrict(batch)
+    if (n > 0) appendLock.synchronized {
+      withOid(withDate(batch))
+        .sortWithinPartitions(col("fingerprint"), col("timestamp_ns"))
+        .write.mode("append").partitionBy("oid", "date")
+        .parquet(s"$root/prom_pushed")
+      val dict = batch
+        .select(element_at(col("labels"), "__name__").as("family"),
+          col("fingerprint"), col("labels"))
+        .filter(col("family").isNotNull)
+        .dropDuplicates("family", "fingerprint")
+      val existing = spark.read.parquet(s"$root/prom_series")
+        .select(col("family"), col("fingerprint")).distinct()
+      withOid(dict.join(existing, Seq("family", "fingerprint"), "left_anti"))
+        .write.mode("append").parquet(s"$root/prom_series")
+      invalidate(spark, root, Seq("prom_pushed", "prom_series"))
+    }
+    n
+  }
+
+  /** Live profile ingest (pprof `/ingest`, OTLP profiles): rows already in
+    * the profiles-table shape (profile_id, service_name, timestamp_ns,
+    * type_id, sample_types_units, tags, tree). Returns rows appended.
+    */
+  def appendProfiles(spark: SparkSession, dir: String, rows: DataFrame): Long = {
+    val root = ensure(spark, dir)
+    val batch = graft.model.Materialize(rows)
+    val n = countStrict(batch)
+    if (n > 0) appendLock.synchronized {
+      withOid(withDate(conformTo(spark, s"$root/profiles", batch,
+          Set("oid", "date"))))
+        .sortWithinPartitions(col("service_name"), col("timestamp_ns"))
+        .write.mode("append").partitionBy("oid", "date")
+        .parquet(s"$root/profiles")
+      invalidate(spark, root, Seq("profiles"))
+    }
+    n
+  }
+
+  /** All pushed-family dictionary rows (fingerprint, labels, family) —
+    * the [[promSeries]] surface for families that arrived over HTTP
+    * rather than the build. Empty frame when nothing was ever pushed.
+    */
+  def promSeriesPushed(spark: SparkSession, dir: String): DataFrame =
+    tenantFilter(spark,
+      readTable(spark, s"${ensure(spark, dir)}/prom_series"))
+      .filter(!col("family").isin("events_value", "events_total",
+        "events_bucket"))
+      .drop("oid")
+
+  private def havePushed(root: String): Boolean =
+    haveDir(s"$root/prom_pushed")
+
+  // appends create bare part files (no _SUCCESS): existence = directory
+  // with at least one parquet part
+  private def haveDir(path: String): Boolean = {
+    val f = new java.io.File(path)
+    f.isDirectory
+  }
+
+  /** Pushed-family fact scan: `prom_pushed` filtered to one `__name__`
+    * over the window. None until something was pushed.
+    */
+  def promPushed(spark: SparkSession, dir: String, name: String,
+      loNs: Long, hiNs: Long): Option[DataFrame] = {
+    val root = ensure(spark, dir)
+    if (!havePushed(root)) None
+    else Some(scanWindow(spark, s"$root/prom_pushed", loNs, hiNs)
+      .filter(element_at(col("labels"), "__name__") === name))
+  }
+
   /** TTL retention (`ctrl/qryn/maintenance/rotate.go:48-66`, which issues
     * `ALTER TABLE ... DROP PARTITION` per expired day): drop every `date=`
     * partition strictly before the cutoff (ISO yyyy-MM-dd) across the
@@ -519,5 +685,8 @@ object Store {
       case _               => None
     }
     table.map(t => scanWindow(spark, s"${ensure(spark, dir)}/$t", loNs, hiNs))
+      // names outside the built families may have arrived over HTTP —
+      // the pushed fact table is their home (appendMetrics)
+      .orElse(promPushed(spark, dir, name, loNs, hiNs))
   }
 }

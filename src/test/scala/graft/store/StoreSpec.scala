@@ -314,6 +314,111 @@ class StoreSpec extends SparkSpec {
     } finally spark.conf.set("spark.graft.store.disabled", "false")
   }
 
+  test("appendSpans/appendMetrics/appendProfiles land in the queryable " +
+      "store: attrs GIN, ancestor closure, pushed-family PromQL, profiles") {
+    // tmp copy: appends mutate the dir's store, and the shared sf0.001
+    // store's contents are load-bearing for other suites
+    val tmp = java.nio.file.Files.createTempDirectory("graft-append").toFile
+    tmp.deleteOnExit()
+    for (f <- new java.io.File(sf).listFiles(); if f.getName.endsWith(".parquet"))
+      java.nio.file.Files.copy(f.toPath,
+        new java.io.File(tmp, f.getName).toPath)
+    val dir = tmp.getAbsolutePath
+    val s = spark
+    import s.implicits._
+    val ts = 1704100000000000000L // inside the 2024-01 window
+
+    // --- spans: parent+child in one trace, attrs exploded, closure row --
+    val spansBatch = Seq(
+      (900001L, 1L, Option.empty[Long], "push-root", "pushsvc", ts, 5000L,
+        Map("name" -> "push-root", "service_name" -> "pushsvc", "zone" -> "eu")),
+      (900001L, 2L, Option(1L), "push-leaf", "pushsvc", ts + 1000, 2000L,
+        Map("name" -> "push-leaf", "service_name" -> "pushsvc", "zone" -> "eu")))
+      .toDF("trace_id", "span_id", "parent_id", "name", "service_name",
+        "timestamp_ns", "duration_ns", "attrs")
+    assert(Store.appendSpans(spark, dir, spansBatch) == 2)
+    val got = Store.spans(spark, dir, ts - 1, ts + 10000)
+      .filter(col("trace_id") === 900001L)
+    assert(got.count() == 2)
+    // stored schema stayed the build-time one (null-filled extras)
+    assert(got.columns.contains("user_id"))
+    val attrs = Store.spanAttrs(spark, dir, ts - 1, ts + 10000)
+      .filter(col("trace_id") === 900001L && col("key") === "zone")
+    assert(attrs.count() == 2)
+    val anc = Store.ancestors(spark, dir, ts - 1, ts + 10000)
+      .filter(col("trace_id") === 900001L)
+      .select("span_id", "anc_id").as[(Long, Long)].collect().toSet
+    assert(anc == Set((2L, 1L)))
+    // TraceQL end-to-end over the pushed trace
+    import graft.traceql.{TraceQLCompiler, TraceQLParser}
+    val tql = new TraceQLCompiler(spark, dir, ts - 1, ts + 10000)
+    val metas = tql.traceMeta(
+      TraceQLParser.parseOrThrow("""{ .zone="eu" }""").expr).collect()
+    assert(metas.map(_.getLong(0)).contains(900001L))
+
+    // --- metrics: a NEW family becomes PromQL-queryable + API-visible --
+    val mBatch = Seq(
+      (ts, Map("__name__" -> "http_requests_total", "job" -> "push"), 1.0),
+      (ts + 15000000000L, Map("__name__" -> "http_requests_total", "job" -> "push"), 3.0))
+      .toDF("timestamp_ns", "labels", "value")
+      .withColumn("fingerprint",
+        graft.model.Tables.fingerprintOf(col("labels")))
+    assert(Store.appendMetrics(spark, dir, mBatch) == 2)
+    val fact = Store.promMetric(spark, dir, "http_requests_total",
+      ts - 1, ts + 20000000000L)
+    assert(fact.isDefined && fact.get.count() == 2)
+    // built families are unaffected by the fallback
+    assert(Store.promMetric(spark, dir, "events_value", ts - 1, ts + 1).isDefined)
+    assert(Store.promMetric(spark, dir, "no_such_metric", 0, 1).exists(_.count() == 0))
+    val fams = graft.promql.PromQLApi.labelValues(spark, dir, "__name__")
+      .collect().map(_.getString(0)).toSet
+    assert(fams.contains("http_requests_total"), fams)
+    val meta = graft.promql.PromQLApi.metadata(spark, dir)
+      .filter(col("metric_name") === "http_requests_total").collect()
+    assert(meta.length == 1 && meta(0).getString(1) == "unknown")
+    // dictionary append is idempotent: same series pushed again, 1 row
+    assert(Store.appendMetrics(spark, dir, mBatch) == 2)
+    assert(Store.promSeriesPushed(spark, dir)
+      .filter(col("family") === "http_requests_total").count() == 1)
+    // PromQL compiler evaluates the pushed family end-to-end
+    import graft.promql.{PromParams, PromQLCompiler}
+    val tSec = (ts + 15000000000L) / 1000000000L
+    val v = new PromQLCompiler(spark, dir,
+        PromParams(tSec * 1000000000L, tSec * 1000000000L, 15L))
+      .compile("""http_requests_total{job="push"}""")
+      .collect()
+    assert(v.length == 1 && v(0).getAs[Double]("value") == 3.0)
+
+    // --- profiles: pushed rows merge into the service's flame tree -----
+    val pBatch = Seq((990001L, "pushprof", ts, "process_cpu:cpu:nanoseconds",
+      Seq(("cpu", "nanoseconds")),
+      Seq(("service_name", "pushprof")),
+      Seq((0L, 1L, "main", 0L, 70L), (1L, 2L, "work", 70L, 70L))))
+      .toDF("profile_id", "service_name", "timestamp_ns", "type_id",
+        "sample_types_units", "tags", "tree")
+      .withColumn("sample_types_units",
+        expr("transform(sample_types_units, x -> struct(x._1 as stype, x._2 as unit))"))
+      .withColumn("tags",
+        expr("transform(tags, x -> struct(x._1 as key, x._2 as val))"))
+      .withColumn("tree",
+        expr("transform(tree, x -> struct(x._1 as parent, x._2 as node, " +
+          "x._3 as fn, x._4 as self, x._5 as total))"))
+    assert(Store.appendProfiles(spark, dir, pBatch) == 1)
+    val tree = graft.prof.Profiles.mergeTree(spark, dir, "pushprof")
+      .orderBy("node").collect()
+    assert(tree.length == 2 && tree.map(_.getAs[String]("fn")).toSeq ==
+      Seq("main", "work"))
+
+    // null timestamps reject the whole batch, nothing written
+    val bad = Seq((900002L, 9L, Option.empty[Long], "x", "y",
+      Option.empty[Long], 1L, Map.empty[String, String]))
+      .toDF("trace_id", "span_id", "parent_id", "name", "service_name",
+        "timestamp_ns", "duration_ns", "attrs")
+    intercept[IllegalArgumentException](Store.appendSpans(spark, dir, bad))
+    assert(Store.spans(spark, dir, 0, Long.MaxValue)
+      .filter(col("trace_id") === 900002L).count() == 0)
+  }
+
   test("downsample and raw paths agree on rate values") {
     val q = """sum by (event_type) (rate({level="info"}[12h]))"""
     val ds = engine.compileMetric(LogQLParser.parseOrThrow(q))
