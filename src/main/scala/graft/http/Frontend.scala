@@ -46,7 +46,8 @@ import Json._
   * timestamps are unix seconds, `status`/`data`/`resultType` envelopes.
   * Errors return the Prometheus error envelope with HTTP 400.
   */
-class Frontend(spark: SparkSession, dir: String) {
+class Frontend(spark: SparkSession, dir: String,
+    nowNs: () => Long = () => System.currentTimeMillis() * 1000000L) {
 
   // ---- time / duration parsing --------------------------------------------
 
@@ -474,6 +475,209 @@ class Frontend(spark: SparkSession, dir: String) {
     else HttpResult(204, "")
   }
 
+  // The remaining ingest POST routes mirror the reference writer's route
+  // table (`writer/` controllers; the push-then-query loop its e2e suite
+  // certifies per API, Makefile:10-41): each decodes with the
+  // gate-certified wire decoder and appends to the QUERYABLE store.
+  // Timestamp-less formats stamp receive time (the reference's
+  // time.Now()), injectable via the `nowNs` constructor parameter so
+  // fixture replays stay deterministic.
+
+  private def bodyDf(body: String): DataFrame = {
+    import spark.implicits._
+    Seq(body).toDF("body")
+  }
+
+  private def appendLogRows(rows: DataFrame, okStatus: Int = 200,
+      okBody: String = "{}"): HttpResult = {
+    // log-only decoders (OTLP/Datadog/Cloudflare/Elastic) carry no metric
+    // value column; the samples table keeps it nullable
+    val withVal =
+      if (rows.columns.contains("value")) rows
+      else rows.withColumn("value", lit(null).cast("double"))
+    val n = graft.store.Store.appendLogs(spark, dir,
+      withVal.withColumn("timestamp_ns",
+        coalesce(col("timestamp_ns"), lit(nowNs()))))
+    if (n == 0) badRequest("push body contained no entries")
+    else HttpResult(okStatus, okBody)
+  }
+
+  private def appendMetricRows(rows: DataFrame, okStatus: Int = 200,
+      okBody: String = "{}"): HttpResult = {
+    val n = graft.store.Store.appendMetrics(spark, dir,
+      rows.withColumn("timestamp_ns",
+        coalesce(col("timestamp_ns"), lit(nowNs()))))
+    if (n == 0) badRequest("push body contained no samples")
+    else HttpResult(okStatus, okBody)
+  }
+
+  /** Low 64 bits of a hex trace/span id as the store's LONG id — the
+    * same bit pattern `/api/traces/{hex}` parses and tempo search formats
+    * back out with %016x (conv's negative toBase yields the SIGNED
+    * decimal of the 64-bit value).
+    */
+  private def hexId(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(c.isNotNull && c =!= "",
+      conv(substring(lpad(lower(c), 32, "0"), 17, 16), 16, -10).cast("long"))
+
+  /** Decoded trace rows (trace_id_hex/span_id_hex/parent_id_hex + an
+    * attrs-or-tags map) → the canonical span batch [[graft.store.Store
+    * .appendSpans]] takes. `service_name` joins the attr map under the
+    * store's flat key so TraceQL `.service_name` leaves match pushed
+    * spans exactly like derived ones.
+    */
+  private def appendSpanRows(decoded: DataFrame, attrsCol: String,
+      okStatus: Int = 200, okBody: String = "{}"): HttpResult = {
+    val rows = decoded.select(
+      hexId(col("trace_id_hex")).as("trace_id"),
+      hexId(col("span_id_hex")).as("span_id"),
+      hexId(col("parent_id_hex")).as("parent_id"),
+      col("name"), col("service_name"),
+      col("timestamp_ns"), col("duration_ns"),
+      graft.model.MapOps.update(col(attrsCol),
+        map(lit("service_name"), coalesce(col("service_name"), lit(""))))
+        .as("attrs"))
+    val n = graft.store.Store.appendSpans(spark, dir, rows)
+    if (n == 0) badRequest("push body contained no spans")
+    else HttpResult(okStatus, okBody)
+  }
+
+  private def otlpLogsPush(body: String): HttpResult =
+    appendLogRows(graft.ingest.WireFormats.decodeOtlpLogs(bodyDf(body)))
+
+  private def otlpTracesPush(body: String): HttpResult =
+    appendSpanRows(graft.ingest.WireFormats.decodeOtlpTraces(bodyDf(body)),
+      "attrs")
+
+  private def otlpMetricsPush(body: String): HttpResult =
+    appendMetricRows(graft.ingest.WireFormats.decodeOtlpMetrics(bodyDf(body)))
+
+  private def zipkinPush(body: String): HttpResult =
+    appendSpanRows(graft.ingest.WireFormats.decodeZipkin(bodyDf(body)),
+      "tags", okStatus = 202, okBody = "")
+
+  private def remoteWritePush(bytes: Array[Byte]): HttpResult = {
+    import spark.implicits._
+    val decoded = graft.ingest.PromRemoteWrite.decode(Seq(bytes).toDF("body"))
+    appendMetricRows(decoded, okStatus = 204, okBody = "")
+  }
+
+  private def influxPush(body: String, p: Params): HttpResult = {
+    import spark.implicits._
+    val lines = body.split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+    if (lines.isEmpty) badRequest("empty line-protocol body")
+    else {
+      val decoded = graft.ingest.WireFormats.decodeInflux(
+        lines.toDF("line"), p.first("precision").getOrElse("ns"))
+      // one request may carry both branches (`influx.go:61-112`): message
+      // fields land as log entries, numeric fields as metric samples
+      val logs = decoded.filter(col("sample_type") === "log")
+        .select(col("labels"), col("timestamp_ns"), col("line"),
+          col("value"), col("fingerprint"))
+      val metrics = decoded.filter(col("sample_type") === "metric")
+        .select(graft.model.MapOps.update(col("labels"),
+            map(lit("__name__"), col("name"))).as("labels"),
+          col("timestamp_ns"), col("value"))
+        .withColumn("fingerprint",
+          graft.model.Tables.fingerprintOf(col("labels")))
+      val now = nowNs()
+      val nLogs = graft.store.Store.appendLogs(spark, dir,
+        logs.withColumn("timestamp_ns",
+          coalesce(col("timestamp_ns"), lit(now))))
+      val nMetrics = graft.store.Store.appendMetrics(spark, dir,
+        metrics.withColumn("timestamp_ns",
+          coalesce(col("timestamp_ns"), lit(now))))
+      if (nLogs + nMetrics == 0) badRequest("no decodable influx lines")
+      else HttpResult(204, "")
+    }
+  }
+
+  private def datadogLogsPush(body: String): HttpResult =
+    appendLogRows(graft.ingest.WireFormats.decodeDatadogLogs(bodyDf(body),
+      ingestTsNs = Some(nowNs())), okStatus = 200, okBody = "{}")
+
+  private def datadogSeriesPush(body: String): HttpResult =
+    appendMetricRows(
+      graft.ingest.WireFormats.decodeDatadogMetrics(bodyDf(body)),
+      okStatus = 202, okBody = """{"status":"ok"}""")
+
+  private def cloudflarePush(body: String, p: Params): HttpResult =
+    appendLogRows(graft.ingest.WireFormats.decodeCloudflare(bodyDf(body),
+      ddsource = p.first("ddsource").getOrElse("cloudflare")))
+
+  private def elasticBulkPush(body: String): HttpResult =
+    appendLogRows(
+      graft.ingest.WireFormats.decodeElasticBulk(bodyDf(body),
+        ingestTsNs = Some(nowNs())),
+      okBody = """{"errors":false,"items":[]}""")
+
+  /** `POST /{target}/_doc[/{id}]` — the single-document spelling
+    * normalizes to a one-action bulk body (`elastic.go:29-63` routes both
+    * through the same decode).
+    */
+  private def elasticDocPush(target: String, body: String): HttpResult = {
+    val action = s"""{"index":{"_index":${str(target)}}}"""
+    elasticBulkPush(action + "\n" + body.replace("\n", " "))
+  }
+
+  /** `POST /ingest` — the Pyroscope ingest API: `name=app{k=v,...}`
+    * names the service + tag set, the body is a gzip'd pprof profile.
+    * Stacks become the store's merged-tree node rows: node identity =
+    * hash of the root→frame path, so identical call paths merge across
+    * pushes exactly like the reference's tree merge
+    * (`prof_merge_v2.go:51-200`).
+    */
+  private def pprofPush(bytes: Array[Byte], p: Params): HttpResult = {
+    import spark.implicits._
+    val nameParam = p.required("name")
+    val (service, tags) = {
+      val i = nameParam.indexOf('{')
+      if (i < 0) (nameParam, Map.empty[String, String])
+      else (nameParam.take(i),
+        nameParam.drop(i + 1).stripSuffix("}").split(",").toSeq
+          .filter(_.contains('='))
+          .map { kv =>
+            val j = kv.indexOf('=')
+            kv.take(j) -> kv.drop(j + 1)
+          }.toMap)
+    }
+    val decoded = graft.ingest.Pprof.decode(Seq(bytes).toDF("body"))
+    val tsNs = p.first("from").map(parseTimeNs).getOrElse(nowNs())
+    // per-frame prefix rows: node = path hash, parent = parent-path hash
+    // (roots parent 0 — the flamegraph BFS contract), self at the leaf
+    val frames = decoded
+      .select(col("stack"), col("value"),
+        posexplode(col("stack")).as(Seq("pos", "fn")))
+      .select(col("fn"), col("value"),
+        (col("pos") === size(col("stack")) - 1).as("isLeaf"),
+        xxhash64(concat_ws(" ",
+          slice(col("stack"), lit(1), col("pos") + 1))).as("node"),
+        when(col("pos") === 0, 0L)
+          .otherwise(xxhash64(concat_ws(" ",
+            slice(col("stack"), lit(1), col("pos"))))).as("parent"))
+    val tree = frames.groupBy(col("parent"), col("node"), col("fn"))
+      .agg(sum(when(col("isLeaf"), col("value")).otherwise(0L)).as("self"),
+        sum(col("value")).as("total"))
+      .agg(collect_list(struct(col("parent"), col("node"), col("fn"),
+        col("self"), col("total"))).as("tree"))
+    val tagEntries = (tags + ("service_name" -> service)).toSeq.sorted
+      .map { case (k, v) => struct(lit(k).as("key"), lit(v).as("val")) }
+    val row = tree
+      .filter(size(col("tree")) > 0)
+      .select(
+        lit(tsNs).as("profile_id"),
+        lit(service).as("service_name"),
+        lit(tsNs).as("timestamp_ns"),
+        lit("process_cpu:cpu:nanoseconds").as("type_id"),
+        array(struct(lit("cpu").as("stype"), lit("nanoseconds").as("unit")))
+          .as("sample_types_units"),
+        array(tagEntries: _*).as("tags"),
+        col("tree"))
+    val n = graft.store.Store.appendProfiles(spark, dir, row)
+    if (n == 0) badRequest("profile contained no samples")
+    else HttpResult(200, "{}")
+  }
+
   /** Routes the reference registers for BOTH GET and POST
     * (`prometheus_query_range.go:65-66`, `select_labels.go:17-20`):
     * Grafana falls back to form-encoded POST for long queries, so these
@@ -490,14 +694,41 @@ class Frontend(spark: SparkSession, dir: String) {
     case _ => false
   }
 
+  private val ElasticDocRe = "^/([^/_][^/]*)/_doc(?:/[^/]*)?$".r
+  private val ElasticBulkRe = "^/(?:[^/_][^/]*/)?_bulk$".r
+
   /** Pure dispatcher — the whole API surface minus the socket, so specs
-    * can drive it directly AND through a real server.
+    * can drive it directly AND through a real server. Text routes decode
+    * the body as UTF-8; the two binary wire formats (snappy-protobuf
+    * remote-write, gzip pprof) take the raw bytes.
     */
   def route(path: String, p: Params, method: String = "GET",
       body: String = ""): HttpResult =
+    routeRaw(path, p, method, body.getBytes(UTF_8))
+
+  def routeRaw(path: String, p: Params, method: String,
+      bytes: Array[Byte]): HttpResult =
     try {
+      lazy val body = new String(bytes, UTF_8)
       (method, path) match {
         case ("POST", "/loki/api/v1/push") => lokiPush(body)
+        // OTLP/HTTP (writer `/v1/logs`, `/v1/traces`, `/v1/metrics`)
+        case ("POST", "/v1/logs") => otlpLogsPush(body)
+        case ("POST", "/v1/traces") => otlpTracesPush(body)
+        case ("POST", "/v1/metrics") => otlpMetricsPush(body)
+        case ("POST", "/api/v1/prom/remote/write") => remoteWritePush(bytes)
+        case ("POST", "/influx/api/v2/write") => influxPush(body, p)
+        case ("POST", "/api/v2/logs") => datadogLogsPush(body)
+        // POST /api/v1/series is Datadog metric ingest (JSON body); the
+        // same path form-encoded is Grafana's prom-series POST fallback
+        case ("POST", "/api/v1/series") if body.trim.startsWith("{") =>
+          datadogSeriesPush(body)
+        case ("POST", "/tempo/spans") | ("POST", "/api/v2/spans") =>
+          zipkinPush(body)
+        case ("POST", "/cf/v1/insert") => cloudflarePush(body, p)
+        case ("POST", "/ingest") => pprofPush(bytes, p)
+        case ("POST", ElasticBulkRe()) => elasticBulkPush(body)
+        case ("POST", ElasticDocRe(target)) => elasticDocPush(target, body)
         case ("POST", qp) if isQueryPostRoute(qp) =>
           routeGet(qp, Params.merge(p, Params.fromQuery(body)))
         case ("POST", other) => notFound(s"POST $other")
@@ -562,17 +793,17 @@ class Frontend(spark: SparkSession, dir: String) {
   def start(port: Int = 0): HttpServer = {
     val server = HttpServer.create(new InetSocketAddress(port), 0)
     server.createContext("/", (exchange: HttpExchange) => {
-      val body = new String(exchange.getRequestBody.readAllBytes(), UTF_8)
-      val res = route(exchange.getRequestURI.getPath,
+      val bytes = exchange.getRequestBody.readAllBytes()
+      val res = routeRaw(exchange.getRequestURI.getPath,
         Params.fromQuery(exchange.getRequestURI.getRawQuery),
-        exchange.getRequestMethod, body)
-      val bytes = res.body.getBytes(UTF_8)
+        exchange.getRequestMethod, bytes)
+      val out = res.body.getBytes(UTF_8)
       exchange.getResponseHeaders.set("Content-Type", "application/json")
       // 204 must not carry a body; -1 signals no content on the JDK server
       exchange.sendResponseHeaders(res.status,
-        if (bytes.isEmpty) -1 else bytes.length)
+        if (out.isEmpty) -1 else out.length)
       val os = exchange.getResponseBody
-      try { if (bytes.nonEmpty) os.write(bytes) } finally os.close()
+      try { if (out.nonEmpty) os.write(out) } finally os.close()
     })
     server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
     server.start()

@@ -273,6 +273,171 @@ class FrontendSpec extends SparkSpec {
     } finally srv.stop(0)
   }
 
+  test("ingest POST routes: push-then-query fixture replay per wire " +
+      "format (OTLP logs/traces/metrics, remote-write, Influx, Datadog " +
+      "logs+series, Zipkin, Elastic bulk+doc, Cloudflare, pprof)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ingest").toFile
+    tmp.deleteOnExit()
+    for (f <- new java.io.File(sf).listFiles(); if f.getName.endsWith(".parquet"))
+      java.nio.file.Files.copy(f.toPath,
+        new java.io.File(tmp, f.getName).toPath)
+    val dir = tmp.getAbsolutePath
+    val tsNs = (StartS + 5000L) * 1000000000L // inside the 2024-01 window
+    val srv = new Frontend(spark, dir, nowNs = () => tsNs).start(0)
+    try {
+      val b = s"http://127.0.0.1:${srv.getAddress.getPort}"
+      def get2(pq: String): (Int, String) = {
+        val r = client.send(HttpRequest.newBuilder(URI.create(b + pq)).GET()
+          .build(), HttpResponse.BodyHandlers.ofString())
+        (r.statusCode(), r.body())
+      }
+      def post(path: String, body: String): (Int, String) = {
+        val r = client.send(HttpRequest.newBuilder(URI.create(b + path))
+          .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+          HttpResponse.BodyHandlers.ofString())
+        (r.statusCode(), r.body())
+      }
+      def postBytes(path: String, body: Array[Byte]): (Int, String) = {
+        val r = client.send(HttpRequest.newBuilder(URI.create(b + path))
+          .POST(HttpRequest.BodyPublishers.ofByteArray(body)).build(),
+          HttpResponse.BodyHandlers.ofString())
+        (r.statusCode(), r.body())
+      }
+      def lokiLines(sel: String): Seq[String] = {
+        val (_, body) = get2("/loki/api/v1/query_range?query=" + enc(sel) +
+          s"&start=${StartS}000000000&end=${EndS}000000000&limit=100")
+        // lines may themselves be JSON — capture across escaped quotes
+        // and unescape the JSON string encoding
+        """\["\d{19}","((?:[^"\\]|\\.)*)"\]""".r.findAllMatchIn(body)
+          .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\")).toSeq
+      }
+      def instant(q: String, tSec: Long): String =
+        get2("/api/v1/query?query=" + enc(q) + s"&time=$tSec")._2
+      val tSec = tsNs / 1000000000L + 10
+
+      // --- OTLP logs -> loki query ------------------------------------
+      val otlpLogs =
+        s"""{"resourceLogs":[{"resource":{"attributes":[
+           |{"key":"event_type","value":{"stringValue":"otlppush"}}]},
+           |"scopeLogs":[{"logRecords":[{"timeUnixNano":"$tsNs",
+           |"body":{"stringValue":"otlp hello"}}]}]}]}"""
+          .stripMargin.replace("\n", "")
+      assert(post("/v1/logs", otlpLogs)._1 == 200)
+      assert(lokiLines("""{event_type="otlppush"}""") == Seq("otlp hello"))
+
+      // --- OTLP traces -> tempo search + trace by id --------------------
+      val traceHex = "0000000000000000000000000000beef"
+      val otlpTraces =
+        s"""{"resourceSpans":[{"resource":{"attributes":[
+           |{"key":"service.name","value":{"stringValue":"otlpsvc"}}]},
+           |"scopeSpans":[{"spans":[
+           |{"traceId":"$traceHex","spanId":"000000000000b001",
+           |"name":"otlp-root","startTimeUnixNano":"$tsNs",
+           |"endTimeUnixNano":"${tsNs + 500000}","attributes":[
+           |{"key":"zone","value":{"stringValue":"eu2"}}]},
+           |{"traceId":"$traceHex","spanId":"000000000000b002",
+           |"parentSpanId":"000000000000b001","name":"otlp-leaf",
+           |"startTimeUnixNano":"${tsNs + 1000}",
+           |"endTimeUnixNano":"${tsNs + 400000}","attributes":[
+           |{"key":"zone","value":{"stringValue":"eu2"}}]}]}]}]}"""
+          .stripMargin.replace("\n", "")
+      assert(post("/v1/traces", otlpTraces)._1 == 200)
+      val (sc, search) = get2("/api/search?q=" + enc("""{ .zone="eu2" }""") +
+        s"&start=${tsNs - 1}&end=${tsNs + 1000000}")
+      assert(sc == 200 && search.contains("\"000000000000beef\""), search.take(300))
+      val (tc, byId) = get2("/api/traces/000000000000beef")
+      assert(tc == 200 && byId.contains("\"otlp-root\"") &&
+        byId.contains("\"otlp-leaf\""), byId.take(400))
+      // service_name joined the attr map: TraceQL matches it directly
+      val (_, svcSearch) = get2("/api/search?q=" +
+        enc("""{ .service_name="otlpsvc" }""") +
+        s"&start=${tsNs - 1}&end=${tsNs + 1000000}")
+      assert(svcSearch.contains("000000000000beef"), svcSearch.take(300))
+
+      // --- OTLP metrics -> prom instant + __name__ values ---------------
+      val otlpMetrics =
+        s"""{"resourceMetrics":[{"scopeMetrics":[{"metrics":[
+           |{"name":"pushed_gauge","gauge":{"dataPoints":[
+           |{"timeUnixNano":"$tsNs","asDouble":7.5,"attributes":[
+           |{"key":"job","value":{"stringValue":"push"}}]}]}}]}]}]}"""
+          .stripMargin.replace("\n", "")
+      assert(post("/v1/metrics", otlpMetrics)._1 == 200)
+      assert(instant("""pushed_gauge{job="push"}""", tSec)
+        .contains("\"7.5\""))
+      val (_, fams) = get2("/api/v1/label/__name__/values")
+      assert(fams.contains("\"pushed_gauge\""), fams)
+
+      // --- Prometheus remote-write (snappy protobuf, binary body) -------
+      val rw = graft.ingest.PromRemoteWrite.encodeWriteRequest(Seq(
+        (Map("__name__" -> "rw_total", "job" -> "rw"),
+          Seq((tsNs / 1000000L, 2.0)))))
+      assert(postBytes("/api/v1/prom/remote/write", rw)._1 == 204)
+      assert(instant("""rw_total{job="rw"}""", tSec).contains("\"2\""))
+
+      // --- Influx line protocol: log AND metric branches ----------------
+      val influx =
+        s"""weblog,host=h1 message="influx log line" $tsNs
+           |cpu,host=h1 usage=0.5 $tsNs""".stripMargin
+      assert(post("/influx/api/v2/write", influx)._1 == 204)
+      assert(lokiLines("""{measurement="weblog"}""") == Seq("influx log line"))
+      assert(instant("""usage{measurement="cpu",host="h1"}""", tSec)
+        .contains("\"0.5\""))
+
+      // --- Datadog logs + metric series ---------------------------------
+      val ddLogs =
+        s"""[{"message":"dd log","ddtags":"env:ddtest","service":"api",
+           |"timestamp":${tsNs / 1000000L}}]""".stripMargin.replace("\n", "")
+      assert(post("/api/v2/logs", ddLogs)._1 == 200)
+      assert(lokiLines("""{env="ddtest",service="api"}""") == Seq("dd log"))
+      val ddSeries =
+        s"""{"series":[{"metric":"dd_gauge","points":[[${tsNs / 1000000000L},1.5]],
+           |"tags":["env:ddtest"],"type":"gauge"}]}"""
+          .stripMargin.replace("\n", "")
+      assert(post("/api/v1/series", ddSeries)._1 == 202)
+      assert(instant("""dd_gauge{env="ddtest"}""", tSec).contains("\"1.5\""))
+
+      // --- Zipkin spans --------------------------------------------------
+      val zipkin =
+        s"""[{"traceId":"00000000000000ab","id":"00000000000000cd",
+           |"name":"zk-op","timestamp":${tsNs / 1000},"duration":1000,
+           |"localEndpoint":{"serviceName":"zksvc"},
+           |"tags":{"zone":"zk1"}}]""".stripMargin.replace("\n", "")
+      assert(post("/api/v2/spans", zipkin)._1 == 202)
+      val (_, zkSearch) = get2("/api/search?q=" + enc("""{ .zone="zk1" }""") +
+        s"&start=${tsNs - 1}&end=${tsNs + 1000000}")
+      assert(zkSearch.contains("00000000000000ab"), zkSearch.take(300))
+
+      // --- Elastic bulk + single-doc spelling ----------------------------
+      val bulk =
+        """{"index":{"_index":"logs-push"}}
+          |{"msg":"bulk doc"}""".stripMargin
+      val (bc, bulkRes) = post("/_bulk", bulk)
+      assert(bc == 200 && bulkRes.contains("\"errors\":false"))
+      assert(lokiLines("""{_index="logs-push"}""") == Seq("""{"msg":"bulk doc"}"""))
+      assert(post("/myidx/_doc", """{"msg":"single doc"}""")._1 == 200)
+      assert(lokiLines("""{_index="myidx"}""") == Seq("""{"msg":"single doc"}"""))
+
+      // --- Cloudflare NDJSON --------------------------------------------
+      val cf = s"""{"EventType":"cfpush","Outcome":"ok","When":$tsNs}"""
+      assert(post("/cf/v1/insert?ddsource=cloudflare", cf)._1 == 200)
+      assert(lokiLines("""{EventType="cfpush"}""") == Seq(cf))
+
+      // --- pprof over the Pyroscope ingest API (gzip binary body) -------
+      val prof = graft.ingest.Pprof.encodeProfile(Seq(
+        (Seq("main", "work"), 100L), (Seq("main", "idle"), 50L)))
+      assert(postBytes(s"/ingest?name=${enc("pushapp{env=test}")}" +
+        s"&from=${tsNs / 1000000000L}", prof)._1 == 200)
+      val tree = graft.prof.Profiles.mergeTree(spark, dir, "pushapp")
+        .orderBy("fn").collect().map(r =>
+          (r.getAs[String]("fn"), r.getAs[Long]("total"))).toSeq
+      assert(tree == Seq(("idle", 50L), ("main", 150L), ("work", 100L)), tree)
+
+      // malformed pushes keep the error envelope contract
+      assert(post("/v1/logs", """{"resourceLogs":[]}""")._1 == 400)
+      assert(post("/api/v2/spans", "[]")._1 == 400)
+    } finally srv.stop(0)
+  }
+
   test("error envelopes: parse errors are 400 bad_data, unknown routes 404") {
     val (code, body) = get("/loki/api/v1/query_range?query=" +
       enc("{unclosed") + s"&start=$StartS&end=$EndS")
