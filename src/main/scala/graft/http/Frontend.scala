@@ -451,6 +451,104 @@ class Frontend(spark: SparkSession, dir: String,
       "traceID" -> str(hexId), "spans" -> arr(spans))))
   }
 
+  // ---- Pyroscope render (`reader/router/prof.go`,
+  // `reader/controller/prof.go:207-296`) -------------------------------------
+
+  /** `query=<typeId>{selector}` split, the controller's detachTypeId. */
+  private def splitRenderQuery(q: String): (String, Seq[(String, String, String)]) = {
+    val i = q.indexOf('{')
+    if (i < 0) (q.trim, Seq.empty)
+    else (q.take(i).trim, graft.prof.Profiles.parseSelector(q.drop(i)))
+  }
+
+  /** from/until are epoch MILLISECONDS truncated to seconds
+    * (`prof.go:216-224` time.Unix(v/1000, 0)); the scan upper bound is
+    * inclusive of that second.
+    */
+  private def renderWindow(p: Params, fromKey: String,
+      untilKey: String): (Long, Long) = {
+    val fromS = p.required(fromKey).toLong / 1000
+    val untilS = p.required(untilKey).toLong / 1000
+    (fromS * 1000000000L, untilS * 1000000000L + 1)
+  }
+
+  private def typeMeta(typeId: String): (String, String) = {
+    val parts = typeId.split(":")
+    val sampleType = if (parts.length >= 2) parts(1) else ""
+    val sampleUnit =
+      if (parts.length >= 5) parts(2)
+      else if (parts.length >= 3) parts(2) else ""
+    (sampleType, sampleUnit)
+  }
+
+  /** FlamebearerProfileV1 wire shape (`prof.go` flameGraphToFlameBearer +
+    * the Go json encoder's no-omitempty field set).
+    */
+  private def fbJson(fb: graft.prof.Profiles.Flamebearer, format: String,
+      typeId: String): String = {
+    val (sampleType, sampleUnit) = typeMeta(typeId)
+    val (units, rate) = sampleType match {
+      case "inuse_objects" | "alloc_objects" | "goroutine" | "samples" =>
+        ("objects", 100L)
+      case "cpu" => ("samples", 1000000000L)
+      case _ => (sampleUnit, 100L)
+    }
+    obj(Seq(
+      "flamebearer" -> obj(Seq(
+        "names" -> arr(fb.names.map(str)),
+        "levels" -> arr(fb.levels.map(l => arr(l.map(v => num(v.toDouble))))),
+        "numTicks" -> num(fb.numTicks.toDouble),
+        "maxSelf" -> num(fb.maxSelf.toDouble))),
+      "metadata" -> obj(Seq(
+        "format" -> str(format),
+        "spyName" -> str(""),
+        "sampleRate" -> num(rate.toDouble),
+        "units" -> str(units),
+        "name" -> str(sampleType))),
+      "timeline" -> "null",
+      "groups" -> "null",
+      "heatmap" -> "null",
+      "leftTicks" -> num(fb.leftTicks.toDouble),
+      "rightTicks" -> num(fb.rightTicks.toDouble)))
+  }
+
+  private def requireAll(p: Params, keys: Seq[String]): Option[HttpResult] =
+    keys.collectFirst {
+      case k if p.first(k).forall(_.isEmpty) =>
+        badRequest(s"Missing required parameter: $k")
+    }
+
+  private def pyroscopeRender(p: Params): HttpResult =
+    requireAll(p, Seq("query", "from", "until")).getOrElse {
+      val (typeId, matchers) = splitRenderQuery(p.required("query"))
+      val (loNs, hiNs) = renderWindow(p, "from", "until")
+      val merged = graft.prof.Profiles.mergeTreeQuery(spark, dir, typeId,
+        matchers, loNs, hiNs)
+      if (p.first("format").contains("dot")) {
+        val maxNodes = p.first("maxNodes").map(_.toInt).getOrElse(0)
+        HttpResult(200, graft.prof.Profiles.toDot(merged,
+          maxNodes = maxNodes), "text/vnd.graphviz; charset=utf-8")
+      } else
+        HttpResult(200,
+          fbJson(graft.prof.Profiles.flamebearer(merged), "single", typeId))
+    }
+
+  private def pyroscopeRenderDiff(p: Params): HttpResult =
+    requireAll(p, Seq("leftQuery", "leftFrom", "leftUntil",
+        "rightQuery", "rightFrom", "rightUntil")).getOrElse {
+      val (lType, lMatch) = splitRenderQuery(p.required("leftQuery"))
+      val (rType, rMatch) = splitRenderQuery(p.required("rightQuery"))
+      val (lLo, lHi) = renderWindow(p, "leftFrom", "leftUntil")
+      val (rLo, rHi) = renderWindow(p, "rightFrom", "rightUntil")
+      val left = graft.prof.Profiles.mergeTreeQuery(spark, dir, lType,
+        lMatch, lLo, lHi)
+      val right = graft.prof.Profiles.mergeTreeQuery(spark, dir, rType,
+        rMatch, rLo, rHi)
+      HttpResult(200,
+        fbJson(graft.prof.Profiles.flamebearerDiff(left, right), "double",
+          lType))
+    }
+
   // ---- dispatch -------------------------------------------------------------
 
   private val LabelValuesRe = "^/loki/api/v1/label/([^/]+)/values$".r
@@ -764,6 +862,8 @@ class Frontend(spark: SparkSession, dir: String,
         case "/loki/api/v1/detected_labels" => lokiDetectedLabels(p)
         case "/loki/api/v1/detected_fields" => lokiDetectedFields(p)
         case "/loki/api/v1/patterns" => lokiPatterns(p)
+        case "/pyroscope/render" => pyroscopeRender(p)
+        case "/pyroscope/render-diff" => pyroscopeRenderDiff(p)
         case "/api/metrics/query_range" => tempoMetrics(p)
         case "/api/v1/query_range" => promQueryRange(p)
         case "/api/v1/query" => promInstant(p)
@@ -798,7 +898,7 @@ class Frontend(spark: SparkSession, dir: String,
         Params.fromQuery(exchange.getRequestURI.getRawQuery),
         exchange.getRequestMethod, bytes)
       val out = res.body.getBytes(UTF_8)
-      exchange.getResponseHeaders.set("Content-Type", "application/json")
+      exchange.getResponseHeaders.set("Content-Type", res.contentType)
       // 204 must not carry a body; -1 signals no content on the JDK server
       exchange.sendResponseHeaders(res.status,
         if (out.isEmpty) -1 else out.length)
@@ -811,7 +911,8 @@ class Frontend(spark: SparkSession, dir: String,
   }
 }
 
-final case class HttpResult(status: Int, body: String)
+final case class HttpResult(status: Int, body: String,
+    contentType: String = "application/json")
 
 /** Decoded query parameters; repeatable keys (match[]) keep every value. */
 final case class Params(values: Map[String, Seq[String]]) {

@@ -321,6 +321,178 @@ object Profiles {
       floor(min(col("timestamp_ns")) / 1000000L).cast("long").as("oldest_ms"),
       floor(max(col("timestamp_ns")) / 1000000L).cast("long").as("newest_ms"))
 
+  // --- Pyroscope render assembly (`reader/service/prof_tree.go:145-410`,
+  // served at `/pyroscope/render{,-diff}` by `reader/router/prof.go`) ----
+
+  /** Flamebearer payload: interned names + per-level value quads (single:
+    * [offsetDelta, total, self, nameIdx]; diff: 7-tuples).
+    */
+  final case class Flamebearer(names: Seq[String], levels: Seq[Seq[Long]],
+      numTicks: Long, maxSelf: Long,
+      leftTicks: Long = 0L, rightTicks: Long = 0L)
+
+  /** Merged tree filtered by a Pyroscope render query: `typeId{selector}`.
+    * A 5-part type id (`name:stype:sunit:ptype:punit`) matches the store's
+    * 3-part `type_id` (name:ptype:punit) plus a sample_types_units
+    * membership check; a 3-part id matches type_id directly. Matcher ops
+    * =, !=, =~, !~ over the tag map.
+    */
+  def mergeTreeQuery(spark: SparkSession, dir: String, typeId: String,
+      matchers: Seq[(String, String, String)],
+      loNs: Long = 0L, hiNs: Long = Long.MaxValue): DataFrame = {
+    val base = profiles(spark, dir, loNs, hiNs)
+    val parts = typeId.split(":")
+    val typed =
+      if (parts.length >= 5)
+        base.filter(col("type_id") ===
+            s"${parts(0)}:${parts(3)}:${parts(4)}" &&
+          exists(col("sample_types_units"), stu =>
+            stu.getField("stype") === parts(1) &&
+              stu.getField("unit") === parts(2)))
+      else base.filter(col("type_id") === typeId)
+    val tags = map_from_entries(col("tags"))
+    val selected = matchers.foldLeft(typed) { case (df, (k, op, v)) =>
+      val tag = coalesce(element_at(tags, k), lit(""))
+      df.filter(op match {
+        case "="  => tag === v
+        case "!=" => tag =!= v
+        case "=~" => tag.rlike("^(?:" + v + ")$")
+        case "!~" => !tag.rlike("^(?:" + v + ")$")
+      })
+    }
+    selected.select(explode(col("tree")).as("n"))
+      .groupBy(col("n.parent").as("parent"), col("n.node").as("node"),
+        col("n.fn").as("fn"))
+      .agg(sum(col("n.self")).as("self"), sum(col("n.total")).as("total"))
+  }
+
+  /** `{key="v",key!="v",key=~"re",key!~"re"}` → matcher triples; the
+    * subset the render query scripts use.
+    */
+  def parseSelector(sel: String): Seq[(String, String, String)] = {
+    val m = """([a-zA-Z_][a-zA-Z0-9_.]*)\s*(=~|!~|!=|=)\s*"((?:[^"\\]|\\.)*)"""".r
+    m.findAllMatchIn(sel).map(x =>
+      (x.group(1), x.group(2),
+        x.group(3).replace("\\\"", "\"").replace("\\\\", "\\"))).toSeq
+  }
+
+  /** Single-tree flamebearer BFS (`prof_tree.go:145-215` exactly): a
+    * synthetic "total" root level, then per level one [prepend, total,
+    * self, nameIdx] quad per node, `prepend` carrying the x-offset debt of
+    * childless subtrees and parents' self. The merged node set is
+    * post-aggregation small — driver assembly like [[toDot]].
+    */
+  def flamebearer(merged: DataFrame): Flamebearer = {
+    val rows = merged.select(col("parent"), col("node"), col("fn"),
+      col("self"), col("total")).collect()
+    val children = rows.groupBy(_.getLong(0)).map { case (p, rs) =>
+      p -> rs.sortBy(r => (r.getString(2), r.getLong(1))) }
+    val names = scala.collection.mutable.ArrayBuffer("total", "n/a")
+    val nameIdx = scala.collection.mutable.HashMap("total" -> 0, "n/a" -> 1)
+    def intern(fn: String): Long =
+      nameIdx.getOrElseUpdate(fn, { names += fn; names.size - 1 }).toLong
+    val rootKids = children.getOrElse(0L, Array.empty)
+    val total = rootKids.map(_.getLong(4)).sum
+    val maxSelf = if (rows.isEmpty) 0L else rows.map(_.getLong(3)).max
+    val levels = scala.collection.mutable.ArrayBuffer[Seq[Long]](
+      Seq(0L, total, 0L, 0L))
+    // (node, self, total) — the synthetic root carries the grand total
+    var current = Seq((0L, 0L, total))
+    val prependMap = scala.collection.mutable.HashMap(0L -> 0L)
+    val reviewed = scala.collection.mutable.HashSet[Long]()
+    while (current.nonEmpty) {
+      var prepend = 0L
+      val lvl = scala.collection.mutable.ArrayBuffer[Long]()
+      val next = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+      for ((node, self, tot) <- current) {
+        prepend += prependMap.getOrElse(node, 0L)
+        children.get(node) match {
+          case None => prepend += tot
+          case Some(cs) =>
+            for (c <- cs) {
+              val cid = c.getLong(1)
+              if (reviewed(cid)) // cycle guard, as the reference's
+                return Flamebearer(names.toSeq, levels.toSeq, total, maxSelf)
+              reviewed += cid
+              prependMap(cid) = prepend
+              next += ((cid, c.getLong(3), c.getLong(4)))
+              lvl ++= Seq(prepend, c.getLong(4), c.getLong(3),
+                intern(c.getString(2)))
+              prepend = 0
+            }
+            prepend += self
+        }
+      }
+      // the reference appends unconditionally, so the deepest pass leaves
+      // a trailing empty level in the wire shape — keep that
+      levels += lvl.toSeq
+      current = next.toSeq
+    }
+    Flamebearer(names.toSeq, levels.toSeq, total, maxSelf)
+  }
+
+  /** Diff flamebearer (`prof_tree.go:308-410` computeFlameGraphDiff): the
+    * two merged trees full-outer-join on node identity (zero-filled
+    * missing sides), then one DFS laying out BOTH sides' x offsets and a
+    * final per-level delta encoding of the 7-tuples
+    * [dxL, totalL, selfL, dxR, totalR, selfR, nameIdx].
+    */
+  def flamebearerDiff(left: DataFrame, right: DataFrame): Flamebearer = {
+    val l = left
+      .withColumnRenamed("self", "self_left")
+      .withColumnRenamed("total", "total_left")
+    val r = right
+      .withColumnRenamed("self", "self_right")
+      .withColumnRenamed("total", "total_right")
+    val rows = l.join(r, Seq("parent", "node", "fn"), "full_outer")
+      .na.fill(0L, Seq("self_left", "total_left", "self_right", "total_right"))
+      .select(col("parent"), col("node"), col("fn"), col("self_left"),
+        col("total_left"), col("self_right"), col("total_right"))
+      .collect()
+    val children = rows.groupBy(_.getLong(0)).map { case (p, rs) =>
+      p -> rs.sortBy(_.getLong(1)) } // mergeNodes sorts children by node id
+    val roots = children.getOrElse(0L, Array.empty)
+    val leftTicks = roots.map(_.getLong(4)).sum
+    val rightTicks = roots.map(_.getLong(6)).sum
+    val names = scala.collection.mutable.ArrayBuffer[String]()
+    val nameIdx = scala.collection.mutable.HashMap[String, Int]()
+    def intern(n: String): Long =
+      nameIdx.getOrElseUpdate(n, { names += n; names.size - 1 }).toLong
+    var maxSelf = 0L
+    val levels = scala.collection.mutable.ArrayBuffer[
+      scala.collection.mutable.ArrayBuffer[Long]]()
+    // BFS queue: (node, fnName, selfL, totalL, selfR, totalR, xL, xR, lvl)
+    val queue = scala.collection.mutable.Queue(
+      (0L, "total", 0L, leftTicks, 0L, rightTicks, 0L, 0L, 0))
+    while (queue.nonEmpty) {
+      val (node, fn, selfL, totalL, selfR, totalR, xL, xR, level) =
+        queue.dequeue()
+      val ni = intern(fn)
+      while (levels.size <= level)
+        levels += scala.collection.mutable.ArrayBuffer[Long]()
+      maxSelf = math.max(maxSelf, math.max(selfL, selfR))
+      levels(level) ++= Seq(xL, totalL, selfL, xR, totalR, selfR, ni)
+      var (cxL, cxR) = (xL, xR)
+      for (c <- children.getOrElse(node, Array.empty)) {
+        queue.enqueue((c.getLong(1), c.getString(2), c.getLong(3),
+          c.getLong(4), c.getLong(5), c.getLong(6), cxL, cxR, level + 1))
+        cxL += c.getLong(4)
+        cxR += c.getLong(6)
+      }
+    }
+    // absolute x → delta from the previous block's end, per side
+    val encoded = levels.map { lvl =>
+      var (prevL, prevR) = (0L, 0L)
+      for (j <- lvl.indices by 7) {
+        lvl(j) -= prevL;     prevL += lvl(j) + lvl(j + 1)
+        lvl(j + 3) -= prevR; prevR += lvl(j + 3) + lvl(j + 4)
+      }
+      lvl.toSeq
+    }.toSeq
+    Flamebearer(names.toSeq, encoded, leftTicks + rightTicks, maxSelf,
+      leftTicks, rightTicks)
+  }
+
   /** Profile value time series per service (SelectSeriesPlanner,
     * `planner_select_series.go:21-86`): per-step sum of root totals.
     */

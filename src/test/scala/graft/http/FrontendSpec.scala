@@ -438,6 +438,61 @@ class FrontendSpec extends SparkSpec {
     } finally srv.stop(0)
   }
 
+  test("pyroscope render: flamebearer levels-array shape, dot format, " +
+      "and render-diff double format with left/right ticks") {
+    val fromMs = StartS * 1000L
+    val untilMs = EndS * 1000L
+    val q = enc("""process_cpu:cpu:nanoseconds{service_name="svc0"}""")
+    val (code, body) = get(s"/pyroscope/render?query=$q&from=$fromMs&until=$untilMs")
+    assert(code == 200)
+    assert(body.startsWith("""{"flamebearer":{"names":["total","n/a","""),
+      body.take(120))
+    assert(body.contains(""""metadata":{"format":"single","spyName":"",""" +
+      """"sampleRate":1000000000,"units":"samples","name":"cpu"}"""),
+      body.take(600))
+    assert(body.contains(""""timeline":null""") &&
+      body.contains(""""leftTicks":0"""))
+    // levels: quads [offsetDelta, total, self, nameIdx]; level 0 is the
+    // synthetic total node and level 1 (the real roots) covers numTicks
+    val numTicks = """"numTicks":(\d+)""".r.findFirstMatchIn(body)
+      .get.group(1).toLong
+    assert(numTicks > 0)
+    val levelsStr = body.substring(body.indexOf(""""levels":[""") + 10)
+    val lvl = """\[[0-9,\-]*\]""".r.findAllIn(
+      levelsStr.take(levelsStr.indexOf("]]") + 1)).toSeq
+      .map(s => if (s == "[]") Seq.empty[Long]
+        else s.drop(1).dropRight(1).split(",").toSeq.map(_.toLong))
+    assert(lvl.head == Seq(0L, numTicks, 0L, 0L), lvl.head)
+    assert(lvl(1).nonEmpty && lvl(1).length % 4 == 0)
+    val rootsTotal = lvl(1).grouped(4).map(_(1)).sum
+    assert(rootsTotal == numTicks, s"$rootsTotal vs $numTicks")
+    // every level is offset+total-bounded by the total width
+    for (l <- lvl.filter(_.nonEmpty))
+      assert(l.grouped(4).map(g => g(0) + g(1)).sum <= numTicks, l)
+    // dot format switches the content type and renders a digraph
+    val (dc, dot) = get(s"/pyroscope/render?query=$q&from=$fromMs" +
+      s"&until=$untilMs&format=dot")
+    assert(dc == 200 && dot.startsWith("digraph"), dot.take(80))
+    // diff: double format, 7-tuples, side ticks of the two services
+    val q2 = enc("""process_cpu:cpu:nanoseconds{service_name="svc1"}""")
+    val (dcode, diff) = get("/pyroscope/render-diff" +
+      s"?leftQuery=$q&leftFrom=$fromMs&leftUntil=$untilMs" +
+      s"&rightQuery=$q2&rightFrom=$fromMs&rightUntil=$untilMs")
+    assert(dcode == 200)
+    assert(diff.contains(""""format":"double""""), diff.take(400))
+    val lt = """"leftTicks":(\d+)""".r.findFirstMatchIn(diff).get.group(1).toLong
+    val rt = """"rightTicks":(\d+)""".r.findFirstMatchIn(diff).get.group(1).toLong
+    val dTicks = """"numTicks":(\d+)""".r.findFirstMatchIn(diff).get.group(1).toLong
+    assert(lt > 0 && rt > 0 && lt + rt == dTicks)
+    val dLevels = diff.substring(diff.indexOf(""""levels":[""") + 10)
+    val dl0 = """\[[0-9,\-]*\]""".r.findFirstIn(dLevels).get
+      .drop(1).dropRight(1).split(",").map(_.toLong).toSeq
+    assert(dl0 == Seq(0L, lt, 0L, 0L, rt, 0L, 0L), dl0)
+    // missing params use the reference's message
+    val (mc, merr) = get("/pyroscope/render?from=1&until=2")
+    assert(mc == 400 && merr.contains("Missing required parameter: query"))
+  }
+
   test("error envelopes: parse errors are 400 bad_data, unknown routes 404") {
     val (code, body) = get("/loki/api/v1/query_range?query=" +
       enc("{unclosed") + s"&start=$StartS&end=$EndS")
