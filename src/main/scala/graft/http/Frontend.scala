@@ -109,7 +109,7 @@ class Frontend(spark: SparkSession, dir: String,
     * was already applied by the compiled plan's TakeOrderedAndProject;
     * the per-stream re-sort here is over the ≤limit collected rows).
     */
-  private def lokiStreams(rows: Seq[Row], forward: Boolean): String = {
+  private def streamsArr(rows: Seq[Row], forward: Boolean): String = {
     val byStream = rows.groupBy(r => r.getMap[String, String](1).toMap)
     val streams = byStream.toSeq
       .map { case (labels, rs) =>
@@ -122,8 +122,12 @@ class Frontend(spark: SparkSession, dir: String,
       .map { case (lj, vals) =>
         obj(Seq("stream" -> lj, "values" -> vals))
       }
-    obj(Seq("resultType" -> str("streams"), "result" -> arr(streams)))
+    arr(streams)
   }
+
+  private def lokiStreams(rows: Seq[Row], forward: Boolean): String =
+    obj(Seq("resultType" -> str("streams"),
+      "result" -> streamsArr(rows, forward)))
 
   /** Matrix response shared by Loki metric queries and PromQL range
     * queries: rows (ts seconds, labels, value) grouped by label set.
@@ -241,6 +245,32 @@ class Frontend(spark: SparkSession, dir: String,
         "cardinality" -> num(r.getLong(3).toDouble),
         "parsers" -> arr(Seq(str(r.getString(1)))))))
     HttpResult(200, obj(Seq("fields" -> arr(rows))))
+  }
+
+  /** `/loki/api/v1/tail` — the tail surface
+    * (`reader/service/query_range.go:670-800` serves it over WebSocket;
+    * here it is a LONG-POLL: same Loki tail frame, the client re-polls
+    * with `start` advanced past the newest timestamp it has seen). Each
+    * poll evaluates the full LogQL pipeline over [start, now) forward —
+    * the same evaluation the query_range gates certify, and the batch
+    * twin of the [[graft.streaming.LiveTail]] streaming operator. The
+    * frame carries `dropped_entries` per the tail contract; the long-poll
+    * path never drops (a short poll just returns fewer entries), so it is
+    * always empty.
+    */
+  private def lokiTail(p: Params): HttpResult = {
+    val q = p.required("query")
+    val startNs = p.first("start").map(parseTimeNs)
+      .getOrElse(nowNs() - 3600L * 1000000000L)
+    val limit = p.first("limit").map(_.toInt).getOrElse(100)
+    val ev = EvalParams(startNs, nowNs(), 15L)
+    val rows = new LogQLCompiler(spark, dir, ev)
+      .compileLogQuery(q, Some(limit), forward = true)
+      .select(col("timestamp_ns"), col("labels"), col("line"))
+      .collect().toSeq
+    HttpResult(200, obj(Seq(
+      "streams" -> streamsArr(rows, forward = true),
+      "dropped_entries" -> arr(Seq.empty))))
   }
 
   private def evalParams(p: Params): EvalParams = EvalParams(
@@ -862,6 +892,7 @@ class Frontend(spark: SparkSession, dir: String,
         case "/loki/api/v1/detected_labels" => lokiDetectedLabels(p)
         case "/loki/api/v1/detected_fields" => lokiDetectedFields(p)
         case "/loki/api/v1/patterns" => lokiPatterns(p)
+        case "/loki/api/v1/tail" => lokiTail(p)
         case "/pyroscope/render" => pyroscopeRender(p)
         case "/pyroscope/render-diff" => pyroscopeRenderDiff(p)
         case "/api/metrics/query_range" => tempoMetrics(p)

@@ -493,6 +493,54 @@ class FrontendSpec extends SparkSpec {
     assert(mc == 400 && merr.contains("Missing required parameter: query"))
   }
 
+  test("live tail long-poll: push via the push API, observe the new " +
+      "entries through the tail frame with an advancing cursor") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-tail").toFile
+    tmp.deleteOnExit()
+    for (f <- new java.io.File(sf).listFiles(); if f.getName.endsWith(".parquet"))
+      java.nio.file.Files.copy(f.toPath,
+        new java.io.File(tmp, f.getName).toPath)
+    val srv = new Frontend(spark, tmp.getAbsolutePath,
+      nowNs = () => EndS * 1000000000L).start(0)
+    try {
+      val b = s"http://127.0.0.1:${srv.getAddress.getPort}"
+      def get2(pq: String): (Int, String) = {
+        val r = client.send(HttpRequest.newBuilder(URI.create(b + pq)).GET()
+          .build(), HttpResponse.BodyHandlers.ofString())
+        (r.statusCode(), r.body())
+      }
+      def push(tsNs: Long, line: String): Int =
+        client.send(HttpRequest.newBuilder(URI.create(b + "/loki/api/v1/push"))
+          .POST(HttpRequest.BodyPublishers.ofString(
+            s"""{"streams":[{"stream":{"event_type":"tailpush"},
+               |"values":[["$tsNs","$line"]]}]}"""
+              .stripMargin.replace("\n", ""))).build(),
+          HttpResponse.BodyHandlers.ofString()).statusCode()
+      def tail(startNs: Long): (Seq[(Long, String)], String) = {
+        val (c, body) = get2("/loki/api/v1/tail?query=" +
+          enc("""{event_type="tailpush"}""") + s"&start=$startNs")
+        assert(c == 200)
+        assert(body.contains(""""dropped_entries":[]"""), body.take(200))
+        (("""\["(\d{19})","([^"]*)"\]""".r.findAllMatchIn(body)
+          .map(m => (m.group(1).toLong, m.group(2))).toSeq), body)
+      }
+      val t1 = (StartS + 100) * 1000000000L
+      val t2 = (StartS + 200) * 1000000000L
+      assert(push(t1, "tail one") == 204)
+      assert(push(t2, "tail two") == 204)
+      val (both, frame) = tail(t1)
+      assert(frame.startsWith("""{"streams":["""), frame.take(80))
+      assert(both.map(_._2) == Seq("tail one", "tail two"), both)
+      // cursor past the newest seen entry: nothing new yet
+      val cursor = both.map(_._1).max + 1
+      assert(tail(cursor)._1.isEmpty)
+      // a fresh push appears at the advanced cursor, older ones don't
+      val t3 = (StartS + 300) * 1000000000L
+      assert(push(t3, "tail three") == 204)
+      assert(tail(cursor)._1 == Seq((t3, "tail three")))
+    } finally srv.stop(0)
+  }
+
   test("error envelopes: parse errors are 400 bad_data, unknown routes 404") {
     val (code, body) = get("/loki/api/v1/query_range?query=" +
       enc("{unclosed") + s"&start=$StartS&end=$EndS")
