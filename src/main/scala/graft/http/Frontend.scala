@@ -273,6 +273,83 @@ class Frontend(spark: SparkSession, dir: String,
       "dropped_entries" -> arr(Seq.empty))))
   }
 
+  /** `/loki/api/v1/query` — LogQL INSTANT query
+    * (`reader/controller/query_range.go:66-150`,
+    * `service/query_range.go:569-660` QueryInstant): evaluate over
+    * [time−5m, time], log selectors export streams, metric queries keep
+    * the LATEST point per series and render a `vector`. The literal
+    * `vector(1)+vector(1)` health probe short-circuits to "2" exactly as
+    * upstream (Grafana's datasource test query).
+    */
+  private def lokiInstant(p: Params): HttpResult = {
+    val q = p.required("query")
+    val tNs = p.first("time").map(parseTimeNs).filter(_ != 0)
+      .getOrElse(nowNs())
+    if (q == "vector(1)+vector(1)")
+      return ok(obj(Seq("resultType" -> str("vector"), "result" -> arr(Seq(
+        obj(Seq("metric" -> "{}",
+          "value" -> arr(Seq(num((tNs / 1000000000L).toDouble), str("2"))))))))))
+    val ev = EvalParams(tNs - 300000000000L, tNs,
+      parseDurationS(p.first("step").getOrElse("1")))
+    val c = new LogQLCompiler(spark, dir, ev)
+    LogQLParser.parseOrThrow(q) match {
+      case LogExpr(_, _) =>
+        val limit = p.first("limit").map(_.toInt).getOrElse(100)
+        val forward = p.first("direction").contains("forward")
+        val rows = c.compileLogQuery(q, Some(limit), forward)
+          .select(col("timestamp_ns"), col("labels"), col("line"))
+          .collect().toSeq
+        ok(lokiStreams(rows, forward))
+      case _ =>
+        val rows = c.compile(q)
+          .select(col("ts"), col("labels"),
+            round(col("value"), 6).as("value"))
+          .collect().toSeq
+        val latest = rows.groupBy(r => r.getMap[String, String](1).toMap)
+          .map { case (labels, rs) => labels -> rs.maxBy(_.getLong(0)) }
+        val vector = latest.toSeq
+          .map { case (labels, r) => labelsJson(labels) ->
+            arr(Seq(num(r.getLong(0).toDouble), str(num(r.getDouble(2))))) }
+          .sortBy(_._1)
+          .map { case (lj, v) => obj(Seq("metric" -> lj, "value" -> v)) }
+        ok(obj(Seq("resultType" -> str("vector"), "result" -> arr(vector))))
+    }
+  }
+
+  /** `/api/metrics/query` — TraceQL metrics INSTANT
+    * (`controller/tempo.go:527-550`, `service/tempo_metrics.go:326-430`):
+    * one value per series over the window, the
+    * `{"series":[{labels,value,exemplars}],"metrics":null}` envelope.
+    */
+  private def tempoMetricsInstant(p: Params): HttpResult = {
+    val qStr = p.first("q").orElse(p.first("query")).getOrElse(
+      throw new IllegalArgumentException("missing required parameter: q"))
+    val q = TraceQLParser.parseOrThrow(qStr)
+    if (q.metrics.isEmpty)
+      badRequest("query must contain a metrics function (e.g. | rate())")
+    else {
+      val hiNs = p.first("end").map(parseTimeNs).getOrElse(nowNs())
+      val loNs = p.first("start").map(parseTimeNs)
+        .getOrElse(hiNs - 3600L * 1000000000L)
+      val df = new TraceQLCompiler(spark, dir, loNs, hiNs)
+        .metricsInstant(q.expr, q.metrics.get, loNs, hiNs)
+      val labelCols = df.columns.filterNot(_ == "value").toSeq
+      val series = df.collect().toSeq
+        .map { r =>
+          val lj = arr(labelCols.map(c => obj(Seq(
+            "key" -> str(c),
+            "value" -> str(String.valueOf(r.getAs[Any](c)))))))
+          val v = r.getAs[Double]("value")
+          lj -> obj(Seq("labels" -> lj,
+            "value" -> (if (v.isNaN || v.isInfinite) str(num(v)) else num(v)),
+            "exemplars" -> arr(Seq.empty)))
+        }
+        .sortBy(_._1).map(_._2)
+      HttpResult(200, obj(Seq(
+        "series" -> arr(series), "metrics" -> "null")))
+    }
+  }
+
   private def evalParams(p: Params): EvalParams = EvalParams(
     parseTimeNs(p.first("start").getOrElse("0")),
     p.first("end").map(parseTimeNs).getOrElse(Long.MaxValue),
@@ -878,12 +955,23 @@ class Frontend(spark: SparkSession, dir: String,
         "error" -> str(String.valueOf(e.getMessage)))))
     }
 
+  private val TraceByIdJsonRe = "^/api/traces/([0-9a-fA-F]+)/json$".r
+
   private def routeGet(path: String, p: Params): HttpResult =
     try {
       path match {
+        // every /tempo/api/* route is an alias of its /api/* twin
+        // (`reader/router/tempo.go:18-34` registers both)
+        case t if t.startsWith("/tempo/api/") =>
+          routeGet(t.stripPrefix("/tempo"), p)
         case "/ready" => HttpResult(200, str("ready"))
         case "/api/echo" => HttpResult(200, str("echo"))
+        case "/api/v1/status/buildinfo" =>
+          ok(obj(Seq("version" -> str(""))))
         case "/loki/api/v1/query_range" => lokiQueryRange(p)
+        case "/loki/api/v1/query" => lokiInstant(p)
+        case "/api/metrics/query" => tempoMetricsInstant(p)
+        case TraceByIdJsonRe(hexId) => tempoTraceById(hexId)
         case "/loki/api/v1/labels" => lokiLabels(p)
         case LabelValuesRe(key) => lokiLabelValues(p, key)
         case "/loki/api/v1/series" => lokiSeries(p)

@@ -541,6 +541,53 @@ class FrontendSpec extends SparkSpec {
     } finally srv.stop(0)
   }
 
+  test("instant routes: loki /query vector + streams + health probe, " +
+      "tempo /api/metrics/query instant envelope, /tempo aliases, buildinfo") {
+    // loki metric instant: latest grid point per series as a vector
+    val (c1, v) = get("/loki/api/v1/query?query=" +
+      enc("""sum by (event_type) (count_over_time({event_type="signup"}[6h]))""") +
+      s"&time=$EndS")
+    assert(c1 == 200)
+    assert(v.contains(""""resultType":"vector""""), v.take(200))
+    assert(v.contains(""""metric":{"event_type":"signup"}"""), v.take(300))
+    assert("""\"value\":\[\d{10},"\d+""".r.findFirstIn(v).isDefined, v.take(300))
+    // log selector instant: streams
+    val (c2, s) = get("/loki/api/v1/query?query=" +
+      enc("""{event_type="signup"}""") + s"&time=$EndS&limit=3")
+    assert(c2 == 200 && s.contains(""""resultType":"streams""""), s.take(200))
+    // the Grafana health probe literal short-circuits to "2"
+    val (c3, h) = get("/loki/api/v1/query?query=" +
+      enc("vector(1)+vector(1)") + s"&time=$EndS")
+    assert(c3 == 200 && h.contains(""""value":[""") && h.contains("\"2\""), h)
+    // tempo metrics instant: series envelope with one value per series
+    val (c4, ti) = get("/api/metrics/query?q=" +
+      enc("""{ .name="purchase" } | rate() by (service_name)""") +
+      s"&start=${StartS}000000000&end=${EndS}000000000")
+    assert(c4 == 200)
+    assert(ti.startsWith("""{"series":[{"labels":[{"key":"service_name""""),
+      ti.take(200))
+    assert(ti.contains(""""exemplars":[]""") && ti.endsWith(""""metrics":null}"""),
+      ti.takeRight(100))
+    // /tempo/api/* aliases dispatch to the same handlers
+    assert(get("/tempo/api/echo") == (200, "\"echo\""))
+    val direct = get("/api/search?q=" + enc("""{ .name="purchase" }""") +
+      s"&start=${StartS}000000000&end=${EndS}000000000&limit=2")
+    val aliased = get("/tempo/api/search?q=" + enc("""{ .name="purchase" }""") +
+      s"&start=${StartS}000000000&end=${EndS}000000000&limit=2")
+    assert(direct == aliased && direct._1 == 200)
+    val tmi = get("/tempo/api/metrics/query?q=" +
+      enc("""{ .name="purchase" } | rate() by (service_name)""") +
+      s"&start=${StartS}000000000&end=${EndS}000000000")
+    assert(tmi == ((c4, ti)))
+    // trace-by-id /json alias
+    val ids = """"traceID":"([0-9a-f]{16})"""".r.findAllMatchIn(direct._2)
+      .map(_.group(1)).toSeq
+    assert(get(s"/api/traces/${ids.head}/json")._1 == 200)
+    // buildinfo reports the success envelope with a version field
+    assert(get("/api/v1/status/buildinfo") ==
+      (200, """{"status":"success","data":{"version":""}}"""))
+  }
+
   test("error envelopes: parse errors are 400 bad_data, unknown routes 404") {
     val (code, body) = get("/loki/api/v1/query_range?query=" +
       enc("{unclosed") + s"&start=$StartS&end=$EndS")
