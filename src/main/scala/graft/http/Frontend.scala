@@ -558,6 +558,100 @@ class Frontend(spark: SparkSession, dir: String,
       "traceID" -> str(hexId), "spans" -> arr(spans))))
   }
 
+  // ---- Rules CRUD (`ruler/controller/controller.go`; YAML bodies, the
+  // Prometheus-format listing at /api/v1/rules per `ruler/manager.go`) ----
+
+  import graft.streaming.Rules
+
+  private val RulesNsRe = "^/loki/api/v1/rules/([^/]+)$".r
+  private val RulesGroupRe = "^/loki/api/v1/rules/([^/]+)/([^/]+)$".r
+  private val RulesKind = "loki"
+
+  private def yaml(status: Int, body: String): HttpResult =
+    HttpResult(status, body, "application/yaml")
+
+  // controller.go writeSuccessJSON: 202 with the empty-error envelope
+  private def rulesAccepted: HttpResult = HttpResult(202,
+    """{"status":"success","data":null,"errorType":"","error":""}""")
+
+  private def rulesAll: HttpResult = {
+    val all = Rules.allGroups(spark, dir, RulesKind)
+    if (all.isEmpty) yaml(404, "no rule groups found")
+    else yaml(200, Rules.namespacesToYaml(all))
+  }
+
+  private def rulesByNamespace(ns: String): HttpResult = {
+    val gs = Rules.groups(spark, dir, RulesKind, ns)
+    if (gs.isEmpty) yaml(404, """message: "no rule groups found"""")
+    else yaml(200, Rules.namespacesToYaml(Map(ns -> gs)))
+  }
+
+  private def rulesGetGroup(ns: String, group: String): HttpResult =
+    Rules.groups(spark, dir, RulesKind, ns).find(_.name == group) match {
+      case Some(g) => yaml(200, Rules.groupToYaml(g))
+      case None => yaml(404,
+        s"""message: "group does not exist: namespace=\\"$ns\\", name=\\"$group\\"""")
+    }
+
+  private def rulesSetGroup(ns: String, body: String): HttpResult = {
+    val g = try Rules.parseGroupYaml(body) catch {
+      case _: Exception =>
+        return yaml(400, "error: failed to parse rule group yaml")
+    }
+    Rules.setGroup(spark, dir, RulesKind, ns, g)
+    rulesAccepted
+  }
+
+  private def rulesDelete(ns: String, group: Option[String]): HttpResult = {
+    group match {
+      case Some(g) => Rules.deleteGroup(spark, dir, RulesKind, ns, g)
+      case None => Rules.deleteNamespace(spark, dir, RulesKind, ns)
+    }
+    // deleting a group must not leave stale health (manager.go pruneHealth)
+    Rules.pruneHealth(spark, dir)
+    rulesAccepted
+  }
+
+  private def rfc3339(ms: Long): String =
+    if (ms == 0L) "0001-01-01T00:00:00Z"
+    else java.time.format.DateTimeFormatter.ISO_INSTANT
+      .format(java.time.Instant.ofEpochMilli(ms))
+
+  /** GET /api/v1/rules — recording rules in the Prometheus JSON format
+    * with evaluation health (`manager.go:251-310`).
+    */
+  private def prometheusRules: HttpResult = {
+    val groups = Rules.prometheusGroups(spark, dir, RulesKind)
+      .map { g =>
+        val rules = g.rules.map { r =>
+          obj(Seq(
+            "name" -> str(r.name),
+            "query" -> str(r.query)) ++
+            (if (r.labels.nonEmpty)
+              Seq("labels" -> labelsJson(r.labels)) else Seq.empty) ++
+            Seq(
+              "health" -> str(r.health),
+              "lastError" -> str(r.lastError),
+              "type" -> str("recording"),
+              "lastEvaluation" -> str(rfc3339(r.lastEvalMs)),
+              "evaluationTime" -> num(r.evalTimeS)))
+        }
+        obj(Seq(
+          "name" -> str(g.name),
+          "file" -> str(g.file),
+          "rules" -> arr(rules),
+          "interval" -> num(g.intervalS.toDouble),
+          "limit" -> num(0),
+          "lastEvaluation" -> str(rfc3339(g.lastEvalMs)),
+          "evaluationTime" -> num(g.evalTimeS)))
+      }
+    HttpResult(200, obj(Seq(
+      "status" -> str("success"),
+      "errorType" -> str(""),
+      "error" -> str(""),
+      "data" -> obj(Seq("groups" -> arr(groups))))))
+  }
+
   // ---- Pyroscope render (`reader/router/prof.go`,
   // `reader/controller/prof.go:207-296`) -------------------------------------
 
@@ -934,9 +1028,13 @@ class Frontend(spark: SparkSession, dir: String,
         case ("POST", "/ingest") => pprofPush(bytes, p)
         case ("POST", ElasticBulkRe()) => elasticBulkPush(body)
         case ("POST", ElasticDocRe(target)) => elasticDocPush(target, body)
+        case ("POST", RulesNsRe(ns)) => rulesSetGroup(ns, body)
         case ("POST", qp) if isQueryPostRoute(qp) =>
           routeGet(qp, Params.merge(p, Params.fromQuery(body)))
         case ("POST", other) => notFound(s"POST $other")
+        case ("DELETE", RulesGroupRe(ns, group)) =>
+          rulesDelete(ns, Some(group))
+        case ("DELETE", RulesNsRe(ns)) => rulesDelete(ns, None)
         case ("GET", _) => routeGet(path, p)
         case (other, _) => HttpResult(405, obj(Seq(
           "status" -> str("error"), "errorType" -> str("bad_data"),
@@ -981,6 +1079,10 @@ class Frontend(spark: SparkSession, dir: String,
         case "/loki/api/v1/detected_fields" => lokiDetectedFields(p)
         case "/loki/api/v1/patterns" => lokiPatterns(p)
         case "/loki/api/v1/tail" => lokiTail(p)
+        case "/loki/api/v1/rules" => rulesAll
+        case RulesGroupRe(ns, group) => rulesGetGroup(ns, group)
+        case RulesNsRe(ns) => rulesByNamespace(ns)
+        case "/api/v1/rules" => prometheusRules
         case "/pyroscope/render" => pyroscopeRender(p)
         case "/pyroscope/render-diff" => pyroscopeRenderDiff(p)
         case "/api/metrics/query_range" => tempoMetrics(p)

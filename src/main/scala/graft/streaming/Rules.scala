@@ -212,6 +212,176 @@ object Rules {
       .orderBy("file", "group_name", "rule_name")
   }
 
+  // --- HTTP wire forms (`ruler/controller/controller.go`,
+  // `ruler/model.go:8-29`, `ruler/manager.go:12-33,251-310`) --------------
+
+  /** Parse a Go-duration-ish interval ("1m", "30s", bare seconds) to
+    * seconds, the storage unit.
+    */
+  def parseIntervalS(s: String): Long = {
+    val unit = "([0-9.]+)(ms|s|m|h|d)".r
+    val parts = unit.findAllMatchIn(s).toSeq
+    if (parts.nonEmpty && parts.map(_.matched).mkString == s) {
+      val mult = Map("ms" -> 0.001, "s" -> 1.0, "m" -> 60.0,
+        "h" -> 3600.0, "d" -> 86400.0)
+      math.max(1L,
+        parts.map(m => m.group(1).toDouble * mult(m.group(2))).sum.toLong)
+    } else math.max(1L, s.toDouble.toLong)
+  }
+
+  private def unquote(s: String): String = {
+    val t = s.trim
+    if (t.length >= 2 && ((t.head == '"' && t.last == '"') ||
+        (t.head == '\'' && t.last == '\'')))
+      t.drop(1).dropRight(1).replace("\\\"", "\"").replace("\\\\", "\\")
+    else t
+  }
+
+  /** Parse one rule-group YAML body (the POST /api/v1/rules/{ns} payload,
+    * `ruler/model.go`'s schema: name, interval, rules[record|alert, expr,
+    * for, labels, annotations]). Block style, the form promtool and the
+    * reference's own fixtures use; throws IllegalArgumentException on a
+    * nameless group so the route 400s like the reference's yaml error.
+    */
+  def parseGroupYaml(body: String): RuleGroup = {
+    val lines = body.linesIterator.map(_.replace("\t", "  "))
+      .filter(l => l.trim.nonEmpty && !l.trim.startsWith("#")).toVector
+    def indent(l: String) = l.takeWhile(_ == ' ').length
+    def kv(l: String): (String, String) = {
+      val t = l.trim
+      val j = t.indexOf(':')
+      if (j < 0) (t, "") else (t.take(j).trim, unquote(t.drop(j + 1)))
+    }
+    var name = ""
+    var intervalS = 60L
+    val rules = scala.collection.mutable.ArrayBuffer[Rule]()
+    var i = 0
+    while (i < lines.length) {
+      if (indent(lines(i)) == 0) {
+        val (k, v) = kv(lines(i))
+        k match {
+          case "name" => name = v; i += 1
+          case "interval" if v.nonEmpty => intervalS = parseIntervalS(v); i += 1
+          case "rules" =>
+            i += 1
+            while (i < lines.length && lines(i).trim.startsWith("- ")) {
+              val itemIndent = indent(lines(i))
+              val item = scala.collection.mutable.ArrayBuffer(
+                lines(i).replaceFirst("- ", "  "))
+              i += 1
+              while (i < lines.length && indent(lines(i)) > itemIndent &&
+                  !lines(i).trim.startsWith("- ")) {
+                item += lines(i); i += 1
+              }
+              var r = Rule()
+              var j = 0
+              while (j < item.length) {
+                val (k2, v2) = kv(item(j))
+                k2 match {
+                  case "record" => r = r.copy(record = v2); j += 1
+                  case "alert" => r = r.copy(alert = v2); j += 1
+                  case "expr" => r = r.copy(expr = v2); j += 1
+                  case "for" => r = r.copy(forDur = v2); j += 1
+                  case "labels" | "annotations" =>
+                    val mapIndent = indent(item(j))
+                    j += 1
+                    val m = scala.collection.mutable.LinkedHashMap[String, String]()
+                    while (j < item.length && indent(item(j)) > mapIndent) {
+                      val (k3, v3) = kv(item(j)); m(k3) = v3; j += 1
+                    }
+                    if (k2 == "labels") r = r.copy(labels = m.toMap)
+                    else r = r.copy(annotations = m.toMap)
+                  case _ => j += 1
+                }
+              }
+              rules += r
+            }
+          case _ => i += 1
+        }
+      } else i += 1
+    }
+    if (name.isEmpty)
+      throw new IllegalArgumentException("failed to parse rule group yaml")
+    RuleGroup(name, intervalS, rules.toSeq)
+  }
+
+  private def yamlStr(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+
+  /** One group as YAML (the GET /{ns}/{group} body), `indentBy` spaces of
+    * leading indent so the namespace listings can nest it.
+    */
+  def groupToYaml(g: RuleGroup, indentBy: Int = 0): String = {
+    val pad = " " * indentBy
+    val sb = new StringBuilder
+    sb ++= s"${pad}name: ${g.name}\n"
+    sb ++= s"${pad}interval: ${g.intervalS}s\n"
+    sb ++= s"${pad}rules:\n"
+    for (r <- g.rules) {
+      val head = if (r.isRecording) s"record: ${r.record}"
+        else s"alert: ${r.alert}"
+      sb ++= s"$pad  - $head\n"
+      sb ++= s"$pad    expr: ${yamlStr(r.expr)}\n"
+      if (r.forDur.nonEmpty) sb ++= s"$pad    for: ${r.forDur}\n"
+      if (r.labels.nonEmpty) {
+        sb ++= s"$pad    labels:\n"
+        for ((k, v) <- r.labels.toSeq.sorted)
+          sb ++= s"$pad      $k: ${yamlStr(v)}\n"
+      }
+      if (r.annotations.nonEmpty) {
+        sb ++= s"$pad    annotations:\n"
+        for ((k, v) <- r.annotations.toSeq.sorted)
+          sb ++= s"$pad      $k: ${yamlStr(v)}\n"
+      }
+    }
+    sb.result()
+  }
+
+  /** Namespace→groups map as YAML (GET /rules and /rules/{ns} bodies). */
+  def namespacesToYaml(m: Map[String, Seq[RuleGroup]]): String = {
+    val sb = new StringBuilder
+    for ((ns, gs) <- m.toSeq.sortBy(_._1)) {
+      sb ++= s"$ns:\n"
+      for (g <- gs) {
+        val y = groupToYaml(g, indentBy = 4)
+        sb ++= y.replaceFirst("    name:", "  - name:")
+      }
+    }
+    sb.result()
+  }
+
+  /** Driver-side rows for the Prometheus `/api/v1/rules` JSON listing
+    * (`manager.go:251-310` GetPrometheusRules): recording rules only,
+    * group lastEvaluation = max over its rules, evaluationTime = sum.
+    */
+  final case class PromRuleWire(name: String, query: String,
+      labels: Map[String, String], health: String, lastError: String,
+      lastEvalMs: Long, evalTimeS: Double)
+  final case class PromGroupWire(name: String, file: String,
+      intervalS: Long, rules: Seq[PromRuleWire], lastEvalMs: Long,
+      evalTimeS: Double)
+
+  def prometheusGroups(spark: SparkSession, dir: String,
+      kind: String): Seq[PromGroupWire] = {
+    val health = loadHealth(spark, dir)
+      .map(h => (h.kind, h.namespace, h.group, h.rule) -> h).toMap
+    load(spark, dir).filter(_.kind == kind)
+      .sortBy(g => (g.namespace, g.name))
+      .flatMap { g =>
+        val rules = g.rules.filter(_.isRecording).map { r =>
+          val h = health.get((kind, g.namespace, g.name, r.record))
+          PromRuleWire(r.record, r.expr, r.labels,
+            h.map(_.health).getOrElse("unknown"),
+            h.map(_.lastError).getOrElse(""),
+            h.map(_.lastEvalMs).getOrElse(0L),
+            h.map(_.evalTimeS).getOrElse(0.0))
+        }
+        if (rules.isEmpty) None
+        else Some(PromGroupWire(g.name, g.namespace, g.intervalS, rules,
+          rules.map(_.lastEvalMs).max, rules.map(_.evalTimeS).sum))
+      }
+  }
+
   private val VectorRe = """(?i)^\s*vector\(\s*([0-9.]+)\s*\)\s*$""".r
 
   /** Evaluate one rule expression over the eval grid on the engine the

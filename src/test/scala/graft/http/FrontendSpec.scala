@@ -588,6 +588,92 @@ class FrontendSpec extends SparkSpec {
       (200, """{"status":"success","data":{"version":""}}"""))
   }
 
+  test("rules CRUD over HTTP: YAML group lifecycle, Prometheus-format " +
+      "listing with health, and alert rules posted through it evaluate") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-rules").toFile
+    tmp.deleteOnExit()
+    for (f <- new java.io.File(sf).listFiles(); if f.getName.endsWith(".parquet"))
+      java.nio.file.Files.copy(f.toPath,
+        new java.io.File(tmp, f.getName).toPath)
+    val dir = tmp.getAbsolutePath
+    val srv = new Frontend(spark, dir).start(0)
+    try {
+      val b = s"http://127.0.0.1:${srv.getAddress.getPort}"
+      def req(method: String, path: String, body: String = ""): (Int, String) = {
+        val builder = HttpRequest.newBuilder(URI.create(b + path))
+        val r = client.send((method match {
+          case "GET" => builder.GET()
+          case "POST" => builder.POST(HttpRequest.BodyPublishers.ofString(body))
+          case "DELETE" => builder.DELETE()
+        }).build(), HttpResponse.BodyHandlers.ofString())
+        (r.statusCode(), r.body())
+      }
+      // empty store: 404s in the reference's YAML message shapes
+      assert(req("GET", "/loki/api/v1/rules") == (404, "no rule groups found"))
+      assert(req("GET", "/loki/api/v1/rules/team1")._1 == 404)
+      // create a group carrying a recording AND an alerting rule
+      val groupYaml =
+        """name: g1
+          |interval: 1m
+          |rules:
+          |  - record: signup:count6h
+          |    expr: "sum by (event_type) (count_over_time({event_type=\"signup\"}[6h]))"
+          |    labels:
+          |      team: one
+          |  - alert: HighSignups
+          |    expr: "sum by (event_type) (count_over_time({event_type=\"signup\"}[6h])) > 0"
+          |    for: 12h
+          |    annotations:
+          |      summary: "too many signups"
+          |""".stripMargin
+      val (pc, pBody) = req("POST", "/loki/api/v1/rules/team1", groupYaml)
+      assert(pc == 202 && pBody ==
+        """{"status":"success","data":null,"errorType":"","error":""}""",
+        (pc, pBody))
+      // read back: single group, namespace listing, full listing
+      val (gc, gy) = req("GET", "/loki/api/v1/rules/team1/g1")
+      assert(gc == 200)
+      assert(gy.contains("record: signup:count6h") &&
+        gy.contains("alert: HighSignups") && gy.contains("for: 12h") &&
+        gy.contains("team: \"one\""), gy)
+      // the YAML body round-trips through the parser to the same group
+      val reparsed = graft.streaming.Rules.parseGroupYaml(gy)
+      assert(reparsed == graft.streaming.Rules.parseGroupYaml(groupYaml))
+      val (nc, ny) = req("GET", "/loki/api/v1/rules/team1")
+      assert(nc == 200 && ny.startsWith("team1:\n  - name: g1"), ny.take(80))
+      assert(req("GET", "/loki/api/v1/rules")._2 == ny)
+      // Prometheus-format listing: recording rules only, health fields
+      val (lc, listing) = req("GET", "/api/v1/rules")
+      assert(lc == 200)
+      assert(listing.contains(""""name":"signup:count6h"""") &&
+        listing.contains(""""type":"recording"""") &&
+        listing.contains(""""health":"unknown"""") &&
+        listing.contains(""""file":"team1"""") &&
+        listing.contains(""""interval":60"""), listing.take(500))
+      assert(!listing.contains("HighSignups")) // alerting rules: not listed
+      // the alert rule posted over HTTP evaluates through the alert engine
+      val alert = graft.streaming.Rules.groups(spark, dir, "loki", "team1")
+        .head.rules.find(!_.isRecording).get
+      val states = graft.streaming.Ruler.alertStates(spark, dir,
+          "HighSignups", alert.expr,
+          graft.streaming.Rules.parseIntervalS(alert.forDur),
+          graft.logql.EvalParams(StartS * 1000000000L, EndS * 1000000000L, 21600L))
+        .collect()
+      assert(states.nonEmpty)
+      val byState = states.groupBy(_.getAs[String]("state")).keySet
+      assert(byState == Set("pending", "firing"), byState)
+      // delete group then namespace
+      assert(req("DELETE", "/loki/api/v1/rules/team1/g1")._1 == 202)
+      assert(req("GET", "/loki/api/v1/rules/team1/g1")._1 == 404)
+      assert(req("POST", "/loki/api/v1/rules/team1", groupYaml)._1 == 202)
+      assert(req("DELETE", "/loki/api/v1/rules/team1")._1 == 202)
+      assert(req("GET", "/loki/api/v1/rules")._1 == 404)
+      // malformed YAML is a 400
+      assert(req("POST", "/loki/api/v1/rules/team1", "interval: 1m") ==
+        (400, "error: failed to parse rule group yaml"))
+    } finally srv.stop(0)
+  }
+
   test("error envelopes: parse errors are 400 bad_data, unknown routes 404") {
     val (code, body) = get("/loki/api/v1/query_range?query=" +
       enc("{unclosed") + s"&start=$StartS&end=$EndS")
