@@ -996,16 +996,50 @@ class Frontend(spark: SparkSession, dir: String,
   private val ElasticDocRe = "^/([^/_][^/]*)/_doc(?:/[^/]*)?$".r
   private val ElasticBulkRe = "^/(?:[^/_][^/]*/)?_bulk$".r
 
+  // ---- multi-tenancy ---------------------------------------------------------
+
+  /** Per-tenant frontends over ISOLATED child sessions: the reference is
+    * multi-tenant at the DSN layer (`model.IDBRegistry` resolves
+    * X-Scope-OrgID to a tenant DSN); here the analog is
+    * `SparkSession.newSession()` — shared SparkContext, isolated SQLConf —
+    * with `spark.graft.tenant` pinned, which every store scan turns into
+    * an `oid=` partition prune (Store.tenantFilter). Isolated sessions
+    * rather than a mutable conf on the shared session: concurrent
+    * requests build plans in parallel, and a global tenant flag would
+    * leak scoping across them.
+    */
+  private val tenantFrontends =
+    scala.collection.concurrent.TrieMap[String, Frontend]()
+
+  private def forTenant(org: String): Frontend =
+    tenantFrontends.getOrElseUpdate(org, {
+      val s = spark.newSession()
+      for (k <- Seq("spark.sql.shuffle.partitions",
+          "spark.sql.session.timeZone"))
+        spark.conf.getOption(k).foreach(s.conf.set(k, _))
+      for ((k, v) <- spark.conf.getAll if k.startsWith("spark.graft."))
+        s.conf.set(k, v)
+      s.conf.set("spark.graft.tenant", org)
+      new Frontend(s, dir, nowNs)
+    })
+
   /** Pure dispatcher — the whole API surface minus the socket, so specs
     * can drive it directly AND through a real server. Text routes decode
     * the body as UTF-8; the two binary wire formats (snappy-protobuf
-    * remote-write, gzip pprof) take the raw bytes.
+    * remote-write, gzip pprof) take the raw bytes. `org` is the request's
+    * X-Scope-OrgID, routing to the tenant-scoped session when present.
     */
   def route(path: String, p: Params, method: String = "GET",
-      body: String = ""): HttpResult =
-    routeRaw(path, p, method, body.getBytes(UTF_8))
+      body: String = "", org: Option[String] = None): HttpResult =
+    routeRaw(path, p, method, body.getBytes(UTF_8), org)
 
   def routeRaw(path: String, p: Params, method: String,
+      bytes: Array[Byte], org: Option[String] = None): HttpResult = org match {
+    case Some(o) => forTenant(o).routeRaw(path, p, method, bytes)
+    case None => routeRaw0(path, p, method, bytes)
+  }
+
+  private def routeRaw0(path: String, p: Params, method: String,
       bytes: Array[Byte]): HttpResult =
     try {
       lazy val body = new String(bytes, UTF_8)
@@ -1117,7 +1151,8 @@ class Frontend(spark: SparkSession, dir: String,
       val bytes = exchange.getRequestBody.readAllBytes()
       val res = routeRaw(exchange.getRequestURI.getPath,
         Params.fromQuery(exchange.getRequestURI.getRawQuery),
-        exchange.getRequestMethod, bytes)
+        exchange.getRequestMethod, bytes,
+        Option(exchange.getRequestHeaders.getFirst("X-Scope-OrgID")))
       val out = res.body.getBytes(UTF_8)
       exchange.getResponseHeaders.set("Content-Type", res.contentType)
       // 204 must not carry a body; -1 signals no content on the JDK server

@@ -674,6 +674,38 @@ class FrontendSpec extends SparkSpec {
     } finally srv.stop(0)
   }
 
+  test("X-Scope-OrgID scopes requests to the tenant's oid partitions: " +
+      "two orgs get disjoint answers over the same routes") {
+    def withOrg(pathAndQuery: String, org: Option[String]): (Int, String) = {
+      val builder = HttpRequest.newBuilder(URI.create(base + pathAndQuery)).GET()
+      org.foreach(o => builder.header("X-Scope-OrgID", o))
+      val res = client.send(builder.build(), HttpResponse.BodyHandlers.ofString())
+      (res.statusCode(), res.body())
+    }
+    def streams(org: Option[String]): Long = {
+      val (c, body) = withOrg("/loki/api/v1/index/stats?query=" +
+        enc("""{level="info"}""") + s"&start=$StartS&end=$EndS", org)
+      assert(c == 200, body.take(200))
+      """"streams":(\d+)""".r.findFirstMatchIn(body).get.group(1).toLong
+    }
+    val all = streams(None)
+    val o0 = streams(Some("0"))
+    val o1 = streams(Some("1"))
+    assert(o0 > 0 && o1 > 0 && o0 + o1 == all, s"$o0 + $o1 vs $all")
+    // series answers are fully disjoint between the two orgs
+    def seriesSet(org: Option[String]): Set[String] = {
+      val (_, body) = withOrg("/loki/api/v1/series?match%5B%5D=" +
+        enc("""{level="info"}""") + s"&start=$StartS&end=$EndS", org)
+      """\{[^}]*\}""".r.findAllIn(body.drop(body.indexOf("["))).toSet
+    }
+    val s0 = seriesSet(Some("0"))
+    val s1 = seriesSet(Some("1"))
+    assert(s0.nonEmpty && s1.nonEmpty && s0.intersect(s1).isEmpty)
+    assert(s0.union(s1) == seriesSet(None))
+    // an unknown org simply matches no partitions
+    assert(streams(Some("42")) == 0)
+  }
+
   test("error envelopes: parse errors are 400 bad_data, unknown routes 404") {
     val (code, body) = get("/loki/api/v1/query_range?query=" +
       enc("{unclosed") + s"&start=$StartS&end=$EndS")
