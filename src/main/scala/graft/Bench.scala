@@ -38,6 +38,11 @@ object Bench {
       // Counted inside _store_build like the reader warmup above.
       SparkEntry.queries.get("logql_rate_sum_by")
         .foreach(fn => try fn(spark, sfDir).count() catch { case _: Throwable => })
+      // the HTTP-roundtrip gates run against a small fixture copy with its
+      // own store — build it here (untimed, like the main store) so their
+      // samples measure the push-then-query loop, not a one-time build
+      try graft.gates.HttpGates.warm(spark, sfDir)
+      catch { case _: Throwable => }
       None
     } catch { case e: Throwable =>
       Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(300)}")

@@ -42,6 +42,74 @@ object DevProf {
       }
       spark.stop(); return
     }
+    if (args.contains("http")) {
+      // stage timing for the HTTP e2e gate's moving parts
+      import graft.gates.EvalWindow._
+      import graft.http.{Frontend, Params}
+      import graft.model.Tables
+      def t(name: String)(f: => Any): Unit = {
+        val t0 = System.nanoTime()
+        val r = f
+        println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%7.2f s ($r)")
+      }
+      val tmp = java.nio.file.Files.createTempDirectory("devprof-http").toFile
+      tmp.deleteOnExit()
+      t("fixture write") {
+        Tables.rawEvents(spark, dir)
+          .filter(pmod(col("user_id"), lit(17L)) === 0)
+          .coalesce(1)
+          .write.parquet(tmp.getAbsolutePath + "/events.parquet")
+      }
+      val tdir = tmp.getAbsolutePath
+      t("store ensure") { graft.store.Store.ensure(spark, tdir) }
+      val fe = new Frontend(spark, tdir, nowNs = () => StartNs)
+      val logs = Tables.logs(spark, tdir)
+      for (i <- 1 to 2) {
+        val run = s"r$i"
+        var body = ""
+        t(s"loki body build $run") {
+          body = logs
+            .groupBy(element_at(col("labels"), "level").as("level"))
+            .agg(collect_list(array(col("timestamp_ns").cast("string"),
+              col("line"))).as("values"))
+            .select(struct(
+              map(lit("event_type"), lit("e2e"), lit("level"), col("level"),
+                lit("run"), lit(run)).as("stream"),
+              col("values").as("values")).as("st"))
+            .agg(to_json(struct(collect_list(col("st")).as("streams"))))
+            .head.getString(0)
+          body.length
+        }
+        t(s"loki push $run") {
+          fe.route("/loki/api/v1/push", Params(), "POST", body).status
+        }
+        t(s"query_range over http $run") {
+          fe.route("/loki/api/v1/query_range", Params(
+            "query" -> ("""sum by (event_type, level) (count_over_time(""" +
+              s"""{event_type="e2e", run="$run"}[6h]))"""),
+            "start" -> StartS.toString, "end" -> EndS.toString,
+            "step" -> "6h")).status
+        }
+        t(s"rules post $run") {
+          fe.route(s"/loki/api/v1/rules/e2e-$run", Params(), "POST",
+            s"""name: g1
+               |interval: 1m
+               |rules:
+               |  - alert: E2EFlow
+               |    expr: "sum by (level) (count_over_time({event_type=\\"e2e\\", run=\\"$run\\"}[6h])) > 0"
+               |    for: 12h
+               |""".stripMargin).status
+        }
+        t(s"alert states $run") {
+          val rule = graft.streaming.Rules
+            .groups(spark, tdir, "loki", s"e2e-$run").head.rules.head
+          graft.streaming.Ruler.alertStates(spark, tdir, "E2EFlow",
+            rule.expr, graft.streaming.Rules.parseIntervalS(rule.forDur),
+            graft.logql.EvalParams(StartNs, EndNs, StepS)).count()
+        }
+      }
+      spark.stop(); return
+    }
     if (args.contains("gate")) {
       // repeat-time a named SparkEntry gate in ONE warmed session: run k
       // splits first-run (codegen compile + fresh-plan) cost from the

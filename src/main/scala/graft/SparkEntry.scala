@@ -17,7 +17,8 @@ object SparkEntry {
     gates.TraceQLGates,
     gates.IngestGates,
     gates.ProfGates,
-    gates.StreamingGates)
+    gates.StreamingGates,
+    gates.HttpGates)
 
   private lazy val allGates: Seq[Gate] = gateSets.flatMap(_.gates)
 
