@@ -949,10 +949,10 @@ class Frontend(spark: SparkSession, dir: String,
         posexplode(col("stack")).as(Seq("pos", "fn")))
       .select(col("fn"), col("value"),
         (col("pos") === size(col("stack")) - 1).as("isLeaf"),
-        xxhash64(concat_ws(" ",
+        xxhash64(concat_ws("\u0000",
           slice(col("stack"), lit(1), col("pos") + 1))).as("node"),
         when(col("pos") === 0, 0L)
-          .otherwise(xxhash64(concat_ws(" ",
+          .otherwise(xxhash64(concat_ws("\u0000",
             slice(col("stack"), lit(1), col("pos"))))).as("parent"))
     val tree = frames.groupBy(col("parent"), col("node"), col("fn"))
       .agg(sum(when(col("isLeaf"), col("value")).otherwise(0L)).as("self"),
@@ -1182,12 +1182,14 @@ object Params {
   def apply(kvs: (String, String)*): Params =
     Params(kvs.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) })
 
-  /** Query-string params first, form-body params appended per key — the
-    * Go ParseForm merge order the reference's POST routes inherit.
+  /** Form-body params FIRST, query-string params appended per key — Go's
+    * ParseForm (which the reference's GET+POST routes inherit) gives POST
+    * body parameters precedence over URL query values, so `first()`
+    * resolves a key present in both places to the form value.
     */
   def merge(query: Params, form: Params): Params =
     Params((query.values.keySet ++ form.values.keySet).map(k =>
-      k -> (query.all(k) ++ form.all(k))).toMap)
+      k -> (form.all(k) ++ query.all(k))).toMap)
 
   def fromQuery(rawQuery: String): Params =
     if (rawQuery == null || rawQuery.isEmpty) Params(Map.empty[String, Seq[String]])

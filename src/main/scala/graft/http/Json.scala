@@ -37,7 +37,11 @@ object Json {
     * paths must guard these — BigDecimal would throw on them.
     */
   def num(v: Double): String =
-    if (v.isNaN || v.isInfinite) v.toString
+    if (v.isNaN) "NaN"
+    // Go strconv.FormatFloat spellings, the upstream wire form for
+    // quoted non-finite sample values (reader/service/query_range.go:495)
+    else if (v == Double.PositiveInfinity) "+Inf"
+    else if (v == Double.NegativeInfinity) "-Inf"
     else if (v.isWhole && math.abs(v) <= 9007199254740992.0) v.toLong.toString
     else if (math.abs(v) >= 1e15 || (v != 0 && math.abs(v) < 1e-4))
       // stripTrailingZeros: valueOf(5e-20) is "5.0E-20" and would

@@ -85,6 +85,22 @@ object Store {
       case None    => df
     }
 
+  /** oid for an APPEND: a tenant-scoped session (`spark.graft.tenant` set —
+    * the per-request X-Scope-OrgID context) OWNS every row it pushes, so
+    * the write stamps that tenant and the read side's `oid=` partition
+    * prune returns the data to the same org — the writer stores the header
+    * org id on every insert the same way (`writer/service/` stamps
+    * `org_id` from the request context). Without this, a tenant's push
+    * would land under the hash-derived test oid: invisible to the pushing
+    * tenant, visible to others. Unscoped pushes keep the test-wiring hash
+    * derivation so the unscoped gates stay deterministic.
+    */
+  private def withPushOid(spark: SparkSession, df: DataFrame): DataFrame =
+    spark.conf.getOption("spark.graft.tenant") match {
+      case Some(o) => df.withColumn("oid", lit(o))
+      case None    => withOid(df)
+    }
+
   // epoch-day arithmetic, NOT to_date(timestamp_seconds(...)): the latter
   // follows spark.sql.session.timeZone, so a store written under one
   // session timezone and read under another would mis-prune partitions
@@ -392,16 +408,19 @@ object Store {
       throw new IllegalArgumentException(
         s"${total - n} of $total entries have missing/invalid timestamps")
     if (n > 0) appendLock.synchronized {
-      withOid(withDate(batch.select(col("timestamp_ns"), col("fingerprint"),
-          col("line"), col("value"))))
+      withPushOid(spark, withDate(batch.select(col("timestamp_ns"),
+          col("fingerprint"), col("line"), col("value"))))
         .sortWithinPartitions(col("fingerprint"), col("timestamp_ns"))
         .write.mode("append").partitionBy("oid", "date")
         .parquet(s"$root/samples")
+      // dictionary dedup is per (oid, fingerprint): two tenants pushing
+      // the same label set each need their own dictionary row, or the
+      // second tenant's series would be invisible to its own label APIs
       val existing = spark.read.parquet(s"$root/time_series")
-        .select(col("fingerprint")).distinct()
-      withOid(batch.select(col("fingerprint"), col("labels"))
-          .dropDuplicates("fingerprint")
-          .join(existing, Seq("fingerprint"), "left_anti"))
+        .select(col("oid"), col("fingerprint")).distinct()
+      withPushOid(spark, batch.select(col("fingerprint"), col("labels"))
+          .dropDuplicates("fingerprint"))
+        .join(existing, Seq("oid", "fingerprint"), "left_anti")
         .write.mode("append").parquet(s"$root/time_series")
       val bucketNs = 15L * 1000 * 1000 * 1000
       val partials = batch
@@ -416,25 +435,33 @@ object Store {
           sum(col("value")).as("sum"),
           count(lit(1)).as("cnt"),
           sum(length(col("line"))).as("bytes"))
-      withOid(withDate(partials))
+      withPushOid(spark, withDate(partials))
         .sortWithinPartitions(col("fingerprint"), col("timestamp_ns"))
         .write.mode("append").partitionBy("oid", "date")
         .parquet(s"$root/metrics_15s")
-      for (t <- Seq("samples", "time_series", "metrics_15s")) {
-        readers.remove((spark, s"$root/$t"))
-        spark.catalog.refreshByPath(s"$root/$t")
-      }
+      invalidate(spark, root, Seq("samples", "time_series", "metrics_15s"))
     }
     n
   }
 
   private val appendLock = new Object
 
+  /** Evict the readers cache and refresh the catalog file index for the
+    * touched tables across EVERY session that ever read them — the
+    * frontend holds one isolated child session per tenant, and a push
+    * through one session must not leave another session serving a stale
+    * file listing indefinitely. The eviction is keyed by path alone;
+    * refreshByPath runs per cached session (catalog caches are
+    * per-session).
+    */
   private def invalidate(spark: SparkSession, root: String,
       tables: Seq[String]): Unit =
     for (t <- tables) {
-      readers.remove((spark, s"$root/$t"))
-      spark.catalog.refreshByPath(s"$root/$t")
+      val path = s"$root/$t"
+      val sessions = readers.keysIterator
+        .collect { case (s, p) if p == path => s }.toSet + spark
+      readers.filterInPlace { case ((_, p), _) => p != path }
+      sessions.foreach(_.catalog.refreshByPath(path))
     }
 
   /** Conform an append batch to the STORED table's columns: missing
@@ -487,7 +514,7 @@ object Store {
     val batch = graft.model.Materialize(spans) // spans+attrs+closure consumers
     val n = countStrict(batch)
     if (n > 0) appendLock.synchronized {
-      withOid(withDate(conformTo(spark, s"$root/spans", batch,
+      withPushOid(spark, withDate(conformTo(spark, s"$root/spans", batch,
           Set("oid", "date"))))
         .sortWithinPartitions(col("trace_id"), col("span_id"))
         .write.mode("append").partitionBy("oid", "date")
@@ -495,15 +522,40 @@ object Store {
       val attrs = batch.select(col("trace_id"), col("span_id"),
           col("parent_id"), col("timestamp_ns"), col("duration_ns"),
           explode(col("attrs")).as(Seq("key", "val")))
-      withOid(withDate(conformTo(spark, s"$root/span_attrs", attrs,
-          Set("oid", "date"))))
+      withPushOid(spark, withDate(conformTo(spark, s"$root/span_attrs",
+          attrs, Set("oid", "date"))))
         .sortWithinPartitions(col("key"), col("val"), col("trace_id"))
         .write.mode("append").partitionBy("oid", "date")
         .parquet(s"$root/span_attrs")
-      val anc = ancestorClosure(batch.select(col("trace_id"), col("span_id"),
-        col("parent_id"), col("timestamp_ns")))
-      withOid(withDate(conformTo(spark, s"$root/span_ancestors", anc,
-          Set("oid", "date"))))
+      // cross-batch closure: clients normally push whole traces per
+      // request, but a trace split across two pushes must still answer
+      // `>>`/`<<` — widen the closure input with the STORED spans of the
+      // batch's trace ids (a semi-join-bounded read: only the touched
+      // traces), then keep only rows not already stored. Both push orders
+      // repair: parents-first (the new children walk up through stored
+      // parents) and children-first (stored orphans gain ancestors when
+      // their parents arrive).
+      val ids = batch.select(col("trace_id")).distinct()
+      // a scoped session repairs only against ITS tenant's rows — trace
+      // ids are per-tenant namespaces, and another org's colliding ids
+      // must neither join in nor suppress this org's closure rows
+      val stored = tenantFilter(spark, readTable(spark, s"$root/spans"))
+        .join(ids, Seq("trace_id"), "left_semi")
+        .select(col("trace_id"), col("span_id"), col("parent_id"),
+          col("timestamp_ns"))
+      val anc = ancestorClosure(
+        batch.select(col("trace_id"), col("span_id"), col("parent_id"),
+            col("timestamp_ns"))
+          .unionByName(stored)
+          .dropDuplicates("trace_id", "span_id"))
+      val storedAnc = tenantFilter(spark,
+          readTable(spark, s"$root/span_ancestors"))
+        .join(ids, Seq("trace_id"), "left_semi")
+        .select(col("trace_id"), col("span_id"), col("anc_id"))
+      val fresh = anc.join(storedAnc,
+        Seq("trace_id", "span_id", "anc_id"), "left_anti")
+      withPushOid(spark, withDate(conformTo(spark, s"$root/span_ancestors",
+          fresh, Set("oid", "date"))))
         .sortWithinPartitions(col("trace_id"), col("span_id"))
         .write.mode("append").partitionBy("oid", "date")
         .parquet(s"$root/span_ancestors")
@@ -527,7 +579,7 @@ object Store {
       col("labels"), col("value"), col("fingerprint")))
     val n = countStrict(batch)
     if (n > 0) appendLock.synchronized {
-      withOid(withDate(batch))
+      withPushOid(spark, withDate(batch))
         .sortWithinPartitions(col("fingerprint"), col("timestamp_ns"))
         .write.mode("append").partitionBy("oid", "date")
         .parquet(s"$root/prom_pushed")
@@ -537,8 +589,9 @@ object Store {
         .filter(col("family").isNotNull)
         .dropDuplicates("family", "fingerprint")
       val existing = spark.read.parquet(s"$root/prom_series")
-        .select(col("family"), col("fingerprint")).distinct()
-      withOid(dict.join(existing, Seq("family", "fingerprint"), "left_anti"))
+        .select(col("oid"), col("family"), col("fingerprint")).distinct()
+      withPushOid(spark, dict)
+        .join(existing, Seq("oid", "family", "fingerprint"), "left_anti")
         .write.mode("append").parquet(s"$root/prom_series")
       invalidate(spark, root, Seq("prom_pushed", "prom_series"))
     }
@@ -554,8 +607,8 @@ object Store {
     val batch = graft.model.Materialize(rows)
     val n = countStrict(batch)
     if (n > 0) appendLock.synchronized {
-      withOid(withDate(conformTo(spark, s"$root/profiles", batch,
-          Set("oid", "date"))))
+      withPushOid(spark, withDate(conformTo(spark, s"$root/profiles",
+          batch, Set("oid", "date"))))
         .sortWithinPartitions(col("service_name"), col("timestamp_ns"))
         .write.mode("append").partitionBy("oid", "date")
         .parquet(s"$root/profiles")

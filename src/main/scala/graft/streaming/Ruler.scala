@@ -18,6 +18,15 @@ object Ruler {
     graft.store.Store.storeRoot + "/" +
       dir.replaceAll("[^a-zA-Z0-9.]+", "_") + "/recorded"
 
+  /** Tenant-keyed recorded-samples path: a scoped session's recording
+    * rules write to (and read from) the tenant's own table — same
+    * isolation contract as [[Rules.rulesPath]].
+    */
+  def recordedPath(spark: SparkSession, dir: String): String =
+    recordedPath(dir) + spark.conf.getOption("spark.graft.tenant")
+      .map(t => "_tenant_" + t.replaceAll("[^a-zA-Z0-9.]+", "_"))
+      .getOrElse("")
+
   /** Evaluate `query` over the window and append the result as samples of
     * metric `ruleName`. Returns the number of samples written.
     */
@@ -33,13 +42,13 @@ object Ruler {
       .withColumn("fingerprint", graft.model.Tables.fingerprintOf(col("labels")))
     val out = df.cache()
     val n = out.count()
-    out.write.mode(SaveMode.Append).parquet(recordedPath(dir))
+    out.write.mode(SaveMode.Append).parquet(recordedPath(spark, dir))
     out.unpersist()
     n
   }
 
   def recorded(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(recordedPath(dir))
+    spark.read.parquet(recordedPath(spark, dir))
 
   /** Alerting-rule EVALUATION — the step the reference stores rules for
     * but never executes (`ruler/manager.go:12-41` persists `alert:` rules;

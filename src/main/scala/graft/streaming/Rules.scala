@@ -45,15 +45,27 @@ object Rules {
     graft.store.Store.storeRoot + "/" +
       dir.replaceAll("[^a-zA-Z0-9.]+", "_") + "/rules"
 
+  /** Rule storage is TENANT-KEYED: a scoped session (`spark.graft.tenant`
+    * set from X-Scope-OrgID) reads and writes its own rule table — the
+    * reference's ruler config lives in the per-tenant database the DSN
+    * registry resolves, so org A's POST must never replace or list org
+    * B's groups. Unscoped sessions keep the shared path.
+    */
+  def rulesPath(spark: SparkSession, dir: String): String =
+    rulesPath(dir) + spark.conf.getOption("spark.graft.tenant")
+      .map(t => "_tenant_" + t.replaceAll("[^a-zA-Z0-9.]+", "_"))
+      .getOrElse("")
+
   private def load(spark: SparkSession, dir: String): Seq[GroupRow] = {
-    val p = new java.io.File(rulesPath(dir))
+    val p = new java.io.File(rulesPath(spark, dir))
     // overwriteAtomic has a window between renameTo(trash) and
     // tmp.renameTo(live) where the live dir is absent; a reader landing
     // there (or a crash in the window) must fall back to the .trash copy
     // — the only surviving one — instead of observing an empty rule set
     val src =
       if (p.exists) Some(p)
-      else Some(new java.io.File(rulesPath(dir) + ".trash")).filter(_.exists)
+      else Some(new java.io.File(rulesPath(spark, dir) + ".trash"))
+        .filter(_.exists)
     src match {
       case None => Seq.empty
       case Some(f) =>
@@ -94,7 +106,7 @@ object Rules {
   private def save(spark: SparkSession, dir: String,
       rows: Seq[GroupRow]): Unit = {
     import spark.implicits._
-    overwriteAtomic(rulesPath(dir)) { p =>
+    overwriteAtomic(rulesPath(spark, dir)) { p =>
       spark.createDataset(rows).repartition(1)
         .write.mode(SaveMode.Overwrite).parquet(p)
     }
@@ -146,10 +158,11 @@ object Rules {
       group: String, rule: String, health: String, lastError: String,
       lastEvalMs: Long, evalTimeS: Double)
 
-  private def healthPath(dir: String): String = rulesPath(dir) + "_health"
+  private def healthPath(spark: SparkSession, dir: String): String =
+    rulesPath(spark, dir) + "_health"
 
   private def loadHealth(spark: SparkSession, dir: String): Seq[HealthRow] = {
-    val p = new java.io.File(healthPath(dir))
+    val p = new java.io.File(healthPath(spark, dir))
     if (!p.exists) Seq.empty
     else {
       import spark.implicits._
@@ -163,7 +176,7 @@ object Rules {
     val keys = updates.map(h => (h.kind, h.namespace, h.group, h.rule)).toSet
     val rest = loadHealth(spark, dir).filterNot(h =>
       keys((h.kind, h.namespace, h.group, h.rule)))
-    overwriteAtomic(healthPath(dir)) { p =>
+    overwriteAtomic(healthPath(spark, dir)) { p =>
       spark.createDataset(rest ++ updates).repartition(1)
         .write.mode(SaveMode.Overwrite).parquet(p)
     }
@@ -181,7 +194,7 @@ object Rules {
       live((h.kind, h.namespace, h.group, h.rule)))
     if (drop.nonEmpty) {
       import spark.implicits._
-      overwriteAtomic(healthPath(dir)) { p =>
+      overwriteAtomic(healthPath(spark, dir)) { p =>
         spark.createDataset(keep).repartition(1)
           .write.mode(SaveMode.Overwrite).parquet(p)
       }
@@ -441,7 +454,8 @@ object Rules {
               graft.model.Tables.fingerprintOf(col("labels")))
             .cache()
           written += out.count()
-          out.write.mode(SaveMode.Append).parquet(Ruler.recordedPath(dir))
+          out.write.mode(SaveMode.Append)
+            .parquet(Ruler.recordedPath(spark, dir))
           out.unpersist()
           ("ok", "")
         } catch {

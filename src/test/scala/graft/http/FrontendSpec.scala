@@ -770,7 +770,8 @@ class FrontendSpec extends SparkSpec {
     assert(Json.num(5e-20) == "0.00000000000000000005")
     // non-finite doubles render as quoted-context text, never a throw
     assert(Json.num(Double.NaN) == "NaN")
-    assert(Json.num(Double.PositiveInfinity) == "Infinity")
+    assert(Json.num(Double.PositiveInfinity) == "+Inf")
+    assert(Json.num(Double.NegativeInfinity) == "-Inf")
     // prom matcher semantics: a missing label equals "", so le!="" must
     // match NO events_value series (they carry no le label)
     val (c3, b3) = get("/api/v1/series?match%5B%5D=" +
@@ -814,6 +815,63 @@ class FrontendSpec extends SparkSpec {
     assert(cs == 200 && series.contains("events_total") &&
       series.contains("events_value"), series.take(300))
     assert(post("/api/v1/metadata", "")._1 == 404)
+  }
+
+  test("tenant-scoped WRITES: a push under X-Scope-OrgID lands in that " +
+      "org's partitions (visible to it, hidden from others), other " +
+      "sessions' cached readers see the append, rules CRUD is per-tenant") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-tpush").toFile
+    tmp.deleteOnExit()
+    for (f <- new java.io.File(sf).listFiles(); if f.getName.endsWith(".parquet"))
+      java.nio.file.Files.copy(f.toPath,
+        new java.io.File(tmp, f.getName).toPath)
+    val srv = new Frontend(spark, tmp.getAbsolutePath).start(0)
+    try {
+      val b = s"http://127.0.0.1:${srv.getAddress.getPort}"
+      def send(method: String, pq: String, body: String,
+          org: Option[String]): (Int, String) = {
+        val rb = HttpRequest.newBuilder(URI.create(b + pq))
+          .method(method, HttpRequest.BodyPublishers.ofString(body))
+        org.foreach(o => rb.header("X-Scope-OrgID", o))
+        val r = client.send(rb.build(), HttpResponse.BodyHandlers.ofString())
+        (r.statusCode(), r.body())
+      }
+      def lines(org: Option[String]): Seq[String] = {
+        val (_, body) = send("GET", "/loki/api/v1/query_range?query=" +
+          enc("""{event_type="tpush"}""") +
+          s"&start=${StartS}000000000&end=${EndS}000000000&limit=100", "", org)
+        """\["\d{19}","([^"]*)"\]""".r.findAllMatchIn(body)
+          .map(_.group(1)).toSeq
+      }
+      // warm the UNSCOPED session's reader cache before the tenant push:
+      // the push must invalidate across sessions, not just its own
+      assert(lines(None).isEmpty)
+      val body =
+        s"""{"streams":[{"stream":{"event_type":"tpush","level":"info"},
+           |"values":[["${StartS + 100}000000000","tenant line"]]}]}"""
+          .stripMargin.replace("\n", "")
+      assert(send("POST", "/loki/api/v1/push", body,
+        Some("alpha"))._1 == 204)
+      // the pushing org reads its own data back; a different org cannot
+      assert(lines(Some("alpha")) == Seq("tenant line"))
+      assert(lines(Some("beta")).isEmpty)
+      // the unscoped session (cached reader predates the push) sees it too
+      assert(lines(None) == Seq("tenant line"))
+      // rules CRUD is tenant-keyed: alpha's group is invisible to beta,
+      // and beta's DELETE of the same namespace leaves alpha intact
+      val yaml = "name: g1\ninterval: 1m\nrules:\n  - record: r1\n" +
+        "    expr: \"vector(1)\"\n"
+      assert(send("POST", "/loki/api/v1/rules/tns", yaml,
+        Some("alpha"))._1 == 202)
+      assert(send("GET", "/loki/api/v1/rules/tns", "",
+        Some("alpha"))._1 == 200)
+      assert(send("GET", "/loki/api/v1/rules/tns", "",
+        Some("beta"))._1 == 404)
+      assert(send("DELETE", "/loki/api/v1/rules/tns", "",
+        Some("beta"))._1 == 202)
+      assert(send("GET", "/loki/api/v1/rules/tns", "",
+        Some("alpha"))._1 == 200)
+    } finally srv.stop(0)
   }
 
   private def enc(s: String): String =
