@@ -4,9 +4,13 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
 
+import org.apache.spark.sql.expressions.Window
+
 import graft.http.{Frontend, Params}
 import graft.logql.{EvalParams, LogQLCompiler}
 import graft.model.{MapOps, OracleViews, Tables}
+import graft.promql.{PromParams, PromQLCompiler}
+import graft.traceql.{TraceQLCompiler, TraceQLParser}
 
 /** HTTP-roundtrip gates: the serving layer IS the unit under test — wire
   * payloads go through [[Frontend.route]] (the exact dispatcher the socket
@@ -115,6 +119,80 @@ object HttpGates extends GateSet {
     if (res.status != okStatus)
       throw new IllegalStateException(
         s"POST $path -> ${res.status}: ${res.body.take(300)}")
+  }
+
+  /** One OTLP/HTTP metrics request: every series of `samples` as a gauge
+    * named `family`, datapoint attributes = the sample's labels minus
+    * `__name__` (the family name rides the metric `name` field).
+    */
+  private def otlpMetricsBody(samples: DataFrame, family: String): String = {
+    val attrs = transform(
+      filter(map_entries(col("labels")),
+        e => e.getField("key") =!= "__name__"),
+      e => struct(e.getField("key").as("key"),
+        struct(e.getField("value").as("stringValue")).as("value")))
+    samples
+      .groupBy(col("labels"))
+      .agg(collect_list(struct(col("timestamp_ns").as("ts"),
+        col("value").as("v"))).as("dps"))
+      .select(struct(lit(family).as("name"),
+        struct(transform(col("dps"), d => struct(
+          d.getField("ts").cast("string").as("timeUnixNano"),
+          d.getField("v").as("asDouble"),
+          attrs.as("attributes"))).as("dataPoints")).as("gauge")).as("m"))
+      .agg(to_json(struct(array(struct(array(struct(
+        collect_list(col("m")).as("metrics"))).as("scopeMetrics")))
+        .as("resourceMetrics"))))
+      .head.getString(0)
+  }
+
+  /** One OTLP/HTTP traces request: `spans` (long-id columns) under a
+    * single resource carrying `service.name`, each span tagged with a
+    * `name` attribute so the TraceQL bitmask leaves see pushed spans the
+    * same way they see store-built ones.
+    */
+  private def otlpTracesBody(spans: DataFrame, service: String): String =
+    spans
+      .select(struct(
+        lpad(hex(col("trace_id")), 32, "0").as("traceId"),
+        lpad(hex(col("span_id")), 16, "0").as("spanId"),
+        when(col("parent_id").isNotNull,
+          lpad(hex(col("parent_id")), 16, "0")).as("parentSpanId"),
+        col("name").as("name"),
+        col("timestamp_ns").cast("string").as("startTimeUnixNano"),
+        (col("timestamp_ns") + col("duration_ns")).cast("string")
+          .as("endTimeUnixNano"),
+        array(struct(lit("name").as("key"),
+          struct(col("name").as("stringValue")).as("value")))
+          .as("attributes")).as("sp"))
+      .agg(collect_list(col("sp")).as("sps"))
+      .select(to_json(struct(array(struct(
+        struct(array(struct(lit("service.name").as("key"),
+          struct(lit(service).as("stringValue")).as("value")))
+          .as("attributes")).as("resource"),
+        array(struct(col("sps").as("spans"))).as("scopeSpans")))
+        .as("resourceSpans"))))
+      .head.getString(0)
+
+  /** Leaf partition directories of `tables` holding more parquet parts
+    * than `maxFiles` — the small-files audit [[graft.store.Store.maintain]]
+    * must zero out.
+    */
+  private def leavesOverLimit(root: String, tables: Seq[String],
+      maxFiles: Int): Int = {
+    def leafDirs(f: java.io.File): Seq[java.io.File] = {
+      val kids = Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+        .toSeq
+      val dirs = kids.filter(_.isDirectory)
+      if (dirs.isEmpty) Seq(f) else dirs.flatMap(leafDirs)
+    }
+    tables.map { t =>
+      val d = new java.io.File(s"$root/$t")
+      if (!d.isDirectory) 0
+      else leafDirs(d).count(leaf =>
+        Option(leaf.listFiles()).getOrElse(Array.empty[java.io.File])
+          .count(f => f.isFile && f.getName.endsWith(".parquet")) > maxFiles)
+    }.sum
   }
 
   override val gates: Seq[Gate] = Seq(
@@ -231,6 +309,132 @@ object HttpGates extends GateSet {
         """SELECT c.event_type, c.level, c.ts, round(c.value, 6) AS value,
           |  coalesce(st.state, 'none') AS state
           |FROM cnts c LEFT JOIN states st USING (level, ts)
-          |ORDER BY 1, 2, 3""".stripMargin)))
+          |ORDER BY 1, 2, 3""".stripMargin))),
+
+    // --- live-append maintenance loop: push metrics in 4 batches + ONE
+    // trace set split across 2 batches -> Store.maintain (compaction +
+    // downsample-partial merge) -> (a) PromQL on the pushed family routes
+    // through the prom_pushed_15s downsample (plan canary), (b) every
+    // append-table leaf is back under the file bound, (c) `>>` over the
+    // split-pushed traces matches the whole-trace answer the oracle
+    // derives — the operations story behind the reference's ctrl
+    // maintenance timers + ClickHouse background merges ------------------
+    Gate("streaming_maintenance",
+      (spark: SparkSession, dir: String) => {
+        import spark.implicits._
+        val tmp = fixtureDir(spark, dir)
+        val runN = runCounter.incrementAndGet()
+        val run = s"v$runN"
+        val fam = s"graft_rpm_$run"
+        val svc = s"push$run"
+        val fe = new Frontend(spark, tmp, nowNs = () => StartNs)
+
+        // (1) pushed metric family, four disjoint day-sliced batches —
+        // each append writes its own downsample PARTIALS
+        val g = Tables.gaugeSamples(spark, tmp)
+        for (b <- 0 until 4)
+          post(fe, "/v1/metrics", otlpMetricsBody(
+            g.filter(pmod(expr("timestamp_ns div 86400000000000"),
+              lit(4L)) === b), fam), 200)
+
+        // (2) linear-chain traces (1 in 5), ids offset into a run-private
+        // range, parents RE-LINKED to the previous present span (the 1/17
+        // event filter breaks the raw chains; a real client pushes
+        // consistent traces). Second halves pushed FIRST: the closure
+        // repair must handle children-before-parents.
+        val idOff = 1000000000000000L + runN * 1000000000L
+        val w = Window.partitionBy(col("trace_id")).orderBy(col("span_id"))
+        val sp = Tables.spans(spark, tmp)
+          .filter(pmod(col("trace_id"), lit(5L)) === 0)
+          .withColumn("parent_id", lag(col("span_id"), 1).over(w))
+          .withColumn("rn", row_number().over(w))
+          .withColumn("cnt",
+            count(lit(1)).over(Window.partitionBy(col("trace_id"))))
+          .select((col("trace_id") + idOff).as("trace_id"),
+            (col("span_id") + idOff).as("span_id"),
+            (col("parent_id") + idOff).as("parent_id"),
+            col("name"), col("timestamp_ns"), col("duration_ns"),
+            (col("rn") <= col("cnt") / 2).as("firstHalf"))
+        val spM = graft.model.Materialize(sp)
+        post(fe, "/v1/traces",
+          otlpTracesBody(spM.filter(!col("firstHalf")), svc), 200)
+        post(fe, "/v1/traces",
+          otlpTracesBody(spM.filter(col("firstHalf")), svc), 200)
+
+        // (3) scheduled housekeeping: merge downsample partials, bound
+        // part-file counts
+        graft.store.Store.maintain(spark, tmp)
+        val over = leavesOverLimit(graft.store.Store.ensure(spark, tmp),
+          Seq("prom_pushed", "prom_pushed_15s", "spans", "span_attrs",
+            "span_ancestors", "samples", "profiles"), 8)
+
+        // (4) the downsample routing rule fires on LIVE data: plan canary
+        // + the oracle-checked values
+        val mres = new PromQLCompiler(spark, tmp,
+            PromParams(StartNs, EndNs, StepS))
+          .result(s"count_over_time($fam[6h])", Seq("event_type", "level"))
+        // structural canary (plan-string Location fields truncate at
+        // spark.sql.maxMetadataStringLength): the scan's root paths must
+        // include the pushed-family downsample table
+        val scanPaths = mres.queryExecution.optimizedPlan.collect {
+          case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            l.relation match {
+              case f: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                f.location.rootPaths.map(_.toString)
+              case _ => Seq.empty[String]
+            }
+        }.flatten
+        if (!scanPaths.exists(_.contains("prom_pushed_15s")))
+          throw new IllegalStateException(
+            "downsample route did not fire on the pushed family; scanned: " +
+              scanPaths.mkString(", "))
+
+        // (5) true-descendant over the split-pushed traces
+        val q = TraceQLParser.parseOrThrow(
+          s"""{ .service_name="$svc" && .name="view" } >> { .name="purchase" }""")
+        val tres = new TraceQLCompiler(spark, tmp, StartNs, EndNs)
+          .matchingTraces(q.expr)
+
+        mres.select(lit("metric").as("section"),
+            concat(col("event_type"), lit(":"), col("level")).as("series"),
+            col("ts"), col("value"))
+          .unionByName(tres.select(lit("trace").as("section"),
+            (col("trace_id") - idOff).cast("string").as("series"),
+            lit(0L).as("ts"), lit(1.0).as("value")))
+          .unionByName(Seq(("files_over_limit", "append_tables", 0L,
+            over.toDouble)).toDF("section", "series", "ts", "value"))
+          .orderBy("section", "series", "ts")
+      },
+      Some(OracleViews.withViews(Seq(
+        """metrics AS (
+          |  SELECT epoch_ns(ts) AS timestamp_ns,
+          |         event_type,
+          |         CASE WHEN event_type = 'error' THEN 'error' ELSE 'info' END AS level,
+          |         value
+          |  FROM events WHERE user_id % 17 = 0)""".stripMargin,
+        s"""spans AS (
+           |  SELECT CAST(event_id // 10 AS BIGINT) AS trace_id,
+           |         event_id AS span_id, event_type AS name
+           |  FROM events
+           |  WHERE user_id % 17 = 0 AND (event_id // 10) % 5 = 0
+           |    AND epoch_ns(ts) >= $StartNs AND epoch_ns(ts) < $EndNs)"""
+          .stripMargin,
+        s"grid AS (SELECT unnest(generate_series($StartS, $EndS, $StepS)) AS t)"),
+        s"""SELECT * FROM (
+           |  SELECT 'metric' AS section, event_type || ':' || level AS series,
+           |    g.t AS ts, CAST(count(*) AS DOUBLE) AS value
+           |  FROM metrics m JOIN grid g
+           |    ON m.timestamp_ns > (g.t - $StepS) * 1000000000
+           |   AND m.timestamp_ns <= g.t * 1000000000
+           |  GROUP BY 1, 2, 3
+           |  UNION ALL
+           |  SELECT DISTINCT 'trace', CAST(c.trace_id AS VARCHAR),
+           |    CAST(0 AS BIGINT), 1.0
+           |  FROM spans c JOIN spans p
+           |    ON c.trace_id = p.trace_id AND p.span_id < c.span_id
+           |  WHERE c.name = 'purchase' AND p.name = 'view'
+           |  UNION ALL
+           |  SELECT 'files_over_limit', 'append_tables', CAST(0 AS BIGINT), 0.0
+           |) ORDER BY 1, 2, 3""".stripMargin)))
   )
 }

@@ -253,24 +253,40 @@ class Frontend(spark: SparkSession, dir: String,
     * with `start` advanced past the newest timestamp it has seen). Each
     * poll evaluates the full LogQL pipeline over [start, now) forward —
     * the same evaluation the query_range gates certify, and the batch
-    * twin of the [[graft.streaming.LiveTail]] streaming operator. The
-    * frame carries `dropped_entries` per the tail contract; the long-poll
-    * path never drops (a short poll just returns fewer entries), so it is
-    * always empty.
+    * twin of the [[graft.streaming.LiveTail]] streaming operator.
+    *
+    * Per-tick limit + drop accounting: upstream caps each tick at
+    * min(client limit, tailIncrementalLimit=1000) evaluated NEWEST-first
+    * (`query_range.go:27,:717-720`, OrderASC=false), then advances `from`
+    * past the newest served timestamp — entries beyond the cap are
+    * skipped by that advance, yet its frame hard-codes
+    * `dropped_entries: []` (`query_range.go:793-795`). Here the skipped
+    * rows are ACCOUNTED: the frame reports each one as
+    * `{labels, timestamp}` — the Loki tail contract the field exists
+    * for — so a client can tell truncation from quiet. Reporting is
+    * bounded (one extra limit's worth per tick); beyond that the tick is
+    * truncated exactly like upstream.
     */
   private def lokiTail(p: Params): HttpResult = {
     val q = p.required("query")
     val startNs = p.first("start").map(parseTimeNs)
       .getOrElse(nowNs() - 3600L * 1000000000L)
-    val limit = p.first("limit").map(_.toInt).getOrElse(100)
+    val tickCap = 1000 // upstream tailIncrementalLimit
+    val limit = math.min(
+      p.first("limit").map(_.toInt).getOrElse(100), tickCap)
     val ev = EvalParams(startNs, nowNs(), 15L)
-    val rows = new LogQLCompiler(spark, dir, ev)
-      .compileLogQuery(q, Some(limit), forward = true)
+    // newest-first with one extra limit's worth of headroom: rows past
+    // `limit` are the ones upstream's from-advance would silently skip
+    val all = new LogQLCompiler(spark, dir, ev)
+      .compileLogQuery(q, Some(limit + tickCap), forward = false)
       .select(col("timestamp_ns"), col("labels"), col("line"))
       .collect().toSeq
+    val (served, dropped) = all.splitAt(limit)
     HttpResult(200, obj(Seq(
-      "streams" -> streamsArr(rows, forward = true),
-      "dropped_entries" -> arr(Seq.empty))))
+      "streams" -> streamsArr(served.sortBy(_.getLong(0)), forward = true),
+      "dropped_entries" -> arr(dropped.map(r => obj(Seq(
+        "labels" -> labelsJson(r.getMap[String, String](1).toMap),
+        "timestamp" -> str(r.getLong(0).toString))))))))
   }
 
   /** `/loki/api/v1/query` — LogQL INSTANT query
@@ -900,15 +916,26 @@ class Frontend(spark: SparkSession, dir: String,
       graft.ingest.WireFormats.decodeDatadogMetrics(bodyDf(body)),
       okStatus = 202, okBody = """{"status":"ok"}""")
 
+  /** `POST /api/v2/series` — the Datadog metrics route the reference's
+    * writer registers (`router/insert.go:14`): v2 points-as-objects wire
+    * shape, 202 `{}` (`controller/datadog.go:64-71`).
+    */
+  private def datadogSeriesV2Push(body: String): HttpResult =
+    appendMetricRows(
+      graft.ingest.WireFormats.decodeDatadogMetricsV2(bodyDf(body)),
+      okStatus = 202, okBody = "{}")
+
   private def cloudflarePush(body: String, p: Params): HttpResult =
     appendLogRows(graft.ingest.WireFormats.decodeCloudflare(bodyDf(body),
       ddsource = p.first("ddsource").getOrElse("cloudflare")))
 
+  // the reference's elastic responses are Go map marshals — key order is
+  // alphabetical (`controller/elastic.go:31-33`, `:77-80`)
   private def elasticBulkPush(body: String): HttpResult =
     appendLogRows(
       graft.ingest.WireFormats.decodeElasticBulk(bodyDf(body),
         ingestTsNs = Some(nowNs())),
-      okBody = """{"errors":false,"items":[]}""")
+      okBody = """{"errors":false,"took":0}""")
 
   /** `POST /{target}/_doc[/{id}]` — the single-document spelling
     * normalizes to a one-action bulk body (`elastic.go:29-63` routes both
@@ -942,38 +969,79 @@ class Frontend(spark: SparkSession, dir: String,
     }
     val decoded = graft.ingest.Pprof.decode(Seq(bytes).toDF("body"))
     val tsNs = p.first("from").map(parseTimeNs).getOrElse(nowNs())
-    // per-frame prefix rows: node = path hash, parent = parent-path hash
-    // (roots parent 0 — the flamegraph BFS contract), self at the leaf
+    val row = stacksToProfileRows(
+      decoded.select(lit(service).as("service_name"),
+        lit(tsNs).as("timestamp_ns"), col("stack"), col("value")),
+      extraTags = tags)
+    val n = graft.store.Store.appendProfiles(spark, dir, row)
+    if (n == 0) badRequest("profile contained no samples")
+    else HttpResult(200, "{}")
+  }
+
+  /** (service_name, timestamp_ns, stack Array[String] root-first, value)
+    * rows -> one profiles-table row per (service, timestamp). Per-frame
+    * prefix rows: node = hash of the root->frame path, parent =
+    * parent-path hash (roots parent 0 — the flamegraph BFS contract),
+    * self at the leaf — so identical call paths merge across pushes
+    * exactly like the reference's tree merge (`prof_merge_v2.go:51-200`).
+    * `extraTags` (static per request) join each row's tag set alongside
+    * the row's own service_name.
+    */
+  private def stacksToProfileRows(decoded: DataFrame,
+      extraTags: Map[String, String] = Map.empty): DataFrame = {
     val frames = decoded
-      .select(col("stack"), col("value"),
-        posexplode(col("stack")).as(Seq("pos", "fn")))
-      .select(col("fn"), col("value"),
+      .select(col("service_name"), col("timestamp_ns"), col("stack"),
+        col("value"), posexplode(col("stack")).as(Seq("pos", "fn")))
+      .select(col("service_name"), col("timestamp_ns"), col("fn"),
+        col("value"),
         (col("pos") === size(col("stack")) - 1).as("isLeaf"),
         xxhash64(concat_ws("\u0000",
           slice(col("stack"), lit(1), col("pos") + 1))).as("node"),
         when(col("pos") === 0, 0L)
           .otherwise(xxhash64(concat_ws("\u0000",
             slice(col("stack"), lit(1), col("pos"))))).as("parent"))
-    val tree = frames.groupBy(col("parent"), col("node"), col("fn"))
+    val trees = frames
+      .groupBy(col("service_name"), col("timestamp_ns"),
+        col("parent"), col("node"), col("fn"))
       .agg(sum(when(col("isLeaf"), col("value")).otherwise(0L)).as("self"),
         sum(col("value")).as("total"))
+      .groupBy(col("service_name"), col("timestamp_ns"))
       .agg(collect_list(struct(col("parent"), col("node"), col("fn"),
         col("self"), col("total"))).as("tree"))
-    val tagEntries = (tags + ("service_name" -> service)).toSeq.sorted
-      .map { case (k, v) => struct(lit(k).as("key"), lit(v).as("val")) }
-    val row = tree
+    // tag KEYS are static, values may be per-row (service_name): sort by
+    // key at build time — the store's sorted-entries tag contract
+    val tagEntries =
+      (extraTags.map { case (k, v) => k -> lit(v) } +
+        ("service_name" -> col("service_name"))).toSeq.sortBy(_._1)
+        .map { case (k, v) => struct(lit(k).as("key"), v.as("val")) }
+    trees
       .filter(size(col("tree")) > 0)
       .select(
-        lit(tsNs).as("profile_id"),
-        lit(service).as("service_name"),
-        lit(tsNs).as("timestamp_ns"),
+        col("timestamp_ns").as("profile_id"),
+        col("service_name"),
+        col("timestamp_ns"),
         lit("process_cpu:cpu:nanoseconds").as("type_id"),
         array(struct(lit("cpu").as("stype"), lit("nanoseconds").as("unit")))
           .as("sample_types_units"),
         array(tagEntries: _*).as("tags"),
         col("tree"))
-    val n = graft.store.Store.appendProfiles(spark, dir, row)
-    if (n == 0) badRequest("profile contained no samples")
+  }
+
+  /** `POST /v1development/profiles` — the OTLP profiles development
+    * signal (writer `router/profile.go:13`, `controller/profile.go:49-66`;
+    * decode re-expressed in [[graft.ingest.OtlpProfiles]]). The reference
+    * accepts only the protobuf content type (415 for JSON); this
+    * frontend's OTLP surface is OTLP/HTTP-JSON throughout, so the JSON
+    * export shape is the wire form here. 200 `{}` like upstream.
+    */
+  private def otlpProfilesPush(body: String): HttpResult = {
+    val decoded = graft.ingest.OtlpProfiles.decode(bodyDf(body))
+      .withColumn("timestamp_ns",
+        when(col("timestamp_ns").isNull || col("timestamp_ns") === 0L,
+          lit(nowNs())).otherwise(col("timestamp_ns")))
+    val n = graft.store.Store.appendProfiles(spark, dir,
+      stacksToProfileRows(decoded))
+    if (n == 0) badRequest("export contained no samples")
     else HttpResult(200, "{}")
   }
 
@@ -987,13 +1055,14 @@ class Frontend(spark: SparkSession, dir: String,
     case "/api/v1/query_range" | "/api/v1/query" | "/api/v1/labels" |
          "/api/v1/series" | "/loki/api/v1/query_range" |
          "/loki/api/v1/query" | "/loki/api/v1/labels" |
-         "/loki/api/v1/series" => true
+         "/loki/api/v1/label" | "/loki/api/v1/series" => true
     case LabelValuesRe(_) => true
     case PromLabelValuesRe(_) => true
     case _ => false
   }
 
-  private val ElasticDocRe = "^/([^/_][^/]*)/_doc(?:/[^/]*)?$".r
+  private val ElasticDocRe =
+    "^/([^/_][^/]*)/(?:_doc|_create)(?:/[^/]*)?$".r
   private val ElasticBulkRe = "^/(?:[^/_][^/]*/)?_bulk$".r
 
   // ---- multi-tenancy ---------------------------------------------------------
@@ -1008,20 +1077,50 @@ class Frontend(spark: SparkSession, dir: String,
     * requests build plans in parallel, and a global tenant flag would
     * leak scoping across them.
     */
+  /** LRU-bounded: sessions are cheap to rebuild (a `newSession()` + conf
+    * copy; the store readers cache is keyed per session and re-fills on
+    * first scan), so evicting the least-recently-used tenant only costs
+    * that tenant a warm-up — while an UNBOUNDED map lets any client
+    * streaming random X-Scope-OrgID values grow driver memory without
+    * bound. accessOrder=true makes every lookup a touch.
+    */
+  private val MaxTenantSessions = 64
   private val tenantFrontends =
-    scala.collection.concurrent.TrieMap[String, Frontend]()
+    new java.util.LinkedHashMap[String, Frontend](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Frontend]): Boolean =
+        size() > MaxTenantSessions
+    }
+
+  /** The DSN registry rejects garbage org ids before they reach storage;
+    * here the guard is structural: bounded length, printable-ASCII, no
+    * path separators (the oid lands in a partition directory name).
+    */
+  private def validOrg(org: String): Boolean =
+    org.nonEmpty && org.length <= 128 &&
+      org.forall(c => c > ' ' && c < 127 && c != '/' && c != '\\')
 
   private def forTenant(org: String): Frontend =
-    tenantFrontends.getOrElseUpdate(org, {
-      val s = spark.newSession()
-      for (k <- Seq("spark.sql.shuffle.partitions",
-          "spark.sql.session.timeZone"))
-        spark.conf.getOption(k).foreach(s.conf.set(k, _))
-      for ((k, v) <- spark.conf.getAll if k.startsWith("spark.graft."))
-        s.conf.set(k, v)
-      s.conf.set("spark.graft.tenant", org)
-      new Frontend(s, dir, nowNs)
-    })
+    tenantFrontends.synchronized {
+      val cached = tenantFrontends.get(org)
+      if (cached != null) cached
+      else {
+        val s = spark.newSession()
+        for (k <- Seq("spark.sql.shuffle.partitions",
+            "spark.sql.session.timeZone"))
+          spark.conf.getOption(k).foreach(s.conf.set(k, _))
+        for ((k, v) <- spark.conf.getAll if k.startsWith("spark.graft."))
+          s.conf.set(k, v)
+        s.conf.set("spark.graft.tenant", org)
+        val fe = new Frontend(s, dir, nowNs)
+        tenantFrontends.put(org, fe)
+        fe
+      }
+    }
+
+  /** Live session count — spec hook for the LRU bound. */
+  private[http] def tenantSessionCount: Int =
+    tenantFrontends.synchronized(tenantFrontends.size())
 
   /** Pure dispatcher — the whole API surface minus the socket, so specs
     * can drive it directly AND through a real server. Text routes decode
@@ -1035,33 +1134,76 @@ class Frontend(spark: SparkSession, dir: String,
 
   def routeRaw(path: String, p: Params, method: String,
       bytes: Array[Byte], org: Option[String] = None): HttpResult = org match {
+    case Some(o) if !validOrg(o) => badRequest("invalid X-Scope-OrgID")
     case Some(o) => forTenant(o).routeRaw(path, p, method, bytes)
     case None => routeRaw0(path, p, method, bytes)
   }
 
+  /** `/metrics` body: the Prometheus text exposition
+    * (`commonroutes/routes.go:13-18` serves promhttp over the default
+    * registry). The JVM analog of the Go process collectors plus the
+    * dispatcher's own request counter; format (# HELP/# TYPE + samples)
+    * is the promhttp contract so a Prometheus scraper can ingest it.
+    */
+  private def metricsExposition: HttpResult = {
+    val rt = Runtime.getRuntime
+    val upS = (System.nanoTime() - bootNs) / 1e9
+    val body =
+      s"""# HELP graft_http_requests_total HTTP requests dispatched.
+         |# TYPE graft_http_requests_total counter
+         |graft_http_requests_total ${requestCount.get()}
+         |# HELP process_uptime_seconds Seconds since this frontend started.
+         |# TYPE process_uptime_seconds gauge
+         |process_uptime_seconds $upS
+         |# HELP jvm_memory_used_bytes Heap in use.
+         |# TYPE jvm_memory_used_bytes gauge
+         |jvm_memory_used_bytes ${rt.totalMemory() - rt.freeMemory()}
+         |# HELP jvm_memory_max_bytes Heap ceiling.
+         |# TYPE jvm_memory_max_bytes gauge
+         |jvm_memory_max_bytes ${rt.maxMemory()}
+         |""".stripMargin
+    HttpResult(200, body, "text/plain; version=0.0.4")
+  }
+
+  private val bootNs = System.nanoTime()
+  private val requestCount = new java.util.concurrent.atomic.AtomicLong
+
   private def routeRaw0(path: String, p: Params, method: String,
-      bytes: Array[Byte]): HttpResult =
+      bytes: Array[Byte]): HttpResult = {
+    requestCount.incrementAndGet()
     try {
       lazy val body = new String(bytes, UTF_8)
       (method, path) match {
         case ("POST", "/loki/api/v1/push") => lokiPush(body)
-        // OTLP/HTTP (writer `/v1/logs`, `/v1/traces`, `/v1/metrics`)
+        // OTLP/HTTP (writer `/v1/logs`, `/v1/traces`, `/v1/metrics`,
+        // `/v1development/profiles`)
         case ("POST", "/v1/logs") => otlpLogsPush(body)
         case ("POST", "/v1/traces") => otlpTracesPush(body)
         case ("POST", "/v1/metrics") => otlpMetricsPush(body)
-        case ("POST", "/api/v1/prom/remote/write") => remoteWritePush(bytes)
+        case ("POST", "/v1development/profiles") => otlpProfilesPush(body)
+        // all five remote-write spellings the writer registers
+        // (`writer/router/prom.go:9-14`)
+        case ("POST", "/api/v1/prom/remote/write" | "/v1/prom/remote/write"
+            | "/prom/remote/write" | "/api/prom/remote/write"
+            | "/api/prom/push") => remoteWritePush(bytes)
         case ("POST", "/influx/api/v2/write") => influxPush(body, p)
         case ("POST", "/api/v2/logs") => datadogLogsPush(body)
-        // POST /api/v1/series is Datadog metric ingest (JSON body); the
+        case ("POST", "/api/v2/series") => datadogSeriesV2Push(body)
+        // POST /api/v1/series is Datadog v1 metric ingest (JSON body); the
         // same path form-encoded is Grafana's prom-series POST fallback
         case ("POST", "/api/v1/series") if body.trim.startsWith("{") =>
           datadogSeriesPush(body)
-        case ("POST", "/tempo/spans") | ("POST", "/api/v2/spans") =>
-          zipkinPush(body)
+        // `/tempo/api/push` is ClickhousePushV2 = PushV2, the same Zipkin
+        // handler as /tempo/spans (`writer/controller/tempo.go:26`)
+        case ("POST", "/tempo/spans") | ("POST", "/api/v2/spans")
+            | ("POST", "/tempo/api/push") => zipkinPush(body)
         case ("POST", "/cf/v1/insert") => cloudflarePush(body, p)
         case ("POST", "/ingest") => pprofPush(bytes, p)
         case ("POST", ElasticBulkRe()) => elasticBulkPush(body)
-        case ("POST", ElasticDocRe(target)) => elasticDocPush(target, body)
+        // `_create/{id}` registers POST+PUT, `_doc/{id}` PUT, bare `_doc`
+        // POST (`writer/router/elastic.go:10-13`); one handler serves all
+        case ("POST" | "PUT", ElasticDocRe(target)) =>
+          elasticDocPush(target, body)
         case ("POST", RulesNsRe(ns)) => rulesSetGroup(ns, body)
         case ("POST", qp) if isQueryPostRoute(qp) =>
           routeGet(qp, Params.merge(p, Params.fromQuery(body)))
@@ -1078,7 +1220,6 @@ class Frontend(spark: SparkSession, dir: String,
       case e: IllegalArgumentException => badRequest(e.getMessage)
       case e: java.time.format.DateTimeParseException =>
         badRequest(e.getMessage)
-      case e: NumberFormatException => badRequest(e.getMessage)
       // anything the Spark execution throws (bad regex compiled into a
       // plan, schema errors) must still come back as an HTTP envelope —
       // a dropped connection is the one thing a client can't handle
@@ -1086,6 +1227,7 @@ class Frontend(spark: SparkSession, dir: String,
         "status" -> str("error"), "errorType" -> str("internal"),
         "error" -> str(String.valueOf(e.getMessage)))))
     }
+  }
 
   private val TraceByIdJsonRe = "^/api/traces/([0-9a-fA-F]+)/json$".r
 
@@ -1098,13 +1240,34 @@ class Frontend(spark: SparkSession, dir: String,
           routeGet(t.stripPrefix("/tempo"), p)
         case "/ready" => HttpResult(200, str("ready"))
         case "/api/echo" => HttpResult(200, str("echo"))
+        // writer liveness: the remote-write GET probe
+        // (`writer/controller/prom.go:49-52`) and the influx health pair
+        // (`writer/router/insert.go:17-18`, 200 + empty body)
+        case "/prom/remote/write" => HttpResult(200, "OK", "text/plain")
+        case "/influx/health" | "/influx/api/v2/write/health" =>
+          HttpResult(200, "")
         case "/api/v1/status/buildinfo" =>
           ok(obj(Seq("version" -> str(""))))
+        // operational pair every binary registers
+        // (`shared/commonroutes/routes.go:12-18`): /config is a literal
+        // "Not supported" 200 (`controller.go:23-26`); /metrics is the
+        // Prometheus text exposition — process gauges + the request
+        // counter this dispatcher maintains, same format contract as
+        // promhttp (content differs: JVM process, not a Go runtime)
+        case "/config" => HttpResult(200, "Not supported", "text/plain")
+        case "/metrics" => metricsExposition
+        // the unversioned buildinfo spelling (`commonroutes/routes.go:19`,
+        // `controller.go:28-34` — a Go map marshal: alphabetical keys)
+        case "/api/status/buildinfo" =>
+          HttpResult(200,
+            obj(Seq("branch" -> str("main"), "version" -> str("0.0.1"))))
         case "/loki/api/v1/query_range" => lokiQueryRange(p)
         case "/loki/api/v1/query" => lokiInstant(p)
         case "/api/metrics/query" => tempoMetricsInstant(p)
         case TraceByIdJsonRe(hexId) => tempoTraceById(hexId)
-        case "/loki/api/v1/labels" => lokiLabels(p)
+        // `/label` is the legacy alias of `/labels`
+        // (`reader/router/select_labels.go:17`)
+        case "/loki/api/v1/labels" | "/loki/api/v1/label" => lokiLabels(p)
         case LabelValuesRe(key) => lokiLabelValues(p, key)
         case "/loki/api/v1/series" => lokiSeries(p)
         case "/loki/api/v1/index/stats" => lokiIndexStats(p)
@@ -1122,7 +1285,9 @@ class Frontend(spark: SparkSession, dir: String,
         case "/api/metrics/query_range" => tempoMetrics(p)
         case "/api/v1/query_range" => promQueryRange(p)
         case "/api/v1/query" => promInstant(p)
-        case "/api/v1/metadata" => promMetadata
+        // the reference binds query_exemplars to the Metadata handler
+        // (`reader/router/prometheus_labels.go:23`) — same response here
+        case "/api/v1/metadata" | "/api/v1/query_exemplars" => promMetadata
         case "/api/v1/labels" => promLabels
         case PromLabelValuesRe(key) => promLabelValues(key)
         case "/api/v1/series" => promSeries(p)
@@ -1138,7 +1303,6 @@ class Frontend(spark: SparkSession, dir: String,
       case e: IllegalArgumentException => badRequest(e.getMessage)
       case e: java.time.format.DateTimeParseException =>
         badRequest(e.getMessage)
-      case e: NumberFormatException => badRequest(e.getMessage)
     }
 
   /** Start a real HTTP server (port 0 = ephemeral; read the bound port

@@ -795,6 +795,52 @@ object WireFormats {
         col("fingerprint"))
   }
 
+  // --- Datadog metrics v2 JSON (`datadog_metrics_json.go:25-110`, the
+  // shape the reference's writer actually serves at /api/v2/series:
+  // points are OBJECTS {timestamp: epoch_s, value}, `resources[i]`
+  // objects label as resource{i+1}_{key}, and tags are SKIPPED by the
+  // upstream decoder) -------------------------------------------------------
+
+  val datadogMetricsV2Schema: StructType = StructType(Seq(
+    StructField("series", ArrayType(StructType(Seq(
+      StructField("metric", StringType),
+      StructField("points", ArrayType(StructType(Seq(
+        StructField("timestamp", LongType),
+        StructField("value", DoubleType))))),
+      StructField("resources",
+        ArrayType(MapType(StringType, StringType)))))))))
+
+  /** Datadog v2 series → canonical samples. A missing metric name labels
+    * `__name__` as "" (the Go MaybeString default); a missing point value
+    * is 0; a missing timestamp is null here and stamped with receive time
+    * at the route layer (the decoder's time.Now() default).
+    */
+  def decodeDatadogMetricsV2(bodies: DataFrame): DataFrame = {
+    val resourceEntries = flatten(transform(
+      coalesce(col("s.resources"),
+        array().cast(ArrayType(MapType(StringType, StringType)))),
+      (r, i) => transform(map_entries(r), e =>
+        map(concat(lit("resource"), (i + 1).cast("string"), lit("_"),
+            e.getField("key")),
+          e.getField("value")))))
+    bodies
+      .select(explode(from_json(col("body"), datadogMetricsV2Schema)
+        .getField("series")).as("s"))
+      // labels + fingerprint staged per SERIES, outside the point explode
+      // (same per-output-row evaluation trap as the v1 decoder above)
+      .select(
+        MapOps.update(MapOps.entriesToMapLastWins(resourceEntries),
+          map(lit("__name__"), coalesce(col("s.metric"), lit(""))))
+          .as("labels"),
+        col("s.points").as("pts"))
+      .withColumn("fingerprint", Tables.fingerprintOf(col("labels")))
+      .select(col("labels"), col("fingerprint"), explode(col("pts")).as("p"))
+      .select(col("labels"),
+        (col("p.timestamp") * 1000000000L).cast("long").as("timestamp_ns"),
+        coalesce(col("p.value"), lit(0.0)).as("value"),
+        col("fingerprint"))
+  }
+
   // --- Datadog/Cloudflare log push (`datadog_cf_json.go`) -----------------
 
   val cfSchema: StructType = StructType(Seq(

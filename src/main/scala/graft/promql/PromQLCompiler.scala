@@ -728,10 +728,28 @@ class PromQLCompiler(spark: SparkSession, dir: String, params: PromParams) {
 
   private def downsampleEligible(fn: String, sel: Selector): Boolean = {
     val q = 15000000000L
-    graft.store.Store.enabled(spark) && DownsampleFns(fn) &&
-      sel.name == "events_value" &&
+    // built families: only the gauge table has a downsample; counter and
+    // bucket stay raw. Any OTHER name is a pushed family — its 15s
+    // partials live in prom_pushed_15s ([[downsampleScan]] resolves,
+    // falling back to raw when nothing was ever pushed).
+    val familyOk = sel.name == "events_value" ||
+      !Set("events_total", "events_bucket")(sel.name)
+    graft.store.Store.enabled(spark) && DownsampleFns(fn) && familyOk &&
       sel.rangeNs.exists(_ % q == 0) && stepNs % q == 0 &&
       sel.offsetNs % q == 0 && gridStart % q == 0 // pinned @ grids may be unaligned
+  }
+
+  /** The 15s-partials scan for an eligible selector: the built gauge
+    * downsample, or the pushed-family downsample maintained by the live
+    * append path (`Store.appendMetrics`). None ⇒ no downsample exists for
+    * this name (nothing ever pushed) — caller falls back to raw.
+    */
+  private def downsampleScan(sel: Selector): Option[DataFrame] = {
+    val lo = gridStart - sel.rangeNs.get - sel.offsetNs
+    val hi = gridEnd + 1 - sel.offsetNs
+    if (sel.name == "events_value")
+      Some(graft.store.Store.promGauge15s(spark, dir, lo, hi).drop("date"))
+    else graft.store.Store.promPushed15s(spark, dir, sel.name, lo, hi)
   }
 
   /** Downsample route (`prom_queryable.go:150-160` raw-vs-downsample fork,
@@ -739,11 +757,11 @@ class PromQLCompiler(spark: SparkSession, dir: String, params: PromParams) {
     * of raw samples. 15s buckets nest inside the aligned windows, so
     * count=Σcnt, min/max fold, last=argmax(last_ts) are exact.
     */
-  private def overTimeDownsampled(fn: String, sel: Selector): DataFrame = {
+  private def overTimeDownsampled(fn: String, sel: Selector,
+      scan15s: DataFrame): DataFrame = {
     val rangeNs = sel.rangeNs.get
     val off = sel.offsetNs
-    var df = graft.store.Store.promGauge15s(spark, dir,
-        gridStart - rangeNs - off, gridEnd + 1 - off).drop("date")
+    var df = scan15s
     for (m <- sel.matchers) df = df.filter(matcherCond(m))
     val tsEff = col("timestamp_ns") + lit(off)
     // bucket [b, b+15s) is fully inside window (t-range, t] iff
@@ -810,7 +828,10 @@ class PromQLCompiler(spark: SparkSession, dir: String, params: PromParams) {
   private def overTime(fn: String, arg: PExpr, agg: Column): DataFrame = {
     arg match {
       case sel: Selector if downsampleEligible(fn, sel) =>
-        return overTimeDownsampled(fn, sel)
+        downsampleScan(sel) match {
+          case Some(scan15s) => return overTimeDownsampled(fn, sel, scan15s)
+          case None => // no downsample for this name — fall through to raw
+        }
       case _ =>
     }
     // large range/step: the explode amplifies each sample range/step× —

@@ -2,7 +2,7 @@ package graft.store
 
 import scala.collection.concurrent.TrieMap
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.model.{Materialize, Tables}
@@ -369,7 +369,8 @@ object Store {
 
   private val DatedTables = Seq("samples", "metrics_15s", "spans",
     "span_attrs", "span_ancestors", "profiles", "prom_gauge",
-    "prom_counter", "prom_bucket", "prom_gauge_15s")
+    "prom_counter", "prom_bucket", "prom_gauge_15s", "prom_pushed",
+    "prom_pushed_15s")
 
   /** Live ingest append — the batched fan-out write a push endpoint makes
     * (`writer/service/insert/`, one insert per canonical table): a decoded
@@ -593,7 +594,34 @@ object Store {
       withPushOid(spark, dict)
         .join(existing, Seq("oid", "family", "fingerprint"), "left_anti")
         .write.mode("append").parquet(s"$root/prom_series")
-      invalidate(spark, root, Seq("prom_pushed", "prom_series"))
+      // the batch's own 15s downsample PARTIALS (the `metrics_15s` MV
+      // analog for pushed families, log.sql:96-107): independent batches
+      // append disjoint partial rows for the same bucket, the readers
+      // ([[promPushed15s]]) merge them associatively, and [[maintain]]
+      // merges them physically — so the PromQL downsample routing rule
+      // fires on LIVE data, not only the batch-built store
+      val bucketNs = 15L * 1000 * 1000 * 1000
+      val partials = batch
+        .groupBy(
+          element_at(col("labels"), "__name__").as("family"),
+          col("fingerprint"),
+          (col("timestamp_ns") - pmod(col("timestamp_ns"), lit(bucketNs)))
+            .as("timestamp_ns"))
+        .agg(first(col("labels")).as("labels"),
+          max_by(col("value"), col("timestamp_ns")).as("last"),
+          max(col("timestamp_ns")).as("last_ts"),
+          min(col("value")).as("min"),
+          max(col("value")).as("max"),
+          sum(col("value")).as("sum"),
+          count(lit(1)).as("cnt"))
+        .filter(col("family").isNotNull)
+      withPushOid(spark, withDate(partials))
+        .sortWithinPartitions(col("family"), col("fingerprint"),
+          col("timestamp_ns"))
+        .write.mode("append").partitionBy("oid", "date")
+        .parquet(s"$root/prom_pushed_15s")
+      invalidate(spark, root,
+        Seq("prom_pushed", "prom_series", "prom_pushed_15s"))
     }
     n
   }
@@ -649,6 +677,32 @@ object Store {
       .filter(element_at(col("labels"), "__name__") === name))
   }
 
+  /** Pushed-family 15s downsample, merged per bucket ON READ: independent
+    * push batches append disjoint PARTIAL rows for the same bucket
+    * ([[appendMetrics]]), and the merge functions (Σcnt/Σsum, min/max
+    * fold, argmax-by-last_ts) are associative, so the read is exact in
+    * any compaction state — the AggregatingMergeTree-on-SELECT semantics
+    * of the reference's downsample MV. [[maintain]] applies the SAME
+    * merge physically, so steady-state scans see ~1 row per bucket and
+    * this groupBy degenerates to a near-no-op over presorted buckets.
+    * None until a metric push ever happened.
+    */
+  def promPushed15s(spark: SparkSession, dir: String, name: String,
+      loNs: Long, hiNs: Long): Option[DataFrame] = {
+    val root = ensure(spark, dir)
+    if (!haveDir(s"$root/prom_pushed_15s")) None
+    else Some(scanWindow(spark, s"$root/prom_pushed_15s", loNs, hiNs)
+      .filter(col("family") === name)
+      .groupBy(col("fingerprint"), col("timestamp_ns"))
+      .agg(first(col("labels")).as("labels"),
+        max_by(col("last"), col("last_ts")).as("last"),
+        max(col("last_ts")).as("last_ts"),
+        min(col("min")).as("min"),
+        max(col("max")).as("max"),
+        sum(col("sum")).as("sum"),
+        sum(col("cnt")).as("cnt")))
+  }
+
   /** TTL retention (`ctrl/qryn/maintenance/rotate.go:48-66`, which issues
     * `ALTER TABLE ... DROP PARTITION` per expired day): drop every `date=`
     * partition strictly before the cutoff (ISO yyyy-MM-dd) across the
@@ -695,7 +749,9 @@ object Store {
     compactRoot(spark, ensure(spark, dir), table, sortCols, maxFiles)
 
   private[store] def compactRoot(spark: SparkSession, root: String,
-      table: String, sortCols: Seq[String], maxFiles: Int): Int = {
+      table: String, sortCols: Seq[String], maxFiles: Int,
+      merge: Option[DataFrame => DataFrame] = None,
+      targetFiles: Int = 1): Int = {
     val tableDir = new java.io.File(s"$root/$table")
     def partDirs(f: java.io.File): Seq[java.io.File] = {
       val kids = Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
@@ -704,30 +760,101 @@ object Store {
     }
     val leaves = if (tableDir.isDirectory) partDirs(tableDir) else Nil
     var n = 0
-    for (leaf <- leaves if leaf != tableDir) {
+    // leaf == tableDir is the FLAT (unpartitioned) dictionary-table case:
+    // same write-new-then-swap, but the table's own _SUCCESS marker must
+    // survive (it guards the build), and the rewrite keeps the dictionary
+    // sharded (targetFiles) instead of collapsing to one file
+    for (leaf <- leaves) {
       val parts = Option(leaf.listFiles()).getOrElse(Array.empty[java.io.File])
         .filter(f => f.isFile && f.getName.endsWith(".parquet"))
       if (parts.length > maxFiles) {
         val tmp = new java.io.File(leaf.getParentFile, leaf.getName + ".compact")
-        val df = spark.read.parquet(leaf.getAbsolutePath)
+        val df0 = spark.read.parquet(leaf.getAbsolutePath)
+        val df = merge.fold(df0)(m => m(df0))
         val sortable = sortCols.filter(df.columns.contains)
-        df.coalesce(1)
+        (if (targetFiles <= 1) df.coalesce(1)
+         else df.repartition(targetFiles, sortable.take(1).map(col): _*))
           .sortWithinPartitions(sortable.map(col): _*)
           .write.mode("overwrite").parquet(tmp.getAbsolutePath)
         deleteRec(leaf)
         if (!tmp.renameTo(leaf))
           throw new java.io.IOException(s"compact swap failed: $tmp -> $leaf")
         // drop the nested _SUCCESS marker — partition dirs hold only parts
-        new java.io.File(leaf, "_SUCCESS").delete(): Unit
+        if (leaf != tableDir)
+          new java.io.File(leaf, "_SUCCESS").delete(): Unit
         n += 1
       }
     }
     if (n > 0) {
-      readers.remove((spark, tableDir.getAbsolutePath))
-      spark.catalog.refreshByPath(tableDir.getAbsolutePath)
+      // cross-session invalidation, same contract as [[invalidate]]: a
+      // tenant session must not keep serving the pre-compaction file list
+      val path = s"$root/$table"
+      val sessions = readers.keysIterator
+        .collect { case (s, p) if p == path => s }.toSet + spark
+      readers.filterInPlace { case ((_, p), _) => p != path }
+      sessions.foreach(_.catalog.refreshByPath(path))
     }
     n
   }
+
+  /** Bucket-merge for the 15s downsample PARTIAL tables — the merge
+    * ClickHouse's AggregatingMergeTree applies to the reference's MV
+    * tables during background merges: partial rows of one
+    * (family, fingerprint, bucket) combine via the partial-merge
+    * functions (Σcnt/Σsum/Σbytes, min/max fold, argmax-by-last_ts).
+    * Read paths apply the SAME merge, so this is purely physical: it
+    * shrinks the table back to ~1 row per bucket after many small pushes.
+    */
+  private def mergePartials(df: DataFrame): DataFrame = {
+    val keys = Seq("family", "fingerprint", "timestamp_ns")
+      .filter(df.columns.contains)
+    val mergeFns: Map[String, Column] = Map(
+      "labels" -> first(col("labels")),
+      "last" -> max_by(col("last"), col("last_ts")),
+      "last_ts" -> max(col("last_ts")),
+      "min" -> min(col("min")),
+      "max" -> max(col("max")),
+      "sum" -> sum(col("sum")),
+      "cnt" -> sum(col("cnt")),
+      "bytes" -> sum(col("bytes")))
+    val aggs = df.columns.filterNot(keys.contains).toSeq.map(c =>
+      mergeFns.getOrElse(c, first(col(c))).as(c))
+    df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+      .select(df.columns.map(col).toSeq: _*)
+  }
+
+  /** The scheduled housekeeping pass a live deployment runs (the
+    * reference's ctrl maintenance timers — `rotate.go` + ClickHouse's own
+    * background merges): compact every append-MUTABLE table's
+    * over-fragmented partition directories, merging downsample partials
+    * by bucket and re-sharding the dictionary tables. Each partition is
+    * independent work bounded by its own size; nothing global, so at
+    * 100 TB this schedules per-partition jobs exactly like the
+    * reference's per-part merges. Returns partitions compacted. Safe to
+    * run concurrently with queries (write-new-then-swap) but serialized
+    * against appends via [[appendLock]].
+    */
+  def maintain(spark: SparkSession, dir: String, maxFiles: Int = 8): Int =
+    appendLock.synchronized {
+      val root = ensure(spark, dir)
+      val pm: Option[DataFrame => DataFrame] =
+        Some((df: DataFrame) => mergePartials(df))
+      val plan: Seq[(String, Seq[String], Option[DataFrame => DataFrame], Int)] =
+        Seq(
+          ("samples", Seq("fingerprint", "timestamp_ns"), None, 1),
+          ("metrics_15s", Seq("fingerprint", "timestamp_ns"), pm, 1),
+          ("spans", Seq("trace_id", "span_id"), None, 1),
+          ("span_attrs", Seq("key", "val", "trace_id"), None, 1),
+          ("span_ancestors", Seq("trace_id", "span_id"), None, 1),
+          ("profiles", Seq("service_name", "timestamp_ns"), None, 1),
+          ("prom_pushed", Seq("fingerprint", "timestamp_ns"), None, 1),
+          ("prom_pushed_15s", Seq("family", "fingerprint", "timestamp_ns"),
+            pm, 1),
+          ("time_series", Seq("fingerprint"), None, dictShards(spark)),
+          ("prom_series", Seq("fingerprint"), None, dictShards(spark)))
+      plan.map { case (t, sort, m, tf) =>
+        compactRoot(spark, root, t, sort, maxFiles, m, tf) }.sum
+    }
 
   def promMetric(spark: SparkSession, dir: String, name: String,
       loNs: Long, hiNs: Long): Option[DataFrame] = {
