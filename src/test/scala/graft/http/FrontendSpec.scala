@@ -874,6 +874,189 @@ class FrontendSpec extends SparkSpec {
     } finally srv.stop(0)
   }
 
+  test("writer route aliases: every alternate spelling the writer " +
+      "registers lands in the same decoders (remote-write spellings, " +
+      "OTLP profiles, Datadog v2 series, /tempo/api/push, Elastic " +
+      "_create + PUT _doc, health probes)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-alias").toFile
+    tmp.deleteOnExit()
+    for (f <- new java.io.File(sf).listFiles(); if f.getName.endsWith(".parquet"))
+      java.nio.file.Files.copy(f.toPath,
+        new java.io.File(tmp, f.getName).toPath)
+    val dir = tmp.getAbsolutePath
+    val tsNs = (StartS + 5000L) * 1000000000L
+    val srv = new Frontend(spark, dir, nowNs = () => tsNs).start(0)
+    try {
+      val b = s"http://127.0.0.1:${srv.getAddress.getPort}"
+      def get2(pq: String): (Int, String) = {
+        val r = client.send(HttpRequest.newBuilder(URI.create(b + pq)).GET()
+          .build(), HttpResponse.BodyHandlers.ofString())
+        (r.statusCode(), r.body())
+      }
+      def send(method: String, path: String, body: Array[Byte]): (Int, String) = {
+        val r = client.send(HttpRequest.newBuilder(URI.create(b + path))
+          .method(method, HttpRequest.BodyPublishers.ofByteArray(body)).build(),
+          HttpResponse.BodyHandlers.ofString())
+        (r.statusCode(), r.body())
+      }
+      def post(path: String, body: String): (Int, String) =
+        send("POST", path, body.getBytes("UTF-8"))
+      def instant(q: String): String =
+        get2("/api/v1/query?query=" + enc(q) +
+          s"&time=${tsNs / 1000000000L + 10}")._2
+      def lokiLines(sel: String): Seq[String] = {
+        val (_, body) = get2("/loki/api/v1/query_range?query=" + enc(sel) +
+          s"&start=${StartS}000000000&end=${EndS}000000000&limit=100")
+        """\["\d{19}","((?:[^"\\]|\\.)*)"\]""".r.findAllMatchIn(body)
+          .map(_.group(1).replace("\\\"", "\"")).toSeq
+      }
+
+      // remote-write under the four alternate spellings (prom.go:9-14)
+      for ((path, i) <- Seq("/api/prom/remote/write", "/prom/remote/write",
+          "/v1/prom/remote/write", "/api/prom/push").zipWithIndex) {
+        val rw = graft.ingest.PromRemoteWrite.encodeWriteRequest(Seq(
+          (Map("__name__" -> s"rwalias_$i", "job" -> "alias"),
+            Seq((tsNs / 1000000L, i + 1.0)))))
+        assert(send("POST", path, rw)._1 == 204, path)
+        assert(instant(s"""rwalias_$i{job="alias"}""")
+          .contains("\"" + (i + 1)), path)
+      }
+      // the GET spelling of /prom/remote/write is the liveness probe
+      assert(get2("/prom/remote/write") == (200, "OK"))
+      assert(get2("/influx/health")._1 == 200)
+      assert(get2("/influx/api/v2/write/health")._1 == 200)
+
+      // OTLP profiles (the development signal): dictionary-table export
+      val prof = graft.ingest.OtlpProfiles.encode("pushotlp", tsNs, Seq(
+        (Seq("main", "work"), 100L), (Seq("main", "idle"), 50L)))
+      assert(post("/v1development/profiles", prof)._1 == 200)
+      val tree = graft.prof.Profiles.mergeTree(spark, dir, "pushotlp")
+        .orderBy("fn").collect().map(r =>
+          (r.getAs[String]("fn"), r.getAs[Long]("total"))).toSeq
+      assert(tree == Seq(("idle", 50L), ("main", 150L), ("work", 100L)), tree)
+
+      // Datadog v2 series: points as objects, resources label the series
+      val ddv2 =
+        s"""{"series":[{"metric":"ddv2_gauge","points":[
+           |{"timestamp":${tsNs / 1000000000L},"value":3.25}],
+           |"resources":[{"name":"h1","type":"host"}]}]}"""
+          .stripMargin.replace("\n", "")
+      val (dc, db) = post("/api/v2/series", ddv2)
+      assert((dc, db) == (202, "{}"), s"$dc $db")
+      assert(instant("""ddv2_gauge{resource1_name="h1"}""")
+        .contains("\"3.25\""))
+
+      // /tempo/api/push = the Zipkin handler (tempo.go:26)
+      val zipkin =
+        s"""[{"traceId":"00000000000000e1","id":"00000000000000e2",
+           |"name":"tp-op","timestamp":${tsNs / 1000},"duration":1000,
+           |"localEndpoint":{"serviceName":"tpsvc"},
+           |"tags":{"zone":"tp1"}}]""".stripMargin.replace("\n", "")
+      assert(post("/tempo/api/push", zipkin)._1 == 202)
+      val (_, zk) = get2("/api/search?q=" + enc("""{ .zone="tp1" }""") +
+        s"&start=${tsNs - 1}&end=${tsNs + 1000000}")
+      assert(zk.contains("00000000000000e1"), zk.take(300))
+
+      // Elastic _create + the PUT spelling of _doc (elastic.go:10-13)
+      assert(post("/cidx/_create/1", """{"msg":"created doc"}""")._1 == 200)
+      assert(lokiLines("""{_index="cidx"}""") == Seq("""{"msg":"created doc"}"""))
+      assert(send("PUT", "/pidx/_doc/7",
+        """{"msg":"put doc"}""".getBytes("UTF-8"))._1 == 200)
+      assert(lokiLines("""{_index="pidx"}""") == Seq("""{"msg":"put doc"}"""))
+    } finally srv.stop(0)
+  }
+
+  test("operational endpoints: /config literal, /metrics Prometheus " +
+      "exposition, unversioned buildinfo, query_exemplars envelope, " +
+      "legacy /label alias") {
+    assert(get("/config") == (200, "Not supported"))
+    val (mc, metrics) = get("/metrics")
+    assert(mc == 200)
+    assert(metrics.contains("# TYPE graft_http_requests_total counter"),
+      metrics.take(300))
+    assert(metrics.contains("jvm_memory_used_bytes "), metrics.take(600))
+    assert("""graft_http_requests_total (\d+)""".r
+      .findFirstMatchIn(metrics).get.group(1).toLong > 0)
+    assert(get("/api/status/buildinfo") ==
+      (200, """{"branch":"main","version":"0.0.1"}"""))
+    // query_exemplars binds to the Metadata handler upstream
+    // (prometheus_labels.go:23): same success envelope
+    val (ec, ex) = get("/api/v1/query_exemplars?query=up")
+    assert(ec == 200 && ex.startsWith("""{"status":"success","data":"""),
+      ex.take(120))
+    assert(ex == get("/api/v1/metadata")._2)
+    // /label is the legacy alias of /labels
+    assert(get(s"/loki/api/v1/label?start=$StartS&end=$EndS") ==
+      get(s"/loki/api/v1/labels?start=$StartS&end=$EndS"))
+  }
+
+  test("tail reports dropped entries when the per-tick limit truncates: " +
+      "newest `limit` served, older overflow accounted with labels + " +
+      "timestamp") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-drop").toFile
+    tmp.deleteOnExit()
+    for (f <- new java.io.File(sf).listFiles(); if f.getName.endsWith(".parquet"))
+      java.nio.file.Files.copy(f.toPath,
+        new java.io.File(tmp, f.getName).toPath)
+    val srv = new Frontend(spark, tmp.getAbsolutePath,
+      nowNs = () => EndS * 1000000000L).start(0)
+    try {
+      val b = s"http://127.0.0.1:${srv.getAddress.getPort}"
+      val values = (1 to 8).map(i =>
+        s"""["${(StartS + 100 * i)}000000000","drop line $i"]""")
+        .mkString(",")
+      val push = client.send(
+        HttpRequest.newBuilder(URI.create(b + "/loki/api/v1/push"))
+          .POST(HttpRequest.BodyPublishers.ofString(
+            s"""{"streams":[{"stream":{"event_type":"droppush"},"values":[$values]}]}"""))
+          .build(), HttpResponse.BodyHandlers.ofString())
+      assert(push.statusCode() == 204)
+      val (tc, frame0) = {
+        val r = client.send(HttpRequest.newBuilder(URI.create(
+          b + "/loki/api/v1/tail?query=" + enc("""{event_type="droppush"}""") +
+            s"&start=${StartS}000000000&limit=3")).GET().build(),
+          HttpResponse.BodyHandlers.ofString())
+        (r.statusCode(), r.body())
+      }
+      assert(tc == 200)
+      val streamsPart = frame0.substring(0, frame0.indexOf("dropped_entries"))
+      val droppedPart = frame0.substring(frame0.indexOf("dropped_entries"))
+      def lines(s: String): Seq[String] =
+        """drop line (\d)""".r.findAllMatchIn(s).map(_.group(1)).toSeq
+      // newest 3 served (the upstream DESC per-tick truncation)
+      assert(lines(streamsPart).toSet == Set("6", "7", "8"), frame0.take(400))
+      // the 5 older ones are REPORTED, each with labels + timestamp
+      val dropped = """\{"labels":\{"event_type":"droppush"\},"timestamp":"(\d{19})"\}""".r
+        .findAllMatchIn(droppedPart).map(_.group(1).toLong).toSeq
+      assert(dropped.size == 5, droppedPart.take(400))
+      assert(dropped.toSet ==
+        (1 to 5).map(i => (StartS + 100 * i) * 1000000000L).toSet)
+      // under the limit: dropped_entries is empty again
+      val (_, frame1) = {
+        val r = client.send(HttpRequest.newBuilder(URI.create(
+          b + "/loki/api/v1/tail?query=" + enc("""{event_type="droppush"}""") +
+            s"&start=${StartS}000000000&limit=100")).GET().build(),
+          HttpResponse.BodyHandlers.ofString())
+        (r.statusCode(), r.body())
+      }
+      assert(frame1.contains(""""dropped_entries":[]"""), frame1.take(300))
+    } finally srv.stop(0)
+  }
+
+  test("tenant session cache is LRU-bounded and garbage org ids are " +
+      "rejected before creating a session") {
+    val fe = new Frontend(spark, sf)
+    for (i <- 1 to 70)
+      assert(fe.route("/ready", Params(), org = Some(s"lru$i")).status == 200)
+    assert(fe.tenantSessionCount <= 64, fe.tenantSessionCount)
+    // an evicted tenant still answers (session rebuilt transparently)
+    assert(fe.route("/ready", Params(), org = Some("lru1")).status == 200)
+    // structural garbage: path separators, control chars, oversized ids
+    for (bad <- Seq("../evil", "a/b", "a\\b", "with space", "x" * 129, ""))
+      assert(fe.route("/ready", Params(), org = Some(bad)).status == 400, bad)
+    assert(fe.tenantSessionCount <= 64)
+  }
+
   private def enc(s: String): String =
     java.net.URLEncoder.encode(s, java.nio.charset.StandardCharsets.UTF_8)
 }
