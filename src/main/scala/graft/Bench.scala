@@ -74,7 +74,13 @@ object Bench {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
     val merged = scala.collection.mutable.LinkedHashMap[String, Double]()
     val retried = scala.collection.mutable.ArrayBuffer[String]()
+    // the FIRST child pays the real store materialization; every later
+    // child's "_store_build" is only its cache-hit ensure + session
+    // warmup. Report them as separate entries so the `_store_build`
+    // number keeps meaning what its pin measured (one cold build), and
+    // the per-child warmup tax is visible on its own
     var storeBuild = -1.0
+    var childWarm = -1.0
     var err: Option[String] = None
     for ((fam, qs) <- groups) {
       val out = s"target/bench_child_$fam.json"
@@ -94,10 +100,9 @@ object Bench {
       childJson match {
         case Some(js) =>
           val qsMap = parseQueries(js)
-          // each child pays its own (mostly cache-hit) store ensure +
-          // session warmup inside _store_build; report the MAX — the
-          // first child's real build — as the run's store-build cost
-          storeBuild = math.max(storeBuild, qsMap.getOrElse("_store_build", -1.0))
+          val sb = qsMap.getOrElse("_store_build", -1.0)
+          if (storeBuild < 0) storeBuild = sb
+          else childWarm = math.max(childWarm, sb)
           for (n <- qs) merged(n) = qsMap.getOrElse(n, -1.0)
           retried ++= parseRetried(js)
         case None =>
@@ -105,7 +110,8 @@ object Bench {
           for (n <- qs) merged(n) = -1.0
       }
     }
-    emit(merged.toMap + ("_store_build" -> storeBuild), retried.toList,
+    emit(merged.toMap + ("_store_build" -> storeBuild)
+        + ("_child_warm" -> childWarm), retried.toList,
       sfDir, err, partial = false,
       selectedN = groups.map(_._2.size).sum)
     true
@@ -165,8 +171,12 @@ object Bench {
       // the HTTP-roundtrip gates run against a small fixture copy with its
       // own store — build it here (untimed, like the main store) so their
       // samples measure the push-then-query loop, not a one-time build.
-      // Only when they are in this JVM's selection.
-      if (filters.isEmpty || filters.exists(_.contains("http")))
+      // Only when any HttpGates-owned gate is in this JVM's selection
+      // (keyed on the gate set's OWN names: the maintenance/writeback
+      // gates don't carry "http" in their names)
+      val httpNames = graft.gates.HttpGates.gates.map(_.name).toSet
+      if (filters.isEmpty || (exact && filters.exists(httpNames)) ||
+          (!exact && httpNames.exists(n => filters.exists(n.contains))))
         try graft.gates.HttpGates.warm(spark, sfDir)
         catch { case _: Throwable => }
       None

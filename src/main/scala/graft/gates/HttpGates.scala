@@ -362,11 +362,14 @@ object HttpGates extends GateSet {
           otlpTracesBody(spM.filter(col("firstHalf")), svc), 200)
 
         // (3) scheduled housekeeping: merge downsample partials, bound
-        // part-file counts
-        graft.store.Store.maintain(spark, tmp)
+        // part-file counts. maxFiles=2 (not the production 8): appends
+        // write one file per touched leaf per push, so 4 pushes = 4
+        // files — the tighter bound forces the compaction + partial-merge
+        // path to actually run under this gate
+        graft.store.Store.maintain(spark, tmp, maxFiles = 2)
         val over = leavesOverLimit(graft.store.Store.ensure(spark, tmp),
           Seq("prom_pushed", "prom_pushed_15s", "spans", "span_attrs",
-            "span_ancestors", "samples", "profiles"), 8)
+            "span_ancestors", "samples", "profiles"), 2)
 
         // (4) the downsample routing rule fires on LIVE data: plan canary
         // + the oracle-checked values
@@ -435,6 +438,68 @@ object HttpGates extends GateSet {
            |  WHERE c.name = 'purchase' AND p.name = 'view'
            |  UNION ALL
            |  SELECT 'files_over_limit', 'append_tables', CAST(0 AS BIGINT), 0.0
-           |) ORDER BY 1, 2, 3""".stripMargin)))
+           |) ORDER BY 1, 2, 3""".stripMargin))),
+
+    // --- ruler writeback: a recording rule posted over CRUD evaluates and
+    // writes back through the live-append metrics path (writeback.go's
+    // in-process writer), making the recorded family immediately
+    // PromQL-queryable over HTTP — queried back via /api/v1/query_range
+    // with a matcher on the rule's static label (which also certifies the
+    // rule-label overlay reached the stored series) -----------------------
+    Gate("streaming_ruler_writeback",
+      (spark: SparkSession, dir: String) => {
+        val tmp = fixtureDir(spark, dir)
+        val run = s"v${runCounter.incrementAndGet()}"
+        val rec = s"e2e_rate_$run"
+        val fe = new Frontend(spark, tmp, nowNs = () => StartNs)
+        // the rule evaluates over THIS gate's own pushed stream (run
+        // marker): the shared fixture accumulates other gates' pushes,
+        // so a broad selector would double-count their log copies
+        post(fe, "/loki/api/v1/push",
+          lokiBody(Tables.logs(spark, tmp), "wbk", run), 204)
+        post(fe, s"/loki/api/v1/rules/wb-$run",
+          s"""name: g1
+             |interval: 1m
+             |rules:
+             |  - record: $rec
+             |    expr: "sum by (level) (count_over_time({event_type=\\"wbk\\", run=\\"$run\\"}[6h]))"
+             |    labels:
+             |      team: sre
+             |""".stripMargin, 202)
+        val rule = graft.streaming.Rules
+          .groups(spark, tmp, "loki", s"wb-$run").head.rules.head
+        val n = graft.streaming.Ruler.writeback(spark, tmp, rule.record,
+          rule.labels, rule.expr, EvalParams(StartNs, EndNs, StepS))
+        if (n == 0)
+          throw new IllegalStateException("writeback pushed no samples")
+        val res = fe.route("/api/v1/query_range", Params(
+          "query" -> s"""$rec{team="sre"}""",
+          "start" -> StartS.toString, "end" -> EndS.toString,
+          "step" -> "6h"))
+        if (res.status != 200)
+          throw new IllegalStateException(s"query_range -> ${res.status}")
+        // bare selectors keep __name__; label keys render sorted
+        val seriesRe =
+          ("""\{"metric":\{"__name__":"[^"]+","level":"([^"]+)",""" +
+            """"team":"sre"\},"values":\[(.*?)\]\}""").r
+        val pairRe = """\[(\d+),"([0-9.]+)"\]""".r
+        val parsed = seriesRe.findAllMatchIn(res.body).flatMap { m =>
+          pairRe.findAllMatchIn(m.group(2)).map(pm =>
+            Row(m.group(1), pm.group(1).toLong, pm.group(2).toDouble))
+        }.toSeq
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(parsed, 1),
+          StructType(Seq(StructField("level", StringType),
+            StructField("ts", LongType),
+            StructField("value", DoubleType))))
+          .orderBy("level", "ts")
+      },
+      // LogQL range windows are FLOOR-aligned ([t, t+range)) in this
+      // engine — same bucket formulation as the streaming_http_e2e oracle
+      Some(OracleViews.withViews(Seq(smallLogs),
+        s"""SELECT level,
+           |  (timestamp_ns // ${StepS}000000000) * $StepS AS ts,
+           |  CAST(count(*) AS DOUBLE) AS value
+           |FROM logs GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)))
   )
 }

@@ -409,11 +409,10 @@ object Store {
       throw new IllegalArgumentException(
         s"${total - n} of $total entries have missing/invalid timestamps")
     if (n > 0) appendLock.synchronized {
-      withPushOid(spark, withDate(batch.select(col("timestamp_ns"),
-          col("fingerprint"), col("line"), col("value"))))
-        .sortWithinPartitions(col("fingerprint"), col("timestamp_ns"))
-        .write.mode("append").partitionBy("oid", "date")
-        .parquet(s"$root/samples")
+      appendWrite(withPushOid(spark, withDate(batch.select(
+          col("timestamp_ns"), col("fingerprint"), col("line"),
+          col("value")))),
+        Seq("fingerprint", "timestamp_ns"), s"$root/samples")
       // dictionary dedup is per (oid, fingerprint): two tenants pushing
       // the same label set each need their own dictionary row, or the
       // second tenant's series would be invisible to its own label APIs
@@ -422,6 +421,8 @@ object Store {
       withPushOid(spark, batch.select(col("fingerprint"), col("labels"))
           .dropDuplicates("fingerprint"))
         .join(existing, Seq("oid", "fingerprint"), "left_anti")
+        // one file per push: the new-series delta of one batch is tiny
+        .coalesce(1)
         .write.mode("append").parquet(s"$root/time_series")
       val bucketNs = 15L * 1000 * 1000 * 1000
       val partials = batch
@@ -436,16 +437,31 @@ object Store {
           sum(col("value")).as("sum"),
           count(lit(1)).as("cnt"),
           sum(length(col("line"))).as("bytes"))
-      withPushOid(spark, withDate(partials))
-        .sortWithinPartitions(col("fingerprint"), col("timestamp_ns"))
-        .write.mode("append").partitionBy("oid", "date")
-        .parquet(s"$root/metrics_15s")
+      appendWrite(withPushOid(spark, withDate(partials)),
+        Seq("fingerprint", "timestamp_ns"), s"$root/metrics_15s")
       invalidate(spark, root, Seq("samples", "time_series", "metrics_15s"))
     }
     n
   }
 
   private val appendLock = new Object
+
+  /** One-file-per-leaf append write. A push batch is bounded (one HTTP
+    * request), so letting it fan across shuffle partitions writes up to
+    * `shuffle.partitions` part-files per touched (oid, date) leaf per
+    * push — a tiny-files factory that [[maintain]] then has to clean up.
+    * Repartitioning the batch by its partition columns gives exactly one
+    * writer task per touched leaf, hence ONE part-file per leaf per push;
+    * the sort keeps row-group locality for the scan pruning. The same
+    * shape is right at cluster scale: per-batch write parallelism is
+    * bounded by the partitions the batch actually touches.
+    */
+  private def appendWrite(df: DataFrame, sortCols: Seq[String],
+      path: String): Unit =
+    df.repartition(col("oid"), col("date"))
+      .sortWithinPartitions(
+        (Seq("oid", "date") ++ sortCols).map(col): _*)
+      .write.mode("append").partitionBy("oid", "date").parquet(path)
 
   /** Evict the readers cache and refresh the catalog file index for the
     * touched tables across EVERY session that ever read them — the
@@ -515,19 +531,15 @@ object Store {
     val batch = graft.model.Materialize(spans) // spans+attrs+closure consumers
     val n = countStrict(batch)
     if (n > 0) appendLock.synchronized {
-      withPushOid(spark, withDate(conformTo(spark, s"$root/spans", batch,
-          Set("oid", "date"))))
-        .sortWithinPartitions(col("trace_id"), col("span_id"))
-        .write.mode("append").partitionBy("oid", "date")
-        .parquet(s"$root/spans")
+      appendWrite(withPushOid(spark, withDate(conformTo(spark,
+          s"$root/spans", batch, Set("oid", "date")))),
+        Seq("trace_id", "span_id"), s"$root/spans")
       val attrs = batch.select(col("trace_id"), col("span_id"),
           col("parent_id"), col("timestamp_ns"), col("duration_ns"),
           explode(col("attrs")).as(Seq("key", "val")))
-      withPushOid(spark, withDate(conformTo(spark, s"$root/span_attrs",
-          attrs, Set("oid", "date"))))
-        .sortWithinPartitions(col("key"), col("val"), col("trace_id"))
-        .write.mode("append").partitionBy("oid", "date")
-        .parquet(s"$root/span_attrs")
+      appendWrite(withPushOid(spark, withDate(conformTo(spark,
+          s"$root/span_attrs", attrs, Set("oid", "date")))),
+        Seq("key", "val", "trace_id"), s"$root/span_attrs")
       // cross-batch closure: clients normally push whole traces per
       // request, but a trace split across two pushes must still answer
       // `>>`/`<<` — widen the closure input with the STORED spans of the
@@ -536,12 +548,22 @@ object Store {
       // repair: parents-first (the new children walk up through stored
       // parents) and children-first (stored orphans gain ancestors when
       // their parents arrive).
+      // one push batch touches a BOUNDED set of trace ids (one HTTP
+      // request), so collect them and push an In() filter INTO the
+      // parquet scans — the (trace_id, span_id) sort order turns it into
+      // row-group skipping, where a semi-join would scan the whole table.
+      // Above the cap (a pathological mega-batch) fall back to the
+      // semi-join, which stays shuffle-bounded.
       val ids = batch.select(col("trace_id")).distinct()
+      val idList = ids.limit(100001).collect().map(_.getLong(0))
+      def scopeToBatch(df: DataFrame): DataFrame =
+        if (idList.length <= 100000) df.filter(col("trace_id").isin(idList: _*))
+        else df.join(ids, Seq("trace_id"), "left_semi")
       // a scoped session repairs only against ITS tenant's rows — trace
       // ids are per-tenant namespaces, and another org's colliding ids
       // must neither join in nor suppress this org's closure rows
-      val stored = tenantFilter(spark, readTable(spark, s"$root/spans"))
-        .join(ids, Seq("trace_id"), "left_semi")
+      val stored = scopeToBatch(
+          tenantFilter(spark, readTable(spark, s"$root/spans")))
         .select(col("trace_id"), col("span_id"), col("parent_id"),
           col("timestamp_ns"))
       val anc = ancestorClosure(
@@ -549,17 +571,14 @@ object Store {
             col("timestamp_ns"))
           .unionByName(stored)
           .dropDuplicates("trace_id", "span_id"))
-      val storedAnc = tenantFilter(spark,
-          readTable(spark, s"$root/span_ancestors"))
-        .join(ids, Seq("trace_id"), "left_semi")
+      val storedAnc = scopeToBatch(tenantFilter(spark,
+          readTable(spark, s"$root/span_ancestors")))
         .select(col("trace_id"), col("span_id"), col("anc_id"))
       val fresh = anc.join(storedAnc,
         Seq("trace_id", "span_id", "anc_id"), "left_anti")
-      withPushOid(spark, withDate(conformTo(spark, s"$root/span_ancestors",
-          fresh, Set("oid", "date"))))
-        .sortWithinPartitions(col("trace_id"), col("span_id"))
-        .write.mode("append").partitionBy("oid", "date")
-        .parquet(s"$root/span_ancestors")
+      appendWrite(withPushOid(spark, withDate(conformTo(spark,
+          s"$root/span_ancestors", fresh, Set("oid", "date")))),
+        Seq("trace_id", "span_id"), s"$root/span_ancestors")
       invalidate(spark, root, Seq("spans", "span_attrs", "span_ancestors"))
     }
     n
@@ -580,10 +599,8 @@ object Store {
       col("labels"), col("value"), col("fingerprint")))
     val n = countStrict(batch)
     if (n > 0) appendLock.synchronized {
-      withPushOid(spark, withDate(batch))
-        .sortWithinPartitions(col("fingerprint"), col("timestamp_ns"))
-        .write.mode("append").partitionBy("oid", "date")
-        .parquet(s"$root/prom_pushed")
+      appendWrite(withPushOid(spark, withDate(batch)),
+        Seq("fingerprint", "timestamp_ns"), s"$root/prom_pushed")
       val dict = batch
         .select(element_at(col("labels"), "__name__").as("family"),
           col("fingerprint"), col("labels"))
@@ -593,6 +610,8 @@ object Store {
         .select(col("oid"), col("family"), col("fingerprint")).distinct()
       withPushOid(spark, dict)
         .join(existing, Seq("oid", "family", "fingerprint"), "left_anti")
+        // one file per push: the new-series delta of one batch is tiny
+        .coalesce(1)
         .write.mode("append").parquet(s"$root/prom_series")
       // the batch's own 15s downsample PARTIALS (the `metrics_15s` MV
       // analog for pushed families, log.sql:96-107): independent batches
@@ -615,11 +634,9 @@ object Store {
           sum(col("value")).as("sum"),
           count(lit(1)).as("cnt"))
         .filter(col("family").isNotNull)
-      withPushOid(spark, withDate(partials))
-        .sortWithinPartitions(col("family"), col("fingerprint"),
-          col("timestamp_ns"))
-        .write.mode("append").partitionBy("oid", "date")
-        .parquet(s"$root/prom_pushed_15s")
+      appendWrite(withPushOid(spark, withDate(partials)),
+        Seq("family", "fingerprint", "timestamp_ns"),
+        s"$root/prom_pushed_15s")
       invalidate(spark, root,
         Seq("prom_pushed", "prom_series", "prom_pushed_15s"))
     }
@@ -635,11 +652,9 @@ object Store {
     val batch = graft.model.Materialize(rows)
     val n = countStrict(batch)
     if (n > 0) appendLock.synchronized {
-      withPushOid(spark, withDate(conformTo(spark, s"$root/profiles",
-          batch, Set("oid", "date"))))
-        .sortWithinPartitions(col("service_name"), col("timestamp_ns"))
-        .write.mode("append").partitionBy("oid", "date")
-        .parquet(s"$root/profiles")
+      appendWrite(withPushOid(spark, withDate(conformTo(spark,
+          s"$root/profiles", batch, Set("oid", "date")))),
+        Seq("service_name", "timestamp_ns"), s"$root/profiles")
       invalidate(spark, root, Seq("profiles"))
     }
     n
@@ -759,31 +774,48 @@ object Store {
       if (sub.isEmpty) Seq(f) else sub.flatMap(partDirs).toSeq
     }
     val leaves = if (tableDir.isDirectory) partDirs(tableDir) else Nil
-    var n = 0
     // leaf == tableDir is the FLAT (unpartitioned) dictionary-table case:
     // same write-new-then-swap, but the table's own _SUCCESS marker must
     // survive (it guards the build), and the rewrite keeps the dictionary
     // sharded (targetFiles) instead of collapsing to one file
-    for (leaf <- leaves) {
-      val parts = Option(leaf.listFiles()).getOrElse(Array.empty[java.io.File])
-        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-      if (parts.length > maxFiles) {
-        val tmp = new java.io.File(leaf.getParentFile, leaf.getName + ".compact")
-        val df0 = spark.read.parquet(leaf.getAbsolutePath)
-        val df = merge.fold(df0)(m => m(df0))
-        val sortable = sortCols.filter(df.columns.contains)
-        (if (targetFiles <= 1) df.coalesce(1)
-         else df.repartition(targetFiles, sortable.take(1).map(col): _*))
-          .sortWithinPartitions(sortable.map(col): _*)
-          .write.mode("overwrite").parquet(tmp.getAbsolutePath)
-        deleteRec(leaf)
-        if (!tmp.renameTo(leaf))
-          throw new java.io.IOException(s"compact swap failed: $tmp -> $leaf")
-        // drop the nested _SUCCESS marker — partition dirs hold only parts
-        if (leaf != tableDir)
-          new java.io.File(leaf, "_SUCCESS").delete(): Unit
-        n += 1
-      }
+    val toCompact = leaves.filter(leaf =>
+      Option(leaf.listFiles()).getOrElse(Array.empty[java.io.File])
+        .count(f => f.isFile && f.getName.endsWith(".parquet")) > maxFiles)
+    def rewrite(leaf: java.io.File): Unit = {
+      val tmp = new java.io.File(leaf.getParentFile, leaf.getName + ".compact")
+      val df0 = spark.read.parquet(leaf.getAbsolutePath)
+      val df = merge.fold(df0)(m => m(df0))
+      val sortable = sortCols.filter(df.columns.contains)
+      (if (targetFiles <= 1) df.coalesce(1)
+       else df.repartition(targetFiles, sortable.take(1).map(col): _*))
+        .sortWithinPartitions(sortable.map(col): _*)
+        .write.mode("overwrite").parquet(tmp.getAbsolutePath)
+      deleteRec(leaf)
+      if (!tmp.renameTo(leaf))
+        throw new java.io.IOException(s"compact swap failed: $tmp -> $leaf")
+      // drop the nested _SUCCESS marker — partition dirs hold only parts
+      if (leaf != tableDir)
+        new java.io.File(leaf, "_SUCCESS").delete(): Unit
+    }
+    // each leaf is an independent write-new-then-swap (the reference's
+    // per-part background merges): run them CONCURRENTLY on a bounded
+    // pool — each job is tiny (one partition's files), so the wall-clock
+    // of a maintenance pass is leaves/K, not leaves, and the same driver
+    // thread-fanout holds on a real cluster where each rewrite is a small
+    // independent Spark job
+    val n = toCompact.size
+    if (n > 0) {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(8, n))
+      try {
+        val fs = toCompact.map(leaf =>
+          pool.submit(new Runnable { def run(): Unit = rewrite(leaf) }))
+        fs.foreach { f =>
+          try f.get()
+          catch { case e: java.util.concurrent.ExecutionException =>
+            throw e.getCause }
+        }
+      } finally pool.shutdown()
     }
     if (n > 0) {
       // cross-session invalidation, same contract as [[invalidate]]: a

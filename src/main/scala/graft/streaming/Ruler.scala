@@ -50,6 +50,32 @@ object Ruler {
   def recorded(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(recordedPath(spark, dir))
 
+  /** Recording-rule WRITEBACK into the live store
+    * (`ruler/writeback.go:13-41` + its in-process writer): the evaluated
+    * vector re-enters the writer's metrics pipeline — here
+    * [[graft.store.Store.appendMetrics]], the same append path
+    * remote-write lands in — so the recorded family is immediately
+    * PromQL-queryable over HTTP (labels/series/metadata included) and
+    * gains 15s downsample partials like any pushed family. Label
+    * precedence per the reference: sample labels < rule static labels <
+    * `__name__` = the record name. Returns samples pushed.
+    */
+  def writeback(spark: SparkSession, dir: String, record: String,
+      ruleLabels: Map[String, String], query: String,
+      params: EvalParams): Long = {
+    val overlay = (ruleLabels + ("__name__" -> record)).toSeq
+      .flatMap { case (k, v) => Seq(lit(k), lit(v)) }
+    val vector = new LogQLCompiler(spark, dir, params)
+      .compileMetric(LogQLParser.parseOrThrow(query))
+      .select(
+        graft.model.MapOps.update(col("labels"), map(overlay: _*)).as("labels"),
+        (col("ts") * 1000000000L).as("timestamp_ns"),
+        col("value"))
+      .withColumn("fingerprint",
+        graft.model.Tables.fingerprintOf(col("labels")))
+    graft.store.Store.appendMetrics(spark, dir, vector)
+  }
+
   /** Alerting-rule EVALUATION — the step the reference stores rules for
     * but never executes (`ruler/manager.go:12-41` persists `alert:` rules;
     * evaluation is delegated to an external ruler). This is the
