@@ -837,7 +837,7 @@ object Store {
     * Read paths apply the SAME merge, so this is purely physical: it
     * shrinks the table back to ~1 row per bucket after many small pushes.
     */
-  private def mergePartials(df: DataFrame): DataFrame = {
+  private[store] def mergePartials(df: DataFrame): DataFrame = {
     val keys = Seq("family", "fingerprint", "timestamp_ns")
       .filter(df.columns.contains)
     val mergeFns: Map[String, Column] = Map(

@@ -229,6 +229,33 @@ class StoreSpec extends SparkSpec {
     assert(after == before)
   }
 
+  test("downsample partial merge is exact and idempotent: split partials " +
+      "fold to the single-pass row, and re-merging is a no-op") {
+    val s = spark
+    import s.implicits._
+    // two partial rows per bucket (two independent pushes) + one lone row
+    val partials = Seq(
+      // (family, fingerprint, bucket, last, last_ts, min, max, sum, cnt)
+      ("m", 1L, 0L, 5.0, 100L, 2.0, 5.0, 7.0, 2L),
+      ("m", 1L, 0L, 9.0, 200L, 1.0, 9.0, 10.0, 2L),
+      ("m", 2L, 0L, 4.0, 50L, 4.0, 4.0, 4.0, 1L))
+      .toDF("family", "fingerprint", "timestamp_ns", "last", "last_ts",
+        "min", "max", "sum", "cnt")
+    val merged = Store.mergePartials(partials)
+      .orderBy("fingerprint").collect()
+      .map(r => (r.getLong(1), r.getDouble(3), r.getLong(4), r.getDouble(5),
+        r.getDouble(6), r.getDouble(7), r.getLong(8))).toSeq
+    assert(merged == Seq(
+      (1L, 9.0, 200L, 1.0, 9.0, 17.0, 4L), // argmax-by-last_ts, fold, sums
+      (2L, 4.0, 50L, 4.0, 4.0, 4.0, 1L)))
+    // idempotent: merging an already-merged frame changes nothing
+    val twice = Store.mergePartials(Store.mergePartials(partials))
+      .orderBy("fingerprint").collect()
+      .map(r => (r.getLong(1), r.getDouble(3), r.getLong(4), r.getDouble(5),
+        r.getDouble(6), r.getDouble(7), r.getLong(8))).toSeq
+    assert(twice == merged)
+  }
+
   test("maxRecordsPerFile bounds store output batches") {
     val root = "/root/repo/target/test-maxrec"
     val s = spark
