@@ -1329,6 +1329,34 @@ class Frontend(spark: SparkSession, dir: String,
     server.start()
     server
   }
+
+  /** Background maintenance timer — the serving-layer analog of the
+    * reference's ctrl timers (`ctrl/qryn/maintenance/rotate.go` rotation
+    * + ClickHouse's own background merges): every `intervalS`, compact
+    * the append-mutable tables (merging downsample partials) and, when
+    * `spark.graft.retention.days` is set, drop expired `date=` partitions.
+    * A failed pass logs nothing and keeps the timer alive — maintenance
+    * must never take the serving path down. Returns the scheduler so the
+    * owner can `shutdown()` it.
+    */
+  def startMaintenance(intervalS: Long = 3600, maxFiles: Int = 8)
+      : java.util.concurrent.ScheduledExecutorService = {
+    val ex = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-maintenance"); t.setDaemon(true); t
+      })
+    ex.scheduleWithFixedDelay(() => {
+      try {
+        graft.store.Store.maintain(spark, dir, maxFiles)
+        spark.conf.getOption("spark.graft.retention.days").foreach { d =>
+          val cutoff = java.time.LocalDate
+            .now(java.time.ZoneOffset.UTC).minusDays(d.toLong).toString
+          graft.store.Store.expire(spark, dir, cutoff)
+        }
+      } catch { case _: Throwable => () }
+    }, intervalS, intervalS, java.util.concurrent.TimeUnit.SECONDS)
+    ex
+  }
 }
 
 final case class HttpResult(status: Int, body: String,

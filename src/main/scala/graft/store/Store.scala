@@ -733,15 +733,25 @@ object Store {
       cutoffDate: String): Unit =
     for (t <- DatedTables) {
       val path = s"$root/$t"
-      val parts = Option(new java.io.File(path).listFiles())
-        .getOrElse(Array.empty[java.io.File])
-        .filter(f => f.isDirectory && f.getName.startsWith("date="))
+      def dirs(f: java.io.File): Array[java.io.File] =
+        Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+          .filter(_.isDirectory)
+      // the store layout is oid=/date= (tenant leads the partition key);
+      // date= at the table level covers flat single-tenant layouts
+      val top = dirs(new java.io.File(path))
+      val dateDirs = top.filter(_.getName.startsWith("date=")) ++
+        top.filter(_.getName.startsWith("oid="))
+          .flatMap(dirs).filter(_.getName.startsWith("date="))
       // ISO dates compare lexicographically
-      val expired = parts.filter(_.getName.stripPrefix("date=") < cutoffDate)
+      val expired = dateDirs.filter(_.getName.stripPrefix("date=") < cutoffDate)
       if (expired.nonEmpty) {
         expired.foreach(deleteRec)
-        readers.remove((spark, path))
-        spark.catalog.refreshByPath(path)
+        // cross-session invalidation, same contract as compactRoot: a
+        // tenant session must not keep serving dropped partitions
+        val sessions = readers.keysIterator
+          .collect { case (s, p) if p == path => s }.toSet + spark
+        readers.filterInPlace { case ((_, p), _) => p != path }
+        sessions.foreach(_.catalog.refreshByPath(path))
       }
     }
 

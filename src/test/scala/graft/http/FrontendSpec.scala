@@ -1043,6 +1043,50 @@ class FrontendSpec extends SparkSpec {
     } finally srv.stop(0)
   }
 
+  test("maintenance timer compacts accumulated push files in the " +
+      "background without changing query results") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mtimer").toFile
+    tmp.deleteOnExit()
+    for (f <- new java.io.File(sf).listFiles(); if f.getName.endsWith(".parquet"))
+      java.nio.file.Files.copy(f.toPath,
+        new java.io.File(tmp, f.getName).toPath)
+    val fe = new Frontend(spark, tmp.getAbsolutePath)
+    // 4 pushes into one (oid, date) leaf = 4 part-files (one per push)
+    for (i <- 1 to 4)
+      assert(fe.route("/loki/api/v1/push", Params(), "POST",
+        s"""{"streams":[{"stream":{"event_type":"mtimer"},
+           |"values":[["${StartS + i}000000000","timer line $i"]]}]}"""
+          .stripMargin.replace("\n", "")).status == 204)
+    val root = graft.store.Store.ensure(spark, tmp.getAbsolutePath)
+    def leafFiles(): Int = {
+      def walk(f: java.io.File): Seq[java.io.File] = {
+        val kids = Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+        val dirs = kids.filter(_.isDirectory)
+        if (dirs.isEmpty) Seq(f) else dirs.toSeq.flatMap(walk)
+      }
+      walk(new java.io.File(s"$root/samples")).map(l =>
+        Option(l.listFiles()).getOrElse(Array.empty[java.io.File])
+          .count(_.getName.endsWith(".parquet"))).max
+    }
+    assert(leafFiles() >= 4)
+    def lines(): Seq[String] = {
+      val body = fe.route("/loki/api/v1/query_range", Params(
+        "query" -> """{event_type="mtimer"}""",
+        "start" -> s"${StartS}000000000", "end" -> s"${EndS}000000000",
+        "limit" -> "10")).body
+      """timer line (\d)""".r.findAllMatchIn(body).map(_.group(1)).toSeq.sorted
+    }
+    assert(lines() == Seq("1", "2", "3", "4"))
+    val timer = fe.startMaintenance(intervalS = 1, maxFiles = 2)
+    try {
+      val deadline = System.nanoTime() + 60L * 1000000000L
+      while (leafFiles() > 2 && System.nanoTime() < deadline)
+        Thread.sleep(250)
+      assert(leafFiles() <= 2, s"not compacted: ${leafFiles()} files")
+      assert(lines() == Seq("1", "2", "3", "4")) // results unchanged
+    } finally { timer.shutdownNow(); () }
+  }
+
   test("tenant session cache is LRU-bounded and garbage org ids are " +
       "rejected before creating a session") {
     val fe = new Frontend(spark, sf)

@@ -202,6 +202,19 @@ class StoreSpec extends SparkSpec {
     assert(left.select("v").collect().map(_.getLong(0)).sorted.toSeq == Seq(3L))
     assert(!new java.io.File(s"$root/samples/date=2024-01-01").exists())
     assert(new java.io.File(s"$root/samples/date=2024-01-03").exists())
+    // the REAL store layout nests date= under oid= (tenant-first
+    // partition key) — expire must reach one level down
+    Seq((1L, "0", "2024-01-01"), (2L, "1", "2024-01-02"),
+      (3L, "0", "2024-01-03"))
+      .toDF("v", "oid", "date")
+      .write.mode("overwrite").partitionBy("oid", "date")
+      .parquet(s"$root/spans")
+    Store.expireRoot(spark, root, "2024-01-03")
+    assert(spark.read.parquet(s"$root/spans")
+      .select("v").collect().map(_.getLong(0)).toSeq == Seq(3L))
+    assert(!new java.io.File(s"$root/spans/oid=0/date=2024-01-01").exists())
+    assert(!new java.io.File(s"$root/spans/oid=1/date=2024-01-02").exists())
+    assert(new java.io.File(s"$root/spans/oid=0/date=2024-01-03").exists())
   }
 
   test("compact merges small-file partitions without changing results") {
