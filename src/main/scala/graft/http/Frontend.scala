@@ -1,10 +1,7 @@
 package graft.http
 
-import java.net.InetSocketAddress
 import java.net.URLDecoder
 import java.nio.charset.StandardCharsets.UTF_8
-
-import com.sun.net.httpserver.{HttpExchange, HttpServer}
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
@@ -248,12 +245,14 @@ class Frontend(spark: SparkSession, dir: String,
   }
 
   /** `/loki/api/v1/tail` — the tail surface
-    * (`reader/service/query_range.go:670-800` serves it over WebSocket;
-    * here it is a LONG-POLL: same Loki tail frame, the client re-polls
-    * with `start` advanced past the newest timestamp it has seen). Each
-    * poll evaluates the full LogQL pipeline over [start, now) forward —
-    * the same evaluation the query_range gates certify, and the batch
-    * twin of the [[graft.streaming.LiveTail]] streaming operator.
+    * (`reader/service/query_range.go:670-800`). A WebSocket `Upgrade:`
+    * request gets the full-parity RFC 6455 form on the same port (one
+    * frame per poll tick — [[GraftHttpServer]]); a plain GET is the
+    * LONG-POLL fallback: same Loki tail frame, the client re-polls with
+    * `start` advanced past the newest timestamp it has seen. Each tick
+    * evaluates the full LogQL pipeline over [start, now) forward — the
+    * same evaluation the query_range gates certify, and the batch twin
+    * of the [[graft.streaming.LiveTail]] streaming operator.
     *
     * Per-tick limit + drop accounting: upstream caps each tick at
     * min(client limit, tailIncrementalLimit=1000) evaluated NEWEST-first
@@ -267,13 +266,26 @@ class Frontend(spark: SparkSession, dir: String,
     * bounded (one extra limit's worth per tick); beyond that the tick is
     * truncated exactly like upstream.
     */
-  private def lokiTail(p: Params): HttpResult = {
+  private def lokiTail(p: Params): HttpResult =
+    HttpResult(200, tailFrame(p, 0L)._1)
+
+  /** One tail tick: the Loki tail frame over [cursor, now) and the next
+    * cursor (past the newest SERVED entry — upstream's from-advance,
+    * `query_range.go:783-785`). Shared by the long-poll route (single
+    * tick per request) and the WebSocket loop (one tick per poll
+    * interval). `cursorNs` = 0 on the first tick ⇒ the client's `start`
+    * (default now−1h) applies.
+    */
+  private def tailFrame(p: Params, cursorNs: Long): (String, Long) = {
     val q = p.required("query")
-    val startNs = p.first("start").map(parseTimeNs)
-      .getOrElse(nowNs() - 3600L * 1000000000L)
+    val startNs = if (cursorNs > 0) cursorNs
+      else p.first("start").map(parseTimeNs)
+        .getOrElse(nowNs() - 3600L * 1000000000L)
     val tickCap = 1000 // upstream tailIncrementalLimit
-    val limit = math.min(
-      p.first("limit").map(_.toInt).getOrElse(100), tickCap)
+    // default 100, hard cap 5000 (controller/query_range.go:18-19), then
+    // the per-tick incremental cap
+    val limit = math.min(tickCap, math.min(
+      p.first("limit").map(_.toInt).filter(_ > 0).getOrElse(100), 5000))
     val ev = EvalParams(startNs, nowNs(), 15L)
     // newest-first with one extra limit's worth of headroom: rows past
     // `limit` are the ones upstream's from-advance would silently skip
@@ -282,12 +294,28 @@ class Frontend(spark: SparkSession, dir: String,
       .select(col("timestamp_ns"), col("labels"), col("line"))
       .collect().toSeq
     val (served, dropped) = all.splitAt(limit)
-    HttpResult(200, obj(Seq(
+    val frame = obj(Seq(
       "streams" -> streamsArr(served.sortBy(_.getLong(0)), forward = true),
       "dropped_entries" -> arr(dropped.map(r => obj(Seq(
         "labels" -> labelsJson(r.getMap[String, String](1).toMap),
-        "timestamp" -> str(r.getLong(0).toString))))))))
+        "timestamp" -> str(r.getLong(0).toString)))))))
+    val next =
+      if (served.isEmpty) startNs else served.map(_.getLong(0)).max + 1
+    (frame, next)
   }
+
+  /** Tenant-routed tick for the WebSocket loop: same per-request org
+    * scoping as [[routeRaw]]. Invalid org ids were rejected before the
+    * upgrade ([[orgOk]]).
+    */
+  private[http] def tailFrameFor(org: Option[String], p: Params,
+      cursorNs: Long): (String, Long) = org match {
+    case Some(o) => forTenant(o).tailFrame(p, cursorNs)
+    case None    => tailFrame(p, cursorNs)
+  }
+
+  private[http] def orgOk(org: Option[String]): Boolean =
+    org.forall(validOrg)
 
   /** `/loki/api/v1/query` — LogQL INSTANT query
     * (`reader/controller/query_range.go:66-150`,
@@ -1305,30 +1333,15 @@ class Frontend(spark: SparkSession, dir: String,
         badRequest(e.getMessage)
     }
 
-  /** Start a real HTTP server (port 0 = ephemeral; read the bound port
-    * from the returned server). One JDK HttpServer, a small fixed
-    * executor — request handling is dominated by the Spark jobs anyway.
+  /** Start the HTTP server (port 0 = ephemeral; read the bound port from
+    * the returned server). [[GraftHttpServer]] — raw-socket HTTP/1.1 so
+    * `/loki/api/v1/tail` upgrades to a REAL WebSocket on the same port,
+    * exactly like the reference's gorilla/websocket tail; every other
+    * route dispatches through [[routeRaw]]. `tailTickMs` is the tail
+    * poll interval (upstream tailPollInterval = 1 s).
     */
-  def start(port: Int = 0): HttpServer = {
-    val server = HttpServer.create(new InetSocketAddress(port), 0)
-    server.createContext("/", (exchange: HttpExchange) => {
-      val bytes = exchange.getRequestBody.readAllBytes()
-      val res = routeRaw(exchange.getRequestURI.getPath,
-        Params.fromQuery(exchange.getRequestURI.getRawQuery),
-        exchange.getRequestMethod, bytes,
-        Option(exchange.getRequestHeaders.getFirst("X-Scope-OrgID")))
-      val out = res.body.getBytes(UTF_8)
-      exchange.getResponseHeaders.set("Content-Type", res.contentType)
-      // 204 must not carry a body; -1 signals no content on the JDK server
-      exchange.sendResponseHeaders(res.status,
-        if (out.isEmpty) -1 else out.length)
-      val os = exchange.getResponseBody
-      try { if (out.nonEmpty) os.write(out) } finally os.close()
-    })
-    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
-    server.start()
-    server
-  }
+  def start(port: Int = 0, tailTickMs: Int = 1000): GraftHttpServer =
+    new GraftHttpServer(this, port, tailTickMs)
 
   /** Background maintenance timer — the serving-layer analog of the
     * reference's ctrl timers (`ctrl/qryn/maintenance/rotate.go` rotation

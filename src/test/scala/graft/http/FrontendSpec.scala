@@ -1043,6 +1043,102 @@ class FrontendSpec extends SparkSpec {
     } finally srv.stop(0)
   }
 
+  test("websocket tail: RFC 6455 upgrade on the shared port, one Loki " +
+      "tail frame per tick with an advancing cursor, ping/pong, clean close") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ws").toFile
+    tmp.deleteOnExit()
+    for (f <- new java.io.File(sf).listFiles(); if f.getName.endsWith(".parquet"))
+      java.nio.file.Files.copy(f.toPath,
+        new java.io.File(tmp, f.getName).toPath)
+    val srv = new Frontend(spark, tmp.getAbsolutePath,
+      nowNs = () => EndS * 1000000000L).start(0, tailTickMs = 150)
+    try {
+      val port = srv.getAddress.getPort
+      // seed two entries via the PLAIN HTTP push route on the same server
+      def push(tsNs: Long, line: String): Int =
+        client.send(HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:$port/loki/api/v1/push"))
+          .POST(HttpRequest.BodyPublishers.ofString(
+            s"""{"streams":[{"stream":{"event_type":"wstail"},"values":[["$tsNs","$line"]]}]}"""))
+          .build(), HttpResponse.BodyHandlers.ofString()).statusCode()
+      val t1 = (StartS + 100) * 1000000000L
+      assert(push(t1, "ws one") == 204)
+
+      val sock = new java.net.Socket("127.0.0.1", port)
+      sock.setSoTimeout(20000)
+      val out = sock.getOutputStream
+      val in = new java.io.BufferedInputStream(sock.getInputStream)
+      val wsKey = java.util.Base64.getEncoder.encodeToString(
+        Array.tabulate[Byte](16)(_.toByte))
+      out.write((s"GET /loki/api/v1/tail?query=" +
+        enc("""{event_type="wstail"}""") + s"&start=$t1" +
+        " HTTP/1.1\r\nHost: x\r\nUpgrade: websocket\r\n" +
+        "Connection: Upgrade\r\nSec-WebSocket-Key: " + wsKey +
+        "\r\nSec-WebSocket-Version: 13\r\n\r\n").getBytes("UTF-8"))
+      out.flush()
+      def line(): String = {
+        val sb = new StringBuilder
+        var c = in.read()
+        while (c >= 0 && c != '\n') { if (c != '\r') sb.append(c.toChar); c = in.read() }
+        sb.toString
+      }
+      val status = line()
+      assert(status == "HTTP/1.1 101 Switching Protocols", status)
+      val hdrs = Iterator.continually(line()).takeWhile(_.nonEmpty).toSeq
+      val expectKey = java.util.Base64.getEncoder.encodeToString(
+        java.security.MessageDigest.getInstance("SHA-1").digest(
+          (wsKey + "258EAFA5-E914-47DA-95CA-C5AB0DC85B11").getBytes("UTF-8")))
+      assert(hdrs.exists(_ == s"Sec-WebSocket-Accept: $expectKey"), hdrs)
+      // server frames: unmasked text, tail JSON per tick
+      def readFrame(): (Int, String) = {
+        val b0 = in.read(); val b1 = in.read()
+        assert((b1 & 0x80) == 0) // server→client unmasked
+        var len: Long = b1 & 0x7f
+        if (len == 126) len = (in.read().toLong << 8) | in.read()
+        else if (len == 127) { len = 0; for (_ <- 0 until 8) len = (len << 8) | in.read() }
+        val buf = new Array[Byte](len.toInt)
+        var off = 0
+        while (off < buf.length) {
+          val r = in.read(buf, off, buf.length - off); assert(r > 0); off += r
+        }
+        (b0 & 0x0f, new String(buf, "UTF-8"))
+      }
+      val (op1, f1) = readFrame()
+      assert(op1 == 1)
+      assert(f1.contains("ws one") && f1.contains(""""dropped_entries":[]"""),
+        f1.take(300))
+      // cursor advanced: the next tick must NOT repeat "ws one"
+      val (_, f2) = readFrame()
+      assert(!f2.contains("ws one"), f2.take(200))
+      // a new push appears in a later tick
+      val t2 = (StartS + 200) * 1000000000L
+      assert(push(t2, "ws two") == 204)
+      val frames = Iterator.continually(readFrame()._2).take(8).toSeq
+      assert(frames.exists(_.contains("ws two")), frames.last.take(200))
+      assert(frames.forall(!_.contains("ws one")))
+      // client ping (masked) → pong with same payload
+      def writeMasked(opcode: Int, payload: Array[Byte]): Unit = {
+        out.write(0x80 | opcode)
+        out.write(0x80 | payload.length)
+        val mask = Array[Byte](1, 2, 3, 4)
+        out.write(mask)
+        out.write(payload.zipWithIndex.map { case (b, i) =>
+          (b ^ mask(i & 3)).toByte })
+        out.flush()
+      }
+      writeMasked(0x9, "hb".getBytes("UTF-8"))
+      val pong = Iterator.continually(readFrame()).take(8)
+        .find(_._1 == 0xA)
+      assert(pong.exists(_._2 == "hb"), pong)
+      // client close → server echoes close
+      writeMasked(0x8, Array.emptyByteArray)
+      val closed = Iterator.continually(readFrame()).take(8)
+        .find(_._1 == 0x8)
+      assert(closed.isDefined)
+      sock.close()
+    } finally srv.stop(0)
+  }
+
   test("maintenance timer compacts accumulated push files in the " +
       "background without changing query results") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-mtimer").toFile
