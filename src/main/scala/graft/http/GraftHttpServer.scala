@@ -88,10 +88,17 @@ final class GraftHttpServer(fe: Frontend, port: Int, tailTickMs: Int) {
     if (parts.length < 2) return None
     val (rawPath, method) = (parts(1), parts(0))
     val qIdx = rawPath.indexOf('?')
-    val (path, query) =
+    val (encPath, query) =
       if (qIdx < 0) (rawPath, "") else rawPath.splitAt(qIdx) match {
         case (p, q) => (p, q.drop(1))
       }
+    // percent-decode the path exactly like the JDK server's URI.getPath
+    // did (no '+'-as-space: that is a query-string convention) — encoded
+    // label-name segments (/label/ns%2Fapp/values) must reach the routes
+    // decoded
+    val path =
+      try java.net.URI.create(encPath).getPath
+      catch { case _: Throwable => encPath }
     val headers = Iterator.continually(readLine(in).getOrElse(""))
       .takeWhile(_.nonEmpty)
       .flatMap { h =>
