@@ -151,7 +151,19 @@ final class GraftHttpServer(fe: Frontend, port: Int, tailTickMs: Int) {
       val out = new BufferedOutputStream(sock.getOutputStream)
       var keep = true
       while (keep && running) {
-        parseRequest(in) match {
+        val parsed =
+          try parseRequest(in)
+          catch { case e: IllegalArgumentException =>
+            // malformed framing (chunked request): answer, then drop the
+            // connection — the stream position is no longer trustworthy
+            writeResponse(out, HttpResult(411, Json.obj(Seq(
+              "status" -> Json.str("error"),
+              "error" -> Json.str(String.valueOf(e.getMessage))))),
+              close = true)
+            keep = false
+            None
+          }
+        parsed match {
           case None => keep = false
           case Some(r) if r.isWsUpgrade && r.path == "/loki/api/v1/tail" =>
             wsTail(r, in, out, sock)
@@ -161,7 +173,10 @@ final class GraftHttpServer(fe: Frontend, port: Int, tailTickMs: Int) {
               try fe.routeRaw(r.path, Params.fromQuery(r.query), r.method,
                 r.body, r.header("x-scope-orgid"))
               catch { case e: IllegalArgumentException =>
-                HttpResult(411, Json.obj(Seq("status" -> Json.str("error"),
+                // bad query-string encoding; route-level errors are
+                // already enveloped inside routeRaw
+                HttpResult(400, Json.obj(Seq("status" -> Json.str("error"),
+                  "errorType" -> Json.str("bad_data"),
                   "error" -> Json.str(String.valueOf(e.getMessage)))))
               }
             writeResponse(out, res, close = r.wantsClose)
