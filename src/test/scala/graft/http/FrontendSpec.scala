@@ -1116,6 +1116,13 @@ class FrontendSpec extends SparkSpec {
       val frames = Iterator.continually(readFrame()._2).take(8).toSeq
       assert(frames.exists(_.contains("ws two")), frames.last.take(200))
       assert(frames.forall(!_.contains("ws one")))
+      // a >64 KiB line forces the 8-byte extended-length frame encoding
+      val bigLine = "B" * 70000
+      val t3 = (StartS + 300) * 1000000000L
+      assert(push(t3, bigLine) == 204)
+      val bigFrame = Iterator.continually(readFrame()._2).take(8)
+        .find(_.length > 65535)
+      assert(bigFrame.exists(_.contains(bigLine)), bigFrame.map(_.take(80)))
       // client ping (masked) → pong with same payload
       def writeMasked(opcode: Int, payload: Array[Byte]): Unit = {
         out.write(0x80 | opcode)
