@@ -1043,6 +1043,33 @@ class FrontendSpec extends SparkSpec {
     } finally srv.stop(0)
   }
 
+  test("raw server under concurrent clients: parallel keep-alive " +
+      "request streams all get well-formed responses") {
+    val ex = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val tasks = (1 to 8).map { _ =>
+        ex.submit(new java.util.concurrent.Callable[Seq[(Int, String)]] {
+          def call(): Seq[(Int, String)] = {
+            val c = HttpClient.newHttpClient() // own connection per worker
+            (1 to 20).map { i =>
+              val pq = if (i % 3 == 0) "/ready"
+                else if (i % 3 == 1) s"/loki/api/v1/labels?start=$StartS&end=$EndS"
+                else "/api/v1/labels"
+              val r = c.send(HttpRequest.newBuilder(
+                URI.create(base + pq)).GET().build(),
+                HttpResponse.BodyHandlers.ofString())
+              (r.statusCode(), r.body())
+            }
+          }
+        })
+      }
+      for (t <- tasks; (code, body) <- t.get()) {
+        assert(code == 200, body.take(120))
+        assert(body.startsWith("\"") || body.startsWith("{"), body.take(80))
+      }
+    } finally { ex.shutdownNow(); () }
+  }
+
   test("websocket tail: RFC 6455 upgrade on the shared port, one Loki " +
       "tail frame per tick with an advancing cursor, ping/pong, clean close") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-ws").toFile
