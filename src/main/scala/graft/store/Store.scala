@@ -2,6 +2,7 @@ package graft.store
 
 import scala.collection.concurrent.TrieMap
 
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -109,8 +110,32 @@ object Store {
     df.withColumn("date",
       date_from_unix_date((col("timestamp_ns") / 86400000000000L).cast("int")))
 
-  private def haveTable(path: String): Boolean =
-    new java.io.File(path + "/_SUCCESS").exists()
+  /** Hadoop FileSystem for a store path, resolved from the path's URI and
+    * the session's hadoopConfiguration — every maintenance walk below
+    * (existence probes, partition listing, expiry deletes, compaction
+    * swaps) goes through this, so `maintain`/`expire`/pushed-table
+    * detection work identically on local disk, HDFS, or s3a:// roots: the
+    * analog of the reference running its rotations server-side
+    * (`ctrl/qryn/maintenance/rotate.go:48-66`) regardless of disk backend.
+    * `FileSystem.get` caches per (scheme, authority), so this is cheap.
+    */
+  private[store] def fsFor(path: String): (FileSystem, Path) = {
+    val p = new Path(path)
+    val conf = SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession)
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    (p.getFileSystem(conf), p)
+  }
+
+  private def listStatus(fs: FileSystem, p: Path): Array[FileStatus] =
+    try fs.listStatus(p)
+    catch { case _: java.io.FileNotFoundException => Array.empty }
+
+  private def haveTable(path: String): Boolean = {
+    val (fs, p) = fsFor(path)
+    fs.exists(new Path(p, "_SUCCESS"))
+  }
 
   private def writeSorted(df: DataFrame, path: String): Unit =
     writePartitioned(df, path, Seq("fingerprint", "timestamp_ns"))
@@ -409,6 +434,7 @@ object Store {
       throw new IllegalArgumentException(
         s"${total - n} of $total entries have missing/invalid timestamps")
     if (n > 0) appendLock.synchronized {
+      writerLock(root).ensureHeld()
       appendWrite(withPushOid(spark, withDate(batch.select(
           col("timestamp_ns"), col("fingerprint"), col("line"),
           col("value")))),
@@ -446,6 +472,16 @@ object Store {
 
   private val appendLock = new Object
 
+  /** Per-root single-writer guard (see [[WriterLock]]): every mutating
+    * path — appends, [[maintain]], [[expire]] — confirms this process
+    * owns the root before touching it; a second live process gets a clean
+    * IllegalStateException instead of racing the dictionary anti-join or
+    * the compaction swap.
+    */
+  private val writerLocks = TrieMap[String, WriterLock]()
+  private def writerLock(root: String): WriterLock =
+    writerLocks.getOrElseUpdate(root, new WriterLock(root))
+
   /** One-file-per-leaf append write. A push batch is bounded (one HTTP
     * request), so letting it fan across shuffle partitions writes up to
     * `shuffle.partitions` part-files per touched (oid, date) leaf per
@@ -475,11 +511,23 @@ object Store {
       tables: Seq[String]): Unit =
     for (t <- tables) {
       val path = s"$root/$t"
+      dirProbe.remove(path)
       val sessions = readers.keysIterator
         .collect { case (s, p) if p == path => s }.toSet + spark
       readers.filterInPlace { case ((_, p), _) => p != path }
       sessions.foreach(_.catalog.refreshByPath(path))
     }
+
+  /** Drop every per-session cache entry for an evicted tenant session:
+    * [[readers]] and [[dictCounts]] key by (session, path) and would
+    * otherwise pin the evicted SparkSession — and its resolved file
+    * indexes — forever, defeating the frontend's tenant-LRU memory bound.
+    * Called by the frontend when the LRU evicts a tenant.
+    */
+  def evictSession(session: SparkSession): Unit = {
+    readers.filterInPlace { case ((s, _), _) => s ne session }
+    dictCounts.filterInPlace { case ((s, _), _) => s ne session }
+  }
 
   /** Conform an append batch to the STORED table's columns: missing
     * columns null-fill with the stored type, extras drop. Parquet happily
@@ -531,6 +579,7 @@ object Store {
     val batch = graft.model.Materialize(spans) // spans+attrs+closure consumers
     val n = countStrict(batch)
     if (n > 0) appendLock.synchronized {
+      writerLock(root).ensureHeld()
       appendWrite(withPushOid(spark, withDate(conformTo(spark,
           s"$root/spans", batch, Set("oid", "date")))),
         Seq("trace_id", "span_id"), s"$root/spans")
@@ -599,6 +648,7 @@ object Store {
       col("labels"), col("value"), col("fingerprint")))
     val n = countStrict(batch)
     if (n > 0) appendLock.synchronized {
+      writerLock(root).ensureHeld()
       appendWrite(withPushOid(spark, withDate(batch)),
         Seq("fingerprint", "timestamp_ns"), s"$root/prom_pushed")
       val dict = batch
@@ -652,6 +702,7 @@ object Store {
     val batch = graft.model.Materialize(rows)
     val n = countStrict(batch)
     if (n > 0) appendLock.synchronized {
+      writerLock(root).ensureHeld()
       appendWrite(withPushOid(spark, withDate(conformTo(spark,
           s"$root/profiles", batch, Set("oid", "date")))),
         Seq("service_name", "timestamp_ns"), s"$root/profiles")
@@ -674,12 +725,18 @@ object Store {
   private def havePushed(root: String): Boolean =
     haveDir(s"$root/prom_pushed")
 
-  // appends create bare part files (no _SUCCESS): existence = directory
-  // with at least one parquet part
-  private def haveDir(path: String): Boolean = {
-    val f = new java.io.File(path)
-    f.isDirectory
-  }
+  // appends create bare part files (no _SUCCESS): existence = the
+  // directory exists at all. MEMOIZED per path — the probe runs on every
+  // PromQL compile (downsample/pushed-family routing) and costs a HEAD
+  // request per compile on object storage; [[invalidate]] drops the entry
+  // when an append creates or touches the path, so a cached "absent"
+  // flips as soon as the first metric push lands.
+  private val dirProbe = TrieMap[String, Boolean]()
+  private def haveDir(path: String): Boolean =
+    dirProbe.getOrElseUpdate(path, {
+      val (fs, p) = fsFor(path)
+      fs.exists(p)
+    })
 
   /** Pushed-family fact scan: `prom_pushed` filtered to one `__name__`
     * over the window. None until something was pushed.
@@ -726,26 +783,31 @@ object Store {
     * reference's partition drops. Cached readers for the touched tables
     * are invalidated so the next scan re-lists.
     */
-  def expire(spark: SparkSession, dir: String, cutoffDate: String): Unit =
-    expireRoot(spark, ensure(spark, dir), cutoffDate)
+  def expire(spark: SparkSession, dir: String, cutoffDate: String): Unit = {
+    val root = ensure(spark, dir)
+    writerLock(root).ensureHeld()
+    expireRoot(spark, root, cutoffDate)
+  }
 
   private[store] def expireRoot(spark: SparkSession, root: String,
       cutoffDate: String): Unit =
     for (t <- DatedTables) {
       val path = s"$root/$t"
-      def dirs(f: java.io.File): Array[java.io.File] =
-        Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
-          .filter(_.isDirectory)
+      val (fs, tablePath) = fsFor(path)
+      def dirs(p: Path): Array[FileStatus] =
+        listStatus(fs, p).filter(_.isDirectory)
       // the store layout is oid=/date= (tenant leads the partition key);
       // date= at the table level covers flat single-tenant layouts
-      val top = dirs(new java.io.File(path))
-      val dateDirs = top.filter(_.getName.startsWith("date=")) ++
-        top.filter(_.getName.startsWith("oid="))
-          .flatMap(dirs).filter(_.getName.startsWith("date="))
+      val top = dirs(tablePath)
+      val dateDirs = top.filter(_.getPath.getName.startsWith("date=")) ++
+        top.filter(_.getPath.getName.startsWith("oid="))
+          .flatMap(s => dirs(s.getPath))
+          .filter(_.getPath.getName.startsWith("date="))
       // ISO dates compare lexicographically
-      val expired = dateDirs.filter(_.getName.stripPrefix("date=") < cutoffDate)
+      val expired = dateDirs.filter(
+        _.getPath.getName.stripPrefix("date=") < cutoffDate)
       if (expired.nonEmpty) {
-        expired.foreach(deleteRec)
+        expired.foreach(s => fs.delete(s.getPath, true): Unit)
         // cross-session invalidation, same contract as compactRoot: a
         // tenant session must not keep serving dropped partitions
         val sessions = readers.keysIterator
@@ -754,11 +816,6 @@ object Store {
         sessions.foreach(_.catalog.refreshByPath(path))
       }
     }
-
-  private def deleteRec(f: java.io.File): Unit = {
-    Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(deleteRec)
-    f.delete(): Unit
-  }
 
   /** Background-merge analog: ClickHouse's MergeTree merges parts
     * continuously; a parquet store fed by streaming micro-batches
@@ -773,39 +830,124 @@ object Store {
       sortCols: Seq[String], maxFiles: Int = 8): Int =
     compactRoot(spark, ensure(spark, dir), table, sortCols, maxFiles)
 
+  /** Scratch-dir suffixes of [[compactRoot]]'s two-rename swap. A leaf
+    * rewrite is: write new data to `leaf.compact`, rename `leaf` →
+    * `leaf.old`, rename `leaf.compact` → `leaf`, delete `leaf.old` — so a
+    * crash at ANY point leaves at least one complete copy of the leaf for
+    * [[recoverScratch]] to restore (`.old` is only created after the new
+    * data is fully written; the live leaf is only absent between the two
+    * renames).
+    */
+  private val ScratchSuffixes = Seq(".compact", ".old")
+  private def isScratch(name: String): Boolean =
+    ScratchSuffixes.exists(name.endsWith)
+
+  /** Resolve the swap scratch state around one live path:
+    * live present ⇒ any `.compact`/`.old` siblings are leftovers of an
+    * interrupted pass (the new data may be incomplete) — delete them;
+    * live absent + `.compact` present ⇒ the crash hit between the two
+    * renames and the new data IS complete (it was fully written before
+    * the live leaf was moved aside) — promote it, then drop `.old`;
+    * live absent + only `.old` ⇒ restore the original. Returns true when
+    * anything changed.
+    */
+  private def recoverScratch(fs: FileSystem, live: Path): Boolean = {
+    val tmp = new Path(live.getParent, live.getName + ".compact")
+    val old = new Path(live.getParent, live.getName + ".old")
+    val haveTmp = fs.exists(tmp)
+    val haveOld = fs.exists(old)
+    if (!haveTmp && !haveOld) false
+    else {
+      if (fs.exists(live)) {
+        if (haveTmp) fs.delete(tmp, true): Unit
+        if (haveOld) fs.delete(old, true): Unit
+      } else if (haveTmp) {
+        if (!fs.rename(tmp, live))
+          throw new java.io.IOException(s"compact recovery failed: $tmp -> $live")
+        if (haveOld) fs.delete(old, true): Unit
+      } else {
+        if (!fs.rename(old, live))
+          throw new java.io.IOException(s"compact recovery failed: $old -> $live")
+      }
+      true
+    }
+  }
+
+  /** Startup/maintain-time recovery sweep over one table: resolve scratch
+    * dirs orphaned by a crash mid-[[compactRoot]], at the table level (the
+    * flat dictionary case renames the table dir itself) and in every
+    * partition directory below it. Returns true when anything changed.
+    */
+  private def recoverSweep(fs: FileSystem, tableDir: Path): Boolean = {
+    var changed = recoverScratch(fs, tableDir)
+    def walk(p: Path): Unit =
+      for (s <- listStatus(fs, p) if s.isDirectory) {
+        val name = s.getPath.getName
+        if (isScratch(name))
+          changed |= recoverScratch(fs, new Path(p,
+            ScratchSuffixes.foldLeft(name)(_ stripSuffix _)))
+        else walk(s.getPath)
+      }
+    walk(tableDir)
+    changed
+  }
+
+  /** Test-only fault injection: invoked between the two swap renames of
+    * [[compactRoot]] with the leaf path (the worst crash window — live
+    * leaf absent, both scratch copies on disk).
+    */
+  private[store] var compactFaultHook: String => Unit = _ => ()
+
   private[store] def compactRoot(spark: SparkSession, root: String,
       table: String, sortCols: Seq[String], maxFiles: Int,
       merge: Option[DataFrame => DataFrame] = None,
       targetFiles: Int = 1): Int = {
-    val tableDir = new java.io.File(s"$root/$table")
-    def partDirs(f: java.io.File): Seq[java.io.File] = {
-      val kids = Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
-      val sub = kids.filter(k => k.isDirectory && k.getName.contains("="))
-      if (sub.isEmpty) Seq(f) else sub.flatMap(partDirs).toSeq
+    val (fs, tableDir) = fsFor(s"$root/$table")
+    // a crashed previous pass left scratch dirs: restore before listing,
+    // so the leaf selection below sees whole leaves only
+    val recovered = fs.exists(tableDir.getParent) && recoverSweep(fs, tableDir)
+    def partDirs(p: Path): Seq[Path] = {
+      val kids = listStatus(fs, p)
+      val sub = kids.filter(k => k.isDirectory &&
+        k.getPath.getName.contains("=") && !isScratch(k.getPath.getName))
+      if (sub.isEmpty) Seq(p) else sub.flatMap(s => partDirs(s.getPath)).toSeq
     }
-    val leaves = if (tableDir.isDirectory) partDirs(tableDir) else Nil
+    val leaves =
+      if (fs.exists(tableDir) && fs.getFileStatus(tableDir).isDirectory)
+        partDirs(tableDir)
+      else Nil
     // leaf == tableDir is the FLAT (unpartitioned) dictionary-table case:
     // same write-new-then-swap, but the table's own _SUCCESS marker must
     // survive (it guards the build), and the rewrite keeps the dictionary
     // sharded (targetFiles) instead of collapsing to one file
     val toCompact = leaves.filter(leaf =>
-      Option(leaf.listFiles()).getOrElse(Array.empty[java.io.File])
-        .count(f => f.isFile && f.getName.endsWith(".parquet")) > maxFiles)
-    def rewrite(leaf: java.io.File): Unit = {
-      val tmp = new java.io.File(leaf.getParentFile, leaf.getName + ".compact")
-      val df0 = spark.read.parquet(leaf.getAbsolutePath)
+      listStatus(fs, leaf).count(f =>
+        f.isFile && f.getPath.getName.endsWith(".parquet")) > maxFiles)
+    def rewrite(leaf: Path): Unit = {
+      val tmp = new Path(leaf.getParent, leaf.getName + ".compact")
+      val old = new Path(leaf.getParent, leaf.getName + ".old")
+      val df0 = spark.read.parquet(leaf.toString)
       val df = merge.fold(df0)(m => m(df0))
       val sortable = sortCols.filter(df.columns.contains)
       (if (targetFiles <= 1) df.coalesce(1)
        else df.repartition(targetFiles, sortable.take(1).map(col): _*))
         .sortWithinPartitions(sortable.map(col): _*)
-        .write.mode("overwrite").parquet(tmp.getAbsolutePath)
-      deleteRec(leaf)
-      if (!tmp.renameTo(leaf))
+        .write.mode("overwrite").parquet(tmp.toString)
+      // crash-safe swap: the ORIGINAL survives as `.old` until the new
+      // data is live — a crash anywhere leaves a complete copy for
+      // [[recoverScratch]] (vs the old delete-then-rename, whose crash
+      // window lost the leaf outright)
+      if (!fs.rename(leaf, old))
+        throw new java.io.IOException(s"compact swap failed: $leaf -> $old")
+      compactFaultHook(leaf.toString)
+      if (!fs.rename(tmp, leaf)) {
+        fs.rename(old, leaf): Unit // restore the original
         throw new java.io.IOException(s"compact swap failed: $tmp -> $leaf")
+      }
+      fs.delete(old, true): Unit
       // drop the nested _SUCCESS marker — partition dirs hold only parts
       if (leaf != tableDir)
-        new java.io.File(leaf, "_SUCCESS").delete(): Unit
+        fs.delete(new Path(leaf, "_SUCCESS"), false): Unit
     }
     // each leaf is an independent write-new-then-swap (the reference's
     // per-part background merges): run them CONCURRENTLY on a bounded
@@ -827,9 +969,10 @@ object Store {
         }
       } finally pool.shutdown()
     }
-    if (n > 0) {
+    if (n > 0 || recovered) {
       // cross-session invalidation, same contract as [[invalidate]]: a
-      // tenant session must not keep serving the pre-compaction file list
+      // tenant session must not keep serving the pre-compaction (or
+      // pre-recovery) file list
       val path = s"$root/$table"
       val sessions = readers.keysIterator
         .collect { case (s, p) if p == path => s }.toSet + spark
@@ -879,6 +1022,7 @@ object Store {
   def maintain(spark: SparkSession, dir: String, maxFiles: Int = 8): Int =
     appendLock.synchronized {
       val root = ensure(spark, dir)
+      writerLock(root).ensureHeld()
       val pm: Option[DataFrame => DataFrame] =
         Some((df: DataFrame) => mergePartials(df))
       val plan: Seq[(String, Seq[String], Option[DataFrame => DataFrame], Int)] =

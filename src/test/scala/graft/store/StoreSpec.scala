@@ -242,6 +242,119 @@ class StoreSpec extends SparkSpec {
     assert(after == before)
   }
 
+  test("compaction swap is crash-safe: a fault between the two renames " +
+      "leaves both copies on disk, and the next maintain pass recovers " +
+      "the table byte-identically") {
+    val root = "/root/repo/target/test-crash"
+    val s = spark
+    import s.implicits._
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+    }
+    rm(new java.io.File(root))
+    for (i <- 1 to 5)
+      Seq((i.toLong, "2024-01-01")).toDF("v", "date")
+        .write.mode("append").partitionBy("date").parquet(s"$root/samples")
+    val before = spark.read.parquet(s"$root/samples")
+      .orderBy("v").collect().map(_.getLong(0)).toSeq
+    val leaf = new java.io.File(s"$root/samples/date=2024-01-01")
+    // crash in the WORST window: live leaf renamed away, new data not yet
+    // promoted — both `.old` (original) and `.compact` (new) on disk
+    Store.compactFaultHook = _ => throw new RuntimeException("injected crash")
+    try intercept[RuntimeException] {
+      Store.compactRoot(spark, root, "samples", Seq("v"), maxFiles = 2)
+    } finally Store.compactFaultHook = _ => ()
+    assert(!leaf.exists(), "live leaf should be absent in the crash window")
+    assert(new java.io.File(leaf.getPath + ".old").exists())
+    assert(new java.io.File(leaf.getPath + ".compact").exists())
+    // the next maintenance pass recovers BEFORE selecting leaves: the
+    // complete new copy is promoted, scratch dirs are gone, contents match
+    val n = Store.compactRoot(spark, root, "samples", Seq("v"), maxFiles = 2)
+    assert(leaf.exists() && !new java.io.File(leaf.getPath + ".old").exists()
+      && !new java.io.File(leaf.getPath + ".compact").exists(), s"n=$n")
+    val after = spark.read.parquet(s"$root/samples")
+      .orderBy("v").collect().map(_.getLong(0)).toSeq
+    assert(after == before)
+    // an orphaned `.compact` NEXT TO a live leaf (crash before any
+    // rename) is garbage: the sweep deletes it and keeps the live data
+    val stray = new java.io.File(leaf.getPath + ".compact")
+    Seq((99L, "x")).toDF("v", "junk").write.parquet(stray.getPath)
+    Store.compactRoot(spark, root, "samples", Seq("v"), maxFiles = 2)
+    assert(leaf.exists() && !stray.exists())
+    assert(spark.read.parquet(s"$root/samples")
+      .orderBy("v").collect().map(_.getLong(0)).toSeq == before)
+  }
+
+  test("maintenance walks run through the Hadoop FileSystem API: a " +
+      "scheme-qualified file: root compacts and expires like a bare path") {
+    val root = "file:/root/repo/target/test-fsuri"
+    val local = "/root/repo/target/test-fsuri"
+    val s = spark
+    import s.implicits._
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+    }
+    rm(new java.io.File(local))
+    for (i <- 1 to 4)
+      Seq((i.toLong, "2024-01-01"), (i.toLong + 10, "2023-12-31"))
+        .toDF("v", "date")
+        .write.mode("append").partitionBy("date").parquet(s"$root/samples")
+    assert(Store.compactRoot(spark, root, "samples", Seq("v"), maxFiles = 2) == 2)
+    assert(new java.io.File(s"$local/samples/date=2024-01-01")
+      .listFiles().count(_.getName.endsWith(".parquet")) == 1)
+    Store.expireRoot(spark, root, "2024-01-01")
+    assert(!new java.io.File(s"$local/samples/date=2023-12-31").exists())
+    assert(spark.read.parquet(s"$root/samples")
+      .select("v").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("writer lock: a second live writer is refused; crashed holders " +
+      "(dead pid or stale heartbeat) are detected and broken") {
+    val root = "/root/repo/target/test-wlock"
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+    }
+    rm(new java.io.File(root))
+    new java.io.File(root).mkdirs()
+    val mine = new WriterLock(root)
+    mine.ensureHeld()
+    assert(new java.io.File(root, "_writer.lock").exists())
+    assert(mine.isHeld)
+    mine.ensureHeld() // re-entrant
+    // a second "process" (live foreign owner simulated by another lock
+    // instance; OUR pid is alive, so no takeover) gets a clean refusal
+    val other = new WriterLock(root, owner = "foreign@elsewhere")
+    val e = intercept[IllegalStateException](other.ensureHeld())
+    assert(e.getMessage.contains("owned by live writer"), e.getMessage)
+    // crashed same-host holder: dead pid ⇒ broken and taken over
+    mine.release()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, "_writer.lock"),
+      s"999999999@${WriterLock.host}".getBytes("UTF-8"))
+    val taker = new WriterLock(root, owner = "taker@elsewhere")
+    taker.ensureHeld()
+    assert(taker.isHeld)
+    taker.release()
+    // stale heartbeat from an unknown host: broken after staleMs
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, "_writer.lock"),
+      "1@unknownhost".getBytes("UTF-8"))
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 3600L * 1000)
+    java.nio.file.Files.setLastModifiedTime(
+      java.nio.file.Paths.get(root, "_writer.lock"), old)
+    val taker2 = new WriterLock(root, owner = "taker2@elsewhere",
+      staleMs = 60 * 1000)
+    taker2.ensureHeld()
+    assert(taker2.isHeld)
+    // but a FRESH foreign heartbeat within staleMs still refuses
+    val taker3 = new WriterLock(root, owner = "taker3@elsewhere",
+      staleMs = 60 * 1000)
+    intercept[IllegalStateException](taker3.ensureHeld())
+    taker2.release()
+  }
+
   test("downsample partial merge is exact and idempotent: split partials " +
       "fold to the single-pass row, and re-merging is a no-op") {
     val s = spark
