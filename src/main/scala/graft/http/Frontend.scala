@@ -43,7 +43,7 @@ import Json._
   * timestamps are unix seconds, `status`/`data`/`resultType` envelopes.
   * Errors return the Prometheus error envelope with HTTP 400.
   */
-class Frontend(spark: SparkSession, dir: String,
+class Frontend(private[http] val spark: SparkSession, dir: String,
     nowNs: () => Long = () => System.currentTimeMillis() * 1000000L) {
 
   // ---- time / duration parsing --------------------------------------------
@@ -254,29 +254,38 @@ class Frontend(spark: SparkSession, dir: String,
     * same evaluation the query_range gates certify, and the batch twin
     * of the [[graft.streaming.LiveTail]] streaming operator.
     *
-    * Per-tick limit + drop accounting: upstream caps each tick at
-    * min(client limit, tailIncrementalLimit=1000) evaluated NEWEST-first
-    * (`query_range.go:27,:717-720`, OrderASC=false), then advances `from`
-    * past the newest served timestamp — entries beyond the cap are
-    * skipped by that advance, yet its frame hard-codes
+    * Per-tick limit + drop accounting (WebSocket loop): upstream caps each
+    * tick at min(client limit, tailIncrementalLimit=1000) evaluated
+    * NEWEST-first (`query_range.go:27,:717-720`, OrderASC=false), then
+    * advances `from` past the newest served timestamp — entries beyond
+    * the cap are skipped by that advance, yet its frame hard-codes
     * `dropped_entries: []` (`query_range.go:793-795`). Here the skipped
     * rows are ACCOUNTED: the frame reports each one as
     * `{labels, timestamp}` — the Loki tail contract the field exists
     * for — so a client can tell truncation from quiet. Reporting is
     * bounded (one extra limit's worth per tick); beyond that the tick is
     * truncated exactly like upstream.
+    *
+    * The LONG-POLL route instead serves OLDEST-first: its client re-polls
+    * with the advanced cursor, so paging through a burst is lossless —
+    * the cursor only passes entries actually served, and nothing is
+    * skipped (`dropped_entries` stays empty). The newest-first skip is
+    * kept for the WebSocket tick loop only, where it mirrors upstream's
+    * push pacing.
     */
   private def lokiTail(p: Params): HttpResult =
-    HttpResult(200, tailFrame(p, 0L)._1)
+    HttpResult(200, tailFrame(p, 0L, newestFirst = false)._1)
 
   /** One tail tick: the Loki tail frame over [cursor, now) and the next
     * cursor (past the newest SERVED entry — upstream's from-advance,
     * `query_range.go:783-785`). Shared by the long-poll route (single
-    * tick per request) and the WebSocket loop (one tick per poll
-    * interval). `cursorNs` = 0 on the first tick ⇒ the client's `start`
-    * (default now−1h) applies.
+    * tick per request, oldest-first so re-polling pages losslessly) and
+    * the WebSocket loop (one tick per poll interval, upstream's
+    * newest-first skip with drop accounting). `cursorNs` = 0 on the first
+    * tick ⇒ the client's `start` (default now−1h) applies.
     */
-  private def tailFrame(p: Params, cursorNs: Long): (String, Long) = {
+  private def tailFrame(p: Params, cursorNs: Long,
+      newestFirst: Boolean): (String, Long) = {
     val q = p.required("query")
     val startNs = if (cursorNs > 0) cursorNs
       else p.first("start").map(parseTimeNs)
@@ -288,9 +297,11 @@ class Frontend(spark: SparkSession, dir: String,
       p.first("limit").map(_.toInt).filter(_ > 0).getOrElse(100), 5000))
     val ev = EvalParams(startNs, nowNs(), 15L)
     // newest-first with one extra limit's worth of headroom: rows past
-    // `limit` are the ones upstream's from-advance would silently skip
+    // `limit` are the ones upstream's from-advance would silently skip.
+    // oldest-first needs no headroom — nothing beyond the limit is passed
     val all = new LogQLCompiler(spark, dir, ev)
-      .compileLogQuery(q, Some(limit + tickCap), forward = false)
+      .compileLogQuery(q, Some(if (newestFirst) limit + tickCap else limit),
+        forward = !newestFirst)
       .select(col("timestamp_ns"), col("labels"), col("line"))
       .collect().toSeq
     val (served, dropped) = all.splitAt(limit)
@@ -310,12 +321,27 @@ class Frontend(spark: SparkSession, dir: String,
     */
   private[http] def tailFrameFor(org: Option[String], p: Params,
       cursorNs: Long): (String, Long) = org match {
-    case Some(o) => forTenant(o).tailFrame(p, cursorNs)
-    case None    => tailFrame(p, cursorNs)
+    case Some(o) => forTenant(o).tailFrame(p, cursorNs, newestFirst = true)
+    case None    => tailFrame(p, cursorNs, newestFirst = true)
   }
 
   private[http] def orgOk(org: Option[String]): Boolean =
     org.forall(validOrg)
+
+  /** Pre-upgrade validation for the WebSocket tail: a missing or
+    * unparseable `query` must fail as a plain HTTP 400 BEFORE the 101
+    * handshake — after the upgrade there is no HTTP status left to send
+    * and the client could not tell a bad query from a network drop.
+    * Returns the error message, or None when the tail can start.
+    */
+  private[http] def tailQueryError(p: Params): Option[String] =
+    try {
+      LogQLParser.parseOrThrow(p.required("query")): Unit
+      None
+    } catch {
+      case e: Exception =>
+        Some(Option(e.getMessage).getOrElse(e.getClass.getSimpleName))
+    }
 
   /** `/loki/api/v1/query` — LogQL INSTANT query
     * (`reader/controller/query_range.go:66-150`,
@@ -1110,14 +1136,21 @@ class Frontend(spark: SparkSession, dir: String,
     * first scan), so evicting the least-recently-used tenant only costs
     * that tenant a warm-up — while an UNBOUNDED map lets any client
     * streaming random X-Scope-OrgID values grow driver memory without
-    * bound. accessOrder=true makes every lookup a touch.
+    * bound. accessOrder=true makes every lookup a touch. Eviction also
+    * purges the store-layer caches keyed by the evicted session
+    * ([[graft.store.Store.evictSession]]) — those entries would otherwise
+    * pin the session (and its resolved file indexes) forever, defeating
+    * the bound this LRU exists for.
     */
   private val MaxTenantSessions = 64
   private val tenantFrontends =
     new java.util.LinkedHashMap[String, Frontend](16, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[String, Frontend]): Boolean =
-        size() > MaxTenantSessions
+          e: java.util.Map.Entry[String, Frontend]): Boolean = {
+        val evict = size() > MaxTenantSessions
+        if (evict) graft.store.Store.evictSession(e.getValue.spark)
+        evict
+      }
     }
 
   /** The DSN registry rejects garbage org ids before they reach storage;
@@ -1340,8 +1373,9 @@ class Frontend(spark: SparkSession, dir: String,
     * route dispatches through [[routeRaw]]. `tailTickMs` is the tail
     * poll interval (upstream tailPollInterval = 1 s).
     */
-  def start(port: Int = 0, tailTickMs: Int = 1000): GraftHttpServer =
-    new GraftHttpServer(this, port, tailTickMs)
+  def start(port: Int = 0, tailTickMs: Int = 1000,
+      maxConnections: Int = 256): GraftHttpServer =
+    new GraftHttpServer(this, port, tailTickMs, maxConnections)
 
   /** Background maintenance timer — the serving-layer analog of the
     * reference's ctrl timers (`ctrl/qryn/maintenance/rotate.go` rotation
@@ -1370,6 +1404,16 @@ class Frontend(spark: SparkSession, dir: String,
     }, intervalS, intervalS, java.util.concurrent.TimeUnit.SECONDS)
     ex
   }
+
+  /** Background ruler timer (`ruler/manager.go:43-250` interval tickers):
+    * evaluates every stored rule group on its own interval — recording
+    * rules write back into the queryable store, alerting rules export
+    * ALERTS samples ([[graft.streaming.RulerScheduler]]). `pollS` bounds
+    * the firing latency; each group still fires at its own interval.
+    */
+  def startRuler(pollS: Long = 15)
+      : java.util.concurrent.ScheduledExecutorService =
+    new graft.streaming.RulerScheduler(spark, dir, nowNs).start(pollS)
 }
 
 final case class HttpResult(status: Int, body: String,

@@ -990,9 +990,8 @@ class FrontendSpec extends SparkSpec {
       get(s"/loki/api/v1/labels?start=$StartS&end=$EndS"))
   }
 
-  test("tail reports dropped entries when the per-tick limit truncates: " +
-      "newest `limit` served, older overflow accounted with labels + " +
-      "timestamp") {
+  test("long-poll tail pages through a burst losslessly: oldest `limit` " +
+      "served per poll, nothing skipped, cursor re-polls collect every entry") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-drop").toFile
     tmp.deleteOnExit()
     for (f <- new java.io.File(sf).listFiles(); if f.getName.endsWith(".parquet"))
@@ -1011,35 +1010,74 @@ class FrontendSpec extends SparkSpec {
             s"""{"streams":[{"stream":{"event_type":"droppush"},"values":[$values]}]}"""))
           .build(), HttpResponse.BodyHandlers.ofString())
       assert(push.statusCode() == 204)
-      val (tc, frame0) = {
+      def poll(startNs: Long): (Seq[(Long, String)], String) = {
         val r = client.send(HttpRequest.newBuilder(URI.create(
           b + "/loki/api/v1/tail?query=" + enc("""{event_type="droppush"}""") +
-            s"&start=${StartS}000000000&limit=3")).GET().build(),
+            s"&start=$startNs&limit=3")).GET().build(),
           HttpResponse.BodyHandlers.ofString())
-        (r.statusCode(), r.body())
+        assert(r.statusCode() == 200)
+        val got = """\["(\d{19})","(drop line \d)"\]""".r
+          .findAllMatchIn(r.body())
+          .map(m => (m.group(1).toLong, m.group(2))).toSeq
+        (got, r.body())
       }
-      assert(tc == 200)
-      val streamsPart = frame0.substring(0, frame0.indexOf("dropped_entries"))
-      val droppedPart = frame0.substring(frame0.indexOf("dropped_entries"))
-      def lines(s: String): Seq[String] =
-        """drop line (\d)""".r.findAllMatchIn(s).map(_.group(1)).toSeq
-      // newest 3 served (the upstream DESC per-tick truncation)
-      assert(lines(streamsPart).toSet == Set("6", "7", "8"), frame0.take(400))
-      // the 5 older ones are REPORTED, each with labels + timestamp
-      val dropped = """\{"labels":\{"event_type":"droppush"\},"timestamp":"(\d{19})"\}""".r
-        .findAllMatchIn(droppedPart).map(_.group(1).toLong).toSeq
-      assert(dropped.size == 5, droppedPart.take(400))
-      assert(dropped.toSet ==
-        (1 to 5).map(i => (StartS + 100 * i) * 1000000000L).toSet)
-      // under the limit: dropped_entries is empty again
-      val (_, frame1) = {
-        val r = client.send(HttpRequest.newBuilder(URI.create(
-          b + "/loki/api/v1/tail?query=" + enc("""{event_type="droppush"}""") +
-            s"&start=${StartS}000000000&limit=100")).GET().build(),
-          HttpResponse.BodyHandlers.ofString())
-        (r.statusCode(), r.body())
+      // the long-poll client re-polls with the advanced cursor, so each
+      // poll serves the OLDEST `limit` entries and skips nothing — paging
+      // through the burst is lossless and dropped_entries stays empty
+      // (the newest-first skip semantics live on the WebSocket loop only)
+      var cursor = StartS * 1000000000L
+      val collected = scala.collection.mutable.ArrayBuffer[String]()
+      for (_ <- 1 to 3) {
+        val (got, body) = poll(cursor)
+        assert(got.size <= 3)
+        assert(body.contains(""""dropped_entries":[]"""), body.take(300))
+        collected ++= got.map(_._2)
+        if (got.nonEmpty) cursor = got.map(_._1).max + 1
       }
-      assert(frame1.contains(""""dropped_entries":[]"""), frame1.take(300))
+      assert(collected.toSeq == (1 to 8).map(i => s"drop line $i"), collected)
+    } finally srv.stop(0)
+  }
+
+  test("websocket tail keeps upstream's newest-first per-tick truncation, " +
+      "accounting the skipped older entries as dropped_entries") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-wsdrop").toFile
+    tmp.deleteOnExit()
+    for (f <- new java.io.File(sf).listFiles(); if f.getName.endsWith(".parquet"))
+      java.nio.file.Files.copy(f.toPath,
+        new java.io.File(tmp, f.getName).toPath)
+    val srv = new Frontend(spark, tmp.getAbsolutePath,
+      nowNs = () => EndS * 1000000000L).start(0, tailTickMs = 150)
+    try {
+      val port = srv.getAddress.getPort
+      val values = (1 to 8).map(i =>
+        s"""["${(StartS + 100 * i)}000000000","wsdrop line $i"]""")
+        .mkString(",")
+      val push = client.send(
+        HttpRequest.newBuilder(URI.create(
+          s"http://127.0.0.1:$port/loki/api/v1/push"))
+          .POST(HttpRequest.BodyPublishers.ofString(
+            s"""{"streams":[{"stream":{"event_type":"wsdrop"},"values":[$values]}]}"""))
+          .build(), HttpResponse.BodyHandlers.ofString())
+      assert(push.statusCode() == 204)
+      val (sock, in, out) = wsConnect(port,
+        "query=" + enc("""{event_type="wsdrop"}""") +
+          s"&start=${StartS}000000000&limit=3")
+      try {
+        val (op, frame) = wsReadFrame(in)
+        assert(op == 1)
+        val streamsPart = frame.substring(0, frame.indexOf("dropped_entries"))
+        def lines(s: String): Seq[String] =
+          """wsdrop line (\d)""".r.findAllMatchIn(s).map(_.group(1)).toSeq
+        // newest 3 served (upstream's DESC per-tick truncation) ...
+        assert(lines(streamsPart).toSet == Set("6", "7", "8"), frame.take(400))
+        // ... and the 5 older ones REPORTED with labels + timestamp
+        val dropped =
+          """\{"labels":\{"event_type":"wsdrop"\},"timestamp":"(\d{19})"\}""".r
+            .findAllMatchIn(frame).map(_.group(1).toLong).toSeq
+        assert(dropped.toSet ==
+          (1 to 5).map(i => (StartS + 100 * i) * 1000000000L).toSet, frame.take(600))
+        wsWriteMasked(out, 0x8, Array.emptyByteArray)
+      } finally sock.close()
     } finally srv.stop(0)
   }
 
@@ -1229,6 +1267,198 @@ class FrontendSpec extends SparkSpec {
     for (bad <- Seq("../evil", "a/b", "a\\b", "with space", "x" * 129, ""))
       assert(fe.route("/ready", Params(), org = Some(bad)).status == 400, bad)
     assert(fe.tenantSessionCount <= 64)
+  }
+
+  test("request bounds: oversize Content-Length is 413, oversize header " +
+      "is 431 — rejected from the headers alone, nothing buffered") {
+    // raw socket: the JDK client won't send these frames
+    def rawRequest(req: String): String = {
+      val sock = new java.net.Socket("127.0.0.1", server.getAddress.getPort)
+      try {
+        sock.setSoTimeout(20000)
+        sock.getOutputStream.write(req.getBytes("UTF-8"))
+        sock.getOutputStream.flush()
+        rawLine(sock.getInputStream)
+      } finally sock.close()
+    }
+    // forged 2 GB Content-Length with NO body: must answer 413 immediately
+    // instead of pre-allocating the declared size
+    val s413 = rawRequest("POST /loki/api/v1/push HTTP/1.1\r\nHost: x\r\n" +
+      "Content-Length: 2000000000\r\n\r\n")
+    assert(s413 == "HTTP/1.1 413 Payload Too Large", s413)
+    val s431 = rawRequest("GET /ready HTTP/1.1\r\nHost: x\r\n" +
+      "X-Junk: " + ("j" * 20000) + "\r\n\r\n")
+    assert(s431 == "HTTP/1.1 431 Request Header Fields Too Large", s431)
+    // an endless header stream is cut off by the line-count bound
+    val manyHeaders = (1 to 300).map(i => s"X-H$i: v").mkString("\r\n")
+    val sMany = rawRequest(s"GET /ready HTTP/1.1\r\nHost: x\r\n$manyHeaders\r\n\r\n")
+    assert(sMany == "HTTP/1.1 431 Request Header Fields Too Large", sMany)
+  }
+
+  test("connection cap: over-capacity connections are shed with 503 " +
+      "instead of queueing; capacity frees when a connection closes") {
+    val srv = new Frontend(spark, sf).start(0, maxConnections = 2)
+    try {
+      val port = srv.getAddress.getPort
+      // two idle keep-alive connections occupy the capacity
+      val idle = (1 to 2).map { _ =>
+        val s = new java.net.Socket("127.0.0.1", port)
+        s.getOutputStream.write("GET /ready HTTP/1.1\r\nHost: x\r\n\r\n".getBytes("UTF-8"))
+        s.getOutputStream.flush()
+        // drain the response so the handler is parked reading the NEXT request
+        val in = s.getInputStream
+        assert(rawLine(in) == "HTTP/1.1 200 OK")
+        var cl = 0
+        Iterator.continually(rawLine(in)).takeWhile(_.nonEmpty).foreach { h =>
+          if (h.toLowerCase.startsWith("content-length:")) cl = h.split(":")(1).trim.toInt
+        }
+        val body = new Array[Byte](cl)
+        var off = 0
+        while (off < cl) { val r = in.read(body, off, cl - off); assert(r > 0); off += r }
+        s
+      }
+      try {
+        val s3 = new java.net.Socket("127.0.0.1", port)
+        try {
+          s3.setSoTimeout(20000)
+          s3.getOutputStream.write("GET /ready HTTP/1.1\r\nHost: x\r\n\r\n".getBytes("UTF-8"))
+          s3.getOutputStream.flush()
+          val status = rawLine(s3.getInputStream)
+          assert(status == "HTTP/1.1 503 Service Unavailable", status)
+        } finally s3.close()
+        // closing one admitted connection frees a slot
+        idle.head.close()
+        val deadline = System.nanoTime() + 20L * 1000000000L
+        var recovered = false
+        while (!recovered && System.nanoTime() < deadline) {
+          val s4 = new java.net.Socket("127.0.0.1", port)
+          try {
+            s4.setSoTimeout(20000)
+            s4.getOutputStream.write(
+              "GET /ready HTTP/1.1\r\nHost: x\r\nConnection: close\r\n\r\n".getBytes("UTF-8"))
+            s4.getOutputStream.flush()
+            recovered = rawLine(s4.getInputStream) == "HTTP/1.1 200 OK"
+          } finally s4.close()
+          if (!recovered) Thread.sleep(100)
+        }
+        assert(recovered, "slot never freed after closing an admitted connection")
+      } finally idle.foreach(s => try s.close() catch { case _: Throwable => () })
+    } finally srv.stop(0)
+  }
+
+  test("websocket tail validates the query BEFORE the 101 handshake: " +
+      "missing or unparseable queries fail as plain HTTP 400") {
+    val port = server.getAddress.getPort
+    def upgradeStatus(query: String): String = {
+      val sock = new java.net.Socket("127.0.0.1", port)
+      try {
+        sock.setSoTimeout(20000)
+        val wsKey = java.util.Base64.getEncoder.encodeToString(
+          Array.tabulate[Byte](16)(_.toByte))
+        sock.getOutputStream.write((s"GET /loki/api/v1/tail$query HTTP/1.1\r\n" +
+          "Host: x\r\nUpgrade: websocket\r\nConnection: Upgrade\r\n" +
+          s"Sec-WebSocket-Key: $wsKey\r\nSec-WebSocket-Version: 13\r\n\r\n")
+          .getBytes("UTF-8"))
+        sock.getOutputStream.flush()
+        rawLine(sock.getInputStream)
+      } finally sock.close()
+    }
+    assert(upgradeStatus("") == "HTTP/1.1 400 Bad Request")
+    assert(upgradeStatus("?query=" + enc("{unclosed")) ==
+      "HTTP/1.1 400 Bad Request")
+  }
+
+  test("websocket tail survives fragmented client messages and closes " +
+      "1002 on a continuation without an open message") {
+    val port = server.getAddress.getPort
+    val q = "query=" + enc("""{event_type="signup"}""") +
+      s"&start=${StartS}000000000"
+    // fragmented 2-frame text message: tolerated (tail has no client
+    // payload), ticks keep flowing
+    val (sock, in, out) = wsConnect(port, q)
+    try {
+      wsWriteMasked(out, 0x1, "hel".getBytes("UTF-8"), fin = false)
+      wsWriteMasked(out, 0x0, "lo".getBytes("UTF-8"), fin = true)
+      val (op, frame) = wsReadFrame(in)
+      assert(op == 1 && frame.contains("streams"), s"$op ${frame.take(120)}")
+      wsWriteMasked(out, 0x8, Array.emptyByteArray)
+      val closed = Iterator.continually(wsReadFrame(in)).take(8).find(_._1 == 0x8)
+      assert(closed.isDefined)
+    } finally sock.close()
+    // a bare continuation frame is a protocol error: close code 1002
+    val (sock2, in2, out2) = wsConnect(port, q)
+    try {
+      wsWriteMasked(out2, 0x0, "orphan".getBytes("UTF-8"), fin = true)
+      val closed = Iterator.continually(wsReadFrameBytes(in2)).take(8)
+        .find(_._1 == 0x8)
+      assert(closed.isDefined, "no close frame")
+      val code = ((closed.get._2(0).toInt & 0xff) << 8) |
+        (closed.get._2(1).toInt & 0xff)
+      assert(code == 1002, s"close code $code")
+    } finally sock2.close()
+  }
+
+  // ---- raw WebSocket client helpers ------------------------------------------
+
+  /** Open a WebSocket tail on `port` with the given query string; returns
+    * (socket, in, out) positioned after a VERIFIED 101 handshake.
+    */
+  private def wsConnect(port: Int, query: String)
+      : (java.net.Socket, java.io.BufferedInputStream, java.io.OutputStream) = {
+    val sock = new java.net.Socket("127.0.0.1", port)
+    sock.setSoTimeout(20000)
+    val out = sock.getOutputStream
+    val in = new java.io.BufferedInputStream(sock.getInputStream)
+    val wsKey = java.util.Base64.getEncoder.encodeToString(
+      Array.tabulate[Byte](16)(_.toByte))
+    out.write((s"GET /loki/api/v1/tail?$query HTTP/1.1\r\nHost: x\r\n" +
+      "Upgrade: websocket\r\nConnection: Upgrade\r\nSec-WebSocket-Key: " +
+      wsKey + "\r\nSec-WebSocket-Version: 13\r\n\r\n").getBytes("UTF-8"))
+    out.flush()
+    val status = rawLine(in)
+    assert(status == "HTTP/1.1 101 Switching Protocols", status)
+    Iterator.continually(rawLine(in)).takeWhile(_.nonEmpty).foreach(_ => ())
+    (sock, in, out)
+  }
+
+  private def rawLine(in: java.io.InputStream): String = {
+    val sb = new StringBuilder
+    var c = in.read()
+    while (c >= 0 && c != '\n') { if (c != '\r') sb.append(c.toChar); c = in.read() }
+    sb.toString
+  }
+
+  /** One server frame: (opcode, raw payload). */
+  private def wsReadFrameBytes(in: java.io.InputStream): (Int, Array[Byte]) = {
+    val b0 = in.read(); val b1 = in.read()
+    assert(b0 >= 0 && b1 >= 0, "ws closed")
+    var len: Long = b1 & 0x7f
+    if (len == 126) len = (in.read().toLong << 8) | in.read()
+    else if (len == 127) { len = 0; for (_ <- 0 until 8) len = (len << 8) | in.read() }
+    val buf = new Array[Byte](len.toInt)
+    var off = 0
+    while (off < buf.length) {
+      val r = in.read(buf, off, buf.length - off); assert(r > 0); off += r
+    }
+    (b0 & 0x0f, buf)
+  }
+
+  /** One server frame: (opcode, payload-as-UTF8). */
+  private def wsReadFrame(in: java.io.InputStream): (Int, String) = {
+    val (op, buf) = wsReadFrameBytes(in)
+    (op, new String(buf, "UTF-8"))
+  }
+
+  /** One masked client frame (client→server frames must be masked). */
+  private def wsWriteMasked(out: java.io.OutputStream, opcode: Int,
+      payload: Array[Byte], fin: Boolean = true): Unit = {
+    out.write((if (fin) 0x80 else 0x00) | opcode)
+    if (payload.length <= 125) out.write(0x80 | payload.length)
+    else { out.write(0x80 | 126); out.write(payload.length >> 8); out.write(payload.length & 0xff) }
+    val mask = Array[Byte](1, 2, 3, 4)
+    out.write(mask)
+    out.write(payload.zipWithIndex.map { case (b, i) => (b ^ mask(i & 3)).toByte })
+    out.flush()
   }
 
   private def enc(s: String): String =
