@@ -500,6 +500,84 @@ object HttpGates extends GateSet {
         s"""SELECT level,
            |  (timestamp_ns // ${StepS}000000000) * $StepS AS ts,
            |  CAST(count(*) AS DOUBLE) AS value
-           |FROM logs GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)))
+           |FROM logs GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))),
+
+    // --- ruler scheduler loop: a rule group posted over CRUD is evaluated
+    // by the SCHEDULED loop (`ruler/manager.go:43-250` interval tickers)
+    // on two deterministic clock ticks one interval apart — the recording
+    // rule's two writeback vectors and the alerting rule's two ALERTS
+    // exports are read back through the PromQL engine; the oracle replays
+    // both evaluations from the pushed logs -------------------------------
+    Gate("streaming_ruler_scheduler",
+      (spark: SparkSession, dir: String) => {
+        val tmp = fixtureDir(spark, dir)
+        val run = s"v${runCounter.incrementAndGet()}"
+        val rec = s"sched_count_$run"
+        val alert = s"SchedAlert$run"
+        // the scheduler sweeps EVERY stored group: clear groups left by
+        // earlier gates/samples so this tick evaluates only its own
+        // (each invocation re-posts its rules, so nothing is lost)
+        def rmrf(f: java.io.File): Unit = if (f.exists) {
+          Option(f.listFiles).foreach(_.foreach(rmrf)); f.delete(): Unit
+        }
+        rmrf(new java.io.File(graft.streaming.Rules.rulesPath(tmp)))
+        val fe = new Frontend(spark, tmp, nowNs = () => StartNs)
+        post(fe, "/loki/api/v1/push",
+          lokiBody(Tables.logs(spark, tmp), "sch", run), 204)
+        post(fe, s"/loki/api/v1/rules/sch-$run",
+          s"""name: g1
+             |interval: 6h
+             |rules:
+             |  - record: $rec
+             |    expr: "sum by (level) (count_over_time({event_type=\\"sch\\", run=\\"$run\\"}[6h]))"
+             |    labels:
+             |      team: sre
+             |  - alert: $alert
+             |    expr: "sum by (level) (count_over_time({event_type=\\"sch\\", run=\\"$run\\"}[6h])) > 0"
+             |""".stripMargin, 202)
+        val t1 = StartS + 21600L
+        val t2 = StartS + 43200L
+        var now = t1 * 1000000000L
+        val sched = new graft.streaming.RulerScheduler(spark, tmp, () => now)
+        val w1 = sched.tick()
+        val idle = sched.tick() // same clock: group not due, nothing runs
+        now = t2 * 1000000000L
+        val w2 = sched.tick()
+        if (w1 == 0 || w2 == 0 || idle != 0)
+          throw new IllegalStateException(
+            s"scheduler ticks wrote $w1/$idle/$w2")
+        // both families read back through the PromQL engine at exactly
+        // the two tick points
+        val prom = new PromQLCompiler(spark, tmp,
+          PromParams(t1 * 1000000000L, t2 * 1000000000L, 21600L))
+        val recorded = prom.compile(s"""$rec{team="sre"}""")
+          .select(lit("recorded").as("section"),
+            element_at(col("labels"), "level").as("series"),
+            col("ts"), col("value"))
+        val alerts = prom.compile(s"""ALERTS{alertname="$alert"}""")
+          .select(lit("alert").as("section"),
+            concat(element_at(col("labels"), "level"), lit(":"),
+              element_at(col("labels"), "alertstate")).as("series"),
+            col("ts"), col("value"))
+        recorded.unionByName(alerts).orderBy("section", "series", "ts")
+      },
+      // each tick evaluates one floor-aligned [t, t+6h) window; the alert
+      // has for=0, so any nonzero count is immediately `firing`
+      Some(OracleViews.withViews(Seq(smallLogs,
+        s"g AS (SELECT unnest([${StartS + 21600L}::BIGINT, " +
+          s"${StartS + 43200L}::BIGINT]) AS t)",
+        """counts AS (
+          |  SELECT level, g.t AS ts, CAST(count(*) AS DOUBLE) AS value
+          |  FROM logs l JOIN g
+          |    ON l.timestamp_ns >= g.t * 1000000000
+          |   AND l.timestamp_ns < (g.t + 21600) * 1000000000
+          |  GROUP BY 1, 2)""".stripMargin),
+        """SELECT * FROM (
+          |  SELECT 'recorded' AS section, level AS series, ts, value
+          |  FROM counts
+          |  UNION ALL
+          |  SELECT 'alert', level || ':firing', ts, 1.0
+          |  FROM counts WHERE value > 0
+          |) ORDER BY 1, 2, 3""".stripMargin)))
   )
 }

@@ -101,14 +101,23 @@ object Ruler {
     * Returns (alertname, labels, ts, value, active_since, state).
     */
   def alertStates(spark: SparkSession, dir: String, alertName: String,
-      expr: String, forS: Long, params: EvalParams): DataFrame = {
+      expr: String, forS: Long, params: EvalParams): DataFrame =
+    alertStatesFrom(
+      new LogQLCompiler(spark, dir, params)
+        .compileMetric(LogQLParser.parseOrThrow(expr)),
+      alertName, forS, params.stepS)
+
+  /** The state machine above over an already-compiled grid frame
+    * (labels, fingerprint, ts, value) — lets the scheduler run alert
+    * rules on EITHER engine ([[Rules.evalVector]] picks it per kind).
+    */
+  def alertStatesFrom(frame: DataFrame, alertName: String, forS: Long,
+      stepS: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val frame = new LogQLCompiler(spark, dir, params)
-      .compileMetric(LogQLParser.parseOrThrow(expr))
     val w = Window.partitionBy(col("fingerprint")).orderBy(col("ts"))
     val episodes = frame
       .withColumn("__ep",
-        col("ts") - lit(params.stepS) * row_number().over(w))
+        col("ts") - lit(stepS) * row_number().over(w))
     episodes
       .withColumn("active_since", min(col("ts")).over(
         Window.partitionBy(col("fingerprint"), col("__ep"))))

@@ -170,7 +170,7 @@ object Rules {
     }
   }
 
-  private def saveHealth(spark: SparkSession, dir: String,
+  private[streaming] def saveHealth(spark: SparkSession, dir: String,
       updates: Seq[HealthRow]): Unit = if (updates.nonEmpty) crudLock.synchronized {
     import spark.implicits._
     val keys = updates.map(h => (h.kind, h.namespace, h.group, h.rule)).toSet

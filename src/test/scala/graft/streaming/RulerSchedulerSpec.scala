@@ -1,0 +1,96 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.gates.EvalWindow._
+
+/** Clock-driven scheduler loop (`ruler/manager.go:43-250` interval
+  * tickers): groups fire on their own interval, recording rules write
+  * back into the queryable store, alerting rules export ALERTS samples,
+  * and `/api/v1/rules` health reflects the last evaluation.
+  */
+class RulerSchedulerSpec extends SparkSpec {
+
+  test("scheduler ticks: each due tick writes exactly its grid points " +
+      "back through the live append path; off-interval ticks are no-ops; " +
+      "alerts export firing states; health records the evaluation") {
+    // tmp copy: the writeback appends mutate the dir's store, and the
+    // shared sf0.001 store's contents are load-bearing for other suites
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ruler").toFile
+    tmp.deleteOnExit()
+    for (f <- new java.io.File(sf).listFiles(); if f.getName.endsWith(".parquet"))
+      java.nio.file.Files.copy(f.toPath,
+        new java.io.File(tmp, f.getName).toPath)
+    val dir = tmp.getAbsolutePath
+
+    val g = Rules.RuleGroup("sched", 60, Seq(
+      Rules.Rule(record = "job:clicks:count",
+        expr = """sum(count_over_time({event_type="click"}[24h]))""",
+        labels = Map("team" -> "obs")),
+      Rules.Rule(alert = "ClicksPresent",
+        expr = """sum(count_over_time({event_type="click"}[24h])) > 0""",
+        forDur = "60s")))
+    Rules.setGroup(spark, dir, "loki", "ns", g)
+
+    var now = (StartS + 86400L) * 1000000000L // Jan 2, well inside the data
+    val sched = new RulerScheduler(spark, dir, () => now)
+
+    // tick 1: first evaluation — one grid point per rule
+    val w1 = sched.tick()
+    assert(w1 == 2, s"expected 1 recorded + 1 alert sample, got $w1")
+    assert(sched.lastEval("loki", "ns", "sched").contains(now))
+
+    // same clock: the group is not due — nothing written, last-eval fixed
+    assert(sched.tick() == 0)
+    assert(sched.lastEval("loki", "ns", "sched").contains(now))
+
+    // one interval later: due again, exactly one more point per rule
+    now += 60L * 1000000000L
+    assert(sched.tick() == 2)
+    assert(sched.lastEval("loki", "ns", "sched").contains(now))
+
+    // the recorded family is live-queryable with the writeback label
+    // precedence (sample < rule labels < __name__)
+    val rec = graft.store.Store.promMetric(spark, dir, "job:clicks:count",
+      0, Long.MaxValue).get.collect()
+    assert(rec.length == 2, rec.mkString("; "))
+    assert(rec.forall(_.getAs[Map[String, String]]("labels")
+      .get("team").contains("obs")))
+    assert(rec.map(_.getAs[Long]("timestamp_ns")).toSet ==
+      Set(now, now - 60L * 1000000000L))
+
+    // the alert held for ≥ forS across the lookback: state is firing,
+    // exported as Prometheus-style ALERTS samples
+    val alerts = graft.store.Store.promMetric(spark, dir, "ALERTS",
+      0, Long.MaxValue).get.collect()
+    assert(alerts.length == 2, alerts.mkString("; "))
+    val al = alerts.map(_.getAs[Map[String, String]]("labels"))
+    assert(al.forall(_.get("alertname").contains("ClicksPresent")))
+    assert(al.forall(_.get("alertstate").contains("firing")), al.mkString("; "))
+
+    // health rows carry the last evaluation (ok + timestamp > 0)
+    val health = Rules.listRules(spark, dir, "loki")
+      .select("rule_name", "health").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(health == Map("job:clicks:count" -> "ok", "ClicksPresent" -> "ok"),
+      health)
+    val groups = Rules.prometheusGroups(spark, dir, "loki")
+    assert(groups.nonEmpty && groups.head.lastEvalMs == now / 1000000L)
+
+    // a rule that fails records health=err without blocking the group
+    Rules.setGroup(spark, dir, "loki", "ns2", Rules.RuleGroup("bad", 60, Seq(
+      Rules.Rule(record = "broken:rule", expr = "{unclosed"),
+      Rules.Rule(record = "ok:rule", expr = "vector(7)"))))
+    now += 60L * 1000000000L
+    val w3 = sched.tick() // sched group fires too (third point each)
+    assert(w3 >= 3, s"$w3")
+    val h2 = Rules.listRules(spark, dir, "loki")
+      .select("rule_name", "health").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(h2("broken:rule") == "err" && h2("ok:rule") == "ok", h2)
+    val v7 = graft.store.Store.promMetric(spark, dir, "ok:rule",
+      0, Long.MaxValue).get.collect()
+    assert(v7.length == 1 && v7(0).getAs[Double]("value") == 7.0)
+  }
+}
