@@ -82,7 +82,11 @@ object Bench {
     var storeBuild = -1.0
     var childWarm = -1.0
     var err: Option[String] = None
-    def runChild(fam: String, qs: Seq[String]): Option[Map[String, Double]] = {
+    // `optional` = the best-effort self-adjudication rerun: its failures
+    // (and its retried-list entries) must not mark the ROUND as errored or
+    // double-count retries — every primary family already reported
+    def runChild(fam: String, qs: Seq[String],
+        optional: Boolean = false): Option[Map[String, Double]] = {
       val out = s"target/bench_child_$fam.json"
       new java.io.File(out).delete()
       val cmd = (Seq(javaBin.getAbsolutePath) ++ jvmOpts ++
@@ -99,10 +103,10 @@ object Bench {
         catch { case _: Throwable => None }
       childJson match {
         case Some(js) =>
-          retried ++= parseRetried(js)
+          if (!optional) retried ++= parseRetried(js)
           Some(parseQueries(js))
         case None =>
-          err = err.orElse(Some(s"family $fam child failed rc=$rc"))
+          if (!optional) err = err.orElse(Some(s"family $fam child failed rc=$rc"))
           None
       }
     }
@@ -131,7 +135,7 @@ object Bench {
           merged.getOrElse(n, -1.0) >= 2 * p))
       }
       for ((fam, qs) <- suspect) {
-        runChild(s"${fam}_rerun", qs).foreach { qsMap =>
+        runChild(s"${fam}_rerun", qs, optional = true).foreach { qsMap =>
           for (n <- qs; t = qsMap.getOrElse(n, -1.0); if t >= 0)
             merged(n) =
               if (merged.getOrElse(n, -1.0) < 0) t
@@ -211,6 +215,16 @@ object Bench {
       // query absorbs first-plan costs must not be Map-order luck
       SparkEntry.queries.get("logql_rate_sum_by")
         .foreach(fn => try fn(spark, sfDir).count() catch { case _: Throwable => })
+      // family-child warmup: a child JVM sweeps ONE family, and the LogQL
+      // warm query above leaves that family's own compiler cold — its
+      // first timed entries then measured compiler JIT, which is what
+      // kept tripping the sub-second retry machinery (r18: retried_n 93,
+      // dominated by first-in-family promql/profiles entries). One
+      // throwaway run of the child's first selected query warms the
+      // family path, untimed.
+      if (exact) filters.sorted.headOption
+        .flatMap(SparkEntry.queries.get)
+        .foreach(fn => try fn(spark, sfDir).count() catch { case _: Throwable => })
       // the HTTP-roundtrip gates run against a small fixture copy with its
       // own store — build it here (untimed, like the main store) so their
       // samples measure the push-then-query loop, not a one-time build.
@@ -272,10 +286,14 @@ object Bench {
         // are SUSPECT — contamination, not regression, with high
         // probability — so suspects get up to THREE samples, keeping the
         // min, until they clear the bar. An entry still >1.5x pin after
-        // three samples is a real regression. The 0.75s floor keeps pure
-        // scheduler jitter on tiny entries from spamming the retried list.
+        // three samples is a real regression. The 0.75s sample floor and
+        // the 0.5s PIN floor keep the sub-second band out of the retried
+        // list: a pin in that band measures scheduler + plan overhead,
+        // its 1.5x threshold sits inside ordinary jitter, and min-of-2
+        // already covers it — a real order-of-magnitude regression there
+        // still surfaces through worst_ratio and the family rerun pass.
         def suspect(t: Double) =
-          t >= 0.75 && pins.get(name).exists(p => t >= 1.5 * p)
+          t >= 0.75 && pins.get(name).exists(p => p >= 0.5 && t >= 1.5 * p)
         val t1 = timeOnce(fn)
         var best = t1
         if (best >= 0) {
