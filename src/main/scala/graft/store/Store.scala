@@ -119,7 +119,7 @@ object Store {
     * (`ctrl/qryn/maintenance/rotate.go:48-66`) regardless of disk backend.
     * `FileSystem.get` caches per (scheme, authority), so this is cheap.
     */
-  private[store] def fsFor(path: String): (FileSystem, Path) = {
+  private[graft] def fsFor(path: String): (FileSystem, Path) = {
     val p = new Path(path)
     val conf = SparkSession.getActiveSession
       .orElse(SparkSession.getDefaultSession)

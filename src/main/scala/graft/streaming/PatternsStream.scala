@@ -1,5 +1,6 @@
 package graft.streaming
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 
 import graft.patterns.Patterns
@@ -12,6 +13,11 @@ import graft.patterns.Patterns
   * (stream, token count, head). Because the merge is associative (gated by
   * `streaming_patterns_merge`), any micro-batch boundary yields the same
   * state as one-shot mining.
+  *
+  * State-table filesystem ops go through the Hadoop FileSystem for the
+  * state path's URI (like the store's maintenance walks), so the
+  * foreachBatch state lives on HDFS/S3 in a cluster deployment exactly as
+  * on local disk.
   */
 object PatternsStream {
 
@@ -25,8 +31,9 @@ object PatternsStream {
     */
   def foldBatch(batch: DataFrame, statePath: String,
       batchId: Long = -1L): Unit = {
-    val marker = new java.io.File(statePath + s".done-$batchId")
-    if (batchId >= 0 && marker.exists()) return
+    val (fs, state) = graft.store.Store.fsFor(statePath)
+    val marker = new Path(statePath + s".done-$batchId")
+    if (batchId >= 0 && fs.exists(marker)) return
     val spark = batch.sparkSession
     val mined = Patterns.mineLines(batch)
     val prior = readState(spark, statePath)
@@ -34,21 +41,18 @@ object PatternsStream {
       Patterns.mergeMined(p.unionByName(mined)))
     // state tables are small (unique patterns); write-new-then-swap keeps
     // the replace atomic for readers of the previous version
-    val tmp = statePath + ".next"
-    merged.write.mode(SaveMode.Overwrite).parquet(tmp)
-    rmrf(new java.io.File(statePath))
-    if (!new java.io.File(tmp).renameTo(new java.io.File(statePath)))
-      throw new java.io.IOException(s"state swap failed: $tmp -> $statePath")
-    if (batchId >= 0) marker.createNewFile(): Unit
+    val tmp = new Path(statePath + ".next")
+    merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    fs.delete(state, true): Unit
+    if (!fs.rename(tmp, state))
+      throw new java.io.IOException(s"state swap failed: $tmp -> $state")
+    if (batchId >= 0) fs.create(marker, false).close()
   }
 
-  def readState(spark: SparkSession, statePath: String): Option[DataFrame] =
-    if (new java.io.File(statePath, "_SUCCESS").exists())
+  def readState(spark: SparkSession, statePath: String): Option[DataFrame] = {
+    val (fs, state) = graft.store.Store.fsFor(statePath)
+    if (fs.exists(new Path(state, "_SUCCESS")))
       Some(spark.read.parquet(statePath))
     else None
-
-  private def rmrf(f: java.io.File): Unit = {
-    Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rmrf)
-    f.delete(): Unit
   }
 }

@@ -1,5 +1,6 @@
 package graft.streaming
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -57,20 +58,23 @@ object Rules {
       .getOrElse("")
 
   private def load(spark: SparkSession, dir: String): Seq[GroupRow] = {
-    val p = new java.io.File(rulesPath(spark, dir))
-    // overwriteAtomic has a window between renameTo(trash) and
-    // tmp.renameTo(live) where the live dir is absent; a reader landing
+    // filesystem ops resolve through the Hadoop FileSystem for the rules
+    // path's URI (like the store maintenance walks), so rule configs live
+    // on HDFS/S3 in a cluster deployment exactly as on local disk
+    val base = rulesPath(spark, dir)
+    val (fs, live) = graft.store.Store.fsFor(base)
+    // overwriteAtomic has a window between rename(live, trash) and
+    // rename(tmp, live) where the live dir is absent; a reader landing
     // there (or a crash in the window) must fall back to the .trash copy
     // — the only surviving one — instead of observing an empty rule set
     val src =
-      if (p.exists) Some(p)
-      else Some(new java.io.File(rulesPath(spark, dir) + ".trash"))
-        .filter(_.exists)
+      if (fs.exists(live)) Some(live)
+      else Some(new Path(base + ".trash")).filter(fs.exists)
     src match {
       case None => Seq.empty
-      case Some(f) =>
+      case Some(p) =>
         import spark.implicits._
-        spark.read.parquet(f.getPath).as[GroupRow].collect().toSeq
+        spark.read.parquet(p.toString).as[GroupRow].collect().toSeq
     }
   }
 
@@ -82,25 +86,21 @@ object Rules {
     */
   private val crudLock = new Object
 
-  private def rmTree(f: java.io.File): Unit = if (f.exists) {
-    Option(f.listFiles).foreach(_.foreach(rmTree))
-    f.delete()
-  }
-
   /** Write a fresh copy at `path + ".tmp"`, swap it in with renames:
     * the live directory is replaced in one rename, never truncated.
     */
   private def overwriteAtomic(path: String)(write: String => Unit): Unit = {
-    val live = new java.io.File(path)
-    val tmp = new java.io.File(path + ".tmp")
-    val trash = new java.io.File(path + ".trash")
-    rmTree(tmp); rmTree(trash)
-    write(tmp.getPath)
-    if (live.exists && !live.renameTo(trash))
+    val (fs, live) = graft.store.Store.fsFor(path)
+    val tmp = new Path(path + ".tmp")
+    val trash = new Path(path + ".trash")
+    fs.delete(tmp, true): Unit
+    fs.delete(trash, true): Unit
+    write(tmp.toString)
+    if (fs.exists(live) && !fs.rename(live, trash))
       throw new java.io.IOException(s"cannot move aside $path")
-    if (!tmp.renameTo(live))
+    if (!fs.rename(tmp, live))
       throw new java.io.IOException(s"cannot publish $path")
-    rmTree(trash)
+    fs.delete(trash, true): Unit
   }
 
   private def save(spark: SparkSession, dir: String,
@@ -162,11 +162,11 @@ object Rules {
     rulesPath(spark, dir) + "_health"
 
   private def loadHealth(spark: SparkSession, dir: String): Seq[HealthRow] = {
-    val p = new java.io.File(healthPath(spark, dir))
-    if (!p.exists) Seq.empty
+    val (fs, p) = graft.store.Store.fsFor(healthPath(spark, dir))
+    if (!fs.exists(p)) Seq.empty
     else {
       import spark.implicits._
-      spark.read.parquet(p.getPath).as[HealthRow].collect().toSeq
+      spark.read.parquet(p.toString).as[HealthRow].collect().toSeq
     }
   }
 
