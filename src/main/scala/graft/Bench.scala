@@ -356,8 +356,12 @@ object Bench {
       val row = """\|\s*([A-Za-z0-9_]+)\s*\|\s*([0-9.]+)\s*\|""".r
       row.findAllMatchIn(src).map(m => m.group(1) -> m.group(2).toDouble).toMap
     } catch { case _: Throwable => Map.empty[String, Double] }
+    // underscore entries (_store_build, _child_warm) are BOOKKEEPING, not
+    // queries: excluded from the pin-ratio stats like the grading protocol
+    // excludes them (a cold build's ratio is not a query regression)
     val ratios = results.collect {
-      case (n, t) if t > 0 && pins.get(n).exists(_ > 0) => n -> (t / pins(n))
+      case (n, t) if !n.startsWith("_") && t > 0 &&
+        pins.get(n).exists(_ > 0) => n -> (t / pins(n))
     }
     def r3(d: Double) = math.rint(d * 1000) / 1000
     val geomeanField =
