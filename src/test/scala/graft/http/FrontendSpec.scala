@@ -1255,6 +1255,41 @@ class FrontendSpec extends SparkSpec {
     } finally { timer.shutdownNow(); () }
   }
 
+  test("ruler timer: a rule group posted over HTTP evaluates on the " +
+      "background loop and its recorded family becomes queryable") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-rtimer").toFile
+    tmp.deleteOnExit()
+    for (f <- new java.io.File(sf).listFiles(); if f.getName.endsWith(".parquet"))
+      java.nio.file.Files.copy(f.toPath,
+        new java.io.File(tmp, f.getName).toPath)
+    val dir = tmp.getAbsolutePath
+    // frozen clock: the first poll's tick is due, every later poll's
+    // bucket is unchanged — exactly ONE evaluation, deterministically
+    val fe = new Frontend(spark, dir, nowNs = () => EndS * 1000000000L)
+    assert(fe.route(s"/loki/api/v1/rules/rtimer", Params(), "POST",
+      s"""name: g1
+         |interval: 1m
+         |rules:
+         |  - record: timer:clicks:count
+         |    expr: "sum(count_over_time({event_type=\\"click\\"}[24h]))"
+         |""".stripMargin).status == 202)
+    val timer = fe.startRuler(pollS = 1)
+    try {
+      val deadline = System.nanoTime() + 60L * 1000000000L
+      def recorded() = graft.store.Store.promMetric(spark, dir,
+        "timer:clicks:count", 0, Long.MaxValue).map(_.count()).getOrElse(0L)
+      while (recorded() == 0 && System.nanoTime() < deadline)
+        Thread.sleep(250)
+      assert(recorded() == 1L, s"recorded=${recorded()}")
+      Thread.sleep(1500) // more polls with a frozen clock: still one point
+      assert(recorded() == 1L)
+      val health = graft.streaming.Rules.listRules(spark, dir, "loki")
+        .select("rule_name", "health").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(health.get("timer:clicks:count").contains("ok"), health)
+    } finally { timer.shutdownNow(); () }
+  }
+
   test("tenant session cache is LRU-bounded and garbage org ids are " +
       "rejected before creating a session") {
     val fe = new Frontend(spark, sf)
