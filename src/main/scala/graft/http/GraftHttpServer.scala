@@ -329,6 +329,10 @@ final class GraftHttpServer(fe: Frontend, port: Int, tailTickMs: Int,
     // control frames must be unfragmented with tiny payloads (§5.5)
     if (opcode >= 0x8 && (!fin || len > 125))
       throw new WsError(1002, "malformed control frame")
+    // every client→server frame must be masked (§5.1: the server MUST
+    // close with 1002 on an unmasked frame)
+    if (!masked)
+      throw new WsError(1002, "unmasked client frame")
     if (len > MaxWsMessage)
       throw new WsError(1009, s"frame exceeds $MaxWsMessage bytes")
     val mask = if (masked) Array.fill(4)(b().toByte) else Array.empty[Byte]

@@ -181,10 +181,21 @@ object Store {
       ensureLocked(spark, dir)
     })
 
+  private val BuiltTables = Seq("samples", "time_series", "metrics_15s",
+    "spans", "span_attrs", "span_ancestors", "profiles", "prom_gauge",
+    "prom_counter", "prom_bucket", "prom_gauge_15s", "prom_series")
+
   private val buildLock = new Object
   private def ensureLocked(spark: SparkSession, dir: String): String =
     built.getOrElseUpdate(dir, {
       val root = rootFor(dir)
+      // the one-time build WRITES — take the single-writer lock like every
+      // other mutating path, so two cold-starting processes cannot race
+      // overlapping overwrites into the same root. Only when something
+      // actually needs building: a read-only replica against a complete
+      // store must never contend for (or be refused by) the writer lock.
+      if (BuiltTables.exists(t => !haveTable(s"$root/$t")))
+        writerLock(root).ensureHeld()
       val logs = Tables.logs(spark, dir)
       writeSorted(logs.select(col("timestamp_ns"), col("fingerprint"),
         col("line"), col("value")), s"$root/samples")

@@ -1431,6 +1431,18 @@ class FrontendSpec extends SparkSpec {
         (closed.get._2(1).toInt & 0xff)
       assert(code == 1002, s"close code $code")
     } finally sock2.close()
+    // an UNMASKED client frame is a protocol error too (RFC 6455 §5.1)
+    val (sock3, in3, out3) = wsConnect(port, q)
+    try {
+      out3.write(Array(0x81.toByte, 0x02.toByte, 'h'.toByte, 'i'.toByte))
+      out3.flush()
+      val closed = Iterator.continually(wsReadFrameBytes(in3)).take(8)
+        .find(_._1 == 0x8)
+      assert(closed.isDefined, "no close frame for unmasked client frame")
+      val code = ((closed.get._2(0).toInt & 0xff) << 8) |
+        (closed.get._2(1).toInt & 0xff)
+      assert(code == 1002, s"close code $code")
+    } finally sock3.close()
   }
 
   // ---- raw WebSocket client helpers ------------------------------------------
