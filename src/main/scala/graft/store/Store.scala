@@ -364,6 +364,10 @@ object Store {
       .select(col("trace_id"), col("span_id"),
         col("parent_id").as("anc_id"), col("timestamp_ns"))
     var clos = Materialize(base)
+    // one count per iteration: the loop's "before" size is the previous
+    // iteration's "after" (each count is a full job — this loop runs at
+    // ingest, so job count is latency)
+    var size = clos.count()
     var dist = 1L
     var fixed = false
     while (dist < 64 && !fixed) {
@@ -374,13 +378,43 @@ object Store {
           col("a.span_id").as("span_id"),
           col("b.anc_id").as("anc_id"),
           col("a.timestamp_ns").as("timestamp_ns"))
-      val before = clos.count()
       clos = Materialize(clos.union(ext)
         .dropDuplicates("trace_id", "span_id", "anc_id"))
-      fixed = clos.count() == before
+      val after = clos.count()
+      fixed = after == size
+      size = after
       dist *= 2
     }
     clos
+  }
+
+  /** Driver-side ancestor closure for one PUSH batch's edge set — a push
+    * is one bounded HTTP request (the reference's writer computes its GIN
+    * rows in-process per batch the same way), so for batches under
+    * `spark.graft.closure.driverMax` edges the ⌈log₂ depth⌉ rounds of
+    * Spark jobs in [[ancestorClosure]] collapse to one in-memory walk:
+    * (trace_id, span_id) → parent map, emit every proper ancestor up to
+    * depth 64. Input rows: (trace_id, span_id, parent_id | null, ts).
+    */
+  private def closureInMemory(
+      edges: Array[(Long, Long, Option[Long], Long)])
+      : Seq[(Long, Long, Long, Long)] = {
+    val parent = new java.util.HashMap[(Long, Long), Long](edges.length * 2)
+    for ((t, s, p, _) <- edges; pp <- p) parent.put((t, s), pp)
+    val out = Seq.newBuilder[(Long, Long, Long, Long)]
+    for ((t, s, p, ts) <- edges; first <- p) {
+      var anc = first
+      var depth = 0
+      var more = true
+      while (more && depth < 64) {
+        out += ((t, s, anc, ts))
+        depth += 1
+        val up = parent.get((t, anc))
+        if (up == 0L && !parent.containsKey((t, anc))) more = false
+        else anc = up
+      }
+    }
+    out.result()
   }
 
   def ancestors(spark: SparkSession, dir: String, loNs: Long, hiNs: Long): DataFrame =
@@ -626,11 +660,36 @@ object Store {
           tenantFilter(spark, readTable(spark, s"$root/spans")))
         .select(col("trace_id"), col("span_id"), col("parent_id"),
           col("timestamp_ns"))
-      val anc = ancestorClosure(
-        batch.select(col("trace_id"), col("span_id"), col("parent_id"),
-            col("timestamp_ns"))
-          .unionByName(stored)
-          .dropDuplicates("trace_id", "span_id"))
+      val closureInput = batch
+        .select(col("trace_id"), col("span_id"), col("parent_id"),
+          col("timestamp_ns"))
+        .unionByName(stored)
+        .dropDuplicates("trace_id", "span_id")
+      // push-sized edge sets take the DRIVER closure (one collect + one
+      // in-memory walk instead of ⌈log₂ depth⌉ rounds of join/dedup/count
+      // jobs — the dominant latency of a trace push); anything over the
+      // cap falls back to the distributed doubling, which stays
+      // shuffle-bounded. Conf spark.graft.closure.driverMax (edges; 0
+      // forces the distributed path — the spec's equivalence hook).
+      val driverMax = spark.conf
+        .getOption("spark.graft.closure.driverMax")
+        .map(_.toLong).getOrElse(500000L)
+      val collected: Option[Array[(Long, Long, Option[Long], Long)]] =
+        if (driverMax <= 0) None
+        else {
+          val rows = closureInput.limit(driverMax.toInt + 1).collect()
+          if (rows.length > driverMax) None
+          else Some(rows.map(r => (r.getLong(0), r.getLong(1),
+            if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getLong(3))))
+        }
+      val anc = collected match {
+        case Some(edges) =>
+          val s = spark
+          import s.implicits._
+          spark.createDataset(closureInMemory(edges))
+            .toDF("trace_id", "span_id", "anc_id", "timestamp_ns")
+        case None => ancestorClosure(closureInput)
+      }
       val storedAnc = scopeToBatch(tenantFilter(spark,
           readTable(spark, s"$root/span_ancestors")))
         .select(col("trace_id"), col("span_id"), col("anc_id"))

@@ -572,6 +572,46 @@ class StoreSpec extends SparkSpec {
       .filter(col("trace_id") === 900002L).count() == 0)
   }
 
+  test("append closure driver fast path agrees with the distributed " +
+      "fallback on split-trace pushes (children first)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-closure").toFile
+    tmp.deleteOnExit()
+    for (f <- new java.io.File(sf).listFiles(); if f.getName.endsWith(".parquet"))
+      java.nio.file.Files.copy(f.toPath,
+        new java.io.File(tmp, f.getName).toPath)
+    val dir = tmp.getAbsolutePath
+    val s = spark
+    import s.implicits._
+    val ts = 1704100000000000000L
+    // root(1) → b(2) → c(3) → d(4), pushed CHILDREN-FIRST across two
+    // requests — the cross-batch repair case
+    def push(trace: Long, rows: Seq[(Long, Option[Long])]): Unit = {
+      val df = rows.map { case (id, p) =>
+        (trace, id, p, s"n$id", "closvc", ts + id, 10L,
+          Map("name" -> s"n$id")) }
+        .toDF("trace_id", "span_id", "parent_id", "name", "service_name",
+          "timestamp_ns", "duration_ns", "attrs")
+      assert(Store.appendSpans(spark, dir, df) == rows.size)
+    }
+    def closure(trace: Long): Set[(Long, Long)] =
+      Store.ancestors(spark, dir, ts - 1, ts + 100)
+        .filter(col("trace_id") === trace)
+        .select("span_id", "anc_id").as[(Long, Long)].collect().toSet
+    val expected = Set((2L, 1L), (3L, 2L), (3L, 1L), (4L, 3L), (4L, 2L),
+      (4L, 1L))
+    // driver fast path (default cap)
+    push(910001L, Seq(3L -> Some(2L), 4L -> Some(3L)))
+    push(910001L, Seq(1L -> None, 2L -> Some(1L)))
+    assert(closure(910001L) == expected)
+    // distributed fallback (cap 0) on an identical trace shape
+    spark.conf.set("spark.graft.closure.driverMax", "0")
+    try {
+      push(910002L, Seq(3L -> Some(2L), 4L -> Some(3L)))
+      push(910002L, Seq(1L -> None, 2L -> Some(1L)))
+    } finally spark.conf.unset("spark.graft.closure.driverMax")
+    assert(closure(910002L) == expected)
+  }
+
   test("downsample and raw paths agree on rate values") {
     val q = """sum by (event_type) (rate({level="info"}[12h]))"""
     val ds = engine.compileMetric(LogQLParser.parseOrThrow(q))
