@@ -236,6 +236,13 @@ object Bench {
           (!exact && httpNames.exists(n => filters.exists(n.contains))))
         try graft.gates.HttpGates.warm(spark, sfDir)
         catch { case _: Throwable => }
+      // same pre-pay for the retention gate's scratch store (keyed on the
+      // EXACT gate name — the family-prefix heuristic would miss it)
+      val retentionName = "store_retention_expire"
+      if (filters.isEmpty || (exact && filters.contains(retentionName)) ||
+          (!exact && filters.exists(retentionName.contains)))
+        try graft.gates.TraceQLGates.warmRetention(spark, sfDir)
+        catch { case _: Throwable => }
       None
     } catch { case e: Throwable =>
       Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(300)}")

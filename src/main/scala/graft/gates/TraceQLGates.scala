@@ -29,6 +29,33 @@ object TraceQLGates extends GateSet {
   private def o(body: String): Option[String] =
     Some(OracleViews.withViews(Seq(spansWindowed), body))
 
+  /** Events-only scratch dir for the RETENTION gate (the expire MUTATES
+    * its store, so the shared fixtures stay untouched); memoized per JVM —
+    * expiring at a fixed cutoff is idempotent, so later bench samples see
+    * the same post-expiry state the first one produced.
+    */
+  private val retentionFixtures =
+    scala.collection.concurrent.TrieMap[String, String]()
+  private def retentionFixture(spark: SparkSession, dir: String): String =
+    retentionFixtures.getOrElseUpdate(dir, {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-retention")
+        .toFile
+      tmp.deleteOnExit()
+      graft.model.Tables.rawEvents(spark, dir)
+        .filter(pmod(col("user_id"), lit(17L)) === 0)
+        .coalesce(1)
+        .write.parquet(tmp.getAbsolutePath + "/events.parquet")
+      tmp.getAbsolutePath
+    })
+
+  /** Bench warm hook (untimed, like HttpGates.warm): pre-pay the retention
+    * fixture and its store build so the gate's samples measure the
+    * expire + query loop, not a one-time materialization.
+    */
+  def warmRetention(spark: SparkSession, dir: String): Unit = {
+    graft.store.Store.ensure(spark, retentionFixture(spark, dir)): Unit
+  }
+
   override val gates: Seq[Gate] = Seq(
 
     // --- attr-condition bitmask search (attr_condition.go:26-441) ---------
@@ -529,6 +556,40 @@ object TraceQLGates extends GateSet {
       o("""SELECT CAST(trace_id % 2 AS VARCHAR) AS oid, count(*) AS n
           |FROM spans WHERE name = 'click'
           |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // --- TTL retention: `date=` partitions strictly before the cutoff are
+    // DROPPED at the filesystem level (`rotate.go:48-66`'s per-day DROP
+    // PARTITION) across every dated table; a full-window query afterwards
+    // sees only the surviving days. Own fixture (memoized per JVM — expire
+    // is idempotent at a fixed cutoff, so repeated bench samples converge
+    // to the same store state); the oracle applies the same day cutoff to
+    // the raw events -------------------------------------------------------
+    Gate("store_retention_expire",
+      (spark: SparkSession, dir: String) => {
+        val tmp = retentionFixture(spark, dir)
+        val cutoffDay = StartNs / 86400000000000L + 15
+        val cutoff = java.time.LocalDate.ofEpochDay(cutoffDay).toString
+        graft.store.Store.expire(spark, tmp, cutoff)
+        import graft.logql.{EvalParams, LogQLCompiler, LogQLParser}
+        new LogQLCompiler(spark, tmp, EvalParams(StartNs, EndNs, StepS))
+          .compileMetric(LogQLParser.parseOrThrow(
+            """sum by (level) (count_over_time({level=~".+"}[6h]))"""))
+          .select(element_at(col("labels"), "level").as("level"),
+            col("ts"), round(col("value"), 6).as("value"))
+          .orderBy("level", "ts")
+      },
+      Some(OracleViews.withViews(Seq(
+        """logs AS (
+          |  SELECT epoch_ns(ts) AS timestamp_ns,
+          |         CASE WHEN event_type = 'error' THEN 'error'
+          |              ELSE 'info' END AS level
+          |  FROM events WHERE user_id % 17 = 0)""".stripMargin),
+        s"""SELECT level,
+           |  (timestamp_ns // ${StepS}000000000) * $StepS AS ts,
+           |  round(CAST(count(*) AS DOUBLE), 6) AS value
+           |FROM logs
+           |WHERE timestamp_ns >= ${(StartNs / 86400000000000L + 15) * 86400000000000L}
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))),
 
     // --- tag-name autocomplete (/api/search/tags) -------------------------
     Gate("traceql_tag_names",
