@@ -243,6 +243,12 @@ object Bench {
           (!exact && filters.exists(retentionName.contains)))
         try graft.gates.TraceQLGates.warmRetention(spark, sfDir)
         catch { case _: Throwable => }
+      // and for the scheme-qualified-root gate's scratch store
+      val fsName = "store_fs_scheme"
+      if (filters.isEmpty || (exact && filters.contains(fsName)) ||
+          (!exact && filters.exists(fsName.contains)))
+        try graft.gates.TraceQLGates.warmFsScheme(spark, sfDir)
+        catch { case _: Throwable => }
       None
     } catch { case e: Throwable =>
       Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(300)}")

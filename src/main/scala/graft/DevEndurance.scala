@@ -14,6 +14,14 @@ import org.apache.spark.sql.functions._
   * Usage: SPARK_GRAFT_SF_DIR=target/sf1 sbt "runMain graft.DevEndurance"
   * Prints one JSON line: pushes, file counts before/after each maintain,
   * and first/mid/last query latencies.
+  *
+  * Second axis (`SPARK_GRAFT_RETAIN_DAYS=N`): push days advance
+  * monotonically and a rolling TTL cutoff (newest pushed day − N)
+  * expires behind them on every maintain — the CLOSED loop. Without
+  * expiry the total file count grows with distinct touched partitions
+  * (each new day adds leaves); with it the trajectory must flatten into
+  * a steady band: compaction bounds files-per-leaf, retention bounds
+  * live leaves.
   */
 object DevEndurance {
 
@@ -45,11 +53,21 @@ object DevEndurance {
     import graft.gates.EvalWindow._
     val fe = new graft.http.Frontend(spark, fix, nowNs = () => EndNs)
 
+    // retention axis: rolling TTL horizon in days (off when unset)
+    val retainDays = sys.env.get("SPARK_GRAFT_RETAIN_DAYS").map(_.toInt)
+
+    // push-day schedule: cycling (i % 28) exercises re-appends into
+    // existing partitions (the compaction axis); the retention axis needs
+    // MONOTONIC days so the rolling cutoff actually advances past data
+    def dayOf(i: Int): Long =
+      if (retainDays.isDefined) (i.toLong * 28) / math.max(1, pushes)
+      else (i % 28).toLong
+
     // one bounded push batch: 100 log lines + 100 samples of one metric
     // family, timestamps spread over the window so several (oid, date)
     // leaves are touched per push — the worst case for file accumulation
     def push(i: Int): Unit = {
-      val ts0 = StartNs + (i % 28).toLong * 86400L * 1000000000L
+      val ts0 = StartNs + dayOf(i) * 86400L * 1000000000L
       val values = (1 to 100).map(k =>
         s"""["${ts0 + k * 1000000000L}","endure line $i-$k"]""").mkString(",")
       val res = fe.route("/loki/api/v1/push", graft.http.Params(), "POST",
@@ -115,8 +133,20 @@ object DevEndurance {
       if (i % every == 0) {
         val (mx, tot) = census()
         val n = graft.store.Store.maintain(spark, fix, maxFiles = 8)
+        // the closed loop: expire everything older than the rolling
+        // horizon behind the advancing push days (rotate.go:48-66's
+        // per-day DROP PARTITION on a schedule)
+        val cut = retainDays.collect {
+          case r if dayOf(i) - r > 0 =>
+            val cutDay = StartNs / 86400000000000L + (dayOf(i) - r)
+            val c = java.time.LocalDate.ofEpochDay(cutDay).toString
+            graft.store.Store.expire(spark, fix, c)
+            c
+        }
         val (mx2, tot2) = census()
-        trajectory += s"""{"push":$i,"pre":{"max":$mx,"total":$tot},"compacted":$n,"post":{"max":$mx2,"total":$tot2}}"""
+        trajectory += s"""{"push":$i,"pre":{"max":$mx,"total":$tot},"compacted":$n""" +
+          cut.map(c => s""","expired_before":"$c"""").getOrElse("") +
+          s""","post":{"max":$mx2,"total":$tot2}}"""
       }
     }
     val latMid = latency()
@@ -124,6 +154,7 @@ object DevEndurance {
     val (fmx, ftot) = census()
     println(
       s"""{"metric":"endurance","pushes":$pushes,"maintain_every":$every,""" +
+      retainDays.map(r => s""""retain_days":$r,""").getOrElse("") +
       s""""trajectory":[${trajectory.mkString(",")}],""" +
       s""""final":{"max":$fmx,"total":$ftot},""" +
       s""""latency_s":{"before":[${lat0._1},${lat0._2}],""" +

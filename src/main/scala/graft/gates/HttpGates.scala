@@ -543,9 +543,15 @@ object HttpGates extends GateSet {
         val idle = sched.tick() // same clock: group not due, nothing runs
         now = t2 * 1000000000L
         val w2 = sched.tick()
-        if (w1 == 0 || w2 == 0 || idle != 0)
+        // RESTART within the same bucket: a second scheduler instance
+        // (fresh in-memory state, the crashed-and-relaunched ruler) must
+        // re-seed from the persisted watermark and record NOTHING — the
+        // oracle hash then certifies exactly one sample per grid point
+        val dup = new graft.streaming.RulerScheduler(spark, tmp,
+          () => now).tick()
+        if (w1 == 0 || w2 == 0 || idle != 0 || dup != 0)
           throw new IllegalStateException(
-            s"scheduler ticks wrote $w1/$idle/$w2")
+            s"scheduler ticks wrote $w1/$idle/$w2/restart=$dup")
         // both families read back through the PromQL engine at exactly
         // the two tick points
         val prom = new PromQLCompiler(spark, tmp,

@@ -56,6 +56,38 @@ object TraceQLGates extends GateSet {
     graft.store.Store.ensure(spark, retentionFixture(spark, dir)): Unit
   }
 
+  /** Events-only scratch dir whose store root is bound to a SCHEME-
+    * QUALIFIED `file://` URI ([[graft.store.Store.overrideRoot]]) — the
+    * push→maintain→query gate over it pins the FileSystem-path contract
+    * (every walk, swap and scan resolving through the Hadoop FileSystem
+    * for the root's URI, the hdfs://-or-s3a:// cluster shape) in the
+    * oracle suite, not just in StoreSpec.
+    */
+  private val fsFixtures =
+    scala.collection.concurrent.TrieMap[String, String]()
+  private val fsRuns = new java.util.concurrent.atomic.AtomicLong()
+  private def fsSchemeFixture(spark: SparkSession, dir: String): String =
+    fsFixtures.getOrElseUpdate(dir, {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-fsscheme")
+        .toFile
+      tmp.deleteOnExit()
+      graft.model.Tables.rawEvents(spark, dir)
+        .filter(pmod(col("user_id"), lit(101L)) === 0)
+        .coalesce(1)
+        .write.parquet(tmp.getAbsolutePath + "/events.parquet")
+      val root = java.nio.file.Files.createTempDirectory("graft-fsroot")
+        .toFile
+      root.deleteOnExit()
+      graft.store.Store.overrideRoot(tmp.getAbsolutePath,
+        "file://" + root.getAbsolutePath + "/store")
+      tmp.getAbsolutePath
+    })
+
+  /** Bench warm hook: pre-pay the scheme-root fixture + its store build. */
+  def warmFsScheme(spark: SparkSession, dir: String): Unit = {
+    graft.store.Store.ensure(spark, fsSchemeFixture(spark, dir)): Unit
+  }
+
   override val gates: Seq[Gate] = Seq(
 
     // --- attr-condition bitmask search (attr_condition.go:26-441) ---------
@@ -589,6 +621,52 @@ object TraceQLGates extends GateSet {
            |  round(CAST(count(*) AS DOUBLE), 6) AS value
            |FROM logs
            |WHERE timestamp_ns >= ${(StartNs / 86400000000000L + 15) * 86400000000000L}
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))),
+
+    // --- FileSystem-path contract end-to-end: push → maintain → query on
+    // a store root that is a SCHEME-QUALIFIED file:// URI, so every append
+    // write, maintenance walk, compaction swap and query scan resolves
+    // through the Hadoop FileSystem API exactly as it would against
+    // hdfs:// or s3a:// on a cluster. The pushed stream is run-marked, so
+    // repeated bench samples read back only their own copy and the oracle
+    // (a replay of the same events subset) stays static ------------------
+    Gate("store_fs_scheme",
+      (spark: SparkSession, dir: String) => {
+        val tmp = fsSchemeFixture(spark, dir)
+        val root = graft.store.Store.ensure(spark, tmp)
+        if (!root.startsWith("file:"))
+          throw new IllegalStateException(
+            s"expected a scheme-qualified store root, got $root")
+        val run = s"fs${fsRuns.incrementAndGet()}"
+        import graft.model.Tables
+        val batch = Tables.logs(spark, tmp)
+          .withColumn("labels",
+            map_concat(col("labels"), map(lit("run"), lit(run))))
+          .withColumn("fingerprint", Tables.fingerprintOf(col("labels")))
+        if (graft.store.Store.appendLogs(spark, tmp, batch) == 0)
+          throw new IllegalStateException("scheme-root push appended nothing")
+        // background merge: walks + crash-safe swaps over file:// leaves
+        graft.store.Store.maintain(spark, tmp, maxFiles = 4): Unit
+        import graft.logql.{EvalParams, LogQLCompiler, LogQLParser}
+        new LogQLCompiler(spark, tmp, EvalParams(StartNs, EndNs, StepS))
+          .compileMetric(LogQLParser.parseOrThrow(
+            s"""sum by (level) (count_over_time({run="$run"}[6h]))"""))
+          .select(element_at(col("labels"), "level").as("level"),
+            col("ts"), round(col("value"), 6).as("value"))
+          .orderBy("level", "ts")
+      },
+      // LogQL range windows are FLOOR-aligned ([t, t+range)); the oracle
+      // replays the fixture's events subset with the same level mapping
+      Some(OracleViews.withViews(Seq(
+        """flogs AS (
+          |  SELECT epoch_ns(ts) AS timestamp_ns,
+          |         CASE WHEN event_type = 'error' THEN 'error'
+          |              ELSE 'info' END AS level
+          |  FROM events WHERE user_id % 101 = 0)""".stripMargin),
+        s"""SELECT level,
+           |  (timestamp_ns // ${StepS}000000000) * $StepS AS ts,
+           |  round(CAST(count(*) AS DOUBLE), 6) AS value
+           |FROM flogs
            |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))),
 
     // --- tag-name autocomplete (/api/search/tags) -------------------------

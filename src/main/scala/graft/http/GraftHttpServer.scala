@@ -305,9 +305,15 @@ final class GraftHttpServer(fe: Frontend, port: Int, tailTickMs: Int,
     extends RuntimeException(msg)
 
   /** One client frame: (opcode, payload, fin). Client frames are masked
-    * per RFC 6455 §5.1. Throws SocketTimeoutException when the tick
-    * interval elapses with no client traffic (the pacing signal);
-    * [[WsError]] on oversize (1009) or malformed control frames (1002).
+    * per RFC 6455 §5.1. Throws SocketTimeoutException ONLY when the tick
+    * interval elapses before the first header byte — that is the pacing
+    * signal ("no client traffic this tick"). A timeout that fires
+    * MID-frame must not pace: the partial bytes are already consumed, so
+    * resuming the read loop would restart mid-frame and desynchronize the
+    * whole stream — it surfaces as a 1002 [[WsError]] instead (a client
+    * that stalls inside a frame for a full tick is broken or hostile).
+    * Also throws [[WsError]] on oversize (1009) or malformed control
+    * frames (1002).
     */
   private def readFrame(in: InputStream): (Int, Array[Byte], Boolean) = {
     def b(): Int = {
@@ -315,7 +321,16 @@ final class GraftHttpServer(fe: Frontend, port: Int, tailTickMs: Int,
       if (v < 0) throw new java.io.EOFException("ws closed")
       v
     }
-    val b0 = b()
+    val b0 = b() // timeout HERE = clean tick; below = mid-frame stall
+    try readFrameAfterFirst(in, b0, () => b())
+    catch {
+      case _: SocketTimeoutException =>
+        throw new WsError(1002, "client stalled mid-frame")
+    }
+  }
+
+  private def readFrameAfterFirst(in: InputStream, b0: Int,
+      b: () => Int): (Int, Array[Byte], Boolean) = {
     val b1 = b()
     val fin = (b0 & 0x80) != 0
     val opcode = b0 & 0x0f

@@ -53,10 +53,20 @@ object Store {
       sys.props.getOrElse("spark.graft.store.root",
         "/root/repo/target/graft-store"))
 
+  // per-dir store-root overrides: lets a gate/spec bind one data dir to a
+  // SCHEME-QUALIFIED root (file://…), pinning the FileSystem-path contract
+  // through the exact same append/maintain/scan code a cluster runs
+  // against hdfs://-or-s3a:// roots. Must be registered before the dir's
+  // first ensure; production resolution is untouched.
+  private val rootOverrides = TrieMap[String, String]()
+  def overrideRoot(dir: String, root: String): Unit =
+    rootOverrides.put(dir, root): Unit
+
   // bump the version segment when a table SCHEMA changes: _SUCCESS-guarded
   // writes would otherwise silently keep serving the old schema
   private[store] def rootFor(dir: String): String =
-    storeRoot + "/v7/" + dir.replaceAll("[^a-zA-Z0-9.]+", "_")
+    rootOverrides.getOrElse(dir,
+      storeRoot + "/v7/" + dir.replaceAll("[^a-zA-Z0-9.]+", "_"))
 
   /** Tenant (`oid`) column — every reference table leads its partition/
     * order key with the organization id (`traces.sql:7`,
@@ -319,10 +329,43 @@ object Store {
     * 100 TB. Caching the base DataFrame reuses the resolved FileIndex the
     * way a catalog table would; filters still prune partitions per query.
     * Safe because store tables are write-once (guarded by _SUCCESS).
+    *
+    * Entries are invalidated immediately by THIS JVM's appends
+    * ([[invalidate]]), which covers the single-writer process fully. For
+    * the reader/writer split the writer lock encourages, a READ-ONLY
+    * replica process has no such signal: its entries expire after
+    * [[replicaRefreshMs]] and re-resolve on next use (refreshByPath + a
+    * fresh listing — one LIST per table per refresh window), so a replica
+    * converges on the writer's pushes without a restart. A process that
+    * HOLDS the root's writer lock skips the TTL — it is the only mutator,
+    * so its caches are authoritative and its hot path stays listing-free.
     */
-  private val readers = TrieMap[(SparkSession, String), DataFrame]()
-  private def readTable(spark: SparkSession, path: String): DataFrame =
-    readers.getOrElseUpdate((spark, path), spark.read.parquet(path))
+  private val readers = TrieMap[(SparkSession, String), (DataFrame, Long)]()
+
+  /** Staleness bound for caches only another PROCESS can invalidate (the
+    * reader cache; negative dir probes use [[probeNegativeTtlMs]]).
+    */
+  @volatile var replicaRefreshMs: Long =
+    java.lang.Long.getLong("graft.store.replicaRefreshMs", 300000L)
+
+  /** True when this JVM owns the writer lock covering `path` — then no
+    * other process can have changed the table under us.
+    */
+  private def authoritative(path: String): Boolean =
+    writerLocks.exists { case (r, l) => l.isHeld && path.startsWith(r) }
+
+  private[store] def readTable(spark: SparkSession, path: String): DataFrame = {
+    val now = System.currentTimeMillis()
+    readers.get((spark, path)) match {
+      case Some((df, at))
+          if now - at < replicaRefreshMs || authoritative(path) => df
+      case cached =>
+        if (cached.isDefined) spark.catalog.refreshByPath(path)
+        val df = spark.read.parquet(path)
+        readers.put((spark, path), (df, now))
+        df
+    }
+  }
 
   /** Fact scan over [loNs, hiNs): ts predicate + derived date predicate so
     * the partition pruning actually fires (the ts column alone can't prune
@@ -401,20 +444,31 @@ object Store {
       : Seq[(Long, Long, Long, Long)] = {
     val parent = new java.util.HashMap[(Long, Long), Long](edges.length * 2)
     for ((t, s, p, _) <- edges; pp <- p) parent.put((t, s), pp)
-    val out = Seq.newBuilder[(Long, Long, Long, Long)]
+    // keyed (trace, span, ancestor): client pushes can repeat rows and
+    // can carry CYCLIC parent pointers (self-parent, a→b→a) — the
+    // distributed path's dropDuplicates(trace_id, span_id, anc_id) makes
+    // both emit each closure row once, so the walk must too: putIfAbsent
+    // dedups across repeated input rows, and the per-walk `seen` check
+    // breaks a cycle the first time an ancestor repeats instead of
+    // spinning duplicate emissions up to the depth cap.
+    val out = new java.util.LinkedHashMap[(Long, Long, Long), Long]()
     for ((t, s, p, ts) <- edges; first <- p) {
+      val seen = new java.util.HashSet[Long](8)
       var anc = first
       var depth = 0
       var more = true
-      while (more && depth < 64) {
-        out += ((t, s, anc, ts))
+      while (more && depth < 64 && seen.add(anc)) {
+        out.putIfAbsent((t, s, anc), ts): Unit
         depth += 1
         val up = parent.get((t, anc))
         if (up == 0L && !parent.containsKey((t, anc))) more = false
         else anc = up
       }
     }
-    out.result()
+    import scala.jdk.CollectionConverters._
+    out.entrySet().iterator().asScala
+      .map(e => (e.getKey._1, e.getKey._2, e.getKey._3, e.getValue))
+      .toSeq
   }
 
   def ancestors(spark: SparkSession, dir: String, loNs: Long, hiNs: Long): DataFrame =
@@ -800,13 +854,32 @@ object Store {
   // PromQL compile (downsample/pushed-family routing) and costs a HEAD
   // request per compile on object storage; [[invalidate]] drops the entry
   // when an append creates or touches the path, so a cached "absent"
-  // flips as soon as the first metric push lands.
-  private val dirProbe = TrieMap[String, Boolean]()
-  private def haveDir(path: String): Boolean =
-    dirProbe.getOrElseUpdate(path, {
-      val (fs, p) = fsFor(path)
-      fs.exists(p)
-    })
+  // flips as soon as this JVM's first metric push lands. PRESENT is
+  // cached forever (an existing table never stops routing), but ABSENT
+  // only for [[probeNegativeTtlMs]]: in a read-only replica the first
+  // push lands in the WRITER process, and a negative cached forever would
+  // keep pushed-family routing off until restart.
+  private val dirProbe = TrieMap[String, (Boolean, Long)]()
+
+  /** Re-probe bound for cached-absent directories (one `exists` HEAD per
+    * absent path per window). This JVM's appends still flip the cache
+    * immediately.
+    */
+  @volatile var probeNegativeTtlMs: Long =
+    java.lang.Long.getLong("graft.store.probeNegativeTtlMs", 15000L)
+
+  private[store] def haveDir(path: String): Boolean = {
+    val now = System.currentTimeMillis()
+    dirProbe.get(path) match {
+      case Some((true, _)) => true
+      case Some((false, at)) if now - at < probeNegativeTtlMs => false
+      case _ =>
+        val (fs, p) = fsFor(path)
+        val ok = fs.exists(p)
+        dirProbe.put(path, (ok, now))
+        ok
+    }
+  }
 
   /** Pushed-family fact scan: `prom_pushed` filtered to one `__name__`
     * over the window. None until something was pushed.

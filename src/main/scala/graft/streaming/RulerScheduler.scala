@@ -25,11 +25,21 @@ import graft.logql.EvalParams
   *
   * Tick windows tile: a group's evaluation grid runs at its own interval,
   * and each tick covers exactly the grid points after the previous tick's
-  * last point — re-running a tick never double-records. Per-group
-  * last-eval bookkeeping is in memory (a restart re-seeds from "one
-  * interval back", the reference's restart behavior); per-RULE health is
-  * persisted through [[Rules]]' health table, so `/api/v1/rules` reflects
-  * the last outcome and evaluation timestamp.
+  * last point — re-running a tick never double-records, ACROSS RESTARTS
+  * too: per-group last-eval watermarks are persisted beside the rule
+  * configs ([[Rules.saveMarks]]) and re-seeded on the first tick, so a
+  * new process resumes after the buckets the old one already recorded
+  * (a never-evaluated group still seeds from "one interval back", the
+  * reference's cold-start behavior; a long-stopped scheduler back-fills
+  * the gap as ONE range evaluation, not one job per missed bucket). As a
+  * second line of defense the writeback itself is IDEMPOTENT — appended
+  * samples are anti-joined against the already-stored grid points of the
+  * tick window — so even a crash between the append and the watermark
+  * persist cannot duplicate a grid point. Per-RULE health is persisted
+  * through [[Rules]]' health table, so `/api/v1/rules` reflects the last
+  * outcome and evaluation timestamp; a failure of the group SWEEP itself
+  * (the rules table unreadable) is recorded as a `_sweep` health row
+  * instead of vanishing, and the loop keeps running.
   *
   * The clock is injectable so a spec can drive deterministic ticks; the
   * production wrapper is [[start]], a daemon timer polling at `pollS`
@@ -40,8 +50,14 @@ final class RulerScheduler(spark: SparkSession, dir: String,
     nowNs: () => Long = () => System.currentTimeMillis() * 1000000L) {
 
   private val NsPerS = 1000000000L
-  // (kind, namespace, group) -> last evaluated grid point (ns)
+  // (kind, namespace, group) -> last evaluated grid point (ns); seeded
+  // once from the persisted watermark table so a restart resumes instead
+  // of re-recording the previous process's last bucket
   private val lastEvalNs = TrieMap[(String, String, String), Long]()
+  private lazy val seeded: Unit =
+    Rules.loadMarks(spark, dir).foreach { case (k, v) =>
+      lastEvalNs.putIfAbsent(k, v): Unit
+    }
 
   /** Engines swept: the HTTP ruler surface stores under "loki"; the
     * library surface also uses "prom" ([[Rules.evalVector]] picks the
@@ -56,10 +72,11 @@ final class RulerScheduler(spark: SparkSession, dir: String,
     * the number of samples appended (recorded vectors + ALERTS exports).
     */
   def tick(): Long = {
+    seeded
     val now = nowNs()
     var written = 0L
     for (kind <- Kinds;
-         (ns, gs) <- Rules.allGroups(spark, dir, kind).toSeq.sortBy(_._1);
+         (ns, gs) <- sweep(kind, now);
          g <- gs) {
       val key = (kind, ns, g.name)
       val stepNs = math.max(1L, g.intervalS) * NsPerS
@@ -73,10 +90,34 @@ final class RulerScheduler(spark: SparkSession, dir: String,
         // new grid points: (last, nowBucket]
         written += evalGroup(kind, ns, g, last + stepNs, nowBucket, now)
         lastEvalNs(key) = nowBucket
+        // persist AFTER the append (a crash in between re-evaluates the
+        // bucket, which the idempotent writeback absorbs) and per group,
+        // so a crash mid-tick never re-runs the groups already done
+        Rules.saveMarks(spark, dir,
+          Seq(Rules.MarkRow(kind, ns, g.name, nowBucket)))
       }
     }
     written
   }
+
+  /** List one engine's groups; a listing failure (the rules table itself
+    * unreadable — a transient FS error on a poisoned config) must not
+    * kill the loop OR vanish: it lands as a `_sweep` health row so the
+    * rules-health surface shows the last sweep error, and the tick
+    * continues with the other engine.
+    */
+  private def sweep(kind: String,
+      nowNsVal: Long): Seq[(String, Seq[Rules.RuleGroup])] =
+    try Rules.allGroups(spark, dir, kind).toSeq.sortBy(_._1)
+    catch {
+      case e: Exception =>
+        val msg = Option(e.getMessage).getOrElse(e.toString)
+        Console.err.println(s"graft ruler: $kind group sweep failed: $msg")
+        try Rules.saveHealth(spark, dir, Seq(Rules.HealthRow(kind,
+          "_sweep", "_sweep", "_sweep", "err", msg, nowNsVal / 1000000L, 0.0)))
+        catch { case _: Exception => () } // health table may be down too
+        Seq.empty
+    }
 
   /** Evaluate one group over the grid points [startNs, lastPointNs] (both
     * bucket-aligned, inclusive). The engines' own grid conventions differ
@@ -134,7 +175,31 @@ final class RulerScheduler(spark: SparkSession, dir: String,
         (col("ts") * NsPerS).as("timestamp_ns"), col("value"))
       .withColumn("fingerprint",
         graft.model.Tables.fingerprintOf(col("labels")))
-    graft.store.Store.appendMetrics(spark, dir, out)
+    appendNew(r.record, out, startNs, lastPointNs)
+  }
+
+  /** Idempotent writeback: drop rows whose (fingerprint, timestamp_ns)
+    * already exist in the stored family over the tick window before
+    * appending. A restart that lost the in-memory watermark (or a crash
+    * between the append and the watermark persist) re-evaluates a bucket;
+    * the raw append path would duplicate its grid points and every
+    * `sum_over_time`/`increase` over them would double-count — the same
+    * stored-state anti-join the ancestor-closure repair uses. The probe
+    * scan is date-pruned to the tick window and the existing side is a
+    * few grid points, so the guard is a broadcast anti-join, not a
+    * table pass.
+    */
+  private def appendNew(name: String, rows: org.apache.spark.sql.DataFrame,
+      startNs: Long, lastPointNs: Long): Long = {
+    val fresh =
+      graft.store.Store.promPushed(spark, dir, name, startNs,
+          lastPointNs + 1) match {
+        case Some(existing) => rows.join(
+          broadcast(existing.select("fingerprint", "timestamp_ns").distinct()),
+          Seq("fingerprint", "timestamp_ns"), "left_anti")
+        case None => rows
+      }
+    graft.store.Store.appendMetrics(spark, dir, fresh)
   }
 
   /** Evaluate one alerting rule's state machine and push the NEW grid
@@ -167,7 +232,7 @@ final class RulerScheduler(spark: SparkSession, dir: String,
         lit(1.0).as("value"))
       .withColumn("fingerprint",
         graft.model.Tables.fingerprintOf(col("labels")))
-    graft.store.Store.appendMetrics(spark, dir, samples)
+    appendNew("ALERTS", samples, startNs, lastPointNs)
   }
 
   /** Spec hook: the last evaluated grid point for a group, if any. */
@@ -186,7 +251,13 @@ final class RulerScheduler(spark: SparkSession, dir: String,
       })
     ex.scheduleWithFixedDelay(() => {
       try tick(): Unit
-      catch { case _: Throwable => () }
+      catch {
+        // per-rule failures land in the health table and sweep failures
+        // in a `_sweep` row; anything escaping those (e.g. the health
+        // write itself) must not kill the loop, but must not vanish either
+        case e: Throwable => Console.err.println(
+          s"graft ruler: tick failed: ${Option(e.getMessage).getOrElse(e)}")
+      }
     }, pollS, pollS, java.util.concurrent.TimeUnit.SECONDS)
     ex
   }

@@ -161,7 +161,7 @@ object Rules {
   private def healthPath(spark: SparkSession, dir: String): String =
     rulesPath(spark, dir) + "_health"
 
-  private def loadHealth(spark: SparkSession, dir: String): Seq[HealthRow] = {
+  private[streaming] def loadHealth(spark: SparkSession, dir: String): Seq[HealthRow] = {
     val (fs, p) = graft.store.Store.fsFor(healthPath(spark, dir))
     if (!fs.exists(p)) Seq.empty
     else {
@@ -198,6 +198,49 @@ object Rules {
         spark.createDataset(keep).repartition(1)
           .write.mode(SaveMode.Overwrite).parquet(p)
       }
+    }
+  }
+
+  // --- per-group scheduler watermarks (the last evaluated grid point,
+  // persisted beside the health table so a RESTARTED scheduler resumes
+  // after the buckets the previous process already recorded instead of
+  // re-appending them — `appendMetrics` is an append, not an upsert) ----
+
+  final case class MarkRow(kind: String, namespace: String,
+      group: String, lastEvalNs: Long)
+
+  private def marksPath(spark: SparkSession, dir: String): String =
+    rulesPath(spark, dir) + "_marks"
+
+  private[streaming] def loadMarks(spark: SparkSession,
+      dir: String): Map[(String, String, String), Long] = {
+    val base = marksPath(spark, dir)
+    val (fs, live) = graft.store.Store.fsFor(base)
+    // same crash-window fallback as [[load]]: a reader landing between
+    // overwriteAtomic's two renames must see the .trash copy, not "never
+    // evaluated" (which would re-record the last bucket)
+    val src =
+      if (fs.exists(live)) Some(live)
+      else Some(new Path(base + ".trash")).filter(fs.exists)
+    src match {
+      case None => Map.empty
+      case Some(p) =>
+        import spark.implicits._
+        spark.read.parquet(p.toString).as[MarkRow].collect()
+          .map(m => (m.kind, m.namespace, m.group) -> m.lastEvalNs).toMap
+    }
+  }
+
+  private[streaming] def saveMarks(spark: SparkSession, dir: String,
+      updates: Seq[MarkRow]): Unit = if (updates.nonEmpty) crudLock.synchronized {
+    import spark.implicits._
+    val keys = updates.map(m => (m.kind, m.namespace, m.group)).toSet
+    val rest = loadMarks(spark, dir).collect {
+      case ((k, n, g), v) if !keys((k, n, g)) => MarkRow(k, n, g, v)
+    }.toSeq
+    overwriteAtomic(marksPath(spark, dir)) { p =>
+      spark.createDataset(rest ++ updates).repartition(1)
+        .write.mode(SaveMode.Overwrite).parquet(p)
     }
   }
 

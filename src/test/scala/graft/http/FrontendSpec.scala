@@ -1445,6 +1445,29 @@ class FrontendSpec extends SparkSpec {
     } finally sock3.close()
   }
 
+  test("websocket tail closes 1002 when a client stalls mid-frame — a " +
+      "tick timeout after partial header bytes must not pace (resuming " +
+      "the read loop mid-frame would desynchronize the stream)") {
+    val s2 = new Frontend(spark, sf,
+      nowNs = () => EndS * 1000000000L).start(0, tailTickMs = 150)
+    try {
+      val port = s2.getAddress.getPort
+      val q = "query=" + enc("""{event_type="signup"}""") +
+        s"&start=${StartS}000000000"
+      val (sock, in, out) = wsConnect(port, q)
+      try {
+        out.write(0x81) // first header byte of a masked text frame…
+        out.flush()     // …then stall past the tick interval
+        val closed = Iterator.continually(wsReadFrameBytes(in)).take(30)
+          .find(_._1 == 0x8)
+        assert(closed.isDefined, "no close frame for a mid-frame stall")
+        val code = ((closed.get._2(0).toInt & 0xff) << 8) |
+          (closed.get._2(1).toInt & 0xff)
+        assert(code == 1002, s"close code $code")
+      } finally sock.close()
+    } finally s2.stop(0)
+  }
+
   // ---- raw WebSocket client helpers ------------------------------------------
 
   /** Open a WebSocket tail on `port` with the given query string; returns

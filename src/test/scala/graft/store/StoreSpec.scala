@@ -355,6 +355,92 @@ class StoreSpec extends SparkSpec {
     taker2.release()
   }
 
+  test("writer lock fencing: a holder whose lock was broken and retaken " +
+      "is fenced out on its next heartbeat instead of reclaiming; the " +
+      "background heartbeat keeps an IDLE live holder unbreakable") {
+    val root = "/root/repo/target/test-wlock-fence"
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+    }
+    rm(new java.io.File(root))
+    new java.io.File(root).mkdirs()
+    val hfs = Store.fsFor(root)._1
+    val lockPath = new org.apache.hadoop.fs.Path(root, "_writer.lock")
+    // the taker writes through the same FileSystem API a real writer
+    // process would (LocalFileSystem keeps checksum sidecars in sync)
+    def takeoverAs(owner: String): Unit = {
+      val o = hfs.create(lockPath, true)
+      o.write(owner.getBytes("UTF-8")); o.close()
+    }
+
+    // takeover (another process broke a stale-looking lock and re-acquired
+    // it): the old holder's next fenced heartbeat must read back the owner
+    // and FAIL, not re-overwrite — two live writers on one root is the
+    // split-brain the lock prevents
+    val mine = new WriterLock(root) // default staleMs: no background race
+    mine.ensureHeld()
+    takeoverAs("taker@elsewhere")
+    val e = intercept[IllegalStateException](mine.beatNow())
+    assert(e.getMessage.contains("fenced"), e.getMessage)
+    assert(!mine.isHeld && mine.fencedOutBy.contains("taker@elsewhere"))
+    // fenced-out is terminal: every subsequent mutation attempt refuses
+    val e2 = intercept[IllegalStateException](mine.ensureHeld())
+    assert(e2.getMessage.contains("fenced"), e2.getMessage)
+    hfs.delete(lockPath, false)
+
+    // a lock BROKEN but not yet retaken (file gone): the fenced heartbeat
+    // may reclaim it — but only through the exclusive create
+    val again = new WriterLock(root, owner = "again@elsewhere")
+    again.ensureHeld()
+    hfs.delete(lockPath, false)
+    again.beatNow() // reclaims via create-exclusive
+    assert(again.isHeld && hfs.exists(lockPath))
+    again.release()
+
+    // idle-but-live holder: the daemon heartbeat refreshes the mtime even
+    // with no appends, so a second process using the same staleMs never
+    // sees a stale heartbeat and is refused for as long as we live
+    val idle = new WriterLock(root, owner = "idle@elsewhere", staleMs = 400)
+    idle.ensureHeld()
+    Thread.sleep(900) // > staleMs: without beats this would look crashed
+    val taker = new WriterLock(root, owner = "taker2@elsewhere",
+      staleMs = 2000) // wide margin: only a dead heartbeat lets it in
+    intercept[IllegalStateException](taker.ensureHeld())
+    idle.release()
+  }
+
+  test("negative dir probes expire: a family first pushed by ANOTHER " +
+      "process becomes visible to a read-only replica without a restart") {
+    val base = s"/root/repo/target/test-probe/${System.nanoTime()}"
+    val p = s"$base/prom_pushed"
+    assert(!Store.haveDir(p)) // probed absent, cached
+    new java.io.File(p).mkdirs() // the WRITER process creates it
+    assert(!Store.haveDir(p)) // inside the TTL: still served from cache
+    val old = Store.probeNegativeTtlMs
+    Store.probeNegativeTtlMs = 0
+    try {
+      assert(Store.haveDir(p)) // TTL elapsed: re-probed, now present
+      Store.probeNegativeTtlMs = old
+      assert(Store.haveDir(p)) // present is cached forever
+    } finally Store.probeNegativeTtlMs = old
+  }
+
+  test("reader cache expires for non-writer processes: files appended by " +
+      "ANOTHER process appear after the refresh bound") {
+    val s = spark
+    import s.implicits._
+    val p = s"/root/repo/target/test-readers/${System.nanoTime()}/t"
+    Seq(1L, 2L).toDF("v").write.parquet(p)
+    assert(Store.readTable(spark, p).count() == 2)
+    // the "writer process" appends behind our back
+    Seq(3L).toDF("v").write.mode("append").parquet(p)
+    assert(Store.readTable(spark, p).count() == 2) // cached file index
+    val old = Store.replicaRefreshMs
+    Store.replicaRefreshMs = 0
+    try assert(Store.readTable(spark, p).count() == 3) // re-resolved
+    finally Store.replicaRefreshMs = old
+  }
+
   test("downsample partial merge is exact and idempotent: split partials " +
       "fold to the single-pass row, and re-merging is a no-op") {
     val s = spark
@@ -610,6 +696,26 @@ class StoreSpec extends SparkSpec {
       push(910002L, Seq(1L -> None, 2L -> Some(1L)))
     } finally spark.conf.unset("spark.graft.closure.driverMax")
     assert(closure(910002L) == expected)
+
+    // CYCLIC parent pointers (self-parent, a→b→a — hostile or buggy
+    // clients): both paths emit each closure row exactly ONCE instead of
+    // walking the cycle up to the depth cap and landing duplicates that
+    // double-count >>/<< structural matches
+    def closureRows(trace: Long): Seq[(Long, Long)] =
+      Store.ancestors(spark, dir, ts - 1, ts + 100)
+        .filter(col("trace_id") === trace)
+        .select("span_id", "anc_id").as[(Long, Long)].collect().toSeq
+    val cyc = Set((5L, 5L), (6L, 7L), (6L, 6L), (7L, 6L), (7L, 7L))
+    push(910003L, Seq(5L -> Some(5L), 6L -> Some(7L), 7L -> Some(6L)))
+    val gotDriver = closureRows(910003L)
+    assert(gotDriver.size == cyc.size && gotDriver.toSet == cyc,
+      gotDriver.sorted.mkString("; "))
+    spark.conf.set("spark.graft.closure.driverMax", "0")
+    try push(910004L, Seq(5L -> Some(5L), 6L -> Some(7L), 7L -> Some(6L)))
+    finally spark.conf.unset("spark.graft.closure.driverMax")
+    val gotDist = closureRows(910004L)
+    assert(gotDist.size == cyc.size && gotDist.toSet == cyc,
+      gotDist.sorted.mkString("; "))
   }
 
   test("downsample and raw paths agree on rate values") {

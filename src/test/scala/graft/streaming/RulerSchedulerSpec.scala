@@ -12,17 +12,85 @@ import graft.gates.EvalWindow._
   */
 class RulerSchedulerSpec extends SparkSpec {
 
-  test("scheduler ticks: each due tick writes exactly its grid points " +
-      "back through the live append path; off-interval ticks are no-ops; " +
-      "alerts export firing states; health records the evaluation") {
-    // tmp copy: the writeback appends mutate the dir's store, and the
-    // shared sf0.001 store's contents are load-bearing for other suites
+  /** Fresh store copy — the writeback appends mutate the dir's store, and
+    * the shared sf0.001 store's contents are load-bearing elsewhere.
+    */
+  private def freshStore(): String = {
     val tmp = java.nio.file.Files.createTempDirectory("graft-ruler").toFile
     tmp.deleteOnExit()
     for (f <- new java.io.File(sf).listFiles(); if f.getName.endsWith(".parquet"))
       java.nio.file.Files.copy(f.toPath,
         new java.io.File(tmp, f.getName).toPath)
-    val dir = tmp.getAbsolutePath
+    tmp.getAbsolutePath
+  }
+
+  test("restart idempotency: a second scheduler instance re-seeds from " +
+      "the persisted watermark and never re-records a bucket; even with " +
+      "the watermark lost, the idempotent writeback absorbs the re-eval") {
+    val dir = freshStore()
+    Rules.setGroup(spark, dir, "loki", "ns", Rules.RuleGroup("wm", 60, Seq(
+      Rules.Rule(record = "job:clicks:wm",
+        expr = """sum(count_over_time({event_type="click"}[24h]))"""))))
+
+    var now = (StartS + 86400L) * 1000000000L
+    val sched1 = new RulerScheduler(spark, dir, () => now)
+    assert(sched1.tick() == 1)
+
+    // "restart" within the same bucket: fresh in-memory state, same clock
+    // — without the persisted watermark this would re-seed one interval
+    // back and re-append the bucket sched1 already recorded
+    val sched2 = new RulerScheduler(spark, dir, () => now)
+    assert(sched2.tick() == 0, "restarted scheduler re-recorded a bucket")
+    assert(sched2.lastEval("loki", "ns", "wm").contains(now))
+
+    // second line of defense: wipe the watermark table (the crash-between
+    // -append-and-persist window) — the re-evaluation happens, but the
+    // writeback anti-join drops every already-stored grid point
+    def rmrf(f: java.io.File): Unit = if (f.exists) {
+      Option(f.listFiles).foreach(_.foreach(rmrf)); f.delete(): Unit
+    }
+    rmrf(new java.io.File(Rules.rulesPath(dir) + "_marks"))
+    val sched3 = new RulerScheduler(spark, dir, () => now)
+    assert(sched3.tick() == 0, "idempotent writeback appended duplicates")
+
+    // net effect: exactly one sample at the grid point
+    val rec = graft.store.Store.promMetric(spark, dir, "job:clicks:wm",
+      0, Long.MaxValue).get.collect()
+    assert(rec.length == 1, rec.mkString("; "))
+
+    // the next interval still evaluates exactly once (the anti-join and
+    // watermark must not suppress genuinely new points)
+    now += 60L * 1000000000L
+    assert(sched3.tick() == 1)
+    assert(graft.store.Store.promMetric(spark, dir, "job:clicks:wm",
+      0, Long.MaxValue).get.count() == 2)
+  }
+
+  test("a failing group sweep records a _sweep health row and the loop " +
+      "keeps running") {
+    val dir = freshStore()
+    // poison the rules table: a plain FILE at the table path makes the
+    // parquet read fail for every listing
+    val rp = new java.io.File(Rules.rulesPath(dir))
+    rp.getParentFile.mkdirs()
+    java.nio.file.Files.write(rp.toPath, "not parquet".getBytes("UTF-8"))
+    val sched = new RulerScheduler(spark, dir,
+      () => (StartS + 86400L) * 1000000000L)
+    assert(sched.tick() == 0) // survives — no throw
+    val sweepErr = Rules.loadHealth(spark, dir)
+      .filter(h => h.namespace == "_sweep" && h.health == "err")
+    assert(sweepErr.nonEmpty, "sweep failure left no visible artifact")
+    // heal the table: the NEXT tick evaluates normally
+    assert(rp.delete())
+    Rules.setGroup(spark, dir, "loki", "ns", Rules.RuleGroup("ok", 60, Seq(
+      Rules.Rule(record = "ok:rule", expr = "vector(5)"))))
+    assert(sched.tick() == 1)
+  }
+
+  test("scheduler ticks: each due tick writes exactly its grid points " +
+      "back through the live append path; off-interval ticks are no-ops; " +
+      "alerts export firing states; health records the evaluation") {
+    val dir = freshStore()
 
     val g = Rules.RuleGroup("sched", 60, Seq(
       Rules.Rule(record = "job:clicks:count",
