@@ -103,16 +103,28 @@ final class RulerScheduler(spark: SparkSession, dir: String,
   /** List one engine's groups; a listing failure (the rules table itself
     * unreadable — a transient FS error on a poisoned config) must not
     * kill the loop OR vanish: it lands as a `_sweep` health row so the
-    * rules-health surface shows the last sweep error, and the tick
-    * continues with the other engine.
+    * rules-health surface shows the last sweep outcome, and the tick
+    * continues with the other engine. When a failed sweep later
+    * SUCCEEDS, the row flips to "ok" (one extra write on recovery only),
+    * so a healed rules table doesn't read as permanently broken.
     */
+  private val sweepFailed = TrieMap[String, Boolean]()
   private def sweep(kind: String,
       nowNsVal: Long): Seq[(String, Seq[Rules.RuleGroup])] =
-    try Rules.allGroups(spark, dir, kind).toSeq.sortBy(_._1)
-    catch {
+    try {
+      val gs = Rules.allGroups(spark, dir, kind).toSeq.sortBy(_._1)
+      if (sweepFailed.getOrElse(kind, false)) {
+        sweepFailed(kind) = false
+        try Rules.saveHealth(spark, dir, Seq(Rules.HealthRow(kind,
+          "_sweep", "_sweep", "_sweep", "ok", "", nowNsVal / 1000000L, 0.0)))
+        catch { case _: Exception => () }
+      }
+      gs
+    } catch {
       case e: Exception =>
         val msg = Option(e.getMessage).getOrElse(e.toString)
         Console.err.println(s"graft ruler: $kind group sweep failed: $msg")
+        sweepFailed(kind) = true
         try Rules.saveHealth(spark, dir, Seq(Rules.HealthRow(kind,
           "_sweep", "_sweep", "_sweep", "err", msg, nowNsVal / 1000000L, 0.0)))
         catch { case _: Exception => () } // health table may be down too
@@ -194,8 +206,12 @@ final class RulerScheduler(spark: SparkSession, dir: String,
     val fresh =
       graft.store.Store.promPushed(spark, dir, name, startNs,
           lastPointNs + 1) match {
+        // no broadcast hint: in the normal path the existing side is a
+        // few grid points (auto-broadcast), but a lost-marks catch-up
+        // over a long window against a fingerprint-rich family can make
+        // it large — let the planner pick the join strategy there
         case Some(existing) => rows.join(
-          broadcast(existing.select("fingerprint", "timestamp_ns").distinct()),
+          existing.select("fingerprint", "timestamp_ns").distinct(),
           Seq("fingerprint", "timestamp_ns"), "left_anti")
         case None => rows
       }

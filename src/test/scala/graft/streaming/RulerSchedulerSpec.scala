@@ -80,11 +80,16 @@ class RulerSchedulerSpec extends SparkSpec {
     val sweepErr = Rules.loadHealth(spark, dir)
       .filter(h => h.namespace == "_sweep" && h.health == "err")
     assert(sweepErr.nonEmpty, "sweep failure left no visible artifact")
-    // heal the table: the NEXT tick evaluates normally
+    // heal the table: the NEXT tick evaluates normally AND the stale
+    // _sweep error flips to ok (a healed rules table must not read as
+    // permanently broken)
     assert(rp.delete())
     Rules.setGroup(spark, dir, "loki", "ns", Rules.RuleGroup("ok", 60, Seq(
       Rules.Rule(record = "ok:rule", expr = "vector(5)"))))
     assert(sched.tick() == 1)
+    val sweepAfter = Rules.loadHealth(spark, dir)
+      .filter(_.namespace == "_sweep").map(h => h.kind -> h.health).toMap
+    assert(sweepAfter.getOrElse("loki", "missing") == "ok", sweepAfter)
   }
 
   test("scheduler ticks: each due tick writes exactly its grid points " +
