@@ -187,15 +187,33 @@ object Rules {
     * replacing a group must not leave stale health behind.
     */
   def pruneHealth(spark: SparkSession, dir: String): Unit = crudLock.synchronized {
-    val live = load(spark, dir).flatMap(g => g.rules.map(r =>
+    val groups = load(spark, dir)
+    val live = groups.flatMap(g => g.rules.map(r =>
       (g.kind, g.namespace, g.name,
         if (r.isRecording) r.record else r.alert))).toSet
+    // the synthetic `_sweep` rows record the last SWEEP outcome per
+    // engine, not per-rule health — they survive rule CRUD
     val (keep, drop) = loadHealth(spark, dir).partition(h =>
-      live((h.kind, h.namespace, h.group, h.rule)))
+      h.namespace == "_sweep" || live((h.kind, h.namespace, h.group, h.rule)))
     if (drop.nonEmpty) {
       import spark.implicits._
       overwriteAtomic(healthPath(spark, dir)) { p =>
         spark.createDataset(keep).repartition(1)
+          .write.mode(SaveMode.Overwrite).parquet(p)
+      }
+    }
+    // scheduler watermarks are per-GROUP: drop the rows of deleted groups
+    // so the marks table tracks the live rule set instead of growing with
+    // every group that ever existed
+    val liveGroups = groups.map(g => (g.kind, g.namespace, g.name)).toSet
+    val marks = loadMarks(spark, dir)
+    val keepMarks = marks.collect {
+      case ((k, n, g), v) if liveGroups((k, n, g)) => MarkRow(k, n, g, v)
+    }.toSeq
+    if (keepMarks.size < marks.size) {
+      import spark.implicits._
+      overwriteAtomic(marksPath(spark, dir)) { p =>
+        spark.createDataset(keepMarks).repartition(1)
           .write.mode(SaveMode.Overwrite).parquet(p)
       }
     }

@@ -18,6 +18,8 @@ class RulesSpec extends SparkSpec {
 
   private def fresh(): Unit = {
     rmrf(new java.io.File(Rules.rulesPath(sf)))
+    rmrf(new java.io.File(Rules.rulesPath(sf) + "_marks"))
+    rmrf(new java.io.File(Rules.rulesPath(sf) + "_health"))
     rmrf(new java.io.File(Ruler.recordedPath(sf)))
   }
 
@@ -49,6 +51,20 @@ class RulesSpec extends SparkSpec {
     // other kind and namespace untouched
     assert(Rules.groups(spark, sf, "loki", "ns1").map(_.name) == Seq("g1"))
     assert(Rules.groups(spark, sf, "prom", "ns2").map(_.name) == Seq("g1"))
+
+    // prune drops the scheduler watermarks of deleted groups (the marks
+    // table tracks the live rule set) but keeps live ones and the
+    // synthetic _sweep outcome row
+    Rules.saveMarks(spark, sf, Seq(
+      Rules.MarkRow("prom", "ns1", "g1", 111L), // deleted above
+      Rules.MarkRow("prom", "ns2", "g1", 222L))) // live
+    Rules.saveHealth(spark, sf, Seq(Rules.HealthRow("prom",
+      "_sweep", "_sweep", "_sweep", "err", "boom", 1L, 0.0)))
+    Rules.pruneHealth(spark, sf)
+    assert(Rules.loadMarks(spark, sf) ==
+      Map(("prom", "ns2", "g1") -> 222L))
+    assert(Rules.loadHealth(spark, sf)
+      .exists(h => h.namespace == "_sweep" && h.health == "err"))
   }
 
   test("listRules emits the Prometheus rules shape, typed per rule") {
