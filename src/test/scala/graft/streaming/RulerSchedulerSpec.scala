@@ -64,6 +64,18 @@ class RulerSchedulerSpec extends SparkSpec {
     assert(sched3.tick() == 1)
     assert(graft.store.Store.promMetric(spark, dir, "job:clicks:wm",
       0, Long.MaxValue).get.count() == 2)
+
+    // downtime catch-up: a scheduler relaunched THREE intervals later
+    // back-fills the gap from its persisted watermark — all three missed
+    // buckets in one range evaluation, each grid point exactly once
+    now += 3L * 60L * 1000000000L
+    val sched4 = new RulerScheduler(spark, dir, () => now)
+    assert(sched4.tick() == 3, "catch-up must evaluate every missed bucket")
+    val all = graft.store.Store.promMetric(spark, dir, "job:clicks:wm",
+      0, Long.MaxValue).get.collect()
+    assert(all.length == 5, all.mkString("; "))
+    assert(all.map(_.getAs[Long]("timestamp_ns")).toSet.size == 5,
+      "duplicate grid points after catch-up")
   }
 
   test("a failing group sweep records a _sweep health row and the loop " +
