@@ -20,6 +20,89 @@ object DevProf {
       println(s"ENTRY_ROWS=${graft.SparkEntry.entry(spark).count()}")
       spark.stop(); return
     }
+    // `gate <name>...`: run named gates with a job-count listener — the
+    // dev loop for spotting orchestration-bound entries (many tiny jobs)
+    if (args.headOption.contains("gate")) {
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val taskNs = new java.util.concurrent.atomic.AtomicLong(0L)
+      val sites = new java.util.concurrent.ConcurrentHashMap[String,
+        java.util.concurrent.atomic.AtomicInteger]()
+      val siteMs = new java.util.concurrent.ConcurrentHashMap[String,
+        java.util.concurrent.atomic.AtomicLong]()
+      val jobSite = new java.util.concurrent.ConcurrentHashMap[Int,
+        (String, Long)]()
+      val sqlStart = new java.util.concurrent.ConcurrentHashMap[Long,
+        (String, Long)]()
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onJobStart(
+              j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+            val site = Option(j.properties)
+              .flatMap(p => Option(p.getProperty("callSite.short")))
+              .getOrElse(j.stageInfos.lastOption.map(_.name).getOrElse("?"))
+            jobSite.put(j.jobId, (site, j.time)): Unit
+            sites.computeIfAbsent(site,
+              _ => new java.util.concurrent.atomic.AtomicInteger(0))
+              .incrementAndGet(): Unit
+            jobs.incrementAndGet(): Unit
+          }
+          override def onJobEnd(
+              j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+            Option(jobSite.remove(j.jobId)).foreach { case (site, t0) =>
+              siteMs.computeIfAbsent(site,
+                _ => new java.util.concurrent.atomic.AtomicLong(0L))
+                .addAndGet(j.time - t0): Unit
+            }
+          override def onOtherEvent(
+              e: org.apache.spark.scheduler.SparkListenerEvent): Unit =
+            e match {
+              case s: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart =>
+                sqlStart.put(s.executionId, (s.description, s.time)): Unit
+              case s: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionEnd =>
+                Option(sqlStart.remove(s.executionId)).foreach {
+                  case (desc, t0) =>
+                    val key = desc.linesIterator.nextOption().getOrElse("?")
+                      .take(100)
+                    siteMs.computeIfAbsent("SQL: " + key,
+                      _ => new java.util.concurrent.atomic.AtomicLong(0L))
+                      .addAndGet(s.time - t0): Unit
+                    sites.computeIfAbsent("SQL: " + key,
+                      _ => new java.util.concurrent.atomic.AtomicInteger(0))
+                      .incrementAndGet(): Unit
+                }
+              case _ => ()
+            }
+          override def onTaskEnd(
+              t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+            if (t.taskMetrics != null)
+              taskNs.addAndGet(t.taskMetrics.executorRunTime * 1000000L): Unit
+        })
+      graft.store.Store.ensure(spark, dir)
+      graft.store.Store.warm(spark, dir)
+      val qs = graft.SparkEntry.queries
+      for (name <- args.drop(1); fn <- qs.get(name); r <- 1 to 2) {
+        jobs.set(0); taskNs.set(0L); sites.clear()
+        val t0 = System.nanoTime()
+        val n = fn(spark, dir).count()
+        val wall = (System.nanoTime() - t0) / 1e9
+        println(f"$name%-32s r$r wall=$wall%7.2f s jobs=${jobs.get()}%4d " +
+          f"taskTime=${taskNs.get() / 1e9}%7.2f s rows=$n")
+        if (r == 2) {
+          import scala.jdk.CollectionConverters._
+          sites.asScala.toSeq
+            .sortBy { case (s, _) =>
+              -siteMs.getOrDefault(s,
+                new java.util.concurrent.atomic.AtomicLong(0L)).get() }
+            .take(20).foreach { case (s, c) =>
+              val ms = siteMs.getOrDefault(s,
+                new java.util.concurrent.atomic.AtomicLong(0L)).get()
+              println(f"    ${c.get()}%4d jobs ${ms / 1000.0}%7.2f s  $s")
+            }
+        }
+        sites.clear(); siteMs.clear()
+      }
+      spark.stop(); return
+    }
     if (args.contains("aot")) {
       import graft.gates.EvalWindow._
       val c = new graft.promql.PromQLCompiler(spark, dir,

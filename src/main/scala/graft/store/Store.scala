@@ -352,7 +352,10 @@ object Store {
     * other process can have changed the table under us.
     */
   private def authoritative(path: String): Boolean =
-    writerLocks.exists { case (r, l) => l.isHeld && path.startsWith(r) }
+    // separator-bounded prefix: a lock on .../v7/a must not cover the
+    // sibling root .../v7/ab (same-prefix different store)
+    writerLocks.exists { case (r, l) =>
+      l.isHeld && (path == r || path.startsWith(r + "/")) }
 
   private[store] def readTable(spark: SparkSession, path: String): DataFrame = {
     val now = System.currentTimeMillis()
@@ -541,8 +544,8 @@ object Store {
       // dictionary dedup is per (oid, fingerprint): two tenants pushing
       // the same label set each need their own dictionary row, or the
       // second tenant's series would be invisible to its own label APIs
-      val existing = spark.read.parquet(s"$root/time_series")
-        .select(col("oid"), col("fingerprint")).distinct()
+      val existing = dictExisting(spark, s"$root/time_series",
+        batch.select(col("fingerprint")), Seq("oid", "fingerprint"))
       withPushOid(spark, batch.select(col("fingerprint"), col("labels"))
           .dropDuplicates("fingerprint"))
         .join(existing, Seq("oid", "fingerprint"), "left_anti")
@@ -570,6 +573,24 @@ object Store {
   }
 
   private val appendLock = new Object
+
+  /** Existing-key side of an append's dictionary anti-join, SCOPED to the
+    * batch's own fingerprints: a push batch is one bounded HTTP request,
+    * so its distinct fingerprints collect to an In() filter the parquet
+    * scan prunes with row-group stats — where the old shape scanned and
+    * `distinct()`-shuffled the WHOLE dictionary per push (a per-push full
+    * table pass at 1e8 series). Above the cap (a pathological mega-batch)
+    * fall back to the unscoped scan, which stays shuffle-bounded; the
+    * anti-join never needed the right-side distinct either way (left_anti
+    * tests existence, duplicates on the probe side are free).
+    */
+  private def dictExisting(spark: SparkSession, path: String,
+      batchFps: DataFrame, keep: Seq[String]): DataFrame = {
+    val base = readTable(spark, path).select(keep.map(col): _*)
+    val fps = batchFps.distinct().limit(100001).collect().map(_.getLong(0))
+    if (fps.length <= 100000) base.filter(col("fingerprint").isin(fps: _*))
+    else base
+  }
 
   /** Per-root single-writer guard (see [[WriterLock]]): every mutating
     * path — appends, [[maintain]], [[expire]] — confirms this process
@@ -780,8 +801,8 @@ object Store {
           col("fingerprint"), col("labels"))
         .filter(col("family").isNotNull)
         .dropDuplicates("family", "fingerprint")
-      val existing = spark.read.parquet(s"$root/prom_series")
-        .select(col("oid"), col("family"), col("fingerprint")).distinct()
+      val existing = dictExisting(spark, s"$root/prom_series",
+        batch.select(col("fingerprint")), Seq("oid", "family", "fingerprint"))
       withPushOid(spark, dict)
         .join(existing, Seq("oid", "family", "fingerprint"), "left_anti")
         // one file per push: the new-series delta of one batch is tiny
@@ -1049,6 +1070,11 @@ object Store {
     // a crashed previous pass left scratch dirs: restore before listing,
     // so the leaf selection below sees whole leaves only
     val recovered = fs.exists(tableDir.getParent) && recoverSweep(fs, tableDir)
+    // a crash mid-batch-write leaves a partial `_compacting` scratch dir;
+    // readers never see it (underscore prefix) but clean it up here so it
+    // cannot linger once the table drops back under the file bound
+    if (fs.exists(tableDir))
+      fs.delete(new Path(tableDir, "_compacting"), true): Unit
     def partDirs(p: Path): Seq[Path] = {
       val kids = listStatus(fs, p)
       val sub = kids.filter(k => k.isDirectory &&
@@ -1066,20 +1092,12 @@ object Store {
     val toCompact = leaves.filter(leaf =>
       listStatus(fs, leaf).count(f =>
         f.isFile && f.getPath.getName.endsWith(".parquet")) > maxFiles)
-    def rewrite(leaf: Path): Unit = {
-      val tmp = new Path(leaf.getParent, leaf.getName + ".compact")
+    // crash-safe swap: the ORIGINAL survives as `.old` until the new
+    // data is live — a crash anywhere leaves a complete copy for
+    // [[recoverScratch]] (vs the old delete-then-rename, whose crash
+    // window lost the leaf outright)
+    def swapIn(leaf: Path, tmp: Path): Unit = {
       val old = new Path(leaf.getParent, leaf.getName + ".old")
-      val df0 = spark.read.parquet(leaf.toString)
-      val df = merge.fold(df0)(m => m(df0))
-      val sortable = sortCols.filter(df.columns.contains)
-      (if (targetFiles <= 1) df.coalesce(1)
-       else df.repartition(targetFiles, sortable.take(1).map(col): _*))
-        .sortWithinPartitions(sortable.map(col): _*)
-        .write.mode("overwrite").parquet(tmp.toString)
-      // crash-safe swap: the ORIGINAL survives as `.old` until the new
-      // data is live — a crash anywhere leaves a complete copy for
-      // [[recoverScratch]] (vs the old delete-then-rename, whose crash
-      // window lost the leaf outright)
       if (!fs.rename(leaf, old))
         throw new java.io.IOException(s"compact swap failed: $leaf -> $old")
       compactFaultHook(leaf.toString)
@@ -1092,26 +1110,79 @@ object Store {
       if (leaf != tableDir)
         fs.delete(new Path(leaf, "_SUCCESS"), false): Unit
     }
-    // each leaf is an independent write-new-then-swap (the reference's
-    // per-part background merges): run them CONCURRENTLY on a bounded
-    // pool — each job is tiny (one partition's files), so the wall-clock
-    // of a maintenance pass is leaves/K, not leaves, and the same driver
-    // thread-fanout holds on a real cluster where each rewrite is a small
-    // independent Spark job
-    val n = toCompact.size
-    if (n > 0) {
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(
-        math.min(8, n))
-      try {
-        val fs = toCompact.map(leaf =>
-          pool.submit(new Runnable { def run(): Unit = rewrite(leaf) }))
-        fs.foreach { f =>
-          try f.get()
-          catch { case e: java.util.concurrent.ExecutionException =>
-            throw e.getCause }
-        }
-      } finally pool.shutdown()
+    // leaf == tableDir is the flat dictionary-table case: a single
+    // write-new-then-swap keeping the dictionary sharded (targetFiles)
+    def rewriteFlat(leaf: Path): Unit = {
+      val tmp = new Path(leaf.getParent, leaf.getName + ".compact")
+      val df0 = spark.read.parquet(leaf.toString)
+      val df = merge.fold(df0)(m => m(df0))
+      val sortable = sortCols.filter(df.columns.contains)
+      (if (targetFiles <= 1) df.coalesce(1)
+       else df.repartition(targetFiles, sortable.take(1).map(col): _*))
+        .sortWithinPartitions(sortable.map(col): _*)
+        .write.mode("overwrite").parquet(tmp.toString)
+      swapIn(leaf, tmp)
     }
+    val (flat, parts) = toCompact.partition(_ == tableDir)
+    // partition leaves rewrite in ONE Spark job per table, not one tiny
+    // read+write job per leaf (which made a maintenance pass over a
+    // fragmented store job-scheduling-bound, not byte-bound): each leaf is
+    // tagged with a synthetic __leaf index, the union repartitions on it
+    // (one writer task per leaf ⇒ one sorted part file per leaf, the same
+    // output the per-leaf coalesce(1) produced), and the dynamic-partition
+    // write stages every new copy under a `_compacting` scratch dir
+    // (underscore prefix: invisible to parquet readers). Bytes moved =
+    // only the over-limit leaves — the recent appends — shuffled once,
+    // same cost shape as the appends that created them. The swap then
+    // reuses the per-leaf two-rename protocol unchanged, so the
+    // crash-safety story (and [[recoverScratch]]) is exactly the old one.
+    if (parts.nonEmpty) {
+      val scratch = new Path(tableDir, "_compacting")
+      fs.delete(scratch, true): Unit
+      // ONE scan relation over exactly the over-limit leaves (basePath
+      // keeps the partition columns), with an EXPLICIT schema: one bare
+      // spark.read.parquet per leaf would pay a footer-inference job
+      // each, and a per-leaf union would pay analysis/codegen linear in
+      // leaf count — both made a fragmented-store maintenance pass
+      // job-scheduling-bound. Partition columns read as STRINGS, so
+      // values round-trip bit-exactly into partitionBy below (the dirs
+      // the original string-typed append writes produce).
+      // leaves from listStatus are scheme-qualified; qualify the table dir
+      // the same way before computing relative paths, or the strip is a
+      // no-op and Path(scratch, rel) resolves back to the LIVE leaf
+      val qTable = fs.makeQualified(tableDir).toString
+      val relParts = parts.map(l =>
+        fs.makeQualified(l).toString.stripPrefix(qTable).stripPrefix("/"))
+      val partKeys = relParts.head.split("/").toSeq
+        .filter(_.contains("=")).map(_.takeWhile(_ != '='))
+      val dataSchema = spark.read.parquet(parts.head.toString).schema
+      val full = partKeys.foldLeft(dataSchema)((s, k) => s.add(k, "string"))
+      val scan = spark.read.option("basePath", tableDir.toString)
+        .schema(full).parquet(parts.map(_.toString): _*)
+      // merge (downsample partial fold) runs keyed by (partition cols,
+      // bucket keys) — leaves are disjoint, so this is exactly the old
+      // per-leaf merge, in one shuffle
+      val df = merge.fold(scan)(m => m(scan))
+      val sortable = sortCols.filter(df.columns.contains)
+      // the (partKeys ++ sort) ordering satisfies the dynamic-partition
+      // write's required ordering, so no extra sort is inserted and the
+      // within-file sortCols order survives into each leaf's part file;
+      // repartition on the partition cols gives one writer task per
+      // leaf, hence ONE part file per leaf (the old coalesce(1) output)
+      df.repartition(partKeys.map(col): _*)
+        .sortWithinPartitions((partKeys ++ sortable).map(col): _*)
+        .write.mode("overwrite").partitionBy(partKeys: _*)
+        .parquet(scratch.toString)
+      val staged = parts.zip(relParts).filter { case (leaf, rel) =>
+        fs.rename(new Path(scratch, rel),
+          new Path(leaf.getParent, leaf.getName + ".compact"))
+      }
+      fs.delete(scratch, true): Unit
+      staged.foreach { case (leaf, _) =>
+        swapIn(leaf, new Path(leaf.getParent, leaf.getName + ".compact")) }
+    }
+    flat.foreach(rewriteFlat)
+    val n = toCompact.size
     if (n > 0 || recovered) {
       // cross-session invalidation, same contract as [[invalidate]]: a
       // tenant session must not keep serving the pre-compaction (or
@@ -1134,7 +1205,11 @@ object Store {
     * shrinks the table back to ~1 row per bucket after many small pushes.
     */
   private[store] def mergePartials(df: DataFrame): DataFrame = {
-    val keys = Seq("family", "fingerprint", "timestamp_ns")
+    // oid/date are the batch-compaction partition tags: leaves are
+    // disjoint in them, so including them keeps the merge per-leaf
+    // inside the one-job-per-table rewrite (read paths never carry them
+    // into this merge — scanWindow drops oid and never selects date)
+    val keys = Seq("oid", "date", "family", "fingerprint", "timestamp_ns")
       .filter(df.columns.contains)
     val mergeFns: Map[String, Column] = Map(
       "labels" -> first(col("labels")),
@@ -1181,8 +1256,22 @@ object Store {
             pm, 1),
           ("time_series", Seq("fingerprint"), None, dictShards(spark)),
           ("prom_series", Seq("fingerprint"), None, dictShards(spark)))
-      plan.map { case (t, sort, m, tf) =>
-        compactRoot(spark, root, t, sort, maxFiles, m, tf) }.sum
+      // one compaction job per table now (see compactRoot): overlap the
+      // tables on a small pool so the pass's wall-clock is the slowest
+      // table, not the sum — tables are disjoint paths, and concurrent
+      // Spark jobs from driver threads back-fill each other's tails
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(4, plan.size))
+      try plan.map { case (t, sort, m, tf) =>
+        pool.submit(new java.util.concurrent.Callable[Int] {
+          def call(): Int = compactRoot(spark, root, t, sort, maxFiles, m, tf)
+        })
+      }.map { f =>
+        try f.get()
+        catch { case e: java.util.concurrent.ExecutionException =>
+          throw e.getCause }
+      }.sum
+      finally pool.shutdown()
     }
 
   def promMetric(spark: SparkSession, dir: String, name: String,

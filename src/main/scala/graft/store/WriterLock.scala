@@ -52,16 +52,29 @@ final class WriterLock(root: String, owner: String = WriterLock.self,
       true
     } catch { case _: java.io.IOException => false }
 
-  private def holder(): Option[(String, Long)] =
+  /** Right(Some(owner, mtime)) = lock present; Right(None) = lock file
+    * genuinely ABSENT; Left = transient read error. The distinction
+    * matters in [[beat]]: treating a read hiccup as "missing" would try an
+    * exclusive re-create, fail (the file still exists, this process still
+    * owns it), and permanently fence out the only healthy writer over one
+    * transient FS error on a heartbeat.
+    */
+  private def readHolder(): Either[java.io.IOException, Option[(String, Long)]] =
     try {
       val st = fs.getFileStatus(path)
       val in = fs.open(path)
       val buf = new Array[Byte](256)
       val n = in.read(buf)
       in.close()
-      Some((new String(buf, 0, math.max(0, n), UTF_8).trim,
-        st.getModificationTime))
-    } catch { case _: java.io.IOException => None }
+      Right(Some((new String(buf, 0, math.max(0, n), UTF_8).trim,
+        st.getModificationTime)))
+    } catch {
+      case _: java.io.FileNotFoundException => Right(None)
+      case e: java.io.IOException => Left(e)
+    }
+
+  private def holder(): Option[(String, Long)] =
+    readHolder().toOption.flatten
 
   /** Dead = the recorded pid no longer runs on THIS host (a crashed JVM
     * on the same box — the bench/driver fork-per-family shape), or the
@@ -88,12 +101,13 @@ final class WriterLock(root: String, owner: String = WriterLock.self,
     * be restarted to write again (by then the other writer owns the root).
     */
   private def beat(now: Long): Unit =
-    holder() match {
-      case Some((who, _)) if who != owner => fenceOut(who)
-      case Some(_) =>
+    readHolder() match {
+      case Left(_) => () // transient read error: skip this beat, retry next
+      case Right(Some((who, _))) if who != owner => fenceOut(who)
+      case Right(Some(_)) =>
         writeLock(overwrite = true): Unit
         lastBeatMs = now
-      case None =>
+      case Right(None) =>
         // broken but not yet retaken: only an exclusive re-create may
         // reclaim it — losing that race means someone else took it
         if (writeLock(overwrite = false)) lastBeatMs = now

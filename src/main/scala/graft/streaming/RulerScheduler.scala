@@ -27,15 +27,21 @@ import graft.logql.EvalParams
   * and each tick covers exactly the grid points after the previous tick's
   * last point — re-running a tick never double-records, ACROSS RESTARTS
   * too: per-group last-eval watermarks are persisted beside the rule
-  * configs ([[Rules.saveMarks]]) and re-seeded on the first tick, so a
-  * new process resumes after the buckets the old one already recorded
-  * (a never-evaluated group still seeds from "one interval back", the
-  * reference's cold-start behavior; a long-stopped scheduler back-fills
-  * the gap as ONE range evaluation, not one job per missed bucket). As a
-  * second line of defense the writeback itself is IDEMPOTENT — appended
-  * samples are anti-joined against the already-stored grid points of the
-  * tick window — so even a crash between the append and the watermark
-  * persist cannot duplicate a grid point. Per-RULE health is persisted
+  * configs ([[Rules.saveMarks]], batched ONCE per tick) and re-seeded on
+  * the first tick, so a new process resumes after the buckets the old one
+  * already recorded (a never-evaluated group still seeds from "one
+  * interval back", the reference's cold-start behavior; a long-stopped
+  * scheduler back-fills the gap as ONE range evaluation, not one job per
+  * missed bucket). As a second line of defense the writeback itself is
+  * IDEMPOTENT — appended samples are anti-joined against the
+  * already-stored grid points of the tick window — so a crash anywhere
+  * between an append and the end-of-tick watermark persist cannot
+  * duplicate a grid point. The idempotency is FIRST-WRITE-WINS on
+  * (fingerprint, timestamp_ns): if late data lands between a crash and
+  * the restart, the re-evaluated bucket may compute a different value,
+  * and the anti-join keeps the originally-recorded sample — the same
+  * contract a wall-clock-stamping ruler gives by never re-evaluating at
+  * all. Per-RULE health is persisted
   * through [[Rules]]' health table, so `/api/v1/rules` reflects the last
   * outcome and evaluation timestamp; a failure of the group SWEEP itself
   * (the rules table unreadable) is recorded as a `_sweep` health row
@@ -54,10 +60,24 @@ final class RulerScheduler(spark: SparkSession, dir: String,
   // once from the persisted watermark table so a restart resumes instead
   // of re-recording the previous process's last bucket
   private val lastEvalNs = TrieMap[(String, String, String), Long]()
-  private lazy val seeded: Unit =
-    Rules.loadMarks(spark, dir).foreach { case (k, v) =>
+  @volatile private var seededDone = false
+  private def seed(nowNsVal: Long): Unit = if (!seededDone) {
+    // a corrupt/unreadable marks table must not silently disable ALL rule
+    // evaluation (a lazy-val rethrow every tick would): record a visible
+    // `_sweep`-style health row and fall back to cold-start seeding — the
+    // idempotent writeback bounds any re-recorded buckets
+    try Rules.loadMarks(spark, dir).foreach { case (k, v) =>
       lastEvalNs.putIfAbsent(k, v): Unit
+    } catch {
+      case e: Exception =>
+        val msg = Option(e.getMessage).getOrElse(e.toString)
+        Console.err.println(s"graft ruler: marks load failed: $msg")
+        try Rules.saveHealth(spark, dir, Seq(Rules.HealthRow("loki",
+          "_sweep", "_marks", "_marks", "err", msg, nowNsVal / 1000000L, 0.0)))
+        catch { case _: Exception => () }
     }
+    seededDone = true
+  }
 
   /** Engines swept: the HTTP ruler surface stores under "loki"; the
     * library surface also uses "prom" ([[Rules.evalVector]] picks the
@@ -72,9 +92,10 @@ final class RulerScheduler(spark: SparkSession, dir: String,
     * the number of samples appended (recorded vectors + ALERTS exports).
     */
   def tick(): Long = {
-    seeded
     val now = nowNs()
+    seed(now)
     var written = 0L
+    val marks = scala.collection.mutable.ArrayBuffer[Rules.MarkRow]()
     for (kind <- Kinds;
          (ns, gs) <- sweep(kind, now);
          g <- gs) {
@@ -90,13 +111,16 @@ final class RulerScheduler(spark: SparkSession, dir: String,
         // new grid points: (last, nowBucket]
         written += evalGroup(kind, ns, g, last + stepNs, nowBucket, now)
         lastEvalNs(key) = nowBucket
-        // persist AFTER the append (a crash in between re-evaluates the
-        // bucket, which the idempotent writeback absorbs) and per group,
-        // so a crash mid-tick never re-runs the groups already done
-        Rules.saveMarks(spark, dir,
-          Seq(Rules.MarkRow(kind, ns, g.name, nowBucket)))
+        marks += Rules.MarkRow(kind, ns, g.name, nowBucket)
       }
     }
+    // persist ONCE per tick, after the appends: the old per-group persist
+    // re-read and rewrote the whole marks table once per due group —
+    // O(G²) row churn and two Spark jobs per group per tick. A crash
+    // mid-tick now re-evaluates the tick's completed groups on restart,
+    // which the idempotent writeback anti-join absorbs (same defense the
+    // per-group persist relied on for its own crash window).
+    if (marks.nonEmpty) Rules.saveMarks(spark, dir, marks.toSeq)
     written
   }
 
@@ -114,10 +138,14 @@ final class RulerScheduler(spark: SparkSession, dir: String,
     try {
       val gs = Rules.allGroups(spark, dir, kind).toSeq.sortBy(_._1)
       if (sweepFailed.getOrElse(kind, false)) {
-        sweepFailed(kind) = false
-        try Rules.saveHealth(spark, dir, Seq(Rules.HealthRow(kind,
-          "_sweep", "_sweep", "_sweep", "ok", "", nowNsVal / 1000000L, 0.0)))
-        catch { case _: Exception => () }
+        // clear the flag only AFTER the recovery "ok" lands: if this write
+        // throws, the next successful sweep retries it instead of leaving
+        // the _sweep row reading "err" forever while sweeps succeed
+        try {
+          Rules.saveHealth(spark, dir, Seq(Rules.HealthRow(kind,
+            "_sweep", "_sweep", "_sweep", "ok", "", nowNsVal / 1000000L, 0.0)))
+          sweepFailed(kind) = false
+        } catch { case _: Exception => () }
       }
       gs
     } catch {

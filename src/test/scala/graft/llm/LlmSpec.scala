@@ -261,6 +261,26 @@ class LlmSpec extends SparkSpec {
       5L -> 5L, 6L -> 5L, 7L -> 7L))
   }
 
+  test("connected components: driver union-find equals the distributed " +
+      "min-label loop (incl. edges with endpoints outside the node set)") {
+    val s = spark
+    import s.implicits._
+    val nodes = (1L to 9L).toDF("doc_id")
+    // chain 1-2-3, triangle 5-6-7 plus a bridge THROUGH the out-of-set
+    // node 20 (must NOT merge 8 and 9: label flow is induced on `nodes`)
+    val edges = Seq((2L, 1L), (2L, 3L), (5L, 6L), (6L, 7L), (7L, 5L),
+      (8L, 20L), (20L, 9L)).toDF("i", "j")
+    def run() = Dedup.connectedComponents(nodes, edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaDriver = run()
+    spark.conf.set("spark.graft.cc.driverMax", "0")
+    val viaCluster = try run()
+      finally spark.conf.unset("spark.graft.cc.driverMax")
+    assert(viaDriver == viaCluster)
+    assert(viaDriver == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
+      5L -> 5L, 6L -> 5L, 7L -> 5L, 8L -> 8L, 9L -> 9L))
+  }
+
   test("dup clusters: every near-dup pair lands in the same cluster") {
     val labels = Dedup.dupClusters(docs, 0.8)
     val pairs = Dedup.nearDupPairs(docs, 0.8)
