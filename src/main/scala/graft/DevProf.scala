@@ -11,13 +11,37 @@ object DevProf {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()
       .master("local[32]")
-      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     if (args.contains("entry")) {
       println(s"ENTRY_ROWS=${graft.SparkEntry.entry(spark).count()}")
+      spark.stop(); return
+    }
+    // `plans <outDir> <suffix> <name>...`: write explain("formatted") of
+    // each named gate query to <outDir>/<name>_<suffix>.txt (the plan
+    // evidence files under plans/r21/)
+    if (args.headOption.contains("plans")) {
+      val outDir = java.nio.file.Paths.get(args(1))
+      java.nio.file.Files.createDirectories(outDir)
+      val suffix = args(2)
+      graft.store.Store.ensure(spark, dir)
+      graft.store.Store.warm(spark, dir)
+      val qs = graft.SparkEntry.queries
+      for (name <- args.drop(3); fn <- qs.get(name)) {
+        try {
+          val df = fn(spark, dir)
+          val plan = df.queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode)
+          java.nio.file.Files.write(outDir.resolve(s"${name}_$suffix.txt"),
+            plan.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          println(s"wrote $name")
+        } catch { case e: Throwable =>
+          println(s"FAILED $name: ${e.getMessage}") }
+      }
       spark.stop(); return
     }
     // `gate <name>...`: run named gates with a job-count listener — the

@@ -17,12 +17,25 @@ object IngestGates extends GateSet {
   private def o(body: String): Option[String] =
     Some(OracleViews.withViews(Seq(OracleViews.logs), body))
 
+  /** Spread the encoded request bodies across the session's cores before
+    * decoding: the encode side ends in a tiny groupBy whose output AQE
+    * coalesces to ~1 partition (few KB of body strings), which then ran
+    * the expensive from_json/regex decode single-task. In production each
+    * body is its own request and decode parallelism comes from request
+    * volume; the round-trip gates replay a whole table as one batch, so
+    * they re-spread explicitly. Decode results are per-row, so the
+    * placement is semantics-free.
+    */
+  private def spread(bodies: DataFrame): DataFrame =
+    bodies.repartition(
+      bodies.sparkSession.sparkContext.defaultParallelism)
+
   override val gates: Seq[Gate] = Seq(
 
     Gate("ingest_loki_roundtrip",
       (spark: SparkSession, dir: String) => {
         val bodies = LokiPush.encode(Tables.logs(spark, dir))
-        val (series, samples) = LokiPush.decode(bodies)
+        val (series, samples) = LokiPush.decode(spread(bodies))
         samples.join(series, "fingerprint")
           .groupBy(
             element_at(col("labels"), "event_type").as("event_type"),
@@ -41,7 +54,7 @@ object IngestGates extends GateSet {
     Gate("ingest_loki_fidelity",
       (spark: SparkSession, dir: String) => {
         val bodies = LokiPush.encode(Tables.logs(spark, dir))
-        val rows = LokiPush.decodeRows(bodies)
+        val rows = LokiPush.decodeRows(spread(bodies))
         rows.groupBy(element_at(col("labels"), "event_type").as("event_type"))
           .agg(min(col("timestamp_ns")).as("min_ts"),
             max(col("timestamp_ns")).as("max_ts"),
@@ -58,7 +71,7 @@ object IngestGates extends GateSet {
     Gate("ingest_promrw_roundtrip",
       (spark: SparkSession, dir: String) => {
         val bodies = PromRemoteWrite.encode(Tables.gaugeSamples(spark, dir))
-        PromRemoteWrite.decode(bodies)
+        PromRemoteWrite.decode(spread(bodies))
           .groupBy(
             element_at(col("labels"), "event_type").as("event_type"),
             element_at(col("labels"), "level").as("level"))
@@ -112,7 +125,7 @@ object IngestGates extends GateSet {
             val s = spark; import s.implicits._
             Seq(fixture).toDF("body")
           })
-        WireFormats.decodeOtlpLogs(bodies)
+        WireFormats.decodeOtlpLogs(spread(bodies))
           .groupBy(
             element_at(col("labels"), "event_type").as("event_type"),
             element_at(col("labels"), "level").as("level"),
@@ -147,7 +160,7 @@ object IngestGates extends GateSet {
             struct(col("service_name").as("serviceName")).as("localEndpoint")))
             .as("sp"))
           .select(to_json(col("sp")).as("body"))
-        WireFormats.decodeZipkin(bodies)
+        WireFormats.decodeZipkin(spread(bodies))
           .groupBy(col("service_name"))
           .agg(count(lit(1)).as("spans"),
             countDistinct(col("trace_id_hex")).as("traces"),
@@ -169,7 +182,7 @@ object IngestGates extends GateSet {
           lit(" value="), col("value").cast("string"),
           lit(" "), (col("ts") - pmod(col("ts"), lit(1000L))).cast("string"))
           .as("line"))
-        WireFormats.decodeInflux(lines)
+        WireFormats.decodeInflux(spread(lines))
           .groupBy(col("name"),
             element_at(col("labels"), "measurement").as("measurement"),
             element_at(col("labels"), "event_type").as("event_type"))
@@ -208,7 +221,7 @@ object IngestGates extends GateSet {
             Seq("zfloat message=\"x\",big=1e21,small=0.00005 1704067200000000002")
               .toDF("line")
           })
-        WireFormats.decodeInflux(lines)
+        WireFormats.decodeInflux(spread(lines))
           .filter(col("sample_type") === "log")
           .groupBy(
             element_at(col("labels"), "measurement").as("measurement"),
@@ -261,7 +274,7 @@ object IngestGates extends GateSet {
               .as("attributes")).as("resource"),
             array(struct(col("sp").as("spans"))).as("scopeSpans")))
             .as("resourceSpans"))).as("body"))
-        WireFormats.decodeOtlpTraces(bodies)
+        WireFormats.decodeOtlpTraces(spread(bodies))
           .groupBy(col("service_name"))
           .agg(count(lit(1)).as("spans"),
             countDistinct(col("trace_id_hex")).as("traces"),
@@ -299,7 +312,7 @@ object IngestGates extends GateSet {
               attrs.as("attributes"))).as("dataPoints")).as("gauge")))
             .as("metrics"))).as("scopeMetrics"))).as("resourceMetrics")))
             .as("body"))
-        WireFormats.decodeOtlpMetrics(bodies)
+        WireFormats.decodeOtlpMetrics(spread(bodies))
           .groupBy(
             element_at(col("labels"), "event_type").as("event_type"),
             element_at(col("labels"), "level").as("level"))
@@ -332,7 +345,7 @@ object IngestGates extends GateSet {
           .groupBy((col("m.service")).as("g"))
           .agg(collect_list(col("m")).as("ms"))
           .select(to_json(col("ms")).as("body"))
-        WireFormats.decodeDatadogLogs(bodies,
+        WireFormats.decodeDatadogLogs(spread(bodies),
             ingestTsNs = Some(1704067201000000000L))
           .groupBy(
             element_at(col("labels"), "event_type").as("event_type"),
@@ -366,7 +379,7 @@ object IngestGates extends GateSet {
             array(concat(lit("event_type:"), col("et")),
               concat(lit("level:"), col("lv"))).as("tags"),
             lit("gauge").as("type"))).as("series"))).as("body"))
-        WireFormats.decodeDatadogMetrics(bodies)
+        WireFormats.decodeDatadogMetrics(spread(bodies))
           .groupBy(
             element_at(col("labels"), "event_type").as("event_type"),
             element_at(col("labels"), "level").as("level"))
@@ -398,7 +411,7 @@ object IngestGates extends GateSet {
           (col("timestamp_ns") % 16).as("g"))
         val bodies = recs.groupBy(col("g"))
           .agg(concat_ws("\n", collect_list(col("r"))).as("body"))
-        WireFormats.decodeCloudflare(bodies, ddsource = "cloudflare")
+        WireFormats.decodeCloudflare(spread(bodies), ddsource = "cloudflare")
           .groupBy(element_at(col("labels"), "EventType").as("event_type"),
             element_at(col("labels"), "Outcome").as("outcome"),
             element_at(col("labels"), "ScriptName").as("script"),
@@ -434,7 +447,7 @@ object IngestGates extends GateSet {
           .select(col("body"))
         // elastic docs are timestamp-less: every entry takes the pinned
         // ingest-time parameter (the reference's time.Now(), elastic.go:113)
-        WireFormats.decodeElasticBulk(bodies,
+        WireFormats.decodeElasticBulk(spread(bodies),
             ingestTsNs = Some(1704067202000000000L))
           .groupBy(element_at(col("labels"), "_index").as("index"))
           .agg(count(lit(1)).as("docs"),

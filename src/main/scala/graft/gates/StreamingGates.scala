@@ -223,9 +223,12 @@ object StreamingGates extends GateSet {
             element_at(col("labels"), "event_type").as("event_type"))
           .count()
         spark.catalog.dropTempView("win_counts_sink"): Unit
-        agg.writeStream.format("memory").queryName("win_counts_sink")
-          .outputMode("complete").trigger(Trigger.AvailableNow())
-          .start().awaitTermination()
+        // state layout pinned at stream start (see statePartitions doc)
+        graft.streaming.StatefulOps.withStatePartitions(spark) {
+          agg.writeStream.format("memory").queryName("win_counts_sink")
+            .outputMode("complete").trigger(Trigger.AvailableNow())
+            .start().awaitTermination()
+        }
         spark.table("win_counts_sink")
           .select(col("event_type"),
             col("window.start").cast("long").as("ts"), col("count").as("n"))
@@ -291,9 +294,12 @@ object StreamingGates extends GateSet {
             element_at(col("labels"), "user").as("user"))
           .count()
         spark.catalog.dropTempView("sess_sink"): Unit
-        agg.writeStream.format("memory").queryName("sess_sink")
-          .outputMode("complete").trigger(Trigger.AvailableNow())
-          .start().awaitTermination()
+        // state layout pinned at stream start (see statePartitions doc)
+        graft.streaming.StatefulOps.withStatePartitions(spark) {
+          agg.writeStream.format("memory").queryName("sess_sink")
+            .outputMode("complete").trigger(Trigger.AvailableNow())
+            .start().awaitTermination()
+        }
         spark.table("sess_sink")
           .select(col("user"),
             col("session_window.start").cast("long").as("start_s"),
@@ -378,12 +384,14 @@ object StreamingGates extends GateSet {
         // restored after the query so other gates keep their pinned config
         val q = StatefulOps.withStateProvider(spark,
             StatefulOps.RocksDbProvider) {
-          val q0 = out.writeStream.format("memory")
-            .queryName("stream_dedup_sink")
-            .outputMode("append")
-            .trigger(Trigger.AvailableNow()).start()
-          q0.awaitTermination()
-          q0
+          StatefulOps.withStatePartitions(spark) {
+            val q0 = out.writeStream.format("memory")
+              .queryName("stream_dedup_sink")
+              .outputMode("append")
+              .trigger(Trigger.AvailableNow()).start()
+            q0.awaitTermination()
+            q0
+          }
         }
         // the oracle equivalence (first-arrival == min doc_id) silently
         // assumes (a) the glob matched the single generator-written file —
@@ -477,12 +485,14 @@ object StreamingGates extends GateSet {
         spark.catalog.dropTempView("stream_url_sink"): Unit
         val q = StatefulOps.withStateProvider(spark,
             StatefulOps.RocksDbProvider) {
-          val q0 = out.writeStream.format("memory")
-            .queryName("stream_url_sink")
-            .outputMode("append")
-            .trigger(Trigger.AvailableNow()).start()
-          q0.awaitTermination()
-          q0
+          StatefulOps.withStatePartitions(spark) {
+            val q0 = out.writeStream.format("memory")
+              .queryName("stream_url_sink")
+              .outputMode("append")
+              .trigger(Trigger.AvailableNow()).start()
+            q0.awaitTermination()
+            q0
+          }
         }
         val streamed = q.recentProgress.map(_.numInputRows).sum
         val expected = Tables.documents(spark, dir).count()

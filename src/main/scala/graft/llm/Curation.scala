@@ -208,8 +208,11 @@ object Curation {
     */
   def dsirWeights(docs: DataFrame, isTarget: Column,
       buckets: Int = 256): DataFrame = {
-    val toks = docs.select(col("doc_id"), isTarget.as("is_t"),
-      TextOps.tokens(col("text")).as("ws"))
+    // rebalanced: the unigram+bigram explode + per-feature md5 is the
+    // heavy narrow stage; a small-file scan would serialize it on one task
+    val toks = TextOps.rebalanced(docs)
+      .select(col("doc_id"), isTarget.as("is_t"),
+        TextOps.tokens(col("text")).as("ws"))
     val m = greatest(size(col("ws")) - 1, lit(0))
     val bigrams = zip_with(slice(col("ws"), lit(1), m),
       slice(col("ws"), lit(2), m), (a, b) => concat(a, lit(" "), b))
@@ -727,8 +730,11 @@ object Curation {
   def trainHashClassifier(docs: DataFrame, label: Column, dim: Int,
       iters: Int = 3, lr: Double = 1.0): DataFrame = {
     val spark = docs.sparkSession
-    val toks = docs.select(col("doc_id"), label.as("y"),
-      TextOps.tokens(col("text")).as("ws"))
+    // rebalanced for the same reason as dsirWeights: the feature explode
+    // + hashing dominates, and fbs (its checkpoint) feeds every GD round
+    val toks = TextOps.rebalanced(docs)
+      .select(col("doc_id"), label.as("y"),
+        TextOps.tokens(col("text")).as("ws"))
     val m = greatest(size(col("ws")) - 1, lit(0))
     val bigrams = zip_with(slice(col("ws"), lit(1), m),
       slice(col("ws"), lit(2), m), (a, b) => concat(a, lit(" "), b))

@@ -68,9 +68,15 @@ object Dedup {
     java.lang.Long.parseLong(md.substring(0, 15), 16)
   }
 
-  /** Distinct (doc_id, shingle) pairs. */
+  /** Distinct (doc_id, shingle) pairs. Rebalanced first: the shingle
+    * explode + per-shingle hashing is the CPU-heavy narrow stage of every
+    * MinHash/Jaccard operator, and a small-file corpus scan would
+    * otherwise run it on one task (TextOps.rebalanced is a no-op once
+    * input splits exceed the session parallelism).
+    */
   def docShingles(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), explode(shingles(col("text"))).as("s"))
+    rebalanced(docs)
+      .select(col("doc_id"), explode(shingles(col("text"))).as("s"))
 
   /** MinHash signatures: ONE md5 per (doc, shingle), K xor-masked
     * column-wise mins per doc — one narrow aggregate, map-side partial
@@ -124,9 +130,10 @@ object Dedup {
     * integer-count ratios, bit-identical to the oracle's formulation.
     */
   def jaccardOf(pairs: DataFrame, docs: DataFrame): DataFrame = {
-    // materialized once: consumed by both the i-side and j-side joins
+    // materialized once: consumed by both the i-side and j-side joins;
+    // rebalanced so the per-doc shingling parallelizes (see docShingles)
     val sets = Materialize(
-      docs.select(col("doc_id"), shingles(col("text")).as("ss"))
+      rebalanced(docs).select(col("doc_id"), shingles(col("text")).as("ss"))
         .select(col("doc_id"), col("ss"), size(col("ss")).as("n")))
     val joined = pairs
       .join(sets.select(col("doc_id").as("i"), col("ss").as("si"),
@@ -240,7 +247,8 @@ object Dedup {
     * multiplicity.
     */
   def substringDups(docs: DataFrame, w: Int = 12): DataFrame = {
-    val base = docs.select(col("doc_id"), TextOps.tokens(col("text")).as("ws"))
+    val base = rebalanced(docs)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("ws"))
     // positional w-grams — NOT array_distinct'd (multiplicity counts),
     // built with the shifted-slice zip_with discipline (see
     // TextOps.shingles for why not transform-with-element_at)
@@ -485,7 +493,7 @@ object Dedup {
     * pivot) and mirrors the DuckDB oracle shape exactly.
     */
   def simhash(docs: DataFrame): DataFrame = {
-    val toks = docs
+    val toks = rebalanced(docs)
       .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("t"))
       .withColumn("h", mdhash64(col("t")))
     toks

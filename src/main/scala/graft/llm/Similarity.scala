@@ -221,6 +221,28 @@ object Similarity {
     * of [[ivfTopK]] / [[ivfHardNegatives]]. Keeps (id, emb, cid, __cs,
     * __r).
     */
+  /** Best (max-cosine, cid-asc tie) centroid per row — the `__r === 1`
+    * head of [[cellRankAgainst]] computed as a hash aggregate instead of
+    * a row_number window: `max_by` over the lexicographic (cosine, −cid)
+    * ordering picks the identical row, but partially combines MAP-SIDE,
+    * so the n·C ranking stream reduces to n rows before any exchange —
+    * the window form shuffled all n·C rows. Keeps (id, emb, cid, ce,
+    * __cs); NaN cosines sort greatest under both forms (Spark's double
+    * ordering), so tie/edge behavior is unchanged.
+    */
+  private def cellArgmax(cents: DataFrame)(
+      df: DataFrame, id: String, emb: String): DataFrame =
+    df.crossJoin(broadcast(cents))
+      .select(col(id), col(emb), col("cid"), col("ce"),
+        cosine(col(emb), col("ce")).as("__cs"))
+      .groupBy(col(id))
+      .agg(max_by(
+        struct(col(emb).as("e"), col("cid").as("cid"), col("ce").as("ce"),
+          col("__cs").as("__cs")),
+        struct(col("__cs"), (-col("cid")).as("t"))).as("__m"))
+      .select(col(id), col("__m.e").as(emb), col("__m.cid").as("cid"),
+        col("__m.ce").as("ce"), col("__m.__cs").as("__cs"))
+
   private def cellRankAgainst(cents: DataFrame)(
       df: DataFrame, id: String, emb: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -248,14 +270,11 @@ object Similarity {
     val mod = centroidModFor(corpus.count())
     val cents = corpus.filter(pmod(col("vec_id"), lit(mod)) === 0)
       .select(col("vec_id").as("cid"), asDouble(col("embedding")).as("ce"))
-    def cellRank(df: DataFrame, id: String, emb: String): DataFrame =
-      cellRankAgainst(cents)(df, id, emb)
-    val assigned = cellRank(
+    val assigned = cellArgmax(cents)(
         corpus.select(col("vec_id").as("nid"), asDouble(col("embedding")).as("ne")),
         "nid", "ne")
-      .filter(col("__r") === 1)
       .select(col("nid"), col("ne"), col("cid").as("cell"))
-    val probes = cellRank(
+    val probes = cellRankAgainst(cents)(
         queries.select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qe")),
         "qid", "qe")
       .filter(col("__r") <= nprobe)
@@ -289,10 +308,9 @@ object Similarity {
     val cents = corpus.filter(pmod(col("vec_id"), lit(mod)) === 0)
       .select(col("vec_id").as("cid"), asDouble(col("embedding")).as("ce"))
     val meta = corpus.drop("embedding").withColumnRenamed("vec_id", "nid")
-    val assigned = cellRankAgainst(cents)(
+    val assigned = cellArgmax(cents)(
         corpus.select(col("vec_id").as("nid"), asDouble(col("embedding")).as("ne")),
         "nid", "ne")
-      .filter(col("__r") === 1)
       .select(col("nid"), col("ne"), col("cid").as("cell"))
       .join(meta, "nid")
       .filter(pred)
@@ -327,10 +345,9 @@ object Similarity {
     val mod = centroidModFor(corpus.count())
     val cents = corpus.filter(pmod(col("vec_id"), lit(mod)) === 0)
       .select(col("vec_id").as("cid"), asDouble(col("embedding")).as("ce"))
-    val assigned = cellRankAgainst(cents)(
+    val assigned = cellArgmax(cents)(
         corpus.select(col("vec_id").as("nid"), asDouble(col("embedding")).as("ne")),
         "nid", "ne")
-      .filter(col("__r") === 1)
       .select(col("nid"), col("ne"), col("cid").as("cell"))
       .join(corpus.select(col("vec_id").as("nid"), col("label").as("nlbl")), "nid")
     val probes = cellRankAgainst(cents)(
@@ -388,14 +405,20 @@ object Similarity {
       corpus.select(col("vec_id"), asDouble(col("embedding")).as("v")))
     val seeds = e.filter(pmod(col("vec_id"), lit(mod)) === 0)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
-    def assign(cents: DataFrame): DataFrame = {
-      val w = Window.partitionBy("vec_id")
-        .orderBy(col("__cs").desc, col("cid").asc)
+    // argmax as a max_by hash aggregate (see cellArgmax): identical row
+    // per vec_id, map-side combined instead of a full n·C window shuffle
+    // — this runs iters+1 times, once per Lloyd round
+    def assign(cents: DataFrame): DataFrame =
       e.crossJoin(broadcast(cents))
         .select(col("vec_id"), col("v"), col("cid"),
           cosine(col("v"), col("cv")).as("__cs"))
-        .withColumn("__r", row_number().over(w)).filter(col("__r") === 1)
-    }
+        .groupBy(col("vec_id"))
+        .agg(max_by(
+          struct(col("v").as("v"), col("cid").as("cid"),
+            col("__cs").as("__cs")),
+          struct(col("__cs"), (-col("cid")).as("t"))).as("__m"))
+        .select(col("vec_id"), col("__m.v").as("v"),
+          col("__m.cid").as("cid"), col("__m.__cs").as("__cs"))
     val fin = (1 to iters).foldLeft(seeds) { (cents, _) =>
       val means = assign(cents)
         .select(col("cid"), posexplode(col("v")).as(Seq("i", "x")))
@@ -581,27 +604,35 @@ object Similarity {
       df.select(col(id), col("cell"), explode(array((0 until m).map(s =>
           struct(lit(s).as("s"), slice(col(vcol), s * d + 1, d).as("sub"))): _*)).as("ss"))
         .select(col(id), col("cell"), col("ss.s").as("s"), col("ss.sub").as("sub"))
-    val l2 = aggregate(zip_with(col("sub"), col("csub"),
-      (a, b) => (a - b) * (a - b)), lit(0.0), (acc, x) => acc + x)
+    // codegen'd d-term expansion instead of aggregate(zip_with(…)) — the
+    // HOF pair runs interpreted per row, and this expression sits on the
+    // n·m·K code-assignment stream, the hottest loop of the index build.
+    // Bit-exact: the left-assoc reduce adds the same doubles in the same
+    // order as the HOF fold (0.0 + x₁ ≡ x₁).
+    val l2 = (1 to d).map { i =>
+      val diff = element_at(col("sub"), i) - element_at(col("csub"), i)
+      diff * diff
+    }.reduce(_ + _)
     // corpus: best cell, normalized-space residual, residual subspaces
     // (materialized — the codebook filter and the code assignment both
     // read it)
-    val assigned = cellRank(
+    val assigned = cellArgmax(cents)(
         corpus.select(col("vec_id").as("nid"), asDouble(col("embedding")).as("ne")),
         "nid", "ne")
-      .filter(col("__r") === 1)
       .select(col("nid"), col("cid").as("cell"),
         zip_with(unit(col("ne")), unit(col("ce")), (a, b) => a - b).as("rv"))
     val rsubs = graft.model.Materialize(subspaces(assigned, "nid", "rv"))
     val cb = rsubs.filter(pmod(col("nid"), lit(mod)) === 1)
       .select(col("nid").as("cid2"), col("s"), col("sub").as("csub"))
-    val cw = Window.partitionBy(col("nid"), col("s"))
-      .orderBy(col("__d").asc, col("cid2").asc)
+    // argmin via min(struct(__d, cid2)) — lexicographic struct min IS the
+    // (distance asc, cid2 asc) window head, but as a hash aggregate with
+    // MAP-SIDE partial combine: the n·m·K assignment rows reduce to n·m
+    // before the exchange, where the row_number window shuffled them all
     val codes = rsubs.join(broadcast(cb), Seq("s"))
       .select(col("nid"), col("cell"), col("s"), col("cid2"), l2.as("__d"))
-      .withColumn("__r", row_number().over(cw))
-      .filter(col("__r") === 1)
-      .select(col("nid"), col("cell"), col("s"), col("cid2"))
+      .groupBy(col("nid"), col("cell"), col("s"))
+      .agg(min(struct(col("__d"), col("cid2"))).as("__m"))
+      .select(col("nid"), col("cell"), col("s"), col("__m.cid2").as("cid2"))
     // query: nprobe cells, per-cell normalized residual, ADC table
     val probes = cellRank(
         queries.select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qe")),

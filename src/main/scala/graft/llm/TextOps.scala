@@ -292,14 +292,9 @@ object TextOps {
     // upstream column a constant (k resp. w) number of times, all outside
     // any lambda.
     val norm = regexp_replace(trim(lower(col(textCol))), "\\s+", " ")
-    // md5-per-position is CPU-heavy narrow work: a small corpus arrives in
-    // few input splits (file-size partitioning) and would serialize on one
-    // task — rebalance when under-partitioned. At real scale input splits
-    // already exceed the session parallelism and this branch is a no-op.
-    val parallelism = df.sparkSession.sparkContext.defaultParallelism
-    val src =
-      if (df.rdd.getNumPartitions < parallelism) df.repartition(parallelism)
-      else df
+    // md5-per-position is CPU-heavy narrow work: rebalance when
+    // under-partitioned (no-op at real scale — see [[rebalanced]])
+    val src = rebalanced(df)
     // k-gram at position i = zip of k shifted char slices; hash each gram
     val chars = split(col("__norm"), "")
     val m = greatest(length(col("__norm")) - (k - 1), lit(0))

@@ -37,6 +37,42 @@ object StatefulOps {
     }
   }
 
+  /** Streaming STATE partition count — a persistence-layout knob, not a
+    * parallelism setting: Spark freezes a stateful query's state
+    * partitioning into its first checkpoint (it cannot change across
+    * restarts without a state rebuild), so production deployments pin it
+    * deliberately per query, sized to state VOLUME. Inheriting whatever
+    * `spark.sql.shuffle.partitions` the launching session happened to
+    * carry is wrong in both directions: a core-count-sized value pays one
+    * state-store instance + commit + (RocksDB) native-handle open per
+    * partition per micro-batch — measured 20× the micro-batch's actual
+    * work on a bounded stream — and would silently change with executor
+    * count. Default 8 (the `dictShards` precedent: same layout-vs-
+    * parallelism distinction); raise `spark.graft.stream.statePartitions`
+    * for TB-scale state. Upstream micro-batch stages (scan, filter,
+    * hash) still parallelize by core count regardless of this value.
+    */
+  def statePartitions(spark: org.apache.spark.sql.SparkSession): Int =
+    spark.conf.getOption("spark.graft.stream.statePartitions")
+      .map(_.toInt).getOrElse(8)
+
+  /** Run `body` (which must start AND terminate a stateful stream) with
+    * shuffle partitions pinned to [[statePartitions]], restoring after —
+    * the stream start is the one moment the setting becomes the query's
+    * permanent state layout.
+    */
+  def withStatePartitions[T](spark: org.apache.spark.sql.SparkSession)
+      (body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, statePartitions(spark).toString)
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   final case class KV(k: String, ts: Long, v: Double)
   final case class MaxState(mx: Double)
   final case class Breach(k: String, ts: Long, v: Double, prevMax: Double)
