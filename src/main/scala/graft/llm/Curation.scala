@@ -527,7 +527,11 @@ object Curation {
     */
   def hashClassifierScore(docs: DataFrame, weights: DataFrame, dim: Int,
       bias: Double = 0.0): DataFrame = {
-    val toks = docs.select(col("doc_id"), TextOps.tokens(col("text")).as("ws"))
+    // rebalanced: md5 per feature dominates (same as trainHashClassifier);
+    // the plain token-explode ops stay un-rebalanced per the sf1 note in
+    // unigramSurprisal
+    val toks = TextOps.rebalanced(docs)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("ws"))
     val m = greatest(size(col("ws")) - 1, lit(0))
     val bigrams = zip_with(slice(col("ws"), lit(1), m),
       slice(col("ws"), lit(2), m), (a, b) => concat(a, lit(" "), b))

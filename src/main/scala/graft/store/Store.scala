@@ -1153,27 +1153,48 @@ object Store {
       val qTable = fs.makeQualified(tableDir).toString
       val relParts = parts.map(l =>
         fs.makeQualified(l).toString.stripPrefix(qTable).stripPrefix("/"))
-      val partKeys = relParts.head.split("/").toSeq
-        .filter(_.contains("=")).map(_.takeWhile(_ != '='))
       val dataSchema = spark.read.parquet(parts.head.toString).schema
-      val full = partKeys.foldLeft(dataSchema)((s, k) => s.add(k, "string"))
-      val scan = spark.read.option("basePath", tableDir.toString)
-        .schema(full).parquet(parts.map(_.toString): _*)
-      // merge (downsample partial fold) runs keyed by (partition cols,
-      // bucket keys) — leaves are disjoint, so this is exactly the old
-      // per-leaf merge, in one shuffle
-      val df = merge.fold(scan)(m => m(scan))
-      val sortable = sortCols.filter(df.columns.contains)
-      // the (partKeys ++ sort) ordering satisfies the dynamic-partition
-      // write's required ordering, so no extra sort is inserted and the
-      // within-file sortCols order survives into each leaf's part file;
-      // repartition on the partition cols gives one writer task per
-      // leaf, hence ONE part file per leaf (the old coalesce(1) output)
-      df.repartition(partKeys.map(col): _*)
-        .sortWithinPartitions((partKeys ++ sortable).map(col): _*)
-        .write.mode("overwrite").partitionBy(partKeys: _*)
-        .parquet(scratch.toString)
-      val staged = parts.zip(relParts).filter { case (leaf, rel) =>
+      val (renameFrom, write) = merge match {
+        case Some(m) =>
+          // partial-merge tables (15s downsamples — small): ONE basePath
+          // scan (partition cols read as strings so values round-trip
+          // bit-exactly into partitionBy), merge keyed by (partition
+          // cols, bucket keys) — leaves are disjoint, so this is exactly
+          // the old per-leaf merge — then one exchange on the partition
+          // cols: one writer task per leaf ⇒ one sorted file per leaf
+          val partKeys = relParts.head.split("/").toSeq
+            .filter(_.contains("=")).map(_.takeWhile(_ != '='))
+          val full = partKeys.foldLeft(dataSchema)((s, k) => s.add(k, "string"))
+          val scan = spark.read.option("basePath", tableDir.toString)
+            .schema(full).parquet(parts.map(_.toString): _*)
+          val df = m(scan)
+          val sortable = sortCols.filter(df.columns.contains)
+          (relParts,
+            () => df.repartition(partKeys.map(col): _*)
+              .sortWithinPartitions((partKeys ++ sortable).map(col): _*)
+              .write.mode("overwrite").partitionBy(partKeys: _*)
+              .parquet(scratch.toString))
+        case None =>
+          // plain tables (the big ones): NO shuffle — a union of per-leaf
+          // single-partition reads (explicit schema: no per-leaf footer
+          // jobs), each tagged with a __leaf index, sorted within its own
+          // partition and dynamic-partition written by __leaf: one task
+          // per leaf reading and writing its own bytes exactly like the
+          // old per-leaf coalesce(1) rewrite, but as ONE Spark job for
+          // the whole table instead of one job per leaf
+          val unioned = parts.zipWithIndex.map { case (leaf, i) =>
+            spark.read.schema(dataSchema).parquet(leaf.toString)
+              .coalesce(1).withColumn("__leaf", lit(i))
+          }.reduce(_.unionByName(_))
+          val sortable = sortCols.filter(dataSchema.fieldNames.contains)
+          (parts.indices.map(i => s"__leaf=$i"),
+            () => unioned
+              .sortWithinPartitions(("__leaf" +: sortable).map(col): _*)
+              .write.mode("overwrite").partitionBy("__leaf")
+              .parquet(scratch.toString))
+      }
+      write()
+      val staged = parts.zip(renameFrom).filter { case (leaf, rel) =>
         fs.rename(new Path(scratch, rel),
           new Path(leaf.getParent, leaf.getName + ".compact"))
       }
