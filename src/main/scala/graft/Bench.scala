@@ -330,10 +330,15 @@ object Bench {
   private def emit(results: Map[String, Double], retried: Seq[String],
       sfDir: String, err: Option[String], partial: Boolean,
       selectedN: Int): Unit = {
+    def r3(d: Double) = math.rint(d * 1000) / 1000
     // slowest first: the driver captures a bounded stdout tail, and the
-    // entries worth seeing in a truncated capture are the regressions
+    // entries worth seeing in a truncated capture are the regressions.
+    // 3-dp rounding keeps the full 277-entry line ≈8 KB so it FITS that
+    // tail — r20/r21's unrounded line ahead of the summary fell out of
+    // the capture and left the driver's per-query comparison empty two
+    // rounds running (PERF per_query: {}).
     val qs = results.toSeq.sortBy(-_._2)
-      .map { case (k, v) => s"\"" + k + "\":" + v }
+      .map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val retriedJson = retried.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -348,20 +353,24 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"retried":$retriedJson,"sf":"$sfDir"$errField}"""
     // the full map also survives on disk, independent of stdout capture;
     // children and name-filtered dev-loop runs write their own files so
-    // they can never clobber the full-run artifact the driver/judge read
+    // they can never clobber the full-run artifact the driver/judge read.
+    // Full runs ALSO write a per-core-count copy (bench_last_c{cpus}.json):
+    // the driver benches the same tree at two core counts back to back,
+    // and r21's 32-core map of record was clobbered by the 8-core run.
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       if (partial) "target/bench_partial.json" else "target/bench_last.json")
-    try {
-      val out = java.nio.file.Paths.get(outPath)
+    def writeFile(path: String, body: String): Unit = try {
+      val out = java.nio.file.Paths.get(path)
       Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
       java.nio.file.Files.write(out,
-        json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case _: Throwable => () }
-    println(json)
-    // the full one-line JSON above can overflow a bounded stdout-tail
-    // capture — so the LAST line is a compact summary that always fits:
-    // total, geomean vs the BASELINE.md pins, worst-5 ratios, and a
-    // pointer to the on-disk full map
+    writeFile(outPath, json)
+    if (!partial && sys.env.get("SPARK_GRAFT_BENCH_OUT").isEmpty)
+      writeFile(s"target/bench_last_c$cpus.json", json)
+    // the compact summary prints FIRST: total, geomean vs the BASELINE.md
+    // pins, worst-5 ratios, and a pointer to the on-disk full map
     val pins: Map[String, Double] = if (!sfDir.contains("sf0.1")) Map.empty else try {
       val src = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get("BASELINE.md")),
@@ -376,7 +385,6 @@ object Bench {
       case (n, t) if !n.startsWith("_") && t > 0 &&
         pins.get(n).exists(_ > 0) => n -> (t / pins(n))
     }
-    def r3(d: Double) = math.rint(d * 1000) / 1000
     val geomeanField =
       if (ratios.isEmpty) ""
       else {
@@ -393,11 +401,12 @@ object Bench {
       .map { case (n, v) => s""""$n":${r3(v)}""" }.mkString("{", ",", "}")
     val summary =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","n_queries":$selectedN,"retried_n":${retried.size}$geomeanField,"$worstKey":$worst,"full_map":"$outPath"$errField}"""
-    try {
-      java.nio.file.Files.write(
-        java.nio.file.Paths.get("target/bench_summary.json"),
-        summary.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    } catch { case _: Throwable => () }
+    writeFile("target/bench_summary.json", summary)
     println(summary)
+    // the driver's contract line — metric/value/queries/sf — prints LAST:
+    // its bounded stdout tail keeps the END of the output, and r20/r21
+    // printed this line first, so the tail cut its head off and neither
+    // round had a parseable per-query map (VERDICT r21, What's wrong #2)
+    println(json)
   }
 }

@@ -1229,6 +1229,45 @@ class Frontend(private[http] val spark: SparkSession, dir: String,
   private val bootNs = System.nanoTime()
   private val requestCount = new java.util.concurrent.atomic.AtomicLong
 
+  /** Query routes race the maintenance timer's write-new-then-swap
+    * compaction: a plan holding the pre-swap file listing fails its scan
+    * with FILE_NOT_EXIST once the originals are renamed away (or
+    * PATH_NOT_FOUND inside the flat dictionary swap's two-rename window).
+    * The data is intact — refresh the store's cached listings and re-run.
+    * Only the idempotent query routes retry; push routes are serialized
+    * against maintenance by the store's append lock and never race it.
+    */
+  private def retryingOnSwapRace(run: => HttpResult): HttpResult = {
+    var attempt = 0
+    while (attempt < 3) {
+      try return run
+      catch {
+        case e: Exception if isMissingFileError(e) =>
+          attempt += 1
+          graft.store.Store.refreshRoot(spark, dir)
+      }
+    }
+    run
+  }
+
+  private def isMissingFileError(e: Throwable): Boolean = {
+    var t: Throwable = e
+    var depth = 0
+    while (t != null && depth < 16) {
+      t match {
+        case _: java.io.FileNotFoundException => return true
+        case _ =>
+          val m = String.valueOf(t.getMessage)
+          if (m.contains("FAILED_READ_FILE") || m.contains("PATH_NOT_FOUND") ||
+              m.contains("Path does not exist") ||
+              m.contains("files have been updated")) return true
+      }
+      t = t.getCause
+      depth += 1
+    }
+    false
+  }
+
   private def routeRaw0(path: String, p: Params, method: String,
       bytes: Array[Byte]): HttpResult = {
     requestCount.incrementAndGet()
@@ -1267,12 +1306,12 @@ class Frontend(private[http] val spark: SparkSession, dir: String,
           elasticDocPush(target, body)
         case ("POST", RulesNsRe(ns)) => rulesSetGroup(ns, body)
         case ("POST", qp) if isQueryPostRoute(qp) =>
-          routeGet(qp, Params.merge(p, Params.fromQuery(body)))
+          retryingOnSwapRace(routeGet(qp, Params.merge(p, Params.fromQuery(body))))
         case ("POST", other) => notFound(s"POST $other")
         case ("DELETE", RulesGroupRe(ns, group)) =>
           rulesDelete(ns, Some(group))
         case ("DELETE", RulesNsRe(ns)) => rulesDelete(ns, None)
-        case ("GET", _) => routeGet(path, p)
+        case ("GET", _) => retryingOnSwapRace(routeGet(path, p))
         case (other, _) => HttpResult(405, obj(Seq(
           "status" -> str("error"), "errorType" -> str("bad_data"),
           "error" -> str(s"method $other not allowed"))))

@@ -394,9 +394,13 @@ object Dedup {
     val cap = spark.conf.getOption("spark.graft.cc.driverMax")
       .map(_.toLong).getOrElse(2000000L)
     if (cap > 0) {
-      val es = edges0.select(col("i"), col("j")).limit(cap.toInt + 1).collect()
+      // clamp before toInt: a cap set above Int.MaxValue must mean "use
+      // the driver path whenever limit() can express it", not a negative
+      // limit that throws at runtime
+      val capInt = math.min(cap, Int.MaxValue - 1L).toInt
+      val es = edges0.select(col("i"), col("j")).limit(capInt + 1).collect()
       if (es.length <= cap) {
-        val ns = nodes.select(col("doc_id")).limit(cap.toInt + 1).collect()
+        val ns = nodes.select(col("doc_id")).limit(capInt + 1).collect()
         if (ns.length <= cap) {
           val nodeSet = new java.util.HashSet[Long](ns.length * 2)
           ns.foreach(r => nodeSet.add(r.getLong(0)): Unit)

@@ -587,7 +587,11 @@ object Store {
   private def dictExisting(spark: SparkSession, path: String,
       batchFps: DataFrame, keep: Seq[String]): DataFrame = {
     val base = readTable(spark, path).select(keep.map(col): _*)
-    val fps = batchFps.distinct().limit(100001).collect().map(_.getLong(0))
+    // null fingerprints can't match any dictionary row (null = never
+    // joins), so dropping them keeps the In-filter a superset of the
+    // probe keys — and keeps getLong from NPEing the whole push
+    val fps = batchFps.filter(col("fingerprint").isNotNull)
+      .distinct().limit(100001).collect().map(_.getLong(0))
     if (fps.length <= 100000) base.filter(col("fingerprint").isin(fps: _*))
     else base
   }
@@ -637,6 +641,22 @@ object Store {
       readers.filterInPlace { case ((_, p), _) => p != path }
       sessions.foreach(_.catalog.refreshByPath(path))
     }
+
+  /** Reader-side recovery after losing a race with [[maintain]]'s
+    * write-new-then-swap: a query planned against the pre-swap file
+    * listing fails its scan once the originals are renamed away. The data
+    * is intact — drop every cached reader under the store root and
+    * refresh each session's catalog index, so the caller's retry re-lists
+    * the post-swap files. Costs one LIST per table on next use.
+    */
+  def refreshRoot(spark: SparkSession, dir: String): Unit = {
+    val root = ensure(spark, dir)
+    def under(p: String) = p == root || p.startsWith(root + "/")
+    val sessions = readers.keysIterator
+      .collect { case (s, p) if under(p) => s }.toSet + spark
+    readers.filterInPlace { case ((_, p), _) => !under(p) }
+    sessions.foreach(_.catalog.refreshByPath(root))
+  }
 
   /** Drop every per-session cache entry for an evicted tenant session:
     * [[readers]] and [[dictCounts]] key by (session, path) and would
@@ -1089,9 +1109,16 @@ object Store {
     // same write-new-then-swap, but the table's own _SUCCESS marker must
     // survive (it guards the build), and the rewrite keeps the dictionary
     // sharded (targetFiles) instead of collapsing to one file
+    // the flat dictionary case is DONE at targetFiles shards — with
+    // targetFiles > maxFiles the old bound re-rewrote (and whole-dir
+    // re-swapped) an already-compacted dictionary on EVERY maintenance
+    // tick, pure rename churn that also kept re-opening the reader race
+    // window
+    def fileBound(leaf: Path): Int =
+      if (leaf == tableDir) math.max(maxFiles, targetFiles) else maxFiles
     val toCompact = leaves.filter(leaf =>
       listStatus(fs, leaf).count(f =>
-        f.isFile && f.getPath.getName.endsWith(".parquet")) > maxFiles)
+        f.isFile && f.getPath.getName.endsWith(".parquet")) > fileBound(leaf))
     // crash-safe swap: the ORIGINAL survives as `.old` until the new
     // data is live — a crash anywhere leaves a complete copy for
     // [[recoverScratch]] (vs the old delete-then-rename, whose crash
@@ -1123,7 +1150,43 @@ object Store {
         .write.mode("overwrite").parquet(tmp.toString)
       swapIn(leaf, tmp)
     }
-    val (flat, parts) = toCompact.partition(_ == tableDir)
+    val (flat, allParts) = toCompact.partition(_ == tableDir)
+    // schema-drift guard for the one-job rewrite below: it reads every
+    // over-limit leaf under ONE explicit schema, so a leaf whose files
+    // carry a column absent from that schema would silently rewrite
+    // without it. Appends are conformed to the stored contract
+    // (appendAligned), so drift can't arise through supported paths —
+    // verify cheaply anyway from the parquet FOOTERS (driver-side reads,
+    // no Spark jobs) and route any drifted leaf through its own
+    // mergeSchema rewrite with its own column set.
+    def footerFields(leaf: Path): Set[String] = {
+      import scala.jdk.CollectionConverters._
+      listStatus(fs, leaf).iterator
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .flatMap { s =>
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile
+              .fromStatus(s, fs.getConf))
+          try r.getFileMetaData.getSchema.getFields.asScala
+            .map(_.getName).toList
+          finally r.close()
+        }.toSet
+    }
+    val headFields: Set[String] =
+      allParts.headOption.map(footerFields).getOrElse(Set.empty)
+    val (parts, drifted) =
+      allParts.partition(l => (l eq allParts.head) ||
+        footerFields(l) == headFields)
+    drifted.foreach { leaf =>
+      val tmp = new Path(leaf.getParent, leaf.getName + ".compact")
+      val df0 = spark.read.option("mergeSchema", "true")
+        .parquet(leaf.toString)
+      val df = merge.fold(df0)(m => m(df0))
+      val sortable = sortCols.filter(df.columns.contains)
+      df.coalesce(1).sortWithinPartitions(sortable.map(col): _*)
+        .write.mode("overwrite").parquet(tmp.toString)
+      swapIn(leaf, tmp)
+    }
     // partition leaves rewrite in ONE Spark job per table, not one tiny
     // read+write job per leaf (which made a maintenance pass over a
     // fragmented store job-scheduling-bound, not byte-bound): each leaf is

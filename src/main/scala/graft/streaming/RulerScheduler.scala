@@ -61,22 +61,36 @@ final class RulerScheduler(spark: SparkSession, dir: String,
   // of re-recording the previous process's last bucket
   private val lastEvalNs = TrieMap[(String, String, String), Long]()
   @volatile private var seededDone = false
+  @volatile private var seedFailLogged = false
   private def seed(nowNsVal: Long): Unit = if (!seededDone) {
     // a corrupt/unreadable marks table must not silently disable ALL rule
     // evaluation (a lazy-val rethrow every tick would): record a visible
     // `_sweep`-style health row and fall back to cold-start seeding — the
-    // idempotent writeback bounds any re-recorded buckets
-    try Rules.loadMarks(spark, dir).foreach { case (k, v) =>
-      lastEvalNs.putIfAbsent(k, v): Unit
+    // idempotent writeback bounds any re-recorded buckets. A missing table
+    // is handled INSIDE loadMarks (empty map = genuine cold start), so a
+    // throw here is transient IO or corruption: evaluate this tick from
+    // cold-start defaults but leave seededDone=false, so one IO hiccup
+    // retries next tick instead of permanently cold-starting every
+    // watermark. putIfAbsent keeps a later successful seed from clobbering
+    // in-memory progress the interim ticks already made.
+    try {
+      Rules.loadMarks(spark, dir).foreach { case (k, v) =>
+        lastEvalNs.putIfAbsent(k, v): Unit
+      }
+      seededDone = true
     } catch {
       case e: Exception =>
         val msg = Option(e.getMessage).getOrElse(e.toString)
         Console.err.println(s"graft ruler: marks load failed: $msg")
-        try Rules.saveHealth(spark, dir, Seq(Rules.HealthRow("loki",
-          "_sweep", "_marks", "_marks", "err", msg, nowNsVal / 1000000L, 0.0)))
-        catch { case _: Exception => () }
+        if (!seedFailLogged) {
+          seedFailLogged = true
+          // marks cover both swept engines — one health row per kind
+          try Rules.saveHealth(spark, dir, Kinds.map(kind =>
+            Rules.HealthRow(kind, "_sweep", "_marks", "_marks", "err", msg,
+              nowNsVal / 1000000L, 0.0)))
+          catch { case _: Exception => () }
+        }
     }
-    seededDone = true
   }
 
   /** Engines swept: the HTTP ruler surface stores under "loki"; the
